@@ -1,0 +1,343 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, MapJoin}
+import graft.sources.Tables
+
+/** Relational operator pack over the TPC-H-ish tables — covers SURVEY §2
+  * families: projections/filters (P*), joins (J1/J2/J6/J10/J12/J15),
+  * aggregations (A1/A2/A4/A13), windows (W1-W3 + running/lag), set ops
+  * (U1/U3/U5), sorts/limits/splits (O1/O5/O6), date scalars (F26).
+  *
+  * Scale notes per query are inline; the recurring ones:
+  *  - dimension joins are `broadcast()` (region/nation/part are small
+  *    even at 100 TB fact scale)
+  *  - aggregate-before-join (MapJoin) keeps the shuffled child at ≤1 row
+  *    per key
+  *  - the as-of join is the union-sort rewrite: one shuffle, no pairwise
+  *    blowup (see operators/AsOfJoin.scala)
+  */
+object RelationalQueries extends QueryPack {
+
+  private def dec(c: Column, t: String = "decimal(12,2)"): Column = c.cast(t)
+
+  def all: Seq[Q] = Seq(
+
+    // ---- A1: grouped aggregation with multiple measures (TPC-H Q1 shape).
+    // Partial (map-side) agg + single shuffle on the 4-value group key.
+    Q("a1_pricing_summary",
+      (s, d) => Tables.lineitem(s, d)
+        .where(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").cast("bigint").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("decimal(28,2)").as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) *
+            (lit(1).cast("decimal(4,2)") - dec(col("l_discount"), "decimal(4,2)")))
+            .cast("decimal(28,4)").as("sum_disc_price"),
+          count(lit(1)).as("count_order")),
+      Some("""SELECT l_returnflag, l_linestatus,
+              cast(sum(l_quantity) as bigint) AS sum_qty,
+              cast(sum(cast(l_extendedprice as decimal(12,2))) as decimal(28,2)) AS sum_base_price,
+              cast(sum(cast(l_extendedprice as decimal(12,2)) * (cast(1 as decimal(4,2)) - cast(l_discount as decimal(4,2)))) as decimal(28,4)) AS sum_disc_price,
+              count(*) AS count_order
+              FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+              GROUP BY l_returnflag, l_linestatus""")),
+
+    // ---- A1b: distinct aggregation.
+    Q("a1_count_distinct",
+      (s, d) => Tables.customer(s, d)
+        .groupBy(col("c_nationkey").cast("bigint").as("nationkey"))
+        .agg(countDistinct("c_mktsegment").as("n_segments"),
+          count(lit(1)).as("n_customers")),
+      Some("""SELECT cast(c_nationkey as bigint) AS nationkey,
+              count(DISTINCT c_mktsegment) AS n_segments, count(*) AS n_customers
+              FROM customer GROUP BY 1""")),
+
+    // ---- J1: snowflake dimension-join chain (decision⟕language⟕chamber⟕court
+    // in the reference). Dims broadcast — no shuffle of the fact side.
+    Q("j1_snowflake_join",
+      (s, d) => Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"), "left")
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"), "left")
+        .select(col("c_custkey"), col("c_name"), col("n_name"), col("r_name")),
+      Some("""SELECT c_custkey, c_name, n_name, r_name
+              FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+              LEFT JOIN region ON n_regionkey = r_regionkey""")),
+
+    // ---- J2: aggregate-join ("map_join" — the reference's most load-bearing
+    // operator). Child pre-aggregated to one row per key before the join.
+    Q("j2_aggregate_join",
+      (s, d) => MapJoin.aggregateJoin(
+        Tables.orders(s, d).select("o_orderkey", "o_orderstatus"),
+        Tables.lineitem(s, d).withColumnRenamed("l_orderkey", "o_orderkey"),
+        "o_orderkey",
+        Seq(count(lit(1)).as("li_count"),
+          sum("l_quantity").cast("bigint").as("sum_qty"))),
+      Some("""SELECT o.o_orderkey, o.o_orderstatus, li.li_count, li.sum_qty
+              FROM orders o LEFT JOIN (
+                SELECT l_orderkey, count(*) AS li_count,
+                       cast(sum(l_quantity) as bigint) AS sum_qty
+                FROM lineitem GROUP BY 1) li ON o.o_orderkey = li.l_orderkey""")),
+
+    // ---- J2/A2: collect-join — child rows gathered as one ordered value per
+    // key (reference: json_agg(json_build_object(...)) GROUP BY decision_id).
+    // Emitted as a joined string so the oracle compare is engine-neutral.
+    Q("j2_collect_join",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(expr("array_join(transform(array_sort(collect_list(l_linenumber)), x -> cast(x as string)), ',')")
+          .as("line_numbers")),
+      Some("""SELECT l_orderkey AS o_orderkey,
+              string_agg(cast(l_linenumber as varchar), ',' ORDER BY l_linenumber) AS line_numbers
+              FROM lineitem GROUP BY 1""")),
+
+    // ---- J6: self-join (reference: header-section ⟕ footer-section of the
+    // same decision). One shuffle on the shared key; AQE may broadcast.
+    Q("j6_self_join",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val a = li.where(col("l_linenumber") === 1)
+          .select(col("l_orderkey"), dec(col("l_extendedprice")).as("price1"))
+        val b = li.where(col("l_linenumber") === 2)
+          .select(col("l_orderkey"), dec(col("l_extendedprice")).as("price2"))
+        a.join(b, Seq("l_orderkey"), "left")
+      },
+      Some("""SELECT a.l_orderkey, cast(a.l_extendedprice as decimal(12,2)) AS price1,
+                     cast(b.l_extendedprice as decimal(12,2)) AS price2
+              FROM lineitem a LEFT JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = 2
+              WHERE a.l_linenumber = 1""")),
+
+    // ---- J10: as-of join (nearest ruling page ≤ cited page in the
+    // reference). Union-sort rewrite: single shuffle of |L|+|R| rows.
+    // Comparisons on raw epoch-nanos to match DuckDB's ns precision.
+    Q("j10_asof_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.where(col("event_type") === "click")
+          .select("event_id", "user_id", "ts_ns")
+        val purchases = ev.where(col("event_type") === "purchase")
+        AsOfJoin.joinBackward(clicks, purchases, Seq("user_id"),
+            leftOrd = "ts_ns", rightOrd = "ts_ns",
+            rightVals = Seq("event_id", "value"))
+          .select(col("event_id"), col("user_id"), col("ts_ns"),
+            col("asof_event_id"), col("asof_value"))
+      },
+      Some("""SELECT c.event_id, c.user_id, epoch_ns(c.ts) AS ts_ns,
+                     p.event_id AS asof_event_id, p.value AS asof_value
+              FROM (SELECT * FROM events WHERE event_type = 'click') c
+              ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+                ON c.user_id = p.user_id AND c.ts >= p.ts""")),
+
+    // ---- J12: anti join (reference: skip already-ingested files).
+    Q("j12_anti_join",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name"),
+      Some("""SELECT c_custkey, c_name FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""")),
+
+    // ---- J15: semi join (membership labeling).
+    Q("j15_semi_join",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment"),
+      Some("""SELECT c_custkey, c_mktsegment FROM customer c
+              WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""")),
+
+    // ---- W1: latest-row-per-key via row_number (reference: nearest-page
+    // pick). Deterministic tie-break on the unique key.
+    Q("w1_latest_order_per_customer",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+          .select(col("o_custkey"), col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("last_order_date"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS last_order_date
+              FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+              WHERE rn = 1""")),
+
+    // ---- W2/O1: global top-k with deterministic tie-break. Spark plans
+    // TakeOrderedAndProject — no full sort at scale.
+    Q("w2_top25_parts_by_revenue",
+      (s, d) => {
+        val rev = Tables.lineitem(s, d).groupBy("l_partkey")
+          .agg(sum(dec(col("l_extendedprice")) *
+            (lit(1).cast("decimal(4,2)") - dec(col("l_discount"), "decimal(4,2)")))
+            .cast("decimal(28,4)").as("revenue"))
+        rev.join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+          .orderBy(col("revenue").desc, col("p_partkey"))
+          .limit(25)
+          .select("p_partkey", "p_name", "revenue")
+      },
+      Some("""SELECT p_partkey, p_name, revenue FROM (
+                SELECT l_partkey,
+                  cast(sum(cast(l_extendedprice as decimal(12,2)) * (cast(1 as decimal(4,2)) - cast(l_discount as decimal(4,2)))) as decimal(28,4)) AS revenue
+                FROM lineitem GROUP BY 1) r
+              JOIN part ON l_partkey = p_partkey
+              ORDER BY revenue DESC, p_partkey LIMIT 25""")),
+
+    // ---- W3/A8: ntile quartile labels (criticality labels in the
+    // reference). Global-order window: fine for label vocab; at 100 TB the
+    // input to it is an aggregate, never the raw fact table.
+    Q("w3_ntile_quartiles",
+      (s, d) => Tables.customer(s, d)
+        .withColumn("quartile",
+          ntile(4).over(Window.orderBy(col("c_acctbal"), col("c_custkey"))).cast("bigint"))
+        .select("c_custkey", "quartile"),
+      Some("""SELECT c_custkey, cast(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) as bigint) AS quartile
+              FROM customer""")),
+
+    // ---- W4: running aggregate per key.
+    Q("w4_running_total",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, d)
+          .withColumn("running_spend",
+            sum(dec(col("o_totalprice"))).over(w).cast("decimal(28,2)"))
+          .select("o_custkey", "o_orderkey", "running_spend")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+              cast(sum(cast(o_totalprice as decimal(12,2))) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as decimal(28,2)) AS running_spend
+              FROM orders""")),
+
+    // ---- W5: lag — days since previous order per customer.
+    Q("w5_order_gap_days",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+          .select(col("o_custkey"), col("o_orderkey"),
+            datediff(col("o_orderdate").cast("date"), col("prev_date").cast("date"))
+              .cast("bigint").as("gap_days"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+              cast(date_diff('day',
+                cast(lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) as date),
+                cast(o_orderdate as date)) as bigint) AS gap_days
+              FROM orders""")),
+
+    // ---- A4: hierarchical rollup (chamber→court→canton counters in the
+    // reference).
+    Q("a4_rollup_customers",
+      (s, d) => {
+        // DetectAmbiguousSelfJoin false-positives on rollup-after-join
+        // (fires even with fresh toDF lineage); the plan has no self join.
+        s.conf.set("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
+        Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name"), col("n_name"), col("c_acctbal"))
+        .rollup("r_name", "n_name")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(dec(col("c_acctbal"))).cast("decimal(28,2)").as("sum_acctbal"))
+      },
+      Some("""SELECT r_name, n_name, count(*) AS n_customers,
+              cast(sum(cast(c_acctbal as decimal(12,2))) as decimal(28,2)) AS sum_acctbal
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              GROUP BY ROLLUP(r_name, n_name)""")),
+
+    // ---- A13: histogram binning.
+    Q("a13_price_histogram",
+      (s, d) => Tables.orders(s, d)
+        .groupBy((floor(col("o_totalprice") / 1000) * 1000).cast("bigint").as("price_bucket"))
+        .agg(count(lit(1)).as("n_orders")),
+      Some("""SELECT cast(floor(o_totalprice / 1000) * 1000 as bigint) AS price_bucket,
+              count(*) AS n_orders FROM orders GROUP BY 1""")),
+
+    // ---- U1: union + distinct.
+    Q("u1_union_distinct",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        o.where(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+          .unionByName(o.where(col("o_totalprice") > 400000).select("o_orderkey"))
+          .distinct()
+      },
+      Some("""SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+              UNION SELECT o_orderkey FROM orders WHERE o_totalprice > 400000""")),
+
+    // ---- U3: except (set difference — progress tracking in the reference).
+    Q("u3_except_nations",
+      (s, d) => Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .select("n_name").distinct()
+        .except(Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .select("n_name").distinct()),
+      Some("""SELECT DISTINCT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+              EXCEPT
+              SELECT DISTINCT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey""")),
+
+    // ---- U5: intersect.
+    Q("u5_intersect_nations",
+      (s, d) => Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .select("n_name").distinct()
+        .intersect(Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .select("n_name").distinct()),
+      Some("""SELECT DISTINCT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+              INTERSECT
+              SELECT DISTINCT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey""")),
+
+    // ---- O6: date-stratified split labels (train/val/test/secret in the
+    // reference's dataset creators).
+    Q("o6_date_split",
+      (s, d) => Tables.orders(s, d)
+        .withColumn("split",
+          when(year(col("o_orderdate")) < 1996, "train")
+            .when(year(col("o_orderdate")) <= 1997, "validation")
+            .when(year(col("o_orderdate")) <= 1999, "test")
+            .otherwise("secret_test"))
+        .groupBy("split").agg(count(lit(1)).as("n_orders")),
+      Some("""SELECT CASE WHEN year(o_orderdate) < 1996 THEN 'train'
+                          WHEN year(o_orderdate) <= 1997 THEN 'validation'
+                          WHEN year(o_orderdate) <= 1999 THEN 'test'
+                          ELSE 'secret_test' END AS split,
+              count(*) AS n_orders FROM orders GROUP BY 1""")),
+
+    // ---- O5: deterministic hash-free split (randomSplit analog made
+    // reproducible: modulo on the unique key).
+    Q("o5_modulo_split",
+      (s, d) => Tables.orders(s, d)
+        .withColumn("bucket",
+          when(col("o_orderkey") % 10 < 8, "train")
+            .when(col("o_orderkey") % 10 < 9, "validation")
+            .otherwise("test"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("decimal(28,2)").as("sum_price")),
+      Some("""SELECT CASE WHEN o_orderkey % 10 < 8 THEN 'train'
+                          WHEN o_orderkey % 10 < 9 THEN 'validation'
+                          ELSE 'test' END AS bucket,
+              count(*) AS n_orders,
+              cast(sum(cast(o_totalprice as decimal(12,2))) as decimal(28,2)) AS sum_price
+              FROM orders GROUP BY 1""")),
+
+    // ---- F26: date-part scalars (year/quarter/month/isodow).
+    Q("f26_date_parts",
+      (s, d) => Tables.orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("bigint").as("o_year"),
+        quarter(col("o_orderdate")).cast("bigint").as("o_quarter"),
+        month(col("o_orderdate")).cast("bigint").as("o_month"),
+        (weekday(col("o_orderdate")) + 1).cast("bigint").as("o_isodow")),
+      Some("""SELECT o_orderkey, cast(year(o_orderdate) as bigint) AS o_year,
+              cast(quarter(o_orderdate) as bigint) AS o_quarter,
+              cast(month(o_orderdate) as bigint) AS o_month,
+              cast(isodow(o_orderdate) as bigint) AS o_isodow FROM orders""")),
+  )
+}

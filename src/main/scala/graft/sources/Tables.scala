@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Catalog of the driver-generated synthetic tables (TESTDATA.md).
+  *
+  * Mirrors the reference's fixed table-catalog role
+  * (`database_creation/drop_and_create_tables.sql`): a set of named
+  * Parquet tables loaded by name. At 100 TB these become
+  * partitioned/bucketed Parquet directories; since the reads below are
+  * plain `spark.read.parquet`, partition pruning and filter/column
+  * pushdown apply unchanged.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects. We read it as a Long of epoch-nanos
+    * (legacy flag) and expose both the raw nanos and a truncated
+    * microsecond timestamp (matches DuckDB's ns→µs cast truncation).
+    * The flag is a runtime SQL conf, so setting it here also covers a
+    * driver-created session (`SparkEntry.entry`).
+    */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts_ns", col("ts").cast("long"))
+        // integer division BEFORE any widening: 1.7e18 exceeds 2^53, a
+        // double round-trip would corrupt the low bits.
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .withColumn("ts", expr("timestamp_micros(ts_us)"))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
+  }
+
+  def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = apply(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+}
