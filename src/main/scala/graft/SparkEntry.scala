@@ -15,6 +15,10 @@ object SparkEntry {
 
   private def packs: Seq[QueryPack] = Seq(
     RelationalQueries,
+    TextQueries,
+    DedupQueries,
+    SimilarityQueries,
+    EventQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,111 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import java.text.Normalizer
+import java.util.UUID
+
+/** Pure text functions (zero Spark deps) — the reference's scalar layer
+  * re-expressed as deterministic JVM functions so the UDF wrapper stays
+  * thin and the logic is unit-testable off-cluster.
+  *
+  * Reference points:
+  *  - cleanText: `scrc/utils/main_utils.py:113-139` (NFKC normalize,
+  *    de-hyphenate line breaks, NBSP→space, collapse whitespace, strip
+  *    control chars)
+  *  - roman numerals: `scrc/utils/main_utils.py:171-210`
+  *  - uuid5: `scrc/utils/sql_select_utils.py:168` (deterministic
+  *    decision ids via uuid5(UUID(0), file_name))
+  *  - simhash: near-dup fingerprint for the dedup pipeline (not in the
+  *    reference; standard Charikar simhash over token multiset)
+  */
+object TextFunctions {
+
+  /** NFKC normalize, de-hyphenate across line breaks, NBSP and friends
+    * to plain space, collapse runs of whitespace, strip control chars.
+    */
+  def cleanText(s: String): String = {
+    if (s == null) return null
+    val nfkc = Normalizer.normalize(s, Normalizer.Form.NFKC)
+    nfkc
+      .replaceAll("(\\w)-\\n(\\w)", "$1$2")     // de-hyphenate line breaks
+      .replaceAll("[\\u00a0\\u2007\\u202f]", " ") // NBSP family → space
+      .replaceAll("[\\p{Cntrl}&&[^\n\t]]", "")  // control chars (keep \n\t)
+      .replaceAll("_{2,}", "_")
+      .replaceAll("\\s+", " ")
+      .trim
+  }
+
+  private val romanVals =
+    Seq(1000 -> "M", 900 -> "CM", 500 -> "D", 400 -> "CD", 100 -> "C",
+      90 -> "XC", 50 -> "L", 40 -> "XL", 10 -> "X", 9 -> "IX",
+      5 -> "V", 4 -> "IV", 1 -> "I")
+
+  def intToRoman(n: Int): String = {
+    require(n > 0 && n < 4000, s"roman range 1..3999, got $n")
+    val sb = new StringBuilder
+    var rem = n
+    for ((v, sym) <- romanVals) while (rem >= v) { sb.append(sym); rem -= v }
+    sb.toString
+  }
+
+  private val romanChar = Map('I' -> 1, 'V' -> 5, 'X' -> 10, 'L' -> 50,
+    'C' -> 100, 'D' -> 500, 'M' -> 1000)
+
+  def romanToInt(s: String): Int = {
+    val vals = s.toUpperCase.map(romanChar)
+    vals.zipAll(vals.tail, 0, 0).map { case (a, b) => if (a < b) -a else a }.sum
+  }
+
+  /** RFC 4122 name-based UUID v5 (SHA-1). `namespace` is the namespace
+    * UUID; the reference uses UUID(int=0) as namespace for decision ids.
+    */
+  def uuid5(namespace: UUID, name: String): UUID = {
+    val md = MessageDigest.getInstance("SHA-1")
+    val ns = java.nio.ByteBuffer.allocate(16)
+      .putLong(namespace.getMostSignificantBits)
+      .putLong(namespace.getLeastSignificantBits).array()
+    md.update(ns)
+    md.update(name.getBytes(StandardCharsets.UTF_8))
+    val h = md.digest()
+    h(6) = ((h(6) & 0x0f) | 0x50).toByte // version 5
+    h(8) = ((h(8) & 0x3f) | 0x80).toByte // RFC 4122 variant
+    val bb = java.nio.ByteBuffer.wrap(h, 0, 16)
+    new UUID(bb.getLong, bb.getLong)
+  }
+
+  val namespaceZero: UUID = new UUID(0L, 0L)
+
+  /** Deterministic decision-id analog: uuid5 over the zero namespace. */
+  def decisionId(fileName: String): String =
+    uuid5(namespaceZero, fileName).toString
+
+  /** 64-bit Charikar simhash over the token multiset, token weight = its
+    * occurrence count. Token hash = first 8 bytes of md5 (stable across
+    * JVMs/engines, unlike String.hashCode).
+    */
+  def simhash64(tokens: Seq[String]): Long = {
+    val acc = new Array[Long](64)
+    for (t <- tokens) {
+      val h = md5Long(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** First 8 bytes of md5(token) as a big-endian long. */
+  def md5Long(s: String): Long = {
+    val d = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+    java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+  }
+
+  def hammingDistance(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}

@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Deduplication pack — the large-scale training-data-pipeline ops:
+  * exact hash dedup, MinHash+LSH candidate generation, n-gram Jaccard
+  * verification, SimHash fingerprints, and embedding-cosine near-dup.
+  *
+  * Design for 100 TB:
+  *  - exact dedup is one hash-groupBy (map-side partial agg; the
+  *    shuffle carries one row per distinct fingerprint)
+  *  - MinHash/LSH replaces the quadratic all-pairs compare with
+  *    shingle→signature→band→bucket-join: only rows agreeing on a band
+  *    hash ever meet in the join, and the band join is a plain shuffle
+  *    equi-join AQE can re-plan for skew (hot buckets)
+  *  - Jaccard verification runs ONLY on LSH candidates (the classic
+  *    two-stage candidate/verify shape), never all pairs
+  *  - token/bit hashing uses md5, stable across engines and JVMs —
+  *    never String.hashCode
+  *  - signatures/fingerprints are built with codegen'd higher-order
+  *    expressions (transform/aggregate/zip_with) — zero UDFs, zero
+  *    per-row JVM object churn beyond the arrays themselves
+  */
+object DedupQueries extends QueryPack {
+
+  /** tokens column (space-split) */
+  private def withWords(df: DataFrame): DataFrame =
+    df.withColumn("w", split(col("text"), " "))
+
+  /** distinct 3-gram shingles over the token stream */
+  private def withShingles(df: DataFrame): DataFrame =
+    withWords(df).withColumn("sh", array_distinct(expr(
+      "transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))")))
+
+  /** 4-function MinHash signature: per hash j, the lexicographic min of
+    * md5(j || shingle). Each signature position is its own LSH band
+    * (1-row bands → high recall on this corpus).
+    */
+  private def withMinhash(df: DataFrame): DataFrame =
+    withShingles(df).withColumn("sig", expr(
+      "transform(sequence(0, 3), j -> array_min(transform(sh, x -> md5(concat(cast(j as string), x)))))"))
+
+  /** (doc_id, band, h) — exploded band table for the bucket join */
+  private def bands(s: SparkSession, d: String): DataFrame =
+    withMinhash(Tables.documents(s, d))
+      .select(col("doc_id"), posexplode(col("sig")).as(Seq("band", "h")))
+
+  private val duckShingles =
+    """SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)"""
+
+  private val duckBands =
+    s"""WITH sh AS ($duckShingles),
+        mh AS (SELECT doc_id,
+                 [list_aggregate(list_transform(sh, x -> md5(j::VARCHAR || x)), 'min')
+                  FOR j IN range(4)] AS sig FROM sh),
+        bands AS (SELECT doc_id, unnest(range(4)) AS band,
+                    sig[unnest(range(4)) + 1] AS h FROM mh)"""
+
+  def all: Seq[Q] = Seq(
+
+    // ---- Exact dedup: md5 fingerprint groupBy; keeper = min doc_id.
+    Q("d1_exact_dedup",
+      (s, d) => Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("fingerprint"))
+        .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keep_doc_id")),
+      Some("""SELECT md5(text) AS fingerprint, count(*) AS n_copies,
+              min(doc_id) AS keep_doc_id FROM documents GROUP BY 1""")),
+
+    // ---- MinHash+LSH candidate pairs: equal band hash ⇒ candidate.
+    Q("d2_minhash_lsh_pairs",
+      (s, d) => {
+        val b = bands(s, d)
+        val l = b.toDF("ia", "band", "h")
+        val r = b.toDF("ib", "band", "h")
+        l.join(r, Seq("band", "h"))
+          .where(col("ia") < col("ib"))
+          .select("ia", "ib").distinct()
+      },
+      Some(s"""$duckBands
+              SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+              FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h
+              WHERE a.doc_id < b.doc_id""")),
+
+    // ---- Candidate verification: exact n-gram Jaccard on LSH pairs only.
+    Q("d3_lsh_jaccard",
+      (s, d) => {
+        val b = bands(s, d)
+        val cand = b.toDF("ia", "band", "h")
+          .join(b.toDF("ib", "band", "h"), Seq("band", "h"))
+          .where(col("ia") < col("ib"))
+          .select("ia", "ib").distinct()
+        val sh = withShingles(Tables.documents(s, d)).select(col("doc_id"), col("sh"))
+        cand
+          .join(sh.toDF("ia", "sha"), "ia")
+          .join(sh.toDF("ib", "shb"), "ib")
+          .select(col("ia"), col("ib"),
+            round(size(array_intersect(col("sha"), col("shb"))).cast("double") /
+              size(array_union(col("sha"), col("shb"))), 6).as("jaccard"))
+      },
+      Some(s"""$duckBands,
+              cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+                       FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h
+                       WHERE a.doc_id < b.doc_id)
+              SELECT ia, ib,
+                round(cast(len(list_intersect(sa.sh, sb.sh)) as double) /
+                      len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+              FROM cand JOIN sh sa ON cand.ia = sa.doc_id
+                        JOIN sh sb ON cand.ib = sb.doc_id""")),
+
+    // ---- SimHash (32-bit, token-multiset weighted): per-row nested
+    // higher-order fold, no shuffle at all. Same fingerprint as
+    // functions.TextFunctions.simhash64 truncated to the md5-low-32 path.
+    Q("d4_simhash",
+      (s, d) => withWords(Tables.documents(s, d))
+        .withColumn("hs", expr(
+          "transform(w, x -> cast(conv(substring(md5(x), 25, 8), 16, 10) as bigint))"))
+        .select(col("doc_id"), expr(
+          """aggregate(sequence(0, 31), cast(0 as bigint), (acc, b) -> acc +
+             IF(aggregate(hs, cast(0 as bigint),
+                  (a, h) -> a + (((h >> b) & 1) * 2 - 1)) > 0,
+                shiftleft(cast(1 as bigint), b), cast(0 as bigint)))""").as("simhash")),
+      Some("""WITH tok AS (SELECT doc_id,
+                CAST(('0x' || substr(md5(t), 25, 8)) AS BIGINT) AS h
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)),
+              bits AS (SELECT doc_id, b,
+                CASE WHEN sum(((h >> b) & 1) * 2 - 1) > 0
+                     THEN (CAST(1 AS BIGINT) << b) ELSE 0 END AS v
+                FROM tok CROSS JOIN (SELECT unnest(range(32)) AS b) GROUP BY doc_id, b)
+              SELECT doc_id, CAST(sum(v) AS BIGINT) AS simhash
+              FROM bits GROUP BY doc_id""")),
+
+    // ---- Embedding-cosine near-dup: exact all-pairs baseline (the
+    // verify stage). At 100 TB the candidate stage is the LSH bucketing
+    // in SimilarityQueries.s3; this exact compare then runs per-bucket.
+    // Norms are precomputed once per vector (not per pair).
+    Q("d5_embedding_neardup",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+          .withColumn("nn", expr("aggregate(v, cast(0 as double), (a, x) -> a + x * x)"))
+          .select("vec_id", "v", "nn")
+        val a = e.toDF("ia", "va", "na")
+        val b = e.toDF("ib", "vb", "nb")
+        a.join(b, col("ia") < col("ib"))
+          .withColumn("cos", round(
+            expr("aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0 as double), (a, x) -> a + x)") /
+              (sqrt(col("na")) * sqrt(col("nb"))), 6))
+          .where(col("cos") > 0.3)
+          .select("ia", "ib", "cos")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              n AS (SELECT vec_id, v,
+                      list_aggregate(list_transform(v, x -> x * x), 'sum') AS nn FROM e),
+              p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                round(list_aggregate(list_transform(range(1, len(a.v) + 1),
+                        i -> a.v[i] * b.v[i]), 'sum') / (sqrt(a.nn) * sqrt(b.nn)), 6) AS cos
+                FROM n a JOIN n b ON a.vec_id < b.vec_id)
+              SELECT ia, ib, cos FROM p WHERE cos > 0.3""")),
+  )
+}

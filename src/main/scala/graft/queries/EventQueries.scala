@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Event/time-series pack over the `events` table: tumbling windows,
+  * sessionization, funnel analysis, JSON-ish property extraction.
+  *
+  * These are the batch duals of the Structured Streaming operators in
+  * graft.streaming (same window semantics; the streaming variant adds
+  * watermarking). Comparisons run on raw epoch-micros (`ts_us`) — the
+  * parquet nanos timestamp never round-trips through a double.
+  *
+  * Scale notes: tumbling windows are a plain hash-agg on the bucketed
+  * time key (map-side partial agg); sessionization shuffles once on
+  * user_id and runs two window passes over the same sort order (Spark
+  * reuses the sort); the funnel is one conditional-agg pass, not three
+  * self-joins.
+  */
+object EventQueries extends QueryPack {
+
+  private val hourUs = 3600L * 1000000L
+
+  def all: Seq[Q] = Seq(
+
+    // ---- Tumbling 1-hour window aggregate (streaming dual: groupBy
+    // window(ts, '1 hour') with watermark).
+    Q("e1_tumbling_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy((expr(s"ts_us div $hourUs") * hourUs).as("window_start_us"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).cast("decimal(28,6)").as("sum_value")),
+      Some(s"""SELECT (epoch_ns(ts) // 1000 // $hourUs) * $hourUs AS window_start_us,
+              count(*) AS n_events,
+              cast(sum(cast(value as decimal(18,6))) as decimal(28,6)) AS sum_value
+              FROM events GROUP BY 1""")),
+
+    // ---- Sessionization: 30-minute inactivity gap → session ids →
+    // per-session stats. (The reference has no streams; this is the
+    // training-pipeline op — e.g. grouping scraped pages into visits.)
+    Q("e2_sessionize",
+      (s, d) => {
+        val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        val gapUs = 30L * 60L * 1000000L
+        Tables.events(s, d)
+          .withColumn("prev_ts", lag("ts_us", 1).over(byUser))
+          .withColumn("new_sess",
+            when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > gapUs, 1L)
+              .otherwise(0L))
+          .withColumn("sess_id",
+            sum("new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "sess_id")
+          .agg(count(lit(1)).as("n_events"),
+            min("ts_us").as("start_us"),
+            (max("ts_us") - min("ts_us")).as("dur_us"))
+      },
+      Some("""WITH t AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us FROM events),
+              f AS (SELECT user_id, ts_us,
+                CASE WHEN lag(ts_us) OVER w IS NULL
+                          OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+                FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+              g AS (SELECT user_id, ts_us,
+                cast(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS sess_id
+                FROM f)
+              SELECT user_id, sess_id, count(*) AS n_events,
+                min(ts_us) AS start_us, max(ts_us) - min(ts_us) AS dur_us
+              FROM g GROUP BY 1, 2""")),
+
+    // ---- Funnel: users whose first view < first click < first purchase.
+    // One conditional-agg pass per user — no self-joins.
+    Q("e3_funnel",
+      (s, d) => Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "view", col("ts_us"))).as("tv"),
+          min(when(col("event_type") === "click", col("ts_us"))).as("tc"),
+          min(when(col("event_type") === "purchase", col("ts_us"))).as("tp"))
+        .where(col("tv") < col("tc") && col("tc") < col("tp"))
+        .select("user_id", "tv", "tc", "tp"),
+      Some("""SELECT user_id, tv, tc, tp FROM (
+                SELECT user_id,
+                  min(CASE WHEN event_type = 'view' THEN epoch_ns(ts) // 1000 END) AS tv,
+                  min(CASE WHEN event_type = 'click' THEN epoch_ns(ts) // 1000 END) AS tc,
+                  min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) // 1000 END) AS tp
+                FROM events GROUP BY 1)
+              WHERE tv < tc AND tc < tp""")),
+
+    // ---- F41-ish: JSON property extraction (regex path — engine-neutral;
+    // Spark's get_json_object / from_json is the production path for real
+    // nested JSON, exercised in the streaming module).
+    Q("e4_props_extract",
+      (s, d) => Tables.events(s, d)
+        .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("bigint"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k")),
+      Some("""SELECT event_type, count(*) AS n,
+                sum(cast(regexp_extract(props, '"k": (\d+)', 1) as bigint)) AS sum_k,
+                max(cast(regexp_extract(props, '"k": (\d+)', 1) as bigint)) AS max_k
+              FROM events GROUP BY 1""")),
+  )
+}

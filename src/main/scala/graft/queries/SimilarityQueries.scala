@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Similarity-search pack over the `embeddings` table (Array[Float]
+  * column): brute-force cosine top-k as the exact baseline, a kNN join,
+  * and a random-hyperplane LSH bucketing as the scale path.
+  *
+  * Design for 100 TB:
+  *  - brute-force: the query side is broadcast (one or few vectors);
+  *    the corpus scan is embarrassingly parallel and the top-k is
+  *    TakeOrderedAndProject (per-partition heaps, no global sort)
+  *  - kNN join: per-query row_number window — partition count = number
+  *    of queries, so this is the small-query-set shape; for large query
+  *    sets the LSH path bounds the pair space first
+  *  - LSH: deterministic integer hyperplanes (engine-reproducible, no
+  *    RNG); bucket id is a per-row fold — the subsequent search joins
+  *    only within a bucket, turning all-pairs into an equi-join on
+  *    bucket id that AQE can skew-split
+  *  - norms are computed once per vector; dot products are codegen'd
+  *    zip_with/aggregate folds over the double-cast array
+  */
+object SimilarityQueries extends QueryPack {
+
+  /** vectors with double cast + squared norm */
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("nn", expr("aggregate(v, cast(0 as double), (a, x) -> a + x * x)"))
+      .select("vec_id", "label", "v", "nn")
+
+  private val cosExpr =
+    expr("aggregate(zip_with(qv, v, (x, y) -> x * y), cast(0 as double), (a, x) -> a + x)")
+
+  /** 4-bit random-hyperplane bucket; hyperplane j component i =
+    * ((i*31 + j*17) mod 7) - 3 — deterministic, identical across engines.
+    */
+  private val bucketExpr = expr(
+    """aggregate(sequence(0, 3), 0, (acc, j) -> acc +
+       IF(aggregate(transform(sequence(0, size(v) - 1),
+            i -> v[i] * cast((i * 31 + j * 17) % 7 - 3 as double)),
+          cast(0 as double), (a, x) -> a + x) > 0, shiftleft(1, j), 0))""")
+
+  private val duckVecs =
+    """SELECT vec_id, label, embedding::DOUBLE[] AS v,
+       list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x), 'sum') AS nn
+       FROM embeddings"""
+
+  private val duckBucket =
+    """list_aggregate(list_transform(range(4), j ->
+       CASE WHEN list_aggregate(list_transform(range(1, len(v) + 1),
+              i -> v[i] * (((i - 1) * 31 + j * 17) % 7 - 3)), 'sum') > 0
+            THEN (1 << j) ELSE 0 END), 'sum')"""
+
+  def all: Seq[Q] = Seq(
+
+    // ---- Brute-force cosine top-k for one query vector (vec_id 0).
+    Q("s1_cosine_topk",
+      (s, d) => {
+        val e = vecs(s, d)
+        val q = e.where(col("vec_id") === 0).select(col("v").as("qv"), col("nn").as("qn"))
+        e.crossJoin(broadcast(q))
+          .where(col("vec_id") =!= 0)
+          .withColumn("cos", round(cosExpr / (sqrt(col("qn")) * sqrt(col("nn"))), 6))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(10)
+          .select("vec_id", "cos")
+      },
+      Some(s"""WITH e AS ($duckVecs),
+              q AS (SELECT v AS qv, nn AS qn FROM e WHERE vec_id = 0)
+              SELECT vec_id,
+                round(list_aggregate(list_transform(range(1, len(qv) + 1),
+                  i -> qv[i] * v[i]), 'sum') / (sqrt(qn) * sqrt(nn)), 6) AS cos
+              FROM e CROSS JOIN q WHERE vec_id <> 0
+              ORDER BY cos DESC, vec_id LIMIT 10""")),
+
+    // ---- kNN join: top-3 neighbors for each of the first 5 vectors.
+    Q("s2_knn_join",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = vecs(s, d)
+        val q = e.where(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("nn").as("qn"))
+        val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+        e.crossJoin(broadcast(q))
+          .where(col("vec_id") =!= col("qid"))
+          .withColumn("cos", round(cosExpr / (sqrt(col("qn")) * sqrt(col("nn"))), 6))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 3)
+          .select(col("qid"), col("rank").cast("bigint").as("rank"), col("vec_id"), col("cos"))
+      },
+      Some(s"""WITH e AS ($duckVecs),
+              q AS (SELECT vec_id AS qid, v AS qv, nn AS qn FROM e WHERE vec_id < 5),
+              p AS (SELECT qid, vec_id,
+                round(list_aggregate(list_transform(range(1, len(qv) + 1),
+                  i -> qv[i] * v[i]), 'sum') / (sqrt(qn) * sqrt(nn)), 6) AS cos
+                FROM e CROSS JOIN q WHERE vec_id <> qid)
+              SELECT qid, cast(rank as bigint) AS rank, vec_id, cos FROM (
+                SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+                FROM p) WHERE rank <= 3""")),
+
+    // ---- LSH bucket histogram: the partition layout of the ANN index.
+    Q("s3_lsh_buckets",
+      (s, d) => vecs(s, d)
+        .withColumn("bucket", bucketExpr.cast("bigint"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_vectors")),
+      Some(s"""SELECT cast($duckBucket as bigint) AS bucket, count(*) AS n_vectors
+              FROM ($duckVecs) GROUP BY 1""")),
+
+    // ---- LSH-bucketed ANN: search only the query's bucket (the scale
+    // path — equi-join on bucket id instead of a cross join).
+    Q("s4_lsh_ann_topk",
+      (s, d) => {
+        val e = vecs(s, d).withColumn("bucket", bucketExpr)
+        val q = e.where(col("vec_id") === 0)
+          .select(col("v").as("qv"), col("nn").as("qn"), col("bucket"))
+        e.join(broadcast(q), "bucket")
+          .where(col("vec_id") =!= 0)
+          .withColumn("cos", round(cosExpr / (sqrt(col("qn")) * sqrt(col("nn"))), 6))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(5)
+          .select(col("vec_id"), col("bucket").cast("bigint").as("bucket"), col("cos"))
+      },
+      Some(s"""WITH e AS (SELECT *, $duckBucket AS bucket FROM ($duckVecs)),
+              q AS (SELECT v AS qv, nn AS qn, bucket FROM e WHERE vec_id = 0)
+              SELECT vec_id, cast(e.bucket as bigint) AS bucket,
+                round(list_aggregate(list_transform(range(1, len(qv) + 1),
+                  i -> qv[i] * v[i]), 'sum') / (sqrt(qn) * sqrt(nn)), 6) AS cos
+              FROM e JOIN q ON e.bucket = q.bucket WHERE vec_id <> 0
+              ORDER BY cos DESC, vec_id LIMIT 5""")),
+  )
+}

@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Text-analysis pack over the `documents` table — the training-data
+  * pipeline ops (language-ID, quality scoring, token counting,
+  * fingerprinting, TF-IDF) plus the reference's scalar text family
+  * (SURVEY §2.8: F1 clean_text, A3/A5 counter aggregation, A6 TF-IDF,
+  * F40 contains-one-of-list).
+  *
+  * Everything here is built-in Catalyst expressions (split / explode /
+  * higher-order lambdas) — no UDFs — so whole-stage codegen covers the
+  * full plan and filters/projections push into the parquet scan.
+  *
+  * Scale notes: per-doc ops are embarrassingly parallel (no shuffle at
+  * all); term-frequency and TF-IDF shuffle only the exploded token
+  * stream, with map-side partial aggregation shrinking it to
+  * |vocab|-bounded partial states per task.
+  */
+object TextQueries extends QueryPack {
+
+  private val stopEn = "('the','a')"
+  private val stopDe = "('der','die','das')"
+  private val stopFr = "('le','la','les')"
+
+  def all: Seq[Q] = Seq(
+
+    // ---- Token counting (F34 analog): whitespace tokens, distinct
+    // tokens, 3-gram shingle count. Pure per-row expressions.
+    Q("t1_token_stats",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("w", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("w")).cast("bigint").as("n_tokens"),
+          size(array_distinct(col("w"))).cast("bigint").as("n_distinct_tokens"),
+          size(array_distinct(expr(
+            "transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))")))
+            .cast("bigint").as("n_shingles")),
+      Some("""SELECT doc_id,
+                cast(len(w) as bigint) AS n_tokens,
+                cast(len(list_distinct(w)) as bigint) AS n_distinct_tokens,
+                cast(len(list_distinct(list_transform(range(1, len(w)-1),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) as bigint) AS n_shingles
+              FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)""")),
+
+    // ---- Quality scoring: stopword ratio + length → quality bucket.
+    Q("t2_quality_score",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("stop_ratio", round(
+          size(expr(s"filter(w, x -> x IN $stopEn)")).cast("double") / size(col("w")), 6))
+        .select(
+          col("doc_id"),
+          col("n_chars").cast("bigint").as("n_chars"),
+          size(col("w")).cast("bigint").as("n_tokens"),
+          col("stop_ratio"),
+          when(col("n_chars") < 100, "too_short")
+            .when(col("stop_ratio") > lit(0.15), "boilerplate")
+            .otherwise("ok").as("quality")),
+      Some(s"""SELECT doc_id, cast(n_chars as bigint) AS n_chars,
+                cast(len(w) as bigint) AS n_tokens, stop_ratio,
+                CASE WHEN n_chars < 100 THEN 'too_short'
+                     WHEN stop_ratio > 0.15 THEN 'boilerplate'
+                     ELSE 'ok' END AS quality
+              FROM (SELECT doc_id, n_chars, w,
+                      round(cast(len(list_filter(w, x -> x IN $stopEn)) as double) / len(w), 6) AS stop_ratio
+                    FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents))""")),
+
+    // ---- Language-ID (F35 analog): stopword-hit n-gram heuristic,
+    // argmax across language marker lists, tie → 'unk'.
+    Q("t3_lang_guess",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("en", size(expr(s"filter(w, x -> x IN $stopEn)")))
+        .withColumn("de", size(expr(s"filter(w, x -> x IN $stopDe)")))
+        .withColumn("fr", size(expr(s"filter(w, x -> x IN $stopFr)")))
+        .select(col("doc_id"),
+          when(col("en") > col("de") && col("en") > col("fr"), "en")
+            .when(col("de") > col("en") && col("de") > col("fr"), "de")
+            .when(col("fr") > col("en") && col("fr") > col("de"), "fr")
+            .otherwise("unk").as("lang_guess")),
+      Some(s"""SELECT doc_id,
+                CASE WHEN en > de AND en > fr THEN 'en'
+                     WHEN de > en AND de > fr THEN 'de'
+                     WHEN fr > en AND fr > de THEN 'fr'
+                     ELSE 'unk' END AS lang_guess
+              FROM (SELECT doc_id,
+                      len(list_filter(w, x -> x IN $stopEn)) AS en,
+                      len(list_filter(w, x -> x IN $stopDe)) AS de,
+                      len(list_filter(w, x -> x IN $stopFr)) AS fr
+                    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))""")),
+
+    // ---- Corpus term/document frequency (A3/A5/A14): explode + count
+    // with map-side partial agg; the shuffle carries ≤|vocab| rows/task.
+    Q("t4_term_frequency",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("df")),
+      Some("""SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+              GROUP BY token""")),
+
+    // ---- TF-IDF (A6): per-(doc, token) tf × ln((N+1)/(df+1)).
+    // df table is |vocab|-sized → broadcast; N is a scalar cross join.
+    Q("t5_tfidf",
+      (s, d) => {
+        val words = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        val tf = words.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val dfreq = words.groupBy("token").agg(countDistinct("doc_id").as("df"))
+        val n = Tables.documents(s, d).agg(countDistinct("doc_id").as("n"))
+        tf.join(broadcast(dfreq), "token").crossJoin(broadcast(n))
+          .select(col("doc_id"), col("token"), col("tf"),
+            round(col("tf") * log((col("n") + 1).cast("double") / (col("df") + 1)), 6)
+              .as("tfidf"))
+      },
+      Some("""WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+              tf AS (SELECT doc_id, token, count(*) AS tf FROM words GROUP BY 1, 2),
+              dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM words GROUP BY 1),
+              n AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
+              SELECT doc_id, tf.token, tf,
+                round(tf * ln(cast(n + 1 as double) / (df + 1)), 6) AS tfidf
+              FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n""")),
+
+    // ---- clean_text (F1, the oracle-expressible regex subset): build a
+    // deterministic "dirty" variant then normalize whitespace. The full
+    // NFKC path lives in functions.TextFunctions (ScalaTest-covered).
+    Q("t6_clean_text",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("dirty",
+          concat(lit("  "), upper(substring(col("text"), 1, 10)), lit("\t"),
+            col("text"), lit("   ")))
+        .select(col("doc_id"),
+          trim(regexp_replace(col("dirty"), "\\s+", " ")).as("cleaned")),
+      Some("""SELECT doc_id,
+                trim(regexp_replace('  ' || upper(substr(text, 1, 10)) || chr(9) || text || '   ',
+                  '\s+', ' ', 'g')) AS cleaned
+              FROM documents""")),
+
+    // ---- F40/P9: contains-one-of-list row filter (negation detection in
+    // the reference) — `exists` higher-order predicate, codegen'd, pushed
+    // as a scan-level filter.
+    Q("t7_contains_filter",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("w", split(col("text"), " "))
+        .where(expr("exists(w, x -> x IN ('vector', 'stream'))"))
+        .select(col("doc_id"), col("lang"), col("source")),
+      Some("""SELECT doc_id, lang, source FROM documents
+              WHERE len(list_filter(string_split(text, ' '),
+                x -> x IN ('vector', 'stream'))) > 0""")),
+  )
+}
