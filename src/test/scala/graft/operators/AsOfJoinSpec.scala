@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class AsOfJoinSpec extends SparkSpec {
+
+  private def fixture = {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, "l1"), (1L, 20L, "l2"), (1L, 5L, "l0"),
+      (2L, 15L, "l3"), (3L, 100L, "l4")
+    ).toDF("k", "t", "lval")
+    val right = Seq(
+      (1L, 8L, "r1"), (1L, 10L, "r2"), (1L, 19L, "r3"),
+      (2L, 30L, "r4")
+    ).toDF("k", "t", "rval")
+    (left, right)
+  }
+
+  test("joinBackward picks the latest right row with ord <= left ord") {
+    val (l, r) = fixture
+    val out = AsOfJoin.joinBackward(l, r, Seq("k"), "t", "t", Seq("rval"))
+      .select("k", "t", "lval", "asof_rval")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2),
+        Option(x.getString(3)))).toSet
+    assert(out == Set(
+      (1L, 10L, "l1", Some("r2")),  // tie: inclusive picks equal ts
+      (1L, 20L, "l2", Some("r3")),
+      (1L, 5L, "l0", None),         // nothing before
+      (2L, 15L, "l3", None),        // right exists only after
+      (3L, 100L, "l4", None)))      // key absent on right
+  }
+
+  test("strict mode excludes equal ordinates") {
+    val (l, r) = fixture
+    val out = AsOfJoin.joinBackward(l, r, Seq("k"), "t", "t", Seq("rval"),
+        strict = true)
+      .where(col("t") === 10L && col("k") === 1L)
+      .select("asof_rval").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("r1")) // r2@10 excluded
+  }
+
+  test("matches the naive pair-join formulation on real data") {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select("event_id", "user_id", "ts_ns")
+    val purchasesR = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ns"), col("event_id").as("p_id"))
+    val purchases = purchasesR.withColumnRenamed("ts_ns", "p_ts")
+
+    val fast = AsOfJoin.joinBackward(clicks, purchasesR,
+        Seq("user_id"), "ts_ns", "ts_ns", Seq("p_id"))
+      .select(col("event_id"), col("asof_p_id"))
+
+    val w = Window.partitionBy("event_id").orderBy(col("p_ts").desc, col("p_id").desc)
+    val naive = clicks.join(purchases,
+        clicks("user_id") === purchases("user_id") && col("p_ts") <= col("ts_ns"), "left")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("event_id"), col("p_id"))
+
+    val f = fast.collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val n = naive.collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(f == n)
+  }
+}

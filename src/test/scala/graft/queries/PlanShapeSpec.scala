@@ -1,0 +1,79 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Physical-plan discipline: the properties that matter at 100 TB,
+  * asserted on the actual executed plans so a regression (a broadcast
+  * silently becoming a shuffle join, a filter no longer pushing into the
+  * scan) fails the build — not just the bench.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("j1 snowflake joins broadcast the dimension tables") {
+    val p = plan("j1_snowflake_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), "dims must not shuffle the fact side")
+  }
+
+  test("a1 grouped agg does map-side partial aggregation") {
+    val p = plan("a1_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p.take(800))
+  }
+
+  test("a1 ship-date filter pushes into the parquet scan") {
+    val p = plan("a1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      p.take(1200))
+  }
+
+  test("top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("w2_top25_parts_by_revenue")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("column pruning reaches the scan (2-col projection reads 2 cols)") {
+    val df = graft.sources.Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_totalprice")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"),
+      scan.take(800))
+  }
+
+  test("as-of join is a single shuffle, no nested-loop join") {
+    val p = plan("j10_asof_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "as-of must use the union-sort rewrite, not a pair blowup: " + p.take(800))
+  }
+
+  test("semi/anti joins plan as joins, not filters-with-subquery") {
+    assert(plan("j12_anti_join").contains("LeftAnti"))
+    assert(plan("j15_semi_join").contains("LeftSemi"))
+  }
+
+  test("whole-stage codegen covers the exact-dedup path") {
+    // (d4_simhash uses higher-order lambdas, which Catalyst evaluates
+    // outside codegen; the hash-agg dedup path must stay codegen'd).
+    // AQE finalizes the plan only on execution, so run it first.
+    val df = SparkEntry.queries("d1_exact_dedup")(spark, sfDir)
+    df.collect()
+    // codegen'd operators render as "*(n) Op" in the final plan tree
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(1)") || p.contains("*(2)"), p.take(800))
+  }
+
+  test("every oracle query analyzes at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      assert(df.schema.nonEmpty, s"$name produced no schema")
+    }
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() == 10)
+  }
+}
