@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.MediaPipeline
+import graft.sources.Tables
+
+/** Multimodal pack: binary-column metadata extraction and frame
+  * sampling through the REAL typed mapPartitions pipeline
+  * (graft.multimodal.MediaPipeline), plus the sliding-window batch dual
+  * of the streaming operator.
+  *
+  * The decode step is a deterministic stub (no codec libs in this
+  * container) so the oracle can restate the same arithmetic in SQL —
+  * the gate therefore checks the actual Spark plumbing (binary cast,
+  * typed Dataset, partition batching, explode), not the fake codec.
+  */
+object MultimodalQueries extends QueryPack {
+
+  def all: Seq[Q] = Seq(
+
+    // ---- Binary payload → typed metadata via mapPartitions.
+    Q("m1_media_meta",
+      (s, d) => MediaPipeline.decodeMeta(Tables.documents(s, d)).toDF(),
+      Some("""SELECT doc_id,
+                cast(octet_length(encode(text)) as bigint) AS n_bytes,
+                CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'png'
+                     WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+                cast(320 + octet_length(encode(text)) % 320 as int) AS width,
+                cast(240 + octet_length(encode(text)) % 240 as int) AS height,
+                cast(1 + octet_length(encode(text)) % 4 as int) AS n_frames
+              FROM documents""")),
+
+    // ---- Frame sampling: one row per evenly-spaced frame offset.
+    Q("m2_frame_sample",
+      (s, d) => MediaPipeline.sampleFrames(
+        MediaPipeline.decodeMeta(Tables.documents(s, d))),
+      Some("""WITH meta AS (SELECT doc_id,
+                cast(octet_length(encode(text)) as bigint) AS n_bytes,
+                1 + octet_length(encode(text)) % 4 AS n_frames FROM documents)
+              SELECT doc_id, cast(f as int) AS frame_idx,
+                cast(floor(f * (n_bytes / n_frames)) as bigint) AS byte_offset
+              FROM (SELECT doc_id, n_bytes, n_frames, unnest(range(n_frames)) AS f
+                    FROM meta)""")),
+
+    // ---- Sliding 1-hour windows every 15 min (batch dual of
+    // streaming.EventStreams.slidingCounts): each row lands in exactly 4
+    // windows — explode the 4 offsets, then one hash agg.
+    Q("e5_sliding_window",
+      (s, d) => {
+        val slideUs = 900L * 1000000L
+        Tables.events(s, d)
+          .withColumn("j", explode(expr("sequence(0, 3)")))
+          .groupBy(((expr(s"ts_us div $slideUs") - col("j")) * slideUs)
+            .as("window_start_us"))
+          .agg(count(lit(1)).as("n_events"))
+      },
+      Some(s"""SELECT ((epoch_ns(ts) // 1000 // 900000000) - j) * 900000000 AS window_start_us,
+              count(*) AS n_events
+              FROM events CROSS JOIN (SELECT unnest(range(4)) AS j)
+              GROUP BY 1""")),
+  )
+}

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming layer over the events schema.
+  *
+  * The reference is incremental batch (SURVEY §2.10): progress files +
+  * delete-then-insert idempotency (`scrc/preprocessors/
+  * abstract_preprocessor.py:122-140`). Because every stage there is
+  * idempotent-by-key, the streaming drop-in is exactly these operators:
+  * a file/Kafka source feeding the same windowed aggregations, with
+  * watermarks bounding state instead of progress files bounding rework.
+  *
+  * Scale notes: all operators here are keyed state — state size is
+  * O(open windows + active sessions), bounded by the watermark; a
+  * 1000-executor cluster partitions state by (key) via the normal
+  * shuffle, and RocksDB state store handles spill.
+  */
+object EventStreams {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class SessionUpdate(user_id: Long, n_events: Long, start_us: Long,
+                           end_us: Long, closed: Boolean)
+
+  case class SessState(nEvents: Long, startUs: Long, endUs: Long)
+
+  /** Tumbling 1-hour window counts/sums with a 2-hour watermark —
+    * streaming dual of EventQueries.e1_tumbling_window.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("decimal(28,6)").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Sliding windows: 1-hour windows every 15 minutes. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("n_events"))
+
+  /** Gap-based sessionization with explicit keyed state — streaming dual
+    * of EventQueries.e2_sessionize (30-minute inactivity gap). Uses
+    * flatMapGroupsWithState so a closed session is emitted exactly once.
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionUpdate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionUpdate(userId, s.nEvents, s.startUs, s.endUs, closed = true))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionUpdate]
+            for (e <- sorted) {
+              val tUs = e.ts.getTime * 1000L
+              cur match {
+                case Some(s) if tUs - s.endUs <= gapUs =>
+                  cur = Some(s.copy(nEvents = s.nEvents + 1, endUs = tUs))
+                case Some(s) =>
+                  closed += SessionUpdate(userId, s.nEvents, s.startUs, s.endUs, closed = true)
+                  cur = Some(SessState(1, tUs, tUs))
+                case None =>
+                  cur = Some(SessState(1, tUs, tUs))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endUs / 1000L + gapMinutes * 60L * 1000L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** File-source reader for a directory of event parquet files — the
+    * production ingest shape (each micro-batch = newly landed files).
+    * Nanos timestamps are read as epoch-nanos longs (same policy as
+    * sources.Tables) — Spark's vectorized reader rejects TIMESTAMP(NANOS).
+    */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts_ns", col("ts").cast("long"))
+      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+  }
+}

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import EventStreams._
+
+class EventStreamsSpec extends SparkSpec {
+
+  // Base offset keeps event times away from epoch 0: the initial
+  // watermark is 0 and the late-row filter drops ts <= 0 rows.
+  private val baseMin = 1002000L  // divisible by 60: windows stay hour-aligned
+  private def ts(minutes: Long): Timestamp = new Timestamp((baseMin + minutes) * 60000L)
+  private def us(minutes: Long): Long = (baseMin + minutes) * 60000000L
+
+  test("tumbling window counts match the batch computation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val events = Seq(
+      Event(1, ts(5), 1, "click", 1.0),
+      Event(2, ts(20), 1, "click", 2.0),
+      Event(3, ts(65), 2, "view", 3.0),
+      Event(4, ts(70), 2, "click", 4.0))
+    mem.addData(events: _*)
+
+    val q = tumblingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("tumbling")
+        .select("window_start", "event_type", "n_events")
+        .collect().map(r => (r.getTimestamp(0).getTime / 60000 - baseMin,
+          r.getString(1), r.getLong(2)))
+        .toSet
+      assert(got == Set((0L, "click", 2L), (60L, "view", 1L), (60L, "click", 1L)))
+    } finally q.stop()
+  }
+
+  test("sliding windows assign each event to 4 windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(Event(1, ts(32), 1, "click", 1.0))
+    val q = slidingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val starts = spark.table("sliding")
+        .collect().map(_.getTimestamp(0).getTime / 60000 - baseMin).toSet
+      // event at minute 32 → 1h windows starting at -15, 0, 15, 30
+      assert(starts == Set(-15L, 0L, 15L, 30L))
+    } finally q.stop()
+  }
+
+  test("sessionization emits a closed session after the gap passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // session: 3 events within the 30-min gap
+      mem.addData(
+        Event(1, ts(0), 7, "view", 1.0),
+        Event(2, ts(10), 7, "click", 1.0),
+        Event(3, ts(20), 7, "purchase", 1.0))
+      q.processAllAvailable()
+      // a much later event pushes the watermark past the session end;
+      // the first session must close with exactly 3 events
+      mem.addData(Event(9, ts(600), 7, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(10, ts(1200), 7, "view", 1.0))
+      q.processAllAvailable()
+
+      val closed = spark.table("sessions").where(col("closed"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(closed.exists { case (uid, n, start) =>
+        uid == 7L && n == 3L && start == us(0)
+      }, s"expected the 3-event session to close, got ${closed.toSeq}")
+    } finally q.stop()
+  }
+
+  test("file-source stream over the real events table produces batches") {
+    // file streams need a landing DIRECTORY (each micro-batch = new
+    // files); stage the single testdata file into one
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("part-000.parquet"))
+    val stream = readEventStream(spark, dir.toString)
+    assert(stream.isStreaming)
+    val q = stream.groupBy("event_type").count()
+      .writeStream.format("memory").queryName("filesrc")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val counts = spark.table("filesrc").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts.values.sum > 0)
+      assert(counts.keySet.contains("click"))
+    } finally q.stop()
+  }
+}
