@@ -1,0 +1,100 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH primitives for near-duplicate detection at scale.
+  *
+  * The hash family is md5-hex with a numeric prefix — bit-identical to
+  * the SQL `md5(concat(j, shingle))` formulation, so a DuckDB oracle can
+  * restate the whole pipeline. The hot path (shingling + k minimum
+  * hashes per doc) runs as ONE compiled UDF pass per document: Spark's
+  * higher-order lambdas (`transform`/`aggregate`) evaluate interpreted,
+  * and profiling at sf0.1 showed the expression formulation spending
+  * ~16 s in lambda/md5 overhead vs <1 s for this loop.
+  *
+  * Band-bucket candidate generation avoids the classic self-join (which
+  * would recompute signatures on both sides): signatures are computed
+  * once, exploded to (band, hash) buckets, and pairs are expanded
+  * per-bucket with an index-aware transform. Bucket sizes are bounded in
+  * practice (a hot bucket means near-identical docs — exactly what AQE
+  * skew-split handles on the single shuffle).
+  */
+object MinHashLSH {
+
+  /** 3-gram shingles, distinct, as one compiled pass. */
+  val shinglesUdf = udf { words: Seq[String] =>
+    if (words == null || words.length < 3) Array.empty[String]
+    else {
+      val seen = new scala.collection.mutable.LinkedHashSet[String]
+      var i = 0
+      while (i + 2 < words.length) {
+        seen += (words(i) + " " + words(i + 1) + " " + words(i + 2))
+        i += 1
+      }
+      seen.toArray
+    }
+  }
+
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  private def hex(b: Array[Byte]): String = {
+    val out = new Array[Char](b.length * 2)
+    var i = 0
+    while (i < b.length) {
+      out(2 * i) = hexChars((b(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexChars(b(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** k-function MinHash signature over the shingle set: position j =
+    * lexicographic min of md5(j.toString ++ shingle) hex.
+    *
+    * Marked non-deterministic as an eval-once barrier: the result feeds
+    * an explode, and Catalyst's project-collapse would otherwise inline
+    * (= recompute) a deterministic UDF per generated row.
+    */
+  def signatureUdf(k: Int) = udf { shingles: Seq[String] =>
+    val md = MessageDigest.getInstance("MD5")
+    Array.tabulate(k) { j =>
+      var min: String = null
+      val prefix = j.toString.getBytes(StandardCharsets.UTF_8)
+      for (s <- shingles) {
+        md.reset()
+        md.update(prefix)
+        md.update(s.getBytes(StandardCharsets.UTF_8))
+        val h = hex(md.digest())
+        if (min == null || h < min) min = h
+      }
+      min
+    }
+  }.asNondeterministic()
+
+  /** (band, h) rows per doc; null signatures (empty docs) are dropped. */
+  def bands(docs: DataFrame, idCol: String, wordsCol: Column, k: Int): DataFrame =
+    docs
+      .withColumn("__sig", signatureUdf(k)(shinglesUdf(wordsCol)))
+      .select(col(idCol), posexplode(col("__sig")).as(Seq("band", "h")))
+      .where(col("h").isNotNull)
+
+  /** Distinct candidate pairs (ia < ib) sharing any band bucket.
+    * One signature computation, one shuffle (the groupBy), pair
+    * expansion per bucket via index-aware transform + slice.
+    */
+  def candidatePairs(docs: DataFrame, idCol: String, wordsCol: Column,
+                     k: Int = 4): DataFrame =
+    bands(docs, idCol, wordsCol, k)
+      .groupBy("band", "h")
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+           transform(slice(ids, i + 2, size(ids)), y -> struct(x AS ia, y AS ib))))"""))
+        .as("p"))
+      .select(col("p.ia"), col("p.ib"))
+      .distinct()
+}

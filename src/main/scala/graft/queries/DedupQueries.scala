@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.{MinHashLSH, VectorOps}
 import graft.sources.Tables
 
 /** Deduplication pack — the large-scale training-data-pipeline ops:
@@ -29,23 +30,11 @@ object DedupQueries extends QueryPack {
   private def withWords(df: DataFrame): DataFrame =
     df.withColumn("w", split(col("text"), " "))
 
-  /** distinct 3-gram shingles over the token stream */
-  private def withShingles(df: DataFrame): DataFrame =
-    withWords(df).withColumn("sh", array_distinct(expr(
-      "transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))")))
-
-  /** 4-function MinHash signature: per hash j, the lexicographic min of
-    * md5(j || shingle). Each signature position is its own LSH band
-    * (1-row bands → high recall on this corpus).
+  /** distinct 3-gram shingles (compiled single-pass UDF — the
+    * expression formulation spends its time in interpreted lambdas)
     */
-  private def withMinhash(df: DataFrame): DataFrame =
-    withShingles(df).withColumn("sig", expr(
-      "transform(sequence(0, 3), j -> array_min(transform(sh, x -> md5(concat(cast(j as string), x)))))"))
-
-  /** (doc_id, band, h) — exploded band table for the bucket join */
-  private def bands(s: SparkSession, d: String): DataFrame =
-    withMinhash(Tables.documents(s, d))
-      .select(col("doc_id"), posexplode(col("sig")).as(Seq("band", "h")))
+  private def withShingles(df: DataFrame): DataFrame =
+    withWords(df).withColumn("sh", MinHashLSH.shinglesUdf(col("w")))
 
   private val duckShingles =
     """SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
@@ -71,15 +60,11 @@ object DedupQueries extends QueryPack {
               min(doc_id) AS keep_doc_id FROM documents GROUP BY 1""")),
 
     // ---- MinHash+LSH candidate pairs: equal band hash ⇒ candidate.
+    // One signature pass + one shuffle; pairs expand per bucket (no
+    // self-join, no second signature computation).
     Q("d2_minhash_lsh_pairs",
-      (s, d) => {
-        val b = bands(s, d)
-        val l = b.toDF("ia", "band", "h")
-        val r = b.toDF("ib", "band", "h")
-        l.join(r, Seq("band", "h"))
-          .where(col("ia") < col("ib"))
-          .select("ia", "ib").distinct()
-      },
+      (s, d) => MinHashLSH.candidatePairs(
+        withWords(Tables.documents(s, d)), "doc_id", col("w")),
       Some(s"""$duckBands
               SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
               FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h
@@ -88,11 +73,8 @@ object DedupQueries extends QueryPack {
     // ---- Candidate verification: exact n-gram Jaccard on LSH pairs only.
     Q("d3_lsh_jaccard",
       (s, d) => {
-        val b = bands(s, d)
-        val cand = b.toDF("ia", "band", "h")
-          .join(b.toDF("ib", "band", "h"), Seq("band", "h"))
-          .where(col("ia") < col("ib"))
-          .select("ia", "ib").distinct()
+        val cand = MinHashLSH.candidatePairs(
+          withWords(Tables.documents(s, d)), "doc_id", col("w"))
         val sh = withShingles(Tables.documents(s, d)).select(col("doc_id"), col("sh"))
         cand
           .join(sh.toDF("ia", "sha"), "ia")
@@ -133,32 +115,31 @@ object DedupQueries extends QueryPack {
               SELECT doc_id, CAST(sum(v) AS BIGINT) AS simhash
               FROM bits GROUP BY doc_id""")),
 
-    // ---- Embedding-cosine near-dup: exact all-pairs baseline (the
-    // verify stage). At 100 TB the candidate stage is the LSH bucketing
-    // in SimilarityQueries.s3; this exact compare then runs per-bucket.
-    // Norms are precomputed once per vector (not per pair).
+    // ---- Embedding-cosine near-dup, LSH-blocked: candidate pairs come
+    // from hyperplane-bucket equality (equi-join, AQE-skew-splittable),
+    // the exact cosine verify runs per bucket — all-pairs never
+    // materializes. Norms are precomputed once per vector (not per pair).
     Q("d5_embedding_neardup",
       (s, d) => {
-        val e = Tables.embeddings(s, d)
-          .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
-          .withColumn("nn", expr("aggregate(v, cast(0 as double), (a, x) -> a + x * x)"))
-          .select("vec_id", "v", "nn")
-        val a = e.toDF("ia", "va", "na")
-        val b = e.toDF("ib", "vb", "nb")
-        a.join(b, col("ia") < col("ib"))
+        val e = VectorOps.vecs(Tables.embeddings(s, d))
+          .withColumn("bucket", VectorOps.bucket)
+          .select("vec_id", "v", "nn", "bucket")
+        val a = e.toDF("ia", "va", "na", "bucket")
+        val b = e.toDF("ib", "vb", "nb", "bucket")
+        a.join(b, Seq("bucket"))
+          .where(col("ia") < col("ib"))
           .withColumn("cos", round(
             expr("aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0 as double), (a, x) -> a + x)") /
               (sqrt(col("na")) * sqrt(col("nb"))), 6))
           .where(col("cos") > 0.3)
           .select("ia", "ib", "cos")
       },
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-              n AS (SELECT vec_id, v,
-                      list_aggregate(list_transform(v, x -> x * x), 'sum') AS nn FROM e),
+      Some(s"""WITH e AS (SELECT vec_id, v, nn, ${VectorOps.duckBucket} AS bucket
+                        FROM (${VectorOps.duckVecs})),
               p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
                 round(list_aggregate(list_transform(range(1, len(a.v) + 1),
                         i -> a.v[i] * b.v[i]), 'sum') / (sqrt(a.nn) * sqrt(b.nn)), 6) AS cos
-                FROM n a JOIN n b ON a.vec_id < b.vec_id)
+                FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
               SELECT ia, ib, cos FROM p WHERE cos > 0.3""")),
   )
 }

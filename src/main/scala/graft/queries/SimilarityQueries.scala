@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.VectorOps
 import graft.sources.Tables
 
 /** Similarity-search pack over the `embeddings` table (Array[Float]
@@ -24,35 +25,18 @@ import graft.sources.Tables
   */
 object SimilarityQueries extends QueryPack {
 
-  /** vectors with double cast + squared norm */
+  /** vectors with double cast + squared norm (shared ops in
+    * operators.VectorOps — same helpers back the dedup pack)
+    */
   private def vecs(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
-      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
-      .withColumn("nn", expr("aggregate(v, cast(0 as double), (a, x) -> a + x * x)"))
-      .select("vec_id", "label", "v", "nn")
+    VectorOps.vecs(Tables.embeddings(s, d)).select("vec_id", "label", "v", "nn")
 
   private val cosExpr =
     expr("aggregate(zip_with(qv, v, (x, y) -> x * y), cast(0 as double), (a, x) -> a + x)")
 
-  /** 4-bit random-hyperplane bucket; hyperplane j component i =
-    * ((i*31 + j*17) mod 7) - 3 — deterministic, identical across engines.
-    */
-  private val bucketExpr = expr(
-    """aggregate(sequence(0, 3), 0, (acc, j) -> acc +
-       IF(aggregate(transform(sequence(0, size(v) - 1),
-            i -> v[i] * cast((i * 31 + j * 17) % 7 - 3 as double)),
-          cast(0 as double), (a, x) -> a + x) > 0, shiftleft(1, j), 0))""")
-
-  private val duckVecs =
-    """SELECT vec_id, label, embedding::DOUBLE[] AS v,
-       list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x), 'sum') AS nn
-       FROM embeddings"""
-
-  private val duckBucket =
-    """list_aggregate(list_transform(range(4), j ->
-       CASE WHEN list_aggregate(list_transform(range(1, len(v) + 1),
-              i -> v[i] * (((i - 1) * 31 + j * 17) % 7 - 3)), 'sum') > 0
-            THEN (1 << j) ELSE 0 END), 'sum')"""
+  private val bucketExpr = VectorOps.bucket
+  private val duckVecs = VectorOps.duckVecs
+  private val duckBucket = VectorOps.duckBucket
 
   def all: Seq[Q] = Seq(
 
