@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.extract.ExtractUdfs
+import graft.sources.Tables
+
+/** Extraction-domain pack: the reference's core operators (section
+  * association F7, judgment outcome extraction F10-F16, ruling-citation
+  * parsing F18/F20) driven over deterministic court-document structure
+  * synthesized from the documents table.
+  *
+  * The synthesis is plain SQL arithmetic, so the DuckDB oracle can
+  * construct the EXPECTED extraction output directly — the gate then
+  * proves the ordered-fold / marker-scan / regex-parse logic against
+  * ground truth, row by row. (The reference validates the same logic
+  * with hand-labeled golden fixtures; ExtractorsSpec ports that style.)
+  *
+  * Scale notes: all three are per-row UDF maps — embarrassingly
+  * parallel, no shuffle; generator outputs explode to child tables
+  * exactly like the reference's section/citation writers (K3 shape).
+  */
+object ExtractQueries extends QueryPack {
+
+  /** deterministic synthetic ruling document: paragraphs with section
+    * markers + an outcome sentence + a BGE citation
+    */
+  private val rulingSentence =
+    """CASE CAST(doc_id % 3 AS INT)
+         WHEN 0 THEN 'Die Beschwerde wird abgewiesen.'
+         WHEN 1 THEN 'Die Beschwerde wird gutgeheissen.'
+         ELSE 'Die Beschwerde wird teilweise gutgeheissen.' END"""
+
+  def all: Seq[Q] = Seq(
+
+    // ---- F7/F8: ordered-fold section association, spider-dispatched.
+    Q("x1_section_split",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("paras", array(
+          concat(lit("Urteil "), col("doc_id").cast("string")),
+          lit("Sachverhalt"),
+          substring(col("text"), 1, 50),
+          lit("Erwägungen"),
+          substring(col("text"), 51, 50),
+          lit("Demnach erkennt das Gericht"),
+          expr(rulingSentence),
+          lit("Rechtsmittelbelehrung")))
+        .withColumn("secs", ExtractUdfs.splitSections(col("source"), col("paras")))
+        .select(col("doc_id"),
+          concat_ws("\n", element_at(col("secs"), "facts")).as("facts"),
+          concat_ws("\n", element_at(col("secs"), "considerations")).as("considerations"),
+          concat_ws("\n", element_at(col("secs"), "rulings")).as("rulings"),
+          size(element_at(col("secs"), "header")).cast("bigint").as("n_header_paras")),
+      Some(s"""SELECT doc_id,
+                'Sachverhalt' || chr(10) || substr(text, 1, 50) AS facts,
+                'Erwägungen' || chr(10) || substr(text, 51, 50) AS considerations,
+                'Demnach erkennt das Gericht' || chr(10) || $rulingSentence AS rulings,
+                cast(1 as bigint) AS n_header_paras
+              FROM documents""")),
+
+    // ---- F10-F16: outcome markers, partial_* suppression, binary label.
+    Q("x2_judgment_extract",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("rulings", expr(rulingSentence))
+        .withColumn("outcomes", ExtractUdfs.judgments(col("rulings")))
+        .select(col("doc_id"),
+          array_join(col("outcomes"), ",").as("outcomes"),
+          ExtractUdfs.binaryJudgment(col("outcomes")).as("binary_judgment")),
+      Some("""SELECT doc_id,
+                CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'dismissal'
+                     WHEN 1 THEN 'approval' ELSE 'partial_approval' END AS outcomes,
+                CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'dismissal'
+                     ELSE 'approval' END AS binary_judgment
+              FROM documents""")),
+
+    // ---- F18/F20: regex citation extraction + roman-book parse,
+    // generator output exploded to a child table.
+    Q("x3_citation_parse",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("body", concat(col("text"),
+          lit(" Vgl. BGE "), (col("doc_id") % 50 + 100).cast("string"),
+          lit(" "), expr("CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'I' WHEN 1 THEN 'II' ELSE 'IV' END"),
+          lit(" "), (col("doc_id") % 400 + 1).cast("string"), lit(".")))
+        .withColumn("cite", explode(ExtractUdfs.rulingCitations(col("body"))))
+        .select(col("doc_id"),
+          col("cite.volume").cast("bigint").as("volume"),
+          col("cite.book").cast("bigint").as("book"),
+          col("cite.page").cast("bigint").as("page")),
+      Some("""SELECT doc_id,
+                doc_id % 50 + 100 AS volume,
+                CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END AS book,
+                doc_id % 400 + 1 AS page
+              FROM documents""")),
+  )
+}

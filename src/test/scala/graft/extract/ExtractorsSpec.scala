@@ -1,0 +1,89 @@
+package graft.extract
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden tests in the reference's style (`scrc/utils/test_utils.py`:
+  * hard-coded fixtures → expected structured extraction).
+  */
+class ExtractorsSpec extends AnyFunSuite {
+  import Extractors._
+
+  private val doc = Seq(
+    "Urteil vom 12. August 2020",
+    "Besetzung: Richter A, Richterin B",
+    "Sachverhalt",
+    "A. Der Beschwerdeführer reichte Klage ein.",
+    "B. Die Vorinstanz wies die Klage ab.",
+    "Erwägungen",
+    "1. Die Beschwerde ist zulässig.",
+    "2. Die Rügen sind unbegründet.",
+    "Demnach erkennt das Bundesgericht:",
+    "1. Die Beschwerde wird abgewiesen.",
+    "Rechtsmittelbelehrung",
+    "Gegen diesen Entscheid kann Beschwerde geführt werden.")
+
+  test("associateSections assigns paragraphs in document order") {
+    val secs = splitSections("CH_BGer", doc)
+    assert(secs("header") == doc.slice(0, 2))
+    assert(secs("facts") == doc.slice(2, 5))
+    assert(secs("considerations") == doc.slice(5, 8))
+    assert(secs("rulings") == doc.slice(8, 10))
+    assert(secs("footer") == doc.slice(10, 12))
+  }
+
+  test("a missing section never captures later paragraphs") {
+    val noFacts = doc.patch(2, Nil, 3) // drop the facts block
+    val secs = splitSections("default", noFacts)
+    assert(!secs.contains("facts"))
+    assert(secs("considerations").head == "Erwägungen")
+  }
+
+  test("markers never jump backwards") {
+    // a 'Sachverhalt' paragraph appearing inside considerations stays there
+    val tricky = doc.take(8) ++ Seq("Sachverhalt nochmals erwähnt") ++ doc.drop(8)
+    val secs = splitSections("default", tricky)
+    assert(secs("considerations").contains("Sachverhalt nochmals erwähnt"))
+  }
+
+  test("french markers drive the same fold") {
+    val fr = Seq("Arrêt du 3 mars", "Faits", "A. ...", "Considérants",
+      "1. ...", "Par ces motifs", "Le recours est rejeté.")
+    val secs = splitSections("default", fr)
+    assert(secs("facts") == Seq("Faits", "A. ..."))
+    assert(secs("rulings") == Seq("Par ces motifs", "Le recours est rejeté."))
+  }
+
+  test("judgment extraction: plain outcomes") {
+    assert(extractJudgments("Die Beschwerde wird abgewiesen.") == Seq("dismissal"))
+    assert(extractJudgments("Le recours est admis.") == Seq("approval"))
+    assert(extractJudgments("kein Ergebnis") == Seq.empty)
+    assert(extractJudgments(null) == Seq.empty)
+  }
+
+  test("judgment extraction: partial_ suppresses the full outcome") {
+    assert(extractJudgments("Die Beschwerde wird teilweise gutgeheissen.") ==
+      Seq("partial_approval"))
+    // partial approval + separate dismissal → both survive
+    assert(extractJudgments(
+      "Teilweise gutgeheissen, im Übrigen wird die Beschwerde abgewiesen.") ==
+      Seq("dismissal", "partial_approval"))
+  }
+
+  test("binary judgment: strip partial, drop procedural, null on conflict") {
+    assert(toBinaryJudgment(Seq("approval")) == Some("approval"))
+    assert(toBinaryJudgment(Seq("partial_dismissal")) == Some("dismissal"))
+    assert(toBinaryJudgment(Seq("approval", "write_off")) == Some("approval"))
+    assert(toBinaryJudgment(Seq("approval", "dismissal")) == None)
+    assert(toBinaryJudgment(Seq("inadmissible")) == None)
+    assert(toBinaryJudgment(Seq.empty) == None)
+  }
+
+  test("ruling citation parse: BGE/ATF/DTF with roman book numbers") {
+    assert(parseRulingCitations("vgl. BGE 123 II 456 und ATF 99 IV 1") ==
+      Seq(RulingCite(123, 2, 456), RulingCite(99, 4, 1)))
+    assert(parseRulingCitations("DTF 140 III 16 E. 1.3") ==
+      Seq(RulingCite(140, 3, 16)))
+    assert(parseRulingCitations("kein Zitat") == Seq.empty)
+    assert(parseRulingCitations(null) == Seq.empty)
+  }
+}
