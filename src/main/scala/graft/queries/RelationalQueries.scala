@@ -327,6 +327,25 @@ object RelationalQueries extends QueryPack {
               cast(sum(cast(o_totalprice as decimal(12,2))) as decimal(28,2)) AS sum_price
               FROM orders GROUP BY 1""")),
 
+    // ---- O2/O3: stratified sampling, made reproducible: the random
+    // order is md5-of-key (engine-independent), n=3 per stratum — the
+    // reference's groupby().sample(n=3, random_state=42) without
+    // engine-specific RNG state.
+    Q("o3_stratified_sample",
+      (s, d) => {
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy(md5(col("c_custkey").cast("string")), col("c_custkey"))
+        Tables.customer(s, d)
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 3)
+          .select(col("c_custkey"), col("c_mktsegment"), col("rn").cast("bigint").as("rn"))
+      },
+      Some("""SELECT c_custkey, c_mktsegment, cast(rn as bigint) AS rn FROM (
+                SELECT c_custkey, c_mktsegment, row_number() OVER (
+                  PARTITION BY c_mktsegment
+                  ORDER BY md5(cast(c_custkey as varchar)), c_custkey) AS rn
+                FROM customer) WHERE rn <= 3""")),
+
     // ---- F26: date-part scalars (year/quarter/month/isodow).
     Q("f26_date_parts",
       (s, d) => Tables.orders(s, d).select(

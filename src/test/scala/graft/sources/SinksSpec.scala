@@ -1,0 +1,71 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SinksSpec extends SparkSpec {
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(name).resolve("out").toString
+
+  test("upsertBucketed is idempotent and replaces only touched keys") {
+    import spark.implicits._
+    val path = tmp("upsert")
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    Sinks.upsertBucketed(v1, path, "id", numBuckets = 4)
+    assert(Sinks.readUpserted(spark, path).collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(1L -> "a", 2L -> "b", 3L -> "c"))
+
+    // re-run the same batch: no duplicates (delete-then-insert semantics)
+    Sinks.upsertBucketed(v1, path, "id", numBuckets = 4)
+    assert(Sinks.readUpserted(spark, path).count() == 3)
+
+    // update one key: its bucket is rewritten, others untouched
+    val v2 = Seq((2L, "B2")).toDF("id", "v")
+    Sinks.upsertBucketed(v2, path, "id", numBuckets = 4)
+    val after = Sinks.readUpserted(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after(2L) == "B2")
+    // keys hashing to other buckets survive
+    assert(after.contains(1L) || after.contains(3L))
+  }
+
+  test("appendNewKeys only appends unseen keys") {
+    import spark.implicits._
+    val path = tmp("append")
+    Sinks.appendNewKeys(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path, "id")
+    Sinks.appendNewKeys(Seq((2L, "DUP"), (3L, "c")).toDF("id", "v"), path, "id")
+    val rows = spark.read.parquet(path).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+  }
+
+  test("jsonl, csv and labels sinks produce readable output") {
+    import spark.implicits._
+    val df = Seq((1L, "text one", "lbl_a"), (2L, "text two", "lbl_b"))
+      .toDF("id", "text", "label")
+
+    val jl = tmp("jsonl")
+    Sinks.writeJsonl(df, jl)
+    assert(spark.read.json(jl).count() == 2)
+
+    val csv = tmp("csv")
+    Sinks.writeCsv(df, csv, dropTextCols = Seq("text"))
+    val back = spark.read.option("header", "true").csv(csv)
+    assert(back.columns.toSeq == Seq("id", "label"))
+    assert(back.count() == 2)
+
+    val lb = tmp("labels")
+    Sinks.writeLabels(Seq("lbl_a", "lbl_b"), lb)
+    val json = new String(Files.readAllBytes(java.nio.file.Paths.get(lb, "labels.json")))
+    assert(json.contains(""""0": "lbl_a"""") && json.contains(""""lbl_b": 1"""))
+  }
+
+  test("newerThan filters by high watermark") {
+    import spark.implicits._
+    val df = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "ts")
+    assert(Sinks.newerThan(df, "ts", Some(15L)).count() == 2)
+    assert(Sinks.newerThan(df, "ts", None).count() == 3)
+  }
+}
