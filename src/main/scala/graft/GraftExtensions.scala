@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+import graft.functions.{TextFunctions, Uuid3}
+
+/** Session extension point: registers graft's native functions so SQL
+  * users get them without touching the Scala API.
+  *
+  * Activate with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or call
+  * `GraftExtensions.registerUdfs(spark)` for the UDF-backed names on an
+  * existing session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("uuid3"), Uuid3.info, Uuid3.builder))
+  }
+}
+
+object GraftExtensions {
+  /** UDF-backed helpers (no codegen need): RFC uuid5 decision ids,
+    * text cleaning, roman numerals, simhash.
+    */
+  def registerUdfs(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.udf.register("decision_id", (name: String) => TextFunctions.decisionId(name))
+    spark.udf.register("clean_text", (s: String) => TextFunctions.cleanText(s))
+    spark.udf.register("roman_to_int", (s: String) => TextFunctions.romanToInt(s))
+    spark.udf.register("int_to_roman", (n: Int) => TextFunctions.intToRoman(n))
+    spark.udf.register("simhash64",
+      (tokens: Seq[String]) => TextFunctions.simhash64(tokens))
+  }
+}

@@ -90,5 +90,27 @@ object ExtractQueries extends QueryPack {
                 CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END AS book,
                 doc_id % 400 + 1 AS page
               FROM documents""")),
+
+    // ---- Deterministic ids (§2.9 custom-Expression candidate): native
+    // codegen'd uuid3 over (source, doc_id) — the idempotent-key analog
+    // of the reference's uuid5(UUID(0), file_name) decision ids.
+    Q("x4_deterministic_ids",
+      (s, d) => {
+        s.sessionState.functionRegistry.registerFunction(
+          org.apache.spark.sql.catalyst.FunctionIdentifier("uuid3"),
+          graft.functions.Uuid3.info, graft.functions.Uuid3.builder)
+        Tables.documents(s, d)
+          .selectExpr("doc_id",
+            "uuid3(concat(source, ':', cast(doc_id as string))) AS uid")
+      },
+      Some("""WITH h AS (SELECT doc_id,
+                md5('graft-namespace!' || source || ':' || doc_id) AS hh
+              FROM documents)
+              SELECT doc_id,
+                substr(hh, 1, 8) || '-' || substr(hh, 9, 4) || '-3' ||
+                substr(hh, 14, 3) || '-' ||
+                substr('89ab', (CAST(('0x' || substr(hh, 17, 1)) AS INT) % 4) + 1, 1) ||
+                substr(hh, 18, 3) || '-' || substr(hh, 21, 12) AS uid
+              FROM h""")),
   )
 }
