@@ -21,6 +21,7 @@ object SparkEntry {
     EventQueries,
     MultimodalQueries,
     ExtractQueries,
+    StatsQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.extract.ExtractUdfs
+import graft.sources.Tables
+
+/** Stats / reporting / label pack — the reference's report_creator +
+  * criticality pipeline + coverage metrics re-expressed:
+  *  - coverage ratios as correctness proxy (§5: every extractor logs
+  *    % rows extracted — `judgment_extractor.py:48-57`)
+  *  - describe() stats via exact integer sums (A11) — mean/std derived
+  *    from bigint sums so partition order cannot perturb low bits
+  *  - n-gram mining (F32/`judgment_pattern_extractor.py:150-176`)
+  *  - per-court token cutoffs (P7/`dataset_creator.py:1146-1232`)
+  *  - criticality quartile labels + weighted scores
+  *    (A7/A8/A9/`criticality_dataset_creator.py:175-299`)
+  *  - hierarchical counter rollup (A3/A4/`count_computer.py:40-87`)
+  *  - citation → ruling resolution (J9/J11/`doc2doc_ir_dataset_creator
+  *    .py:251-277`)
+  */
+object StatsQueries extends QueryPack {
+
+  /** outcome sentence with a no-outcome case (doc_id%7==0) so coverage
+    * is genuinely partial
+    */
+  private val rulingsWithGaps =
+    """CASE WHEN doc_id % 7 = 0 THEN 'Das Verfahren wird fortgesetzt.'
+            WHEN doc_id % 3 = 0 THEN 'Die Beschwerde wird abgewiesen.'
+            WHEN doc_id % 3 = 1 THEN 'Die Beschwerde wird gutgeheissen.'
+            ELSE 'Die Beschwerde wird teilweise gutgeheissen.' END"""
+
+  def all: Seq[Q] = Seq(
+
+    // ---- §5 coverage metric: extraction success ratio per source.
+    Q("r1_coverage_metrics",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("rulings", expr(rulingsWithGaps))
+        .withColumn("binary",
+          ExtractUdfs.binaryJudgment(ExtractUdfs.judgments(col("rulings"))))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("binary")).as("n_extracted"),
+          round(count(col("binary")).cast("double") / count(lit(1)), 6).as("coverage")),
+      Some(s"""SELECT source, count(*) AS n_docs,
+                count(CASE WHEN doc_id % 7 <> 0 THEN 1 END) AS n_extracted,
+                round(cast(count(CASE WHEN doc_id % 7 <> 0 THEN 1 END) as double)
+                      / count(*), 6) AS coverage
+              FROM documents GROUP BY source""")),
+
+    // ---- A11 describe(): exact-integer-sum mean/std per language.
+    Q("r2_describe_stats",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("bigint"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum("n_tokens").as("sum_tokens"),
+          sum(col("n_tokens") * col("n_tokens")).as("sumsq_tokens"),
+          min("n_tokens").as("min_tokens"),
+          max("n_tokens").as("max_tokens"))
+        .select(col("lang"), col("n"), col("min_tokens"), col("max_tokens"),
+          round(col("sum_tokens").cast("double") / col("n"), 6).as("mean_tokens"),
+          round(sqrt((col("sumsq_tokens") - col("sum_tokens") * col("sum_tokens") / col("n"))
+            / (col("n") - 1)), 6).as("std_tokens")),
+      Some("""WITH t AS (SELECT lang, cast(len(string_split(text, ' ')) as bigint) AS n_tokens
+                         FROM documents),
+              g AS (SELECT lang, count(*) AS n, sum(n_tokens) AS sum_tokens,
+                      sum(n_tokens * n_tokens) AS sumsq_tokens,
+                      min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+                    FROM t GROUP BY lang)
+              SELECT lang, n, min_tokens, max_tokens,
+                round(cast(sum_tokens as double) / n, 6) AS mean_tokens,
+                round(sqrt((sumsq_tokens - sum_tokens * sum_tokens / n)
+                  / (n - 1)), 6) AS std_tokens
+              FROM g""")),
+
+    // ---- F32 n-gram mining: top-20 corpus 3-grams, deterministic ties.
+    Q("r3_ngram_top20",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("w", split(col("text"), " "))
+        .select(explode(expr(
+          "transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"))
+          .as("ngram"))
+        .groupBy("ngram").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("ngram"))
+        .limit(20),
+      Some("""SELECT ngram, count(*) AS freq FROM (
+                SELECT unnest(list_transform(range(1, len(w)-1),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ngram
+                FROM (SELECT string_split(text, ' ') AS w FROM documents))
+              GROUP BY ngram ORDER BY freq DESC, ngram LIMIT 20""")),
+
+    // ---- P7 per-court token cutoffs: config-map-driven row filter.
+    Q("r4_token_cutoff",
+      (s, d) => {
+        val cutoffs = expr(
+          "map('src0', 40, 'src1', 50, 'src2', 60, 'src3', 45)")
+        Tables.documents(s, d)
+          .withColumn("n_tokens", size(split(col("text"), " ")))
+          .withColumn("cutoff", coalesce(element_at(cutoffs, col("source")), lit(30)))
+          .where(col("n_tokens") >= col("cutoff"))
+          .groupBy("source").agg(count(lit(1)).as("n_kept"))
+      },
+      Some("""SELECT source, count(*) AS n_kept FROM (
+                SELECT source, len(string_split(text, ' ')) AS n_tokens,
+                  CASE source WHEN 'src0' THEN 40 WHEN 'src1' THEN 50
+                       WHEN 'src2' THEN 60 WHEN 'src3' THEN 45 ELSE 30 END AS cutoff
+                FROM documents)
+              WHERE n_tokens >= cutoff GROUP BY source""")),
+
+    // ---- A5/A7/A8/A9 criticality: citation frequency → quartile label
+    // → time-weighted score, on the synthesized citation graph (x3).
+    Q("r5_criticality_labels",
+      (s, d) => {
+        val cites = Tables.documents(s, d).select(
+          (col("doc_id") % 50 + 100).as("volume"),
+          expr("CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END").as("book"),
+          (col("doc_id") % 400 + 1).as("page"),
+          (col("doc_id") % 20 + 2000).as("cite_year"))
+        val freq = cites.groupBy("volume", "book", "page")
+          .agg(count(lit(1)).as("freq"), max("cite_year").as("last_year"))
+        freq
+          .withColumn("label", concat(lit("critical-"),
+            ntile(4).over(Window.orderBy(col("freq").desc,
+              col("volume"), col("book"), col("page"))).cast("string")))
+          .withColumn("score", round(col("freq") *
+            (col("last_year") - 2000).cast("double") / 20, 6))
+          .select("volume", "book", "page", "freq", "label", "score")
+      },
+      Some("""WITH cites AS (SELECT doc_id % 50 + 100 AS volume,
+                CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END AS book,
+                doc_id % 400 + 1 AS page, doc_id % 20 + 2000 AS cite_year
+              FROM documents),
+              freq AS (SELECT volume, book, page, count(*) AS freq,
+                         max(cite_year) AS last_year
+                       FROM cites GROUP BY 1, 2, 3)
+              SELECT volume, book, page, freq,
+                'critical-' || ntile(4) OVER (ORDER BY freq DESC, volume, book, page) AS label,
+                round(freq * cast(last_year - 2000 as double) / 20, 6) AS score
+              FROM freq""")),
+
+    // ---- A3/A4 hierarchical counter rollup: distinct-token counts at
+    // (lang, source), per-lang, and grand-total levels in one pass.
+    Q("r6_counter_rollup",
+      (s, d) => {
+        s.conf.set("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
+        Tables.documents(s, d)
+          .select(col("lang"), col("source"), explode(split(col("text"), " ")).as("token"))
+          .rollup("lang", "source")
+          .agg(countDistinct("token").as("n_distinct_tokens"),
+            count(lit(1)).as("n_tokens"))
+      },
+      Some("""SELECT lang, source, count(DISTINCT token) AS n_distinct_tokens,
+                count(*) AS n_tokens
+              FROM (SELECT lang, source, unnest(string_split(text, ' ')) AS token
+                    FROM documents)
+              GROUP BY ROLLUP(lang, source)""")),
+
+    // ---- J9/J11 citation → ruling resolution: exact key join of the
+    // citation graph against the rulings "corpus" (deterministic pick +
+    // ambiguity count — multiple rulings can share a docket key).
+    Q("r7_citation_resolution",
+      (s, d) => {
+        val rulings = Tables.documents(s, d).select(
+          col("doc_id").as("ruling_id"),
+          (col("doc_id") % 50 + 100).as("volume"),
+          expr("CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END").as("book"),
+          (col("doc_id") % 400 + 1).as("page"))
+        val cites = Tables.documents(s, d).select(
+          col("doc_id").as("citing_id"),
+          (col("doc_id") % 50 + 100).as("volume"),
+          expr("CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END").as("book"),
+          (col("doc_id") % 400 + 1).as("page"))
+        cites.join(rulings, Seq("volume", "book", "page"), "left")
+          .where(col("ruling_id") =!= col("citing_id"))
+          .groupBy("citing_id")
+          .agg(min("ruling_id").as("resolved_id"),
+            count(lit(1)).as("n_candidates"))
+      },
+      Some("""WITH k AS (SELECT doc_id, doc_id % 50 + 100 AS volume,
+                CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END AS book,
+                doc_id % 400 + 1 AS page
+              FROM documents)
+              SELECT c.doc_id AS citing_id, min(r.doc_id) AS resolved_id,
+                count(*) AS n_candidates
+              FROM k c JOIN k r ON c.volume = r.volume AND c.book = r.book
+                AND c.page = r.page AND r.doc_id <> c.doc_id
+              GROUP BY 1""")),
+  )
+}
