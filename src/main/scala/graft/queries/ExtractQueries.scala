@@ -112,5 +112,70 @@ object ExtractQueries extends QueryPack {
                 substr('89ab', (CAST(('0x' || substr(hh, 17, 1)) AS INT) % 4) + 1, 1) ||
                 substr(hh, 18, 3) || '-' || substr(hh, 21, 12) AS uid
               FROM h""")),
+
+    // ---- F2: data-driven cleaning — an ordered (pattern → replacement)
+    // config folded over the text (the reference ships per-spider regex
+    // lists in cleaning_regexes.json; patterns are data, not code).
+    Q("x5_clean_fold",
+      (s, d) => {
+        val rules = Seq("\\bthe\\b" -> "<stop>", "[0-9]+" -> "<num>", "  +" -> " ")
+        val cleaned = rules.foldLeft(col("text")) {
+          case (c, (p, r)) => regexp_replace(c, p, r)
+        }
+        Tables.documents(s, d).select(col("doc_id"), cleaned.as("cleaned"))
+      },
+      Some("""SELECT doc_id,
+                regexp_replace(regexp_replace(regexp_replace(text,
+                  '\b(the)\b', '<stop>', 'g'), '[0-9]+', '<num>', 'g'),
+                  '  +', ' ', 'g') AS cleaned
+              FROM documents""")),
+
+    // ---- F24: citation masking in feature text (doc2doc: replace every
+    // extracted citation with <ref-ruling> before training).
+    Q("x6_citation_mask",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("body", concat(col("text"),
+          lit(" Vgl. BGE "), (col("doc_id") % 50 + 100).cast("string"),
+          lit(" "), expr("CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'I' WHEN 1 THEN 'II' ELSE 'IV' END"),
+          lit(" "), (col("doc_id") % 400 + 1).cast("string"), lit(".")))
+        .select(col("doc_id"),
+          regexp_replace(col("body"),
+            "(?:BGE|ATF|DTF) \\d{1,3} [IVX]+ \\d{1,3}", "<ref-ruling>").as("masked"),
+          size(expr("regexp_extract_all(body, '(?:BGE|ATF|DTF) \\\\d{1,3} [IVX]+ \\\\d{1,3}', 0)"))
+            .cast("bigint").as("n_masked")),
+      Some("""WITH b AS (SELECT doc_id,
+                text || ' Vgl. BGE ' || (doc_id % 50 + 100) || ' ' ||
+                (CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'I' WHEN 1 THEN 'II' ELSE 'IV' END) ||
+                ' ' || (doc_id % 400 + 1) || '.' AS body FROM documents)
+              SELECT doc_id,
+                regexp_replace(body, '(?:BGE|ATF|DTF) \d{1,3} [IVX]+ \d{1,3}',
+                  '<ref-ruling>', 'g') AS masked,
+                cast(len(regexp_extract_all(body,
+                  '(?:BGE|ATF|DTF) \d{1,3} [IVX]+ \d{1,3}')) as bigint) AS n_masked
+              FROM b""")),
+
+    // ---- F31: regeste 3-way split (header / regeste / text) by keyword
+    // positions — pure column expressions, no UDF.
+    Q("x7_regeste_split",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("ftext", concat(
+          lit("BGE "), (col("doc_id") % 50 + 100).cast("string"),
+          lit(" Kopf Regeste "), substring(col("text"), 1, 60),
+          lit(" Sachverhalt "), substring(col("text"), 61, 1000)))
+        .select(col("doc_id"),
+          trim(substring_index(col("ftext"), "Regeste", 1)).as("header"),
+          trim(expr(
+            "substring(ftext, instr(ftext, 'Regeste') + 8, instr(ftext, 'Sachverhalt') - instr(ftext, 'Regeste') - 8)"))
+            .as("regeste"),
+          trim(expr("substring(ftext, instr(ftext, 'Sachverhalt') + 12)")).as("body")),
+      Some("""WITH f AS (SELECT doc_id,
+                'BGE ' || (doc_id % 50 + 100) || ' Kopf Regeste ' || substr(text, 1, 60)
+                || ' Sachverhalt ' || substr(text, 61, 1000) AS ftext FROM documents)
+              SELECT doc_id,
+                trim(substr(ftext, 1, strpos(ftext, 'Regeste') - 1)) AS header,
+                trim(substr(ftext, strpos(ftext, 'Regeste') + 8,
+                  strpos(ftext, 'Sachverhalt') - strpos(ftext, 'Regeste') - 8)) AS regeste,
+                trim(substr(ftext, strpos(ftext, 'Sachverhalt') + 12)) AS body
+              FROM f""")),
   )
 }
