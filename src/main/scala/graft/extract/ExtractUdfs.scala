@@ -3,6 +3,9 @@ package graft.extract
 import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions.udf
 
+/** result-or-error struct for the §2.9 error channel */
+case class SafeOutcomes(outcomes: Seq[String], error: String)
+
 /** Thin UDF layer over the pure Extractors logic (§2.9 dispatch shape:
   * one UDF per task, the row's spider column selects the marker table
   * from broadcast config; generator-style outputs come back as
@@ -29,4 +32,26 @@ object ExtractUdfs {
   /** text → array<struct<volume,book,page>> of BGE/ATF/DTF citations */
   val rulingCitations: UserDefinedFunction =
     udf { text: String => Extractors.parseRulingCitations(text) }
+
+  /** §2.9 error channel: extraction failures become data, not log lines
+    * (the reference logs + skips rows, `abstract_extractor.py:177-183`).
+    * Returns struct<outcomes, error>; route `error IS NOT NULL` rows to
+    * a quarantine sink so idempotent re-runs stay debuggable.
+    */
+  val judgmentsSafe: UserDefinedFunction =
+    udf { rulings: String =>
+      try SafeOutcomes(Extractors.extractJudgments(rulings), null)
+      catch { case e: Throwable =>
+        SafeOutcomes(null, s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+    }
+
+  /** Split a frame carrying a `<col>.error` field into (clean rows,
+    * quarantine rows).
+    */
+  def quarantine(df: org.apache.spark.sql.DataFrame, structCol: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    (df.where(col(s"$structCol.error").isNull),
+      df.where(col(s"$structCol.error").isNotNull))
+  }
 }

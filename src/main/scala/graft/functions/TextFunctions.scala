@@ -108,4 +108,56 @@ object TextFunctions {
   }
 
   def hammingDistance(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** HTML → text (S4/F3 analog): strip script/style blocks, drop tags,
+    * unescape the common entities, normalize whitespace. The reference
+    * shells out to BeautifulSoup; a JVM DOM library (jsoup) drops in
+    * here for real HTML — this regex path covers the well-formed case
+    * and keeps the pipeline dependency-free.
+    */
+  def htmlToText(html: String): String = {
+    if (html == null) return null
+    val noBlocks = html
+      .replaceAll("(?is)<(script|style)[^>]*>.*?</\\1>", " ")
+      .replaceAll("(?is)<!--.*?-->", " ")
+    val noTags = noBlocks.replaceAll("(?s)<[^>]+>", " ")
+    val unescaped = noTags
+      .replace("&nbsp;", " ").replace("&amp;", "&")
+      .replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&#39;", "'")
+    unescaped.replaceAll("\\s+", " ").trim
+  }
+
+  /** F30: keep leading paragraphs until the word budget is exhausted
+    * (`citation_extraction_dataset_creator.py:397-411` keeps 215 words).
+    */
+  def truncateParagraphs(text: String, maxWords: Int): String = {
+    if (text == null) return null
+    val out = Seq.newBuilder[String]
+    var words = 0
+    for (p <- text.split("\n") if words < maxWords) {
+      out += p
+      words += p.split("\\s+").count(_.nonEmpty)
+    }
+    out.result().mkString("\n")
+  }
+
+  /** F29: BIO labeling — tokenize with the reference's `[\w]+|[^\s\w]`
+    * rule and tag tokens covered by (start, end, label) character spans
+    * as B-label/I-label, O elsewhere
+    * (`citation_extraction_dataset_creator.py:362-395`).
+    */
+  def bioLabels(text: String, spans: Seq[(Int, Int, String)]): Seq[(String, String)] = {
+    if (text == null) return Seq.empty
+    val tokenRe = "[\\w]+|[^\\s\\w]".r
+    val toks = tokenRe.findAllMatchIn(text).map(m => (m.matched, m.start, m.end)).toSeq
+    toks.map { case (tok, s, e) =>
+      spans.find(sp => s >= sp._1 && e <= sp._2) match {
+        case Some((spanStart, _, label)) =>
+          val isFirst = !toks.exists(t => t._2 >= spanStart && t._2 < s)
+          tok -> s"${if (isFirst) "B" else "I"}-$label"
+        case None => tok -> "O"
+      }
+    }
+  }
 }

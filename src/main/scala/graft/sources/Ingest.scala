@@ -1,0 +1,45 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ingest layer — the reference's landing-directory scan re-expressed
+  * as Spark sources (SURVEY §2.1).
+  *
+  *  - S2: one record per *.json metadata file with sibling .html/.pdf
+  *    payloads (`scrc/preprocessors/text_to_database.py:119-157`) →
+  *    `binaryFile` scans joined by path stem. Binary payloads stay
+  *    distributed; at 100 TB the scan parallelizes per file and the
+  *    stem join is a plain shuffle equi-join on a short key.
+  *  - S7: line-oriented side inputs (`bge_references_found.txt`) →
+  *    `spark.read.text` + split projections.
+  *  - S3/S4 (Tika PDF, DOM HTML) are pluggable per-row decoders on the
+  *    payload bytes — same batch shape as multimodal.MediaPipeline
+  *    (this container has no Tika/jsoup; functions.TextFunctions
+  *    .htmlToText covers the well-formed-HTML path).
+  */
+object Ingest {
+
+  private def stem(pathCol: org.apache.spark.sql.Column) =
+    regexp_extract(pathCol, "([^/]+)\\.[a-z]+$", 1)
+
+  /** S2: scan a landing dir of {stem}.json / {stem}.html / {stem}.pdf
+    * triples into one row per stem with nullable payloads.
+    */
+  def fileTriples(spark: SparkSession, dir: String): DataFrame = {
+    def scan(glob: String, out: String) =
+      spark.read.format("binaryFile").option("pathGlobFilter", glob).load(dir)
+        .select(stem(col("path")).as("stem"), col("content").as(out))
+    scan("*.json", "meta_raw")
+      .join(scan("*.html", "html_raw"), Seq("stem"), "left")
+      .join(scan("*.pdf", "pdf_raw"), Seq("stem"), "left")
+  }
+
+  /** S7: line-wise reference list (`<file_number> <target>` per line). */
+  def referenceList(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .where(length(trim(col("value"))) > 0)
+      .select(
+        split(col("value"), "\\s+").getItem(0).as("file_number"),
+        split(col("value"), "\\s+").getItem(1).as("target"))
+}
