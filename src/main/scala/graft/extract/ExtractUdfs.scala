@@ -45,6 +45,10 @@ object ExtractUdfs {
         SafeOutcomes(null, s"${e.getClass.getSimpleName}: ${e.getMessage}") }
     }
 
+  /** header → court composition (F37): president/judges/clerks struct */
+  val composition: UserDefinedFunction =
+    udf { header: String => PeopleExtractors.parseComposition(header) }
+
   /** Split a frame carrying a `<col>.error` field into (clean rows,
     * quarantine rows).
     */

@@ -177,5 +177,30 @@ object ExtractQueries extends QueryPack {
                   strpos(ftext, 'Sachverhalt') - strpos(ftext, 'Regeste') - 8)) AS regeste,
                 trim(substr(ftext, strpos(ftext, 'Sachverhalt') + 12)) AS body
               FROM f""")),
+
+    // ---- F37: court-composition parse over synthesized headers —
+    // role keywords, gender suffixes, president apposition.
+    Q("x8_composition",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("header", concat(
+          lit("Besetzung: Bundesrichter Meier"),
+          expr("CASE WHEN doc_id % 2 = 0 THEN ', Präsident' ELSE '' END"),
+          expr("CASE WHEN doc_id % 3 >= 1 THEN ', Bundesrichterin Huber' ELSE '' END"),
+          expr("CASE WHEN doc_id % 3 >= 2 THEN ', Bundesrichter Keller' ELSE '' END"),
+          lit(", Gerichtsschreiber"),
+          expr("CASE WHEN doc_id % 2 = 0 THEN '' ELSE 'in' END"),
+          lit(" S"), col("doc_id").cast("string")))
+        .withColumn("comp", ExtractUdfs.composition(col("header")))
+        .select(col("doc_id"),
+          size(col("comp.judges")).cast("bigint").as("n_judges"),
+          col("comp.president.name").as("president"),
+          element_at(col("comp.clerks"), 1).getField("name").as("clerk_name"),
+          element_at(col("comp.clerks"), 1).getField("gender").as("clerk_gender")),
+      Some("""SELECT doc_id,
+                doc_id % 3 + 1 AS n_judges,
+                CASE WHEN doc_id % 2 = 0 THEN 'Meier' END AS president,
+                'S' || doc_id AS clerk_name,
+                CASE WHEN doc_id % 2 = 0 THEN 'm' ELSE 'f' END AS clerk_gender
+              FROM documents""")),
   )
 }
