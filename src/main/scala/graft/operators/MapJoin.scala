@@ -33,4 +33,12 @@ object MapJoin {
                   outCol: String, childCols: Column*): DataFrame =
     aggregateJoin(fact, child, key,
       Seq(sort_array(collect_list(struct(childCols: _*))).as(outCol)))
+
+  /** Just the aggregated side (for chains that join several children —
+    * each child collapses to one row per key before its join).
+    */
+  def collectJoinSide(child: DataFrame, key: String, outCol: String,
+                      childCols: Column*): DataFrame =
+    child.groupBy(key).agg(
+      sort_array(collect_list(struct(childCols: _*))).as(outCol))
 }

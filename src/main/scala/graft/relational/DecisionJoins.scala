@@ -1,0 +1,76 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{Catalog, MiniCorpus}
+import graft.operators.MapJoin
+
+/** The reference's wide-table assembly (`scrc/utils/sql_select_utils
+  * .py:240-323` `map_join` chains + `dataset_creator.py:493-547`
+  * `get_df`): denormalize `decision` against its dimensions and attach
+  * every child table as ONE pre-aggregated column per decision.
+  *
+  * Shape invariant: the output has exactly one row per decision no
+  * matter how many sections/citations/judgments exist (the reference
+  * asserts `len(file_df) == len(df)` at runtime, `dataset_creator
+  * .py:652` — here the shape is by construction: every child is
+  * aggregated to one row per key BEFORE joining).
+  *
+  * Scale: dimensions broadcast; each child aggregation is one shuffle
+  * with map-side partial agg; the final joins are one-row-per-key on
+  * both sides. Catalyst will not invent aggregate-before-join — this
+  * module IS that rewrite (SURVEY §4: "we keep this shape explicitly").
+  */
+object DecisionJoins {
+
+  /** child rows → sorted array<struct> per decision (J2/A2) */
+  private def agg(child: DataFrame, outCol: String, cols: Column*): DataFrame =
+    MapJoin.collectJoinSide(child, "decision_id", outCol, cols: _*)
+
+  case class Inputs(decisions: DataFrame, languages: DataFrame,
+                    chambers: DataFrame, courts: DataFrame, cantons: DataFrame,
+                    sections: DataFrame, judgments: DataFrame,
+                    citations: DataFrame, fileNumbers: DataFrame)
+
+  def miniCorpus(spark: SparkSession): Inputs = Inputs(
+    MiniCorpus.decisions(spark), MiniCorpus.languages(spark),
+    MiniCorpus.chambers(spark), MiniCorpus.courts(spark),
+    MiniCorpus.cantons(spark), MiniCorpus.sections(spark),
+    MiniCorpus.judgmentMaps(spark), MiniCorpus.citations(spark),
+    MiniCorpus.fileNumbers(spark))
+
+  /** The wide decision frame: J1 dimension chain + J2 aggregate-joins +
+    * derived year/court/canton columns.
+    */
+  def wide(in: Inputs): DataFrame = {
+    val dims = in.decisions
+      .join(broadcast(in.languages), Seq("language_id"), "left")
+      .join(broadcast(in.chambers), Seq("chamber_id"), "left")
+      .join(broadcast(in.courts), Seq("court_id"), "left")
+      .join(broadcast(in.cantons), Seq("canton_id"), "left")
+      .withColumn("year", year(col("date")))
+
+    val judgmentNames = in.judgments.withColumn("judgment",
+      element_at(typedlit(Catalog.Judgment.names), col("judgment_id")))
+
+    dims
+      .join(agg(in.sections, "sections",
+        col("section_type_id"), col("section_text")), Seq("decision_id"), "left")
+      .join(agg(judgmentNames.select(col("decision_id"), col("judgment")),
+        "judgments", col("judgment")), Seq("decision_id"), "left")
+      .join(agg(in.citations, "citations",
+        col("citation_type_id"), col("text")), Seq("decision_id"), "left")
+      .join(agg(in.fileNumbers, "file_numbers", col("text")), Seq("decision_id"), "left")
+  }
+
+  /** J6 self-join analog: facts + rulings text of the same decision as
+    * two columns via conditional aggregation (one pass, no self-join).
+    */
+  def sectionPivot(sections: DataFrame): DataFrame =
+    sections.groupBy("decision_id").agg(
+      max(when(col("section_type_id") === Catalog.SectionType.Facts,
+        col("section_text"))).as("facts"),
+      max(when(col("section_type_id") === Catalog.SectionType.Rulings,
+        col("section_text"))).as("rulings"))
+}
