@@ -186,5 +186,110 @@ object StatsQueries extends QueryPack {
               FROM k c JOIN k r ON c.volume = r.volume AND c.book = r.book
                 AND c.page = r.page AND r.doc_id <> c.doc_id
               GROUP BY 1""")),
+
+    // ---- A7: exact interpolated percentiles of order totals per
+    // priority (the reference's describe() quartile thresholds).
+    Q("a7_percentiles",
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75")),
+      Some("""SELECT o_orderpriority,
+                round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+                round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+                round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+              FROM orders GROUP BY 1""")),
+
+    // ---- F27/J8: canton→region case mapping via a broadcast config
+    // table (the reference hard-codes 7 regions + 6 legal areas as
+    // Python dicts; here the mapping is a joined dimension).
+    Q("f27_region_map",
+      (s, d) => {
+        import s.implicits._
+        val regions = Seq(
+          ("AMERICA", "new_world"), ("ASIA", "east"), ("AFRICA", "south"),
+          ("EUROPE", "old_world"), ("MIDDLE EAST", "east"))
+          .toDF("r_name", "world_region")
+        Tables.customer(s, d)
+          .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .join(broadcast(regions), Seq("r_name"), "left")
+          .groupBy(coalesce(col("world_region"), lit("unmapped")).as("world_region"))
+          .agg(count(lit(1)).as("n_customers"))
+      },
+      Some("""SELECT CASE r_name WHEN 'AMERICA' THEN 'new_world'
+                   WHEN 'ASIA' THEN 'east' WHEN 'AFRICA' THEN 'south'
+                   WHEN 'EUROPE' THEN 'old_world' WHEN 'MIDDLE EAST' THEN 'east'
+                   ELSE 'unmapped' END AS world_region,
+                count(*) AS n_customers
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              GROUP BY 1""")),
+
+    // ---- U4: interleave_datasets + seeded shuffle — union with a
+    // deterministic md5 shuffle key (the reproducible stand-in for
+    // shuffle(seed=42)).
+    Q("u4_interleave",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val a = o.where(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"), lit("urgent").as("src"))
+        val b = o.where(col("o_orderpriority") === "5-LOW")
+          .select(col("o_orderkey"), lit("low").as("src"))
+        a.unionByName(b)
+          .withColumn("shuffle_key", md5(col("o_orderkey").cast("string")))
+          .orderBy("shuffle_key")
+          .limit(100)
+      },
+      Some("""SELECT o_orderkey, src, shuffle_key FROM (
+                SELECT o_orderkey, 'urgent' AS src,
+                  md5(cast(o_orderkey as varchar)) AS shuffle_key
+                FROM orders WHERE o_orderpriority = '1-URGENT'
+                UNION ALL
+                SELECT o_orderkey, 'low', md5(cast(o_orderkey as varchar))
+                FROM orders WHERE o_orderpriority = '5-LOW')
+              ORDER BY shuffle_key LIMIT 100""")),
+
+    // ---- F4: html-vs-pdf preference (prefer the non-empty cleaned
+    // html; fall back to pdf) — the cleaner's merge rule.
+    Q("f4_text_preference",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("html_clean",
+          when(col("doc_id") % 4 === 0, lit("")).otherwise(col("text")))
+        .withColumn("pdf_clean", concat(lit("PDF:"), col("text")))
+        .select(col("doc_id"),
+          when(length(col("html_clean")) > 0, col("html_clean"))
+            .otherwise(col("pdf_clean")).as("text_final"),
+          when(length(col("html_clean")) > 0, "html").otherwise("pdf").as("text_source")),
+      Some("""SELECT doc_id,
+                CASE WHEN doc_id % 4 <> 0 THEN text ELSE 'PDF:' || text END AS text_final,
+                CASE WHEN doc_id % 4 <> 0 THEN 'html' ELSE 'pdf' END AS text_source
+              FROM documents""")),
+
+    // ---- F21/J11: law-abbreviation lookup — case-insensitive broadcast
+    // join of extracted "Art. N ABBREV" citations against the law table.
+    Q("f21_law_lookup",
+      (s, d) => {
+        import s.implicits._
+        val laws = Seq(("bgg", "173.110"), ("zgb", "210"), ("or", "220"),
+          ("stgb", "311.0")).toDF("abbrev_lower", "sr_number")
+        Tables.documents(s, d)
+          .withColumn("law_cite", concat(lit("Art. "),
+            (col("doc_id") % 200 + 1).cast("string"), lit(" "),
+            expr("CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'BGG' WHEN 1 THEN 'ZGB' WHEN 2 THEN 'OR' WHEN 3 THEN 'StGB' ELSE 'XYZ' END")))
+          .withColumn("abbrev_lower",
+            lower(regexp_extract(col("law_cite"), "Art\\. \\d+ (\\S+)", 1)))
+          .join(broadcast(laws), Seq("abbrev_lower"), "left")
+          .select(col("doc_id"), col("law_cite"), col("sr_number"))
+      },
+      Some("""SELECT doc_id,
+                'Art. ' || (doc_id % 200 + 1) || ' ' ||
+                  (CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'BGG' WHEN 1 THEN 'ZGB'
+                    WHEN 2 THEN 'OR' WHEN 3 THEN 'StGB' ELSE 'XYZ' END) AS law_cite,
+                CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN '173.110' WHEN 1 THEN '210'
+                  WHEN 2 THEN '220' WHEN 3 THEN '311.0' END AS sr_number
+              FROM documents""")),
   )
 }
