@@ -1,0 +1,66 @@
+package graft.datasets
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Sinks, Tables}
+
+/** Criticality dataset creator (`scrc/dataset_creation/
+  * criticality_dataset_creator.py`): rank rulings by how often they are
+  * cited, bucket the cited ones into critical-1..4 quartiles, label
+  * every document by its ruling's bucket ("non-critical" when never
+  * cited), add the time-weighted citation score, and emit
+  * date-stratified splits.
+  *
+  * Scale: the citation graph aggregates once (map-side combine), the
+  * quartile window runs over the |distinct rulings| aggregate — never
+  * the raw corpus — and the label join is a broadcastable
+  * one-row-per-ruling frame.
+  */
+object CriticalityDataset {
+
+  /** labeled corpus: doc_id, year, label, score, split */
+  def prepare(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("year", (col("doc_id") % 25 + 2000).cast("int"))
+      // each doc IS ruling (volume, book, page) and CITES the ruling
+      // derived from doc_id + 1 (deterministic synthetic citation graph)
+      .withColumn("own_key", col("doc_id") % 400)
+      .withColumn("cited_key", (col("doc_id") + 1) % 400)
+
+    val freq = docs.groupBy(col("cited_key").as("own_key"))
+      .agg(count(lit(1)).as("freq"), max("year").as("last_cite_year"))
+
+    val labeled = freq.withColumn("label", concat(lit("critical-"),
+      ntile(4).over(Window.orderBy(col("freq").desc, col("own_key"))).cast("string")))
+
+    docs.join(broadcast(labeled), Seq("own_key"), "left")
+      .withColumn("label", coalesce(col("label"), lit("non-critical")))
+      .withColumn("score", when(col("freq").isNull, 0.0)
+        .otherwise(round(col("freq") *
+          greatest(lit(0.0), (col("last_cite_year") - 2000).cast("double") / 25), 6)))
+      .withColumn("split",
+        when(col("year") <= 2015, "train")
+          .when(col("year") <= 2017, "validation")
+          .when(col("year") <= 2022, "test")
+          .otherwise("secret_test"))
+      .select("doc_id", "year", "lang", "text", "label", "score", "split")
+  }
+
+  def build(spark: SparkSession, sfDir: String, outDir: String): JudgmentDataset.Report = {
+    val ds = prepare(spark, sfDir).persist()
+    try {
+      val labels = ds.select("label").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      Sinks.writeLabels(labels, outDir)
+      for (split <- Seq("train", "validation", "test", "secret_test"))
+        Sinks.writeJsonl(ds.where(col("split") === split).drop("split"),
+          s"$outDir/$split")
+      val overview = ds.groupBy("split", "label").count()
+      Sinks.writeCsv(overview, s"$outDir/overview", dropTextCols = Nil)
+      JudgmentDataset.Report(labels,
+        overview.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap)
+    } finally ds.unpersist()
+  }
+}

@@ -91,6 +91,16 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup: drop redundant deliveries of the same
+    * event_id within the watermark horizon (the training-pipeline
+    * at-least-once ingest → exactly-once table pattern; state is
+    * bounded by the watermark).
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** File-source reader for a directory of event parquet files — the
     * production ingest shape (each micro-batch = newly landed files).
     * Nanos timestamps are read as epoch-nanos longs (same policy as

@@ -85,6 +85,27 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops redundant deliveries within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = dedupEvents(mem.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(1, ts(1), 1, "click", 1.0), // redelivery, same id
+        Event(2, ts(2), 1, "view", 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(1, ts(5), 1, "click", 1.0)) // late redelivery
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids.sorted == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("file-source stream over the real events table produces batches") {
     // file streams need a landing DIRECTORY (each micro-batch = new
     // files); stage the single testdata file into one
