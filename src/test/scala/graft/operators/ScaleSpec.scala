@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Scale-mechanics evidence: bucketed co-located joins eliminate the
+  * join Exchange; salted joins preserve results while spreading hot
+  * keys.
+  */
+class ScaleSpec extends SparkSpec {
+
+  test("bucketed tables join without a shuffle exchange") {
+    // warehouse dir is a static conf — tables land in ./spark-warehouse
+    // (gitignored) and are dropped below
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    Tables.orders(spark, sfDir)
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("orders_b")
+    Tables.lineitem(spark, sfDir)
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("lineitem_b")
+
+    // bucketed join must not shuffle either side
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("orders_b")
+        .join(spark.table("lineitem_b"), Seq("o_orderkey"))
+      joined.count()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        "bucketed co-located join must not contain an Exchange:\n" + p.take(1200))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("salted join equals the plain join") {
+    val orders = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    val dim = Tables.customer(spark, sfDir).select("c_custkey", "c_mktsegment")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val plain = orders.join(dim, Seq("o_custkey"))
+      .groupBy("c_mktsegment").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Salting.saltedJoin(orders, dim, "o_custkey", nSalts = 4)
+      .groupBy("c_mktsegment").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(plain == salted)
+  }
+}
