@@ -83,6 +83,29 @@ object RelationalQueries extends QueryPack {
                        cast(sum(l_quantity) as bigint) AS sum_qty
                 FROM lineitem GROUP BY 1) li ON o.o_orderkey = li.l_orderkey""")),
 
+    // ---- J3: nested map_join — child pre-joined with its own dimension
+    // (sections ⟕ section_type ⟕ num_tokens in the reference), THEN
+    // aggregated to one row per fact key, then attached.
+    Q("j3_nested_mapjoin",
+      (s, d) => {
+        val enriched = Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        MapJoin.aggregateJoin(
+          Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
+          enriched.withColumnRenamed("l_orderkey", "o_orderkey"),
+          "o_orderkey",
+          Seq(count(lit(1)).as("n_lines"),
+            countDistinct("p_brand").as("n_brands"),
+            max("p_retailprice").cast("decimal(12,2)").as("max_retail")))
+      },
+      Some("""SELECT o.o_orderkey, o.o_orderpriority, c.n_lines, c.n_brands, c.max_retail
+              FROM orders o LEFT JOIN (
+                SELECT l_orderkey, count(*) AS n_lines,
+                       count(DISTINCT p_brand) AS n_brands,
+                       cast(max(p_retailprice) as decimal(12,2)) AS max_retail
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                GROUP BY 1) c ON o.o_orderkey = c.l_orderkey""")),
+
     // ---- J2/A2: collect-join — child rows gathered as one ordered value per
     // key (reference: json_agg(json_build_object(...)) GROUP BY decision_id).
     // Emitted as a joined string so the oracle compare is engine-neutral.

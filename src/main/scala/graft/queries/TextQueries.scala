@@ -140,6 +140,37 @@ object TextQueries extends QueryPack {
                   '\s+', ' ', 'g')) AS cleaned
               FROM documents""")),
 
+    // ---- F33: sentence tokenization — split synthesized multi-sentence
+    // text on terminal punctuation, explode, per-sentence word counts
+    // (the nltk sent_tokenize analog; ICU BreakIterator plugs into the
+    // same explode shape for language-aware splitting).
+    Q("t8_sentence_split",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("prose", concat(
+          lit("Erster Satz. "), substring(col("text"), 1, 40),
+          lit(". Zweiter Satz! "), substring(col("text"), 41, 40),
+          lit("? Letzter Satz.")))
+        // sentence boundary = terminal punctuation + space; marked with a
+        // newline then split (lookbehind-free: DuckDB's RE2 has none)
+        .select(col("doc_id"), posexplode(
+          split(regexp_replace(col("prose"), "([.!?]) ", "$1\n"), "\n"))
+          .as(Seq("sentence_idx", "sentence")))
+        .where(length(col("sentence")) > 0)
+        .select(col("doc_id"), col("sentence_idx").cast("bigint").as("sentence_idx"),
+          col("sentence"),
+          size(split(col("sentence"), " ")).cast("bigint").as("n_words")),
+      Some("""WITH p AS (SELECT doc_id,
+                'Erster Satz. ' || substr(text, 1, 40) || '. Zweiter Satz! ' ||
+                substr(text, 41, 40) || '? Letzter Satz.' AS prose FROM documents),
+              arr AS (SELECT doc_id,
+                string_split(regexp_replace(prose, '([.!?]) ', '\1' || chr(10), 'g'),
+                  chr(10)) AS sents FROM p),
+              sent AS (SELECT doc_id, unnest(sents) AS sentence,
+                generate_subscripts(sents, 1) - 1 AS sentence_idx FROM arr)
+              SELECT doc_id, cast(sentence_idx as bigint) AS sentence_idx, sentence,
+                cast(len(string_split(sentence, ' ')) as bigint) AS n_words
+              FROM sent WHERE length(sentence) > 0""")),
+
     // ---- F40/P9: contains-one-of-list row filter (negation detection in
     // the reference) — `exists` higher-order predicate, codegen'd, pushed
     // as a scan-level filter.
