@@ -12,9 +12,17 @@ class ScaleSpec extends SparkSpec {
 
   test("bucketed tables join without a shuffle exchange") {
     // warehouse dir is a static conf — tables land in ./spark-warehouse
-    // (gitignored) and are dropped below
-    spark.sql("DROP TABLE IF EXISTS orders_b")
-    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    // (gitignored). The catalog is per-JVM but the directory persists
+    // across runs, so clear both catalog entry AND location.
+    for (t <- Seq("orders_b", "lineitem_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = java.nio.file.Paths.get("spark-warehouse", t)
+      if (java.nio.file.Files.exists(dir)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
     Tables.orders(spark, sfDir)
       .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .mode("overwrite").saveAsTable("orders_b")
