@@ -50,6 +50,20 @@ object ExtractUdfs {
         SafeOutcomes(null, s"${e.getClass.getSimpleName}: ${e.getMessage}") }
     }
 
+  /** F29: token-level BIO labels for ruling-citation spans — spans come
+    * from the citation regex match positions, alignment from
+    * TextFunctions.bioLabels. Returns array<struct<token, label>>.
+    */
+  val nerBioLabels: UserDefinedFunction =
+    udf { text: String =>
+      if (text == null) Seq.empty[(String, String)]
+      else {
+        val spans = Extractors.rulingCitation.findAllMatchIn(text)
+          .map(m => (m.start, m.end, "CITATION")).toSeq
+        graft.functions.TextFunctions.bioLabels(text, spans)
+      }
+    }.asNondeterministic()
+
   /** header → court composition (F37): president/judges/clerks struct */
   val composition: UserDefinedFunction =
     udf { header: String => PeopleExtractors.parseComposition(header) }

@@ -1,0 +1,100 @@
+package graft.extract
+
+import scala.util.matching.Regex
+
+/** Marker-table config loader — SURVEY §7.5 hard part 2: the
+  * reference's ~60 per-spider marker tables (`section_splitting_
+  * functions.py:53-1523`) must be DATA so new spiders ship without
+  * code. Config is JSON:
+  *
+  * {{{
+  * { "CH_BGer": { "facts": "(?i)^sachverhalt",
+  *                "considerations": "(?i)^erwägungen", ... },
+  *   "ZH_VG":   { ... } }
+  * }}}
+  *
+  * Parsed with a minimal recursive-descent JSON reader (no external
+  * dependency; the values are flat string→string→string). In
+  * production the parsed map is `spark.sparkContext.broadcast` once and
+  * closed over by the section-splitting UDF.
+  */
+object MarkerConfigLoader {
+
+  /** Parse the JSON config into a MarkerConfig (spider → section →
+    * compiled regex). Throws IllegalArgumentException on malformed
+    * input with the offending position.
+    */
+  def parse(json: String): Extractors.MarkerConfig = {
+    val p = new MiniJson(json)
+    val root = p.parseObject()
+    root.map { case (spider, v) =>
+      val sections = v match {
+        case m: Map[_, _] => m.asInstanceOf[Map[String, Any]].map {
+          case (sec, pat: String) => sec -> pat.r
+          case (sec, other) =>
+            throw new IllegalArgumentException(s"marker $spider.$sec: expected string, got $other")
+        }
+        case other =>
+          throw new IllegalArgumentException(s"spider $spider: expected object, got $other")
+      }
+      spider -> sections
+    }
+  }
+
+  /** Merge a loaded config over the built-in defaults (loaded spiders
+    * win; `default` stays available as the dispatch fallback).
+    */
+  def withDefaults(loaded: Extractors.MarkerConfig): Extractors.MarkerConfig =
+    Extractors.defaultMarkers ++ loaded
+
+  /** Minimal JSON object-of-objects-of-strings parser. */
+  private final class MiniJson(s: String) {
+    private var i = 0
+    private def ws(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
+    private def expect(c: Char): Unit = {
+      ws()
+      if (i >= s.length || s(i) != c)
+        throw new IllegalArgumentException(s"expected '$c' at pos $i")
+      i += 1
+    }
+    private def parseString(): String = {
+      expect('"')
+      val sb = new StringBuilder
+      while (i < s.length && s(i) != '"') {
+        if (s(i) == '\\' && i + 1 < s.length) {
+          i += 1
+          sb.append(s(i) match {
+            case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+            case 'u' =>
+              val h = s.substring(i + 1, i + 5); i += 4
+              Integer.parseInt(h, 16).toChar
+            case c => c
+          })
+        } else sb.append(s(i))
+        i += 1
+      }
+      expect('"')
+      sb.toString
+    }
+    def parseObject(): Map[String, Any] = {
+      expect('{')
+      ws()
+      if (i < s.length && s(i) == '}') { i += 1; return Map.empty }
+      val out = Map.newBuilder[String, Any]
+      var done = false
+      while (!done) {
+        val k = parseString()
+        expect(':')
+        ws()
+        val v: Any =
+          if (i < s.length && s(i) == '{') parseObject()
+          else parseString()
+        out += k -> v
+        ws()
+        if (i < s.length && s(i) == ',') i += 1
+        else { expect('}'); done = true }
+      }
+      out.result()
+    }
+  }
+}

@@ -202,5 +202,28 @@ object ExtractQueries extends QueryPack {
                 'S' || doc_id AS clerk_name,
                 CASE WHEN doc_id % 2 = 0 THEN 'm' ELSE 'f' END AS clerk_gender
               FROM documents""")),
+
+    // ---- F29: NER BIO labeling — token/label pairs for citation spans;
+    // the oracle recomputes token counts with the same tokenizer rule
+    // and knows the citation contributes exactly 1 B- and 3 I- tokens.
+    Q("x9_ner_bio",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("body", concat(col("text"),
+          lit(" Vgl. BGE "), (col("doc_id") % 50 + 100).cast("string"),
+          lit(" II "), (col("doc_id") % 400 + 1).cast("string"), lit(".")))
+        .withColumn("bio", ExtractUdfs.nerBioLabels(col("body")))
+        .select(col("doc_id"),
+          size(col("bio")).cast("bigint").as("n_tokens"),
+          size(expr("filter(bio, x -> x._2 = 'B-CITATION')")).cast("bigint").as("n_b"),
+          size(expr("filter(bio, x -> x._2 = 'I-CITATION')")).cast("bigint").as("n_i")),
+      Some("""WITH b AS (SELECT doc_id,
+                text || ' Vgl. BGE ' || (doc_id % 50 + 100) || ' II ' ||
+                (doc_id % 400 + 1) || '.' AS body FROM documents)
+              SELECT doc_id,
+                cast(len(regexp_extract_all(body, '[0-9A-Za-z_]+|[^\s0-9A-Za-z_]'))
+                  as bigint) AS n_tokens,
+                cast(1 as bigint) AS n_b,
+                cast(3 as bigint) AS n_i
+              FROM b""")),
   )
 }
