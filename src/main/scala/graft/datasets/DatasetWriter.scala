@@ -1,0 +1,50 @@
+package graft.datasets
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.Sinks
+
+/** Shared split/write machinery for all dataset creators (`scrc/
+  * dataset_creation/dataset_creator.py:819-939` — splits, JSONL,
+  * labels, overview — factored once; each creator is then just its
+  * labeling logic).
+  */
+object DatasetWriter {
+
+  val splits = Seq("train", "validation", "test", "secret_test")
+
+  /** Reference year boundaries (dataset_creator.py:158-159). */
+  def dateSplit(yearCol: String): org.apache.spark.sql.Column =
+    when(col(yearCol) <= 2015, "train")
+      .when(col(yearCol) <= 2017, "validation")
+      .when(col(yearCol) <= 2022, "test")
+      .otherwise("secret_test")
+
+  /** Write JSONL per split + labels.json + per-split/label overview
+    * CSV; returns the overview counts.
+    */
+  def write(ds: DataFrame, outDir: String, labelCol: Option[String])
+      : JudgmentDataset.Report = {
+    val cached = ds.persist()
+    try {
+      val labels = labelCol match {
+        case Some(c) => cached.select(c).distinct()
+          .collect().map(_.get(0).toString).sorted.toSeq
+        case None => Nil
+      }
+      if (labels.nonEmpty) Sinks.writeLabels(labels, outDir)
+      for (split <- splits)
+        Sinks.writeJsonl(cached.where(col("split") === split).drop("split"),
+          s"$outDir/$split")
+      val overview = labelCol match {
+        case Some(c) => cached.groupBy(col("split"), col(c).as("label")).count()
+        case None => cached.groupBy("split").count().withColumn("label", lit("all"))
+          .select("split", "label", "count")
+      }
+      Sinks.writeCsv(overview, s"$outDir/overview", dropTextCols = Nil)
+      JudgmentDataset.Report(labels,
+        overview.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap)
+    } finally { cached.unpersist(); () }
+  }
+}
