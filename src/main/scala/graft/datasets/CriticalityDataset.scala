@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.sources.{Sinks, Tables}
+import graft.sources.Tables
 
 /** Criticality dataset creator (`scrc/dataset_creation/
   * criticality_dataset_creator.py`): rank rulings by how often they are
@@ -40,27 +40,10 @@ object CriticalityDataset {
       .withColumn("score", when(col("freq").isNull, 0.0)
         .otherwise(round(col("freq") *
           greatest(lit(0.0), (col("last_cite_year") - 2000).cast("double") / 25), 6)))
-      .withColumn("split",
-        when(col("year") <= 2015, "train")
-          .when(col("year") <= 2017, "validation")
-          .when(col("year") <= 2022, "test")
-          .otherwise("secret_test"))
+      .withColumn("split", DatasetWriter.dateSplit("year"))
       .select("doc_id", "year", "lang", "text", "label", "score", "split")
   }
 
-  def build(spark: SparkSession, sfDir: String, outDir: String): JudgmentDataset.Report = {
-    val ds = prepare(spark, sfDir).persist()
-    try {
-      val labels = ds.select("label").distinct()
-        .collect().map(_.getString(0)).sorted.toSeq
-      Sinks.writeLabels(labels, outDir)
-      for (split <- Seq("train", "validation", "test", "secret_test"))
-        Sinks.writeJsonl(ds.where(col("split") === split).drop("split"),
-          s"$outDir/$split")
-      val overview = ds.groupBy("split", "label").count()
-      Sinks.writeCsv(overview, s"$outDir/overview", dropTextCols = Nil)
-      JudgmentDataset.Report(labels,
-        overview.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap)
-    } finally ds.unpersist()
-  }
+  def build(spark: SparkSession, sfDir: String, outDir: String): JudgmentDataset.Report =
+    DatasetWriter.write(prepare(spark, sfDir), outDir, Some("label"))
 }

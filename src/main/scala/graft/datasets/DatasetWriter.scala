@@ -38,7 +38,8 @@ object DatasetWriter {
         Sinks.writeJsonl(cached.where(col("split") === split).drop("split"),
           s"$outDir/$split")
       val overview = labelCol match {
-        case Some(c) => cached.groupBy(col("split"), col(c).as("label")).count()
+        case Some(c) => cached.groupBy(col("split"),
+          col(c).cast("string").as("label")).count()
         case None => cached.groupBy("split").count().withColumn("label", lit("all"))
           .select("split", "label", "count")
       }

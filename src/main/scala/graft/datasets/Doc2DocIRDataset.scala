@@ -3,7 +3,7 @@ package graft.datasets
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sources.{Sinks, Tables}
+import graft.sources.Tables
 
 /** doc2doc IR dataset creator (`scrc/dataset_creation/
   * doc2doc_ir_dataset_creator.py`): per document, the masked feature
@@ -54,30 +54,11 @@ object Doc2DocIRDataset {
       .where(col("in_vocab").isNotNull) // drop out-of-vocab labels (P8)
       .withColumn("feature_text",
         regexp_replace(col("body"), citePattern, "<ref-ruling>"))
-      .withColumn("split",
-        when(col("year") <= 2015, "train")
-          .when(col("year") <= 2017, "validation")
-          .when(col("year") <= 2022, "test")
-          .otherwise("secret_test"))
+      .withColumn("split", DatasetWriter.dateSplit("year"))
       .select("doc_id", "year", "lang", "feature_text", "cited_key",
         "resolved_ruling_id", "split")
   }
 
-  def build(spark: SparkSession, sfDir: String, outDir: String): JudgmentDataset.Report = {
-    val ds = prepare(spark, sfDir).persist()
-    try {
-      val labels = ds.select("cited_key").distinct()
-        .collect().map(_.getLong(0).toString).sorted.toSeq
-      Sinks.writeLabels(labels, outDir)
-      for (split <- Seq("train", "validation", "test", "secret_test"))
-        Sinks.writeJsonl(ds.where(col("split") === split).drop("split"),
-          s"$outDir/$split")
-      val overview = ds.groupBy("split").count()
-        .withColumn("label", lit("all"))
-      Sinks.writeCsv(overview.select("split", "label", "count"),
-        s"$outDir/overview", dropTextCols = Nil)
-      JudgmentDataset.Report(labels,
-        overview.collect().map(r => (r.getString(0), "all") -> r.getLong(1)).toMap)
-    } finally ds.unpersist()
-  }
+  def build(spark: SparkSession, sfDir: String, outDir: String): JudgmentDataset.Report =
+    DatasetWriter.write(prepare(spark, sfDir), outDir, Some("cited_key"))
 }

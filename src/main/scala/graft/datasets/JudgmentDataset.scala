@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.extract.ExtractUdfs
-import graft.sources.{Sinks, Tables}
+import graft.sources.Tables
 
 /** End-to-end judgment-prediction dataset creator — the reference's
   * minimum full slice (`scrc/dataset_creation/judgment_dataset_creator
@@ -19,14 +19,6 @@ import graft.sources.{Sinks, Tables}
   */
 object JudgmentDataset {
 
-  /** split-year boundaries (dataset_creator.py:158-159) mapped onto the
-    * synthetic year
-    */
-  private val splitExpr =
-    when(col("year") <= 2015, "train")
-      .when(col("year") <= 2017, "validation")
-      .when(col("year") <= 2022, "test")
-      .otherwise("secret_test")
 
   case class Report(labels: Seq[String], splitCounts: Map[(String, String), Long])
 
@@ -42,25 +34,10 @@ object JudgmentDataset {
       .withColumn("label",
         ExtractUdfs.binaryJudgment(ExtractUdfs.judgments(col("rulings"))))
       .where(col("label").isNotNull) // drop unextractable rows (P8)
-      .withColumn("split", splitExpr)
+      .withColumn("split", DatasetWriter.dateSplit("year"))
       .select("doc_id", "year", "lang", "source", "text", "rulings", "label", "split")
 
   /** Build + write the dataset; returns the overview report. */
-  def build(spark: SparkSession, sfDir: String, outDir: String): Report = {
-    val ds = prepare(spark, sfDir).persist()
-    try {
-      val labels = ds.select("label").distinct()
-        .collect().map(_.getString(0)).sorted.toSeq
-      Sinks.writeLabels(labels, outDir)
-
-      for (split <- Seq("train", "validation", "test", "secret_test"))
-        Sinks.writeJsonl(ds.where(col("split") === split).drop("split"),
-          s"$outDir/$split")
-
-      val overview = ds.groupBy("split", "label").count()
-      Sinks.writeCsv(overview, s"$outDir/overview", dropTextCols = Nil)
-      Report(labels,
-        overview.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap)
-    } finally ds.unpersist()
-  }
+  def build(spark: SparkSession, sfDir: String, outDir: String): Report =
+    DatasetWriter.write(prepare(spark, sfDir), outDir, Some("label"))
 }
