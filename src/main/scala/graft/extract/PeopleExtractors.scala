@@ -53,7 +53,12 @@ object PeopleExtractors {
     */
   def parseComposition(header: String): CourtComposition = {
     if (header == null) return CourtComposition(None, Nil, Nil)
-    val body = header.replaceFirst("(?i)^(besetzung|composition|composizione)\\s*:?\\s*", "")
+    // multi-line headers: the composition block is the line led by the
+    // keyword (fall back to the whole text for bare fixtures)
+    val line = header.split("\n")
+      .find(l => "(?i)^(besetzung|composition|composizione)".r.findFirstIn(l.trim).isDefined)
+      .getOrElse(header)
+    val body = line.trim.replaceFirst("(?i)^(besetzung|composition|composizione)\\s*:?\\s*", "")
     var judges = Vector.empty[Person]
     var clerks = Vector.empty[Person]
     var president: Option[Person] = None

@@ -128,6 +128,32 @@ object TextFunctions {
     unescaped.replaceAll("\\s+", " ").trim
   }
 
+  /** HTML → paragraphs (F6 html path): block-level tag boundaries
+    * become paragraph breaks, inline markup is stripped, each paragraph
+    * is whitespace-normalized. Preserves the structure the section
+    * fold (F7) needs — `htmlToText` is the flat variant.
+    */
+  def htmlToParagraphs(html: String): Seq[String] = {
+    if (html == null) return Seq.empty
+    val blocks = html
+      .replaceAll("(?is)<(script|style)[^>]*>.*?</\\1>", " ")
+      .replaceAll("(?is)<!--.*?-->", " ")
+      .replaceAll("(?i)<(?:br|/p|/div|/h[1-6]|/li|/tr)[^>]*>", "\n")
+    val noTags = blocks.replaceAll("(?s)<[^>]+>", " ")
+    val unescaped = noTags
+      .replace("&nbsp;", " ").replace("&amp;", "&")
+      .replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&#39;", "'")
+    unescaped.split("\n").toSeq
+      .map(_.replaceAll("\\s+", " ").trim)
+      .filter(_.nonEmpty)
+  }
+
+  /** PDF text → paragraphs (F6 pdf path: split on line breaks). */
+  def pdfToParagraphs(text: String): Seq[String] =
+    if (text == null) Seq.empty
+    else text.split("\n+").toSeq.map(_.trim).filter(_.nonEmpty)
+
   /** F30: keep leading paragraphs until the word budget is exhausted
     * (`citation_extraction_dataset_creator.py:397-411` keeps 215 words).
     */

@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class CorpusPipelineSpec extends SparkSpec {
+
+  private def makeLanding(): String = {
+    val dir = Files.createTempDirectory("landing")
+    def put(name: String, content: String) =
+      Files.write(dir.resolve(name), content.getBytes(StandardCharsets.UTF_8))
+    def ruling(i: Int, outcome: String) =
+      s"""<html><body>
+         |<p>Urteil vom 1$i. August 2020</p>
+         |<p>Besetzung: Bundesrichter Meier, Präsident, Gerichtsschreiber S$i</p>
+         |<p>Sachverhalt</p>
+         |<p>A. Der Beschwerdeführer $i reichte Klage ein.</p>
+         |<p>Erwägungen</p>
+         |<p>1. Vgl. BGE 12$i II 45 zur Frage.</p>
+         |<p>Demnach erkennt das Gericht</p>
+         |<p>Die Beschwerde wird $outcome.</p>
+         |<p>Rechtsmittelbelehrung</p>
+         |</body></html>""".stripMargin
+    for (i <- 0 until 4) {
+      put(s"case_$i.json", s"""{"id": $i}""")
+      put(s"case_$i.html",
+        ruling(i, if (i % 2 == 0) "abgewiesen" else "gutgeheissen"))
+    }
+    // pdf-only document (html missing → falls back to pdf payload)
+    put("case_pdf.json", """{"id": 9}""")
+    put("case_pdf.pdf", "Sachverhalt\nKurzer PDF Text der lang genug ist fuer das Minimum.")
+    // too-short document → dropped by the ingest gate
+    put("tiny.json", """{"id": 10}""")
+    put("tiny.html", "<html><body>x</body></html>")
+    dir.toString
+  }
+
+  test("end-to-end corpus construction: ingest→sections→children→idempotent writes") {
+    val landing = makeLanding()
+    val out = Files.createTempDirectory("corpus_out").toString
+    val report = CorpusPipeline.run(spark, landing, out)
+
+    assert(report.nIngested == 5)       // 4 html + 1 pdf; tiny dropped
+    assert(report.nSections == 5)
+    assert(report.nCitations == 4)      // the 4 structured rulings cite once
+    assert(report.judgmentCoverage == 0.8) // pdf doc has no rulings section
+
+    // htmlToText stripped the markup before sectioning
+    val sections = spark.read.parquet(s"$out/sections")
+    assert(sections.where(col("rulings").contains("<p>")).count() == 0)
+    val dismissed = sections.where(col("rulings").contains("abgewiesen"))
+    assert(dismissed.count() == 2)
+
+    // judgments extracted per decision
+    val j = spark.read.parquet(s"$out/judgments")
+    assert(j.where(array_contains(col("outcomes"), "approval")).count() == 2)
+    assert(j.where(array_contains(col("outcomes"), "dismissal")).count() == 2)
+
+    // composition parsed from the header section
+    val comp = spark.read.parquet(s"$out/compositions")
+    assert(comp.where(col("president.name") === "Meier").count() == 4)
+
+    // idempotency: a full re-run leaves identical row counts
+    val again = CorpusPipeline.run(spark, landing, out)
+    assert(again.nIngested == report.nIngested)
+    assert(spark.read.parquet(s"$out/documents").count() == 5)
+    assert(spark.read.parquet(s"$out/citations").count() == 4)
+  }
+}
