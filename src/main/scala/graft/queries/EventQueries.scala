@@ -99,5 +99,28 @@ object EventQueries extends QueryPack {
                 sum(cast(regexp_extract(props, '"k": (\d+)', 1) as bigint)) AS sum_k,
                 max(cast(regexp_extract(props, '"k": (\d+)', 1) as bigint)) AS max_k
               FROM events GROUP BY 1""")),
+
+    // ---- Retention cohorts: users grouped by first-seen day, activity
+    // counted per day-offset — two aggs over one shuffle on user_id
+    // (the first agg), then a |users|-sized join.
+    Q("e6_retention_cohorts",
+      (s, d) => {
+        val dayUs = 86400L * 1000000L
+        val firstSeen = Tables.events(s, d)
+          .groupBy("user_id")
+          .agg((min(expr(s"ts_us div $dayUs"))).as("cohort_day"))
+        Tables.events(s, d)
+          .withColumn("day", expr(s"ts_us div $dayUs"))
+          .join(firstSeen, "user_id")
+          .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+          .agg(countDistinct("user_id").as("n_active_users"))
+      },
+      Some(s"""WITH t AS (SELECT user_id, epoch_ns(ts) // 1000 // 86400000000 AS day
+                          FROM events),
+              f AS (SELECT user_id, min(day) AS cohort_day FROM t GROUP BY 1)
+              SELECT cohort_day, day - cohort_day AS day_offset,
+                count(DISTINCT t.user_id) AS n_active_users
+              FROM t JOIN f ON t.user_id = f.user_id
+              GROUP BY 1, 2""")),
   )
 }

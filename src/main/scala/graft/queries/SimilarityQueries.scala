@@ -114,5 +114,27 @@ object SimilarityQueries extends QueryPack {
                   i -> qv[i] * v[i]), 'sum') / (sqrt(qn) * sqrt(nn)), 6) AS cos
               FROM e JOIN q ON e.bucket = q.bucket WHERE vec_id <> 0
               ORDER BY cos DESC, vec_id LIMIT 5""")),
+
+    // ---- Per-label centroids: mean vector per class via posexplode +
+    // decimal sums (order-independent — double summation order varies
+    // across partitions). The embarrassingly-parallel shape of k-means
+    // update / class-prototype computation.
+    Q("s5_label_centroids",
+      (s, d) => Tables.embeddings(s, d)
+        .select(col("label").cast("bigint").as("label"),
+          posexplode(expr("transform(embedding, x -> cast(x as decimal(20,10)))"))
+            .as(Seq("dim", "component")))
+        .groupBy("label", "dim")
+        .agg(round((sum("component") / count(lit(1))).cast("double"), 6).as("centroid"))
+        .where(col("dim") < 8) // keep the gated output compact
+        .select(col("label"), col("dim").cast("bigint").as("dim"), col("centroid")),
+      Some("""SELECT cast(label as bigint) AS label, cast(dim - 1 as bigint) AS dim,
+                round(cast(sum(component) / count(*) as double), 6) AS centroid
+              FROM (SELECT label, unnest(list_transform(embedding,
+                      x -> cast(x as decimal(20,10)))) AS component,
+                      generate_subscripts(embedding, 1) AS dim
+                    FROM embeddings)
+              WHERE dim <= 8
+              GROUP BY 1, 2""")),
   )
 }
