@@ -122,5 +122,31 @@ object EventQueries extends QueryPack {
                 count(DISTINCT t.user_id) AS n_active_users
               FROM t JOIN f ON t.user_id = f.user_id
               GROUP BY 1, 2""")),
+
+    // ---- Native session_window (Spark's built-in gap-session operator,
+    // batch form) cross-checked against the lag/cumsum formulation the
+    // oracle states — two independent sessionization implementations
+    // must agree exactly.
+    Q("e7_session_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          col("n_events")),
+      // session_window merges an event iff it starts strictly before the
+      // previous window's end ⇒ new session iff gap >= 30 min (note: e2's
+      // hand gap rule is >, self-consistent there; here we mirror Spark)
+      Some("""WITH t AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us FROM events),
+              f AS (SELECT user_id, ts_us,
+                CASE WHEN lag(ts_us) OVER w IS NULL
+                          OR ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+                FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+              g AS (SELECT user_id, ts_us,
+                sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+                FROM f)
+              SELECT user_id, min(ts_us) AS start_us, count(*) AS n_events
+              FROM g GROUP BY user_id, sess_id""")),
   )
 }
