@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.{TextFunctions, Uuid3}
+import graft.functions.{CounterMerge, TextFunctions, Uuid3}
 
 /** Session extension point: registers graft's native functions so SQL
   * users get them without touching the Scala API.
@@ -16,6 +16,8 @@ import graft.functions.{TextFunctions, Uuid3}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("uuid3"), Uuid3.info, Uuid3.builder))
+    ext.injectFunction((FunctionIdentifier("counter_merge"),
+      CounterMerge.info, CounterMerge.builder))
   }
 }
 
