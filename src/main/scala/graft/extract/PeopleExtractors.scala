@@ -20,61 +20,109 @@ object PeopleExtractors {
   case class Participation(plaintiffs: Seq[PartySide], defendants: Seq[PartySide])
   case class LowerCourt(court: String, date: Option[String])
 
-  // role keyword → (role, gender); female forms listed first so the
-  // longer suffix wins the alternation
-  private val judgeRe: Regex =
-    "(?:Bundesrichterin|Bundesrichter|Oberrichterin|Oberrichter|Kantonsrichterin|Kantonsrichter|Richterin|Richter|Juge f[ée]d[ée]rale|Juge f[ée]d[ée]ral|Giudice federale|Giudice)\\s+(.+)".r
-  private val clerkRe: Regex =
-    "(?:Gerichtsschreiberin|Gerichtsschreiber|Greffi[èe]re|Greffier|Cancelliera|Cancelliere)\\s*:?\\s*(.+)".r
-  private val presidentStandalone: Regex =
-    "(?i)pr[äa]sident(?:in)?|pr[ée]sident(?:e)?|presidente".r
-
-  private def gender(segment: String): Option[String] = {
-    val femaleMarkers = Seq("richterin", "schreiberin", "greffière", "greffiere",
-      "juge fédérale", "juge federale", "cancelliera", "präsidentin", "présidente")
-    val maleMarkers = Seq("richter", "schreiber", "greffier", "juge", "giudice",
-      "cancelliere", "präsident", "président")
-    val low = segment.toLowerCase
-    if (femaleMarkers.exists(low.contains)) Some("f")
-    else if (maleMarkers.exists(low.contains)) Some("m")
-    else None
-  }
-
   /** Sanity cap from the reference (`court_composition_extracting_
     * functions.py:100-103`): more than 5 judges means the parse ran
     * away — return empty instead of garbage.
     */
   val MaxJudges = 5
 
-  /** Parse a "Besetzung:"/"Composition:" header into the composition.
-    * Segments are comma/semicolon-separated; a standalone
-    * "Präsident(in)" segment marks the PRECEDING judge as president; a
-    * role word inline ("… , Präsident der II. Kammer") does the same.
+  // judge role: any compound ending in richter(in) (Bundes-, Ober-,
+  // Steuer-, Bau-, Ersatz-, Kassations-, Sozialversicherungs-, …),
+  // vice-president roles (judges, NOT president), plus fr/it forms
+  private val judgeRole: Regex =
+    "(?i)([a-zäöü]*richter(in)?|(abteilungs)?vizepräsident(in)?|juge|giudice)".r
+  // judge role that also marks the NEXT person as president
+  private val presidingRole: Regex = "(?i)abteilungspräsident(in)?".r
+  private val clerkRole: Regex =
+    "(?i)(gerichtsschreiber(in)?|gerichtssekretär(in)?|sekretär(in)?|greffi[èe]re?|cancellier[ea])".r
+  // apposition after a name: marks the LAST person as president
+  private val presidentApposition: Regex =
+    "(?i)(vorsitz(ende[rn]?)?|pr[äa]sident(in)?|pr[ée]sidente?|presidente)".r
+  // gender modifiers following a role word (fr)
+  private val femaleModifier: Regex = "(?i)(fédérale|federale)".r
+  private val maleModifier: Regex = "(?i)(fédéral|federale?)".r
+
+  private val skipTokens: Set[String] = Set(
+    "besetzung", "composition", "composizione", "mitwirkend", "mitwirkende",
+    "lic.", "iur.", "dr.", "mlaw", "m.a.", "hsg", "mag.", "oec.", "publ.",
+    "et", "ra", "prof.", "die", "der", "das", "le", "la", "m.", "mme")
+
+  // once a role context exists, these tokens end the composition block
+  private val stopTokens: Set[String] = Set(
+    "urteil", "entscheid", "zirkulationsbeschluss", "beschluss", "in", "vom",
+    "betreffend")
+
+  private def femaleRole(tok: String): Boolean = {
+    val t = tok.toLowerCase
+    t.endsWith("in") || t.endsWith("ère") || t.endsWith("iera")
+  }
+
+  /** Parse a composition header (any of the reference's layouts: role
+    * keyword per name, plural role + name list, combined judge+clerk
+    * lines, title noise) into president/judges/clerks. Token-stream
+    * state machine: role keywords set the active role + gender context,
+    * separators flush the accumulated name, president appositions mark
+    * the preceding person, stop words end the block.
     */
   def parseComposition(header: String): CourtComposition = {
     if (header == null) return CourtComposition(None, Nil, Nil)
-    // multi-line headers: the composition block is the line led by the
-    // keyword (fall back to the whole text for bare fixtures)
-    val line = header.split("\n")
-      .find(l => "(?i)^(besetzung|composition|composizione)".r.findFirstIn(l.trim).isDefined)
-      .getOrElse(header)
-    val body = line.trim.replaceFirst("(?i)^(besetzung|composition|composizione)\\s*:?\\s*", "")
     var judges = Vector.empty[Person]
     var clerks = Vector.empty[Person]
     var president: Option[Person] = None
-    for (raw <- body.split("[,;]").map(_.trim).filter(_.nonEmpty)) {
-      raw match {
-        case clerkRe(name) =>
-          clerks :+= Person(cleanName(name), gender(raw))
-        case judgeRe(name) =>
-          val p = Person(cleanName(name), gender(raw))
-          judges :+= p
-          if (presidentStandalone.findFirstIn(raw).isDefined) president = Some(p)
-        case seg if presidentStandalone.findFirstIn(seg).isDefined =>
-          if (president.isEmpty) president = judges.lastOption
-        case _ => // apposition/noise segment
+    var role: String = "" // "", "judge", "clerk"
+    var gender: Option[String] = None
+    var presidentNext = false
+    var buf = Vector.empty[String]
+    var last: Option[Person] = None
+    var stopped = false
+
+    def flush(): Unit = {
+      if (buf.nonEmpty && role.nonEmpty) {
+        val p = Person(buf.mkString(" "), gender)
+        if (role == "judge") judges :+= p else clerks :+= p
+        last = Some(p)
+        if (presidentNext) { president = Some(p); presidentNext = false }
       }
+      buf = Vector.empty
     }
+
+    val rawTokens = header.split("\\s+").filter(_.nonEmpty)
+    for (raw <- rawTokens if !stopped) {
+      val hadComma = raw.endsWith(",") || raw.endsWith(";")
+      // strip parens and trailing separators; keep short initials' dots
+      var tok = raw.replaceAll("[()\\[\\]]", "").replaceAll("[,;:]+$", "")
+      if (tok.length > 3 && tok.endsWith(".")) tok = tok.dropRight(1)
+      val low = tok.toLowerCase
+
+      if (tok.isEmpty) ()
+      else if (skipTokens.contains(low) || skipTokens.contains(low + ".")) ()
+      else if (role.nonEmpty && stopTokens.contains(low)) { flush(); stopped = true }
+      // a bare capital letter mid-stream ("U R T E I L") ends the block
+      else if (role.nonEmpty && tok.matches("[A-ZÄÖÜ]")) { flush(); stopped = true }
+      else if (presidingRole.matches(tok)) {
+        flush(); role = "judge"; gender = Some(if (femaleRole(tok)) "f" else "m")
+        presidentNext = true
+      }
+      else if (judgeRole.matches(tok) && low != "richter:" ) {
+        flush(); role = "judge"; gender = Some(if (femaleRole(tok)) "f" else "m")
+      }
+      else if (clerkRole.matches(tok)) {
+        flush(); role = "clerk"; gender = Some(if (femaleRole(tok)) "f" else "m")
+      }
+      else if (role.nonEmpty && buf.isEmpty && femaleModifier.matches(tok)) gender = Some("f")
+      else if (role.nonEmpty && buf.isEmpty && maleModifier.matches(tok)) gender = Some("m")
+      else if (presidentApposition.matches(tok) && (buf.nonEmpty || last.isDefined)) {
+        flush()
+        if (president.isEmpty) president = last
+      }
+      else if (low == "und" || low == "sowie" || low == "e") flush()
+      else if (role.nonEmpty) {
+        buf :+= tok
+        if (hadComma) flush()
+      }
+      // tokens before any role context are header noise — ignored
+    }
+    flush()
     if (judges.length > MaxJudges) CourtComposition(None, Nil, Nil)
     else CourtComposition(president, judges, clerks)
   }
