@@ -16,7 +16,12 @@ object PeopleExtractors {
   case class Person(name: String, gender: Option[String])
   case class CourtComposition(president: Option[Person],
                               judges: Seq[Person], clerks: Seq[Person])
-  case class PartySide(name: String, counsel: Seq[Person])
+  /** counsel with the reference's fields: legal_type "natural person"/
+    * "legal entity", gender None = unknown, honorific titles kept
+    */
+  case class LegalCounsel(name: String, legalType: String,
+                          gender: Option[String], titles: Seq[String])
+  case class PartySide(name: String, counsel: Seq[LegalCounsel])
   case class Participation(plaintiffs: Seq[PartySide], defendants: Seq[PartySide])
   case class LowerCourt(court: String, date: Option[String])
 
@@ -127,38 +132,74 @@ object PeopleExtractors {
     else CourtComposition(president, judges, clerks)
   }
 
-  private def cleanName(s: String): String =
-    s.replaceAll("(?i)[,;.]\\s*$", "").replaceAll("\\s+", " ").trim
+  private def cleanName(s: String): String = {
+    val t = s.replaceAll("[,;]\\s*$", "").replaceAll("\\s+", " ").trim
+    // strip a trailing period only when it ends a full word, never an
+    // initial ("C. D." stays, "Henseler." loses the dot)
+    val lastTok = t.split(" ").lastOption.getOrElse("")
+    if (lastTok.endsWith(".") && lastTok.length > 3) t.dropRight(1) else t
+  }
 
-  private val counselRe: Regex =
+  private val counselTrigger: Regex =
     "(?i)vertreten durch|représenté(?:e)? par|patrocinat[oa] da".r
-  private val counselRole: Regex =
-    "(Rechtsanwältin|Rechtsanwalt|Advokatin|Advokat|Avocate|Avocat|Fürsprecher(?:in)?)\\s+(.+)".r
 
-  /** Parse the party block: "<side> gegen <side>"; each side is
-    * "NAME, role[, vertreten durch counsel]".
+  // lawyer role word → gender ("" = unknown); presence ⇒ natural person
+  private val lawyerRoles: Map[String, String] = Map(
+    "rechtsanwalt" -> "m", "rechtsanwältin" -> "f",
+    "advokat" -> "m", "advokatin" -> "f",
+    "fürsprecher" -> "m", "fürsprecherin" -> "f",
+    "avocat" -> "m", "avocate" -> "f", "ra" -> "")
+
+  private val counselTitles = Set("dr.", "prof.")
+  private val counselSkip = Set("lic.", "iur.", "mag.", "et", "oec.", "publ.",
+    "mlaw", "m.a.", "hsg", "das", "die", "der", "den", "kant.")
+
+  /** One counsel from the text directly after a "vertreten durch" up to
+    * the next comma: lawyer role words ⇒ natural person with gender
+    * (the bare "RA" abbreviation leaves gender unknown), otherwise a
+    * legal entity; titles (Dr., Prof.) collected, qualifier noise
+    * stripped.
+    */
+  private def parseCounsel(segment: String): Option[LegalCounsel] = {
+    var legalType = "legal entity"
+    var gender: Option[String] = None
+    var titles = Vector.empty[String]
+    var name = Vector.empty[String]
+    for (raw <- segment.split("\\s+").filter(_.nonEmpty)) {
+      val tok = raw.replaceAll("[\\[\\]()]", "")
+      val low = tok.toLowerCase
+      if (tok.isEmpty || low == "...") ()
+      else if (lawyerRoles.contains(low)) {
+        legalType = "natural person"
+        gender = Some(lawyerRoles(low)).filter(_.nonEmpty)
+      }
+      else if (counselTitles.contains(low)) titles :+= tok
+      else if (counselSkip.contains(low)) ()
+      else name :+= tok
+    }
+    if (name.isEmpty) None
+    else Some(LegalCounsel(cleanName(name.mkString(" ")), legalType, gender, titles))
+  }
+
+  /** Parse the party block: "<side> gegen <side>"; each side may carry
+    * any number of "vertreten durch <counsel>" attachments (the
+    * reference emits them per party; here all of a side's counsel
+    * attach to that side).
     */
   def parseParticipation(block: String): Participation = {
     if (block == null) return Participation(Nil, Nil)
-    val sides = block.split("(?i)\\bgegen\\b|\\bcontre\\b|\\bcontro\\b")
+    val sides = block.split("(?i)\\bgegen\\b|\\bcontre\\b|\\bcontro\\b", 2)
     def parseSide(s: String): Seq[PartySide] = {
-      val counselSplit = counselRe.split(s)
-      val partyName = counselSplit(0).split("[,;]").map(_.trim).filter(_.nonEmpty)
+      val partyName = s.split("[,;]").map(_.trim)
+        .filterNot(seg => seg.isEmpty || seg.equalsIgnoreCase("in sachen"))
         .headOption.getOrElse("")
-      val counsel =
-        if (counselSplit.length < 2) Nil
-        else counselSplit(1).split("[,;]").map(_.trim).filter(_.nonEmpty).toSeq
-          .flatMap {
-            case counselRole(role, name) =>
-              Some(Person(cleanName(name),
-                if (role.toLowerCase.endsWith("in") || role.toLowerCase.endsWith("e"))
-                  Some("f") else Some("m")))
-            case _ => None
-          }
-      if (partyName.isEmpty) Nil else Seq(PartySide(cleanName(partyName), counsel))
+      val counsel = counselTrigger.split(s).drop(1).toSeq
+        .flatMap(after => parseCounsel(after.split("[,;]")(0)))
+      if (partyName.isEmpty && counsel.isEmpty) Nil
+      else Seq(PartySide(cleanName(partyName), counsel))
     }
     Participation(
-      if (sides.length > 0) parseSide(sides(0)) else Nil,
+      parseSide(sides(0)),
       if (sides.length > 1) parseSide(sides(1)) else Nil)
   }
 

@@ -57,7 +57,8 @@ class PeopleExtractorsSpec extends AnyFunSuite {
       "A.________, Beschwerdeführer, vertreten durch Rechtsanwalt Dr. B. Brunner, " +
         "gegen C.________, Beschwerdegegnerin")
     assert(p.plaintiffs.map(_.name) == Seq("A.________"))
-    assert(p.plaintiffs.head.counsel == Seq(Person("Dr. B. Brunner", Some("m"))))
+    assert(p.plaintiffs.head.counsel ==
+      Seq(LegalCounsel("B. Brunner", "natural person", Some("m"), Seq("Dr."))))
     assert(p.defendants.map(_.name) == Seq("C.________"))
     assert(p.defendants.head.counsel.isEmpty)
   }
@@ -65,7 +66,8 @@ class PeopleExtractorsSpec extends AnyFunSuite {
   test("participation: female counsel and french contre") {
     val p = parseParticipation(
       "X.________, représentée par Avocate Marie Curie, contre Y.________")
-    assert(p.plaintiffs.head.counsel == Seq(Person("Marie Curie", Some("f"))))
+    assert(p.plaintiffs.head.counsel ==
+      Seq(LegalCounsel("Marie Curie", "natural person", Some("f"), Nil)))
     assert(p.defendants.map(_.name) == Seq("Y.________"))
   }
 
