@@ -369,6 +369,21 @@ object RelationalQueries extends QueryPack {
                   ORDER BY md5(cast(c_custkey as varchar)), c_custkey) AS rn
                 FROM customer) WHERE rn <= 3""")),
 
+    // ---- O4: random-label sample submission (kaggle variant in the
+    // reference) — deterministic label pick via md5-hash bucketing.
+    Q("o4_sample_submission",
+      (s, d) => Tables.customer(s, d)
+        .select(col("c_custkey"),
+          element_at(
+            expr("array('approval', 'dismissal')"),
+            (pmod(expr("conv(substring(md5(cast(c_custkey as string)), 1, 8), 16, 10)").cast("bigint"),
+              lit(2)) + 1).cast("int")).as("predicted_label")),
+      Some("""SELECT c_custkey,
+                (['approval', 'dismissal'])[
+                  CAST(CAST(('0x' || substr(md5(cast(c_custkey as varchar)), 1, 8)) AS BIGINT) % 2 AS INT) + 1
+                ] AS predicted_label
+              FROM customer""")),
+
     // ---- F26: date-part scalars (year/quarter/month/isodow).
     Q("f26_date_parts",
       (s, d) => Tables.orders(s, d).select(
