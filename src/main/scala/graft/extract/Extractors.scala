@@ -137,4 +137,77 @@ object Extractors {
       RulingCite(m.group(1).toInt,
         graft.functions.TextFunctions.romanToInt(m.group(2)), m.group(3).toInt)
     }.toSeq
+
+  // ------------------------------------------------------------- law citations
+
+  /** Parsed law citation (F21, `scrc/data_classes/law_citation.py:10-72`):
+    * article may be non-numeric ("7a"); sr_number resolved via the
+    * abbreviation table (case-insensitive), unresolvable → None.
+    */
+  case class LawCite(article: String, abbreviation: String, srNumber: String)
+
+  /** Law-abbreviation table (production: loaded from the legislation
+    * corpus and broadcast; `doc2doc_ir_dataset_creator.py:232-249`).
+    */
+  val defaultLawAbbrs: Map[String, String] = Map(
+    "bgg" -> "173.110", "zgb" -> "210", "or" -> "220", "stgb" -> "311.0",
+    "co" -> "220", "cc" -> "210", "bv" -> "101", "atsg" -> "830.1")
+
+  /** Parse "Art. 95 BGG" / "art. 42 CO" / "§ 29 VRG"-style citations:
+    * language style from the leading keyword, `§` normalized to the
+    * article word, a missing dot after "Art" inserted, abbreviation
+    * resolved against the table. Returns None for anything that does
+    * not parse or resolve (F22 convertibility filter).
+    */
+  def parseLawCitation(citation: String,
+                       lawAbbrs: Map[String, String] = defaultLawAbbrs): Option[LawCite] = {
+    if (citation == null) return None
+    val articleWord =
+      if (citation.startsWith("Art") || citation.contains("Abs") ||
+        citation.contains("Ziff") || citation.contains("§")) "Art."
+      else "art."
+    var s = citation.trim.replace("§", articleWord)
+    // insert the dot after a bare "Art"/"art"
+    if (s.toLowerCase.startsWith(articleWord.substring(0, 3).toLowerCase) &&
+      s.length > 3 && s.charAt(3) != '.')
+      s = s.substring(0, 3) + "." + s.substring(3)
+    if (!s.toLowerCase.startsWith(articleWord.toLowerCase)) return None
+    var parts = s.split(" ").toSeq.filter(_.nonEmpty)
+    // "Art.95 BGG" → ["Art.", "95", "BGG"]
+    if (parts.length == 2 && parts.head.length > articleWord.length)
+      parts = Seq(articleWord, parts.head.substring(articleWord.length), parts(1))
+    if (parts.length < 3) return None
+    val article = parts(1)
+    val abbreviation = parts.last
+    lawAbbrs.get(abbreviation.toLowerCase)
+      .map(sr => LawCite(article, abbreviation, sr))
+  }
+
+  // --------------------------------------------------------- BGer file numbers
+
+  /** BGer docket patterns (F23, `bge_reference_extracting_functions
+    * .py:36-40`): "5A_123/2019", "5A.123/2019", "5A 123/2019" and the
+    * old-register "B 45/06" form.
+    */
+  val bgerReference: Regex =
+    "(\\d\\D?_\\d{1,4}/\\d{4}|\\d\\D?\\.\\d{1,4}/\\d{4}|\\d\\D?\\s\\d{1,4}/\\d{4}|[BIPK]\\s\\d{1,3}/\\d{2}\\D)".r
+
+  /** Normalize found references to the canonical joined form
+    * (`convert_found_to_reference`, `:14-26`): old-register trailing
+    * non-digit dropped, spaces/dots → underscores, commas removed,
+    * multiple references joined with "-".
+    */
+  def normalizeBgeReferences(refs: Seq[String]): String =
+    refs.map { r =>
+      val trimmedTail =
+        if ("[BIPK]\\s\\d{1,3}/\\d{2}\\D".r.matches(r)) r.dropRight(1) else r
+      trimmedTail.trim.replace(" ", "_").replace(".", "_").replace(",", "")
+    }.mkString("-")
+
+  /** Find + normalize all BGer references in a header (F23). */
+  def extractBgerReferences(header: String): Option[String] = {
+    if (header == null) return None
+    val found = bgerReference.findAllIn(header).toSeq
+    if (found.isEmpty) None else Some(normalizeBgeReferences(found))
+  }
 }

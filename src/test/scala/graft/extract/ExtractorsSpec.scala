@@ -78,6 +78,35 @@ class ExtractorsSpec extends AnyFunSuite {
     assert(toBinaryJudgment(Seq.empty) == None)
   }
 
+  test("law citation parse: dot insertion, § normalization, abbreviation lookup") {
+    assert(parseLawCitation("Art. 95 BGG") ==
+      Some(LawCite("95", "BGG", "173.110")))
+    assert(parseLawCitation("Art 95 BGG") ==       // missing dot inserted
+      Some(LawCite("95", "BGG", "173.110")))
+    assert(parseLawCitation("Art.95 BGG") ==       // glued article split
+      Some(LawCite("95", "BGG", "173.110")))
+    assert(parseLawCitation("§ 29 ZGB") ==         // § → Art.
+      Some(LawCite("29", "ZGB", "210")))
+    assert(parseLawCitation("art. 42 CO") ==       // french style
+      Some(LawCite("42", "CO", "220")))
+    assert(parseLawCitation("Art. 7a OR") ==       // non-numeric article
+      Some(LawCite("7a", "OR", "220")))
+    assert(parseLawCitation("Art. 1 XYZ") == None) // unknown abbreviation (F22)
+    assert(parseLawCitation("random text") == None)
+    assert(parseLawCitation(null) == None)
+  }
+
+  test("BGer reference extraction and normalization") {
+    assert(extractBgerReferences("Urteil 5A_123/2019 vom 1. Januar") ==
+      Some("5A_123/2019"))
+    assert(extractBgerReferences("Verfahren 5A.123/2019 und 1C 45/2018 vereinigt") ==
+      Some("5A_123/2019-1C_45/2018"))
+    assert(extractBgerReferences("alte Register: B 45/06 betreffend") ==
+      Some("B_45/06"))
+    assert(extractBgerReferences("kein Aktenzeichen") == None)
+    assert(extractBgerReferences(null) == None)
+  }
+
   test("ruling citation parse: BGE/ATF/DTF with roman book numbers") {
     assert(parseRulingCitations("vgl. BGE 123 II 456 und ATF 99 IV 1") ==
       Seq(RulingCite(123, 2, 456), RulingCite(99, 4, 1)))
