@@ -74,10 +74,40 @@ object MinHashLSH {
     }
   }.asNondeterministic()
 
+  /** Fused words → signature (shingling inlined — no intermediate
+    * shingle array materializes per row). Non-deterministic marker =
+    * eval-once barrier (see signatureUdf).
+    */
+  def fusedSignatureUdf(k: Int) = udf { words: Seq[String] =>
+    val md = MessageDigest.getInstance("MD5")
+    val out = new Array[String](k)
+    if (words != null && words.length >= 3) {
+      val seen = new scala.collection.mutable.HashSet[String]
+      var i = 0
+      while (i + 2 < words.length) {
+        val sh = words(i) + " " + words(i + 1) + " " + words(i + 2)
+        if (seen.add(sh)) {
+          val shBytes = sh.getBytes(StandardCharsets.UTF_8)
+          var j = 0
+          while (j < k) {
+            md.reset()
+            md.update(j.toString.getBytes(StandardCharsets.UTF_8))
+            md.update(shBytes)
+            val h = hex(md.digest())
+            if (out(j) == null || h < out(j)) out(j) = h
+            j += 1
+          }
+        }
+        i += 1
+      }
+    }
+    out
+  }.asNondeterministic()
+
   /** (band, h) rows per doc; null signatures (empty docs) are dropped. */
   def bands(docs: DataFrame, idCol: String, wordsCol: Column, k: Int): DataFrame =
     docs
-      .withColumn("__sig", signatureUdf(k)(shinglesUdf(wordsCol)))
+      .withColumn("__sig", fusedSignatureUdf(k)(wordsCol))
       .select(col(idCol), posexplode(col("__sig")).as(Seq("band", "h")))
       .where(col("h").isNotNull)
 
