@@ -111,6 +111,32 @@ object MinHashLSH {
       .select(col(idCol), posexplode(col("__sig")).as(Seq("band", "h")))
       .where(col("h").isNotNull)
 
+  /** Pair-free dedup keep-list: every document maps to the smallest id
+    * sharing any band bucket with it (one hop of connected components —
+    * the reference pipeline's "keep first, drop rest" shape). Unlike
+    * candidatePairs, output is ONE ROW PER DOCUMENT regardless of
+    * duplicate density: a corpus that is 50× duplicated produces 50×
+    * rows, not 2500× pairs. Iterate `hops` times to collapse chains
+    * (duplicates linked only transitively); 2 hops close the clusters
+    * replication produces in practice.
+    */
+  def dedupKeepList(docs: DataFrame, idCol: String, wordsCol: Column,
+                    k: Int = 4, hops: Int = 2): DataFrame = {
+    val b = bands(docs, idCol, wordsCol, k)
+      .withColumn("rep", col(idCol))
+    val once = (cur: DataFrame) => {
+      val bucketMin = cur.groupBy("band", "h").agg(min("rep").as("bucket_min"))
+      cur.join(bucketMin, Seq("band", "h"))
+        .groupBy(col(idCol), col("band"), col("h"))
+        .agg(min("bucket_min").as("m"))
+        .withColumn("rep", min(col("m"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(idCol)))
+        .select(col(idCol), col("band"), col("h"), col("rep"))
+    }
+    val converged = (1 to hops).foldLeft(b)((cur, _) => once(cur))
+    converged.groupBy(idCol).agg(min("rep").as("keep_id"))
+  }
+
   /** Distinct candidate pairs (ia < ib) sharing any band bucket.
     * One signature computation, one shuffle (the groupBy), pair
     * expansion per bucket via index-aware transform + slice.

@@ -31,6 +31,22 @@ class MinHashLSHSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("dedupKeepList maps duplicates to one representative, pair-free") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "a b c d e f g"),        // dup of 1
+      (5L, "a b c d e f g"),        // dup of 1
+      (3L, "q r s t u v w x y z"),  // unique
+      (4L, "m n o p q r s")         // unique
+    ).toDF("doc_id", "text").withColumn("w", split(col("text"), " "))
+    val keep = MinHashLSH.dedupKeepList(docs, "doc_id", col("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keep(1L) == 1L && keep(2L) == 1L && keep(5L) == 1L)
+    assert(keep(3L) == 3L && keep(4L) == 4L)
+    assert(keep.size == 5) // one row per doc, never pairs
+  }
+
   test("signature of an empty document is all-null and never joins") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d"), (2L, "xy")).toDF("doc_id", "text")
