@@ -70,6 +70,24 @@ object DedupQueries extends QueryPack {
               FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h
               WHERE a.doc_id < b.doc_id""")),
 
+    // ---- Pair-free dedup keep-list: one row per doc regardless of
+    // duplicate density (see PERF.md scaling experiment) — per-bucket
+    // min + 2 convergence hops.
+    Q("d6_dedup_keeplist",
+      (s, d) => MinHashLSH.dedupKeepList(
+        withWords(Tables.documents(s, d)), "doc_id", col("w")),
+      Some(s"""$duckBands,
+              b0 AS (SELECT doc_id, band, h, doc_id AS rep FROM bands),
+              s1 AS (SELECT doc_id, band, h,
+                       min(rep) OVER (PARTITION BY band, h) AS bmin FROM b0),
+              h1 AS (SELECT doc_id, band, h,
+                       min(bmin) OVER (PARTITION BY doc_id) AS rep FROM s1),
+              s2 AS (SELECT doc_id, band, h,
+                       min(rep) OVER (PARTITION BY band, h) AS bmin FROM h1),
+              h2 AS (SELECT doc_id, band, h,
+                       min(bmin) OVER (PARTITION BY doc_id) AS rep FROM s2)
+              SELECT doc_id, min(rep) AS keep_id FROM h2 GROUP BY doc_id""")),
+
     // ---- Candidate verification: exact n-gram Jaccard on LSH pairs only.
     Q("d3_lsh_jaccard",
       (s, d) => {
