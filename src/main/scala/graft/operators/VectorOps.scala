@@ -20,18 +20,6 @@ object VectorOps {
     expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)") /
       (sqrt(col(na)) * sqrt(col(nb)))
 
-  /** Compiled dot product — same left-to-right summation order as the
-    * `zip_with`/`aggregate` fold (and DuckDB's list fold), so results
-    * are bit-identical; ~4× faster than the interpreted lambdas on the
-    * pair-heavy near-dup path.
-    */
-  val dotUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
-    var s = 0.0
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { s += a(i) * b(i); i += 1 }
-    s
-  }
 
   /** 4-bit hyperplane bucket of vector column `v`;
     * hyperplane j component i = ((i*31 + j*17) mod 7) - 3.
