@@ -26,10 +26,6 @@ object BenchProbe {
     val b = e.toDF("ib", "vb", "nb", "bucket")
     val j = a.join(b, Seq("bucket")).where(col("ia") < col("ib"))
     time("join only")(println("pairs=" + j.count()))
-    val withCos = j.withColumn("cos", round(
-      VectorOps.dotUdf(col("va"), col("vb")) / (sqrt(col("na")) * sqrt(col("nb"))), 6))
-      .where(col("cos") > 0.3)
-    time("cos udf")(withCos.count())
     val withCosExpr = j.withColumn("cos", round(
       expr("aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0 as double), (a, x) -> a + x)") /
         (sqrt(col("na")) * sqrt(col("nb"))), 6))
