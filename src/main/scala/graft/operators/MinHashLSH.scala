@@ -104,12 +104,27 @@ object MinHashLSH {
     out
   }.asNondeterministic()
 
-  /** (band, h) rows per doc; null signatures (empty docs) are dropped. */
-  def bands(docs: DataFrame, idCol: String, wordsCol: Column, k: Int): DataFrame =
-    docs
-      .withColumn("__sig", fusedSignatureUdf(k)(wordsCol))
-      .select(col(idCol), posexplode(col("__sig")).as(Seq("band", "h")))
-      .where(col("h").isNotNull)
+  /** (band, h) rows per doc; null signatures (empty docs) are dropped.
+    * `rowsPerBand` > 1 is the standard precision knob: a band only
+    * collides when ALL of its `r` signature positions agree (collision
+    * probability jaccard^r per band), traded against recall via the
+    * band count k/r. The band hash is md5 over the concatenated
+    * positions so the column stays fixed-width for the shuffle.
+    */
+  def bands(docs: DataFrame, idCol: String, wordsCol: Column, k: Int,
+            rowsPerBand: Int = 1): DataFrame = {
+    require(k % rowsPerBand == 0, s"k=$k must be a multiple of rowsPerBand=$rowsPerBand")
+    val sig = docs.withColumn("__sig", fusedSignatureUdf(k)(wordsCol))
+    if (rowsPerBand == 1)
+      sig.select(col(idCol), posexplode(col("__sig")).as(Seq("band", "h")))
+        .where(col("h").isNotNull)
+    else
+      sig
+        .where(col("__sig").getItem(0).isNotNull)
+        .select(col(idCol), posexplode(expr(
+          s"transform(sequence(0, ${k / rowsPerBand - 1}), b -> md5(concat_ws('|', slice(__sig, b * $rowsPerBand + 1, $rowsPerBand))))"))
+          .as(Seq("band", "h")))
+  }
 
   /** Pair-free dedup keep-list: every document maps to the smallest id
     * sharing any band bucket with it (one hop of connected components —
@@ -142,8 +157,8 @@ object MinHashLSH {
     * expansion per bucket via index-aware transform + slice.
     */
   def candidatePairs(docs: DataFrame, idCol: String, wordsCol: Column,
-                     k: Int = 4): DataFrame =
-    bands(docs, idCol, wordsCol, k)
+                     k: Int = 4, rowsPerBand: Int = 1): DataFrame =
+    bands(docs, idCol, wordsCol, k, rowsPerBand)
       .groupBy("band", "h")
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .where(size(col("ids")) > 1)

@@ -47,6 +47,21 @@ class MinHashLSHSpec extends SparkSpec {
     assert(keep.size == 5) // one row per doc, never pairs
   }
 
+  test("multi-row bands raise precision: fewer candidates, dups still found") {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("w", split(col("text"), " "))
+    val loose = MinHashLSH.candidatePairs(docs, "doc_id", col("w"), k = 4, rowsPerBand = 1).count()
+    val strict = MinHashLSH.candidatePairs(docs, "doc_id", col("w"), k = 4, rowsPerBand = 2).count()
+    assert(strict <= loose, s"2-row bands must not add candidates ($strict > $loose)")
+
+    import spark.implicits._
+    val dups = Seq((1L, "a b c d e f"), (2L, "a b c d e f"))
+      .toDF("doc_id", "text").withColumn("w", split(col("text"), " "))
+    val p = MinHashLSH.candidatePairs(dups, "doc_id", col("w"), k = 4, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(p.toSeq == Seq((1L, 2L)), "exact dups collide in every band config")
+  }
+
   test("signature of an empty document is all-null and never joins") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d"), (2L, "xy")).toDF("doc_id", "text")
