@@ -30,10 +30,13 @@ object EventQueries extends QueryPack {
       (s, d) => Tables.events(s, d)
         .groupBy((expr(s"ts_us div $hourUs") * hourUs).as("window_start_us"))
         .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast("decimal(18,6)")).cast("decimal(28,6)").as("sum_value")),
+          // decimal accumulation (order-independent), double output — the
+          // driver's exact-hash gate stringifies, and decimal trailing-zero
+          // repr differs between engines (VERDICT r1)
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value")),
       Some(s"""SELECT (epoch_ns(ts) // 1000 // $hourUs) * $hourUs AS window_start_us,
               count(*) AS n_events,
-              cast(sum(cast(value as decimal(18,6))) as decimal(28,6)) AS sum_value
+              cast(sum(cast(value as decimal(18,6))) as double) AS sum_value
               FROM events GROUP BY 1""")),
 
     // ---- Sessionization: 30-minute inactivity gap → session ids →
@@ -95,8 +98,10 @@ object EventQueries extends QueryPack {
         .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("bigint"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k")),
+      // DuckDB sums BIGINT into HUGEINT (→ float64 in pandas); the outer
+      // cast pins the oracle back to int64 to match Spark's sum(bigint)
       Some("""SELECT event_type, count(*) AS n,
-                sum(cast(regexp_extract(props, '"k": (\d+)', 1) as bigint)) AS sum_k,
+                cast(sum(cast(regexp_extract(props, '"k": (\d+)', 1) as bigint)) as bigint) AS sum_k,
                 max(cast(regexp_extract(props, '"k": (\d+)', 1) as bigint)) AS max_k
               FROM events GROUP BY 1""")),
 

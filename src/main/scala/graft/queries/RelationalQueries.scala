@@ -34,15 +34,19 @@ object RelationalQueries extends QueryPack {
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           sum("l_quantity").cast("bigint").as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).cast("decimal(28,2)").as("sum_base_price"),
+          // sums accumulate in decimal (exact, order-independent) and the
+          // FINAL value converts to double — decimal→nearest-double is
+          // bit-identical on both engines, unlike decimal stringification
+          // (trailing-zero repr differs; see VERDICT r1).
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
           sum(dec(col("l_extendedprice")) *
             (lit(1).cast("decimal(4,2)") - dec(col("l_discount"), "decimal(4,2)")))
-            .cast("decimal(28,4)").as("sum_disc_price"),
+            .cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order")),
       Some("""SELECT l_returnflag, l_linestatus,
               cast(sum(l_quantity) as bigint) AS sum_qty,
-              cast(sum(cast(l_extendedprice as decimal(12,2))) as decimal(28,2)) AS sum_base_price,
-              cast(sum(cast(l_extendedprice as decimal(12,2)) * (cast(1 as decimal(4,2)) - cast(l_discount as decimal(4,2)))) as decimal(28,4)) AS sum_disc_price,
+              cast(sum(cast(l_extendedprice as decimal(12,2))) as double) AS sum_base_price,
+              cast(sum(cast(l_extendedprice as decimal(12,2)) * (cast(1 as decimal(4,2)) - cast(l_discount as decimal(4,2)))) as double) AS sum_disc_price,
               count(*) AS count_order
               FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
               GROUP BY l_returnflag, l_linestatus""")),
@@ -96,13 +100,14 @@ object RelationalQueries extends QueryPack {
           "o_orderkey",
           Seq(count(lit(1)).as("n_lines"),
             countDistinct("p_brand").as("n_brands"),
-            max("p_retailprice").cast("decimal(12,2)").as("max_retail")))
+            // max over doubles is order-independent — no decimal detour
+            max("p_retailprice").as("max_retail")))
       },
       Some("""SELECT o.o_orderkey, o.o_orderpriority, c.n_lines, c.n_brands, c.max_retail
               FROM orders o LEFT JOIN (
                 SELECT l_orderkey, count(*) AS n_lines,
                        count(DISTINCT p_brand) AS n_brands,
-                       cast(max(p_retailprice) as decimal(12,2)) AS max_retail
+                       max(p_retailprice) AS max_retail
                 FROM lineitem JOIN part ON l_partkey = p_partkey
                 GROUP BY 1) c ON o.o_orderkey = c.l_orderkey""")),
 
@@ -123,14 +128,15 @@ object RelationalQueries extends QueryPack {
     Q("j6_self_join",
       (s, d) => {
         val li = Tables.lineitem(s, d)
+        // per-row values pass through unchanged — raw doubles compare exact
         val a = li.where(col("l_linenumber") === 1)
-          .select(col("l_orderkey"), dec(col("l_extendedprice")).as("price1"))
+          .select(col("l_orderkey"), col("l_extendedprice").as("price1"))
         val b = li.where(col("l_linenumber") === 2)
-          .select(col("l_orderkey"), dec(col("l_extendedprice")).as("price2"))
+          .select(col("l_orderkey"), col("l_extendedprice").as("price2"))
         a.join(b, Seq("l_orderkey"), "left")
       },
-      Some("""SELECT a.l_orderkey, cast(a.l_extendedprice as decimal(12,2)) AS price1,
-                     cast(b.l_extendedprice as decimal(12,2)) AS price2
+      Some("""SELECT a.l_orderkey, a.l_extendedprice AS price1,
+                     b.l_extendedprice AS price2
               FROM lineitem a LEFT JOIN lineitem b
                 ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = 2
               WHERE a.l_linenumber = 1""")),
@@ -147,10 +153,13 @@ object RelationalQueries extends QueryPack {
         AsOfJoin.joinBackward(clicks, purchases, Seq("user_id"),
             leftOrd = "ts_ns", rightOrd = "ts_ns",
             rightVals = Seq("event_id", "value"))
-          .select(col("event_id"), col("user_id"), col("ts_ns"),
+          // join at ns precision; OUTPUT µs — DuckDB timestamps are µs, so
+          // the oracle can't echo full nanos back (VERDICT r1, j10)
+          .select(col("event_id"), col("user_id"),
+            expr("ts_ns div 1000").as("ts_us"),
             col("asof_event_id"), col("asof_value"))
       },
-      Some("""SELECT c.event_id, c.user_id, epoch_ns(c.ts) AS ts_ns,
+      Some("""SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
                      p.event_id AS asof_event_id, p.value AS asof_value
               FROM (SELECT * FROM events WHERE event_type = 'click') c
               ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
@@ -193,9 +202,11 @@ object RelationalQueries extends QueryPack {
     Q("w2_top25_parts_by_revenue",
       (s, d) => {
         val rev = Tables.lineitem(s, d).groupBy("l_partkey")
+          // decimal accumulation, double output (decimal→double is monotonic,
+          // so the top-k order is unchanged)
           .agg(sum(dec(col("l_extendedprice")) *
             (lit(1).cast("decimal(4,2)") - dec(col("l_discount"), "decimal(4,2)")))
-            .cast("decimal(28,4)").as("revenue"))
+            .cast("double").as("revenue"))
         rev.join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
           .orderBy(col("revenue").desc, col("p_partkey"))
           .limit(25)
@@ -203,7 +214,7 @@ object RelationalQueries extends QueryPack {
       },
       Some("""SELECT p_partkey, p_name, revenue FROM (
                 SELECT l_partkey,
-                  cast(sum(cast(l_extendedprice as decimal(12,2)) * (cast(1 as decimal(4,2)) - cast(l_discount as decimal(4,2)))) as decimal(28,4)) AS revenue
+                  cast(sum(cast(l_extendedprice as decimal(12,2)) * (cast(1 as decimal(4,2)) - cast(l_discount as decimal(4,2)))) as double) AS revenue
                 FROM lineitem GROUP BY 1) r
               JOIN part ON l_partkey = p_partkey
               ORDER BY revenue DESC, p_partkey LIMIT 25""")),
@@ -227,13 +238,13 @@ object RelationalQueries extends QueryPack {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         Tables.orders(s, d)
           .withColumn("running_spend",
-            sum(dec(col("o_totalprice"))).over(w).cast("decimal(28,2)"))
+            sum(dec(col("o_totalprice"))).over(w).cast("double"))
           .select("o_custkey", "o_orderkey", "running_spend")
       },
       Some("""SELECT o_custkey, o_orderkey,
               cast(sum(cast(o_totalprice as decimal(12,2))) OVER (
                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as decimal(28,2)) AS running_spend
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double) AS running_spend
               FROM orders""")),
 
     // ---- W5: lag — days since previous order per customer.
@@ -266,10 +277,10 @@ object RelationalQueries extends QueryPack {
         .select(col("r_name"), col("n_name"), col("c_acctbal"))
         .rollup("r_name", "n_name")
         .agg(count(lit(1)).as("n_customers"),
-          sum(dec(col("c_acctbal"))).cast("decimal(28,2)").as("sum_acctbal"))
+          sum(dec(col("c_acctbal"))).cast("double").as("sum_acctbal"))
       },
       Some("""SELECT r_name, n_name, count(*) AS n_customers,
-              cast(sum(cast(c_acctbal as decimal(12,2))) as decimal(28,2)) AS sum_acctbal
+              cast(sum(cast(c_acctbal as decimal(12,2))) as double) AS sum_acctbal
               FROM customer JOIN nation ON c_nationkey = n_nationkey
               JOIN region ON n_regionkey = r_regionkey
               GROUP BY ROLLUP(r_name, n_name)""")),
@@ -342,12 +353,12 @@ object RelationalQueries extends QueryPack {
             .when(col("o_orderkey") % 10 < 9, "validation")
             .otherwise("test"))
         .groupBy("bucket").agg(count(lit(1)).as("n_orders"),
-          sum(dec(col("o_totalprice"))).cast("decimal(28,2)").as("sum_price")),
+          sum(dec(col("o_totalprice"))).cast("double").as("sum_price")),
       Some("""SELECT CASE WHEN o_orderkey % 10 < 8 THEN 'train'
                           WHEN o_orderkey % 10 < 9 THEN 'validation'
                           ELSE 'test' END AS bucket,
               count(*) AS n_orders,
-              cast(sum(cast(o_totalprice as decimal(12,2))) as decimal(28,2)) AS sum_price
+              cast(sum(cast(o_totalprice as decimal(12,2))) as double) AS sum_price
               FROM orders GROUP BY 1""")),
 
     // ---- O2/O3: stratified sampling, made reproducible: the random

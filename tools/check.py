@@ -27,24 +27,17 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def cells_equal(a, b) -> bool:
-    if pd.isna(a) and pd.isna(b):
-        return True
+    # STRICT: mirror the driver's hash of stringified values exactly.
+    # Decimal('1.00') vs 1.0 must FAIL here because it fails there
+    # (r1 lesson: a 1e-9 tolerance passed locally what the driver failed).
     try:
+        if pd.isna(a) and pd.isna(b):
+            return True
         if pd.isna(a) != pd.isna(b):
             return False
     except (TypeError, ValueError):
         pass
-    if a == b:
-        return True
-    # numeric cross-type (Decimal vs int/float etc.)
-    try:
-        import decimal
-        fa, fb = float(a), float(b)
-        if fa == fb:
-            return True
-        return abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
-    except (TypeError, ValueError, decimal.InvalidOperation):
-        return False
+    return str(a) == str(b)
 
 
 def main():
