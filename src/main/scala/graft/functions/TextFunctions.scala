@@ -121,10 +121,13 @@ object TextFunctions {
       .replaceAll("(?is)<(script|style)[^>]*>.*?</\\1>", " ")
       .replaceAll("(?is)<!--.*?-->", " ")
     val noTags = noBlocks.replaceAll("(?s)<[^>]+>", " ")
+    // '&amp;' is unescaped LAST: doing it first would double-unescape
+    // '&amp;lt;' into '<' (html.unescape resolves it to the literal '&lt;')
     val unescaped = noTags
-      .replace("&nbsp;", " ").replace("&amp;", "&")
+      .replace("&nbsp;", " ")
       .replace("&lt;", "<").replace("&gt;", ">")
       .replace("&quot;", "\"").replace("&#39;", "'")
+      .replace("&amp;", "&")
     unescaped.replaceAll("\\s+", " ").trim
   }
 
@@ -140,10 +143,13 @@ object TextFunctions {
       .replaceAll("(?is)<!--.*?-->", " ")
       .replaceAll("(?i)<(?:br|/p|/div|/h[1-6]|/li|/tr)[^>]*>", "\n")
     val noTags = blocks.replaceAll("(?s)<[^>]+>", " ")
+    // '&amp;' is unescaped LAST: doing it first would double-unescape
+    // '&amp;lt;' into '<' (html.unescape resolves it to the literal '&lt;')
     val unescaped = noTags
-      .replace("&nbsp;", " ").replace("&amp;", "&")
+      .replace("&nbsp;", " ")
       .replace("&lt;", "<").replace("&gt;", ">")
       .replace("&quot;", "\"").replace("&#39;", "'")
+      .replace("&amp;", "&")
     unescaped.split("\n").toSeq
       .map(_.replaceAll("\\s+", " ").trim)
       .filter(_.nonEmpty)

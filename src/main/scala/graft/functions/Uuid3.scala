@@ -3,7 +3,7 @@ package graft.functions
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -56,12 +56,14 @@ object Uuid3 {
 
   val builder: Seq[Expression] => Expression = { args =>
     require(args.length == 1, "uuid3 takes exactly one argument")
-    Uuid3Expression(args.head)
+    // non-string arguments are coerced at analysis time (ExpectsInputTypes
+    // is private[sql], so the builder inserts the cast itself) — uuid3(123)
+    // then works instead of throwing ClassCastException at runtime; the
+    // identity cast on already-string args is erased by SimplifyCasts
+    Uuid3Expression(Cast(args.head, StringType))
   }
 }
 
-// (ExpectsInputTypes is private[sql]; the builder guarantees a string
-// child — SQL callers go through concat/cast which yield StringType)
 case class Uuid3Expression(child: Expression)
   extends UnaryExpression {
 

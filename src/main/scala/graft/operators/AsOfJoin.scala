@@ -77,11 +77,16 @@ object AsOfJoin {
   def rangeCount(left: DataFrame, right: DataFrame, keys: Seq[String],
                  leftLower: Column, leftUpper: Column, rightOrd: Column,
                  outCol: String): DataFrame = {
-    val joined = left.join(right,
-      keys.map(k => left(k) === right(k)).reduce(_ && _) &&
+    // a synthetic row id keeps duplicate left rows distinct through the
+    // group-by — grouping on the left columns alone would merge them
+    // into one output row and break the per-left-row cardinality
+    val l = left.withColumn("__rowid", monotonically_increasing_id())
+    val joined = l.join(right,
+      keys.map(k => l(k) === right(k)).reduce(_ && _) &&
         rightOrd >= leftLower && rightOrd < leftUpper, "left")
-    val leftKeyCols = left.columns.map(left(_))
-    joined.groupBy(leftKeyCols: _*)
+    val groupCols = col("__rowid") +: left.columns.map(l(_))
+    joined.groupBy(groupCols: _*)
       .agg(count(rightOrd).as(outCol))
+      .drop("__rowid")
   }
 }

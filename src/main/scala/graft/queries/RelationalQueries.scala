@@ -267,10 +267,9 @@ object RelationalQueries extends QueryPack {
     // ---- A4: hierarchical rollup (chamber→court→canton counters in the
     // reference).
     Q("a4_rollup_customers",
-      (s, d) => {
+      (s, d) => withConf(s, "spark.sql.analyzer.failAmbiguousSelfJoin", "false") {
         // DetectAmbiguousSelfJoin false-positives on rollup-after-join
         // (fires even with fresh toDF lineage); the plan has no self join.
-        s.conf.set("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
         Tables.customer(s, d)
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))

@@ -142,8 +142,7 @@ object StatsQueries extends QueryPack {
     // ---- A3/A4 hierarchical counter rollup: distinct-token counts at
     // (lang, source), per-lang, and grand-total levels in one pass.
     Q("r6_counter_rollup",
-      (s, d) => {
-        s.conf.set("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
+      (s, d) => withConf(s, "spark.sql.analyzer.failAmbiguousSelfJoin", "false") {
         Tables.documents(s, d)
           .select(col("lang"), col("source"), explode(split(col("text"), " ")).as("token"))
           .rollup("lang", "source")

@@ -49,22 +49,40 @@ object Sinks {
   }
 
   /** K2/K3: idempotent keyed upsert via hash-bucketed dynamic partition
-    * overwrite. Rows are routed to `numBuckets` partitions by key hash;
-    * writing a batch replaces exactly the buckets it touches, so
-    * re-processing a batch (the reference's delete-then-insert) is a
-    * no-op rewrite of the same buckets. NOTE: the batch must contain
-    * ALL rows for every key it touches (same contract as the
-    * reference's per-decision delete+insert).
+    * overwrite, per-KEY semantics (the reference's delete-then-insert,
+    * `section_splitter.py:140-174`). Rows route to `numBuckets`
+    * partitions by key hash; before overwriting a touched bucket, the
+    * existing rows of that bucket whose keys are NOT in the batch are
+    * read back and carried over, so unrelated keys that happen to share
+    * a bucket survive. Only touched buckets are read or rewritten —
+    * untouched buckets are never opened, so batch cost scales with
+    * |batch| + |touched buckets|, not table size.
     */
   def upsertBucketed(batch: DataFrame, path: String, keyCol: String,
                      numBuckets: Int = 64): Unit = {
     val spark = batch.sparkSession
+    val routed = batch
+      .withColumn("__bucket", pmod(xxhash64(col(keyCol)), lit(numBuckets)))
+    val merged =
+      if (!Files.exists(Paths.get(path))) routed
+      else {
+        val touched = routed.select("__bucket").distinct()
+          .collect().map(_.getLong(0))
+        if (touched.isEmpty) return // empty batch: nothing to rewrite
+        // partition pruning keeps this read to the touched buckets only
+        val survivors = spark.read.parquet(path)
+          .where(col("__bucket").cast("long").isin(touched.toSeq: _*))
+          .withColumn("__bucket", col("__bucket").cast("long"))
+          .join(batch.select(keyCol).distinct(), Seq(keyCol), "left_anti")
+        // materialize before the overwrite below deletes the files this
+        // plan reads (Spark forbids/corrupts read-from-overwrite-target)
+        routed.unionByName(survivors.select(routed.columns.map(col): _*))
+          .localCheckpoint(true)
+      }
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
-      batch
-        .withColumn("__bucket", pmod(xxhash64(col(keyCol)), lit(numBuckets)))
-        .write.mode(SaveMode.Overwrite)
+      merged.write.mode(SaveMode.Overwrite)
         .partitionBy("__bucket")
         .parquet(path)
     } finally {
@@ -104,11 +122,17 @@ object Sinks {
     val parts = math.max(1, (bytes / BigInt(targetFileBytes)).toInt)
     val tmp = path + "__compact_tmp"
     df.repartition(parts).write.mode(SaveMode.Overwrite).parquet(tmp)
+    // swap via rename-aside: at no point is `path` absent AND the new
+    // data unrecoverable — a crash leaves either the old dir live, or
+    // the new dir one rename away plus the old dir at __old
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
+    val old = new org.apache.hadoop.fs.Path(path + "__compact_old")
+    fs.delete(old, true) // clear any leftover from a previous crash
+    fs.rename(dst, old)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    fs.delete(old, true)
   }
 
   /** Write a table partitioned by a low-cardinality column (court/lang/

@@ -34,6 +34,9 @@ class Uuid3Spec extends SparkSpec {
     val n = Seq(Option.empty[String]).toDF("name")
       .selectExpr("uuid3(name) AS uid").collect()
     assert(n.head.isNullAt(0))
+    // non-string args coerce at analysis time instead of CCE at runtime
+    val i = Seq(123).toDF("k").selectExpr("uuid3(k) AS uid").collect()
+    assert(i.head.getString(0) == Uuid3.compute("123"))
   }
 
   test("extension class applies cleanly and SQL resolves uuid3") {

@@ -66,4 +66,24 @@ class AsOfJoinSpec extends SparkSpec {
     val n = naive.collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
     assert(f == n)
   }
+
+  test("rangeCount counts right rows in [lower, upper) per left row") {
+    val (l, r) = fixture
+    val out = AsOfJoin.rangeCount(l, r, Seq("k"),
+        l("t") - 5, l("t") + 5, r("t"), "n_in_range")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2)) -> x.getLong(3)).toMap
+    assert(out((1L, 10L, "l1")) == 2)  // r1@8, r2@10 in [5,15)
+    assert(out((1L, 20L, "l2")) == 1)  // r3@19 in [15,25)
+    assert(out((3L, 100L, "l4")) == 0) // key absent → left join keeps row, count 0
+  }
+
+  test("rangeCount preserves duplicate left rows (one output row each)") {
+    import spark.implicits._
+    val l = Seq((1L, 10L), (1L, 10L), (1L, 10L)).toDF("k", "t") // exact dups
+    val r = Seq((1L, 9L), (1L, 11L)).toDF("k", "t")
+    val out = AsOfJoin.rangeCount(l, r, Seq("k"),
+      l("t") - 5, l("t") + 5, r("t"), "n")
+    assert(out.count() == 3, "duplicate left rows must not collapse")
+    assert(out.collect().forall(_.getLong(2) == 2))
+  }
 }

@@ -21,14 +21,29 @@ class SinksSpec extends SparkSpec {
     Sinks.upsertBucketed(v1, path, "id", numBuckets = 4)
     assert(Sinks.readUpserted(spark, path).count() == 3)
 
-    // update one key: its bucket is rewritten, others untouched
+    // update one key: its bucket is rewritten, EVERY other key survives —
+    // including keys that share the rewritten bucket (per-key, not
+    // per-bucket, delete-then-insert semantics)
     val v2 = Seq((2L, "B2")).toDF("id", "v")
     Sinks.upsertBucketed(v2, path, "id", numBuckets = 4)
     val after = Sinks.readUpserted(spark, path).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(after(2L) == "B2")
-    // keys hashing to other buckets survive
-    assert(after.contains(1L) || after.contains(3L))
+    assert(after == Map(1L -> "a", 2L -> "B2", 3L -> "c"))
+  }
+
+  test("upsertBucketed keeps bucket-mates of an updated key (forced collision)") {
+    import spark.implicits._
+    val path = tmp("upsert1b")
+    // numBuckets = 1: every key shares the single bucket, so a 1-key
+    // batch MUST merge with all existing rows or they'd be dropped
+    val v1 = (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v")
+    Sinks.upsertBucketed(v1, path, "id", numBuckets = 1)
+    Sinks.upsertBucketed(Seq((7L, "UPDATED")).toDF("id", "v"), path, "id", numBuckets = 1)
+    val after = Sinks.readUpserted(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after.size == 20)
+    assert(after(7L) == "UPDATED")
+    assert(after(6L) == "v6" && after(8L) == "v8")
   }
 
   test("appendNewKeys only appends unseen keys") {
