@@ -155,10 +155,28 @@ object MinHashLSH {
   /** Distinct candidate pairs (ia < ib) sharing any band bucket.
     * One signature computation, one shuffle (the groupBy), pair
     * expansion per bucket via index-aware transform + slice.
+    *
+    * Buckets larger than `bucketCap` never reach the collect_list: a
+    * degenerate bucket (boilerplate-heavy corpus) would otherwise
+    * become one multi-GB array row whose quadratic expansion runs as a
+    * single task AQE cannot split. Hot buckets are detected with a
+    * count aggregate (one row per bucket — tiny) and routed through a
+    * plain self equi-join on (band, h), which AQE's skew-join CAN
+    * split; the hot-bucket key set is broadcast, so cold rows pay one
+    * broadcast probe, no extra shuffle. Results are identical to the
+    * uncapped path (both enumerate all within-bucket pairs ia < ib).
     */
   def candidatePairs(docs: DataFrame, idCol: String, wordsCol: Column,
-                     k: Int = 4, rowsPerBand: Int = 1): DataFrame =
-    bands(docs, idCol, wordsCol, k, rowsPerBand)
+                     k: Int = 4, rowsPerBand: Int = 1,
+                     bucketCap: Int = 10000): DataFrame = {
+    // signatures are the dominant cost and feed three consumers (size
+    // count, cold path, hot path) — persist; Spark's ContextCleaner
+    // reclaims the blocks once the result plan is garbage-collected.
+    val b = bands(docs, idCol, wordsCol, k, rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = b.groupBy("band", "h").agg(count(lit(1)).as("__n"))
+      .where(col("__n") > bucketCap).select("band", "h")
+    val cold = b.join(broadcast(hot), Seq("band", "h"), "left_anti")
       .groupBy("band", "h")
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .where(size(col("ids")) > 1)
@@ -167,5 +185,12 @@ object MinHashLSH {
            transform(slice(ids, i + 2, size(ids)), y -> struct(x AS ia, y AS ib))))"""))
         .as("p"))
       .select(col("p.ia"), col("p.ib"))
-      .distinct()
+    val hotRows = b.join(broadcast(hot), Seq("band", "h"), "left_semi")
+    val hotPairs = hotRows.select(col("band"), col("h"), col(idCol).as("ia"))
+      .join(hotRows.select(col("band"), col("h"), col(idCol).as("ib")),
+        Seq("band", "h"))
+      .where(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"))
+    cold.union(hotPairs).distinct()
+  }
 }

@@ -62,6 +62,45 @@ object VectorOps {
       out.result()
   }
 
+  /** Bucket-blocked near-dup candidate pairs with a bucket-size cap.
+    * Input `e` must carry (vec_id, v, nn, bucket). Cold buckets (≤
+    * `bucketCap` vectors) take the one-row-per-bucket compiled-loop
+    * path (bucketPairsUdf — avoids the equi-join's per-pair array
+    * copies); buckets above the cap would make that one row multi-GB
+    * and its expansion a single unsplittable task, so they are routed
+    * through a plain self equi-join on `bucket`, which AQE skew-join
+    * can split. Hot-bucket keys are broadcast (few by construction).
+    * Both paths fold the dot product left-to-right, so emitted cosines
+    * are bit-identical; output is (ia, ib, cos) with raw cos > minCos
+    * (prefilter — exact thresholding on the rounded value is the
+    * caller's job).
+    */
+  def neardupPairs(e: DataFrame, minCos: Double,
+                   bucketCap: Int = 10000): DataFrame = {
+    val v = e.select("vec_id", "v", "nn", "bucket")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = v.groupBy("bucket").agg(count(lit(1)).as("__n"))
+      .where(col("__n") > bucketCap).select("bucket")
+    val cold = v.join(broadcast(hot), Seq("bucket"), "left_anti")
+      .groupBy("bucket")
+      .agg(collect_list(col("vec_id")).as("ids"),
+        collect_list(col("v")).as("vs"),
+        collect_list(col("nn")).as("nns"))
+      .select(explode(bucketPairsUdf(
+        col("ids"), col("vs"), col("nns"), lit(minCos))).as("p"))
+      .select(col("p._1").as("ia"), col("p._2").as("ib"), col("p._3").as("cos"))
+    val hotRows = v.join(broadcast(hot), Seq("bucket"), "left_semi")
+    val hotPairs = hotRows.select(col("bucket"), col("vec_id").as("ia"),
+        col("v").as("va"), col("nn").as("na"))
+      .join(hotRows.select(col("bucket"), col("vec_id").as("ib"),
+        col("v").as("vb"), col("nn").as("nb")), Seq("bucket"))
+      .where(col("ia") < col("ib"))
+      .withColumn("cos", cosine("va", "vb", "na", "nb"))
+      .where(col("cos") > minCos)
+      .select(col("ia"), col("ib"), col("cos"))
+    cold.union(hotPairs)
+  }
+
   /** DuckDB restatements (for oracle SQL) */
   val duckVecs: String =
     """SELECT vec_id, label, embedding::DOUBLE[] AS v,

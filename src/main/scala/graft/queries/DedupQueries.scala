@@ -134,23 +134,18 @@ object DedupQueries extends QueryPack {
               FROM bits GROUP BY doc_id""")),
 
     // ---- Embedding-cosine near-dup, LSH-blocked: candidate pairs come
-    // from hyperplane-bucket equality (equi-join, AQE-skew-splittable),
-    // the exact cosine verify runs per bucket — all-pairs never
-    // materializes. Norms are precomputed once per vector (not per pair).
+    // from hyperplane-bucket equality; the exact cosine verify runs per
+    // bucket — all-pairs never materializes. Norms are precomputed once
+    // per vector (not per pair). Buckets above the cap bypass the
+    // one-row-per-bucket collect and run as an AQE-splittable equi-join
+    // (VectorOps.neardupPairs).
     Q("d5_embedding_neardup",
       (s, d) => {
         val e = VectorOps.vecs(Tables.embeddings(s, d))
           .withColumn("bucket", VectorOps.bucket)
-          .select("vec_id", "v", "nn", "bucket")
-        e.groupBy("bucket")
-          .agg(collect_list(col("vec_id")).as("ids"),
-            collect_list(col("v")).as("vs"),
-            collect_list(col("nn")).as("nns"))
-          // prefilter margin 0.29; the EXACT cut is on the rounded value
-          .select(explode(VectorOps.bucketPairsUdf(
-            col("ids"), col("vs"), col("nns"), lit(0.29))).as("p"))
-          .select(col("p._1").as("ia"), col("p._2").as("ib"),
-            round(col("p._3"), 6).as("cos"))
+        // prefilter margin 0.29; the EXACT cut is on the rounded value
+        VectorOps.neardupPairs(e, minCos = 0.29)
+          .select(col("ia"), col("ib"), round(col("cos"), 6).as("cos"))
           .where(col("cos") > 0.3)
       },
       Some(s"""WITH e AS (SELECT vec_id, v, nn, ${VectorOps.duckBucket} AS bucket
