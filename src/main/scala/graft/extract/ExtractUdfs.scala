@@ -21,9 +21,28 @@ object ExtractUdfs {
       Extractors.splitSections(spider, paragraphs)
     }
 
-  /** rulings text → sorted outcome labels */
+  /** (spider, language, paragraphs) → map<section, array<paragraph>>
+    * against the PORTED reference marker corpus (F9). The UDF body
+    * references `MarkerConfigLoader.bundled` by name rather than
+    * capturing it, so each executor JVM resolves the corpus from its
+    * own classpath once — nothing ships with the closure.
+    */
+  val splitSectionsLang: UserDefinedFunction =
+    udf { (spider: String, lang: String, paragraphs: Seq[String]) =>
+      Extractors.splitSections(spider, lang, paragraphs, MarkerConfigLoader.bundled)
+    }
+
+  /** rulings text → sorted outcome labels (merged-language table) */
   val judgments: UserDefinedFunction =
     udf { rulings: String => Extractors.extractJudgments(rulings) }
+
+  /** (rulings, language) → sorted outcome labels via that language's
+    * ported marker table (F11/F14 numbered-ruling search included)
+    */
+  val judgmentsLang: UserDefinedFunction =
+    udf { (rulings: String, lang: String) =>
+      Extractors.extractJudgments(rulings, lang)
+    }
 
   /** outcome labels → binary label (null when empty/contradictory) */
   val binaryJudgment: UserDefinedFunction =

@@ -29,9 +29,11 @@ object Extractors {
 
   // ---------------------------------------------------------------- sections
 
-  /** Section kinds, in document order (mirrors scrc/enums/section.py). */
+  /** Section kinds, in document order (mirrors scrc/enums/section.py:
+    * HEADER < TOPIC < FACTS < CONSIDERATIONS < RULINGS < FOOTER).
+    */
   val sectionOrder: Seq[String] =
-    Seq("header", "facts", "considerations", "rulings", "footer")
+    Seq("header", "topic", "facts", "considerations", "rulings", "footer")
 
   /** Marker config: spider → section → regex. The fold only ever looks
     * for the NEXT section's marker, so a marker hit mid-document cannot
@@ -55,9 +57,12 @@ object Extractors {
     val out = scala.collection.mutable.Map.empty[String, Vector[String]]
     var idx = 0 // current position in sectionOrder
     for (p <- paragraphs) {
+      // NFC-normalize for MATCHING only (update_section does the same;
+      // the emitted paragraph stays as-is)
+      val np = java.text.Normalizer.normalize(p, java.text.Normalizer.Form.NFC)
       // check all LATER sections in order; nearest-next wins
       val jump = (idx + 1 until sectionOrder.length).find { j =>
-        markers.get(sectionOrder(j)).exists(_.findFirstIn(p).isDefined)
+        markers.get(sectionOrder(j)).exists(_.findFirstIn(np).isDefined)
       }
       jump.foreach(idx = _)
       val sec = sectionOrder(idx)
@@ -74,40 +79,128 @@ object Extractors {
     associateSections(paragraphs,
       config.getOrElse(spider, config("default")))
 
+  /** Language-aware spider dispatch over a config with `spider/lang`
+    * keys (the ported per-spider marker corpus). Resolution mirrors the
+    * reference:
+    *  - `spider/lang` present → those markers;
+    *  - spider implemented but NOT for this language → EMPTY markers,
+    *    every paragraph lands in header (`valid_namespace`,
+    *    section_splitting_functions.py:716-730 logs and continues with
+    *    an empty table rather than guessing);
+    *  - spider unknown → plain `spider` key, then the default table.
+    */
+  def splitSections(spider: String, lang: String, paragraphs: Seq[String],
+                    config: MarkerConfig): Map[String, Seq[String]] = {
+    val markers = config.get(s"$spider/$lang").orElse {
+      if (config.keysIterator.exists(_.startsWith(spider + "/")))
+        Some(Map.empty[String, Regex])
+      else config.get(spider).orElse(config.get("default"))
+    }.getOrElse(Map.empty)
+    associateSections(paragraphs, markers)
+  }
+
   // ---------------------------------------------------------------- judgments
 
-  /** Outcome markers (judgment_extracting_functions.py:66-121 compressed
-    * to the structural cases; per-language variants are config data).
+  /** Outcome iteration order (mirrors the Judgment enum,
+    * scrc/enums/judgment.py).
     */
-  val judgmentMarkers: Map[String, Seq[String]] = Map(
-    "approval" -> Seq("gutgeheissen", "admis", "accolto", "approved"),
-    "partial_approval" -> Seq("teilweise gutgeheissen", "partiellement admis", "partially approved"),
-    "dismissal" -> Seq("abgewiesen", "rejeté", "respinto", "dismissed"),
-    "partial_dismissal" -> Seq("teilweise abgewiesen", "partially dismissed"),
-    "inadmissible" -> Seq("nicht eingetreten", "irrecevable", "inadmissible"),
-    "write_off" -> Seq("abgeschrieben", "radiée", "written off"),
-    "unification" -> Seq("vereinigt", "jointes", "unified"))
+  val judgmentOrder: Seq[String] = Seq(
+    "approval", "partial_approval", "dismissal", "partial_dismissal",
+    "inadmissible", "write_off", "unification")
 
-  /** Earliest-match-wins outcome scan; longer (partial_*) markers beat
-    * their substrings at the same position.
+  /** Per-language outcome marker tables, ported 1:1 from
+    * judgment_extracting_functions.py:66-121 by
+    * tools/port_judgment_markers.py (lists OR-joined like
+    * prepare_judgment_markers, `:336-342`). Bundled as classpath DATA.
     */
-  def extractJudgments(rulings: String): Seq[String] = {
-    if (rulings == null) return Seq.empty
-    val lower = rulings.toLowerCase
-    val hits = for {
-      (outcome, words) <- judgmentMarkers.toSeq
-      w <- words
-      pos = lower.indexOf(w)
-      if pos >= 0
-    } yield (outcome, pos, w.length)
-    // at equal position, the longer marker (partial_) wins; drop the
-    // shadowed plain outcome found at the same spot
-    val best = hits.groupBy(_._2).values.map(_.maxBy(_._3)._1).toSeq
-    val shadowed = best.collect {
-      case o if o.startsWith("partial_") => o.stripPrefix("partial_")
-    }.toSet
-    best.filterNot(shadowed).distinct.sorted
+  lazy val judgmentMarkersByLang: Map[String, Map[String, Regex]] = {
+    val in = getClass.getResourceAsStream("/graft/judgment_markers.json")
+    require(in != null, "bundled judgment markers /graft/judgment_markers.json missing")
+    val text = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    in.close()
+    MarkerConfigLoader.parse(text)
   }
+
+  /** Cross-language union table for callers with no language metadata
+    * (each outcome's three per-language alternations joined).
+    */
+  lazy val judgmentMarkersMerged: Map[String, Regex] =
+    judgmentOrder.map { o =>
+      o -> judgmentMarkersByLang.values.flatMap(_.get(o)).map(_.regex)
+        .mkString("|").r
+    }.toMap
+
+  /** `search_rulings` (judgment_extracting_functions.py:318-327):
+    * clause between "<start>." and "<end>." (or end of string). Like
+    * Python's re defaults, `.` does not cross newlines and `$` is
+    * end-of-input.
+    */
+  private def searchRuling(text: String, start: String, end: String): Option[String] =
+    s"$start\\.(.+?)(?:$end\\.|$$)".r.findFirstMatchIn(text).map(_.group(1))
+
+  /** `get_nth_ruling` (`:298-316`): arabic clause boundaries first,
+    * roman-numeral retry.
+    */
+  private def nthRuling(text: String, n: Int): Option[String] =
+    searchRuling(text, n.toString, (n + 1).toString).orElse(
+      searchRuling(text, graft.functions.TextFunctions.intToRoman(n),
+        graft.functions.TextFunctions.intToRoman(n + 1)))
+
+  /** `get_judgments` + `verify_judgments` (`:219-255`, F11/F14):
+    *  - numbered rulings ("1. … 2." or "I. … II.") are searched clause
+    *    by clause from clause 1, collecting ALL outcomes matching the
+    *    first clause that matches any — an outcome named in a later
+    *    clause cannot leak in (`numbered_rulings`, `:265-275`);
+    *  - unnumbered rulings keep only the outcome(s) at the earliest
+    *    match position in the whole text (`getFirstInstance`,
+    *    `:295-307`);
+    *  - then partial_approval shadows approval and partial_dismissal
+    *    shadows dismissal (`verify_judgments`).
+    * Text is NFC-normalized for matching (`iterate_Judgments`).
+    * Returns the outcomes sorted for deterministic output (the
+    * reference returns a set).
+    */
+  private def extract(rulings: String, markers: Map[String, Regex]): Seq[String] = {
+    if (rulings == null) return Seq.empty
+    val text = java.text.Normalizer.normalize(rulings, java.text.Normalizer.Form.NFC)
+    val numbered = searchRuling(text, "1", "2").isDefined ||
+      searchRuling(text, "I", "II").isDefined
+    val found: Set[String] =
+      if (numbered) {
+        var n = 1
+        var out = Set.empty[String]
+        var clause = nthRuling(text, n)
+        while (out.isEmpty && clause.isDefined) {
+          out = judgmentOrder.filter(o =>
+            markers.get(o).exists(_.findFirstIn(clause.get).isDefined)).toSet
+          n += 1
+          if (out.isEmpty) clause = nthRuling(text, n)
+        }
+        out
+      } else {
+        val positions = judgmentOrder.flatMap(o =>
+          markers.get(o).flatMap(_.findFirstMatchIn(text)).map(m => o -> m.start))
+        if (positions.isEmpty) Set.empty
+        else {
+          val first = positions.map(_._2).min
+          positions.collect { case (o, p) if p == first => o }.toSet
+        }
+      }
+    val shadowed =
+      (if (found("partial_approval")) Set("approval") else Set.empty[String]) ++
+        (if (found("partial_dismissal")) Set("dismissal") else Set.empty[String])
+    (found -- shadowed).toSeq.sorted
+  }
+
+  /** Language-specific extraction (the reference path — every decision
+    * carries its language in the namespace).
+    */
+  def extractJudgments(rulings: String, lang: String): Seq[String] =
+    extract(rulings, judgmentMarkersByLang.getOrElse(lang, Map.empty))
+
+  /** Language-agnostic convenience: scan the merged de/fr/it tables. */
+  def extractJudgments(rulings: String): Seq[String] =
+    extract(rulings, judgmentMarkersMerged)
 
   /** convert_to_binary_judgments (sql_select_utils.py:361-410): strip
     * partial_, drop procedural outcomes, resolve multi-label to None.

@@ -20,25 +20,52 @@ import scala.util.matching.Regex
   */
 object MarkerConfigLoader {
 
-  /** Parse the JSON config into a MarkerConfig (spider → section →
-    * compiled regex). Throws IllegalArgumentException on malformed
-    * input with the offending position.
+  /** Parse the JSON config into a MarkerConfig. Two shapes are
+    * accepted and may mix per spider:
+    *  - flat: spider → section → pattern (key stays `spider`)
+    *  - language-keyed: spider → lang → section → pattern (the ported
+    *    reference corpus; flattened to `spider/lang` keys resolved by
+    *    `Extractors.splitSections(spider, lang, ...)`)
+    * Throws IllegalArgumentException on malformed input with the
+    * offending position.
     */
   def parse(json: String): Extractors.MarkerConfig = {
     val p = new MiniJson(json)
     val root = p.parseObject()
-    root.map { case (spider, v) =>
-      val sections = v match {
-        case m: Map[_, _] => m.asInstanceOf[Map[String, Any]].map {
-          case (sec, pat: String) => sec -> pat.r
-          case (sec, other) =>
-            throw new IllegalArgumentException(s"marker $spider.$sec: expected string, got $other")
-        }
+    root.flatMap { case (spider, v) =>
+      v match {
+        case m: Map[_, _] =>
+          val obj = m.asInstanceOf[Map[String, Any]]
+          if (obj.values.forall(_.isInstanceOf[String]))
+            Seq(spider -> obj.map { case (sec, pat) => sec -> pat.asInstanceOf[String].r })
+          else obj.toSeq.map {
+            case (lang, secs: Map[_, _]) =>
+              s"$spider/$lang" -> secs.asInstanceOf[Map[String, Any]].map {
+                case (sec, pat: String) => sec -> pat.r
+                case (sec, other) =>
+                  throw new IllegalArgumentException(s"marker $spider.$lang.$sec: expected string, got $other")
+              }
+            case (lang, other) =>
+              throw new IllegalArgumentException(s"spider $spider.$lang: expected object or string, got $other")
+          }
         case other =>
           throw new IllegalArgumentException(s"spider $spider: expected object, got $other")
       }
-      spider -> sections
     }
+  }
+
+  /** The ported reference marker corpus (~45 spiders × up to 3
+    * languages; data extracted 1:1 from section_splitting_functions
+    * .py:53-1523 by tools/port_markers.py, OR-joined + NFC-normalized
+    * exactly like prepare_section_markers). Bundled on the classpath;
+    * production broadcasts this once.
+    */
+  lazy val bundled: Extractors.MarkerConfig = {
+    val in = getClass.getResourceAsStream("/graft/markers.json")
+    require(in != null, "bundled marker corpus /graft/markers.json missing from classpath")
+    val text = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    in.close()
+    withDefaults(parse(text))
   }
 
   /** Merge a loaded config over the built-in defaults (loaded spiders

@@ -57,6 +57,61 @@ object ExtractQueries extends QueryPack {
                 cast(1 as bigint) AS n_header_paras
               FROM documents""")),
 
+    // ---- F9: the PORTED per-spider marker corpus drives the section
+    // fold — three real spiders (de/fr/it), paragraphs synthesized from
+    // each spider's own marker phrases so the oracle can state the
+    // expected assignment literally. Proves corpus load + language
+    // dispatch + ordered fold end-to-end through the gate.
+    Q("x10_spider_sections",
+      (s, d) => {
+        val spider = expr(
+          """CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'CH_BGer'
+             WHEN 1 THEN 'GE_Gerichte' ELSE 'TI_Gerichte' END""")
+        val lang = expr(
+          """CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'de'
+             WHEN 1 THEN 'fr' ELSE 'it' END""")
+        val paras = expr(
+          """CASE CAST(doc_id % 3 AS INT)
+             WHEN 0 THEN array('Urteil des Bundesgerichts', 'Gegenstand',
+               'Sachverhalt:', 'Am 1. Januar 2020 erhob X Beschwerde',
+               'Erwägungen:', 'Die Beschwerde ist form- und fristgerecht',
+               'Demnach erkennt das Bundesgericht', 'Die Beschwerde wird abgewiesen.')
+             WHEN 1 THEN array('Arrêt de la Chambre', 'EN FAIT',
+               'Le 1er janvier 2020, X a saisi la cour', 'EN DROIT',
+               'La cause est recevable', 'PAR CES MOTIFS',
+               'rejette le recours', 'Voie de recours')
+             ELSE array('Sentenza del Tribunale', 'in fatto:',
+               'Il 1. gennaio 2020 X ha inoltrato ricorso', 'in diritto:',
+               'Il ricorso è ammissibile', 'Per questi motivi',
+               'il ricorso è respinto.', 'Per il Tribunale cantonale amministrativo') END""")
+        Tables.documents(s, d)
+          .withColumn("secs", ExtractUdfs.splitSectionsLang(spider, lang, paras))
+          .select(col("doc_id"),
+            concat_ws("\n", element_at(col("secs"), "facts")).as("facts"),
+            concat_ws("\n", element_at(col("secs"), "considerations")).as("considerations"),
+            concat_ws("\n", element_at(col("secs"), "rulings")).as("rulings"),
+            coalesce(size(element_at(col("secs"), "topic")), lit(0))
+              .cast("bigint").as("n_topic"),
+            coalesce(size(element_at(col("secs"), "footer")), lit(0))
+              .cast("bigint").as("n_footer"))
+      },
+      Some("""SELECT doc_id,
+                CASE CAST(doc_id % 3 AS INT)
+                  WHEN 0 THEN 'Sachverhalt:' || chr(10) || 'Am 1. Januar 2020 erhob X Beschwerde'
+                  WHEN 1 THEN 'EN FAIT' || chr(10) || 'Le 1er janvier 2020, X a saisi la cour'
+                  ELSE 'in fatto:' || chr(10) || 'Il 1. gennaio 2020 X ha inoltrato ricorso' END AS facts,
+                CASE CAST(doc_id % 3 AS INT)
+                  WHEN 0 THEN 'Erwägungen:' || chr(10) || 'Die Beschwerde ist form- und fristgerecht'
+                  WHEN 1 THEN 'EN DROIT' || chr(10) || 'La cause est recevable'
+                  ELSE 'in diritto:' || chr(10) || 'Il ricorso è ammissibile' END AS considerations,
+                CASE CAST(doc_id % 3 AS INT)
+                  WHEN 0 THEN 'Demnach erkennt das Bundesgericht' || chr(10) || 'Die Beschwerde wird abgewiesen.'
+                  WHEN 1 THEN 'PAR CES MOTIFS' || chr(10) || 'rejette le recours'
+                  ELSE 'Per questi motivi' || chr(10) || 'il ricorso è respinto.' END AS rulings,
+                CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 1 ELSE 0 END AS BIGINT) AS n_topic,
+                CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 0 ELSE 1 END AS BIGINT) AS n_footer
+              FROM documents""")),
+
     // ---- F10-F16: outcome markers, partial_* suppression, binary label.
     Q("x2_judgment_extract",
       (s, d) => Tables.documents(s, d)
@@ -69,6 +124,32 @@ object ExtractQueries extends QueryPack {
                 CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'dismissal'
                      WHEN 1 THEN 'approval' ELSE 'partial_approval' END AS outcomes,
                 CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'dismissal'
+                     ELSE 'approval' END AS binary_judgment
+              FROM documents""")),
+
+    // ---- F11/F14: numbered-ruling judgment search — the outcome is
+    // decided by the FIRST clause that names one; later clauses cannot
+    // leak in; arabic clause boundaries with a roman-numeral retry.
+    Q("x11_numbered_judgment",
+      (s, d) => {
+        val rulings = expr(
+          """CASE CAST(doc_id % 4 AS INT)
+             WHEN 0 THEN '1. Die Beschwerde wird abgewiesen. 2. Die Kosten trägt der Beschwerdeführer.'
+             WHEN 1 THEN '1. Die Beschwerde wird gutgeheissen. 2. Der angefochtene Entscheid wird aufgehoben.'
+             WHEN 2 THEN '1. Das Gesuch wird abgeschrieben. 2. Die Beschwerde wird abgewiesen.'
+             ELSE 'I. In teilweiser Gutheissung wird das Urteil geändert. II. Im Übrigen wird die Beschwerde abgewiesen.' END""")
+        Tables.documents(s, d)
+          .withColumn("outcomes_arr", ExtractUdfs.judgmentsLang(rulings, lit("de")))
+          .select(col("doc_id"),
+            array_join(col("outcomes_arr"), ",").as("outcomes"),
+            ExtractUdfs.binaryJudgment(col("outcomes_arr")).as("binary_judgment"))
+      },
+      Some("""SELECT doc_id,
+                CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'dismissal'
+                     WHEN 1 THEN 'approval' WHEN 2 THEN 'write_off'
+                     ELSE 'partial_approval' END AS outcomes,
+                CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'dismissal'
+                     WHEN 1 THEN 'approval' WHEN 2 THEN NULL
                      ELSE 'approval' END AS binary_judgment
               FROM documents""")),
 

@@ -58,15 +58,44 @@ class ExtractorsSpec extends AnyFunSuite {
     assert(extractJudgments("Le recours est admis.") == Seq("approval"))
     assert(extractJudgments("kein Ergebnis") == Seq.empty)
     assert(extractJudgments(null) == Seq.empty)
+    // language-specific table: the DE word is invisible to the FR table
+    assert(extractJudgments("Die Beschwerde wird abgewiesen.", "fr") == Seq.empty)
+    assert(extractJudgments("Le recours est rejeté.", "fr") == Seq("dismissal"))
+    assert(extractJudgments("Il ricorso è respinto.", "it") == Seq("dismissal"))
   }
 
   test("judgment extraction: partial_ suppresses the full outcome") {
     assert(extractJudgments("Die Beschwerde wird teilweise gutgeheissen.") ==
       Seq("partial_approval"))
-    // partial approval + separate dismissal → both survive
+    // unnumbered rulings keep only the EARLIEST outcome (reference
+    // getFirstInstance): the later dismissal mention is dropped
     assert(extractJudgments(
-      "Teilweise gutgeheissen, im Übrigen wird die Beschwerde abgewiesen.") ==
-      Seq("dismissal", "partial_approval"))
+      "In teilweiser Gutheissung wird das Urteil geändert, im Übrigen abgewiesen.") ==
+      Seq("partial_approval"))
+  }
+
+  test("judgment extraction: numbered rulings search clause by clause") {
+    // outcome sits in clause 1 -> clause 2's approval wording is ignored
+    assert(extractJudgments(
+      "1. Das Gesuch wird abgeschrieben. 2. Die Beschwerde wird abgewiesen.", "de") ==
+      Seq("write_off"))
+    // clause 1 names the outcome; clause 2 repeats another one
+    assert(extractJudgments(
+      "1. Die Beschwerde wird gutgeheissen. 2. Der Entscheid wird bestätigt.", "de") ==
+      Seq("approval"))
+    // clause 1 has no outcome (costs) -> search advances to clause 2
+    assert(extractJudgments(
+      "1. Die Kosten trägt der Staat. 2. Die Beschwerde wird abgewiesen.", "de") ==
+      Seq("dismissal"))
+    // roman numerals: arabic probe fails, roman retry finds clause I
+    assert(extractJudgments(
+      "I. In teilweiser Gutheissung wird das Urteil geändert. II. Im Übrigen wird die Beschwerde abgewiesen.",
+      "de") == Seq("partial_approval"))
+    // clause-local partial+plain+inadmissible all match clause 1; verify
+    // discards the shadowed dismissal, keeps the rest
+    assert(extractJudgments(
+      "1. Die Beschwerde wird abgewiesen, soweit darauf einzutreten ist. 2. Keine Kosten.",
+      "de") == Seq("inadmissible", "partial_dismissal"))
   }
 
   test("binary judgment: strip partial, drop procedural, null on conflict") {
