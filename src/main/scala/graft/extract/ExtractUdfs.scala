@@ -32,6 +32,20 @@ object ExtractUdfs {
       Extractors.splitSections(spider, lang, paragraphs, MarkerConfigLoader.bundled)
     }
 
+  /** F3 HTML path: (spider, raw html) → cleaned text via the ported
+    * DOM-surgery registry + get_text + clean_text
+    */
+  val cleanHtml: UserDefinedFunction =
+    udf { (spider: String, html: String) => HtmlCleaners.cleanHtml(spider, html) }
+
+  /** F2 PDF path: (spider, raw text) → cleaned text via the ported
+    * per-spider regex rules (no namespace templates in the UDF shape;
+    * callers with file-number context use HtmlCleaners.cleanPdf
+    * directly)
+    */
+  val cleanPdf: UserDefinedFunction =
+    udf { (spider: String, text: String) => HtmlCleaners.cleanPdf(spider, text) }
+
   /** rulings text → sorted outcome labels (merged-language table) */
   val judgments: UserDefinedFunction =
     udf { rulings: String => Extractors.extractJudgments(rulings) }
@@ -82,6 +96,16 @@ object ExtractUdfs {
         graft.functions.TextFunctions.bioLabels(text, spans)
       }
     }.asNondeterministic()
+
+  /** F36: full name → extracted first name (reference preprocess_names) */
+  val firstName: UserDefinedFunction =
+    udf { name: String => PeopleExtractors.firstNameOf(name).orNull }
+
+  /** F36: full name → gender from the bundled offline table (null =
+    * unknown, the reference's 'u' bucket)
+    */
+  val genderOfName: UserDefinedFunction =
+    udf { name: String => PeopleExtractors.genderForName(name).orNull }
 
   /** header → court composition (F37): president/judges/clerks struct */
   val composition: UserDefinedFunction =

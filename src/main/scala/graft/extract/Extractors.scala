@@ -231,6 +231,51 @@ object Extractors {
         graft.functions.TextFunctions.romanToInt(m.group(2)), m.group(3).toInt)
     }.toSeq
 
+  /** The full citation regex bank (F18), ported from the reference's
+    * `citation_extraction/citation_regexes.json` by
+    * tools/port_citation_regexes.py: ruling (BGE + BGer docket) and law
+    * citation patterns per language, each shipped with its example.
+    * Category keys: "ruling/BGE/de", "ruling/Bger/fr", "law/it", ...
+    */
+  lazy val citationRegexBank: Map[String, Seq[(Regex, String)]] = {
+    val in = getClass.getResourceAsStream("/graft/citation_regexes.json")
+    require(in != null, "bundled citation regex bank missing from classpath")
+    val text = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    in.close()
+    MarkerConfigLoader.parseNested(text).map { case (cat, rules) =>
+      cat -> rules.asInstanceOf[Map[String, Any]].toSeq.sortBy(_._1.toInt)
+        .map { case (_, r) =>
+          val m = r.asInstanceOf[Map[String, Any]]
+          (m("regex").asInstanceOf[String].r, m("example").asInstanceOf[String])
+        }
+    }
+  }
+
+  /** All citation spans in `text` for the bank categories matching
+    * `prefix` ("ruling", "law", "ruling/BGE", ... — empty = all).
+    * Overlapping hits from different patterns of the same family are
+    * deduped leftmost-longest, the conventional span-extraction rule.
+    * Returns (start, end, category) sorted by position.
+    */
+  def findCitationSpans(text: String, prefix: String = ""): Seq[(Int, Int, String)] = {
+    if (text == null) return Seq.empty
+    val hits = for {
+      (cat, rules) <- citationRegexBank.toSeq
+      if prefix.isEmpty || cat == prefix || cat.startsWith(prefix + "/")
+      (re, _) <- rules
+      m <- re.findAllMatchIn(text)
+    } yield (m.start, m.end, cat)
+    // leftmost-longest: earlier start wins; at equal start keep the
+    // longest match; drop spans inside an already-kept span
+    val sorted = hits.sortBy(h => (h._1, -h._2))
+    val out = Seq.newBuilder[(Int, Int, String)]
+    var lastEnd = -1
+    for (h <- sorted) {
+      if (h._1 >= lastEnd) { out += h; lastEnd = h._2 }
+    }
+    out.result()
+  }
+
   // ------------------------------------------------------------- law citations
 
   /** Parsed law citation (F21, `scrc/data_classes/law_citation.py:10-72`):

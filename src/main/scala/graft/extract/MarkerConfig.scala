@@ -74,6 +74,13 @@ object MarkerConfigLoader {
   def withDefaults(loaded: Extractors.MarkerConfig): Extractors.MarkerConfig =
     Extractors.defaultMarkers ++ loaded
 
+  /** Parse arbitrarily nested object-of-objects JSON (strings at the
+    * leaves) into nested Maps — for bundled config resources whose
+    * shape isn't the marker table (cleaning rules, citation bank).
+    */
+  def parseNested(json: String): Map[String, Any] =
+    new MiniJson(json).parseObject()
+
   /** Minimal JSON object-of-objects-of-strings parser. */
   private final class MiniJson(s: String) {
     private var i = 0

@@ -62,6 +62,42 @@ object PeopleExtractors {
     t.endsWith("in") || t.endsWith("ère") || t.endsWith("iera")
   }
 
+  // ------------------------------------------------------ gender lookup (F36)
+
+  /** Offline first-name → gender table (the reference backs its
+    * `person.gender` enrichment with a genderize.io-filled local file,
+    * `name_to_gender.py:24-77`; here the data ships as a bundled
+    * resource and is broadcast for the enrichment join).
+    */
+  lazy val nameGender: Map[String, String] = {
+    val in = getClass.getResourceAsStream("/graft/name_gender.json")
+    require(in != null, "bundled name-gender table missing from classpath")
+    val text = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    in.close()
+    MarkerConfigLoader.parseNested(text)("names")
+      .asInstanceOf[Map[String, Any]].map { case (k, v) => k -> v.asInstanceOf[String] }
+  }
+
+  /** `preprocess_names` (name_to_gender.py:64-69): strip dots, take
+    * the first token unless it is an initial or a title (Dr/dott) —
+    * then take the second.
+    */
+  def firstNameOf(name: String): Option[String] = {
+    if (name == null) return None
+    val parts = name.trim.replace(".", "").split("\\s+").filter(_.nonEmpty)
+    if (parts.isEmpty) None
+    else if (parts.length == 1 ||
+      (parts(0).length > 1 && parts(0) != "dott" && parts(0) != "Dr"))
+      Some(parts(0))
+    else Some(parts(1))
+  }
+
+  /** Lookup gender for a full name (case-insensitive on the extracted
+    * first name); None = not in the table (the reference's 'u' bucket).
+    */
+  def genderForName(name: String): Option[String] =
+    firstNameOf(name).flatMap(f => nameGender.get(f.toLowerCase))
+
   /** Parse a composition header (any of the reference's layouts: role
     * keyword per name, plural role + name list, combined judge+clerk
     * lines, title noise) into president/judges/clerks. Token-stream
@@ -109,7 +145,12 @@ object PeopleExtractors {
         presidentNext = true
       }
       else if (judgeRole.matches(tok) && low != "richter:" ) {
-        flush(); role = "judge"; gender = Some(if (femaleRole(tok)) "f" else "m")
+        flush(); role = "judge"
+        // fr/it 'juge'/'giudice' carry no grammatical gender — leave
+        // unknown for the offline-table enrichment (F36) instead of
+        // guessing; a following modifier (fédérale) still refines it
+        gender = if (low == "juge" || low == "giudice") None
+        else Some(if (femaleRole(tok)) "f" else "m")
       }
       else if (clerkRole.matches(tok)) {
         flush(); role = "clerk"; gender = Some(if (femaleRole(tok)) "f" else "m")

@@ -1,0 +1,158 @@
+package graft.functions
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Minimal lenient HTML tree — just enough DOM for the per-spider
+  * cleaning surgery (F3). The reference's `cleaning_functions.py:9-37`
+  * uses exactly three bs4 operations: find_all(tag, class_) [+ take
+  * first], findChildren(tag, recursive=False) [+ take last], and
+  * node.decompose(); this module provides those over a dependency-free
+  * parser (jsoup is the drop-in for hostile real-world HTML — the
+  * sandbox has no jar, so the parser covers the well-formed case).
+  *
+  * Parser behavior: void elements self-close, script/style bodies are
+  * raw text, comments and doctypes are skipped, stray close tags are
+  * ignored, unclosed elements close at end of input (lenient, like
+  * html.parser).
+  */
+object HtmlDom {
+
+  sealed trait Node
+  final case class Text(value: String) extends Node
+  final case class Elem(tag: String, attrs: Map[String, String],
+                        children: Vector[Node]) extends Node {
+    def classList: Set[String] =
+      attrs.getOrElse("class", "").split("\\s+").filter(_.nonEmpty).toSet
+  }
+
+  /** synthetic document root (renders as its children only) */
+  val RootTag = "#root"
+
+  private val voidTags = Set("area", "base", "br", "col", "embed", "hr",
+    "img", "input", "link", "meta", "param", "source", "track", "wbr")
+
+  private val tagToken =
+    """(?s)<(/?)([a-zA-Z][a-zA-Z0-9:_-]*)((?:"[^"]*"|'[^']*'|[^>"'])*)(/?)>""".r
+  private val attrToken =
+    """([a-zA-Z][a-zA-Z0-9:_-]*)(?:\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+)))?""".r
+
+  private def parseAttrs(s: String): Map[String, String] =
+    attrToken.findAllMatchIn(s).map { m =>
+      val v = Option(m.group(2)).orElse(Option(m.group(3)))
+        .orElse(Option(m.group(4))).getOrElse("")
+      m.group(1).toLowerCase -> v
+    }.toMap
+
+  /** Parse an HTML document or fragment into a synthetic root. */
+  def parse(html: String): Elem = {
+    // (tag, attrs, children-in-progress)
+    val stack = ArrayBuffer((RootTag, Map.empty[String, String], ArrayBuffer.empty[Node]))
+    var pos = 0
+    def emitText(upTo: Int): Unit =
+      if (upTo > pos) stack.last._3 += Text(html.substring(pos, upTo))
+    def closeTop(): Unit = {
+      val (t, a, c) = stack.remove(stack.length - 1)
+      stack.last._3 += Elem(t, a, c.toVector)
+    }
+    while (pos < html.length) {
+      val lt = html.indexOf('<', pos)
+      if (lt < 0) { emitText(html.length); pos = html.length }
+      else {
+        emitText(lt)
+        if (html.startsWith("<!--", lt)) {
+          val end = html.indexOf("-->", lt + 4)
+          pos = if (end < 0) html.length else end + 3
+        } else if (html.startsWith("<!", lt) || html.startsWith("<?", lt)) {
+          val end = html.indexOf('>', lt)
+          pos = if (end < 0) html.length else end + 1
+        } else tagToken.findPrefixMatchOf(html.substring(lt)) match {
+          case None => // stray '<' — literal text
+            stack.last._3 += Text("<"); pos = lt + 1
+          case Some(m) =>
+            val closing = m.group(1) == "/"
+            val tag = m.group(2).toLowerCase
+            val selfClosed = m.group(4) == "/" || voidTags(tag)
+            pos = lt + m.matched.length
+            if (closing) {
+              // pop to the matching open tag; ignore if none is open
+              if (stack.exists(_._1 == tag))
+                while (stack.length > 1 && {
+                  val t = stack.last._1; closeTop(); t != tag
+                }) ()
+            } else if (selfClosed) {
+              stack.last._3 += Elem(tag, parseAttrs(m.group(3)), Vector.empty)
+            } else if (tag == "script" || tag == "style") {
+              // raw-text elements: body runs to the matching close tag
+              val close = s"(?i)</$tag\\s*>".r.findFirstMatchIn(html.substring(pos))
+              val (body, next) = close match {
+                case Some(c) => (html.substring(pos, pos + c.start), pos + c.end)
+                case None => (html.substring(pos), html.length)
+              }
+              stack.last._3 += Elem(tag, parseAttrs(m.group(3)), Vector(Text(body)))
+              pos = next
+            } else {
+              stack += ((tag, parseAttrs(m.group(3)), ArrayBuffer.empty[Node]))
+            }
+        }
+      }
+    }
+    while (stack.length > 1) closeTop()
+    val (t, a, c) = stack.head
+    Elem(t, a, c.toVector)
+  }
+
+  /** bs4 `class_` semantics: a single token matches via class-list
+    * containment; a multi-token string matches the class attribute
+    * verbatim (how bs4 treats `class_="cell small-12"`).
+    */
+  private def classMatches(e: Elem, cls: String): Boolean =
+    cls == null || (if (cls.contains(" ")) e.attrs.getOrElse("class", "") == cls
+    else e.classList(cls))
+
+  /** All matching elements, document order (bs4 find_all). */
+  def findAll(root: Node, tag: String, cls: String = null): Vector[Elem] = root match {
+    case e: Elem =>
+      val self =
+        if (e.tag != RootTag && (tag == null || e.tag == tag) && classMatches(e, cls))
+          Vector(e)
+        else Vector.empty
+      self ++ e.children.flatMap(findAll(_, tag, cls))
+    case _ => Vector.empty
+  }
+
+  /** Direct children only (bs4 findChildren(recursive=False)). */
+  def directChildren(root: Elem, tag: String): Vector[Elem] =
+    root.children.collect { case e: Elem if tag == null || e.tag == tag => e }
+
+  /** Drop every matching element with its subtree (bs4 decompose). */
+  def removeAll(root: Elem, tag: String, cls: String = null): Elem = {
+    def walk(e: Elem): Elem =
+      e.copy(children = e.children.flatMap {
+        case c: Elem =>
+          if ((tag == null || c.tag == tag) && classMatches(c, cls)) Vector.empty
+          else Vector(walk(c))
+        case t => Vector(t)
+      })
+    walk(root)
+  }
+
+  /** Re-wrap an element as a document root (bs4 "return the subtree
+    * as the new soup").
+    */
+  def asRoot(e: Elem): Elem =
+    if (e.tag == RootTag) e else Elem(RootTag, Map.empty, Vector(e))
+
+  /** Reserialize (attribute order is alphabetical for determinism). */
+  def render(n: Node): String = n match {
+    case Text(v) => v
+    case e: Elem =>
+      val inner = e.children.map(render).mkString
+      if (e.tag == RootTag) inner
+      else {
+        val attrs = e.attrs.toSeq.sortBy(_._1)
+          .map { case (k, v) => s""" $k="$v"""" }.mkString
+        if (e.children.isEmpty && voidTags(e.tag)) s"<${e.tag}$attrs>"
+        else s"<${e.tag}$attrs>$inner</${e.tag}>"
+      }
+  }
+}

@@ -91,6 +91,36 @@ object CorpusPipeline {
       .select(col("decision_id"), col("comp.president").as("president"),
         col("comp.judges").as("judges"), col("comp.clerks").as("clerks"))
 
+  /** Stage 7 (NameToGender, F36): one row per person in a composition,
+    * gender filled from (a) the role-word context the parser saw, else
+    * (b) the bundled offline first-name table, broadcast-joined
+    * (`name_to_gender.py:35-77` — the reference updates person.gender
+    * from a local genderize file; the join replaces its row loop).
+    */
+  def people(spark: SparkSession, sectioned: DataFrame): DataFrame = {
+    val persons = compositions(sectioned).selectExpr("decision_id",
+      """explode(concat(
+           IF(president IS NOT NULL,
+              array(named_struct('role', 'president', 'name', president.name,
+                                 'gender', president.gender)),
+              slice(array(named_struct('role', 'president', 'name', president.name,
+                                       'gender', president.gender)), 1, 0)),
+           transform(judges, j -> named_struct('role', 'judge', 'name', j.name,
+                                               'gender', j.gender)),
+           transform(clerks, c -> named_struct('role', 'clerk', 'name', c.name,
+                                               'gender', c.gender)))) AS p""")
+      .select(col("decision_id"), col("p.role").as("role"),
+        col("p.name").as("name"), col("p.gender").as("gender"))
+    import spark.implicits._
+    val lookup = broadcast(
+      PeopleExtractors.nameGender.toSeq.toDF("__first", "__gender"))
+    persons
+      .withColumn("__first", lower(ExtractUdfs.firstName(col("name"))))
+      .join(lookup, Seq("__first"), "left")
+      .withColumn("gender", coalesce(col("gender"), col("__gender")))
+      .drop("__first", "__gender")
+  }
+
   case class RunReport(nIngested: Long, nSections: Long, nCitations: Long,
                        judgmentCoverage: Double)
 
@@ -109,6 +139,8 @@ object CorpusPipeline {
         Sinks.upsertBucketed(citations(sectioned), s"$outDir/citations", "decision_id", 16)
         Sinks.upsertBucketed(jd, s"$outDir/judgments", "decision_id", 16)
         Sinks.upsertBucketed(compositions(sectioned), s"$outDir/compositions",
+          "decision_id", 16)
+        Sinks.upsertBucketed(people(spark, sectioned), s"$outDir/people",
           "decision_id", 16)
         val n = docs.count()
         val covered = jd.where(size(col("outcomes")) > 0).count()

@@ -127,6 +127,44 @@ object ExtractQueries extends QueryPack {
                      ELSE 'approval' END AS binary_judgment
               FROM documents""")),
 
+    // ---- F3: per-spider HTML cleaning — three real spiders' DOM
+    // surgery (keep-subtree / decompose-headers / drop-tables) around
+    // the same body text, so the oracle is one expression: whatever
+    // wrapper the spider gets, only the body survives.
+    Q("x12_html_clean",
+      (s, d) => {
+        val spider = expr(
+          """CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'CH_BGer'
+             WHEN 1 THEN 'AG_Gerichte' ELSE 'VD_FindInfo' END""")
+        val html = expr(
+          """CASE CAST(doc_id % 3 AS INT)
+             WHEN 0 THEN '<div class="nav">Menü Suche</div><div class="content">'
+               || substr(text, 1, 40) || '</div><div class="footer">Impressum</div>'
+             WHEN 1 THEN '<div class="header">Obergericht</div><p>'
+               || substr(text, 1, 40) || '</p>'
+             ELSE '<table><tr><td>Logo Tribunal</td></tr></table><p>'
+               || substr(text, 1, 40) || '</p>' END""")
+        Tables.documents(s, d)
+          .select(col("doc_id"), ExtractUdfs.cleanHtml(spider, html).as("cleaned"))
+      },
+      Some("""SELECT doc_id,
+                trim(regexp_replace(substr(text, 1, 40), '\s+', ' ', 'g')) AS cleaned
+              FROM documents""")),
+
+    // ---- F2: per-spider PDF regex cleaning with the PORTED rule data
+    // (ZH_Obergericht's page-number rule), oracle restates the same
+    // regex + the general whitespace cleanup.
+    Q("x13_pdf_clean",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("raw", concat(lit("Urteil - 3 - "), substring(col("text"), 1, 40),
+          lit(" - 12 - Ende")))
+        .select(col("doc_id"), ExtractUdfs.cleanPdf(lit("ZH_Obergericht"), col("raw")).as("cleaned")),
+      Some("""SELECT doc_id,
+                trim(regexp_replace(regexp_replace(
+                  'Urteil - 3 - ' || substr(text, 1, 40) || ' - 12 - Ende',
+                  '-\s+\d+\s+-', '', 'g'), '\s+', ' ', 'g')) AS cleaned
+              FROM documents""")),
+
     // ---- F11/F14: numbered-ruling judgment search — the outcome is
     // decided by the FIRST clause that names one; later clauses cannot
     // leak in; arabic clause boundaries with a roman-numeral retry.
@@ -282,6 +320,32 @@ object ExtractQueries extends QueryPack {
                 CASE WHEN doc_id % 2 = 0 THEN 'Meier' END AS president,
                 'S' || doc_id AS clerk_name,
                 CASE WHEN doc_id % 2 = 0 THEN 'm' ELSE 'f' END AS clerk_gender
+              FROM documents""")),
+
+    // ---- F36: offline gender enrichment — first-name extraction
+    // (initials and titles skipped, reference preprocess_names) + the
+    // bundled lookup table; unknown surnames stay null like the
+    // reference's 'u' bucket.
+    Q("x14_gender_enrich",
+      (s, d) => {
+        val name = expr(
+          """CASE CAST(doc_id % 6 AS INT)
+             WHEN 0 THEN 'Hans Meier' WHEN 1 THEN 'Anna Keller'
+             WHEN 2 THEN 'Dr. Luca Bernasconi' WHEN 3 THEN 'Marie Dubois'
+             WHEN 4 THEN 'J. Schneider' ELSE 'Pierre Favre' END""")
+        Tables.documents(s, d)
+          .withColumn("name", name)
+          .select(col("doc_id"),
+            ExtractUdfs.firstName(col("name")).as("first_name"),
+            ExtractUdfs.genderOfName(col("name")).as("gender"))
+      },
+      Some("""SELECT doc_id,
+                CASE CAST(doc_id % 6 AS INT) WHEN 0 THEN 'Hans'
+                     WHEN 1 THEN 'Anna' WHEN 2 THEN 'Luca' WHEN 3 THEN 'Marie'
+                     WHEN 4 THEN 'Schneider' ELSE 'Pierre' END AS first_name,
+                CASE CAST(doc_id % 6 AS INT) WHEN 0 THEN 'm'
+                     WHEN 1 THEN 'f' WHEN 2 THEN 'm' WHEN 3 THEN 'f'
+                     WHEN 4 THEN NULL ELSE 'm' END AS gender
               FROM documents""")),
 
     // ---- F29: NER BIO labeling — token/label pairs for citation spans;
