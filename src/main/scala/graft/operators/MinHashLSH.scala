@@ -168,7 +168,12 @@ object MinHashLSH {
     */
   def candidatePairs(docs: DataFrame, idCol: String, wordsCol: Column,
                      k: Int = 4, rowsPerBand: Int = 1,
-                     bucketCap: Int = 10000): DataFrame = {
+                     bucketCap: Int = 1000): DataFrame = {
+    // cap=1000 bounds the COLLECT-path blowup, which is quadratic in
+    // bucket size: a 1000-id bucket expands to ≤500k pair structs
+    // (~8 MB) inside one task — fine; a 10k bucket would be 50M pairs
+    // (~1 GB in one row) — measured to stall a 32-core box. Hot
+    // buckets pay a shuffle instead, which AQE splits.
     // signatures are the dominant cost and feed three consumers (size
     // count, cold path, hot path) — persist; Spark's ContextCleaner
     // reclaims the blocks once the result plan is garbage-collected.

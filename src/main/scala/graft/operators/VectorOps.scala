@@ -21,14 +21,28 @@ object VectorOps {
       (sqrt(col(na)) * sqrt(col(nb)))
 
 
-  /** 4-bit hyperplane bucket of vector column `v`;
-    * hyperplane j component i = ((i*31 + j*17) mod 7) - 3.
+  /** `bits`-bit hyperplane bucket of vector column `v`;
+    * hyperplane j component i = ((i*31 + j*17) mod 7) - 3. The bit
+    * count is the INDEX-SIZE knob: buckets must scale with the corpus
+    * (target a few hundred vectors per bucket), or candidate
+    * generation degenerates toward all-pairs — 16 buckets are right
+    * for thousands of vectors, hopeless for millions. More bits =
+    * fewer candidates per query, slightly lower recall on perturbed
+    * near-dups (the standard hyperplane-LSH trade).
     */
-  val bucket: Column = expr(
-    """aggregate(sequence(0, 3), 0, (acc, j) -> acc +
+  def bucketBits(bits: Int): Column = expr(
+    // planes 0-3: the legacy arithmetic family (bit-stable with the
+    // DuckDB oracle). Planes 4+: Murmur3 hash(i, j) components — the
+    // arithmetic family repeats with period 7 in j, so higher planes
+    // would duplicate lower ones and add no discrimination.
+    s"""aggregate(sequence(0, ${bits - 1}), 0, (acc, j) -> acc +
        IF(aggregate(transform(sequence(0, size(v) - 1),
-            i -> v[i] * cast((i * 31 + j * 17) % 7 - 3 as double)),
+            i -> v[i] * cast(IF(j < 4, (i * 31 + j * 17) % 7 - 3,
+                                pmod(hash(i, j), 7) - 3) as double)),
           cast(0 as double), (a, x) -> a + x) > 0, shiftleft(1, j), 0))""")
+
+  /** 4-bit default — the gated-query configuration (oracle parity). */
+  val bucket: Column = bucketBits(4)
 
   /** Per-bucket near-dup pair generation: one row per LSH bucket
     * carries its vectors ONCE; pairs are enumerated in a compiled loop
@@ -76,7 +90,11 @@ object VectorOps {
     * caller's job).
     */
   def neardupPairs(e: DataFrame, minCos: Double,
-                   bucketCap: Int = 10000): DataFrame = {
+                   bucketCap: Int = 1000): DataFrame = {
+    // see MinHashLSH.candidatePairs: the cap bounds the quadratic
+    // collect-path work per task (≤500k candidate dot products), and
+    // here each row also carries its 64-dim vector — a 10k bucket
+    // would hold 10k vectors in ONE row.
     val v = e.select("vec_id", "v", "nn", "bucket")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = v.groupBy("bucket").agg(count(lit(1)).as("__n"))

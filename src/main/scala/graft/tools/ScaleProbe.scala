@@ -53,25 +53,55 @@ object ScaleProbe {
       val docs = spark.read.parquet(docsPath).withColumn("w", split(col("text"), " "))
       val nDocs = docs.count()
 
-      val (pairs, tLsh) = time {
-        MinHashLSH.candidatePairs(docs, "doc_id", col("w")).count()
-      }
+      // pair OUTPUT is inherently quadratic in duplicate density —
+      // estimate sum(B^2/2) over band buckets first and skip the count
+      // when the output itself is the bottleneck (log it, don't hide it)
+      val bandsDf = MinHashLSH.bands(docs, "doc_id", col("w"), 4)
+      val est = bandsDf.groupBy("band", "h").count()
+        .agg(sum(expr("count * (count - 1) / 2"))).first().getDouble(0)
+      val (pairs, tLsh) =
+        if (est < 5e7) time(MinHashLSH.candidatePairs(docs, "doc_id", col("w")).count())
+        else { println(f"SCALE n=$n%2d pair path SKIPPED: est. $est%.2g candidate pairs (output-bound)"); (-1L, -1.0) }
       val (_, tTf) = time {
         docs.select(explode(col("w")).as("t")).groupBy("t").count().count()
       }
+      // index-size knob: target a few hundred vectors per bucket (the
+      // 4-bit gated-query setting is for thousands of vectors, not
+      // hundreds of thousands)
+      val nVecsRaw = spark.read.parquet(vecsPath).count()
+      val bits = math.max(4, (math.log(nVecsRaw / 250.0) / math.log(2)).ceil.toInt)
       val vecs = VectorOps.vecs(spark.read.parquet(vecsPath))
-        .withColumn("bucket", VectorOps.bucket)
+        .withColumn("bucket", VectorOps.bucketBits(bits))
         .select("vec_id", "v", "nn", "bucket")
+      // the shipped operator (bucket-cap routing included)
       val (nd, tNd) = time {
-        vecs.groupBy("bucket")
-          .agg(collect_list(col("vec_id")).as("ids"), collect_list(col("v")).as("vs"),
-            collect_list(col("nn")).as("nns"))
-          .select(explode(VectorOps.bucketPairsUdf(
-            col("ids"), col("vs"), col("nns"), lit(0.29))).as("p"))
+        VectorOps.neardupPairs(vecs, minCos = 0.29).count()
+      }
+
+      // ANN path (s4 shape): 8 broadcast queries, bucket equi-join,
+      // top-10 per query; plus the candidates-per-bucket distribution
+      // that bounds per-query work
+      val qids = (0 until 8).map(i => (i * n).toLong)
+      val q = vecs.where(col("vec_id").isin(qids: _*))
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nn").as("qn"), col("bucket"))
+      val (topk, tAnn) = time {
+        vecs.join(broadcast(q), "bucket")
+          .where(col("vec_id") =!= col("qid"))
+          .withColumn("cos", VectorOps.cosine("v", "qv", "nn", "qn"))
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+          .where(col("rank") <= 10)
           .count()
       }
+      val dist = vecs.groupBy("bucket").count()
+        .agg(min("count").as("mn"), avg("count").as("av"), max("count").as("mx"))
+        .first()
       println(f"SCALE n=$n%2d docs=$nDocs%7d lsh=$tLsh%6.1fs (pairs=$pairs) " +
         f"tf=$tTf%5.1fs neardup=$tNd%6.1fs (cands=$nd)")
+      println(f"SCALE-ANN n=$n%2d vecs=$nVecsRaw%7d bits=$bits%2d topk_rows=$topk%4d ann=$tAnn%6.2fs " +
+        f"bucket_sz min=${dist.getLong(0)}%d avg=${dist.getDouble(1)}%.0f max=${dist.getLong(2)}%d")
     }
     spark.stop()
   }
