@@ -119,6 +119,45 @@ object VectorOps {
     cold.union(hotPairs)
   }
 
+  // ------------------------------------------------------------------- IVF
+
+  /** IVF coarse-quantizer cell assignment: argmax cosine over the
+    * (small, broadcast-by-closure) centroid codebook — ZERO shuffle,
+    * one compiled pass per row. Production trains the codebook with
+    * k-means; the assignment/probe machinery is identical for any
+    * centroid source, and data-sampled centroids keep the operator
+    * deterministic (no RNG state). Ties break toward the lowest cell
+    * id; the dot product folds left-to-right so the argmax is
+    * bit-identical to the SQL restatement.
+    */
+  def ivfAssignUdf(cents: Seq[(Long, Array[Double], Double)]) =
+    udf { (v: Seq[Double], nn: Double) =>
+      var best = -1L
+      var bestCos = Double.NegativeInfinity
+      for ((cid, cv, cn) <- cents) {
+        var s = 0.0
+        var i = 0
+        while (i < cv.length) { s += cv(i) * v(i); i += 1 }
+        val cos = s / (math.sqrt(cn) * math.sqrt(nn))
+        if (cos > bestCos) { bestCos = cos; best = cid }
+      }
+      best
+    }
+
+  /** nprobe nearest cells for a query vector (cells sorted by
+    * similarity desc, cell id tiebreak — the IVF probe list).
+    */
+  def ivfProbeUdf(cents: Seq[(Long, Array[Double], Double)], nprobe: Int) =
+    udf { (v: Seq[Double], nn: Double) =>
+      cents.map { case (cid, cv, cn) =>
+        var s = 0.0
+        var i = 0
+        while (i < cv.length) { s += cv(i) * v(i); i += 1 }
+        (cid, s / (math.sqrt(cn) * math.sqrt(nn)))
+      }.sortBy { case (cid, cos) => (-cos, cid) }
+        .take(nprobe).map(_._1)
+    }
+
   /** DuckDB restatements (for oracle SQL) */
   val duckVecs: String =
     """SELECT vec_id, label, embedding::DOUBLE[] AS v,

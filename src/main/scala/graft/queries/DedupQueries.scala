@@ -133,6 +133,42 @@ object DedupQueries extends QueryPack {
               SELECT doc_id, CAST(sum(v) AS BIGINT) AS simhash
               FROM bits GROUP BY doc_id""")),
 
+    // ---- Winnowing fingerprints (Schleimer et al. — the rolling-hash
+    // document fingerprint): hash every 5-char k-gram (same md5-low-32
+    // idiom as d4), slide a 4-hash window, keep each window's minimum,
+    // dedupe. Pure per-row higher-order folds — zero shuffle; the
+    // fingerprint SET is what a plagiarism/near-dup index would key on.
+    Q("d7_winnowing",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("h", expr(
+          """IF(length(text) < 5, array(),
+             transform(sequence(0, length(text) - 5),
+               i -> cast(conv(substring(md5(substring(text, i + 1, 5)), 25, 8),
+                              16, 10) as bigint)))"""))
+        .withColumn("fp", expr(
+          """IF(size(h) < 4, array_distinct(h),
+             array_distinct(transform(sequence(0, size(h) - 4),
+               i -> array_min(slice(h, i + 1, 4)))))"""))
+        .select(col("doc_id"),
+          size(col("fp")).cast("bigint").as("n_fingerprints"),
+          expr("array_min(fp)").as("fp_min"),
+          expr("array_max(fp)").as("fp_max")),
+      Some("""WITH g AS (SELECT doc_id,
+                CASE WHEN length(text) < 5 THEN []::BIGINT[]
+                     ELSE list_transform(range(0, length(text) - 4),
+                       i -> CAST(('0x' || substr(md5(substr(text, i + 1, 5)), 25, 8))
+                                 AS BIGINT)) END AS h
+              FROM documents),
+              w AS (SELECT doc_id,
+                CASE WHEN len(h) < 4 THEN list_distinct(h)
+                     ELSE list_distinct(list_transform(range(0, len(h) - 3),
+                       i -> list_aggregate(h[i + 1:i + 4], 'min'))) END AS fp
+              FROM g)
+              SELECT doc_id, cast(len(fp) as bigint) AS n_fingerprints,
+                list_aggregate(fp, 'min') AS fp_min,
+                list_aggregate(fp, 'max') AS fp_max
+              FROM w""")),
+
     // ---- Embedding-cosine near-dup, LSH-blocked: candidate pairs come
     // from hyperplane-bucket equality; the exact cosine verify runs per
     // bucket — all-pairs never materializes. Norms are precomputed once

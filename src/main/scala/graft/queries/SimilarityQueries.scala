@@ -115,6 +115,59 @@ object SimilarityQueries extends QueryPack {
               FROM e JOIN q ON e.bucket = q.bucket WHERE vec_id <> 0
               ORDER BY cos DESC, vec_id LIMIT 5""")),
 
+    // ---- IVF-ANN (the second scale path next to LSH s4): a small
+    // data-sampled centroid codebook (vec_id < 8; production swaps in
+    // k-means output — assignment/probe machinery is identical),
+    // ZERO-shuffle cell assignment via a compiled argmax pass,
+    // nprobe=2 probing, and search restricted to the probed cells — a
+    // broadcast equi-join on cell id, never the full corpus. Collecting
+    // the 8-row codebook at build time is the IVF design (the codebook
+    // IS driver/broadcast state).
+    Q("s6_ivf_ann_topk",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = vecs(s, d)
+        val cents = e.where(col("vec_id") < 8)
+          .select("vec_id", "v", "nn").collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+          .sortBy(_._1).toSeq
+        val assigned = e
+          .withColumn("cell", VectorOps.ivfAssignUdf(cents)(col("v"), col("nn")))
+        val q = e.where(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("nn").as("qn"),
+            explode(VectorOps.ivfProbeUdf(cents, 2)(col("v"), col("nn"))).as("cell"))
+        val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+        assigned.join(broadcast(q), Seq("cell"))
+          .where(col("vec_id") =!= col("qid"))
+          .withColumn("cos", round(cosExpr / (sqrt(col("qn")) * sqrt(col("nn"))), 6))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 5)
+          .select(col("qid"), col("rank").cast("bigint").as("rank"),
+            col("vec_id"), col("cos"))
+      },
+      Some(s"""WITH e AS ($duckVecs),
+              c AS (SELECT vec_id AS cid, v AS cv, nn AS cn FROM e WHERE vec_id < 8),
+              sim AS (SELECT e.vec_id, e.v, e.nn, c.cid,
+                        list_aggregate(list_transform(range(1, len(c.cv) + 1),
+                          i -> c.cv[i] * e.v[i]), 'sum') / (sqrt(c.cn) * sqrt(e.nn)) AS cs
+                      FROM e CROSS JOIN c),
+              asg AS (SELECT vec_id, v, nn, cid AS cell FROM (
+                        SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY cs DESC, cid) AS r FROM sim) WHERE r = 1),
+              probe AS (SELECT vec_id AS qid, v AS qv, nn AS qn, cid AS cell FROM (
+                        SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY cs DESC, cid) AS r FROM sim WHERE vec_id < 3)
+                        WHERE r <= 2),
+              p AS (SELECT probe.qid, asg.vec_id,
+                      round(list_aggregate(list_transform(range(1, len(probe.qv) + 1),
+                        i -> probe.qv[i] * asg.v[i]), 'sum')
+                        / (sqrt(probe.qn) * sqrt(asg.nn)), 6) AS cos
+                    FROM asg JOIN probe ON asg.cell = probe.cell
+                    WHERE asg.vec_id <> probe.qid)
+              SELECT qid, cast(rank as bigint) AS rank, vec_id, cos FROM (
+                SELECT *, row_number() OVER (PARTITION BY qid
+                  ORDER BY cos DESC, vec_id) AS rank FROM p) WHERE rank <= 5""")),
+
     // ---- Per-label centroids: mean vector per class via posexplode +
     // decimal sums (order-independent — double summation order varies
     // across partitions). The embarrassingly-parallel shape of k-means

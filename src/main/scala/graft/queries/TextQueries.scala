@@ -45,6 +45,30 @@ object TextQueries extends QueryPack {
                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) as bigint) AS n_shingles
               FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)""")),
 
+    // ---- BPE-ish token counting (F34's second tier): the GPT-2
+    // pretokenizer split — contractions, space-prefixed letter runs,
+    // digit runs, punctuation runs, whitespace — as a pure regex count
+    // (RE2-compatible: no lookahead, so the same pattern runs on both
+    // engines). Suffix synthesizes contractions/digits/punctuation so
+    // the split genuinely differs from the whitespace count.
+    Q("t9_bpe_tokens",
+      (s, d) => {
+        val pat = "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+        Tables.documents(s, d)
+          .withColumn("body", concat(col("text"), lit(" it's v2.0 (no. 42)!")))
+          .select(col("doc_id"),
+            size(split(col("body"), " ")).cast("bigint").as("n_ws_tokens"),
+            size(regexp_extract_all(col("body"), lit(pat), lit(0)))
+              .cast("bigint").as("n_bpe_tokens"))
+      },
+      Some("""SELECT doc_id,
+                cast(len(string_split(body, ' ')) as bigint) AS n_ws_tokens,
+                cast(len(regexp_extract_all(body,
+                  '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+                  as bigint) AS n_bpe_tokens
+              FROM (SELECT doc_id, text || ' it''s v2.0 (no. 42)!' AS body
+                    FROM documents)""")),
+
     // ---- Quality scoring: stopword ratio + length → quality bucket.
     Q("t2_quality_score",
       (s, d) => Tables.documents(s, d)
