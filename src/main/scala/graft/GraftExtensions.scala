@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.{CounterMerge, TextFunctions, Uuid3}
+import graft.functions.{CosineSim, CounterMerge, TextFunctions, Uuid3}
 
 /** Session extension point: registers graft's native functions so SQL
   * users get them without touching the Scala API.
@@ -18,10 +18,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("uuid3"), Uuid3.info, Uuid3.builder))
     ext.injectFunction((FunctionIdentifier("counter_merge"),
       CounterMerge.info, CounterMerge.builder))
+    ext.injectFunction((FunctionIdentifier("cosine_sim"),
+      CosineSim.info, CosineSim.builder))
   }
 }
 
 object GraftExtensions {
+  /** Idempotently register the native expressions on an EXISTING
+    * session (for callers that didn't boot with spark.sql.extensions —
+    * library operators call this before using `cosine_sim` etc.).
+    */
+  def registerNative(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.registerFunction(FunctionIdentifier("uuid3"), Uuid3.info, Uuid3.builder)
+    reg.registerFunction(FunctionIdentifier("counter_merge"),
+      CounterMerge.info, CounterMerge.builder)
+    reg.registerFunction(FunctionIdentifier("cosine_sim"),
+      CosineSim.info, CosineSim.builder)
+  }
+
   /** UDF-backed helpers (no codegen need): RFC uuid5 decision ids,
     * text cleaning, roman numerals, simhash.
     */

@@ -15,10 +15,14 @@ object VectorOps {
     df.withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
       .withColumn("nn", expr("aggregate(v, cast(0 as double), (a, x) -> a + x * x)"))
 
-  /** cosine of columns `a` and `b` given squared norms `na`, `nb` */
+  /** cosine of columns `a` and `b` given squared norms `na`, `nb` —
+    * the codegen'd native expression (graft.functions.CosineSim; the
+    * session must have it registered, see GraftExtensions). Same
+    * left-to-right fold as the old `aggregate(zip_with(...))`
+    * formulation, bit-identical values, one fused compiled loop.
+    */
   def cosine(a: String, b: String, na: String, nb: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)") /
-      (sqrt(col(na)) * sqrt(col(nb)))
+    expr(s"cosine_sim($a, $b, $na, $nb)")
 
 
   /** `bits`-bit hyperplane bucket of vector column `v`;
@@ -91,6 +95,7 @@ object VectorOps {
     */
   def neardupPairs(e: DataFrame, minCos: Double,
                    bucketCap: Int = 1000): DataFrame = {
+    graft.GraftExtensions.registerNative(e.sparkSession)
     // see MinHashLSH.candidatePairs: the cap bounds the quadratic
     // collect-path work per task (≤500k candidate dot products), and
     // here each row also carries its 64-dim vector — a 10k bucket

@@ -28,11 +28,17 @@ object SimilarityQueries extends QueryPack {
   /** vectors with double cast + squared norm (shared ops in
     * operators.VectorOps — same helpers back the dedup pack)
     */
-  private def vecs(s: SparkSession, d: String): DataFrame =
+  private def vecs(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.registerNative(s)
     VectorOps.vecs(Tables.embeddings(s, d)).select("vec_id", "label", "v", "nn")
+  }
 
-  private val cosExpr =
-    expr("aggregate(zip_with(qv, v, (x, y) -> x * y), cast(0 as double), (a, x) -> a + x)")
+  /** codegen'd native dot/cosine (graft.functions.CosineSim) — the
+    * higher-order `aggregate(zip_with(...))` formulation evaluates its
+    * lambdas interpreted; same left-to-right fold, bit-identical
+    * results, one fused compiled loop
+    */
+  private val cosExpr = expr("cosine_sim(qv, v, qn, nn)")
 
   private val bucketExpr = VectorOps.bucket
   private val duckVecs = VectorOps.duckVecs
@@ -47,7 +53,7 @@ object SimilarityQueries extends QueryPack {
         val q = e.where(col("vec_id") === 0).select(col("v").as("qv"), col("nn").as("qn"))
         e.crossJoin(broadcast(q))
           .where(col("vec_id") =!= 0)
-          .withColumn("cos", round(cosExpr / (sqrt(col("qn")) * sqrt(col("nn"))), 6))
+          .withColumn("cos", round(cosExpr, 6))
           .orderBy(col("cos").desc, col("vec_id"))
           .limit(10)
           .select("vec_id", "cos")
@@ -70,7 +76,7 @@ object SimilarityQueries extends QueryPack {
         val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
         e.crossJoin(broadcast(q))
           .where(col("vec_id") =!= col("qid"))
-          .withColumn("cos", round(cosExpr / (sqrt(col("qn")) * sqrt(col("nn"))), 6))
+          .withColumn("cos", round(cosExpr, 6))
           .withColumn("rank", row_number().over(w))
           .where(col("rank") <= 3)
           .select(col("qid"), col("rank").cast("bigint").as("rank"), col("vec_id"), col("cos"))
@@ -102,7 +108,7 @@ object SimilarityQueries extends QueryPack {
           .select(col("v").as("qv"), col("nn").as("qn"), col("bucket"))
         e.join(broadcast(q), "bucket")
           .where(col("vec_id") =!= 0)
-          .withColumn("cos", round(cosExpr / (sqrt(col("qn")) * sqrt(col("nn"))), 6))
+          .withColumn("cos", round(cosExpr, 6))
           .orderBy(col("cos").desc, col("vec_id"))
           .limit(5)
           .select(col("vec_id"), col("bucket").cast("bigint").as("bucket"), col("cos"))
@@ -139,7 +145,7 @@ object SimilarityQueries extends QueryPack {
         val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
         assigned.join(broadcast(q), Seq("cell"))
           .where(col("vec_id") =!= col("qid"))
-          .withColumn("cos", round(cosExpr / (sqrt(col("qn")) * sqrt(col("nn"))), 6))
+          .withColumn("cos", round(cosExpr, 6))
           .withColumn("rank", row_number().over(w))
           .where(col("rank") <= 5)
           .select(col("qid"), col("rank").cast("bigint").as("rank"),

@@ -43,6 +43,7 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.GraftExtensions.registerNative(spark)
     val d = "/root/testdata/sf0.1"
 
     for (n <- Seq(1, 10, 50)) {
