@@ -71,6 +71,17 @@ object ExtractUdfs {
     udf { text: String => Extractors.parseRulingCitations(text) }
       .asNondeterministic()
 
+  /** F16 + §2.9: spider-dispatched judgment extraction with the error
+    * channel — spider variants (UR_Gerichte) raise on their strict
+    * validation and the failure becomes a quarantine row, not a crash.
+    */
+  val judgmentsSpiderSafe: UserDefinedFunction =
+    udf { (spider: String, rulings: String, lang: String) =>
+      try SafeOutcomes(Extractors.extractJudgmentsFor(spider, rulings, lang), null)
+      catch { case e: Throwable =>
+        SafeOutcomes(null, s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+    }
+
   /** §2.9 error channel: extraction failures become data, not log lines
     * (the reference logs + skips rows, `abstract_extractor.py:177-183`).
     * Returns struct<outcomes, error>; route `error IS NOT NULL` rows to

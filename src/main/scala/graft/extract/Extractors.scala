@@ -202,6 +202,61 @@ object Extractors {
   def extractJudgments(rulings: String): Seq[String] =
     extract(rulings, judgmentMarkersMerged)
 
+  // ------------------------------------------------ spider variants (F16)
+
+  /** UR_Gerichte's own marker table (judgment_extracting_functions
+    * .py:160-174 — regexes, DE only; ported verbatim incl. the
+    * trailing space on the write-off marker).
+    */
+  val urJudgmentMarkers: Seq[(String, Seq[Regex])] = Seq(
+    "approval" -> Seq("Gutheissung der Beschwerde".r,
+      "Bejahung der Beschwerdelegimitation".r),
+    "partial_approval" -> Seq("Teilweise Gutheissung der Beschwerde".r),
+    "dismissal" -> Seq("Abweisung der Beschwerde".r,
+      "Der Anzeige wird keine Folge gegeben".r,
+      "Verneinung der Beschwerdelegimitation".r,
+      "Abweisung der Verwaltungsgerichtsbeschwerde".r,
+      "Abweisung der [Vv]erwaltungsrechtlichen Klage".r,
+      "Abweisung des Gesuches um Wiederherstellung der Frist".r,
+      "In concreto Abweisung der Berufung der Dienstbarkeitsbelasteten".r),
+    "write_off" -> Seq("Abschreibung der Beschwerde vom Geschäftsprotokoll ".r))
+
+  /** UR_Gerichte variant (`:151-218`): EVERY regex match anywhere in
+    * the text appends its outcome (a list, not a set — two hits of the
+    * same marker count twice), then STRICT validation: exactly one
+    * total hit or the row errors (the reference raises; callers route
+    * through the §2.9 quarantine channel). DE only, like the
+    * reference. Note the faithful consequence: a partial approval also
+    * hits the approval regex (substring) and therefore errors.
+    */
+  def extractJudgmentsUr(rulings: String, lang: String): Seq[String] = {
+    if (lang != "de")
+      throw new IllegalArgumentException(
+        "UR_Gerichte judgment extraction is only implemented for de")
+    if (rulings == null)
+      throw new IllegalArgumentException("no rulings text")
+    val hits = for {
+      (outcome, regs) <- urJudgmentMarkers
+      re <- regs
+      _ <- re.findAllMatchIn(rulings)
+    } yield outcome
+    if (hits.isEmpty)
+      throw new IllegalArgumentException(s"no main ruling found in: $rulings")
+    if (hits.length > 1)
+      throw new IllegalArgumentException(s"several rulings found in: $rulings")
+    hits
+  }
+
+  /** Spider dispatch for judgment extraction: spiders with their own
+    * logic override the global tables (the reference's
+    * `getattr(module, spider)` dispatch).
+    */
+  def extractJudgmentsFor(spider: String, rulings: String, lang: String): Seq[String] =
+    spider match {
+      case "UR_Gerichte" => extractJudgmentsUr(rulings, lang)
+      case _ => extractJudgments(rulings, lang)
+    }
+
   /** convert_to_binary_judgments (sql_select_utils.py:361-410): strip
     * partial_, drop procedural outcomes, resolve multi-label to None.
     */

@@ -322,6 +322,33 @@ object ExtractQueries extends QueryPack {
                 CASE WHEN doc_id % 2 = 0 THEN 'm' ELSE 'f' END AS clerk_gender
               FROM documents""")),
 
+    // ---- F16: spider-variant judgment extraction (UR_Gerichte) —
+    // its own regex table + STRICT validation through the quarantine
+    // channel. Case 3 is the faithful reference quirk: the partial
+    // marker's text also hits the plain approval regex (substring), so
+    // exactly-one validation fails and the row becomes an error row.
+    Q("x15_spider_judgment",
+      (s, d) => {
+        val rulings = expr(
+          """CASE CAST(doc_id % 4 AS INT)
+             WHEN 0 THEN 'In concreto Gutheissung der Beschwerde.'
+             WHEN 1 THEN 'Abweisung der verwaltungsrechtlichen Klage.'
+             WHEN 2 THEN 'Die Kosten trägt der Staat.'
+             ELSE 'Teilweise Gutheissung der Beschwerde.' END""")
+        Tables.documents(s, d)
+          .withColumn("ext", ExtractUdfs.judgmentsSpiderSafe(
+            lit("UR_Gerichte"), rulings, lit("de")))
+          .select(col("doc_id"),
+            array_join(col("ext.outcomes"), ",").as("outcomes"),
+            col("ext.error").isNotNull.as("quarantined"))
+      },
+      Some("""SELECT doc_id,
+                CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'approval'
+                     WHEN 1 THEN 'dismissal' END AS outcomes,
+                CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN false
+                     WHEN 1 THEN false ELSE true END AS quarantined
+              FROM documents""")),
+
     // ---- F36: offline gender enrichment — first-name extraction
     // (initials and titles skipped, reference preprocess_names) + the
     // bundled lookup table; unknown surnames stay null like the

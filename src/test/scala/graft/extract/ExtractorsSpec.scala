@@ -98,6 +98,29 @@ class ExtractorsSpec extends AnyFunSuite {
       "de") == Seq("inadmissible", "partial_dismissal"))
   }
 
+  test("UR_Gerichte spider variant: own markers, strict single-outcome validation") {
+    import Extractors.{extractJudgmentsFor, extractJudgmentsUr}
+    assert(extractJudgmentsUr("In concreto Gutheissung der Beschwerde.", "de") ==
+      Seq("approval"))
+    assert(extractJudgmentsUr("Abweisung der verwaltungsrechtlichen Klage.", "de") ==
+      Seq("dismissal"))
+    // zero outcomes -> error (the reference raises)
+    intercept[IllegalArgumentException](
+      extractJudgmentsUr("Die Kosten trägt der Staat.", "de"))
+    // the partial marker ALSO hits the plain approval regex -> 2 hits
+    // -> error (faithful to the reference's list-not-set counting)
+    intercept[IllegalArgumentException](
+      extractJudgmentsUr("Teilweise Gutheissung der Beschwerde.", "de"))
+    // DE only, like the reference
+    intercept[IllegalArgumentException](
+      extractJudgmentsUr("Gutheissung der Beschwerde.", "fr"))
+    // dispatch: unknown spiders use the global tables
+    assert(extractJudgmentsFor("CH_BGer", "Die Beschwerde wird abgewiesen.", "de") ==
+      Seq("dismissal"))
+    assert(extractJudgmentsFor("UR_Gerichte",
+      "Bejahung der Beschwerdelegimitation.", "de") == Seq("approval"))
+  }
+
   test("binary judgment: strip partial, drop procedural, null on conflict") {
     assert(toBinaryJudgment(Seq("approval")) == Some("approval"))
     assert(toBinaryJudgment(Seq("partial_dismissal")) == Some("dismissal"))
