@@ -6,6 +6,9 @@ import org.apache.spark.sql.functions.udf
 /** result-or-error struct for the §2.9 error channel */
 case class SafeOutcomes(outcomes: Seq[String], error: String)
 
+/** one structured-HTML ruling citation (F19) */
+case class HtmlCite(url: String, text: String)
+
 /** Thin UDF layer over the pure Extractors logic (§2.9 dispatch shape:
   * one UDF per task, the row's spider column selects the marker table
   * from broadcast config; generator-style outputs come back as
@@ -107,6 +110,16 @@ object ExtractUdfs {
         graft.functions.TextFunctions.bioLabels(text, spans)
       }
     }.asNondeterministic()
+
+  /** F19: structured-HTML citation extraction (CH_BGer markup) —
+    * returns struct<laws: array<string>, rulings: array<struct<url,
+    * text>>>
+    */
+  val htmlCitations: UserDefinedFunction =
+    udf { html: String =>
+      val (laws, rulings) = Extractors.chBGerHtmlCitations(html)
+      (laws, rulings.map { case (u, t) => HtmlCite(u, t) })
+    }
 
   /** F36: full name → extracted first name (reference preprocess_names) */
   val firstName: UserDefinedFunction =

@@ -331,6 +331,27 @@ object Extractors {
     out.result()
   }
 
+  /** F19, the real shape: CH_BGer decisions carry their citations as
+    * STRUCTURED markup (`citation_extracting_functions.py:55-76`) —
+    * `<span class="artref">` for law citations, `<a class="bgeref_id">`
+    * for BGE rulings (href + text). DOM extraction, not regex; an
+    * element contributes only when it has exactly one string child
+    * (bs4 `element.string` semantics). Returns (laws, (url, text)
+    * rulings).
+    */
+  def chBGerHtmlCitations(html: String): (Seq[String], Seq[(String, String)]) = {
+    if (html == null) return (Seq.empty, Seq.empty)
+    val dom = graft.functions.HtmlDom.parse(html)
+    val laws = graft.functions.HtmlDom.findAll(dom, "span", "artref")
+      .flatMap(graft.functions.HtmlDom.soloString)
+      .filter(_.nonEmpty)
+    val rulings = graft.functions.HtmlDom.findAll(dom, "a", "bgeref_id")
+      .flatMap(a => graft.functions.HtmlDom.soloString(a)
+        .filter(_.nonEmpty)
+        .map(t => (a.attrs.getOrElse("href", ""), t)))
+    (laws, rulings)
+  }
+
   // ------------------------------------------------------------- law citations
 
   /** Parsed law citation (F21, `scrc/data_classes/law_citation.py:10-72`):

@@ -136,6 +136,23 @@ object HtmlDom {
     walk(root)
   }
 
+  /** All text-node values in document order (bs4 `.strings` — every
+    * string node separately, including script/style bodies, exactly
+    * like BeautifulSoup's generator).
+    */
+  def textNodes(root: Node): Vector[String] = root match {
+    case Text(v) => Vector(v)
+    case e: Elem => e.children.flatMap(textNodes)
+  }
+
+  /** bs4 `element.string`: the node's text ONLY when it has exactly
+    * one string descendant, else None.
+    */
+  def soloString(e: Elem): Option[String] = textNodes(e) match {
+    case Vector(one) => Some(one)
+    case _ => None
+  }
+
   /** Re-wrap an element as a document root (bs4 "return the subtree
     * as the new soup").
     */

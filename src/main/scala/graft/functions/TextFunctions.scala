@@ -155,10 +155,28 @@ object TextFunctions {
       .filter(_.nonEmpty)
   }
 
-  /** PDF text → paragraphs (F6 pdf path: split on line breaks). */
+  /** PDF text → paragraphs (F6 pdf path), reference semantics
+    * (`get_pdf_paragraphs`, main_utils.py:71-88): spaces between two
+    * line breaks removed, split on DOUBLE line breaks only (single
+    * breaks stay inside a paragraph), double spaces collapsed, each
+    * paragraph cleaned, empties dropped.
+    */
   def pdfToParagraphs(text: String): Seq[String] =
     if (text == null) Seq.empty
-    else text.split("\n+").toSeq.map(_.trim).filter(_.nonEmpty)
+    else text.replaceAll("\n +\n", "\n\n").split("\n\n").toSeq
+      .map(e => cleanText(e.replace("  ", " ")))
+      .filter(p => p != null && p.nonEmpty && p != " ")
+
+  /** HTML → paragraphs, reference semantics (`get_paragraphs_unified`,
+    * main_utils.py:52-61): EVERY text node is its own paragraph
+    * (bs4 `.strings`), cleaned, empties dropped — inline markup splits
+    * a sentence into multiple strings exactly like the reference.
+    * `htmlToParagraphs` below is the block-level alternate.
+    */
+  def htmlToParagraphsUnified(html: String): Seq[String] =
+    if (html == null) Seq.empty
+    else HtmlDom.textNodes(HtmlDom.parse(html))
+      .map(cleanText).filter(p => p != null && p.nonEmpty)
 
   /** F30: keep leading paragraphs until the word budget is exhausted
     * (`citation_extraction_dataset_creator.py:397-411` keeps 215 words).

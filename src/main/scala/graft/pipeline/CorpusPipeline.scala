@@ -26,7 +26,7 @@ object CorpusPipeline {
 
   private val htmlParasUdf = udf { b: Array[Byte] =>
     if (b == null) Seq.empty[String]
-    else TextFunctions.htmlToParagraphs(
+    else TextFunctions.htmlToParagraphsUnified(
       new String(b, java.nio.charset.StandardCharsets.UTF_8))
   }
   private val pdfParasUdf = udf { b: Array[Byte] =>

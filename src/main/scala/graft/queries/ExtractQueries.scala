@@ -349,6 +349,36 @@ object ExtractQueries extends QueryPack {
                      WHEN 1 THEN false ELSE true END AS quarantined
               FROM documents""")),
 
+    // ---- F19: structured-HTML citation extraction — CH_BGer markup
+    // (span.artref laws, a.bgeref_id rulings) pulled via the DOM, not
+    // regex; a span wrapping nested markup has no solo string and is
+    // skipped (bs4 element.string semantics), which the synthesis
+    // exercises with a nested <b> every third doc.
+    Q("x16_html_citations",
+      (s, d) => {
+        val html = expr(
+          """concat('<div class="content">Gestützt auf ',
+             '<span class="artref">Art. ', cast(doc_id % 50 + 1 as string), ' BGG</span>',
+             CASE WHEN doc_id % 3 = 0
+               THEN '<span class="artref"><b>nested</b> markup</span>' ELSE '' END,
+             ' und <a class="bgeref_id" href="/bge/', cast(doc_id % 200 as string),
+             '">BGE ', cast(doc_id % 80 + 80 as string), ' II ',
+             cast(doc_id % 300 + 1 as string), '</a> wird erkannt.</div>')""")
+        Tables.documents(s, d)
+          .withColumn("cites", ExtractUdfs.htmlCitations(html))
+          .select(col("doc_id"),
+            size(col("cites._1")).cast("bigint").as("n_laws"),
+            element_at(col("cites._1"), 1).as("law_text"),
+            element_at(col("cites._2"), 1).getField("url").as("ruling_url"),
+            element_at(col("cites._2"), 1).getField("text").as("ruling_text"))
+      },
+      Some("""SELECT doc_id,
+                cast(1 as bigint) AS n_laws,
+                'Art. ' || (doc_id % 50 + 1) || ' BGG' AS law_text,
+                '/bge/' || (doc_id % 200) AS ruling_url,
+                'BGE ' || (doc_id % 80 + 80) || ' II ' || (doc_id % 300 + 1) AS ruling_text
+              FROM documents""")),
+
     // ---- F36: offline gender enrichment — first-name extraction
     // (initials and titles skipped, reference preprocess_names) + the
     // bundled lookup table; unknown surnames stay null like the

@@ -77,6 +77,30 @@ class HtmlCleanersSpec extends AnyFunSuite {
       == "Urteil vom 1. Januar")
   }
 
+  test("CH_BGer structured citation extraction (span.artref / a.bgeref_id)") {
+    val html =
+      """<div>Gestützt auf <span class="artref">Art. 95 BGG</span> und
+        |<a class="bgeref_id" href="/bge/133">BGE 133 II 249</a> sowie
+        |<span class="artref"><b>kein</b> solo-string</span>
+        |<span class="artref"></span>
+        |<a class="other" href="/x">kein Zitat</a></div>""".stripMargin
+    val (laws, rulings) = Extractors.chBGerHtmlCitations(html)
+    assert(laws == Seq("Art. 95 BGG")) // nested + empty spans skipped
+    assert(rulings == Seq(("/bge/133", "BGE 133 II 249")))
+  }
+
+  test("unified paragraph extraction: every text node, pdf double-break split") {
+    import graft.functions.TextFunctions.{htmlToParagraphsUnified, pdfToParagraphs}
+    // inline markup splits the sentence into separate strings, like
+    // bs4 .strings
+    assert(htmlToParagraphsUnified("<p>Der <b>Antrag</b> ist</p>") ==
+      Seq("Der", "Antrag", "ist"))
+    // single line breaks stay INSIDE a paragraph; '\n  \n' counts as a
+    // double break after the space strip; doubled spaces collapse
+    assert(pdfToParagraphs("Zeile eins\nZeile zwei\n  \nAbsatz  zwei\n\n\n") ==
+      Seq("Zeile eins Zeile zwei", "Absatz zwei"))
+  }
+
   test("parser survives void elements, comments, raw script and stray close tags") {
     val html = """<!DOCTYPE html><!-- c --><div><br><script>if (a<b) x();</script>ok</div></span>"""
     val dom = HtmlDom.parse(html)
