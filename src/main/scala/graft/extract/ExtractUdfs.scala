@@ -121,6 +121,13 @@ object ExtractUdfs {
       (laws, rulings.map { case (u, t) => HtmlCite(u, t) })
     }
 
+  /** F39: full lower-court extraction (CH_BGer staged category regexes
+    * + court_chambers short-code resolution); null when the reference's
+    * exception-to-None paths abort.
+    */
+  val lowerCourt: UserDefinedFunction =
+    udf { header: String => LowerCourtExtractors.chBGer(header).orNull }
+
   /** F36: full name → extracted first name (reference preprocess_names) */
   val firstName: UserDefinedFunction =
     udf { name: String => PeopleExtractors.firstNameOf(name).orNull }

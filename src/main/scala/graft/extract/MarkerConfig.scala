@@ -110,11 +110,15 @@ object MarkerConfigLoader {
       expect('"')
       sb.toString
     }
+    // SeqMap: config files are resolved first-match in declaration
+    // order by some consumers (CourtChambers canton/court name lookup,
+    // mirroring the reference's dict-insertion-order iteration), so the
+    // parse must preserve it.
     def parseObject(): Map[String, Any] = {
       expect('{')
       ws()
-      if (i < s.length && s(i) == '}') { i += 1; return Map.empty }
-      val out = Map.newBuilder[String, Any]
+      if (i < s.length && s(i) == '}') { i += 1; return scala.collection.immutable.SeqMap.empty }
+      val out = scala.collection.immutable.SeqMap.newBuilder[String, Any]
       var done = false
       while (!done) {
         val k = parseString()

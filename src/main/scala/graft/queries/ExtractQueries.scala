@@ -379,6 +379,42 @@ object ExtractQueries extends QueryPack {
                 'BGE ' || (doc_id % 80 + 80) || ' II ' || (doc_id % 300 + 1) AS ruling_text
               FROM documents""")),
 
+    // ---- F39: full lower-court extraction — staged category regexes
+    // (court/canton/chamber/date/file-number, last-occurrence with
+    // high-prio override) + short-code resolution against the ported
+    // court_chambers table. Variants: DE canton path, FR high-prio
+    // path, federal path, the faithful unresolvable-federal-court
+    // abort, and a no-category-match null.
+    Q("x17_lower_court",
+      (s, d) => {
+        val header = expr(
+          """CASE CAST(doc_id % 5 AS INT)
+             WHEN 0 THEN 'A. ist X. Beschwerde gegen das Urteil des Obergerichts des Kantons Zürich, II. Zivilkammer, vom 12. März 2019 (LB180001).'
+             WHEN 1 THEN 'X. forme un recours contre l''arrêt du Tribunal cantonal du canton de Vaud, Chambre des recours civile, du 1er mars 2019.'
+             WHEN 2 THEN 'Gegenstand Haftentlassung, Beschwerde gegen das Urteil des Bundesverwaltungsgerichts vom 5. Oktober 2020.'
+             WHEN 3 THEN 'Gegenstand Beschwerde gegen das Urteil des Spezialgerichts vom 3. Januar 2021.'
+             ELSE 'In Sachen niemand.' END""")
+        Tables.documents(s, d)
+          .withColumn("lc", ExtractUdfs.lowerCourt(header))
+          .select(col("doc_id"),
+            col("lc.court").as("lc_court"),
+            col("lc.canton").as("lc_canton"),
+            col("lc.chamber").as("lc_chamber"),
+            col("lc.date").as("lc_date"),
+            col("lc.fileNumber").as("lc_file"))
+      },
+      Some("""SELECT doc_id,
+                CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'ZH_OG' WHEN 1 THEN 'VD_TC'
+                     WHEN 2 THEN 'CH_BVGE' END AS lc_court,
+                CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'ZH' WHEN 1 THEN 'VD'
+                     WHEN 2 THEN 'CH' END AS lc_canton,
+                CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'ZH_OG_001'
+                     WHEN 1 THEN 'VD_TC_010' END AS lc_chamber,
+                CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN '2019-03-12' WHEN 1 THEN '2019-03-01'
+                     WHEN 2 THEN '2020-10-05' END AS lc_date,
+                CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'LB180001' END AS lc_file
+              FROM documents""")),
+
     // ---- F36: offline gender enrichment — first-name extraction
     // (initials and titles skipped, reference preprocess_names) + the
     // bundled lookup table; unknown surnames stay null like the
