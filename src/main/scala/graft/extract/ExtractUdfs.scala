@@ -142,6 +142,14 @@ object ExtractUdfs {
   val composition: UserDefinedFunction =
     udf { header: String => PeopleExtractors.parseComposition(header) }
 
+  /** (spider, header) → court composition (F37 spider variants):
+    * per-spider header slicing + role vocabulary, shared engine;
+    * spiders without a config fall back to the whole-header parse
+    */
+  val compositionSpider: UserDefinedFunction =
+    udf { (spider: String, header: String) =>
+      PeopleExtractors.parseCompositionFor(spider, header) }
+
   /** Split a frame carrying a `<col>.error` field into (clean rows,
     * quarantine rows).
     */

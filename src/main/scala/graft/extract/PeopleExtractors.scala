@@ -98,6 +98,65 @@ object PeopleExtractors {
   def genderForName(name: String): Option[String] =
     firstNameOf(name).flatMap(f => nameGender.get(f.toLowerCase))
 
+  /** Per-spider composition variant (F37 spider functions,
+    * `court_composition_extracting_functions.py:252-519`): each spider
+    * contributes a header SLICE (start marker → end marker) plus any
+    * role vocabulary beyond the shared `-richter`/`-präsident`/clerk
+    * compounds; the parse engine itself is shared. `assumeJudge` mirrors
+    * the reference's `current_role = CourtRole.JUDGE` initial state —
+    * needed because the start markers (`Mitwirkende|Einzelrichter`)
+    * CONSUME the first role word, so a leading bare name is a judge.
+    */
+  final case class CompositionSpider(start: Regex, end: Regex,
+                                     unknownGenderJudges: Option[Regex] = None)
+
+  /** The reference's six explicitly-parameterized spiders
+    * (`court_composition_extracting_functions.py:252,304,345,388,435,480`).
+    * End markers here truncate at the match START — the reference keeps
+    * the marker then drops it again via `rsplit(' ', n)[0]`, which is
+    * the same region.
+    */
+  val compositionSpiders: Map[String, CompositionSpider] = Map(
+    "ZG_Verwaltungsgericht" -> CompositionSpider(
+      "Mitwirkende|Einzelrichter".r, "Urteil|Zwischenentscheid".r),
+    "ZH_Baurekurs" -> CompositionSpider(
+      "Mitwirkende".r, "in Sachen".r),
+    "ZH_Obergericht" -> CompositionSpider(
+      "Mitwirkend".r,
+      "Zirkulationsbeschluss vom|Beschluss vom|Urteil vom|Verfügung vom|Beschluss und|in Sachen".r),
+    "ZH_Sozialversicherungsgericht" -> CompositionSpider(
+      "Mitwirkende|Einzelrichter|Kammer".r, "Urteil vom|in Sachen".r),
+    "ZH_Steuerrekurs" -> CompositionSpider(
+      "Mitwirkend".r, "[Ii]n Sachen".r,
+      // roles with no grammatical gender (`:457-459`)
+      unknownGenderJudges = Some("(?i)(ersatz)?mitglied(er)?".r)),
+    "ZH_Verwaltungsgericht" -> CompositionSpider(
+      "Mitwirkend".r, "[Ii]n Sachen".r))
+
+  // spaced-capitals document-kind words regularized before slicing
+  // (`:274-277`) so the end markers can match them
+  private def regularizeSpaced(h: String): String = h
+    .replace("U R T E I L", "Urteil").replace("U R TE I L", "Urteil")
+    .replace("URTEIL", "Urteil")
+    .replace("Z W I S C H E N E N T S C H E I D", "Zwischenentscheid")
+
+  /** Spider-dispatched composition parse: slice the header region per
+    * the spider's markers, then run the shared engine; spiders without
+    * a config use the generic whole-header parse (XX_SPIDER shape).
+    */
+  def parseCompositionFor(spider: String, header: String): CourtComposition =
+    compositionSpiders.get(if (spider == null) "" else spider) match {
+      case None => parseComposition(header)
+      case Some(c) =>
+        if (header == null) return CourtComposition(None, Nil, Nil)
+        val h = regularizeSpaced(header)
+        val afterStart = c.start.findFirstMatchIn(h)
+          .map(m => h.substring(m.end)).getOrElse(h)
+        val sliced = c.end.findFirstMatchIn(afterStart)
+          .map(m => afterStart.substring(0, m.start)).getOrElse(afterStart)
+        parseComposition(sliced, c.unknownGenderJudges, assumeJudge = true)
+    }
+
   /** Parse a composition header (any of the reference's layouts: role
     * keyword per name, plural role + name list, combined judge+clerk
     * lines, title noise) into president/judges/clerks. Token-stream
@@ -105,12 +164,19 @@ object PeopleExtractors {
     * separators flush the accumulated name, president appositions mark
     * the preceding person, stop words end the block.
     */
-  def parseComposition(header: String): CourtComposition = {
+  def parseComposition(header: String): CourtComposition =
+    parseComposition(header, None, assumeJudge = false)
+
+  def parseComposition(header: String, unknownGenderJudges: Option[Regex],
+                       assumeJudge: Boolean): CourtComposition = {
     if (header == null) return CourtComposition(None, Nil, Nil)
     var judges = Vector.empty[Person]
     var clerks = Vector.empty[Person]
     var president: Option[Person] = None
-    var role: String = "" // "", "judge", "clerk"
+    // sliced spider headers start in judge context (the start marker
+    // consumed the first role word) — `find_composition`'s initial
+    // `current_role = CourtRole.JUDGE`
+    var role: String = if (assumeJudge) "judge" else "" // "", "judge", "clerk"
     var gender: Option[String] = None
     var presidentNext = false
     var buf = Vector.empty[String]
@@ -155,11 +221,27 @@ object PeopleExtractors {
       else if (clerkRole.matches(tok)) {
         flush(); role = "clerk"; gender = Some(if (femaleRole(tok)) "f" else "m")
       }
+      // spider-specific roles with no grammatical gender (Mitglied,
+      // Ersatzmitglied — ZH_Steuerrekurs `:457-459`): judge, gender
+      // left for the offline-table enrichment
+      else if (unknownGenderJudges.exists(_.matches(tok))) {
+        flush(); role = "judge"; gender = None
+      }
       else if (role.nonEmpty && buf.isEmpty && femaleModifier.matches(tok)) gender = Some("f")
       else if (role.nonEmpty && buf.isEmpty && maleModifier.matches(tok)) gender = Some("m")
       else if (presidentApposition.matches(tok) && (buf.nonEmpty || last.isDefined)) {
         flush()
         if (president.isEmpty) president = last
+      }
+      // leading form "Präsident Niklaus" (find_composition case 1,
+      // `court_composition_extracting_functions.py:664-681`): no person
+      // parsed yet, so the NEXT flushed person is the president
+      else if (presidentApposition.matches(tok) && role.nonEmpty) {
+        // gender only from the gendered -präsident forms; bare Vorsitz
+        // keeps the running gender (`:674-678`)
+        if (tok.toLowerCase.contains("präsid") || tok.toLowerCase.contains("présid"))
+          gender = Some(if (femaleRole(tok)) "f" else "m")
+        presidentNext = true
       }
       else if (low == "und" || low == "sowie" || low == "e") flush()
       else if (role.nonEmpty) {

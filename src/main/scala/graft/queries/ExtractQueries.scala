@@ -415,6 +415,44 @@ object ExtractQueries extends QueryPack {
                 CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'LB180001' END AS lc_file
               FROM documents""")),
 
+    // ---- F37 spider variants: per-spider composition configs (header
+    // slice + role vocabulary) dispatched on the spider column; the
+    // oracle reconstructs the expected president/judges/clerk fields
+    // per spider shape. Covers presiding-role presidents, Mitglied
+    // unknown-gender judges, and start-marker consumption.
+    Q("x18_spider_composition",
+      (s, d) => {
+        val spider = expr(
+          """CASE CAST(doc_id % 4 AS INT)
+             WHEN 0 THEN 'ZH_Obergericht' WHEN 1 THEN 'ZH_Steuerrekurs'
+             WHEN 2 THEN 'ZG_Verwaltungsgericht'
+             ELSE 'ZH_Verwaltungsgericht' END""")
+        val header = expr(
+          """CASE CAST(doc_id % 4 AS INT)
+             WHEN 0 THEN concat('Obergericht des Kantons Zürich Mitwirkend: Oberrichter A. Meier, Vorsitzender, Oberrichterin B. Huber, Gerichtsschreiber C', CAST(doc_id AS STRING), ' Beschluss vom 5. Mai 2019 in Sachen X gegen Y')
+             WHEN 1 THEN concat('Steuerrekursgericht Mitwirkend Abteilungspräsident Hans Mäder, Ersatzmitglied Clara Muster und Gerichtsschreiberin S', CAST(doc_id AS STRING), ' In Sachen A gegen B')
+             WHEN 2 THEN concat('Verwaltungsgericht des Kantons Zug Mitwirkende Richter Adrian Will, Richterin Ines Stocker, Gerichtsschreiber P', CAST(doc_id AS STRING), ' Urteil vom 1. Juni 2020')
+             ELSE concat('Verwaltungsgericht des Kantons Zürich Mitwirkend: Abteilungspräsident Rico Steiner, Verwaltungsrichterin Lea Koch, Gerichtsschreiber M', CAST(doc_id AS STRING), ' In Sachen A gegen B') END""")
+        Tables.documents(s, d)
+          .withColumn("comp", ExtractUdfs.compositionSpider(spider, header))
+          .select(col("doc_id"),
+            size(col("comp.judges")).cast("bigint").as("n_judges"),
+            col("comp.president.name").as("president"),
+            element_at(col("comp.judges"), 2).getField("gender").as("judge2_gender"),
+            element_at(col("comp.clerks"), 1).getField("name").as("clerk_name"),
+            element_at(col("comp.clerks"), 1).getField("gender").as("clerk_gender"))
+      },
+      Some("""SELECT doc_id,
+                cast(2 as bigint) AS n_judges,
+                CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'A. Meier'
+                     WHEN 1 THEN 'Hans Mäder' WHEN 3 THEN 'Rico Steiner' END AS president,
+                CASE CAST(doc_id % 4 AS INT) WHEN 1 THEN NULL ELSE 'f' END AS judge2_gender,
+                CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'C' || doc_id
+                     WHEN 1 THEN 'S' || doc_id WHEN 2 THEN 'P' || doc_id
+                     ELSE 'M' || doc_id END AS clerk_name,
+                CASE CAST(doc_id % 4 AS INT) WHEN 1 THEN 'f' ELSE 'm' END AS clerk_gender
+              FROM documents""")),
+
     // ---- F36: offline gender enrichment — first-name extraction
     // (initials and titles skipped, reference preprocess_names) + the
     // bundled lookup table; unknown surnames stay null like the
