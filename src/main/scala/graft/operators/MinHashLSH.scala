@@ -174,14 +174,23 @@ object MinHashLSH {
     // (~8 MB) inside one task — fine; a 10k bucket would be 50M pairs
     // (~1 GB in one row) — measured to stall a 32-core box. Hot
     // buckets pay a shuffle instead, which AQE splits.
-    // signatures are the dominant cost and feed three consumers (size
+    // signatures are the dominant cost and feed every consumer (size
     // count, cold path, hot path) — persist; Spark's ContextCleaner
     // reclaims the blocks once the result plan is garbage-collected.
     val b = bands(docs, idCol, wordsCol, k, rowsPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hot = b.groupBy("band", "h").agg(count(lit(1)).as("__n"))
-      .where(col("__n") > bucketCap).select("band", "h")
-    val cold = b.join(broadcast(hot), Seq("band", "h"), "left_anti")
+    // Hot-bucket detection is a BOUNDED driver action: a hot bucket
+    // holds > bucketCap rows, so there exist at most rows/bucketCap of
+    // them — the collected key set is O(N/cap) regardless of skew.
+    // Materializing the persisted bands here also means the signature
+    // UDF runs exactly once for the whole operator. With no hot
+    // buckets (the overwhelmingly common shape) the result is the
+    // plain single-pipeline plan reading from cache — the cap then
+    // costs one in-memory count pass instead of two broadcast probes,
+    // a union, and a wider distinct.
+    val hotKeys = b.groupBy("band", "h").agg(count(lit(1)).as("__n"))
+      .where(col("__n") > bucketCap).select("band", "h").collect()
+    def expand(src: DataFrame): DataFrame = src
       .groupBy("band", "h")
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .where(size(col("ids")) > 1)
@@ -190,12 +199,19 @@ object MinHashLSH {
            transform(slice(ids, i + 2, size(ids)), y -> struct(x AS ia, y AS ib))))"""))
         .as("p"))
       .select(col("p.ia"), col("p.ib"))
-    val hotRows = b.join(broadcast(hot), Seq("band", "h"), "left_semi")
-    val hotPairs = hotRows.select(col("band"), col("h"), col(idCol).as("ia"))
-      .join(hotRows.select(col("band"), col("h"), col(idCol).as("ib")),
-        Seq("band", "h"))
-      .where(col("ia") < col("ib"))
-      .select(col("ia"), col("ib"))
-    cold.union(hotPairs).distinct()
+    if (hotKeys.isEmpty) expand(b).distinct()
+    else {
+      val spark = docs.sparkSession
+      val hot = spark.createDataFrame(
+        java.util.Arrays.asList(hotKeys: _*), b.select("band", "h").schema)
+      val cold = expand(b.join(broadcast(hot), Seq("band", "h"), "left_anti"))
+      val hotRows = b.join(broadcast(hot), Seq("band", "h"), "left_semi")
+      val hotPairs = hotRows.select(col("band"), col("h"), col(idCol).as("ia"))
+        .join(hotRows.select(col("band"), col("h"), col(idCol).as("ib")),
+          Seq("band", "h"))
+        .where(col("ia") < col("ib"))
+        .select(col("ia"), col("ib"))
+      cold.union(hotPairs).distinct()
+    }
   }
 }

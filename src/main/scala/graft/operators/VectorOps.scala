@@ -102,9 +102,12 @@ object VectorOps {
     // would hold 10k vectors in ONE row.
     val v = e.select("vec_id", "v", "nn", "bucket")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hot = v.groupBy("bucket").agg(count(lit(1)).as("__n"))
-      .where(col("__n") > bucketCap).select("bucket")
-    val cold = v.join(broadcast(hot), Seq("bucket"), "left_anti")
+    // bounded driver action (≤ rows/bucketCap keys — see
+    // MinHashLSH.candidatePairs); with no hot buckets the plan is the
+    // plain one-path collect from cache, no broadcast probes/union
+    val hotKeys = v.groupBy("bucket").agg(count(lit(1)).as("__n"))
+      .where(col("__n") > bucketCap).select("bucket").collect()
+    def coldPairs(src: DataFrame): DataFrame = src
       .groupBy("bucket")
       .agg(collect_list(col("vec_id")).as("ids"),
         collect_list(col("v")).as("vs"),
@@ -112,16 +115,23 @@ object VectorOps {
       .select(explode(bucketPairsUdf(
         col("ids"), col("vs"), col("nns"), lit(minCos))).as("p"))
       .select(col("p._1").as("ia"), col("p._2").as("ib"), col("p._3").as("cos"))
-    val hotRows = v.join(broadcast(hot), Seq("bucket"), "left_semi")
-    val hotPairs = hotRows.select(col("bucket"), col("vec_id").as("ia"),
-        col("v").as("va"), col("nn").as("na"))
-      .join(hotRows.select(col("bucket"), col("vec_id").as("ib"),
-        col("v").as("vb"), col("nn").as("nb")), Seq("bucket"))
-      .where(col("ia") < col("ib"))
-      .withColumn("cos", cosine("va", "vb", "na", "nb"))
-      .where(col("cos") > minCos)
-      .select(col("ia"), col("ib"), col("cos"))
-    cold.union(hotPairs)
+    if (hotKeys.isEmpty) coldPairs(v)
+    else {
+      val spark = e.sparkSession
+      val hot = spark.createDataFrame(
+        java.util.Arrays.asList(hotKeys: _*), v.select("bucket").schema)
+      val cold = coldPairs(v.join(broadcast(hot), Seq("bucket"), "left_anti"))
+      val hotRows = v.join(broadcast(hot), Seq("bucket"), "left_semi")
+      val hotPairs = hotRows.select(col("bucket"), col("vec_id").as("ia"),
+          col("v").as("va"), col("nn").as("na"))
+        .join(hotRows.select(col("bucket"), col("vec_id").as("ib"),
+          col("v").as("vb"), col("nn").as("nb")), Seq("bucket"))
+        .where(col("ia") < col("ib"))
+        .withColumn("cos", cosine("va", "vb", "na", "nb"))
+        .where(col("cos") > minCos)
+        .select(col("ia"), col("ib"), col("cos"))
+      cold.union(hotPairs)
+    }
   }
 
   // ------------------------------------------------------------------- IVF
