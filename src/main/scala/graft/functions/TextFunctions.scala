@@ -197,6 +197,37 @@ object TextFunctions {
     * as B-label/I-label, O elsewhere
     * (`citation_extraction_dataset_creator.py:362-395`).
     */
+  /** F33 proper tier: locale-aware sentence segmentation via the JDK's
+    * UAX-#29 BreakIterator (the reference uses nltk sent_tokenize,
+    * `fundamental_importance.py:216-225`). Unlike the regex tier (t8),
+    * this keeps "Art. 5 Abs. 2", "Nr. 7", "E. 5.1 S. 426" together —
+    * an abbreviation period followed by a NUMBER never breaks (ATerm ×
+    * Numeric). Known caveat: an abbreviation followed by an uppercase
+    * word ("Vgl. BGE…") still breaks, as in any dictionary-free
+    * segmenter. Pure per-row function, zero shuffle.
+    */
+  def sentencesIcu(text: String, lang: String): Seq[String] = {
+    if (text == null) return Seq.empty
+    val locale = lang match {
+      case "fr" => java.util.Locale.FRENCH
+      case "it" => java.util.Locale.ITALIAN
+      case "en" => java.util.Locale.ENGLISH
+      case _    => java.util.Locale.GERMAN
+    }
+    val bi = java.text.BreakIterator.getSentenceInstance(locale)
+    bi.setText(text)
+    val out = Vector.newBuilder[String]
+    var start = bi.first()
+    var end = bi.next()
+    while (end != java.text.BreakIterator.DONE) {
+      val s = text.substring(start, end).trim
+      if (s.nonEmpty) out += s
+      start = end
+      end = bi.next()
+    }
+    out.result()
+  }
+
   def bioLabels(text: String, spans: Seq[(Int, Int, String)]): Seq[(String, String)] = {
     if (text == null) return Seq.empty
     val tokenRe = "[\\w]+|[^\\s\\w]".r

@@ -116,6 +116,30 @@ object TextQueries extends QueryPack {
                       len(list_filter(w, x -> x IN $stopFr)) AS fr
                     FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))""")),
 
+    // ---- Language-ID, trigram tier (F35 proper): the character-
+    // n-gram linear scorer (functions.LangId — fastText's model family,
+    // JVM-native, deterministic) classifying synthesized sentences of
+    // KNOWN language, including morphology its seed lists never saw;
+    // the oracle is the ground-truth label. Per-row compiled pass, no
+    // shuffle — the 100 TB shape is a map.
+    Q("t10_langid_trigram",
+      (s, d) => {
+        val langIdUdf = udf { t: String => graft.functions.LangId.detect(t) }
+        val body = expr(
+          """CASE CAST(doc_id % 5 AS INT)
+             WHEN 0 THEN 'Das Verwaltungsgericht weist die Beschwerde ab und auferlegt die Verfahrenskosten der unterliegenden Partei.'
+             WHEN 1 THEN 'Le tribunal cantonal déclare le recours irrecevable et met les frais à la charge de la recourante.'
+             WHEN 2 THEN 'Il tribunale federale respinge il ricorso e pone le spese giudiziarie a carico della parte soccombente.'
+             WHEN 3 THEN 'The federal court dismisses the appeal and orders the losing party to bear the costs of the proceedings.'
+             ELSE 'zzz qqq xxx 12345' END""")
+        Tables.documents(s, d)
+          .select(col("doc_id"), langIdUdf(body).as("lang"))
+      },
+      Some("""SELECT doc_id,
+                CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'de' WHEN 1 THEN 'fr'
+                     WHEN 2 THEN 'it' WHEN 3 THEN 'en' ELSE 'unk' END AS lang
+              FROM documents""")),
+
     // ---- Corpus term/document frequency (A3/A5/A14): explode + count
     // with map-side partial agg; the shuffle carries ≤|vocab| rows/task.
     Q("t4_term_frequency",
@@ -163,6 +187,31 @@ object TextQueries extends QueryPack {
                 trim(regexp_replace('  ' || upper(substr(text, 1, 10)) || chr(9) || text || '   ',
                   '\s+', ' ', 'g')) AS cleaned
               FROM documents""")),
+
+    // ---- F33 proper tier: UAX-#29 BreakIterator segmentation (see
+    // TextFunctions.sentencesIcu) — survives the abbreviation-number
+    // sequences the regex tier would shred ("Art. 5 Abs. 2", "Nr. 7");
+    // the oracle enumerates the known segmentation of the synthesized
+    // prose. Per-row map, no shuffle.
+    Q("t11_sentence_icu",
+      (s, d) => {
+        val sentUdf = udf { t: String =>
+          graft.functions.TextFunctions.sentencesIcu(t, "de") }
+        Tables.documents(s, d)
+          .withColumn("prose", concat(
+            lit("Die Beschwerde wird abgewiesen. Gemäss Art. 5 Abs. 2 ist der Fall Nr. "),
+            col("doc_id").cast("string"),
+            lit(" klar? Das Gericht entscheidet heute!")))
+          .select(col("doc_id"),
+            posexplode(sentUdf(col("prose"))).as(Seq("sentence_idx", "sentence")))
+          .select(col("doc_id"), col("sentence_idx").cast("bigint").as("sentence_idx"),
+            col("sentence"))
+      },
+      Some("""SELECT d.doc_id, CAST(s.idx AS BIGINT) AS sentence_idx,
+                CASE s.idx WHEN 0 THEN 'Die Beschwerde wird abgewiesen.'
+                     WHEN 1 THEN 'Gemäss Art. 5 Abs. 2 ist der Fall Nr. ' || d.doc_id || ' klar?'
+                     ELSE 'Das Gericht entscheidet heute!' END AS sentence
+              FROM documents d CROSS JOIN (VALUES (0),(1),(2)) AS s(idx)""")),
 
     // ---- F33: sentence tokenization — split synthesized multi-sentence
     // text on terminal punctuation, explode, per-sentence word counts
