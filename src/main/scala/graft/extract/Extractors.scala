@@ -135,8 +135,16 @@ object Extractors {
     * Python's re defaults, `.` does not cross newlines and `$` is
     * end-of-input.
     */
-  private def searchRuling(text: String, start: String, end: String): Option[String] =
-    s"$start\\.(.+?)(?:$end\\.|$$)".r.findFirstMatchIn(text).map(_.group(1))
+  // clause patterns depend only on (start, end) — a handful of values
+  // (1..n arabic + roman) recompiled per ROW otherwise; cached per JVM
+  private val clauseRegexCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Regex]()
+
+  private def searchRuling(text: String, start: String, end: String): Option[String] = {
+    val re = clauseRegexCache.computeIfAbsent((start, end),
+      { case (a, b) => s"$a\\.(.+?)(?:$b\\.|$$)".r })
+    re.findFirstMatchIn(text).map(_.group(1))
+  }
 
   /** `get_nth_ruling` (`:298-316`): arabic clause boundaries first,
     * roman-numeral retry.
