@@ -32,8 +32,13 @@ object CriticalityDataset {
     val freq = docs.groupBy(col("cited_key").as("own_key"))
       .agg(count(lit(1)).as("freq"), max("year").as("last_cite_year"))
 
-    val labeled = freq.withColumn("label", concat(lit("critical-"),
-      ntile(4).over(Window.orderBy(col("freq").desc, col("own_key"))).cast("string")))
+    // freq is bounded by the distinct-cited-ruling vocabulary; the
+    // distributed ntile (operators.GlobalRank) still avoids funneling
+    // it through one partition at corpus scale
+    val labeled = graft.operators.GlobalRank.ntileGlobal(freq, 4,
+      Seq(col("freq").desc, col("own_key")), "__q")
+      .withColumn("label", concat(lit("critical-"), col("__q").cast("string")))
+      .drop("__q")
 
     docs.join(broadcast(labeled), Seq("own_key"), "left")
       .withColumn("label", coalesce(col("label"), lit("non-critical")))

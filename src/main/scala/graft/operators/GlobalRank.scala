@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global ranking / ntile (W3).
+  *
+  * `Window.orderBy(...)` with no partition key funnels the ENTIRE table
+  * through one partition — fine for a 1 500-row aggregate, fatal for a
+  * raw fact table at 100 TB. This operator computes the same total
+  * order distributed:
+  *
+  *  1. `repartitionByRange` on the sort key (parallel range exchange),
+  *     then sort within partitions — partitions are now ordered blocks
+  *     of the global sort.
+  *  2. `monotonically_increasing_id` AFTER the sort gives each row its
+  *     partition id (upper bits) and its 0-based position within the
+  *     partition (lower 33 bits) with no further shuffle — the id is
+  *     nondeterministic in general, which is exactly why the optimizer
+  *     will not reorder it across the sort.
+  *  3. Per-partition row counts (one row per partition — tiny) turn
+  *     into prefix offsets with a window over ≤ numPartitions rows;
+  *     global rank = offset[pid] + local position + 1 via a broadcast
+  *     join. Only the offset table is ever single-partition, never the
+  *     data.
+  *
+  * The ntile bucket follows the SQL-standard formula (first `n mod k`
+  * buckets get the extra row), so results match `ntile(k) OVER
+  * (ORDER BY ...)` exactly — asserted against Spark's own window ntile
+  * in `GlobalRankSpec`. The sort columns must define a TOTAL order
+  * (include a tiebreaker key) for the assignment to be deterministic.
+  */
+object GlobalRank {
+
+  private val LocalBits = 33 // monotonically_increasing_id layout
+  private val LocalMask = (1L << LocalBits) - 1
+
+  /** Append `rankCol` (1-based global rank by `sortCols`). */
+  def withGlobalRank(df: DataFrame, sortCols: Seq[Column],
+                     rankCol: String): DataFrame = {
+    val parted = df
+      .repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", shiftRight(col("__mid"), LocalBits))
+      .withColumn("__local", col("__mid").bitwiseAND(lit(LocalMask)))
+    val counts = parted.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+    val offsets = counts.withColumn("__offset",
+      coalesce(sum("__cnt").over(
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("__pid", "__offset")
+    parted.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(rankCol, col("__offset") + col("__local") + 1)
+      .drop("__mid", "__pid", "__local", "__offset")
+  }
+
+  /** Append `bucketCol` = ntile(`buckets`) over the global `sortCols`
+    * order, distributed (see class doc).
+    */
+  def ntileGlobal(df: DataFrame, buckets: Int, sortCols: Seq[Column],
+                  bucketCol: String): DataFrame = {
+    val ranked = withGlobalRank(df, sortCols, "__rank")
+    // total row count rides along as a 1-row broadcast
+    val total = ranked.agg(count(lit(1)).as("__n"))
+    val k = lit(buckets.toLong)
+    ranked.crossJoin(broadcast(total))
+      .withColumn(bucketCol, {
+        // Column `/` is true division — use explicit integral div
+        def idiv(a: Column, b: Column): Column = floor(a / b).cast("long")
+        val n = col("__n")
+        val base = idiv(n, k)
+        val rem = n % k
+        val cut = rem * (base + 1)       // rows covered by the big buckets
+        when(col("__rank") <= cut, idiv(col("__rank") - 1, base + 1) + 1)
+          .otherwise(rem + idiv(col("__rank") - cut - 1, base) + 1)
+      })
+      .drop("__rank", "__n")
+  }
+}

@@ -222,10 +222,15 @@ object RelationalQueries extends QueryPack {
     // ---- W3/A8: ntile quartile labels (criticality labels in the
     // reference). Global-order window: fine for label vocab; at 100 TB the
     // input to it is an aggregate, never the raw fact table.
+    // distributed global ntile (operators.GlobalRank): range-partition +
+    // local index + broadcast prefix offsets — identical assignment to
+    // `ntile OVER (ORDER BY …)` (GlobalRankSpec) without funneling the
+    // table through one partition. The single-partition work is the
+    // per-partition count table, never the data.
     Q("w3_ntile_quartiles",
-      (s, d) => Tables.customer(s, d)
-        .withColumn("quartile",
-          ntile(4).over(Window.orderBy(col("c_acctbal"), col("c_custkey"))).cast("bigint"))
+      (s, d) => graft.operators.GlobalRank.ntileGlobal(
+        Tables.customer(s, d), 4,
+        Seq(col("c_acctbal"), col("c_custkey")), "quartile")
         .select("c_custkey", "quartile"),
       Some("""SELECT c_custkey, cast(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) as bigint) AS quartile
               FROM customer""")),

@@ -119,10 +119,12 @@ object StatsQueries extends QueryPack {
           (col("doc_id") % 20 + 2000).as("cite_year"))
         val freq = cites.groupBy("volume", "book", "page")
           .agg(count(lit(1)).as("freq"), max("cite_year").as("last_year"))
-        freq
-          .withColumn("label", concat(lit("critical-"),
-            ntile(4).over(Window.orderBy(col("freq").desc,
-              col("volume"), col("book"), col("page"))).cast("string")))
+        // freq is vocabulary-bounded (distinct cited rulings), but the
+        // distributed ntile keeps even that out of a single partition
+        graft.operators.GlobalRank.ntileGlobal(freq, 4,
+          Seq(col("freq").desc, col("volume"), col("book"), col("page")), "__q")
+          .withColumn("label", concat(lit("critical-"), col("__q").cast("string")))
+          .drop("__q")
           .withColumn("score", round(col("freq") *
             (col("last_year") - 2000).cast("double") / 20, 6))
           .select("volume", "book", "page", "freq", "label", "score")

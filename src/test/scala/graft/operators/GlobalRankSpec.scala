@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** GlobalRank must equal Spark's own single-partition window ntile on
+  * every row — same formula, distributed plan.
+  */
+class GlobalRankSpec extends SparkSpec {
+
+  test("global rank equals row_number over the unpartitioned window") {
+    import spark.implicits._
+    val df = (1 to 997).map(i => ((i * 7919) % 1000, i)).toDF("v", "id")
+      .repartition(13)
+    val got = GlobalRank.withGlobalRank(df, Seq(col("v"), col("id")), "r")
+    val want = df.withColumn("r",
+      row_number().over(Window.orderBy("v", "id")).cast("long"))
+    assert(got.select("v", "id", "r").except(want.select("v", "id", "r")).isEmpty)
+    assert(want.select("v", "id", "r").except(got.select("v", "id", "r")).isEmpty)
+  }
+
+  test("ntileGlobal equals window ntile, including uneven buckets") {
+    import spark.implicits._
+    for (n <- Seq(7, 100, 1001); k <- Seq(3, 4)) {
+      val df = (1 to n).map(i => ((i * 31) % 97, i)).toDF("v", "id")
+        .repartition(7)
+      val got = GlobalRank.ntileGlobal(df, k, Seq(col("v"), col("id")), "q")
+      val want = df.withColumn("q",
+        ntile(k).over(Window.orderBy("v", "id")).cast("long"))
+      assert(got.select("id", "q").except(want.select("id", "q")).isEmpty,
+        s"n=$n k=$k")
+      assert(want.select("id", "q").except(got.select("id", "q")).isEmpty,
+        s"n=$n k=$k")
+    }
+  }
+
+  test("plan range-partitions the data instead of a single partition") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i % 10, i)).toDF("v", "id")
+    val plan = GlobalRank.withGlobalRank(df, Seq(col("v"), col("id")), "r")
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("rangepartitioning"))
+  }
+
+  test("empty input yields empty output") {
+    import spark.implicits._
+    val df = Seq.empty[(Int, Int)].toDF("v", "id")
+    assert(GlobalRank.ntileGlobal(df, 4, Seq(col("v")), "q").count() == 0)
+  }
+}
