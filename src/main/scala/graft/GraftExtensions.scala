@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.{CosineSim, CounterMerge, TextFunctions, Uuid3}
+import graft.functions.{CosineSim, CounterMerge, MinHashSig, TextFunctions, Uuid3}
 
 /** Session extension point: registers graft's native functions so SQL
   * users get them without touching the Scala API.
@@ -20,6 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       CounterMerge.info, CounterMerge.builder))
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       CosineSim.info, CosineSim.builder))
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      MinHashSig.info, MinHashSig.builder))
   }
 }
 
@@ -35,6 +37,8 @@ object GraftExtensions {
       CounterMerge.info, CounterMerge.builder)
     reg.registerFunction(FunctionIdentifier("cosine_sim"),
       CosineSim.info, CosineSim.builder)
+    reg.registerFunction(FunctionIdentifier("minhash_sig"),
+      MinHashSig.info, MinHashSig.builder)
   }
 
   /** UDF-backed helpers (no codegen need): RFC uuid5 decision ids,

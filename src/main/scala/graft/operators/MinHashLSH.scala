@@ -114,7 +114,16 @@ object MinHashLSH {
   def bands(docs: DataFrame, idCol: String, wordsCol: Column, k: Int,
             rowsPerBand: Int = 1): DataFrame = {
     require(k % rowsPerBand == 0, s"k=$k must be a multiple of rowsPerBand=$rowsPerBand")
-    val sig = docs.withColumn("__sig", fusedSignatureUdf(k)(wordsCol))
+    // native codegen'd signature (functions.MinHashSig): bit-identical
+    // to fusedSignatureUdf, ~1.8x on the dominant per-row cost — hashes
+    // the array's raw UTF-8 bytes, no String materialization, and hex-
+    // encodes only the k final minima. One divergence by design: a
+    // NULL words column yields a NULL signature (not an array of k
+    // nulls); both shapes vanish at the existing null filters.
+    graft.GraftExtensions.registerNative(docs.sparkSession)
+    val sig = docs.withColumn("__words", wordsCol)
+      .withColumn("__sig", expr(s"minhash_sig(__words, $k)"))
+      .drop("__words")
     if (rowsPerBand == 1)
       sig.select(col(idCol), posexplode(col("__sig")).as(Seq("band", "h")))
         .where(col("h").isNotNull)
