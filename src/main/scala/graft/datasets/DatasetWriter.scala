@@ -48,4 +48,30 @@ object DatasetWriter {
         overview.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap)
     } finally { cached.unpersist(); () }
   }
+
+  /** Reference `save_sub_datasets` (dataset_creator.py:941-1004):
+    * per-attribute dataset slices (input-length band, year, legal
+    * area, region, canton, court, chamber). The reference loops one
+    * filtered write per slice value; here each slice FAMILY is a
+    * single `partitionBy(slice, split)` write — directory-per-value
+    * from one pass over the data, which is the shape that survives a
+    * 1000-way slice at corpus scale. `slices` maps family name → the
+    * labeling column (a category column or a derived band such as
+    * `floor(n_tokens / 512)`); null labels route to `__other`.
+    * Returns rows written per family.
+    */
+  def subDatasets(ds: DataFrame, outRoot: String,
+                  slices: Map[String, org.apache.spark.sql.Column]): Map[String, Long] = {
+    val cached = ds.persist()
+    try {
+      slices.map { case (name, labelCol) =>
+        val sliced = cached
+          .withColumn(name, coalesce(labelCol.cast("string"), lit("__other")))
+        sliced.write.mode("overwrite")
+          .partitionBy(name, "split")
+          .json(s"$outRoot/by_$name")
+        name -> sliced.count()
+      }
+    } finally { cached.unpersist(); () }
+  }
 }
