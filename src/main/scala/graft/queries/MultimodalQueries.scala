@@ -42,6 +42,24 @@ object MultimodalQueries extends QueryPack {
               FROM (SELECT doc_id, n_bytes, n_frames, unnest(range(n_frames)) AS f
                     FROM meta)""")),
 
+    // ---- S3 PDF ingest round-trip: synthesize a real single-page PDF
+    // per row (even ids FlateDecode-compressed, odd ids plain —
+    // exercising both decode paths of sources.PdfText), extract its
+    // text natively (JDK-only: Inflater + Tj/TJ operand scan), compare
+    // to the ground-truth text. Per-row map, binary never leaves the
+    // executors.
+    Q("m3_pdf_text",
+      (s, d) => {
+        val mkPdf = udf { id: Long =>
+          graft.sources.PdfText.synthesize(s"Urteil Nr. $id (rechtskräftig)", id % 2 == 0) }
+        Tables.documents(s, d)
+          .withColumn("pdf_raw", mkPdf(col("doc_id")))
+          .select(col("doc_id"),
+            graft.sources.Ingest.pdfTextUdf(col("pdf_raw")).as("pdf_text"))
+      },
+      Some("""SELECT doc_id, 'Urteil Nr. ' || doc_id || ' (rechtskräftig)' AS pdf_text
+              FROM documents""")),
+
     // ---- Sliding 1-hour windows every 15 min (batch dual of
     // streaming.EventStreams.slidingCounts): each row lands in exactly 4
     // windows — explode the 4 offsets, then one hash agg.

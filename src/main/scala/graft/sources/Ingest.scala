@@ -13,12 +13,23 @@ import org.apache.spark.sql.functions._
   *    stem join is a plain shuffle equi-join on a short key.
   *  - S7: line-oriented side inputs (`bge_references_found.txt`) →
   *    `spark.read.text` + split projections.
-  *  - S3/S4 (Tika PDF, DOM HTML) are pluggable per-row decoders on the
-  *    payload bytes — same batch shape as multimodal.MediaPipeline
-  *    (this container has no Tika/jsoup; functions.TextFunctions
-  *    .htmlToText covers the well-formed-HTML path).
+  *  - S3: PDF payloads decode through `pdfTextUdf` — the native
+  *    minimal extractor (sources.PdfText: FlateDecode + Tj/TJ
+  *    operators, JDK-only). Tika is the drop-in upgrade for
+  *    encrypted/CID-font files in the same UDF slot.
+  *  - S4 (DOM HTML): pluggable per-row decoder on the payload bytes;
+  *    functions.TextFunctions.htmlToText covers the well-formed path
+  *    (no jsoup in this container).
   */
 object Ingest {
+
+  /** S3: pdf_raw bytes → text (null = undecodable → quarantine), the
+    * reference's `text_to_database.py:256-287` semantics minus the
+    * 300 s subprocess timeout Tika needed (this decoder is in-process
+    * and bounded by the scan).
+    */
+  val pdfTextUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { bytes: Array[Byte] => PdfText.extract(bytes) }
 
   private def stem(pathCol: org.apache.spark.sql.Column) =
     regexp_extract(pathCol, "([^/]+)\\.[a-z]+$", 1)
