@@ -69,28 +69,40 @@ object TextQueries extends QueryPack {
               FROM (SELECT doc_id, text || ' it''s v2.0 (no. 42)!' AS body
                     FROM documents)""")),
 
-    // ---- Quality scoring: stopword ratio + length → quality bucket.
+    // ---- Quality scoring: length + stopword ratio + punctuation
+    // ratio → quality bucket (the training-data triad; explicit ASCII
+    // punctuation class so both regex engines count identically).
     Q("t2_quality_score",
-      (s, d) => Tables.documents(s, d)
-        .withColumn("w", split(col("text"), " "))
-        .withColumn("stop_ratio", round(
-          size(expr(s"filter(w, x -> x IN $stopEn)")).cast("double") / size(col("w")), 6))
-        .select(
-          col("doc_id"),
-          col("n_chars").cast("bigint").as("n_chars"),
-          size(col("w")).cast("bigint").as("n_tokens"),
-          col("stop_ratio"),
-          when(col("n_chars") < 100, "too_short")
-            .when(col("stop_ratio") > lit(0.15), "boilerplate")
-            .otherwise("ok").as("quality")),
+      (s, d) => {
+        val punct = "[!-/:-@\\[-`{-~]"
+        Tables.documents(s, d)
+          .withColumn("w", split(col("text"), " "))
+          .withColumn("stop_ratio", round(
+            size(expr(s"filter(w, x -> x IN $stopEn)")).cast("double") / size(col("w")), 6))
+          .withColumn("punct_ratio", round(
+            size(regexp_extract_all(col("text"), lit(punct), lit(0))).cast("double") /
+              col("n_chars"), 6))
+          .select(
+            col("doc_id"),
+            col("n_chars").cast("bigint").as("n_chars"),
+            size(col("w")).cast("bigint").as("n_tokens"),
+            col("stop_ratio"),
+            col("punct_ratio"),
+            when(col("n_chars") < 100, "too_short")
+              .when(col("punct_ratio") > lit(0.1), "punct_heavy")
+              .when(col("stop_ratio") > lit(0.15), "boilerplate")
+              .otherwise("ok").as("quality"))
+      },
       Some(s"""SELECT doc_id, cast(n_chars as bigint) AS n_chars,
-                cast(len(w) as bigint) AS n_tokens, stop_ratio,
+                cast(len(w) as bigint) AS n_tokens, stop_ratio, punct_ratio,
                 CASE WHEN n_chars < 100 THEN 'too_short'
+                     WHEN punct_ratio > 0.1 THEN 'punct_heavy'
                      WHEN stop_ratio > 0.15 THEN 'boilerplate'
                      ELSE 'ok' END AS quality
               FROM (SELECT doc_id, n_chars, w,
-                      round(cast(len(list_filter(w, x -> x IN $stopEn)) as double) / len(w), 6) AS stop_ratio
-                    FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents))""")),
+                      round(cast(len(list_filter(w, x -> x IN $stopEn)) as double) / len(w), 6) AS stop_ratio,
+                      round(cast(len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) as double) / n_chars, 6) AS punct_ratio
+                    FROM (SELECT doc_id, n_chars, text, string_split(text, ' ') AS w FROM documents))""")),
 
     // ---- Language-ID (F35 analog): stopword-hit n-gram heuristic,
     // argmax across language marker lists, tie → 'unk'.

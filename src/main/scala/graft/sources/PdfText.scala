@@ -130,6 +130,25 @@ object PdfText {
             val (str, nj) = literalString(block, j)
             parts += str
             j = nj
+          // hex string <48656C6C6F>; << starts a dict, not a string
+          case '<' if j + 1 < block.length && block.charAt(j + 1) != '<' =>
+            val e = block.indexOf('>', j)
+            if (e < 0) j = block.length
+            else {
+              val hexs = block.substring(j + 1, e).replaceAll("\\s+", "")
+              val padded = if (hexs.length % 2 == 1) hexs + "0" else hexs
+              try {
+                val sb = new StringBuilder
+                var h = 0
+                while (h < padded.length) {
+                  sb.append(Integer.parseInt(padded.substring(h, h + 2), 16).toChar)
+                  h += 2
+                }
+                parts += sb.toString
+              } catch { case _: NumberFormatException => () }
+              j = e + 1
+            }
+          case '<' => j += 2 // dict open
           case '%' => // comment to EOL
             val nl = block.indexOf('\n', j)
             j = if (nl < 0) block.length else nl + 1

@@ -69,6 +69,11 @@ class PdfTextSpec extends AnyFunSuite {
     assert(PdfText.extract(asStr.getBytes(ISO_8859_1)) == null)
   }
 
+  test("hex string operands decode; dict opens are not strings") {
+    val bytes = pdf("BT <4772 7565 7A69> Tj (und) Tj <21> Tj ET", flate = false)
+    assert(PdfText.extract(bytes) == "Gruezi und !")
+  }
+
   test("NUL bytes are stripped like the reference") {
     val bytes = pdf("BT (vor\\000nach) Tj ET", flate = false)
     assert(PdfText.extract(bytes) == "vornach")
