@@ -173,6 +173,61 @@ object VectorOps {
         .take(nprobe).map(_._1)
     }
 
+  // -------------------------------------------------------------------- PQ
+
+  /** Product quantization (the third ANN tier next to LSH buckets and
+    * IVF cells): the vector splits into `m` subvectors, each encoded as
+    * the id of its nearest sub-codebook centroid — the corpus then
+    * lives as m small ints per vector (here m=4 over 64 dims: 4 bytes
+    * instead of 512), and query scoring never touches the full vectors
+    * again. Codebooks are data-sampled like the IVF one (deterministic,
+    * no RNG; production swaps in per-subspace k-means — the
+    * encode/score machinery is identical). Squared-L2 folds ascending
+    * per subspace, ties to the lowest centroid id — bit-identical to
+    * the SQL restatement.
+    */
+  def pqEncodeUdf(cents: Seq[(Long, Array[Double])], m: Int) =
+    udf { v: Seq[Double] =>
+      val sub = v.length / m
+      Array.tabulate(m) { s =>
+        var best = -1
+        var bestD = Double.PositiveInfinity
+        for ((cid, cv) <- cents) {
+          var d = 0.0
+          var i = 0
+          while (i < sub) {
+            val diff = v(s * sub + i) - cv(s * sub + i)
+            d += diff * diff
+            i += 1
+          }
+          if (d < bestD) { bestD = d; best = cid.toInt }
+        }
+        best
+      }
+    }
+
+  /** Per-query ADC table: distances from each query subvector to every
+    * sub-codebook centroid (m × |codebook| doubles — tiny, computed
+    * once per QUERY row; the per-pair score is then m array lookups
+    * plus m-1 adds, the asymmetric-distance-computation shape).
+    */
+  def pqAdcUdf(cents: Seq[(Long, Array[Double])], m: Int) =
+    udf { v: Seq[Double] =>
+      val sub = v.length / m
+      Array.tabulate(m) { s =>
+        cents.sortBy(_._1).map { case (_, cv) =>
+          var d = 0.0
+          var i = 0
+          while (i < sub) {
+            val diff = v(s * sub + i) - cv(s * sub + i)
+            d += diff * diff
+            i += 1
+          }
+          d
+        }.toArray
+      }
+    }
+
   /** DuckDB restatements (for oracle SQL) */
   val duckVecs: String =
     """SELECT vec_id, label, embedding::DOUBLE[] AS v,

@@ -174,6 +174,66 @@ object SimilarityQueries extends QueryPack {
                 SELECT *, row_number() OVER (PARTITION BY qid
                   ORDER BY cos DESC, vec_id) AS rank FROM p) WHERE rank <= 5""")),
 
+    // ---- PQ-ANN (third ANN tier next to LSH s4 and IVF s6): product
+    // quantization — 4 subspaces of 16 dims, data-sampled sub-codebooks
+    // (vec_id < 4; cids are therefore the contiguous 0..3 the ADC table
+    // indexes by), corpus encoded to 4 small ints per vector in one
+    // compiled pass. Queries carry a precomputed ADC table (4×4
+    // distances), so the per-pair score is 4 array lookups + 3 adds —
+    // full vectors never travel to the scoring join. At 100 TB the
+    // encoded corpus is ~128x smaller than the raw vectors.
+    Q("s7_pq_ann_topk",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = vecs(s, d)
+        val cents = e.where(col("vec_id") < 4)
+          .select("vec_id", "v").collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+          .sortBy(_._1).toSeq
+        val enc = e.select(col("vec_id"),
+          VectorOps.pqEncodeUdf(cents, 4)(col("v")).as("codes"))
+        val q = e.where(col("vec_id") < 2)
+          .select(col("vec_id").as("qid"),
+            VectorOps.pqAdcUdf(cents, 4)(col("v")).as("adc"))
+        val w = Window.partitionBy("qid").orderBy(col("dist").asc, col("vec_id"))
+        enc.crossJoin(broadcast(q))
+          .where(col("vec_id") =!= col("qid"))
+          .withColumn("dist", round(
+            expr("adc[0][codes[0]] + adc[1][codes[1]] + adc[2][codes[2]] + adc[3][codes[3]]"), 6))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 5)
+          .select(col("qid"), col("rank").cast("bigint").as("rank"),
+            col("vec_id"), col("dist"))
+      },
+      Some(s"""WITH e AS ($duckVecs),
+              sub AS (SELECT unnest(range(4)) AS s),
+              cb AS (SELECT e.vec_id AS cid, sub.s,
+                       e.v[sub.s*16+1 : sub.s*16+16] AS cv
+                     FROM e CROSS JOIN sub WHERE e.vec_id < 4),
+              d AS (SELECT e.vec_id, cb.s, cb.cid,
+                      list_aggregate(list_transform(range(1, 17),
+                        i -> (e.v[cb.s*16 + i] - cb.cv[i]) * (e.v[cb.s*16 + i] - cb.cv[i])),
+                        'sum') AS d2
+                    FROM e CROSS JOIN cb),
+              enc AS (SELECT vec_id, s, cid FROM (
+                        SELECT vec_id, s, cid, row_number() OVER (
+                          PARTITION BY vec_id, s ORDER BY d2, cid) AS r FROM d)
+                      WHERE r = 1),
+              adc AS (SELECT vec_id AS qid, s, cid, d2 FROM d WHERE vec_id < 2),
+              pair AS (SELECT adc.qid, enc.vec_id,
+                         max(CASE WHEN enc.s = 0 THEN adc.d2 END) AS d0,
+                         max(CASE WHEN enc.s = 1 THEN adc.d2 END) AS d1,
+                         max(CASE WHEN enc.s = 2 THEN adc.d2 END) AS d2_,
+                         max(CASE WHEN enc.s = 3 THEN adc.d2 END) AS d3
+                       FROM enc JOIN adc ON enc.s = adc.s AND enc.cid = adc.cid
+                       WHERE enc.vec_id <> adc.qid
+                       GROUP BY 1, 2),
+              scored AS (SELECT qid, vec_id,
+                           round(d0 + d1 + d2_ + d3, 6) AS dist FROM pair)
+              SELECT qid, cast(rank as bigint) AS rank, vec_id, dist FROM (
+                SELECT *, row_number() OVER (PARTITION BY qid
+                  ORDER BY dist, vec_id) AS rank FROM scored) WHERE rank <= 5""")),
+
     // ---- Per-label centroids: mean vector per class via posexplode +
     // decimal sums (order-independent — double summation order varies
     // across partitions). The embarrassingly-parallel shape of k-means
