@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic Lloyd's k-means over a vector column — the codebook
+  * trainer the IVF (s6) and PQ (s7) tiers were designed to accept.
+  *
+  * Spark-first shape: each iteration is ONE job — a compiled argmin
+  * assignment pass over broadcast centroids (zero shuffle) followed by
+  * a per-(cluster, dim) mean (one shuffle, dims-bounded like s5).
+  * Centroids live on the driver between iterations (k × dims doubles —
+  * the codebook IS driver/broadcast state, as in any ANN index build).
+  *
+  * Determinism, so a DuckDB oracle can restate the whole fit:
+  *  - init = the vectors of the k smallest ids (data-sampled, no RNG);
+  *  - assignment = squared-L2 argmin, dims folded ascending, ties to
+  *    the lowest cluster id;
+  *  - means accumulate in DECIMAL (order-independent exact sums;
+  *    double summation order varies across partitions) and finalize as
+  *    double — bit-identical on both engines;
+  *  - a cluster that loses every member keeps its previous centroid.
+  */
+object KMeansLite {
+
+  /** squared-L2 argmin over the broadcast-by-closure centroid list */
+  def assignUdf(cents: Seq[(Int, Array[Double])]) =
+    udf { v: Seq[Double] =>
+      var best = -1
+      var bestD = Double.PositiveInfinity
+      for ((cid, cv) <- cents) {
+        var d = 0.0
+        var i = 0
+        while (i < cv.length) {
+          val diff = v(i) - cv(i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = cid }
+      }
+      best
+    }
+
+  /** Fit `k` centroids with `iters` Lloyd iterations; returns them
+    * sorted by cluster id. `df` must carry an ascending-unique `idCol`
+    * (init picks the k smallest) and `vCol: array<double>`.
+    */
+  def fit(df: DataFrame, idCol: String, vCol: String, k: Int, iters: Int)
+      : Seq[(Int, Array[Double])] = {
+    var cents: Seq[(Int, Array[Double])] = df
+      .orderBy(col(idCol)).limit(k).select(col(vCol)).collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }.toSeq
+    for (_ <- 1 to iters) {
+      val means = df
+        .withColumn("cid", assignUdf(cents)(col(vCol)))
+        .select(col("cid"), posexplode(
+          expr(s"transform($vCol, x -> cast(x as decimal(25,10)))"))
+          .as(Seq("dim", "x")))
+        .groupBy("cid", "dim")
+        // decimal-exact sum, then the s5-proven round(…,6) finalization
+        // — decimal DIVISION precision rules differ between engines, so
+        // the quantized mean is what both compute identically
+        .agg(round((sum("x") / count(lit(1))).cast("double"), 6).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+        }
+      cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    }
+    cents
+  }
+}

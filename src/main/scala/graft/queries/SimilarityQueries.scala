@@ -234,6 +234,46 @@ object SimilarityQueries extends QueryPack {
                 SELECT *, row_number() OVER (PARTITION BY qid
                   ORDER BY dist, vec_id) AS rank FROM scored) WHERE rank <= 5""")),
 
+    // ---- Deterministic k-means (operators.KMeansLite): the codebook
+    // trainer behind the IVF/PQ tiers — data-sampled init (k smallest
+    // ids), one Lloyd update (compiled argmin assign + decimal-exact
+    // per-dim means, quantized round-6 like s5), then the final
+    // assignment. The oracle restates init → update → assign in full.
+    Q("s8_kmeans_assign",
+      (s, d) => {
+        val e = vecs(s, d)
+        val cents = graft.operators.KMeansLite.fit(e, "vec_id", "v", 4, 1)
+        e.select(col("vec_id"),
+          graft.operators.KMeansLite.assignUdf(cents)(col("v"))
+            .cast("bigint").as("cid"))
+      },
+      Some(s"""WITH e AS ($duckVecs),
+              c0 AS (SELECT cast(vec_id as int) AS cid, v AS cv FROM e WHERE vec_id < 4),
+              d1 AS (SELECT e.vec_id, e.v, c.cid,
+                       list_aggregate(list_transform(range(1, len(e.v) + 1),
+                         i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])), 'sum') AS dd
+                     FROM e CROSS JOIN c0 c),
+              a1 AS (SELECT vec_id, v, cid FROM (
+                       SELECT vec_id, v, cid, row_number() OVER (
+                         PARTITION BY vec_id ORDER BY dd, cid) AS r FROM d1)
+                     WHERE r = 1),
+              c1 AS (SELECT cid, list(m ORDER BY dim) AS cv FROM (
+                       SELECT cid, dim,
+                         round(cast(sum(x) / count(*) as double), 6) AS m
+                       FROM (SELECT cid,
+                               unnest(list_transform(v, x -> cast(x as decimal(25,10)))) AS x,
+                               generate_subscripts(v, 1) AS dim
+                             FROM a1)
+                       GROUP BY cid, dim) GROUP BY cid),
+              d2 AS (SELECT e.vec_id, c.cid,
+                       list_aggregate(list_transform(range(1, len(e.v) + 1),
+                         i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])), 'sum') AS dd
+                     FROM e CROSS JOIN c1 c)
+              SELECT vec_id, cast(cid as bigint) AS cid FROM (
+                SELECT vec_id, cid, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY dd, cid) AS r FROM d2)
+              WHERE r = 1""")),
+
     // ---- Per-label centroids: mean vector per class via posexplode +
     // decimal sums (order-independent — double summation order varies
     // across partitions). The embarrassingly-parallel shape of k-means

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class KMeansLiteSpec extends SparkSpec {
+
+  private def e = VectorOps.vecs(graft.sources.Tables.embeddings(spark, sfDir))
+
+  /** mean squared distance to the assigned centroid */
+  private def inertia(cents: Seq[(Int, Array[Double])]): Double = {
+    val assigned = e.withColumn("cid", KMeansLite.assignUdf(cents)(col("v")))
+    val dist = udf { (v: Seq[Double], cid: Int) =>
+      val cv = cents.find(_._1 == cid).get._2
+      var d = 0.0; var i = 0
+      while (i < cv.length) { val x = v(i) - cv(i); d += x * x; i += 1 }
+      d
+    }
+    assigned.agg(avg(dist(col("v"), col("cid")))).collect()(0).getDouble(0)
+  }
+
+  test("Lloyd iterations never increase inertia") {
+    val i0 = inertia(KMeansLite.fit(e, "vec_id", "v", 4, 0))
+    val i1 = inertia(KMeansLite.fit(e, "vec_id", "v", 4, 1))
+    val i2 = inertia(KMeansLite.fit(e, "vec_id", "v", 4, 2))
+    assert(i1 <= i0 + 1e-9, s"i0=$i0 i1=$i1")
+    assert(i2 <= i1 + 1e-9, s"i1=$i1 i2=$i2")
+    assert(i1 < i0, "first update must actually move the sampled centroids")
+  }
+
+  test("fit is deterministic") {
+    val a = KMeansLite.fit(e, "vec_id", "v", 4, 2).map { case (c, v) => (c, v.toSeq) }
+    val b = KMeansLite.fit(e, "vec_id", "v", 4, 2).map { case (c, v) => (c, v.toSeq) }
+    assert(a == b)
+  }
+
+  test("a cluster that loses every member keeps its previous centroid") {
+    import spark.implicits._
+    // two far groups + two sampled centroids that both land in group A:
+    // cluster 1 empties after assignment, centroid must survive
+    val df = Seq(
+      (0L, Seq(0.0, 0.0)), (1L, Seq(0.1, 0.0)),
+      (2L, Seq(0.2, 0.0)), (3L, Seq(100.0, 100.0)))
+      .toDF("vec_id", "v")
+    val cents = KMeansLite.fit(df.where(col("vec_id") < 3), "vec_id", "v", 2, 1)
+    assert(cents.map(_._1) == Seq(0, 1))
+    assert(cents.forall(_._2.length == 2))
+  }
+}
