@@ -101,6 +101,26 @@ object EventStreams {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming NEAR-dup dedup: documents fingerprinted with simhash64
+    * (graft.functions.TextFunctions — per-row, stateless, zero
+    * shuffle), then first-wins within the watermark horizon on the
+    * fingerprint. Catches the boilerplate-duplicate class (identical
+    * simhash) in-flight, so exact copies and near-identical
+    * re-crawls never land in the corpus; full banded MinHash dedup
+    * remains the batch compaction pass (dedupKeepList) — the standard
+    * two-tier streaming/batch dedup split. State is bounded by the
+    * watermark. Input needs (doc_ts timestamp, text string).
+    */
+  def dedupDocs(docs: DataFrame): DataFrame = {
+    val sim = udf { t: String =>
+      graft.functions.TextFunctions.simhash64(
+        if (t == null) Seq.empty else t.split("\\s+").toSeq) }
+    docs
+      .withColumn("fp", sim(col("text")))
+      .withWatermark("doc_ts", "2 hours")
+      .dropDuplicatesWithinWatermark("fp")
+  }
+
   /** File-source reader for a directory of event parquet files — the
     * production ingest shape (each micro-batch = newly landed files).
     * Nanos timestamps are read as epoch-nanos longs (same policy as

@@ -106,6 +106,28 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup dedup drops identical-fingerprint documents") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Long)]
+    val docs = mem.toDF().toDF("doc_ts", "text", "doc_id")
+    val q = dedupDocs(docs)
+      .writeStream.format("memory").queryName("docdedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (ts(0), "das gericht weist die beschwerde ab und schliesst den fall", 1L),
+        // re-crawl: identical text, later timestamp → same simhash, dropped
+        (ts(1), "das gericht weist die beschwerde ab und schliesst den fall", 2L),
+        // genuinely different document survives
+        (ts(2), "der rekurrent obsiegt vollumfaenglich mit seinen antraegen heute", 3L))
+      q.processAllAvailable()
+      val kept = spark.table("docdedup").select("doc_id")
+        .collect().map(_.getLong(0)).toSeq.sorted
+      assert(kept == Seq(1L, 3L))
+    } finally q.stop()
+  }
+
   test("file-source stream over the real events table produces batches") {
     // file streams need a landing DIRECTORY (each micro-batch = new
     // files); stage the single testdata file into one
