@@ -186,13 +186,14 @@ object VectorOps {
     * per subspace, ties to the lowest centroid id — bit-identical to
     * the SQL restatement.
     */
-  def pqEncodeUdf(cents: Seq[(Long, Array[Double])], m: Int) =
+  def pqEncodeUdf(cents: Seq[(Long, Array[Double])], m: Int) = {
+    val ordered = cents.sortBy(_._1) // ties resolve to the lowest cid
     udf { v: Seq[Double] =>
       val sub = v.length / m
       Array.tabulate(m) { s =>
         var best = -1
         var bestD = Double.PositiveInfinity
-        for ((cid, cv) <- cents) {
+        for ((cid, cv) <- ordered) {
           var d = 0.0
           var i = 0
           while (i < sub) {
@@ -205,17 +206,19 @@ object VectorOps {
         best
       }
     }
+  }
 
   /** Per-query ADC table: distances from each query subvector to every
     * sub-codebook centroid (m × |codebook| doubles — tiny, computed
     * once per QUERY row; the per-pair score is then m array lookups
     * plus m-1 adds, the asymmetric-distance-computation shape).
     */
-  def pqAdcUdf(cents: Seq[(Long, Array[Double])], m: Int) =
+  def pqAdcUdf(cents: Seq[(Long, Array[Double])], m: Int) = {
+    val ordered = cents.sortBy(_._1)
     udf { v: Seq[Double] =>
       val sub = v.length / m
       Array.tabulate(m) { s =>
-        cents.sortBy(_._1).map { case (_, cv) =>
+        ordered.map { case (_, cv) =>
           var d = 0.0
           var i = 0
           while (i < sub) {
@@ -227,6 +230,7 @@ object VectorOps {
         }.toArray
       }
     }
+  }
 
   /** DuckDB restatements (for oracle SQL) */
   val duckVecs: String =

@@ -34,6 +34,20 @@ class KMeansLiteSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("trained codebooks swap into the IVF and PQ machinery") {
+    val cents = KMeansLite.fit(e, "vec_id", "v", 4, 2)
+    // PQ: trained centroids drive encode + ADC directly
+    val pqCents = cents.map { case (cid, cv) => (cid.toLong, cv) }
+    val enc = e.select(VectorOps.pqEncodeUdf(pqCents, 4)(col("v")).as("codes"))
+    assert(enc.where(expr("exists(codes, c -> c < 0 OR c > 3)")).count() == 0)
+    // IVF: add the squared norm and assign — every vector lands in a cell
+    val ivfCents = cents.map { case (cid, cv) =>
+      (cid.toLong, cv, cv.map(x => x * x).sum) }
+    val cells = e.select(VectorOps.ivfAssignUdf(ivfCents)(col("v"), col("nn")).as("cell"))
+    assert(cells.where(col("cell") < 0 || col("cell") > 3).count() == 0)
+    assert(cells.select("cell").distinct().count() > 1, "clusters differentiate")
+  }
+
   test("a cluster that loses every member keeps its previous centroid") {
     import spark.implicits._
     // two far groups + two sampled centroids that both land in group A:
