@@ -51,6 +51,11 @@ object PdfText {
     while ({
       val at = hay.indexOf("stream", from)
       if (at < 0) false
+      // the "stream" inside an "endstream" token is not a stream start
+      else if (at >= 3 && hay.regionMatches(at - 3, "end", 0, 3)) {
+        from = at + 6
+        true
+      }
       else {
         // dict = text between the enclosing << ... >> just before
         val dictEnd = at

@@ -69,6 +69,25 @@ class PdfTextSpec extends AnyFunSuite {
     assert(PdfText.extract(asStr.getBytes(ISO_8859_1)) == null)
   }
 
+  test("multiple streams with mixed filters extract in order") {
+    // plain stream followed by a Flate stream in one file — the scan
+    // must not re-match the 'stream' inside 'endstream' and must
+    // attribute each dict to its own stream
+    val plain = "BT (Erster Teil des Urteils.) Tj ET".getBytes(ISO_8859_1)
+    val flateSrc = "BT (Zweiter Teil des Urteils.) Tj ET".getBytes(ISO_8859_1)
+    val d = new java.util.zip.Deflater()
+    d.setInput(flateSrc); d.finish()
+    val buf = new Array[Byte](8192)
+    val n = d.deflate(buf); d.end()
+    val flate = java.util.Arrays.copyOf(buf, n)
+    val bytes = "%PDF-1.4\n4 0 obj << /Length 35 >>\nstream\n".getBytes(ISO_8859_1) ++
+      plain ++ "\nendstream\nendobj\n".getBytes(ISO_8859_1) ++
+      s"5 0 obj << /Length $n /Filter /FlateDecode >>\nstream\n".getBytes(ISO_8859_1) ++
+      flate ++ "\nendstream\nendobj\n%%EOF\n".getBytes(ISO_8859_1)
+    assert(PdfText.extract(bytes) ==
+      "Erster Teil des Urteils.\nZweiter Teil des Urteils.")
+  }
+
   test("hex string operands decode; dict opens are not strings") {
     val bytes = pdf("BT <4772 7565 7A69> Tj (und) Tj <21> Tj ET", flate = false)
     assert(PdfText.extract(bytes) == "Gruezi und !")
