@@ -31,16 +31,23 @@ object CorpusPipeline {
   }
   private val pdfParasUdf = udf { b: Array[Byte] =>
     if (b == null) Seq.empty[String]
-    else TextFunctions.pdfToParagraphs(
-      new String(b, java.nio.charset.StandardCharsets.UTF_8))
+    else {
+      // real PDF payloads decode through the native extractor (S3);
+      // pre-extracted text landing files pass through unchanged
+      val isPdf = b.length >= 4 && b(0) == '%' && b(1) == 'P' &&
+        b(2) == 'D' && b(3) == 'F'
+      val text =
+        if (isPdf) graft.sources.PdfText.extract(b)
+        else new String(b, java.nio.charset.StandardCharsets.UTF_8)
+      if (text == null) Seq.empty[String]
+      else TextFunctions.pdfToParagraphs(text)
+    }
   }
+  private val langIdUdf = udf { t: String => graft.functions.LangId.detect(t) }
   private val cleanParasUdf = udf { paras: Seq[String] =>
     paras.map(TextFunctions.cleanText).filter(_.nonEmpty)
   }
   private val decisionIdUdf = udf { name: String => TextFunctions.decisionId(name) }
-  private val compositionUdf = udf { header: String =>
-    PeopleExtractors.parseComposition(header)
-  }
 
   /** Stage 1-2 (TextToDatabase + Cleaner): landing dir → cleaned
     * paragraphs per document with its deterministic decision id. HTML
@@ -59,7 +66,10 @@ object CorpusPipeline {
       .withColumn("text", concat_ws("\n", col("paras")))
       .where(length(col("text")) >= minChars)
       .withColumn("decision_id", decisionIdUdf(col("stem")))
-      .select("decision_id", "stem", "paras", "text")
+      // LanguageIdentifier stage (main.py stage 4): trigram tier, with
+      // the reference's '--' sentinel preserved as 'unk'
+      .withColumn("lang", langIdUdf(col("text")))
+      .select("decision_id", "stem", "paras", "text", "lang")
 
   /** Stage 3 (SectionSplitter): paragraphs → section map via the
     * marker-config fold. `spider` selects the marker table.
@@ -85,9 +95,11 @@ object CorpusPipeline {
       .select(col("decision_id"), col("ext.outcomes").as("outcomes"),
         col("ext.error").as("error"))
 
-  def compositions(sectioned: DataFrame): DataFrame =
+  def compositions(sectioned: DataFrame, spider: String = "default"): DataFrame =
     sectioned
-      .withColumn("comp", compositionUdf(col("header")))
+      // spider variants slice the header region and bring their role
+      // vocabulary (F37); unknown spiders use the generic parse
+      .withColumn("comp", ExtractUdfs.compositionSpider(lit(spider), col("header")))
       .select(col("decision_id"), col("comp.president").as("president"),
         col("comp.judges").as("judges"), col("comp.clerks").as("clerks"))
 
@@ -138,7 +150,7 @@ object CorpusPipeline {
         Sinks.upsertBucketed(sectioned, s"$outDir/sections", "decision_id", 16)
         Sinks.upsertBucketed(citations(sectioned), s"$outDir/citations", "decision_id", 16)
         Sinks.upsertBucketed(jd, s"$outDir/judgments", "decision_id", 16)
-        Sinks.upsertBucketed(compositions(sectioned), s"$outDir/compositions",
+        Sinks.upsertBucketed(compositions(sectioned, spider), s"$outDir/compositions",
           "decision_id", 16)
         Sinks.upsertBucketed(people(spark, sectioned), s"$outDir/people",
           "decision_id", 16)

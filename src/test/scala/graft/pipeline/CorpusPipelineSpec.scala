@@ -28,9 +28,15 @@ class CorpusPipelineSpec extends SparkSpec {
       put(s"case_$i.html",
         ruling(i, if (i % 2 == 0) "abgewiesen" else "gutgeheissen"))
     }
-    // pdf-only document (html missing → falls back to pdf payload)
+    // pdf-only document (html missing → falls back to pdf payload):
+    // pre-extracted text landing file
     put("case_pdf.json", """{"id": 9}""")
     put("case_pdf.pdf", "Sachverhalt\nKurzer PDF Text der lang genug ist fuer das Minimum.")
+    // REAL pdf bytes — the native extractor (S3) must decode in-pipeline
+    put("case_realpdf.json", """{"id": 11}""")
+    Files.write(dir.resolve("case_realpdf.pdf"), graft.sources.PdfText.synthesize(
+      "Sachverhalt des echten PDF Urteils mit ausreichender Laenge fuer das Minimum.",
+      flate = true))
     // too-short document → dropped by the ingest gate
     put("tiny.json", """{"id": 10}""")
     put("tiny.html", "<html><body>x</body></html>")
@@ -42,10 +48,16 @@ class CorpusPipelineSpec extends SparkSpec {
     val out = Files.createTempDirectory("corpus_out").toString
     val report = CorpusPipeline.run(spark, landing, out)
 
-    assert(report.nIngested == 5)       // 4 html + 1 pdf; tiny dropped
-    assert(report.nSections == 5)
+    assert(report.nIngested == 6)       // 4 html + 2 pdf; tiny dropped
+    assert(report.nSections == 6)
     assert(report.nCitations == 4)      // the 4 structured rulings cite once
-    assert(report.judgmentCoverage == 0.8) // pdf doc has no rulings section
+    assert(report.judgmentCoverage == 4.0 / 6) // pdf docs have no rulings section
+
+    // the real-PDF document decoded through the native extractor and
+    // the language identifier tagged the German prose
+    val docs = spark.read.parquet(s"$out/documents")
+    assert(docs.where(col("text").contains("echten PDF Urteils")).count() == 1)
+    assert(docs.where(col("lang") === "de").count() >= 5)
 
     // htmlToText stripped the markup before sectioning
     val sections = spark.read.parquet(s"$out/sections")
@@ -65,7 +77,7 @@ class CorpusPipelineSpec extends SparkSpec {
     // idempotency: a full re-run leaves identical row counts
     val again = CorpusPipeline.run(spark, landing, out)
     assert(again.nIngested == report.nIngested)
-    assert(spark.read.parquet(s"$out/documents").count() == 5)
+    assert(spark.read.parquet(s"$out/documents").count() == 6)
     assert(spark.read.parquet(s"$out/citations").count() == 4)
   }
 }
