@@ -54,4 +54,30 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(ids.forall(u => u.length == 36 && u.charAt(14) == '3'))
     assert(ids.distinct.length == ids.length)
   }
+
+  test("minhash_sig and cosine_sim compose in plain SQL") {
+    registerViews()
+    graft.GraftExtensions.registerNative(spark)
+    // signature from SQL equals the operator's band source
+    val sql = spark.sql(
+      """SELECT doc_id, minhash_sig(split(text, ' '), 4) AS sig
+        |FROM documents ORDER BY doc_id LIMIT 3""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val op = graft.operators.MinHashLSH.bands(
+      Tables.documents(spark, sfDir).where(col("doc_id") < 3),
+      "doc_id", split(col("text"), " "), 4)
+      .groupBy("doc_id").agg(sort_array(collect_list("h")).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    for ((id, sig) <- sql) assert(sig.sorted == op(id), s"doc $id")
+    // cosine self-similarity is exactly 1
+    val cos = spark.sql(
+      """SELECT cosine_sim(e, e, nn, nn) AS c FROM (
+        |  SELECT embedding::array<double> AS e,
+        |         aggregate(transform(embedding,
+        |                     x -> cast(x as double) * cast(x as double)),
+        |                   cast(0 as double), (a, x) -> a + x) AS nn
+        |  FROM embeddings LIMIT 5)""".stripMargin)
+      .collect().map(_.getDouble(0))
+    assert(cos.forall(c => math.abs(c - 1.0) < 1e-9))
+  }
 }
