@@ -169,6 +169,50 @@ object DedupQueries extends QueryPack {
                 list_aggregate(fp, 'max') AS fp_max
               FROM w""")),
 
+    // ---- Benchmark decontamination (the training-data hygiene pass):
+    // a document is contaminated when ANY of its 5-gram shingles
+    // appears in the benchmark shingle set. Benchmark = an 80-char
+    // snippet of every 50th document (the held-out-eval stand-in); its
+    // shingle set is tiny → broadcast left-semi join, corpus side is
+    // one explode + probe, no corpus shuffle.
+    Q("d8_decontaminate",
+      (s, d) => {
+        val docs = withWords(Tables.documents(s, d))
+        val grams5 = expr(
+          """CASE WHEN size(w) >= 5 THEN
+               transform(sequence(0, size(w) - 5),
+                 i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))
+             ELSE array() END""")
+        val bench = docs.where(col("doc_id") % 50 === 0)
+          .withColumn("bw", expr("slice(w, 20, 12)"))
+          .select(explode(expr(
+            """CASE WHEN size(bw) >= 5 THEN
+                 transform(sequence(0, size(bw) - 5),
+                   i -> concat_ws(' ', bw[i], bw[i+1], bw[i+2], bw[i+3], bw[i+4]))
+               ELSE array() END"""))
+            .as("g")).distinct()
+        val hits = docs.select(col("doc_id"), explode(grams5).as("g"))
+          .join(broadcast(bench), Seq("g"), "left_semi")
+          .select("doc_id").distinct()
+        docs.select("doc_id")
+          .join(hits.withColumn("contaminated", lit(true)), Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("contaminated"), lit(false)).as("contaminated"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              bw AS (SELECT doc_id, w[20:31] AS bw FROM w WHERE doc_id % 50 = 0),
+              bench AS (SELECT DISTINCT unnest(list_transform(range(1, len(bw) - 3),
+                          i -> bw[i] || ' ' || bw[i+1] || ' ' || bw[i+2] || ' ' ||
+                               bw[i+3] || ' ' || bw[i+4])) AS g
+                        FROM bw),
+              grams AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                               w[i+3] || ' ' || w[i+4])) AS g
+                        FROM w WHERE len(w) >= 5),
+              hits AS (SELECT DISTINCT doc_id FROM grams
+                       WHERE g IN (SELECT g FROM bench))
+              SELECT w.doc_id, (hits.doc_id IS NOT NULL) AS contaminated
+              FROM w LEFT JOIN hits ON w.doc_id = hits.doc_id""")),
+
     // ---- Embedding-cosine near-dup, LSH-blocked: candidate pairs come
     // from hyperplane-bucket equality; the exact cosine verify runs per
     // bucket — all-pairs never materializes. Norms are precomputed once

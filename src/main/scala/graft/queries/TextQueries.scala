@@ -152,6 +152,50 @@ object TextQueries extends QueryPack {
                      WHEN 2 THEN 'it' WHEN 3 THEN 'en' ELSE 'unk' END AS lang
               FROM documents""")),
 
+    // ---- Repetition quality signals (the Gopher-filter family a
+    // training-data pipeline runs at scale): top-token mass fraction
+    // (explode + map-side-combined agg, one row per distinct token in
+    // the shuffle) and duplicate-trigram fraction (pure per-row
+    // expression, zero shuffle).
+    Q("t12_repetition_stats",
+      (s, d) => {
+        val docs = Tables.documents(s, d).withColumn("w", split(col("text"), " "))
+        // top-token mass: explode + two-level agg — the shuffle carries
+        // one row per (doc, distinct token), map-side combined
+        val tr = docs.select(col("doc_id"), explode(col("w")).as("t"))
+          .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(round(max("c").cast("double") / sum("c"), 6).as("top_token_ratio"))
+        // duplicate-trigram fraction: pure per-row expression, no shuffle
+        val gr = docs
+          .withColumn("g", expr(
+            """CASE WHEN size(w) >= 3 THEN
+                 transform(sequence(0, size(w) - 3),
+                   i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))
+               ELSE array() END"""))
+          .select(col("doc_id"),
+            when(size(col("g")) > 0, round(
+              lit(1.0) - size(array_distinct(col("g"))).cast("double") / size(col("g")), 6))
+              .as("dup_trigram_ratio"))
+        tr.join(gr, "doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              tok AS (SELECT doc_id, unnest(w) AS t FROM w),
+              tc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+              tr AS (SELECT doc_id,
+                       round(cast(max(c) as double) / sum(c), 6) AS top_token_ratio
+                     FROM tc GROUP BY 1),
+              tg AS (SELECT doc_id,
+                       list_transform(range(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g
+                     FROM w),
+              gr AS (SELECT doc_id,
+                       CASE WHEN len(g) > 0 THEN
+                         round(1 - cast(len(list_distinct(g)) as double) / len(g), 6)
+                       END AS dup_trigram_ratio FROM tg)
+              SELECT tr.doc_id, tr.top_token_ratio, gr.dup_trigram_ratio
+              FROM tr JOIN gr ON tr.doc_id = gr.doc_id""")),
+
     // ---- Corpus term/document frequency (A3/A5/A14): explode + count
     // with map-side partial agg; the shuffle carries ≤|vocab| rows/task.
     Q("t4_term_frequency",
