@@ -66,6 +66,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("*(1)") || p.contains("*(2)"), p.take(800))
   }
 
+  test("decontamination probes via broadcast semi-join, never a shuffle join") {
+    val p = plan("d8_decontaminate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(1000))
+    assert(!p.contains("SortMergeJoin"), "benchmark set must broadcast")
+  }
+
+  test("distributed ntile range-partitions instead of a single-partition window") {
+    val p = plan("w3_ntile_quartiles")
+    assert(p.toLowerCase.contains("rangepartitioning"), p.take(1000))
+  }
+
+  test("per-row tiers (langid, sentences, pdf) plan no Exchange") {
+    for (name <- Seq("t10_langid_trigram", "t11_sentence_icu", "m3_pdf_text")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange"), s"$name should be map-only:\n${p.take(600)}")
+    }
+  }
+
   test("every oracle query analyzes at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
