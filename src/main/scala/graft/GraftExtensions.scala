@@ -42,7 +42,8 @@ object GraftExtensions {
   }
 
   /** UDF-backed helpers (no codegen need): RFC uuid5 decision ids,
-    * text cleaning, roman numerals, simhash.
+    * text cleaning, roman numerals, simhash, language ID, sentence
+    * segmentation, PDF text extraction.
     */
   def registerUdfs(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.udf.register("decision_id", (name: String) => TextFunctions.decisionId(name))
@@ -51,5 +52,10 @@ object GraftExtensions {
     spark.udf.register("int_to_roman", (n: Int) => TextFunctions.intToRoman(n))
     spark.udf.register("simhash64",
       (tokens: Seq[String]) => TextFunctions.simhash64(tokens))
+    spark.udf.register("lang_id", (t: String) => graft.functions.LangId.detect(t))
+    spark.udf.register("sentences_icu",
+      (t: String, lang: String) => TextFunctions.sentencesIcu(t, lang))
+    spark.udf.register("pdf_text",
+      (b: Array[Byte]) => graft.sources.PdfText.extract(b))
   }
 }

@@ -55,6 +55,17 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(ids.distinct.length == ids.length)
   }
 
+  test("registered UDF helpers cover the new tiers from SQL") {
+    registerViews()
+    graft.GraftExtensions.registerUdfs(spark)
+    val r = spark.sql(
+      """SELECT lang_id('Le recours est rejeté dans la mesure où il est recevable.') AS l,
+        |       size(sentences_icu('Erster Satz. Gemäss Art. 5 Abs. 2 gilt dies. Ende.', 'de')) AS n
+        |""".stripMargin).collect()(0)
+    assert(r.getString(0) == "fr")
+    assert(r.getInt(1) == 3)
+  }
+
   test("minhash_sig and cosine_sim compose in plain SQL") {
     registerViews()
     graft.GraftExtensions.registerNative(spark)
