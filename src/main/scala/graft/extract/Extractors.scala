@@ -95,6 +95,10 @@ object Extractors {
       if (config.keysIterator.exists(_.startsWith(spider + "/")))
         Some(Map.empty[String, Regex])
       else config.get(spider).orElse(config.get("default"))
+        // spider entirely unknown to the ported corpus → the generic
+        // default table (so pipelines over unregistered sources still
+        // split structurally shaped documents)
+        .orElse(defaultMarkers.get("default"))
     }.getOrElse(Map.empty)
     associateSections(paragraphs, markers)
   }

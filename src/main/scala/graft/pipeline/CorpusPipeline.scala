@@ -72,11 +72,14 @@ object CorpusPipeline {
       .select("decision_id", "stem", "paras", "text", "lang")
 
   /** Stage 3 (SectionSplitter): paragraphs → section map via the
-    * marker-config fold. `spider` selects the marker table.
+    * PORTED per-spider marker corpus (F9), language-aware — the lang
+    * column from the identifier stage selects the spider's per-language
+    * marker table; unknown spiders fall back to the generic default.
     */
   def splitSections(docs: DataFrame, spider: String): DataFrame =
     docs
-      .withColumn("secs", ExtractUdfs.splitSections(lit(spider), col("paras")))
+      .withColumn("secs",
+        ExtractUdfs.splitSectionsLang(lit(spider), col("lang"), col("paras")))
       .select(col("decision_id"),
         concat_ws("\n", element_at(col("secs"), "header")).as("header"),
         concat_ws("\n", element_at(col("secs"), "facts")).as("facts"),
