@@ -148,17 +148,61 @@ object MinHashLSH {
                     k: Int = 4, hops: Int = 2): DataFrame = {
     val b = bands(docs, idCol, wordsCol, k)
       .withColumn("rep", col(idCol))
-    val once = (cur: DataFrame) => {
-      val bucketMin = cur.groupBy("band", "h").agg(min("rep").as("bucket_min"))
-      cur.join(bucketMin, Seq("band", "h"))
-        .groupBy(col(idCol), col("band"), col("h"))
-        .agg(min("bucket_min").as("m"))
-        .withColumn("rep", min(col("m"))
-          .over(org.apache.spark.sql.expressions.Window.partitionBy(idCol)))
-        .select(col(idCol), col("band"), col("h"), col("rep"))
-    }
-    val converged = (1 to hops).foldLeft(b)((cur, _) => once(cur))
+    val converged = (1 to hops).foldLeft(b)((cur, _) => keepListHop(cur, idCol))
     converged.groupBy(idCol).agg(min("rep").as("keep_id"))
+  }
+
+  /** one min-propagation hop over the (id, bucket) bipartite graph */
+  private def keepListHop(cur: DataFrame, idCol: String): DataFrame = {
+    val bucketMin = cur.groupBy("band", "h").agg(min("rep").as("bucket_min"))
+    cur.join(bucketMin, Seq("band", "h"))
+      .groupBy(col(idCol), col("band"), col("h"))
+      .agg(min("bucket_min").as("m"))
+      .withColumn("rep", min(col("m"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(idCol)))
+      .select(col(idCol), col("band"), col("h"), col("rep"))
+  }
+
+  /** Fixed-point keep-list: iterate min-propagation hops until the
+    * representative assignment stops changing — full connected
+    * components, no "enough hops in practice" assumption. Convergence
+    * is detected by the SUM of representatives (reps only ever
+    * decrease, so the assignment changed iff the sum dropped),
+    * accumulated in exact decimal so the check cannot alias at any id
+    * scale. Hop count is bounded by the cluster-graph diameter
+    * (≤ log n expected with min-propagation), with `maxHops` as the
+    * runaway backstop; each hop is one shuffle round, and the previous
+    * iteration's cache is released as soon as the next materializes.
+    */
+  def dedupKeepListConverged(docs: DataFrame, idCol: String, wordsCol: Column,
+                             k: Int = 4, maxHops: Int = 16): DataFrame =
+    convergeKeepList(bands(docs, idCol, wordsCol, k), idCol, maxHops)
+
+  /** The fixpoint loop over an explicit (id, band, h) frame — exposed
+    * so cluster topologies (chains, stars) can be driven directly in
+    * specs without reverse-engineering MinHash collisions.
+    */
+  def convergeKeepList(b0: DataFrame, idCol: String,
+                       maxHops: Int = 16): DataFrame = {
+    def repSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("rep").cast("decimal(38,0)"))).collect()(0)
+        .getDecimal(0)
+    var cur = b0.withColumn("rep", col(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var prevSum = repSum(cur)
+    var hop = 0
+    var done = false
+    while (!done && hop < maxHops) {
+      val next = keepListHop(cur, idCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nextSum = repSum(next)
+      cur.unpersist()
+      cur = next
+      done = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      hop += 1
+    }
+    cur.groupBy(idCol).agg(min("rep").as("keep_id"))
   }
 
   /** Distinct candidate pairs (ia < ib) sharing any band bucket.

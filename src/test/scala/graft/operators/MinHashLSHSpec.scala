@@ -31,6 +31,35 @@ class MinHashLSHSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("convergeKeepList closes a chain no fixed hop count would") {
+    import spark.implicits._
+    // 8 ids linked only through consecutive buckets: 0-[b0]-1-[b1]-2 …
+    // — a diameter-7 chain; 2 fixed hops leave the tail unresolved,
+    // the fixpoint maps everything to 0
+    val edges = (0 until 8).flatMap { i =>
+      Seq((i.toLong, 0, s"b$i")) ++
+        (if (i > 0) Seq((i.toLong, 0, s"b${i - 1}")) else Nil)
+    }
+    val b = edges.toDF("doc_id", "band", "h")
+    val fixed = MinHashLSH.convergeKeepList(b, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fixed == (0 until 8).map(i => i.toLong -> 0L).toMap)
+    // the same chain through the 2-hop path does NOT fully collapse —
+    // the caveat the fixpoint removes
+    val twoHop = (1 to 2).foldLeft(b.withColumn("rep", col("doc_id"))) {
+      (cur, _) =>
+        val bucketMin = cur.groupBy("band", "h").agg(min("rep").as("bucket_min"))
+        cur.join(bucketMin, Seq("band", "h"))
+          .groupBy(col("doc_id"), col("band"), col("h"))
+          .agg(min("bucket_min").as("m"))
+          .withColumn("rep", min(col("m")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+          .select(col("doc_id"), col("band"), col("h"), col("rep"))
+    }.groupBy("doc_id").agg(min("rep").as("keep_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(twoHop.values.toSet.size > 1, s"chain should defeat 2 hops: $twoHop")
+  }
+
   test("dedupKeepList maps duplicates to one representative, pair-free") {
     import spark.implicits._
     val docs = Seq(
