@@ -137,7 +137,7 @@ object CorpusPipeline {
   }
 
   case class RunReport(nIngested: Long, nSections: Long, nCitations: Long,
-                       judgmentCoverage: Double)
+                       judgmentCoverage: Double, nSkipped: Long = 0L)
 
   /** Full run: landing dir → parquet tables under `outDir`, idempotent
     * per decision_id; returns coverage metrics (§5 style).
@@ -159,8 +159,14 @@ object CorpusPipeline {
           "decision_id", 16)
         val n = docs.count()
         val covered = jd.where(size(col("outcomes")) > 0).count()
+        // skipped = landing triples that produced no ingestable text
+        // (undecodable payloads / under the min-chars gate) — the
+        // reference logs these per file (`text_to_database.py`); here
+        // the count is part of the run report instead of a log line
+        val nTriples = Ingest.fileTriples(spark, landingDir).count()
         RunReport(n, sectioned.count(), citations(sectioned).count(),
-          if (n == 0) 0.0 else covered.toDouble / n)
+          if (n == 0) 0.0 else covered.toDouble / n,
+          nSkipped = nTriples - n)
       } finally { sectioned.unpersist(); () }
     } finally { docs.unpersist(); () }
   }

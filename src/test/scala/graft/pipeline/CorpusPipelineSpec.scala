@@ -49,6 +49,7 @@ class CorpusPipelineSpec extends SparkSpec {
     val report = CorpusPipeline.run(spark, landing, out)
 
     assert(report.nIngested == 6)       // 4 html + 2 pdf; tiny dropped
+    assert(report.nSkipped == 1)        // the too-short doc, surfaced not silent
     assert(report.nSections == 6)
     assert(report.nCitations == 4)      // the 4 structured rulings cite once
     assert(report.judgmentCoverage == 4.0 / 6) // pdf docs have no rulings section
