@@ -39,12 +39,18 @@ object GlobalRank {
   /** Append `rankCol` (1-based global rank by `sortCols`). */
   def withGlobalRank(df: DataFrame, sortCols: Seq[Column],
                      rankCol: String): DataFrame = {
+    // persisted because TWO consumers read it (the offset counts and
+    // the join side): range-boundary sampling is seeded per shuffle, so
+    // if the exchange were re-executed rather than reused, the two
+    // evaluations could disagree on partition assignment and corrupt
+    // every rank — the cache pins one materialization for both
     val parted = df
       .repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("__mid", monotonically_increasing_id())
       .withColumn("__pid", shiftRight(col("__mid"), LocalBits))
       .withColumn("__local", col("__mid").bitwiseAND(lit(LocalMask)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = parted.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
     val offsets = counts.withColumn("__offset",
       coalesce(sum("__cnt").over(
