@@ -184,9 +184,11 @@ object MinHashLSH {
     */
   def convergeKeepList(b0: DataFrame, idCol: String,
                        maxHops: Int = 16): DataFrame = {
-    def repSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("rep").cast("decimal(38,0)"))).collect()(0)
-        .getDecimal(0)
+    // Option: an empty frame sums to SQL NULL — two empty hops then
+    // compare equal and the loop exits instead of dereferencing null
+    def repSum(df: DataFrame): Option[java.math.BigDecimal] =
+      Option(df.agg(sum(col("rep").cast("decimal(38,0)"))).collect()(0)
+        .getDecimal(0))
     var cur = b0.withColumn("rep", col(idCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var prevSum = repSum(cur)
@@ -198,7 +200,7 @@ object MinHashLSH {
       val nextSum = repSum(next)
       cur.unpersist()
       cur = next
-      done = nextSum.compareTo(prevSum) == 0
+      done = nextSum == prevSum
       prevSum = nextSum
       hop += 1
     }

@@ -60,6 +60,12 @@ class MinHashLSHSpec extends SparkSpec {
     assert(twoHop.values.toSet.size > 1, s"chain should defeat 2 hops: $twoHop")
   }
 
+  test("convergeKeepList on an empty band frame returns empty, no error") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Int, String)].toDF("doc_id", "band", "h")
+    assert(MinHashLSH.convergeKeepList(empty, "doc_id").count() == 0)
+  }
+
   test("dedupKeepList maps duplicates to one representative, pair-free") {
     import spark.implicits._
     val docs = Seq(
