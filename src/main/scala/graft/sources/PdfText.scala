@@ -117,6 +117,22 @@ object PdfText {
     (sb.toString, j)
   }
 
+  /** Block terminator scan that honors string literals — "ET" inside a
+    * `(…)` operand must not end the block (found by the round-trip
+    * property test: any shown text containing "ET" was truncated).
+    */
+  private def findBlockEnd(content: String, from: Int): Int = {
+    var j = from
+    while (j < content.length - 1) {
+      content.charAt(j) match {
+        case '(' => j = literalString(content, j)._2
+        case 'E' if content.charAt(j + 1) == 'T' => return j
+        case _ => j += 1
+      }
+    }
+    -1
+  }
+
   /** Text chunks of one content stream: BT…ET blocks, string operands
     * of Tj / ' / " and TJ arrays, block per line.
     */
@@ -124,7 +140,7 @@ object PdfText {
     val lines = Vector.newBuilder[String]
     var i = 0
     while ({ val bt = content.indexOf("BT", i); bt >= 0 && {
-      val et = content.indexOf("ET", bt + 2)
+      val et = findBlockEnd(content, bt + 2)
       val block = if (et > bt) content.substring(bt + 2, et)
                   else content.substring(bt + 2)
       val parts = Vector.newBuilder[String]

@@ -93,6 +93,13 @@ class PdfTextSpec extends AnyFunSuite {
     assert(PdfText.extract(bytes) == "Gruezi und !")
   }
 
+  test("ET inside a string operand does not end the text block") {
+    // regression found by PdfProps: shown text containing the block
+    // terminator token was truncated
+    val bytes = pdf("BT (ETH Lausanne ET Bern BT Zurich) Tj ET", flate = false)
+    assert(PdfText.extract(bytes) == "ETH Lausanne ET Bern BT Zurich")
+  }
+
   test("NUL bytes are stripped like the reference") {
     val bytes = pdf("BT (vor\\000nach) Tj ET", flate = false)
     assert(PdfText.extract(bytes) == "vornach")
