@@ -112,6 +112,27 @@ object ExtractQueries extends QueryPack {
                 CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 0 ELSE 1 END AS BIGINT) AS n_footer
               FROM documents""")),
 
+    // ---- F9 full-corpus gate: EVERY ported (spider, language) pair — all
+    // 45 spiders, 70 tables — drives the section fold on a document
+    // synthesized from its own marker witnesses (MarkerSweep). Expected
+    // assignment is known by construction, so the oracle is a literal
+    // VALUES table; nothing on the oracle side runs the fold. Upgrades the
+    // corpus (section_splitting_functions.py:53-1523) from spec-swept to
+    // oracle-gated.
+    Q("x19_spider_sweep",
+      (s, d) => {
+        import graft.extract.MarkerSweep
+        import s.implicits._
+        val df = s.createDataset(MarkerSweep.rows.map(r => (r.spider, r.lang, r.paras)))
+          .toDF("spider", "lang", "paras")
+        df.withColumn("secs",
+            ExtractUdfs.splitSectionsLang(col("spider"), col("lang"), col("paras")))
+          .select(col("spider") +: col("lang") +:
+            graft.extract.Extractors.sectionOrder.map(sec =>
+              concat_ws("\n", element_at(col("secs"), sec)).as(sec)): _*)
+      },
+      Some(graft.extract.MarkerSweep.oracleSql)),
+
     // ---- F10-F16: outcome markers, partial_* suppression, binary label.
     Q("x2_judgment_extract",
       (s, d) => Tables.documents(s, d)
