@@ -13,7 +13,11 @@ import org.apache.spark.sql.functions._
   * the codebook IS driver/broadcast state, as in any ANN index build).
   *
   * Determinism, so a DuckDB oracle can restate the whole fit:
-  *  - init = the vectors of the k smallest ids (data-sampled, no RNG);
+  *  - init = the vectors of the k smallest (md5(id), id) — a
+  *    deterministic HASH-ordered sample, so sorted/clustered input
+  *    doesn't bias the seeds the way first-k-rows would, while staying
+  *    restatable in SQL (both engines agree on md5 hex of the id
+  *    string);
   *  - assignment = squared-L2 argmin, dims folded ascending, ties to
   *    the lowest cluster id;
   *  - means accumulate in DECIMAL (order-independent exact sums;
@@ -23,32 +27,38 @@ import org.apache.spark.sql.functions._
   */
 object KMeansLite {
 
-  /** squared-L2 argmin over the broadcast-by-closure centroid list */
+  /** squared-L2 argmin over the broadcast-by-closure centroid list;
+    * null/empty vectors yield null (quarantine-style) instead of an NPE
+    */
   def assignUdf(cents: Seq[(Int, Array[Double])]) =
     udf { v: Seq[Double] =>
-      var best = -1
-      var bestD = Double.PositiveInfinity
-      for ((cid, cv) <- cents) {
-        var d = 0.0
-        var i = 0
-        while (i < cv.length) {
-          val diff = v(i) - cv(i)
-          d += diff * diff
-          i += 1
+      if (v == null || v.isEmpty) None
+      else {
+        var best = -1
+        var bestD = Double.PositiveInfinity
+        for ((cid, cv) <- cents) {
+          var d = 0.0
+          var i = 0
+          while (i < cv.length) {
+            val diff = v(i) - cv(i)
+            d += diff * diff
+            i += 1
+          }
+          if (d < bestD) { bestD = d; best = cid }
         }
-        if (d < bestD) { bestD = d; best = cid }
+        Some(best)
       }
-      best
     }
 
   /** Fit `k` centroids with `iters` Lloyd iterations; returns them
-    * sorted by cluster id. `df` must carry an ascending-unique `idCol`
-    * (init picks the k smallest) and `vCol: array<double>`.
+    * sorted by cluster id. `df` must carry a unique `idCol` (init picks
+    * the k smallest by hash order) and `vCol: array<double>`.
     */
   def fit(df: DataFrame, idCol: String, vCol: String, k: Int, iters: Int)
       : Seq[(Int, Array[Double])] = {
     var cents: Seq[(Int, Array[Double])] = df
-      .orderBy(col(idCol)).limit(k).select(col(vCol)).collect()
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(k).select(col(vCol)).collect()
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }.toSeq
     for (_ <- 1 to iters) {

@@ -147,16 +147,19 @@ object VectorOps {
     */
   def ivfAssignUdf(cents: Seq[(Long, Array[Double], Double)]) =
     udf { (v: Seq[Double], nn: Double) =>
-      var best = -1L
-      var bestCos = Double.NegativeInfinity
-      for ((cid, cv, cn) <- cents) {
-        var s = 0.0
-        var i = 0
-        while (i < cv.length) { s += cv(i) * v(i); i += 1 }
-        val cos = s / (math.sqrt(cn) * math.sqrt(nn))
-        if (cos > bestCos) { bestCos = cos; best = cid }
+      if (v == null || v.isEmpty) None
+      else {
+        var best = -1L
+        var bestCos = Double.NegativeInfinity
+        for ((cid, cv, cn) <- cents) {
+          var s = 0.0
+          var i = 0
+          while (i < cv.length) { s += cv(i) * v(i); i += 1 }
+          val cos = s / (math.sqrt(cn) * math.sqrt(nn))
+          if (cos > bestCos) { bestCos = cos; best = cid }
+        }
+        Some(best)
       }
-      best
     }
 
   /** nprobe nearest cells for a query vector (cells sorted by
@@ -164,7 +167,8 @@ object VectorOps {
     */
   def ivfProbeUdf(cents: Seq[(Long, Array[Double], Double)], nprobe: Int) =
     udf { (v: Seq[Double], nn: Double) =>
-      cents.map { case (cid, cv, cn) =>
+      if (v == null || v.isEmpty) Seq.empty[Long]
+      else cents.map { case (cid, cv, cn) =>
         var s = 0.0
         var i = 0
         while (i < cv.length) { s += cv(i) * v(i); i += 1 }
@@ -189,6 +193,10 @@ object VectorOps {
   def pqEncodeUdf(cents: Seq[(Long, Array[Double])], m: Int) = {
     val ordered = cents.sortBy(_._1) // ties resolve to the lowest cid
     udf { v: Seq[Double] =>
+      // null/ragged vectors → null codes (quarantine-style), never an
+      // NPE or a silently-truncated trailing subspace
+      if (v == null || v.isEmpty || v.length % m != 0) null
+      else {
       val sub = v.length / m
       Array.tabulate(m) { s =>
         var best = -1
@@ -205,6 +213,7 @@ object VectorOps {
         }
         best
       }
+      }
     }
   }
 
@@ -216,6 +225,8 @@ object VectorOps {
   def pqAdcUdf(cents: Seq[(Long, Array[Double])], m: Int) = {
     val ordered = cents.sortBy(_._1)
     udf { v: Seq[Double] =>
+      if (v == null || v.isEmpty || v.length % m != 0) null
+      else {
       val sub = v.length / m
       Array.tabulate(m) { s =>
         ordered.map { case (_, cv) =>
@@ -228,6 +239,7 @@ object VectorOps {
           }
           d
         }.toArray
+      }
       }
     }
   }

@@ -44,6 +44,41 @@ object SimilarityQueries extends QueryPack {
   private val duckVecs = VectorOps.duckVecs
   private val duckBucket = VectorOps.duckBucket
 
+  /** DuckDB restatement of `KMeansLite.fit(k=4, iters=1)`: hash-ordered
+    * deterministic init (k smallest by (md5(id), id)) → compiled argmin
+    * assignment → decimal-exact per-dim means finalized round-6. Yields
+    * `c1(cid, cv)` — the trained codebook the s8/s9/s10 oracles consume.
+    */
+  private val duckKmeans =
+    s"""e AS ($duckVecs),
+        c0 AS (SELECT cast(r - 1 as int) AS cid, v AS cv FROM (
+                 SELECT *, row_number() OVER (
+                   ORDER BY md5(cast(vec_id as varchar)), vec_id) AS r FROM e)
+               WHERE r <= 4),
+        d1 AS (SELECT e.vec_id, e.v, c.cid,
+                 list_aggregate(list_transform(range(1, len(e.v) + 1),
+                   i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])), 'sum') AS dd
+               FROM e CROSS JOIN c0 c),
+        a1 AS (SELECT vec_id, v, cid FROM (
+                 SELECT vec_id, v, cid, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY dd, cid) AS r FROM d1)
+               WHERE r = 1),
+        c1 AS (SELECT cid, list(m ORDER BY dim) AS cv FROM (
+                 SELECT cid, dim,
+                   round(cast(sum(x) / count(*) as double), 6) AS m
+                 FROM (SELECT cid,
+                         unnest(list_transform(v, x -> cast(x as decimal(25,10)))) AS x,
+                         generate_subscripts(v, 1) AS dim
+                       FROM a1)
+                 GROUP BY cid, dim) GROUP BY cid)"""
+
+  /** trained 4-centroid codebook shared by s8/s9/s10 (deterministic, so
+    * recomputing per query is gate-safe; one Lloyd iteration keeps the
+    * oracle restatement tractable)
+    */
+  private def trainedCodebook(s: SparkSession, d: String): Seq[(Int, Array[Double])] =
+    graft.operators.KMeansLite.fit(vecs(s, d), "vec_id", "v", 4, 1)
+
   def all: Seq[Q] = Seq(
 
     // ---- Brute-force cosine top-k for one query vector (vec_id 0).
@@ -122,8 +157,8 @@ object SimilarityQueries extends QueryPack {
               ORDER BY cos DESC, vec_id LIMIT 5""")),
 
     // ---- IVF-ANN (the second scale path next to LSH s4): a small
-    // data-sampled centroid codebook (vec_id < 8; production swaps in
-    // k-means output — assignment/probe machinery is identical),
+    // data-sampled centroid codebook (vec_id < 8 — the cheap-index
+    // variant; s9 runs the same machinery with TRAINED k-means cells),
     // ZERO-shuffle cell assignment via a compiled argmax pass,
     // nprobe=2 probing, and search restricted to the probed cells — a
     // broadcast equi-join on cell id, never the full corpus. Collecting
@@ -177,7 +212,8 @@ object SimilarityQueries extends QueryPack {
     // ---- PQ-ANN (third ANN tier next to LSH s4 and IVF s6): product
     // quantization — 4 subspaces of 16 dims, data-sampled sub-codebooks
     // (vec_id < 4; cids are therefore the contiguous 0..3 the ADC table
-    // indexes by), corpus encoded to 4 small ints per vector in one
+    // indexes by — s10 runs the same machinery with TRAINED k-means
+    // sub-codebooks), corpus encoded to 4 small ints per vector in one
     // compiled pass. Queries carry a precomputed ADC table (4×4
     // distances), so the per-pair score is 4 array lookups + 3 adds —
     // full vectors never travel to the scoring join. At 100 TB the
@@ -235,36 +271,20 @@ object SimilarityQueries extends QueryPack {
                   ORDER BY dist, vec_id) AS rank FROM scored) WHERE rank <= 5""")),
 
     // ---- Deterministic k-means (operators.KMeansLite): the codebook
-    // trainer behind the IVF/PQ tiers — data-sampled init (k smallest
-    // ids), one Lloyd update (compiled argmin assign + decimal-exact
-    // per-dim means, quantized round-6 like s5), then the final
-    // assignment. The oracle restates init → update → assign in full.
+    // trainer behind the IVF/PQ tiers — hash-ordered deterministic init
+    // (unbiased on sorted/clustered input), one Lloyd update (compiled
+    // argmin assign + decimal-exact per-dim means, quantized round-6
+    // like s5), then the final assignment. The oracle restates
+    // init → update → assign in full.
     Q("s8_kmeans_assign",
       (s, d) => {
         val e = vecs(s, d)
-        val cents = graft.operators.KMeansLite.fit(e, "vec_id", "v", 4, 1)
+        val cents = trainedCodebook(s, d)
         e.select(col("vec_id"),
           graft.operators.KMeansLite.assignUdf(cents)(col("v"))
             .cast("bigint").as("cid"))
       },
-      Some(s"""WITH e AS ($duckVecs),
-              c0 AS (SELECT cast(vec_id as int) AS cid, v AS cv FROM e WHERE vec_id < 4),
-              d1 AS (SELECT e.vec_id, e.v, c.cid,
-                       list_aggregate(list_transform(range(1, len(e.v) + 1),
-                         i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])), 'sum') AS dd
-                     FROM e CROSS JOIN c0 c),
-              a1 AS (SELECT vec_id, v, cid FROM (
-                       SELECT vec_id, v, cid, row_number() OVER (
-                         PARTITION BY vec_id ORDER BY dd, cid) AS r FROM d1)
-                     WHERE r = 1),
-              c1 AS (SELECT cid, list(m ORDER BY dim) AS cv FROM (
-                       SELECT cid, dim,
-                         round(cast(sum(x) / count(*) as double), 6) AS m
-                       FROM (SELECT cid,
-                               unnest(list_transform(v, x -> cast(x as decimal(25,10)))) AS x,
-                               generate_subscripts(v, 1) AS dim
-                             FROM a1)
-                       GROUP BY cid, dim) GROUP BY cid),
+      Some(s"""WITH $duckKmeans,
               d2 AS (SELECT e.vec_id, c.cid,
                        list_aggregate(list_transform(range(1, len(e.v) + 1),
                          i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])), 'sum') AS dd
@@ -273,6 +293,114 @@ object SimilarityQueries extends QueryPack {
                 SELECT vec_id, cid, row_number() OVER (
                   PARTITION BY vec_id ORDER BY dd, cid) AS r FROM d2)
               WHERE r = 1""")),
+
+    // ---- IVF with the TRAINED codebook: the s8 trainer's output flows
+    // into the s6 probe/search machinery end-to-end — cells are k-means
+    // cells, not samples. Same zero-shuffle assignment, nprobe=2,
+    // broadcast equi-join on cell id; the oracle composes the full
+    // trainer restatement with the IVF search.
+    Q("s9_ivf_kmeans",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = vecs(s, d)
+        val cents = trainedCodebook(s, d).map { case (cid, cv) =>
+          var nn = 0.0
+          var i = 0
+          while (i < cv.length) { nn += cv(i) * cv(i); i += 1 }
+          (cid.toLong, cv, nn)
+        }
+        val assigned = e
+          .withColumn("cell", VectorOps.ivfAssignUdf(cents)(col("v"), col("nn")))
+        val q = e.where(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("nn").as("qn"),
+            explode(VectorOps.ivfProbeUdf(cents, 2)(col("v"), col("nn"))).as("cell"))
+        val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+        assigned.join(broadcast(q), Seq("cell"))
+          .where(col("vec_id") =!= col("qid"))
+          .withColumn("cos", round(cosExpr, 6))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 5)
+          .select(col("qid"), col("rank").cast("bigint").as("rank"),
+            col("vec_id"), col("cos"))
+      },
+      Some(s"""WITH $duckKmeans,
+              c AS (SELECT cid, cv,
+                      list_aggregate(list_transform(cv, x -> x * x), 'sum') AS cn
+                    FROM c1),
+              sim AS (SELECT e.vec_id, e.v, e.nn, c.cid,
+                        list_aggregate(list_transform(range(1, len(c.cv) + 1),
+                          i -> c.cv[i] * e.v[i]), 'sum') / (sqrt(c.cn) * sqrt(e.nn)) AS cs
+                      FROM e CROSS JOIN c),
+              asg AS (SELECT vec_id, v, nn, cid AS cell FROM (
+                        SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY cs DESC, cid) AS r FROM sim) WHERE r = 1),
+              probe AS (SELECT vec_id AS qid, v AS qv, nn AS qn, cid AS cell FROM (
+                        SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY cs DESC, cid) AS r FROM sim WHERE vec_id < 3)
+                        WHERE r <= 2),
+              p AS (SELECT probe.qid, asg.vec_id,
+                      round(list_aggregate(list_transform(range(1, len(probe.qv) + 1),
+                        i -> probe.qv[i] * asg.v[i]), 'sum')
+                        / (sqrt(probe.qn) * sqrt(asg.nn)), 6) AS cos
+                    FROM asg JOIN probe ON asg.cell = probe.cell
+                    WHERE asg.vec_id <> probe.qid)
+              SELECT qid, cast(rank as bigint) AS rank, vec_id, cos FROM (
+                SELECT *, row_number() OVER (PARTITION BY qid
+                  ORDER BY cos DESC, vec_id) AS rank FROM p) WHERE rank <= 5""")),
+
+    // ---- PQ with the TRAINED codebook: the k-means centroids sliced
+    // per subspace become the sub-codebooks (cids stay the contiguous
+    // 0..3 the ADC table indexes by), corpus encoded to 4 small ints,
+    // query scoring via the precomputed ADC table — the s7 machinery
+    // with trained quantizers end-to-end.
+    Q("s10_pq_kmeans",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = vecs(s, d)
+        val cents = trainedCodebook(s, d).map { case (cid, cv) => (cid.toLong, cv) }
+        val enc = e.select(col("vec_id"),
+          VectorOps.pqEncodeUdf(cents, 4)(col("v")).as("codes"))
+        val q = e.where(col("vec_id") < 2)
+          .select(col("vec_id").as("qid"),
+            VectorOps.pqAdcUdf(cents, 4)(col("v")).as("adc"))
+        val w = Window.partitionBy("qid").orderBy(col("dist").asc, col("vec_id"))
+        enc.crossJoin(broadcast(q))
+          .where(col("vec_id") =!= col("qid"))
+          .withColumn("dist", round(
+            expr("adc[0][codes[0]] + adc[1][codes[1]] + adc[2][codes[2]] + adc[3][codes[3]]"), 6))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 5)
+          .select(col("qid"), col("rank").cast("bigint").as("rank"),
+            col("vec_id"), col("dist"))
+      },
+      Some(s"""WITH $duckKmeans,
+              sub AS (SELECT unnest(range(4)) AS s),
+              cb AS (SELECT c1.cid, sub.s,
+                       c1.cv[sub.s*16+1 : sub.s*16+16] AS cv
+                     FROM c1 CROSS JOIN sub),
+              d AS (SELECT e.vec_id, cb.s, cb.cid,
+                      list_aggregate(list_transform(range(1, 17),
+                        i -> (e.v[cb.s*16 + i] - cb.cv[i]) * (e.v[cb.s*16 + i] - cb.cv[i])),
+                        'sum') AS d2
+                    FROM e CROSS JOIN cb),
+              enc AS (SELECT vec_id, s, cid FROM (
+                        SELECT vec_id, s, cid, row_number() OVER (
+                          PARTITION BY vec_id, s ORDER BY d2, cid) AS r FROM d)
+                      WHERE r = 1),
+              adc AS (SELECT vec_id AS qid, s, cid, d2 FROM d WHERE vec_id < 2),
+              pair AS (SELECT adc.qid, enc.vec_id,
+                         max(CASE WHEN enc.s = 0 THEN adc.d2 END) AS d0,
+                         max(CASE WHEN enc.s = 1 THEN adc.d2 END) AS d1,
+                         max(CASE WHEN enc.s = 2 THEN adc.d2 END) AS d2_,
+                         max(CASE WHEN enc.s = 3 THEN adc.d2 END) AS d3
+                       FROM enc JOIN adc ON enc.s = adc.s AND enc.cid = adc.cid
+                       WHERE enc.vec_id <> adc.qid
+                       GROUP BY 1, 2),
+              scored AS (SELECT qid, vec_id,
+                           round(d0 + d1 + d2_ + d3, 6) AS dist FROM pair)
+              SELECT qid, cast(rank as bigint) AS rank, vec_id, dist FROM (
+                SELECT *, row_number() OVER (PARTITION BY qid
+                  ORDER BY dist, vec_id) AS rank FROM scored) WHERE rank <= 5""")),
 
     // ---- Per-label centroids: mean vector per class via posexplode +
     // decimal sums (order-independent — double summation order varies
