@@ -25,6 +25,15 @@ import org.apache.spark.sql.functions._
   *     join. Only the offset table is ever single-partition, never the
   *     data.
   *
+  * `ntileGlobal` is SIZE-ADAPTIVE: the distributed machinery pays ~1 s
+  * of fixed cost (range exchange + persist + offset broadcast), which
+  * is the wrong trade for a vocabulary-bounded aggregate — below the
+  * row-estimate threshold it dispatches to the plain single-partition
+  * window (identical assignment, proven equal in `GlobalRankSpec`),
+  * above it to the distributed plan. Estimates come from plan
+  * statistics; unknown stats route distributed (always correct, just
+  * heavier).
+  *
   * The ntile bucket follows the SQL-standard formula (first `n mod k`
   * buckets get the extra row), so results match `ntile(k) OVER
   * (ORDER BY ...)` exactly — asserted against Spark's own window ntile
@@ -36,9 +45,37 @@ object GlobalRank {
   private val LocalBits = 33 // monotonically_increasing_id layout
   private val LocalMask = (1L << LocalBits) - 1
 
-  /** Append `rankCol` (1-based global rank by `sortCols`). */
-  def withGlobalRank(df: DataFrame, sortCols: Seq[Column],
-                     rankCol: String): DataFrame = {
+  /** Default dispatch threshold: a ≤1M-row unpartitioned window sorts
+    * comfortably inside one task, well under the distributed plan's
+    * fixed cost.
+    */
+  val SmallInputRows: Long = 1L << 20
+
+  /** Plan-statistics row estimate: exact rowCount when the optimizer
+    * knows it (local relations, ranges, CBO), else a conservative
+    * bytes-based guess. None = unknown (caller should assume large).
+    */
+  private def estimatedRows(df: DataFrame): Option[Long] = {
+    val stats = df.queryExecution.optimizedPlan.stats
+    stats.rowCount.map(_.longValue).orElse {
+      val sz = stats.sizeInBytes
+      // 8 B/row — the narrowest realistic row. Anything wider makes this
+      // OVERestimate the count and route distributed, the safe direction;
+      // a narrow-row underestimate would wrongly pick the one-task window
+      if (sz < BigInt(Long.MaxValue / 2)) Some((sz / 8).longValue.max(1L)) else None
+    }
+  }
+
+  /** `withGlobalRank` plus a release handle for the internal cache: the
+    * range-partitioned frame stays pinned (MEMORY_AND_DISK) until the
+    * handle runs, so eager consumers (write / collect) should
+    * try/finally-release it. The handle-free overload keeps the cache
+    * for the plan's lifetime — it is reclaimed when the plan is GC'd,
+    * which is fine for one-shot sessions but accumulates storage if a
+    * long-lived session keeps ranking new frames.
+    */
+  def withGlobalRankReleasable(df: DataFrame, sortCols: Seq[Column],
+                               rankCol: String): (DataFrame, () => Unit) = {
     // persisted because TWO consumers read it (the offset counts and
     // the join side): range-boundary sampling is seeded per shuffle, so
     // if the exchange were re-executed rather than reused, the two
@@ -57,31 +94,44 @@ object GlobalRank {
         Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
       .select("__pid", "__offset")
-    parted.join(broadcast(offsets), Seq("__pid"))
+    val ranked = parted.join(broadcast(offsets), Seq("__pid"))
       .withColumn(rankCol, col("__offset") + col("__local") + 1)
       .drop("__mid", "__pid", "__local", "__offset")
+    (ranked, () => { parted.unpersist(); () })
   }
 
+  /** Append `rankCol` (1-based global rank by `sortCols`). */
+  def withGlobalRank(df: DataFrame, sortCols: Seq[Column],
+                     rankCol: String): DataFrame =
+    withGlobalRankReleasable(df, sortCols, rankCol)._1
+
   /** Append `bucketCol` = ntile(`buckets`) over the global `sortCols`
-    * order, distributed (see class doc).
+    * order — size-adaptive (see class doc). Pass `smallInputRows = 0`
+    * to force the distributed plan (as the scale probes do).
     */
   def ntileGlobal(df: DataFrame, buckets: Int, sortCols: Seq[Column],
-                  bucketCol: String): DataFrame = {
-    val ranked = withGlobalRank(df, sortCols, "__rank")
-    // total row count rides along as a 1-row broadcast
-    val total = ranked.agg(count(lit(1)).as("__n"))
-    val k = lit(buckets.toLong)
-    ranked.crossJoin(broadcast(total))
-      .withColumn(bucketCol, {
-        // Column `/` is true division — use explicit integral div
-        def idiv(a: Column, b: Column): Column = floor(a / b).cast("long")
-        val n = col("__n")
-        val base = idiv(n, k)
-        val rem = n % k
-        val cut = rem * (base + 1)       // rows covered by the big buckets
-        when(col("__rank") <= cut, idiv(col("__rank") - 1, base + 1) + 1)
-          .otherwise(rem + idiv(col("__rank") - cut - 1, base) + 1)
-      })
-      .drop("__rank", "__n")
+                  bucketCol: String,
+                  smallInputRows: Long = SmallInputRows): DataFrame = {
+    if (estimatedRows(df).exists(_ <= smallInputRows)) {
+      df.withColumn(bucketCol,
+        ntile(buckets).over(Window.orderBy(sortCols: _*)).cast("long"))
+    } else {
+      val ranked = withGlobalRank(df, sortCols, "__rank")
+      // total row count rides along as a 1-row broadcast
+      val total = ranked.agg(count(lit(1)).as("__n"))
+      val k = lit(buckets.toLong)
+      ranked.crossJoin(broadcast(total))
+        .withColumn(bucketCol, {
+          // Column `/` is true division — use explicit integral div
+          def idiv(a: Column, b: Column): Column = floor(a / b).cast("long")
+          val n = col("__n")
+          val base = idiv(n, k)
+          val rem = n % k
+          val cut = rem * (base + 1)     // rows covered by the big buckets
+          when(col("__rank") <= cut, idiv(col("__rank") - 1, base + 1) + 1)
+            .otherwise(rem + idiv(col("__rank") - cut - 1, base) + 1)
+        })
+        .drop("__rank", "__n")
+    }
   }
 }

@@ -27,6 +27,12 @@ object NtileProbe {
           .groupBy("q").count().count()
       }
       t("distributed") {
+        // smallInputRows=0 forces the distributed plan — the probe
+        // measures the machinery, not the adaptive dispatch
+        GlobalRank.ntileGlobal(df, 4, Seq(col("v"), col("id")), "q", 0L)
+          .groupBy("q").count().count()
+      }
+      t("adaptive") {
         GlobalRank.ntileGlobal(df, 4, Seq(col("v"), col("id")), "q")
           .groupBy("q").count().count()
       }

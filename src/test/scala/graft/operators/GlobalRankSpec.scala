@@ -25,7 +25,10 @@ class GlobalRankSpec extends SparkSpec {
     for (n <- Seq(7, 100, 1001); k <- Seq(3, 4)) {
       val df = (1 to n).map(i => ((i * 31) % 97, i)).toDF("v", "id")
         .repartition(7)
-      val got = GlobalRank.ntileGlobal(df, k, Seq(col("v"), col("id")), "q")
+      // smallInputRows = 0 forces the DISTRIBUTED plan — the equality
+      // under test; the default dispatch would route these tiny inputs
+      // to the plain window and compare it against itself
+      val got = GlobalRank.ntileGlobal(df, k, Seq(col("v"), col("id")), "q", 0L)
       val want = df.withColumn("q",
         ntile(k).over(Window.orderBy("v", "id")).cast("long"))
       assert(got.select("id", "q").except(want.select("id", "q")).isEmpty,
@@ -33,6 +36,37 @@ class GlobalRankSpec extends SparkSpec {
       assert(want.select("id", "q").except(got.select("id", "q")).isEmpty,
         s"n=$n k=$k")
     }
+  }
+
+  test("adaptive dispatch: small input takes the plain window, large the range exchange") {
+    import spark.implicits._
+    val small = (1 to 500).map(i => (i % 50, i)).toDF("v", "id")
+    val smallPlan = GlobalRank.ntileGlobal(small, 4, Seq(col("v"), col("id")), "q")
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(!smallPlan.contains("rangepartitioning"), "small input should use the plain window")
+
+    val large = spark.range(2L << 20).select((col("id") % 1000).as("v"), col("id"))
+    val largePlan = GlobalRank.ntileGlobal(large, 4, Seq(col("v"), col("id")), "q")
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(largePlan.contains("rangepartitioning"), "large input should use the distributed plan")
+
+    // both dispatch targets agree on the small input
+    val got = GlobalRank.ntileGlobal(small, 4, Seq(col("v"), col("id")), "q")
+    val want = small.withColumn("q",
+      ntile(4).over(Window.orderBy("v", "id")).cast("long"))
+    assert(got.select("id", "q").except(want.select("id", "q")).isEmpty)
+  }
+
+  test("withGlobalRankReleasable hands back a working release handle") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i % 10, i)).toDF("v", "id")
+    val (ranked, release) = GlobalRank.withGlobalRankReleasable(
+      df, Seq(col("v"), col("id")), "r")
+    assert(ranked.count() == 100)
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    assert(cachedBefore > 0)
+    release()
+    assert(spark.sparkContext.getPersistentRDDs.size < cachedBefore)
   }
 
   test("plan range-partitions the data instead of a single partition") {
