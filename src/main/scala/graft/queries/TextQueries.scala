@@ -69,6 +69,42 @@ object TextQueries extends QueryPack {
               FROM (SELECT doc_id, text || ' it''s v2.0 (no. 42)!' AS body
                     FROM documents)""")),
 
+    // ---- TRUE merge-table BPE (F34's third tier, graft.functions.Bpe):
+    // the real GPT-2 bpe() loop — pretokenize, then repeatedly merge the
+    // lowest-ranked adjacent pair from the bundled merges.txt. The
+    // synthesis uses words whose token sequences are HAND-DERIVED from
+    // the merge table (ground truth by construction, like the x-queries);
+    // the oracle states both the token strings and counts literally.
+    // E.g. 'gericht' fully merges through ch→cht→richt→gericht (ranks
+    // 1,4,5,6 with ge/ri in between) while 'bericht' stalls at
+    // [b, e, richt] because 'b e' is not in the table.
+    Q("t13_bpe_merge",
+      (s, d) => {
+        val body = expr(
+          """CASE CAST(doc_id % 4 AS INT)
+             WHEN 0 THEN 'das gericht'
+             WHEN 1 THEN 'urteil und bericht'
+             WHEN 2 THEN 'recht oder gericht'
+             ELSE 'weder gericht noch urteil' END""")
+        val bpeUdf = udf { t: String =>
+          graft.functions.Bpe.tokenize(t, graft.functions.Bpe.bundled)
+        }
+        Tables.documents(s, d)
+          .withColumn("toks", bpeUdf(body))
+          .select(col("doc_id"),
+            array_join(col("toks"), " ").as("bpe_tokens"),
+            size(col("toks")).cast("bigint").as("n_bpe_tokens"))
+      },
+      Some("""SELECT doc_id,
+                CASE CAST(doc_id % 4 AS INT)
+                  WHEN 0 THEN 'd a s gericht'
+                  WHEN 1 THEN 'urteil u n d b e richt'
+                  WHEN 2 THEN 'r e cht o d er gericht'
+                  ELSE 'we d er gericht n o ch urteil' END AS bpe_tokens,
+                CAST(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 4
+                  WHEN 1 THEN 7 WHEN 2 THEN 7 ELSE 8 END AS BIGINT) AS n_bpe_tokens
+              FROM documents""")),
+
     // ---- Quality scoring: length + stopword ratio + punctuation
     // ratio → quality bucket (the training-data triad; explicit ASCII
     // punctuation class so both regex engines count identically).
