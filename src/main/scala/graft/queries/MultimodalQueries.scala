@@ -43,15 +43,25 @@ object MultimodalQueries extends QueryPack {
                     FROM meta)""")),
 
     // ---- S3 PDF ingest round-trip: synthesize a real single-page PDF
-    // per row (even ids FlateDecode-compressed, odd ids plain —
-    // exercising both decode paths of sources.PdfText), extract its
-    // text natively (JDK-only: Inflater + Tj/TJ operand scan), compare
-    // to the ground-truth text. Per-row map, binary never leaves the
-    // executors.
+    // per row cycling through every native decode path of
+    // sources.PdfText — plain, FlateDecode (with a nested /DecodeParms
+    // sub-dict), ASCIIHexDecode, LZWDecode, RunLengthDecode, and an
+    // ASCIIHex→Flate filter CHAIN — then extract the text natively
+    // (JDK-only) and compare to the ground truth. Per-row map, binary
+    // never leaves the executors.
     Q("m3_pdf_text",
       (s, d) => {
         val mkPdf = udf { id: Long =>
-          graft.sources.PdfText.synthesize(s"Urteil Nr. $id (rechtskräftig)", id % 2 == 0) }
+          val filters = (id % 6) match {
+            case 0 => Seq.empty[String]
+            case 1 => Seq("FlateDecode")
+            case 2 => Seq("ASCIIHexDecode")
+            case 3 => Seq("LZWDecode")
+            case 4 => Seq("RunLengthDecode")
+            case _ => Seq("ASCIIHexDecode", "FlateDecode")
+          }
+          graft.sources.PdfText.synthesize(s"Urteil Nr. $id (rechtskräftig)", filters)
+        }
         Tables.documents(s, d)
           .withColumn("pdf_raw", mkPdf(col("doc_id")))
           .select(col("doc_id"),

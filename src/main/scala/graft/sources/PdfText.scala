@@ -5,13 +5,18 @@ package graft.sources
   * a 300 s timeout and NUL stripping).
   *
   * The sandbox carries no Tika artifact, but the common-case PDF —
-  * uncompressed or FlateDecode content streams showing text with
-  * Tj / TJ / ' / " operators — needs nothing beyond the JDK:
-  * `java.util.zip.Inflater` decompresses the streams and a small
-  * tokenizer reads the string operands (with PDF escape and octal
-  * forms). This unblocks the ingest path end-to-end; Tika remains the
-  * drop-in upgrade for encrypted/CID-font documents (same
-  * `bytes → text` UDF slot, `Ingest.pdfTextUdf`).
+  * content streams showing text with Tj / TJ / ' / " operators behind
+  * the standard lossless filters — needs nothing beyond the JDK:
+  * FlateDecode (`java.util.zip.Inflater`), ASCIIHexDecode, LZWDecode,
+  * and RunLengthDecode are implemented natively, including filter
+  * CHAINS (`/Filter [/ASCIIHexDecode /FlateDecode]`), nested
+  * `/DecodeParms` sub-dicts, and PDF-1.5 xref-stream files (the linear
+  * scan never walks the xref, and /Type /XRef//ObjStm//Image streams
+  * are recognized and skipped). A small tokenizer reads the string
+  * operands (with PDF escape and octal forms). This unblocks the
+  * ingest path end-to-end; Tika remains the drop-in upgrade for
+  * encrypted/CID-font documents (same `bytes → text` UDF slot,
+  * `Ingest.pdfTextUdf`).
   *
   * Semantics preserved from the reference: extracted text is
   * NUL-stripped; failures yield null (quarantine channel) rather than
@@ -24,10 +29,14 @@ object PdfText {
 
   private val Latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
 
-  /** Inflate a FlateDecode stream; None on corrupt data. */
-  private def inflate(data: Array[Byte]): Option[Array[Byte]] =
+  /** Inflate a FlateDecode stream; None on corrupt data. The Inflater's
+    * native zlib buffer is released on EVERY exit path (end() in
+    * finally) — as a per-row UDF over a large corpus, waiting for
+    * finalization would churn native memory.
+    */
+  private def inflate(data: Array[Byte]): Option[Array[Byte]] = {
+    val inf = new java.util.zip.Inflater()
     try {
-      val inf = new java.util.zip.Inflater()
       inf.setInput(data)
       val out = new java.io.ByteArrayOutputStream(data.length * 4)
       val buf = new Array[Byte](8192)
@@ -36,13 +45,238 @@ object PdfText {
         if (n > 0) out.write(buf, 0, n)
         else if (n == 0 && !inf.finished()) return Some(out.toByteArray) // stalled
       }
-      inf.end()
+      Some(out.toByteArray)
+    } catch { case _: Throwable => None }
+    finally inf.end()
+  }
+
+  /** ASCIIHexDecode: hex pairs, whitespace ignored, `>` terminates, odd
+    * final digit padded with 0 (PDF 32000-1 §7.4.2).
+    */
+  private[sources] def asciiHexDecode(data: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val out = new java.io.ByteArrayOutputStream(data.length / 2 + 1)
+      var hi = -1
+      var done = false
+      var i = 0
+      while (i < data.length && !done) {
+        val c = data(i).toChar
+        if (c == '>') done = true
+        else if (!c.isWhitespace) {
+          val v = Character.digit(c, 16)
+          if (v < 0) return None
+          if (hi < 0) hi = v
+          else { out.write(hi * 16 + v); hi = -1 }
+        }
+        i += 1
+      }
+      if (hi >= 0) out.write(hi * 16) // odd count: pad low nibble with 0
       Some(out.toByteArray)
     } catch { case _: Throwable => None }
 
+  /** RunLengthDecode (PDF 32000-1 §7.4.5): length byte L — L ≤ 127
+    * copies the next L+1 bytes, L ≥ 129 repeats the next byte 257−L
+    * times, 128 is EOD.
+    */
+  private[sources] def runLengthDecode(data: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val out = new java.io.ByteArrayOutputStream(data.length * 2)
+      var i = 0
+      var done = false
+      while (i < data.length && !done) {
+        val l = data(i) & 0xff
+        if (l == 128) done = true
+        else if (l <= 127) {
+          if (i + 1 + l + 1 > data.length) return None
+          out.write(data, i + 1, l + 1)
+          i += l + 2
+        } else {
+          if (i + 1 >= data.length) return None
+          var n = 257 - l
+          while (n > 0) { out.write(data(i + 1)); n -= 1 }
+          i += 2
+        }
+      }
+      Some(out.toByteArray)
+    } catch { case _: Throwable => None }
+
+  // ---- LZWDecode (PDF 32000-1 §7.4.4): variable 9→12-bit MSB-first
+  // codes, 256 = clear table, 257 = EOD, early-change width bump (the
+  // PDF default EarlyChange=1: width grows when the NEXT code would not
+  // fit, i.e. when the table reaches 2^width − 1).
+
+  private[sources] def lzwDecode(data: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val out = new java.io.ByteArrayOutputStream(data.length * 3)
+      var table = new Array[Array[Byte]](4096)
+      def resetTable(): Int = {
+        var i = 0
+        while (i < 256) { table(i) = Array(i.toByte); i += 1 }
+        258
+      }
+      var nextCode = resetTable()
+      var width = 9
+      var prev: Array[Byte] = null
+      var acc = 0L
+      var bits = 0
+      var i = 0
+      var done = false
+      while (!done) {
+        while (bits < width && i < data.length) {
+          acc = (acc << 8) | (data(i) & 0xff); bits += 8; i += 1
+        }
+        if (bits < width) done = true // truncated stream: keep what we have
+        else {
+          val code = ((acc >> (bits - width)) & ((1L << width) - 1)).toInt
+          bits -= width
+          if (code == 257) done = true
+          else if (code == 256) {
+            nextCode = resetTable(); width = 9; prev = null
+          } else {
+            val entry: Array[Byte] =
+              if (code < 256) table(code)
+              else if (code < nextCode && table(code) != null) table(code)
+              else if (code == nextCode && prev != null) prev :+ prev(0)
+              else return None // spec violation
+            out.write(entry, 0, entry.length)
+            if (prev != null && nextCode < 4096) {
+              table(nextCode) = prev :+ entry(0)
+              nextCode += 1
+              if (nextCode == (1 << width) - 1 && width < 12) width += 1
+            }
+            prev = entry
+          }
+        }
+      }
+      Some(out.toByteArray)
+    } catch { case _: Throwable => None }
+
+  /** LZW encoder (the decoder's inverse, for fixtures/synthesis). Emits
+    * an initial clear code; the width schedule SIMULATES THE DECODER's
+    * early-change view — the decoder's table add lags the encoder's by
+    * one code, and the widths must change at the same point in the code
+    * stream on both sides.
+    */
+  private[sources] def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length + 64)
+    var acc = 0L
+    var bits = 0
+    var width = 9      // decoder-view width
+    var simNext = 258  // decoder-view table size
+    var emitted = 0    // data codes since the last clear
+    def flushBits(): Unit = { while (bits >= 8) { out.write(((acc >> (bits - 8)) & 0xff).toInt); bits -= 8 } }
+    def emit(code: Int): Unit = { acc = (acc << width) | code; bits += width; flushBits() }
+    def emitData(code: Int): Unit = {
+      emit(code)
+      emitted += 1
+      // decoder adds one entry after every data code except the first
+      if (emitted >= 2) {
+        simNext += 1
+        if (simNext == (1 << width) - 1 && width < 12) width += 1
+      }
+    }
+    var dict = scala.collection.mutable.HashMap.empty[String, Int]
+    def resetDict(): Unit = { dict.clear(); var i = 0; while (i < 256) { dict += ("" + i.toChar) -> i; i += 1 } }
+    resetDict()
+    var dictNext = 258
+    emit(256) // initial clear
+    var w = ""
+    for (b <- data) {
+      val c = (b & 0xff).toChar
+      val wc = w + c
+      if (dict.contains(wc)) w = wc
+      else {
+        emitData(dict(w))
+        if (dictNext < 4093) { dict += wc -> dictNext; dictNext += 1 }
+        else { // table nearly full: clear and restart (both sides reset)
+          emit(256); resetDict(); dictNext = 258; simNext = 258; width = 9; emitted = 0
+        }
+        w = "" + c
+      }
+    }
+    if (w.nonEmpty) emitData(dict(w))
+    emit(257) // EOD
+    if (bits > 0) { out.write(((acc << (8 - bits)) & 0xff).toInt) }
+    out.toByteArray
+  }
+
+  /** RunLength encoder (literal runs only — correct, not optimal). */
+  private[sources] def runLengthEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length + data.length / 128 + 2)
+    var i = 0
+    while (i < data.length) {
+      val n = math.min(128, data.length - i)
+      out.write(n - 1)
+      out.write(data, i, n)
+      i += n
+    }
+    out.write(128) // EOD
+    out.toByteArray
+  }
+
+  private[sources] def asciiHexEncode(data: Array[Byte]): Array[Byte] =
+    (data.map(b => f"${b & 0xff}%02x").mkString + ">").getBytes(Latin1)
+
+  /** The /Filter entry as an ordered decode chain: a single name or an
+    * array of names (chains decode left-to-right, §7.4.1).
+    */
+  private[sources] def filtersOf(dict: String): Seq[String] = {
+    val at = dict.indexOf("/Filter")
+    if (at < 0) return Seq.empty
+    var i = at + "/Filter".length
+    while (i < dict.length && dict.charAt(i).isWhitespace) i += 1
+    val names = "/([A-Za-z0-9]+)".r
+    if (i < dict.length && dict.charAt(i) == '[') {
+      val e = dict.indexOf(']', i)
+      val body = if (e < 0) dict.substring(i + 1) else dict.substring(i + 1, e)
+      names.findAllMatchIn(body).map(_.group(1)).toSeq
+    } else names.findFirstMatchIn(dict.substring(i)).map(_.group(1)).toSeq
+  }
+
+  /** Run the dict's filter chain over the raw stream bytes; None when a
+    * filter is unknown or its data corrupt (the skip-and-log path).
+    */
+  private def decodeStream(dict: String, data: Array[Byte]): Option[Array[Byte]] = {
+    val chain = filtersOf(dict)
+    if (chain.isEmpty) Some(data)
+    else chain.foldLeft(Option(data)) { (acc, f) =>
+      acc.flatMap { d =>
+        f match {
+          case "FlateDecode" | "Fl" => inflate(d)
+          case "ASCIIHexDecode" | "AHx" => asciiHexDecode(d)
+          case "LZWDecode" | "LZW" => lzwDecode(d)
+          case "RunLengthDecode" | "RL" => runLengthDecode(d)
+          case _ => None // DCT/JPX/CCITT/Crypt: images or out of scope
+        }
+      }
+    }
+  }
+
+  /** Start of the dict enclosing the `stream` keyword at `at` — tracks
+    * `<<`/`>>` NESTING walking backwards, so a nested sub-dict (e.g.
+    * /DecodeParms << ... >>) cannot truncate the captured dict and hide
+    * its /Filter entry.
+    */
+  private def enclosingDictStart(hay: String, at: Int): Int = {
+    var depth = 0
+    var j = at - 1
+    while (j > 0) {
+      val c = hay.charAt(j)
+      if (c == '>' && hay.charAt(j - 1) == '>') { depth += 1; j -= 2 }
+      else if (c == '<' && hay.charAt(j - 1) == '<') {
+        depth -= 1
+        if (depth <= 0) return j - 1
+        j -= 2
+      }
+      else j -= 1
+    }
+    -1
+  }
+
   /** (dict, streamBytes) pairs found by a linear scan — no xref walk,
-    * so damaged files still yield their readable streams (Tika is
-    * similarly lenient).
+    * so damaged files and PDF-1.5 xref-STREAM files still yield their
+    * readable content streams (Tika is similarly lenient; the xref
+    * stream itself is recognized by its /Type and skipped).
     */
   private def streams(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
     val hay = new String(bytes, Latin1)
@@ -57,9 +291,9 @@ object PdfText {
         true
       }
       else {
-        // dict = text between the enclosing << ... >> just before
+        // dict = the enclosing << ... >> just before (nesting-aware)
         val dictEnd = at
-        val dictStart = hay.lastIndexOf("<<", at)
+        val dictStart = enclosingDictStart(hay, at)
         val dict =
           if (dictStart >= 0) hay.substring(dictStart, dictEnd) else ""
         // stream data starts after "stream" + EOL
@@ -189,24 +423,50 @@ object PdfText {
     * compresses the content stream (Deflater), exercising the
     * FlateDecode read path.
     */
-  def synthesize(text: String, flate: Boolean): Array[Byte] = {
+  def synthesize(text: String, flate: Boolean): Array[Byte] =
+    synthesize(text, if (flate) Seq("FlateDecode") else Seq.empty)
+
+  private def deflateBytes(in: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    try {
+      d.setInput(in); d.finish()
+      val buf = new Array[Byte](in.length * 2 + 64)
+      val n = d.deflate(buf)
+      java.util.Arrays.copyOf(buf, n)
+    } finally d.end()
+  }
+
+  /** Synthesize with an explicit decode-filter chain (applied to the
+    * content in REVERSE, so the written /Filter array decodes
+    * left-to-right per §7.4.1). A nested /DecodeParms sub-dict is
+    * emitted alongside FlateDecode to keep the nesting-aware dict scan
+    * honest.
+    */
+  def synthesize(text: String, filters: Seq[String]): Array[Byte] = {
     val escaped = text.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
     val contents = s"BT /F1 12 Tf 72 720 Td ($escaped) Tj ET"
-    val content: Array[Byte] =
-      if (!flate) contents.getBytes(Latin1)
-      else {
-        val d = new java.util.zip.Deflater()
-        d.setInput(contents.getBytes(Latin1)); d.finish()
-        val buf = new Array[Byte](contents.length * 2 + 64)
-        val n = d.deflate(buf); d.end()
-        java.util.Arrays.copyOf(buf, n)
+    val content = filters.reverse.foldLeft(contents.getBytes(Latin1)) { (d, f) =>
+      f match {
+        case "FlateDecode" => deflateBytes(d)
+        case "ASCIIHexDecode" => asciiHexEncode(d)
+        case "LZWDecode" => lzwEncode(d)
+        case "RunLengthDecode" => runLengthEncode(d)
+        case other => throw new IllegalArgumentException(s"no encoder for $other")
       }
-    val filter = if (flate) " /Filter /FlateDecode" else ""
+    }
+    val filter = filters match {
+      case Seq() => ""
+      case Seq(one) => s" /Filter /$one"
+      case many => many.map("/" + _).mkString(" /Filter [", " ", "]")
+    }
+    // real-world shape: FlateDecode dicts often carry nested DecodeParms
+    val parms = if (filters.contains("FlateDecode"))
+      " /DecodeParms << /Columns 1 /Predictor 1 >>" else ""
     val head = ("%PDF-1.4\n" +
       "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
       "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
       "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
-      s"4 0 obj << /Length ${content.length}$filter >>\nstream\n").getBytes(Latin1)
+      s"4 0 obj << /Length ${content.length}$filter$parms >>\nstream\n").getBytes(Latin1)
     val tail = "\nendstream\nendobj\ntrailer << /Root 1 0 R >>\n%%EOF\n".getBytes(Latin1)
     head ++ content ++ tail
   }
@@ -217,14 +477,19 @@ object PdfText {
   def extract(bytes: Array[Byte]): String = {
     if (bytes == null || bytes.length < 8) return null
     try {
+      val skip = "/(?:Type|Subtype)\\s*/(?:XRef|ObjStm|Image|Metadata)".r
       val texts = streams(bytes).flatMap { case (dict, data) =>
-        val raw =
-          if (dict.contains("FlateDecode")) inflate(data).getOrElse(Array.empty)
-          else data
-        if (raw.isEmpty) Nil
+        // PDF-1.5 xref/object streams and images decode to non-text
+        // binary — recognize and skip them instead of scanning for a
+        // stray "BT" in compressed garbage
+        if (skip.findFirstIn(dict).isDefined) Nil
         else {
-          val s = new String(raw, Latin1)
-          if (s.contains("BT")) contentText(s) else Nil
+          val raw = decodeStream(dict, data).getOrElse(Array.empty)
+          if (raw.isEmpty) Nil
+          else {
+            val s = new String(raw, Latin1)
+            if (s.contains("BT")) contentText(s) else Nil
+          }
         }
       }
       if (texts.isEmpty) null

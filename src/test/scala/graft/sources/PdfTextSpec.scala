@@ -104,4 +104,85 @@ class PdfTextSpec extends AnyFunSuite {
     val bytes = pdf("BT (vor\\000nach) Tj ET", flate = false)
     assert(PdfText.extract(bytes) == "vornach")
   }
+
+  // ---- round-3 filter tiers: ASCIIHex, LZW, RunLength, chains,
+  // nested DecodeParms, xref-stream tolerance
+
+  test("every synthesize filter round-trips through extract") {
+    // Latin-1-safe text: the minimal writer encodes operands as raw
+    // Latin-1 bytes (no font cmap), like simple real-world PDFs
+    val text = "Urteil Nr. 7 (rechtskräftig) - Art. 42 Abs. 1"
+    for (filters <- Seq(
+      Seq.empty[String],
+      Seq("FlateDecode"),
+      Seq("ASCIIHexDecode"),
+      Seq("LZWDecode"),
+      Seq("RunLengthDecode"),
+      Seq("ASCIIHexDecode", "FlateDecode"),
+      Seq("ASCIIHexDecode", "LZWDecode"),
+      Seq("RunLengthDecode", "FlateDecode")))
+      assert(PdfText.extract(PdfText.synthesize(text, filters)) == text,
+        s"filters=$filters")
+  }
+
+  test("LZW round-trips past the 9->10 bit width boundary") {
+    // >300 distinct pair-codes force a width change mid-stream; the
+    // encoder must bump width on the DECODER's early-change schedule
+    val sb = new StringBuilder
+    var i = 0
+    while (i < 4000) { sb.append((33 + (i * 37) % 90).toChar); i += 1 }
+    val data = sb.toString.getBytes(ISO_8859_1)
+    val dec = PdfText.lzwDecode(PdfText.lzwEncode(data))
+    assert(dec.isDefined && java.util.Arrays.equals(dec.get, data))
+  }
+
+  test("runlength decoder handles repeat runs and EOD") {
+    // 130 => repeat next byte 127 times; 0 => copy 1 byte; 128 => EOD
+    val enc = Array[Byte](130.toByte, 'a'.toByte, 0, 'b'.toByte, 128.toByte, 99)
+    val dec = PdfText.runLengthDecode(enc).get
+    assert(new String(dec, ISO_8859_1) == "a" * 127 + "b")
+  }
+
+  test("asciihex decoder pads odd nibble and stops at '>'") {
+    assert(new String(PdfText.asciiHexDecode("48 49>garbage".getBytes(ISO_8859_1)).get,
+      ISO_8859_1) == "HI")
+    // odd count: '7' pads to 0x70 = 'p'
+    assert(new String(PdfText.asciiHexDecode("48 49 7>".getBytes(ISO_8859_1)).get,
+      ISO_8859_1) == "HIp")
+    assert(PdfText.asciiHexDecode("zz".getBytes(ISO_8859_1)).isEmpty)
+  }
+
+  test("nested DecodeParms sub-dict does not hide the filter (ADVICE regression)") {
+    // the old lastIndexOf("<<") captured only the inner dict and missed
+    // /Filter, silently dropping the stream's text
+    val src = "BT (Mit Parms.) Tj ET".getBytes(ISO_8859_1)
+    val d = new java.util.zip.Deflater()
+    d.setInput(src); d.finish()
+    val buf = new Array[Byte](8192)
+    val n = d.deflate(buf); d.end()
+    val flate = java.util.Arrays.copyOf(buf, n)
+    val bytes = ("%PDF-1.4\n4 0 obj << /Length " + n +
+      " /Filter /FlateDecode /DecodeParms << /Predictor 1 /Columns 1 >> >>\nstream\n")
+      .getBytes(ISO_8859_1) ++ flate ++
+      "\nendstream\nendobj\n%%EOF\n".getBytes(ISO_8859_1)
+    assert(PdfText.extract(bytes) == "Mit Parms.")
+  }
+
+  test("filter chains parse from single names and arrays") {
+    assert(PdfText.filtersOf("<< /Length 10 >>").isEmpty)
+    assert(PdfText.filtersOf("<< /Filter /FlateDecode >>") == Seq("FlateDecode"))
+    assert(PdfText.filtersOf("<< /Filter [/ASCIIHexDecode /FlateDecode] /Length 3 >>") ==
+      Seq("ASCIIHexDecode", "FlateDecode"))
+  }
+
+  test("xref and image streams are skipped, not scanned for stray BT") {
+    // an uncompressed '/Type /XRef' stream whose binary happens to
+    // contain 'BT (x) Tj' must contribute nothing
+    val fake = "junkBT (nicht Text) Tj ET".getBytes(ISO_8859_1)
+    val bytes = ("%PDF-1.5\n7 0 obj << /Type /XRef /Length " + fake.length +
+      " >>\nstream\n").getBytes(ISO_8859_1) ++ fake ++
+      "\nendstream\nendobj\n".getBytes(ISO_8859_1) ++
+      pdf("BT (Echter Inhalt.) Tj ET", flate = false)
+    assert(PdfText.extract(bytes) == "Echter Inhalt.")
+  }
 }
