@@ -29,6 +29,13 @@ object EventStreams {
 
   case class SessState(nEvents: Long, startUs: Long, endUs: Long)
 
+  /** Exact epoch-micros of a Timestamp — getTime() alone truncates to
+    * milliseconds, which would let streaming session bounds drift from
+    * the micros-exact batch duals (the equivalence spec pins this).
+    */
+  private def epochMicros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
   /** Tumbling 1-hour window counts/sums with a 2-hour watermark —
     * streaming dual of EventQueries.e1_tumbling_window.
     */
@@ -67,11 +74,11 @@ object EventStreams {
             state.remove()
             Iterator(SessionUpdate(userId, s.nEvents, s.startUs, s.endUs, closed = true))
           } else {
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = rows.toSeq.sortBy(e => (epochMicros(e.ts), e.event_id))
             var cur = state.getOption
             val closed = Seq.newBuilder[SessionUpdate]
             for (e <- sorted) {
-              val tUs = e.ts.getTime * 1000L
+              val tUs = epochMicros(e.ts)
               cur match {
                 case Some(s) if tUs - s.endUs <= gapUs =>
                   cur = Some(s.copy(nEvents = s.nEvents + 1, endUs = tUs))

@@ -128,6 +128,114 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  // ---- streaming ↔ batch equivalence: the streaming operators over
+  // the REAL events table must reproduce the gated batch duals
+  // (e1/e5/e2/e7) exactly — same input rows via MemoryStream, two far-
+  // future flush events advance the watermark so every real window and
+  // session closes, flush artifacts filtered by key/time.
+
+  private def tsFromUs(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
+  private def realEvents(): (Seq[Event], Long) = {
+    val rows = graft.sources.Tables.events(spark, sfDir)
+      .select("event_id", "ts_us", "user_id", "event_type", "value").collect()
+    val events = rows.map(r => Event(r.getLong(0), tsFromUs(r.getLong(1)),
+      r.getLong(2), r.getString(3), r.getDouble(4))).toSeq
+    (events, rows.map(_.getLong(1)).max)
+  }
+
+  test("streaming tumbling counts equal the e1 batch dual on the real table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (events, maxUs) = realEvents()
+    val mem = MemoryStream[Event]
+    val q = tumblingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("eq_tumbling")
+      .outputMode("append").start()
+    try {
+      mem.addData(events: _*)
+      q.processAllAvailable()
+      mem.addData(Event(-1, tsFromUs(maxUs + 36L * 3600000000L), -1L, "flush", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(-2, tsFromUs(maxUs + 72L * 3600000000L), -1L, "flush", 0.0))
+      q.processAllAvailable()
+      // regroup the (window, event_type) streaming rows to e1's
+      // per-window shape; decimal partial sums re-add exactly
+      val got = spark.table("eq_tumbling")
+        .groupBy(unix_micros(col("window_start")).as("window_start_us"))
+        .agg(sum("n_events").as("n_events"),
+          sum("sum_value").cast("double").as("sum_value"))
+        .where(col("window_start_us") <= maxUs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = graft.SparkEntry.queries("e1_tumbling_window")(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  test("streaming sliding counts equal the e5 batch dual on the real table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (events, maxUs) = realEvents()
+    val mem = MemoryStream[Event]
+    val q = slidingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("eq_sliding")
+      .outputMode("append").start()
+    try {
+      mem.addData(events: _*)
+      q.processAllAvailable()
+      mem.addData(Event(-1, tsFromUs(maxUs + 36L * 3600000000L), -1L, "flush", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(-2, tsFromUs(maxUs + 72L * 3600000000L), -1L, "flush", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("eq_sliding")
+        .select(unix_micros(col("window_start")).as("ws"), col("n_events"))
+        .where(col("ws") <= maxUs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = graft.SparkEntry.queries("e5_sliding_window")(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  test("streaming sessionization equals the e2 and e7 batch duals on the real table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (events, maxUs) = realEvents()
+    val mem = MemoryStream[Event]
+    val q = sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("eq_sessions")
+      .outputMode("append").start()
+    try {
+      mem.addData(events: _*)
+      q.processAllAvailable()
+      // first flush closes every real session via timeout; second
+      // advances the watermark past the first flush's own session
+      mem.addData(Event(-1, tsFromUs(maxUs + 36L * 3600000000L), -1L, "flush", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(-2, tsFromUs(maxUs + 72L * 3600000000L), -1L, "flush", 0.0))
+      q.processAllAvailable()
+      val closed = spark.table("eq_sessions")
+        .where(col("closed") && col("user_id") >= 0)
+        .collect()
+      val gotE2 = closed.map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3) - r.getLong(2))).toSet
+      val wantE2 = graft.SparkEntry.queries("e2_sessionize")(spark, sfDir)
+        .select("user_id", "n_events", "start_us", "dur_us")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(gotE2 == wantE2, "streaming sessions != e2 batch sessions")
+
+      val gotE7 = closed.map(r => (r.getLong(0), r.getLong(2), r.getLong(1))).toSet
+      val wantE7 = graft.SparkEntry.queries("e7_session_window")(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(gotE7 == wantE7, "streaming sessions != e7 session_window")
+    } finally q.stop()
+  }
+
   test("file-source stream over the real events table produces batches") {
     // file streams need a landing DIRECTORY (each micro-batch = new
     // files); stage the single testdata file into one
