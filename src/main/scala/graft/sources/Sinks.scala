@@ -117,6 +117,20 @@ object Sinks {
     */
   def compact(spark: SparkSession, path: String,
               targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(path + "__compact_old")
+    val tmpPath = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    // crash RECOVERY before anything else: a previous compact that died
+    // between its two renames leaves `path` absent. The tmp dir is
+    // complete by construction (it is fully written before any rename),
+    // so it wins; with no tmp, roll back to the renamed-aside old dir.
+    // (SinksCrashSpec exercises both windows.)
+    if (!fs.exists(dst)) {
+      if (fs.exists(tmpPath)) { fs.rename(tmpPath, dst); fs.delete(old, true) }
+      else if (fs.exists(old)) fs.rename(old, dst)
+    }
     val df = spark.read.parquet(path)
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val parts = math.max(1, (bytes / BigInt(targetFileBytes)).toInt)
@@ -124,11 +138,8 @@ object Sinks {
     df.repartition(parts).write.mode(SaveMode.Overwrite).parquet(tmp)
     // swap via rename-aside: at no point is `path` absent AND the new
     // data unrecoverable — a crash leaves either the old dir live, or
-    // the new dir one rename away plus the old dir at __old
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    val old = new org.apache.hadoop.fs.Path(path + "__compact_old")
+    // the new dir one rename away plus the old dir at __old (healed by
+    // the recovery block above on the next call)
     fs.delete(old, true) // clear any leftover from a previous crash
     fs.rename(dst, old)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
