@@ -58,10 +58,13 @@ object DatasetWriter {
     * 1000-way slice at corpus scale. `slices` maps family name → the
     * labeling column (a category column or a derived band such as
     * `floor(n_tokens / 512)`); null labels route to `__other`.
-    * Returns rows written per family.
+    * Returns PER-SLICE-VALUE row counts for each family (the write
+    * manifest — one tiny groupBy per family, reading the same cache the
+    * write used, instead of a full-count pass that would return the
+    * identical total for every family).
     */
   def subDatasets(ds: DataFrame, outRoot: String,
-                  slices: Map[String, org.apache.spark.sql.Column]): Map[String, Long] = {
+                  slices: Map[String, org.apache.spark.sql.Column]): Map[String, Map[String, Long]] = {
     val cached = ds.persist()
     try {
       slices.map { case (name, labelCol) =>
@@ -70,7 +73,8 @@ object DatasetWriter {
         sliced.write.mode("overwrite")
           .partitionBy(name, "split")
           .json(s"$outRoot/by_$name")
-        name -> sliced.count()
+        name -> sliced.groupBy(name).agg(count(lit(1)).as("__n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       }
     } finally { cached.unpersist(); () }
   }

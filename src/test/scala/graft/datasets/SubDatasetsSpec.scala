@@ -23,7 +23,9 @@ class SubDatasetsSpec extends SparkSpec {
       "canton" -> col("canton"),
       "len_band" -> (floor(col("n_tokens") / 512) * 512)))
 
-    assert(written == Map("canton" -> 4L, "len_band" -> 4L))
+    // per-slice-VALUE manifest, not a repeated total
+    assert(written("canton") == Map("ZH" -> 2L, "BE" -> 1L, "__other" -> 1L))
+    assert(written("len_band") == Map("0" -> 2L, "512" -> 1L, "1024" -> 1L))
 
     // canton slices: directory per value, nulls under __other
     val byCanton = spark.read.json(s"$out/by_canton")
