@@ -14,6 +14,20 @@ import scala.collection.mutable.ArrayBuffer
   * raw text, comments and doctypes are skipped, stray close tags are
   * ignored, unclosed elements close at end of input (lenient, like
   * html.parser).
+  *
+  * Malformed-input recovery (the scraped-court-HTML reality the
+  * reference leans on BeautifulSoup for, `text_to_database.py:238-254`):
+  *  - implied sibling closes: an opening `p`/`li`/`tr`/`td`/`th`/
+  *    `dt`/`dd`/`option` first closes a still-open sibling of the same
+  *    family (browsers' and jsoup's tree construction) — without this,
+  *    `findChildren(recursive=false)` over a quote-dropping table sees
+  *    one nested chain instead of N rows and the per-spider cleaners
+  *    pick the wrong child;
+  *  - a tag the tokenizer cannot parse (unterminated attribute quote
+  *    and similar) is DROPPED to the next `>` instead of leaking its
+  *    raw bytes into the extracted text;
+  *  - `<![CDATA[...]]>` bodies become text nodes (bs4 keeps CData as a
+  *    string child), and a `>` inside the CDATA cannot truncate it.
   */
 object HtmlDom {
 
@@ -30,6 +44,20 @@ object HtmlDom {
 
   private val voidTags = Set("area", "base", "br", "col", "embed", "hr",
     "img", "input", "link", "meta", "param", "source", "track", "wbr")
+
+  /** opening tag → sibling tags it implicitly closes (HTML5 tree
+    * construction's "close a p / cell / item in scope" moves, the
+    * subset that matters for scraped court tables and lists)
+    */
+  private val impliedClose: Map[String, Set[String]] = Map(
+    "p" -> Set("p"),
+    "li" -> Set("li"),
+    "tr" -> Set("tr", "td", "th"),
+    "td" -> Set("td", "th"),
+    "th" -> Set("td", "th"),
+    "dt" -> Set("dt", "dd"),
+    "dd" -> Set("dt", "dd"),
+    "option" -> Set("option"))
 
   private val tagToken =
     """(?s)<(/?)([a-zA-Z][a-zA-Z0-9:_-]*)((?:"[^"]*"|'[^']*'|[^>"'])*)(/?)>""".r
@@ -62,10 +90,25 @@ object HtmlDom {
         if (html.startsWith("<!--", lt)) {
           val end = html.indexOf("-->", lt + 4)
           pos = if (end < 0) html.length else end + 3
+        } else if (html.startsWith("<![CDATA[", lt)) {
+          // CData body is a text node (bs4 keeps it as a string child);
+          // '>' inside the body must not truncate it
+          val end = html.indexOf("]]>", lt + 9)
+          val body = if (end < 0) html.substring(lt + 9)
+                     else html.substring(lt + 9, end)
+          if (body.nonEmpty) stack.last._3 += Text(body)
+          pos = if (end < 0) html.length else end + 3
         } else if (html.startsWith("<!", lt) || html.startsWith("<?", lt)) {
           val end = html.indexOf('>', lt)
           pos = if (end < 0) html.length else end + 1
         } else tagToken.findPrefixMatchOf(html.substring(lt)) match {
+          case None if lt + 1 < html.length &&
+              (html.charAt(lt + 1).isLetter || html.charAt(lt + 1) == '/') =>
+            // tag-shaped but unparseable (unterminated quote etc.):
+            // DROP to the next '>' rather than leaking raw tag bytes
+            // into the text extraction
+            val end = html.indexOf('>', lt)
+            pos = if (end < 0) html.length else end + 1
           case None => // stray '<' — literal text
             stack.last._3 += Text("<"); pos = lt + 1
           case Some(m) =>
@@ -79,6 +122,15 @@ object HtmlDom {
                 while (stack.length > 1 && {
                   val t = stack.last._1; closeTop(); t != tag
                 }) ()
+            } else if (impliedClose.contains(tag) && stack.length > 1 &&
+                impliedClose(tag).contains(stack.last._1)) {
+              // implied sibling close: <p>a<p>b, <tr>..<tr>, <td>..<td>
+              while (stack.length > 1 && impliedClose(tag).contains(stack.last._1))
+                closeTop()
+              if (selfClosed)
+                stack.last._3 += Elem(tag, parseAttrs(m.group(3)), Vector.empty)
+              else
+                stack += ((tag, parseAttrs(m.group(3)), ArrayBuffer.empty[Node]))
             } else if (selfClosed) {
               stack.last._3 += Elem(tag, parseAttrs(m.group(3)), Vector.empty)
             } else if (tag == "script" || tag == "style") {

@@ -172,6 +172,41 @@ object ExtractQueries extends QueryPack {
                 trim(regexp_replace(substr(text, 1, 40), '\s+', ' ', 'g')) AS cleaned
               FROM documents""")),
 
+    // ---- S4 hostile-HTML robustness: the malformed shapes real
+    // scraped court HTML contains — unclosed p/div, an unterminated
+    // attribute quote mid-document (must be dropped, never leaked into
+    // the text), quote-dropping table cells healed by implied sibling
+    // closes, and a CDATA body with an embedded '>' — through the
+    // per-spider cleaning pipeline. Oracle states the surviving text
+    // literally per case.
+    Q("x20_malformed_html",
+      (s, d) => {
+        val spider = expr(
+          """CASE CAST(doc_id % 4 AS INT)
+             WHEN 0 THEN 'CH_BGer' WHEN 1 THEN 'CH_BGer'
+             WHEN 2 THEN 'AG_Gerichte' ELSE 'XX_Unknown' END""")
+        val html = expr(
+          """CASE CAST(doc_id % 4 AS INT)
+             WHEN 0 THEN '<div class="nav">Menü Suche</div><div class="content"><p>'
+               || substr(text, 1, 40)
+             WHEN 1 THEN '<div class="content"><p>' || substr(text, 1, 40)
+               || ' <span class="x>Ende</div>'
+             WHEN 2 THEN '<div class="header">Obergericht</div><table><tr><td>'
+               || substr(text, 1, 40) || '<td>Ende</table>'
+             ELSE '<p>' || substr(text, 1, 40)
+               || '<p><![CDATA[Original > Kopie]]>' END""")
+        Tables.documents(s, d)
+          .select(col("doc_id"), ExtractUdfs.cleanHtml(spider, html).as("cleaned"))
+      },
+      Some("""SELECT doc_id,
+                CASE CAST(doc_id % 4 AS INT)
+                  WHEN 0 THEN trim(regexp_replace(substr(text, 1, 40), '\s+', ' ', 'g'))
+                  WHEN 1 THEN trim(regexp_replace(substr(text, 1, 40) || ' Ende', '\s+', ' ', 'g'))
+                  WHEN 2 THEN trim(regexp_replace(substr(text, 1, 40) || ' Ende', '\s+', ' ', 'g'))
+                  ELSE trim(regexp_replace(substr(text, 1, 40) || ' Original > Kopie', '\s+', ' ', 'g'))
+                END AS cleaned
+              FROM documents""")),
+
     // ---- F2: per-spider PDF regex cleaning with the PORTED rule data
     // (ZH_Obergericht's page-number rule), oracle restates the same
     // regex + the general whitespace cleanup.
