@@ -1,0 +1,88 @@
+package graft.functions
+
+/** Deterministic rule-based lemma/POS tagging — the A3 counter feeder
+  * (the reference aggregates spaCy lemma/POS `Counter`s per chamber,
+  * `scrc/preprocessors/nlp_pipeline_runner.py` +
+  * `abstract_preprocessor.py:343-410`). spaCy itself is model-bound
+  * and not JVM-reproducible; this tier is the deterministic stand-in:
+  * a closed-class lexicon (data), ordered suffix rules for German
+  * noun/verb lemmas, and word-shape POS heuristics, all restatable in
+  * an oracle. The pluggable seam mirrors `TokenCounter` — a
+  * model-backed tagger drops into the same `counter` signature.
+  *
+  * POS tags follow the UPOS inventory the reference's spaCy models
+  * emit (DET, NOUN, VERB, AUX, ADP, ADV, PRON, PART, CCONJ, NUM,
+  * PUNCT, ADJ, X).
+  */
+object Lemmatizer {
+
+  final case class Tagged(token: String, lemma: String, pos: String)
+
+  /** closed-class forms + irregular auxiliaries: form → (lemma, pos) */
+  private val lexicon: Map[String, (String, String)] = {
+    def family(lemma: String, pos: String, forms: String*) =
+      forms.map(_ -> (lemma, pos))
+    (family("der", "DET", "der", "die", "das", "den", "dem", "des") ++
+      family("ein", "DET", "ein", "eine", "einen", "einem", "einer", "eines") ++
+      family("und", "CCONJ", "und") ++ family("oder", "CCONJ", "oder") ++
+      Seq("von", "in", "auf", "mit", "nach", "bei", "zu", "aus", "für",
+        "gegen", "über").map(p => p -> (p, "ADP")) ++
+      Seq("er", "sie", "es", "wir", "ich").map(p => p -> (p, "PRON")) ++
+      Seq("heute", "gestern", "hier", "dort").map(a => a -> (a, "ADV")) ++
+      family("nicht", "PART", "nicht") ++
+      family("sein", "AUX", "ist", "sind", "war", "waren", "sei") ++
+      family("werden", "AUX", "wird", "werden", "wurde", "wurden") ++
+      family("haben", "AUX", "hat", "haben", "hatte", "hatten")).toMap
+  }
+
+  /** noun suffix rules, FIRST match applies (specific before general) */
+  private val nounRules: Seq[(String, String)] = Seq(
+    "ungen" -> "ung", "heiten" -> "heit", "keiten" -> "keit",
+    "nisse" -> "nis", "eien" -> "ei", "en" -> "e", "e" -> "", "s" -> "")
+
+  private val MinStem = 4
+
+  /** Tag one token. Deterministic; unknown shapes degrade to ADJ/X,
+    * never throw.
+    */
+  def tag(token: String): Tagged = {
+    if (token == null || token.isEmpty) return Tagged(token, token, "X")
+    val lower = token.toLowerCase
+    lexicon.get(lower) match {
+      case Some((lemma, pos)) => Tagged(token, lemma, pos)
+      case None =>
+        if (token.forall(_.isDigit)) Tagged(token, token, "NUM")
+        else if (!token.exists(_.isLetter)) Tagged(token, token, "PUNCT")
+        else if (token.head.isUpper) {
+          // German nouns capitalize; strip the first matching suffix
+          val lemma = nounRules.collectFirst {
+            case (suf, rep) if token.endsWith(suf) &&
+              token.length - suf.length + rep.length >= MinStem =>
+              token.dropRight(suf.length) + rep
+          }.getOrElse(token)
+          Tagged(token, lemma, "NOUN")
+        } else if (lower.endsWith("en")) Tagged(token, lower, "VERB") // infinitive
+        else if (lower.endsWith("t") && lower.length >= MinStem) {
+          // finite 3sg → infinitive: prüft → prüfen, entscheidet → entscheiden
+          val stem = lower.dropRight(1)
+          val lemma = if (stem.endsWith("e")) stem + "n" else stem + "en"
+          Tagged(token, lemma, "VERB")
+        } else Tagged(token, lower, "ADJ")
+    }
+  }
+
+  private val wordPattern = "[\\p{L}\\p{N}]+|[^\\s\\p{L}\\p{N}]".r
+
+  def tagText(text: String): Seq[Tagged] =
+    if (text == null) Seq.empty
+    else wordPattern.findAllIn(text).map(tag).toSeq
+
+  /** Per-document lemma/POS counter map (key = lemma TAB pos) — the A3
+    * input shape: these maps merge map-side through `counter_merge` /
+    * `CounterAggregator` exactly like the reference's per-chunk
+    * Counter dicts.
+    */
+  def counter(text: String): Map[String, Long] =
+    tagText(text).groupBy(t => t.lemma + "\t" + t.pos)
+      .map { case (k, v) => k -> v.size.toLong }
+}

@@ -105,6 +105,44 @@ object TextQueries extends QueryPack {
                   WHEN 1 THEN 7 WHEN 2 THEN 7 ELSE 8 END AS BIGINT) AS n_bpe_tokens
               FROM documents""")),
 
+    // ---- A3 with the lemma/POS feeder (graft.functions.Lemmatizer):
+    // per-doc lemma|pos counter maps merged through the native
+    // counter_merge aggregate — the reference's per-chunk spaCy
+    // Counter rollup with a deterministic rule tagger. The synthesis
+    // uses words whose (lemma, pos) are hand-derived from the rule
+    // table; the oracle states the corpus totals arithmetically.
+    Q("t14_lemma_counts",
+      (s, d) => {
+        graft.GraftExtensions.registerNative(s)
+        val body = expr(
+          """CASE WHEN doc_id % 2 = 0
+             THEN 'Die Gerichte prüfen die Beschwerden der Parteien'
+             ELSE 'Das Gericht prüft eine Verfügung und entscheidet heute' END""")
+        val counterUdf = udf { t: String => graft.functions.Lemmatizer.counter(t) }
+        Tables.documents(s, d)
+          .withColumn("cnt", counterUdf(body))
+          .agg(expr("counter_merge(cnt)").as("total"))
+          .select(explode(col("total")).as(Seq("key", "n")))
+          .select(substring_index(col("key"), "\t", 1).as("lemma"),
+            substring_index(col("key"), "\t", -1).as("pos"),
+            col("n"))
+      },
+      Some("""WITH n AS (SELECT
+                  count(*) FILTER (WHERE doc_id % 2 = 0) AS ne,
+                  count(*) FILTER (WHERE doc_id % 2 = 1) AS no
+                FROM documents)
+              SELECT lemma, pos, n FROM (
+                SELECT 'der' AS lemma, 'DET' AS pos, 3*ne + no AS n FROM n
+                UNION ALL SELECT 'Gericht', 'NOUN', ne + no FROM n
+                UNION ALL SELECT 'prüfen', 'VERB', ne + no FROM n
+                UNION ALL SELECT 'Beschwerde', 'NOUN', ne FROM n
+                UNION ALL SELECT 'Partei', 'NOUN', ne FROM n
+                UNION ALL SELECT 'ein', 'DET', no FROM n
+                UNION ALL SELECT 'Verfügung', 'NOUN', no FROM n
+                UNION ALL SELECT 'und', 'CCONJ', no FROM n
+                UNION ALL SELECT 'entscheiden', 'VERB', no FROM n
+                UNION ALL SELECT 'heute', 'ADV', no FROM n) t""")),
+
     // ---- Quality scoring: length + stopword ratio + punctuation
     // ratio → quality bucket (the training-data triad; explicit ASCII
     // punctuation class so both regex engines count identically).
