@@ -70,6 +70,30 @@ object MultimodalQueries extends QueryPack {
       Some("""SELECT doc_id, 'Urteil Nr. ' || doc_id || ' (rechtskräftig)' AS pdf_text
               FROM documents""")),
 
+    // ---- S3 Tika-gap tiers: ENCRYPTED PDFs (standard security
+    // handler, empty user password — RC4-40, RC4-128, AES-128-CBC; the
+    // writer derives O/U/file-key with the spec algorithms, so the gate
+    // exercises real key derivation + per-object keys) and CID/Type0
+    // text resolved through a /ToUnicode CMap. Round-trip oracle.
+    Q("m4_pdf_secure",
+      (s, d) => {
+        val mkPdf = udf { id: Long =>
+          val text = s"Vertraulich Nr. $id (rechtskräftig)"
+          (id % 4) match {
+            case 0 => graft.sources.PdfText.synthesizeEncrypted(text, "rc4-40")
+            case 1 => graft.sources.PdfText.synthesizeEncrypted(text, "rc4-128")
+            case 2 => graft.sources.PdfText.synthesizeEncrypted(text, "aes-128")
+            case _ => graft.sources.PdfText.synthesizeCid(text)
+          }
+        }
+        Tables.documents(s, d)
+          .withColumn("pdf_raw", mkPdf(col("doc_id")))
+          .select(col("doc_id"),
+            graft.sources.Ingest.pdfTextUdf(col("pdf_raw")).as("pdf_text"))
+      },
+      Some("""SELECT doc_id, 'Vertraulich Nr. ' || doc_id || ' (rechtskräftig)' AS pdf_text
+              FROM documents""")),
+
     // ---- Sliding 1-hour windows every 15 min (batch dual of
     // streaming.EventStreams.slidingCounts): each row lands in exactly 4
     // windows — explode the 4 offsets, then one hash agg.

@@ -217,6 +217,187 @@ object PdfText {
   private[sources] def asciiHexEncode(data: Array[Byte]): Array[Byte] =
     (data.map(b => f"${b & 0xff}%02x").mkString + ">").getBytes(Latin1)
 
+  // ---- Encryption (PDF 32000-1 §7.6, standard security handler with
+  // an EMPTY user password — the scanned-court-PDF shape: encrypted for
+  // permissions, readable by anyone; Tika's common decrypt path).
+  // Supports V1/R2 (RC4-40), V2/R3 (RC4-128), V4/R4 /AESV2 (AES-128-CBC).
+
+  private val PasswordPad: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+    0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+  private def md5(parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  /** plain RC4 (15 lines beats depending on a JCE provider alias) */
+  private[sources] def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val s = Array.tabulate(256)(_.toByte)
+    var j = 0
+    for (i <- 0 until 256) {
+      j = (j + s(i) + key(i % key.length)) & 0xff
+      val t = s(i); s(i) = s(j); s(j) = t
+    }
+    val out = new Array[Byte](data.length)
+    var i = 0; j = 0
+    for (k <- data.indices) {
+      i = (i + 1) & 0xff
+      j = (j + s(i)) & 0xff
+      val t = s(i); s(i) = s(j); s(j) = t
+      out(k) = (data(k) ^ s((s(i) + s(j)) & 0xff)).toByte
+    }
+    out
+  }
+
+  private def intLE(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  /** Algorithm 2: file encryption key from the (empty) user password. */
+  private def fileKey(o: Array[Byte], p: Int, id0: Array[Byte],
+                      r: Int, keyBytes: Int): Array[Byte] = {
+    var key = md5(PasswordPad, o, intLE(p), id0).take(keyBytes)
+    if (r >= 3)
+      for (_ <- 0 until 50) key = md5(key).take(keyBytes)
+    key
+  }
+
+  /** Algorithm 3: the /O entry for empty owner AND user passwords. */
+  private def ownerEntry(r: Int, keyBytes: Int): Array[Byte] = {
+    var k = md5(PasswordPad)
+    if (r >= 3) for (_ <- 0 until 50) k = md5(k)
+    val rc4Key = k.take(keyBytes)
+    var o = rc4(rc4Key, PasswordPad)
+    if (r >= 3)
+      for (i <- 1 to 19)
+        o = rc4(rc4Key.map(b => (b ^ i).toByte), o)
+    o
+  }
+
+  /** Algorithms 4/5: the /U entry from the file key. */
+  private def userEntry(key: Array[Byte], id0: Array[Byte], r: Int): Array[Byte] =
+    if (r == 2) rc4(key, PasswordPad)
+    else {
+      var u = rc4(key, md5(PasswordPad, id0))
+      for (i <- 1 to 19) u = rc4(key.map(b => (b ^ i).toByte), u)
+      u ++ new Array[Byte](16) // padded to 32 bytes (arbitrary per spec)
+    }
+
+  private val AesSalt = Array(0x73, 0x41, 0x6C, 0x54).map(_.toByte) // "sAlT"
+
+  private final case class Decryptor(key: Array[Byte], aes: Boolean) {
+    /** Algorithm 1: per-object key, then RC4 or AES-CBC (IV-prefixed,
+      * PKCS#7-padded).
+      */
+    def decrypt(obj: Int, gen: Int, data: Array[Byte]): Array[Byte] = {
+      val objKey = md5(Seq(key, intLE(obj).take(3), intLE(gen).take(2)) ++
+        (if (aes) Seq(AesSalt) else Nil): _*)
+        .take(math.min(key.length + 5, 16))
+      if (!aes) rc4(objKey, data)
+      else {
+        if (data.length < 16 || (data.length - 16) % 16 != 0)
+          return Array.empty
+        val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+        c.init(javax.crypto.Cipher.DECRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(objKey, "AES"),
+          new javax.crypto.spec.IvParameterSpec(data.take(16)))
+        val plain = c.doFinal(data.drop(16))
+        val pad = plain.last & 0xff
+        if (pad >= 1 && pad <= 16) plain.dropRight(pad) else plain
+      }
+    }
+
+    def encrypt(obj: Int, gen: Int, data: Array[Byte]): Array[Byte] = {
+      val objKey = md5(Seq(key, intLE(obj).take(3), intLE(gen).take(2)) ++
+        (if (aes) Seq(AesSalt) else Nil): _*)
+        .take(math.min(key.length + 5, 16))
+      if (!aes) rc4(objKey, data)
+      else {
+        val pad = 16 - data.length % 16
+        val padded = data ++ Array.fill(pad)(pad.toByte)
+        // deterministic IV (fixture writer only)
+        val iv = md5(data).take(16)
+        val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+        c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(objKey, "AES"),
+          new javax.crypto.spec.IvParameterSpec(iv))
+        iv ++ c.doFinal(padded)
+      }
+    }
+  }
+
+  /** A string value from a dict: `<hex>` or `(literal)` form. */
+  private def stringValueAfter(dict: String, name: String): Option[Array[Byte]] = {
+    val at = dict.indexOf(name)
+    if (at < 0) return None
+    var i = at + name.length
+    while (i < dict.length && dict.charAt(i).isWhitespace) i += 1
+    if (i >= dict.length) None
+    else if (dict.charAt(i) == '<') {
+      val e = dict.indexOf('>', i)
+      if (e < 0) None
+      else {
+        val hexs = dict.substring(i + 1, e).replaceAll("\\s+", "")
+        Some(hexs.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray)
+      }
+    } else if (dict.charAt(i) == '(') {
+      val (s, _) = literalString(dict, i)
+      Some(s.getBytes(Latin1))
+    } else None
+  }
+
+  private def intValueAfter(dict: String, name: String): Option[Int] =
+    ("""\Q""" + name + """\E\s+(-?\d+)""").r.findFirstMatchIn(dict)
+      .map(_.group(1).toInt)
+
+  /** The dict body of object `num` (nesting-aware forward scan). */
+  private def objectDict(hay: String, num: Int): Option[String] = {
+    val m = (s"""(?<![0-9])$num\\s+(\\d+)\\s+obj""").r.findFirstMatchIn(hay)
+    m.flatMap { mm =>
+      val open = hay.indexOf("<<", mm.end)
+      if (open < 0) None
+      else {
+        var depth = 0
+        var j = open
+        while (j < hay.length - 1) {
+          if (hay.charAt(j) == '<' && hay.charAt(j + 1) == '<') { depth += 1; j += 2 }
+          else if (hay.charAt(j) == '>' && hay.charAt(j + 1) == '>') {
+            depth -= 1
+            if (depth == 0) return Some(hay.substring(open, j + 2))
+            j += 2
+          } else j += 1
+        }
+        None
+      }
+    }
+  }
+
+  /** Build the decryptor when the trailer names a standard-handler
+    * /Encrypt dict the empty-password path can open; None for
+    * unencrypted files or unsupported handlers (those degrade to the
+    * quarantine channel exactly like undecodable filters).
+    */
+  private def findDecryptor(hay: String): Option[Decryptor] = {
+    val encRef = """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(hay)
+    encRef.flatMap { m =>
+      val dict = objectDict(hay, m.group(1).toInt).getOrElse(return None)
+      if (!dict.contains("/Standard")) return None
+      val r = intValueAfter(dict, "/R").getOrElse(2)
+      val lengthBits = intValueAfter(dict, "/Length").getOrElse(40)
+      val p = intValueAfter(dict, "/P").getOrElse(-1)
+      val o = stringValueAfter(dict, "/O").getOrElse(return None)
+      val aes = dict.contains("/AESV2")
+      val id0 = """/ID\s*\[\s*<([0-9a-fA-F]+)>""".r.findFirstMatchIn(hay)
+        .map(_.group(1).grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray)
+        .getOrElse(Array.empty[Byte])
+      val keyBytes = if (r == 2) 5 else lengthBits / 8
+      Some(Decryptor(fileKey(o, p, id0, r, keyBytes), aes))
+    }
+  }
+
   /** The /Filter entry as an ordered decode chain: a single name or an
     * array of names (chains decode left-to-right, §7.4.1).
     */
@@ -273,14 +454,22 @@ object PdfText {
     -1
   }
 
-  /** (dict, streamBytes) pairs found by a linear scan — no xref walk,
-    * so damaged files and PDF-1.5 xref-STREAM files still yield their
-    * readable content streams (Tika is similarly lenient; the xref
-    * stream itself is recognized by its /Type and skipped).
+  /** One scanned stream: owning object/generation (for per-object
+    * decryption keys), its dict text, and the raw bytes.
     */
-  private def streams(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
+  private final case class RawStream(obj: Int, gen: Int, dict: String,
+                                     data: Array[Byte])
+
+  private val objHeader = """(\d+)\s+(\d+)\s+obj[^o]*$""".r
+
+  /** Streams found by a linear scan — no xref walk, so damaged files
+    * and PDF-1.5 xref-STREAM files still yield their readable content
+    * streams (Tika is similarly lenient; the xref stream itself is
+    * recognized by its /Type and skipped).
+    */
+  private def streams(bytes: Array[Byte]): Seq[RawStream] = {
     val hay = new String(bytes, Latin1)
-    val out = Vector.newBuilder[(String, Array[Byte])]
+    val out = Vector.newBuilder[RawStream]
     var from = 0
     while ({
       val at = hay.indexOf("stream", from)
@@ -296,18 +485,63 @@ object PdfText {
         val dictStart = enclosingDictStart(hay, at)
         val dict =
           if (dictStart >= 0) hay.substring(dictStart, dictEnd) else ""
+        // the `N G obj` header just before the dict names the object
+        // whose per-object decryption key applies
+        val window = hay.substring(math.max(0, dictStart - 64), math.max(0, dictStart))
+        val (onum, ogen) = objHeader.findFirstMatchIn(window)
+          .map(m => (m.group(1).toInt, m.group(2).toInt)).getOrElse((0, 0))
         // stream data starts after "stream" + EOL
         var s = at + "stream".length
         if (s < hay.length && hay.charAt(s) == '\r') s += 1
         if (s < hay.length && hay.charAt(s) == '\n') s += 1
         val e = hay.indexOf("endstream", s)
         if (e > s) {
-          out += ((dict, java.util.Arrays.copyOfRange(bytes, s, e)))
+          // honor a DIRECT /Length (an EOL precedes "endstream" and
+          // must not count as data — a stray byte corrupts AES block
+          // alignment); indirect /Length refs fall back to EOL-trim
+          val declared = """/Length\s+(\d+)(?!\s+\d+\s+R)""".r
+            .findFirstMatchIn(dict).map(_.group(1).toInt)
+          var end = e
+          declared match {
+            case Some(l) if s + l <= e => end = s + l
+            case _ =>
+              if (end > s && bytes(end - 1) == '\n') end -= 1
+              if (end > s && bytes(end - 1) == '\r') end -= 1
+          }
+          out += RawStream(onum, ogen, dict, java.util.Arrays.copyOfRange(bytes, s, end))
           from = e + 1
         } else from = at + 6
         true
       }
     }) ()
+    out.result()
+  }
+
+  // ---- ToUnicode CMaps (CID/Type0 fonts, §9.10.3): 2-byte character
+  // codes resolve through the font's bfchar/bfrange mappings; without a
+  // resolving map, hex strings stay single-byte Latin-1 (simple fonts).
+
+  private[sources] def parseToUnicode(cmap: String): Map[Int, String] = {
+    val out = Map.newBuilder[Int, String]
+    def hex(s: String): Array[Byte] =
+      s.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+    def utf16(bs: Array[Byte]): String =
+      new String(bs, java.nio.charset.StandardCharsets.UTF_16BE)
+    def code(bs: Array[Byte]): Int =
+      bs.foldLeft(0)((a, b) => (a << 8) | (b & 0xff))
+    val bfchar = """(?s)beginbfchar(.*?)endbfchar""".r
+    val bfrange = """(?s)beginbfrange(.*?)endbfrange""".r
+    val pair = """<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>""".r
+    val triple = """<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>""".r
+    for (m <- bfchar.findAllMatchIn(cmap); p <- pair.findAllMatchIn(m.group(1)))
+      out += code(hex(p.group(1))) -> utf16(hex(p.group(2)))
+    for (m <- bfrange.findAllMatchIn(cmap); t <- triple.findAllMatchIn(m.group(1))) {
+      val lo = code(hex(t.group(1)))
+      val hi = code(hex(t.group(2)))
+      val dst = code(hex(t.group(3)))
+      for (c <- lo to math.min(hi, lo + 65535))
+        out += c -> new String(Character.toChars(dst + (c - lo)))
+    }
     out.result()
   }
 
@@ -368,9 +602,12 @@ object PdfText {
   }
 
   /** Text chunks of one content stream: BT…ET blocks, string operands
-    * of Tj / ' / " and TJ arrays, block per line.
+    * of Tj / ' / " and TJ arrays, block per line. `cmap` (merged
+    * ToUnicode tables) resolves 2-byte CID hex strings; hex strings it
+    * cannot fully resolve fall back to single-byte Latin-1.
     */
-  private def contentText(content: String): Seq[String] = {
+  private def contentText(content: String,
+                          cmap: Map[Int, String] = Map.empty): Seq[String] = {
     val lines = Vector.newBuilder[String]
     var i = 0
     while ({ val bt = content.indexOf("BT", i); bt >= 0 && {
@@ -393,13 +630,22 @@ object PdfText {
               val hexs = block.substring(j + 1, e).replaceAll("\\s+", "")
               val padded = if (hexs.length % 2 == 1) hexs + "0" else hexs
               try {
-                val sb = new StringBuilder
-                var h = 0
-                while (h < padded.length) {
-                  sb.append(Integer.parseInt(padded.substring(h, h + 2), 16).toChar)
-                  h += 2
+                val cidCodes =
+                  if (cmap.nonEmpty && padded.length % 4 == 0)
+                    Some(padded.grouped(4).map(Integer.parseInt(_, 16)).toSeq)
+                      .filter(_.forall(cmap.contains))
+                  else None
+                cidCodes match {
+                  case Some(codes) => parts += codes.map(cmap).mkString
+                  case None =>
+                    val sb = new StringBuilder
+                    var h = 0
+                    while (h < padded.length) {
+                      sb.append(Integer.parseInt(padded.substring(h, h + 2), 16).toChar)
+                      h += 2
+                    }
+                    parts += sb.toString
                 }
-                parts += sb.toString
               } catch { case _: NumberFormatException => () }
               j = e + 1
             }
@@ -471,25 +717,109 @@ object PdfText {
     head ++ content ++ tail
   }
 
+  /** Synthesize an ENCRYPTED single-page PDF (standard security
+    * handler, empty user+owner passwords — the court-corpus shape).
+    * Modes: "rc4-40" (V1/R2), "rc4-128" (V2/R3), "aes-128" (V4/R4
+    * /AESV2). The writer derives O/U/file-key with the spec algorithms,
+    * so extraction exercises the real key-derivation path.
+    */
+  def synthesizeEncrypted(text: String, mode: String): Array[Byte] = {
+    val escaped = text.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    val contents = s"BT /F1 12 Tf 72 720 Td ($escaped) Tj ET".getBytes(Latin1)
+    val (v, r, lengthBits, aes) = mode match {
+      case "rc4-40" => (1, 2, 40, false)
+      case "rc4-128" => (2, 3, 128, false)
+      case "aes-128" => (4, 4, 128, true)
+      case other => throw new IllegalArgumentException(s"mode $other")
+    }
+    val id0 = md5(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val p = -4
+    val keyBytes = if (r == 2) 5 else lengthBits / 8
+    val o = ownerEntry(r, keyBytes)
+    val key = fileKey(o, p, id0, r, keyBytes)
+    val u = userEntry(key, id0, r)
+    val enc = Decryptor(key, aes).encrypt(4, 0, contents)
+    def hx(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02x").mkString
+    val cf = if (aes)
+      " /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen >> >> /StmF /StdCF /StrF /StdCF"
+      else ""
+    val lengthEntry = if (r == 2) "" else s" /Length $lengthBits"
+    val head = ("%PDF-1.6\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+      s"4 0 obj << /Length ${enc.length} >>\nstream\n").getBytes(Latin1)
+    val tail = ("\nendstream\nendobj\n" +
+      s"5 0 obj << /Filter /Standard /V $v /R $r$lengthEntry /P $p" +
+      s" /O <${hx(o)}> /U <${hx(u)}>$cf >> endobj\n" +
+      s"trailer << /Root 1 0 R /Encrypt 5 0 R /ID [<${hx(id0)}> <${hx(id0)}>] >>\n%%EOF\n")
+      .getBytes(Latin1)
+    head ++ enc ++ tail
+  }
+
+  /** Synthesize a CID/Type0-font PDF: the text is shown as 2-byte
+    * character codes resolved through a /ToUnicode CMap (Identity-H
+    * shape) — arbitrary BMP unicode round-trips.
+    */
+  def synthesizeCid(text: String): Array[Byte] = {
+    val chars = text.distinct
+    val codeOf = chars.zipWithIndex.map { case (c, i) => c -> (i + 1) }.toMap
+    val hexCodes = text.map(c => f"${codeOf(c)}%04x").mkString
+    val contents = s"BT /F1 12 Tf 72 720 Td <$hexCodes> Tj ET"
+    val bfchars = chars
+      .map(c => f"<${codeOf(c)}%04x> <${c.toInt}%04x>").mkString("\n")
+    val cmapBody = ("/CIDInit /ProcSet findresource begin\n" +
+      "12 dict begin begincmap\n" +
+      s"${chars.length} beginbfchar\n$bfchars\nendbfchar\n" +
+      "endcmap end end").getBytes(Latin1)
+    (("%PDF-1.6\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+      "5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /F1" +
+      " /Encoding /Identity-H /ToUnicode 6 0 R >> endobj\n" +
+      s"6 0 obj << /Length ${cmapBody.length} >>\nstream\n").getBytes(Latin1)) ++
+      cmapBody ++
+      ("\nendstream\nendobj\n" +
+        s"4 0 obj << /Length ${contents.length} >>\nstream\n").getBytes(Latin1) ++
+      contents.getBytes(Latin1) ++
+      "\nendstream\nendobj\ntrailer << /Root 1 0 R >>\n%%EOF\n".getBytes(Latin1)
+  }
+
   /** bytes → extracted text (NUL-stripped), or null when nothing
     * decodable was found (the reference's skip-and-log path).
     */
   def extract(bytes: Array[Byte]): String = {
     if (bytes == null || bytes.length < 8) return null
     try {
+      val hay = new String(bytes, Latin1)
+      val decryptor = findDecryptor(hay)
       val skip = "/(?:Type|Subtype)\\s*/(?:XRef|ObjStm|Image|Metadata)".r
-      val texts = streams(bytes).flatMap { case (dict, data) =>
-        // PDF-1.5 xref/object streams and images decode to non-text
-        // binary — recognize and skip them instead of scanning for a
-        // stray "BT" in compressed garbage
-        if (skip.findFirstIn(dict).isDefined) Nil
+      // decryption applies BEFORE the filter chain (§7.6.2); the
+      // /Encrypt dict's own strings (O, U) are never encrypted
+      def decoded(st: RawStream): Array[Byte] = {
+        val plain = decryptor.map(_.decrypt(st.obj, st.gen, st.data))
+          .getOrElse(st.data)
+        decodeStream(st.dict, plain).getOrElse(Array.empty)
+      }
+      // PDF-1.5 xref/object streams and images decode to non-text
+      // binary — recognize and skip them instead of scanning for a
+      // stray "BT" in compressed garbage
+      val all = streams(bytes).filter(st => skip.findFirstIn(st.dict).isEmpty)
+      // merged ToUnicode tables (CID/Type0 text, §9.10.3): CMap streams
+      // decrypt/decode like any other stream, then parse as data
+      val cmap = all.iterator.map(decoded)
+        .map(raw => new String(raw, Latin1))
+        .filter(_.contains("begincmap"))
+        .map(parseToUnicode)
+        .foldLeft(Map.empty[Int, String])(_ ++ _)
+      val texts = all.flatMap { st =>
+        val raw = decoded(st)
+        if (raw.isEmpty) Nil
         else {
-          val raw = decodeStream(dict, data).getOrElse(Array.empty)
-          if (raw.isEmpty) Nil
-          else {
-            val s = new String(raw, Latin1)
-            if (s.contains("BT")) contentText(s) else Nil
-          }
+          val s = new String(raw, Latin1)
+          if (s.contains("BT") && !s.contains("begincmap")) contentText(s, cmap)
+          else Nil
         }
       }
       if (texts.isEmpty) null

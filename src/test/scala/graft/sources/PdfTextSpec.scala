@@ -175,6 +175,56 @@ class PdfTextSpec extends AnyFunSuite {
       Seq("ASCIIHexDecode", "FlateDecode"))
   }
 
+  // ---- round-3 Tika-gap tiers: standard-handler encryption + CID fonts
+
+  test("encrypted PDFs round-trip through every supported mode") {
+    val text = "Vertrauliches Urteil Nr. 9 (rechtskräftig)"
+    for (mode <- Seq("rc4-40", "rc4-128", "aes-128"))
+      assert(PdfText.extract(PdfText.synthesizeEncrypted(text, mode)) == text,
+        s"mode=$mode")
+  }
+
+  test("rc4 is its own inverse and matches a known vector") {
+    val key = "Key".getBytes(ISO_8859_1)
+    val enc = PdfText.rc4(key, "Plaintext".getBytes(ISO_8859_1))
+    // RFC 6229-adjacent known vector for RC4("Key", "Plaintext")
+    assert(enc.map(b => f"${b & 0xff}%02x").mkString == "bbf316e8d940af0ad3")
+    assert(new String(PdfText.rc4(key, enc), ISO_8859_1) == "Plaintext")
+  }
+
+  test("an unsupported security handler degrades to null, not a crash") {
+    val bytes = PdfText.synthesizeEncrypted("geheim", "rc4-40")
+    val tampered = new String(bytes, ISO_8859_1)
+      .replace("/Filter /Standard", "/Filter /CustomCrypt")
+    assert(PdfText.extract(tampered.getBytes(ISO_8859_1)) == null)
+  }
+
+  test("CID/Type0 text resolves through the ToUnicode CMap, full unicode") {
+    val text = "Učinok – žaloba № 7 ÄÖÜ"
+    assert(PdfText.extract(PdfText.synthesizeCid(text)) == text)
+  }
+
+  test("bfrange entries expand to consecutive codes") {
+    val m = PdfText.parseToUnicode(
+      """begincmap
+        |1 beginbfrange
+        |<0010> <0012> <0041>
+        |endbfrange
+        |1 beginbfchar
+        |<0001> <00e4>
+        |endbfchar
+        |endcmap""".stripMargin)
+    assert(m(0x10) == "A" && m(0x11) == "B" && m(0x12) == "C")
+    assert(m(1) == "ä")
+  }
+
+  test("hex strings without a resolving cmap stay single-byte latin-1") {
+    // the Gruezi fixture has no ToUnicode stream: 2-byte interpretation
+    // must NOT kick in
+    val bytes = pdf("BT <4772 7565 7A69> Tj ET", flate = false)
+    assert(PdfText.extract(bytes) == "Gruezi")
+  }
+
   test("xref and image streams are skipped, not scanned for stray BT") {
     // an uncompressed '/Type /XRef' stream whose binary happens to
     // contain 'BT (x) Tj' must contribute nothing
