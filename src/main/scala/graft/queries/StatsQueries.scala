@@ -32,6 +32,31 @@ object StatsQueries extends QueryPack {
 
   def all: Seq[Q] = Seq(
 
+    // ---- A16 label vocabulary: sorted distinct labels with dense ids
+    // + per-label row counts — the id2label/label2id table plus the
+    // overview the dataset writer emits (dataset_creator.py:1032-1056),
+    // as a gated query (DatasetWriter.write is the side-effecting
+    // sibling; SinksSpec covers the file shape).
+    Q("a16_label_vocab",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val label = expr(
+          """CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'dismissal'
+             WHEN 1 THEN 'approval' ELSE 'partial_approval' END""")
+        Tables.documents(s, d).withColumn("label", label)
+          .groupBy("label").agg(count(lit(1)).as("n_rows"))
+          // vocab is tiny by construction: the single-partition window
+          // runs over |labels| rows, never the data
+          .withColumn("label_id",
+            row_number().over(Window.orderBy("label")).cast("bigint") - 1)
+          .select("label_id", "label", "n_rows")
+      },
+      Some("""SELECT row_number() OVER (ORDER BY label) - 1 AS label_id, label, n_rows
+              FROM (SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'dismissal'
+                             WHEN 1 THEN 'approval' ELSE 'partial_approval' END AS label,
+                           count(*) AS n_rows
+                    FROM documents GROUP BY 1) t""")),
+
     // ---- §5 coverage metric: extraction success ratio per source.
     Q("r1_coverage_metrics",
       (s, d) => Tables.documents(s, d)
