@@ -498,12 +498,18 @@ object PdfText {
         if (e > s) {
           // honor a DIRECT /Length (an EOL precedes "endstream" and
           // must not count as data — a stray byte corrupts AES block
-          // alignment); indirect /Length refs fall back to EOL-trim
+          // alignment), but only when it is CONSISTENT: everything
+          // between the declared end and "endstream" must be EOL bytes.
+          // A damaged file's wrong length falls back to EOL-trim
+          // instead of silently truncating real data; indirect /Length
+          // refs (unresolvable without an xref walk) also fall back.
           val declared = """/Length\s+(\d+)(?!\s+\d+\s+R)""".r
             .findFirstMatchIn(dict).map(_.group(1).toInt)
           var end = e
           declared match {
-            case Some(l) if s + l <= e => end = s + l
+            case Some(l) if s + l <= e &&
+                (s + l until e).forall(i => bytes(i) == '\n' || bytes(i) == '\r') =>
+              end = s + l
             case _ =>
               if (end > s && bytes(end - 1) == '\n') end -= 1
               if (end > s && bytes(end - 1) == '\r') end -= 1

@@ -225,6 +225,16 @@ class PdfTextSpec extends AnyFunSuite {
     assert(PdfText.extract(bytes) == "Gruezi")
   }
 
+  test("a damaged (wrong) /Length does not truncate the stream") {
+    // declared length 5 is inconsistent with the data before
+    // 'endstream' — the scanner must fall back to EOL-trim and keep
+    // the full text (real corpora contain length-corrupted files)
+    val content = "BT (Ganzer Satz bleibt erhalten.) Tj ET"
+    val bytes = ("%PDF-1.4\n4 0 obj << /Length 5 >>\nstream\n" + content +
+      "\nendstream\nendobj\n%%EOF\n").getBytes(ISO_8859_1)
+    assert(PdfText.extract(bytes) == "Ganzer Satz bleibt erhalten.")
+  }
+
   test("xref and image streams are skipped, not scanned for stray BT") {
     // an uncompressed '/Type /XRef' stream whose binary happens to
     // contain 'BT (x) Tj' must contribute nothing
