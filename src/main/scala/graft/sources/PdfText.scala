@@ -414,18 +414,78 @@ object PdfText {
     } else names.findFirstMatchIn(dict.substring(i)).map(_.group(1)).toSeq
   }
 
+  /** Undo PNG row predictors (PDF 32000-1 §7.4.4.4, /Predictor ≥ 10):
+    * each row starts with a filter-type byte (None/Sub/Up/Average/
+    * Paeth) over `rowLen` data bytes with pixel width `bpp`.
+    */
+  private[sources] def pngUnpredict(data: Array[Byte], colors: Int,
+                                    bpc: Int, columns: Int): Option[Array[Byte]] =
+    try {
+      val bpp = math.max(1, colors * bpc / 8)
+      val rowLen = (colors * bpc * columns + 7) / 8
+      if (data.length % (rowLen + 1) != 0) return None
+      val rows = data.length / (rowLen + 1)
+      val out = new Array[Byte](rows * rowLen)
+      var prev = new Array[Byte](rowLen)
+      for (r <- 0 until rows) {
+        val ft = data(r * (rowLen + 1)) & 0xff
+        val row = java.util.Arrays.copyOfRange(
+          data, r * (rowLen + 1) + 1, (r + 1) * (rowLen + 1))
+        ft match {
+          case 0 => // None
+          case 1 => // Sub
+            for (i <- bpp until rowLen) row(i) = (row(i) + row(i - bpp)).toByte
+          case 2 => // Up
+            for (i <- 0 until rowLen) row(i) = (row(i) + prev(i)).toByte
+          case 3 => // Average
+            for (i <- 0 until rowLen) {
+              val left = if (i >= bpp) row(i - bpp) & 0xff else 0
+              row(i) = (row(i) + (left + (prev(i) & 0xff)) / 2).toByte
+            }
+          case 4 => // Paeth
+            for (i <- 0 until rowLen) {
+              val a = if (i >= bpp) row(i - bpp) & 0xff else 0
+              val b = prev(i) & 0xff
+              val c = if (i >= bpp) prev(i - bpp) & 0xff else 0
+              val p = a + b - c
+              val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+              val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+              row(i) = (row(i) + pred).toByte
+            }
+          case _ => return None
+        }
+        System.arraycopy(row, 0, out, r * rowLen, rowLen)
+        prev = row
+      }
+      Some(out)
+    } catch { case _: Throwable => None }
+
+  /** /DecodeParms (or legacy /DP) values for the predictor family. */
+  private def parmInt(dict: String, name: String, default: Int): Int =
+    intValueAfter(dict, name).getOrElse(default)
+
   /** Run the dict's filter chain over the raw stream bytes; None when a
     * filter is unknown or its data corrupt (the skip-and-log path).
+    * Flate/LZW honor a PNG /Predictor in the DecodeParms sub-dict
+    * (TIFF predictor 2 is image-only and rejected).
     */
   private def decodeStream(dict: String, data: Array[Byte]): Option[Array[Byte]] = {
     val chain = filtersOf(dict)
+    def unpredicted(d: Array[Byte]): Option[Array[Byte]] = {
+      val pred = parmInt(dict, "/Predictor", 1)
+      if (pred == 1) Some(d)
+      else if (pred >= 10)
+        pngUnpredict(d, parmInt(dict, "/Colors", 1),
+          parmInt(dict, "/BitsPerComponent", 8), parmInt(dict, "/Columns", 1))
+      else None
+    }
     if (chain.isEmpty) Some(data)
     else chain.foldLeft(Option(data)) { (acc, f) =>
       acc.flatMap { d =>
         f match {
-          case "FlateDecode" | "Fl" => inflate(d)
+          case "FlateDecode" | "Fl" => inflate(d).flatMap(unpredicted)
+          case "LZWDecode" | "LZW" => lzwDecode(d).flatMap(unpredicted)
           case "ASCIIHexDecode" | "AHx" => asciiHexDecode(d)
-          case "LZWDecode" | "LZW" => lzwDecode(d)
           case "RunLengthDecode" | "RL" => runLengthDecode(d)
           case _ => None // DCT/JPX/CCITT/Crypt: images or out of scope
         }

@@ -225,6 +225,66 @@ class PdfTextSpec extends AnyFunSuite {
     assert(PdfText.extract(bytes) == "Gruezi")
   }
 
+  test("FlateDecode with a PNG Up predictor (12) decodes content text") {
+    val content = "BT (Mit Praediktor kodiert.) Tj ET".padTo(48, ' ')
+    val raw = content.getBytes(ISO_8859_1)
+    val cols = 16
+    // PNG-predictor-encode: rows of `cols` bytes, filter byte 2 (Up),
+    // each byte stored as delta against the previous row
+    val rows = raw.grouped(cols).toArray
+    val enc = new java.io.ByteArrayOutputStream()
+    var prev = new Array[Byte](cols)
+    for (row <- rows) {
+      enc.write(2)
+      for (i <- row.indices) enc.write((row(i) - prev(i)) & 0xff)
+      prev = row
+    }
+    val d = new java.util.zip.Deflater()
+    d.setInput(enc.toByteArray); d.finish()
+    val buf = new Array[Byte](8192)
+    val n = d.deflate(buf); d.end()
+    val flate = java.util.Arrays.copyOf(buf, n)
+    val bytes = (s"%PDF-1.4\n4 0 obj << /Length $n /Filter /FlateDecode" +
+      s" /DecodeParms << /Predictor 12 /Columns $cols >> >>\nstream\n")
+      .getBytes(ISO_8859_1) ++ flate ++
+      "\nendstream\nendobj\n%%EOF\n".getBytes(ISO_8859_1)
+    assert(PdfText.extract(bytes) == "Mit Praediktor kodiert.")
+  }
+
+  test("pngUnpredict handles Sub, Average and Paeth rows") {
+    // round-trip a known byte block through each filter type by
+    // encoding with the filter's definition and decoding back
+    val colsN = 4
+    val data = Array.tabulate(16)(i => ((i * 37 + 11) % 251).toByte)
+    def encodeWith(ft: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var prev = new Array[Byte](colsN)
+      for (row <- data.grouped(colsN)) {
+        out.write(ft)
+        for (i <- row.indices) {
+          val a = if (i >= 1) row(i - 1) & 0xff else 0
+          val b = prev(i) & 0xff
+          val c = if (i >= 1) prev(i - 1) & 0xff else 0
+          val pred = ft match {
+            case 1 => a
+            case 3 => (a + b) / 2
+            case 4 =>
+              val p = a + b - c
+              val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+              if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+          }
+          out.write((row(i) - pred) & 0xff)
+        }
+        prev = row
+      }
+      out.toByteArray
+    }
+    for (ft <- Seq(1, 3, 4)) {
+      val dec = PdfText.pngUnpredict(encodeWith(ft), 1, 8, colsN)
+      assert(dec.isDefined && java.util.Arrays.equals(dec.get, data), s"filter $ft")
+    }
+  }
+
   test("a damaged (wrong) /Length does not truncate the stream") {
     // declared length 5 is inconsistent with the data before
     // 'endstream' — the scanner must fall back to EOL-trim and keep
