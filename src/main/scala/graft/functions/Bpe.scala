@@ -19,15 +19,21 @@ object Bpe {
   /** (left, right) → rank; lower rank merges first. */
   type Merges = Map[(String, String), Int]
 
-  def parseMerges(lines: Iterator[String]): Merges =
-    lines.map(_.trim)
+  def parseMerges(lines: Iterator[String]): Merges = {
+    val entries = lines.map(_.trim)
       .filter(l => l.nonEmpty && !l.startsWith("#"))
       .zipWithIndex
       .map { case (l, rank) =>
-        val sp = l.split(" ", 2)
+        // strict two-field split: a swapped-in table with annotation
+        // columns must fail LOUDLY, not silently become dead entries
+        // that inflate every downstream token count
+        val sp = l.split("\\s+")
         require(sp.length == 2, s"malformed merge line: '$l'")
         (sp(0), sp(1)) -> rank
-      }.toMap
+      }.toSeq
+    // duplicate pairs keep their FIRST (best) rank
+    entries.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+  }
 
   /** Bundled table, resolved from the classpath once per JVM (UDFs
     * reference it by name, nothing ships with the closure).

@@ -59,6 +59,12 @@ object HtmlDom {
     "dd" -> Set("dt", "dd"),
     "option" -> Set("option"))
 
+  /** Containers an implied close never crosses: a <p> inside a <div>
+    * must not close a <p> outside it (HTML5 "in scope" boundary).
+    */
+  private val scopeBarriers = Set("table", "td", "th", "ul", "ol", "dl",
+    "select", "div", "section", "article", "blockquote", "body", RootTag)
+
   private val tagToken =
     """(?s)<(/?)([a-zA-Z][a-zA-Z0-9:_-]*)((?:"[^"]*"|'[^']*'|[^>"'])*)(/?)>""".r
   private val attrToken =
@@ -122,11 +128,21 @@ object HtmlDom {
                 while (stack.length > 1 && {
                   val t = stack.last._1; closeTop(); t != tag
                 }) ()
-            } else if (impliedClose.contains(tag) && stack.length > 1 &&
-                impliedClose(tag).contains(stack.last._1)) {
-              // implied sibling close: <p>a<p>b, <tr>..<tr>, <td>..<td>
-              while (stack.length > 1 && impliedClose(tag).contains(stack.last._1))
-                closeTop()
+            } else if (impliedClose.contains(tag) && stack.length > 1 && {
+              // implied sibling close: <p>a<p>b, <tr>..<tr>, <td>..<td>.
+              // The sibling may sit BELOW intervening open elements
+              // (<td><p>a<td> must close both the p and the cell, as
+              // browsers do) but never below a scope barrier — except
+              // the barriers an S-member itself establishes (a td is a
+              // barrier for p, yet a new td still closes it).
+              val s = impliedClose(tag)
+              val idx = stack.lastIndexWhere(f => s.contains(f._1))
+              idx > 0 && !stack.drop(idx + 1)
+                .exists(f => scopeBarriers(f._1) && !s.contains(f._1))
+            }) {
+              val s = impliedClose(tag)
+              while (stack.length > 1 && !s.contains(stack.last._1)) closeTop()
+              while (stack.length > 1 && s.contains(stack.last._1)) closeTop()
               if (selfClosed)
                 stack.last._3 += Elem(tag, parseAttrs(m.group(3)), Vector.empty)
               else

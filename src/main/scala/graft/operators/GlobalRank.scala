@@ -111,16 +111,28 @@ object GlobalRank {
     */
   def ntileGlobal(df: DataFrame, buckets: Int, sortCols: Seq[Column],
                   bucketCol: String,
-                  smallInputRows: Long = SmallInputRows): DataFrame = {
+                  smallInputRows: Long = SmallInputRows): DataFrame =
+    ntileGlobalReleasable(df, buckets, sortCols, bucketCol, smallInputRows)._1
+
+  /** `ntileGlobal` plus the internal cache's release handle: the
+    * distributed path pins the range-partitioned frame (see
+    * withGlobalRankReleasable); eager consumers should try/finally-
+    * release. The small-input path persists nothing — its handle is a
+    * no-op.
+    */
+  def ntileGlobalReleasable(df: DataFrame, buckets: Int, sortCols: Seq[Column],
+                            bucketCol: String,
+                            smallInputRows: Long = SmallInputRows)
+      : (DataFrame, () => Unit) = {
     if (estimatedRows(df).exists(_ <= smallInputRows)) {
-      df.withColumn(bucketCol,
-        ntile(buckets).over(Window.orderBy(sortCols: _*)).cast("long"))
+      (df.withColumn(bucketCol,
+        ntile(buckets).over(Window.orderBy(sortCols: _*)).cast("long")), () => ())
     } else {
-      val ranked = withGlobalRank(df, sortCols, "__rank")
+      val (ranked, release) = withGlobalRankReleasable(df, sortCols, "__rank")
       // total row count rides along as a 1-row broadcast
       val total = ranked.agg(count(lit(1)).as("__n"))
       val k = lit(buckets.toLong)
-      ranked.crossJoin(broadcast(total))
+      val out = ranked.crossJoin(broadcast(total))
         .withColumn(bucketCol, {
           // Column `/` is true division — use explicit integral div
           def idiv(a: Column, b: Column): Column = floor(a / b).cast("long")
@@ -132,6 +144,7 @@ object GlobalRank {
             .otherwise(rem + idiv(col("__rank") - cut - 1, base) + 1)
         })
         .drop("__rank", "__n")
+      (out, release)
     }
   }
 }

@@ -305,8 +305,11 @@ object PdfText {
           new javax.crypto.spec.SecretKeySpec(objKey, "AES"),
           new javax.crypto.spec.IvParameterSpec(data.take(16)))
         val plain = c.doFinal(data.drop(16))
-        val pad = plain.last & 0xff
-        if (pad >= 1 && pad <= 16) plain.dropRight(pad) else plain
+        if (plain.isEmpty) plain
+        else {
+          val pad = plain.last & 0xff
+          if (pad >= 1 && pad <= 16) plain.dropRight(pad) else plain
+        }
       }
     }
 
@@ -350,8 +353,12 @@ object PdfText {
   }
 
   private def intValueAfter(dict: String, name: String): Option[Int] =
+    // parse as Long and truncate: real writers serialize /P UNSIGNED
+    // (4294967292 = -4 as int32) and the low 32 bits are exactly what
+    // the key derivation needs; a garbage width must not throw into
+    // extract's catch-all and null the whole document
     ("""\Q""" + name + """\E\s+(-?\d+)""").r.findFirstMatchIn(dict)
-      .map(_.group(1).toInt)
+      .flatMap(m => scala.util.Try(m.group(1).toLong.toInt).toOption)
 
   /** The dict body of object `num` (nesting-aware forward scan). */
   private def objectDict(hay: String, num: Int): Option[String] = {
@@ -564,7 +571,8 @@ object PdfText {
           // instead of silently truncating real data; indirect /Length
           // refs (unresolvable without an xref walk) also fall back.
           val declared = """/Length\s+(\d+)(?!\s+\d+\s+R)""".r
-            .findFirstMatchIn(dict).map(_.group(1).toInt)
+            .findFirstMatchIn(dict)
+            .flatMap(m => scala.util.Try(m.group(1).toInt).toOption)
           var end = e
           declared match {
             case Some(l) if s + l <= e &&
@@ -870,23 +878,28 @@ object PdfText {
       }
       // PDF-1.5 xref/object streams and images decode to non-text
       // binary — recognize and skip them instead of scanning for a
-      // stray "BT" in compressed garbage
-      val all = streams(bytes).filter(st => skip.findFirstIn(st.dict).isEmpty)
+      // stray "BT" in compressed garbage. Decode each stream ONCE (the
+      // decrypt + filter chain is the ingest hot path) and reuse for
+      // both the CMap scan and the text pass.
+      val all = streams(bytes)
+        .filter(st => skip.findFirstIn(st.dict).isEmpty)
+        .map(st => new String(decoded(st), Latin1))
+        .filter(_.nonEmpty)
       // merged ToUnicode tables (CID/Type0 text, §9.10.3): CMap streams
-      // decrypt/decode like any other stream, then parse as data
-      val cmap = all.iterator.map(decoded)
-        .map(raw => new String(raw, Latin1))
-        .filter(_.contains("begincmap"))
-        .map(parseToUnicode)
-        .foldLeft(Map.empty[Int, String])(_ ++ _)
-      val texts = all.flatMap { st =>
-        val raw = decoded(st)
-        if (raw.isEmpty) Nil
-        else {
-          val s = new String(raw, Latin1)
-          if (s.contains("BT") && !s.contains("begincmap")) contentText(s, cmap)
-          else Nil
-        }
+      // decrypt/decode like any other stream, then parse as data. Only
+      // consulted when the document actually declares a Type0/CID font
+      // — in a mixed-font document a simple-font hex string whose byte
+      // pairs happen to collide with CMap codes would otherwise be
+      // misread (full per-font /Tf scoping is the Tika-tier upgrade).
+      val cmap =
+        if (!hay.contains("/Type0") && !hay.contains("/Identity-H"))
+          Map.empty[Int, String]
+        else all.filter(_.contains("begincmap"))
+          .map(parseToUnicode)
+          .foldLeft(Map.empty[Int, String])(_ ++ _)
+      val texts = all.flatMap { s =>
+        if (s.contains("BT") && !s.contains("begincmap")) contentText(s, cmap)
+        else Nil
       }
       if (texts.isEmpty) null
       else texts.mkString("\n").replace("\u0000", "")

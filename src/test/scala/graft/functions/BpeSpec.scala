@@ -26,6 +26,15 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.encode("noch", m) == Seq("n", "o", "ch"))
   }
 
+  test("malformed merge lines fail loudly; duplicate pairs keep the first rank") {
+    // an annotation column must not silently become a dead entry
+    intercept[IllegalArgumentException] {
+      Bpe.parseMerges(Iterator("a b 42"))
+    }
+    val dup = Bpe.parseMerges(Iterator("a b", "c d", "a b"))
+    assert(dup(("a", "b")) == 0)
+  }
+
   test("lowest rank wins over textual order") {
     // in 'weder' the pair (w,e) appears first but (e,r) has lower rank
     // and must merge first — then (w,e) becomes mergeable

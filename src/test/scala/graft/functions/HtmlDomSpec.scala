@@ -34,6 +34,15 @@ class HtmlDomSpec extends AnyFunSuite {
     assert(directChildren(sel, "option").length == 2)
   }
 
+  test("implied close reaches a cell below an intervening open <p>") {
+    // browsers close BOTH the p and the cell when a new td starts
+    val root = parse("<table><tr><td><p>a<td>b</table>")
+    val tr = findAll(root, "tr").head
+    val cells = directChildren(tr, "td")
+    assert(cells.length == 2, s"expected 2 cells, got ${cells.map(render)}")
+    assert(textNodes(cells(1)).mkString == "b")
+  }
+
   test("implied close does not cross a block boundary") {
     // the inner <p> opens inside <div>: the outer <p> must NOT close
     val root = parse("<p>aussen<div><p>innen</div>")
