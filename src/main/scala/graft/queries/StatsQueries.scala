@@ -57,6 +57,21 @@ object StatsQueries extends QueryPack {
                            count(*) AS n_rows
                     FROM documents GROUP BY 1) t""")),
 
+    // ---- K9 verification sampling: the report's deterministic
+    // stratified pick (n per source, md5-of-key order) as a gated
+    // query — analyses.VerificationReport.sample IS this plan; the
+    // docx-rendering write side stays spec-covered.
+    Q("k9_verification_sample",
+      (s, d) => graft.analyses.VerificationReport.sample(
+        Tables.documents(s, d).select("source", "doc_id"), perSource = 5)
+        .select("source", "doc_id"),
+      Some("""SELECT source, doc_id FROM (
+                SELECT source, doc_id, row_number() OVER (
+                  PARTITION BY source
+                  ORDER BY md5(cast(doc_id as varchar)), doc_id) AS rn
+                FROM documents) t
+              WHERE rn <= 5""")),
+
     // ---- §5 coverage metric: extraction success ratio per source.
     Q("r1_coverage_metrics",
       (s, d) => Tables.documents(s, d)
