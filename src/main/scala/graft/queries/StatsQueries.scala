@@ -57,6 +57,31 @@ object StatsQueries extends QueryPack {
                            count(*) AS n_rows
                     FROM documents GROUP BY 1) t""")),
 
+    // ---- A15 split overview: the dataset writer's per-(split, label)
+    // count table, with the REAL reference year boundaries
+    // (dataset_creator.py:158-159) driving DatasetWriter.dateSplit —
+    // the side-effecting write around it stays spec-covered.
+    Q("a15_split_overview",
+      (s, d) => {
+        val label = expr(
+          """CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'dismissal'
+             WHEN 1 THEN 'approval' ELSE 'partial_approval' END""")
+        Tables.documents(s, d)
+          .withColumn("year", (col("doc_id") % 25 + 2000).cast("int"))
+          .withColumn("label", label)
+          .withColumn("split", graft.datasets.DatasetWriter.dateSplit("year"))
+          .groupBy("split", "label").agg(count(lit(1)).as("n_rows"))
+      },
+      Some("""SELECT CASE WHEN y <= 2015 THEN 'train'
+                          WHEN y <= 2017 THEN 'validation'
+                          WHEN y <= 2022 THEN 'test'
+                          ELSE 'secret_test' END AS split,
+                     CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'dismissal'
+                          WHEN 1 THEN 'approval' ELSE 'partial_approval' END AS label,
+                     count(*) AS n_rows
+              FROM (SELECT doc_id, doc_id % 25 + 2000 AS y FROM documents) t
+              GROUP BY 1, 2""")),
+
     // ---- K9 verification sampling: the report's deterministic
     // stratified pick (n per source, md5-of-key order) as a gated
     // query — analyses.VerificationReport.sample IS this plan; the
