@@ -881,7 +881,8 @@ object PdfText {
       // stray "BT" in compressed garbage. Decode each stream ONCE (the
       // decrypt + filter chain is the ingest hot path) and reuse for
       // both the CMap scan and the text pass.
-      val all = streams(bytes)
+      val scanned = streams(bytes)
+      val all = scanned
         .filter(st => skip.findFirstIn(st.dict).isEmpty)
         .map(st => new String(decoded(st), Latin1))
         .filter(_.nonEmpty)
@@ -891,9 +892,17 @@ object PdfText {
       // — in a mixed-font document a simple-font hex string whose byte
       // pairs happen to collide with CMap codes would otherwise be
       // misread (full per-font /Tf scoping is the Tika-tier upgrade).
+      // PDF-1.5 files may pack the font dicts into compressed object
+      // streams, so the marker search covers decoded ObjStm bodies too.
+      def declaresCidFont: Boolean =
+        hay.contains("/Type0") || hay.contains("/Identity-H") || {
+          val objStm = "/Type\\s*/ObjStm".r
+          scanned.filter(st => objStm.findFirstIn(st.dict).isDefined)
+            .map(st => new String(decoded(st), Latin1))
+            .exists(s => s.contains("/Type0") || s.contains("/Identity-H"))
+        }
       val cmap =
-        if (!hay.contains("/Type0") && !hay.contains("/Identity-H"))
-          Map.empty[Int, String]
+        if (!declaresCidFont) Map.empty[Int, String]
         else all.filter(_.contains("begincmap"))
           .map(parseToUnicode)
           .foldLeft(Map.empty[Int, String])(_ ++ _)

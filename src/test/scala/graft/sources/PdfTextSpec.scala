@@ -204,6 +204,30 @@ class PdfTextSpec extends AnyFunSuite {
     assert(PdfText.extract(PdfText.synthesizeCid(text)) == text)
   }
 
+  test("a Type0 font declared inside a compressed ObjStm still enables CID decoding") {
+    // PDF-1.5 shape: the font dict lives in a Flate-compressed object
+    // stream, so the raw bytes contain no /Type0 marker
+    val text = "Ümlaut"
+    val base = PdfText.synthesizeCid(text)
+    var doc = new String(base, ISO_8859_1)
+    val fontObj = "5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /F1" +
+      " /Encoding /Identity-H /ToUnicode 6 0 R >> endobj\n"
+    assert(doc.contains(fontObj))
+    doc = doc.replace(fontObj, "")
+    assert(!doc.contains("/Type0"))
+    val inner = fontObj.getBytes(ISO_8859_1)
+    val d = new java.util.zip.Deflater()
+    d.setInput(inner); d.finish()
+    val buf = new Array[Byte](8192)
+    val n = d.deflate(buf); d.end()
+    val objStm = (s"7 0 obj << /Type /ObjStm /N 1 /First 0 /Length $n" +
+      " /Filter /FlateDecode >>\nstream\n").getBytes(ISO_8859_1) ++
+      java.util.Arrays.copyOf(buf, n) ++
+      "\nendstream\nendobj\n".getBytes(ISO_8859_1)
+    val bytes = doc.getBytes(ISO_8859_1) ++ objStm
+    assert(PdfText.extract(bytes) == text)
+  }
+
   test("bfrange entries expand to consecutive codes") {
     val m = PdfText.parseToUnicode(
       """begincmap
