@@ -43,6 +43,21 @@ class LemmatizerSpec extends AnyFunSuite {
     assert(tag("rasch").pos == "ADJ")
   }
 
+  test("french and italian tiers: lexicon, plural rules, infinitives") {
+    assert(tag("les", "fr") == Tagged("les", "le", "DET"))
+    assert(tag("sont", "fr").lemma == "être")
+    assert(tag("tribunaux", "fr").lemma == "tribunal")
+    assert(tag("décisions", "fr").lemma == "décision")
+    assert(tag("rejeter", "fr").pos == "VERB")
+    assert(tag("Lausanne", "fr").pos == "PROPN")
+
+    assert(tag("gli", "it") == Tagged("gli", "il", "DET"))
+    assert(tag("sono", "it").lemma == "essere")
+    assert(tag("decisioni", "it").lemma == "decisione")
+    assert(tag("ricorsi", "it").lemma == "ricorso")
+    assert(tag("respingere", "it").pos == "VERB")
+  }
+
   test("tagText tokenizes and counter produces the A3 map shape") {
     val c = counter("Die Gerichte prüfen die Beschwerden der Parteien")
     assert(c("der\tDET") == 3L)
