@@ -143,6 +143,53 @@ object TextQueries extends QueryPack {
                 UNION ALL SELECT 'entscheiden', 'VERB', no FROM n
                 UNION ALL SELECT 'heute', 'ADV', no FROM n) t""")),
 
+    // ---- A3 trilingual: the lemma/POS counter dispatched on the
+    // language column — German, French, and Italian rule tiers in one
+    // rollup (the reference's per-language spaCy models). Hand-derived
+    // tags per sentence; arithmetic oracle.
+    Q("t15_lemma_trilingual",
+      (s, d) => {
+        graft.GraftExtensions.registerNative(s)
+        val lang = expr(
+          """CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'de'
+             WHEN 1 THEN 'fr' ELSE 'it' END""")
+        val body = expr(
+          """CASE CAST(doc_id % 3 AS INT)
+             WHEN 0 THEN 'Die Gerichte prüfen die Beschwerden der Parteien'
+             WHEN 1 THEN 'les tribunaux sont contre les décisions'
+             ELSE 'le decisioni e i ricorsi' END""")
+        val counterUdf = udf { (t: String, l: String) =>
+          graft.functions.Lemmatizer.counter(t, l)
+        }
+        Tables.documents(s, d)
+          .withColumn("cnt", counterUdf(body, lang))
+          .agg(expr("counter_merge(cnt)").as("total"))
+          .select(explode(col("total")).as(Seq("key", "n")))
+          .select(substring_index(col("key"), "\t", 1).as("lemma"),
+            substring_index(col("key"), "\t", -1).as("pos"),
+            col("n"))
+      },
+      Some("""WITH n AS (SELECT
+                  count(*) FILTER (WHERE doc_id % 3 = 0) AS nd,
+                  count(*) FILTER (WHERE doc_id % 3 = 1) AS nf,
+                  count(*) FILTER (WHERE doc_id % 3 = 2) AS ni
+                FROM documents)
+              SELECT lemma, pos, n FROM (
+                SELECT 'der' AS lemma, 'DET' AS pos, 3*nd AS n FROM n
+                UNION ALL SELECT 'Gericht', 'NOUN', nd FROM n
+                UNION ALL SELECT 'prüfen', 'VERB', nd FROM n
+                UNION ALL SELECT 'Beschwerde', 'NOUN', nd FROM n
+                UNION ALL SELECT 'Partei', 'NOUN', nd FROM n
+                UNION ALL SELECT 'le', 'DET', 2*nf FROM n
+                UNION ALL SELECT 'tribunal', 'NOUN', nf FROM n
+                UNION ALL SELECT 'être', 'AUX', nf FROM n
+                UNION ALL SELECT 'contre', 'ADP', nf FROM n
+                UNION ALL SELECT 'décision', 'NOUN', nf FROM n
+                UNION ALL SELECT 'il', 'DET', 2*ni FROM n
+                UNION ALL SELECT 'decisione', 'NOUN', ni FROM n
+                UNION ALL SELECT 'e', 'CCONJ', ni FROM n
+                UNION ALL SELECT 'ricorso', 'NOUN', ni FROM n) t""")),
+
     // ---- Quality scoring: length + stopword ratio + punctuation
     // ratio → quality bucket (the training-data triad; explicit ASCII
     // punctuation class so both regex engines count identically).
