@@ -105,6 +105,37 @@ object EventQueries extends QueryPack {
                 max(cast(regexp_extract(props, '"k": (\d+)', 1) as bigint)) AS max_k
               FROM events GROUP BY 1""")),
 
+    // ---- Click→purchase attribution: interval self-join (each click
+    // joined to the same user's purchases within the following hour) —
+    // the batch dual of the stream-stream interval join
+    // (streaming.EventStreams.clickToPurchase; equivalence pinned in
+    // EventStreamsSpec). Join keys carry user_id so the shuffle
+    // co-locates per user; the time-range predicate prunes inside the
+    // partition.
+    Q("e8_click_attribution",
+      (s, d) => {
+        val hourUs = 3600L * 1000000L
+        val e = Tables.events(s, d)
+        val clicks = e.where(col("event_type") === "click")
+          .select(col("user_id"), col("ts_us").as("c_ts"),
+            col("event_id").as("click_id"))
+        val purchases = e.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_us").as("p_ts"),
+            col("event_id").as("purchase_id"))
+        clicks.join(purchases, Seq("user_id"))
+          .where(col("p_ts") >= col("c_ts") &&
+            col("p_ts") <= col("c_ts") + hourUs)
+          .select(col("click_id"), col("purchase_id"), col("user_id"),
+            (col("p_ts") - col("c_ts")).as("lag_us"))
+      },
+      Some("""WITH t AS (SELECT event_id, user_id, event_type,
+                epoch_ns(ts) // 1000 AS ts_us FROM events)
+              SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+                c.user_id, p.ts_us - c.ts_us AS lag_us
+              FROM t c JOIN t p ON c.user_id = p.user_id
+              WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+                AND p.ts_us >= c.ts_us AND p.ts_us <= c.ts_us + 3600000000""")),
+
     // ---- Retention cohorts: users grouped by first-seen day, activity
     // counted per day-offset — two aggs over one shuffle on user_id
     // (the first agg), then a |users|-sized join.

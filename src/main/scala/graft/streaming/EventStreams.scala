@@ -128,6 +128,28 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("fp")
   }
 
+  /** Stream-stream INTERVAL join: each click joined to the same user's
+    * purchases within the following hour — Spark's watermarked
+    * stream-stream join (state on both sides, bounded by the watermark
+    * + the join's time-range condition; the attribution-join shape of
+    * a training-data event pipeline). Batch dual: e8_click_attribution.
+    */
+  def clickToPurchase(events: DataFrame): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "2 hours")
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("interval 1 hour"))
+      .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"))
+  }
+
   /** File-source reader for a directory of event parquet files — the
     * production ingest shape (each micro-batch = newly landed files).
     * Nanos timestamps are read as epoch-nanos longs (same policy as

@@ -236,6 +236,31 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the e8 batch dual on the real table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (events, maxUs) = realEvents()
+    val mem = MemoryStream[Event]
+    val q = clickToPurchase(mem.toDF())
+      .writeStream.format("memory").queryName("eq_attrib")
+      .outputMode("append").start()
+    try {
+      mem.addData(events: _*)
+      q.processAllAvailable()
+      mem.addData(Event(-1, tsFromUs(maxUs + 36L * 3600000000L), -1L, "flush", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(-2, tsFromUs(maxUs + 72L * 3600000000L), -1L, "flush", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("eq_attrib")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = graft.SparkEntry.queries("e8_click_attribution")(spark, sfDir)
+        .select("click_id", "purchase_id", "user_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want)
+      assert(want.nonEmpty, "fixture should contain click->purchase pairs")
+    } finally q.stop()
+  }
+
   test("file-source stream over the real events table produces batches") {
     // file streams need a landing DIRECTORY (each micro-batch = new
     // files); stage the single testdata file into one
