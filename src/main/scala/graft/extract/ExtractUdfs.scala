@@ -150,6 +150,15 @@ object ExtractUdfs {
     udf { (spider: String, header: String) =>
       PeopleExtractors.parseCompositionFor(spider, header) }
 
+  /** (spider, language, header) → procedural participation (F38 spider
+    * variants): per-spider regex configs dispatched like composition;
+    * null = unconfigured spider / unsupported language / malformed
+    * header (the reference's raise-and-skip paths → quarantine)
+    */
+  val participationSpider: UserDefinedFunction =
+    udf { (spider: String, lang: String, header: String) =>
+      ParticipationExtractors.parseParticipationFor(spider, lang, header).orNull }
+
   /** Split a frame carrying a `<col>.error` field into (clean rows,
     * quarantine rows).
     */

@@ -509,6 +509,73 @@ object ExtractQueries extends QueryPack {
                 CASE CAST(doc_id % 4 AS INT) WHEN 1 THEN 'f' ELSE 'm' END AS clerk_gender
               FROM documents""")),
 
+    // ---- F38 spider variants: per-spider procedural-participation
+    // configs (CH_BGer trilingual + the ZG/ZH shared config) dispatched
+    // on the spider column — every configured spider covered, plus the
+    // reference's quarantine paths (malformed header → null). Expected
+    // values are known by construction (traced from the reference's
+    // own golden vectors where they exist), so the oracle is a literal
+    // VALUES table; nothing on the oracle side runs the parse.
+    Q("x21_spider_participation",
+      (s, d) => {
+        import s.implicits._
+        val fixtures = Seq(
+          (1, "CH_BGer", "de", "Verfahrensbeteiligte, A._, Beschwerdeführer, vertreten durch Rechtsanwalt Dr. Hans Muster, gegen, B._ AG, Beschwerdegegnerin, Gegenstand, Forderung"),
+          (2, "CH_BGer", "fr", "Participants à la procédure, X._, recourante, représentée par Me Jeanne Dupont, contre, Office cantonal, intimé, Objet, assurance"),
+          (3, "CH_BGer", "it", "Partecipanti al procedimento, A._, ricorrente, patrocinato dall'avv. Mario Rossi, contro, Stato del Cantone Ticino, Oggetto, ricorso"),
+          (4, "CH_BGer", "de", "in Sachen, 1. A._, 2. B._, Beschwerdeführer, gegen, C._ AG, Beschwerdegegnerin, Gegenstand, Vertrag"),
+          (5, "ZG_Verwaltungsgericht", "de", "in Sachen, A._ Beschwerdeführer vertreten durch B._ AG, gegen, Ausgleichskasse Zug, Baarerstrasse 11, Postfach, 6302 Zug Beschwerdegegnerin, betreffend, Ergänzungsleistungen (hypothetisches Erwerbseinkommen)"),
+          (6, "ZH_Steuerrekurs", "de", "In Sachen, 1. A, 2. B,, Beschwerdeführer/ Rekurrenten, vertreten durch C AG,, gegen, 1. Schw eizer ische E idgenossenschaf t , Beschwerdegegnerin, 2. Staat Zür ich , Rekursgegner, vertreten durch das kant. Steueramt, Division Konsum, Bändliweg 21, Postfach, 8090 Zürich,"),
+          (7, "ZH_Verwaltungsgericht", "de", "In Sachen, A, vertreten durch RA B,, Beschwerdeführerin,, gegen, Migrationsamt des Kantons Zürich,, Beschwerdegegner,, betreffend vorzeitige Erteilung der Niederlassungsbewilligung,"),
+          (8, "ZH_Sozialversicherungsgericht", "de", "in Sachen, X._, Beschwerdeführerin, vertreten durch Rechtsanwalt Dr. Kreso Glavas, Advokatur Glavas AG, Markusstrasse 10, 8006 Zürich, gegen, Sozialversicherungsanstalt des Kantons Zürich, IV-Stelle, Röntgenstrasse 17, Postfach, 8087 Zürich, Beschwerdegegnerin, weitere Verfahrensbeteiligte:, Personalvorsorgestiftung der Y._, Beigeladene"),
+          (9, "ZH_Baurekurs", "de", "in Sachen Rekurrentin, V. L. [...], vertreten durch [...], gegen Rekursgegnerschaft, 1. Baubehörde X 2. M. I. und K. I.-L. [...], Nr. 2 vertreten durch [...]"),
+          (10, "ZH_Obergericht", "de", "in Sachen, A._, Kläger, vertreten durch Rechtsanwalt lic. iur. W._, gegen, 1. B._, 2. C._-Stiftung, 3. D._, Beklagte, 1 vertreten durch Rechtsanwalt Dr. iur. X._, 2 vertreten durch Rechtsanwältin Dr. iur. Y._"),
+          (11, "CH_BGer", "de", "Verfahrensbeteiligte, A._, Beschwerdeführer, Gegenstand, Klage"))
+        val p1 = expr("try_element_at(part.plaintiffs, 1)")
+        val pc1 = expr("try_element_at(try_element_at(part.plaintiffs, 1).counsel, 1)")
+        val d1 = expr("try_element_at(part.defendants, 1)")
+        val dc1 = expr("try_element_at(try_element_at(part.defendants, 1).counsel, 1)")
+        s.createDataset(fixtures).toDF("case_id", "spider", "lang", "header")
+          .withColumn("part", ExtractUdfs.participationSpider(
+            col("spider"), col("lang"), col("header")))
+          .select(
+            col("case_id").cast("bigint").as("case_id"),
+            col("spider"),
+            col("part").isNull.as("quarantined"),
+            when(col("part").isNull, lit(null))
+              .otherwise(size(col("part.plaintiffs"))).cast("bigint").as("n_plaintiffs"),
+            p1.getField("name").as("p_name"),
+            p1.getField("gender").as("p_gender"),
+            p1.getField("legalType").as("p_type"),
+            pc1.getField("name").as("pc_name"),
+            pc1.getField("gender").as("pc_gender"),
+            pc1.getField("legalType").as("pc_type"),
+            array_join(pc1.getField("titles"), ",").as("pc_titles"),
+            when(col("part").isNull, lit(null))
+              .otherwise(size(col("part.defendants"))).cast("bigint").as("n_defendants"),
+            d1.getField("name").as("d_name"),
+            d1.getField("legalType").as("d_type"),
+            dc1.getField("name").as("dc_name"))
+      },
+      Some("""SELECT case_id::BIGINT AS case_id, spider, quarantined,
+                n_plaintiffs::BIGINT AS n_plaintiffs, p_name, p_gender, p_type,
+                pc_name, pc_gender, pc_type, pc_titles,
+                n_defendants::BIGINT AS n_defendants, d_name, d_type, dc_name
+              FROM (VALUES
+                (1, 'CH_BGer', false, 1, 'A._', 'm', 'natural person', ' Dr. Hans Muster', 'm', 'natural person', '', 1, 'B._ AG', 'legal entity', NULL),
+                (2, 'CH_BGer', false, 1, 'X._', 'f', 'natural person', ' Jeanne Dupont', NULL, 'natural person', '', 1, 'Office cantonal', 'legal entity', NULL),
+                (3, 'CH_BGer', false, 1, 'A._', NULL, 'natural person', 'Mario Rossi', NULL, 'natural person', '', 1, 'Stato del Cantone Ticino', 'legal entity', NULL),
+                (4, 'CH_BGer', false, 2, 'A._', NULL, 'natural person', NULL, NULL, NULL, NULL, 1, 'C._ AG', 'legal entity', NULL),
+                (5, 'ZG_Verwaltungsgericht', false, 1, 'A._', 'm', 'natural person', 'B._ AG', NULL, 'legal entity', '', 1, 'Ausgleichskasse Zug', 'legal entity', NULL),
+                (6, 'ZH_Steuerrekurs', false, 2, 'A', NULL, 'legal entity', 'C AG', NULL, 'legal entity', '', 2, 'Schw eizer ische E idgenossenschaf t', 'legal entity', 'Steueramt'),
+                (7, 'ZH_Verwaltungsgericht', false, 1, 'A', NULL, 'legal entity', 'B', NULL, 'natural person', '', 1, 'Migrationsamt des Kantons Zürich', 'legal entity', NULL),
+                (8, 'ZH_Sozialversicherungsgericht', false, 1, 'X._', 'f', 'natural person', 'Kreso Glavas', 'm', 'natural person', 'Dr.', 1, 'Sozialversicherungsanstalt des Kantons Zürich', 'legal entity', NULL),
+                (9, 'ZH_Baurekurs', false, 1, 'Rekurrentin', NULL, 'legal entity', NULL, NULL, NULL, NULL, 1, 'Rekursgegnerschaft', 'legal entity', NULL),
+                (10, 'ZH_Obergericht', false, 1, 'A._', NULL, 'natural person', 'W._', 'm', 'natural person', 'lic.,iur.', 3, 'B._', 'natural person', 'X._'),
+                (11, 'CH_BGer', true, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL)
+              ) AS t(case_id, spider, quarantined, n_plaintiffs, p_name, p_gender, p_type,
+                     pc_name, pc_gender, pc_type, pc_titles, n_defendants, d_name, d_type, dc_name)""")),
+
     // ---- F36: offline gender enrichment — first-name extraction
     // (initials and titles skipped, reference preprocess_names) + the
     // bundled lookup table; unknown surnames stay null like the
