@@ -109,12 +109,14 @@ object HtmlDom {
           pos = if (end < 0) html.length else end + 1
         } else tagToken.findPrefixMatchOf(html.substring(lt)) match {
           case None if lt + 1 < html.length &&
-              (html.charAt(lt + 1).isLetter || html.charAt(lt + 1) == '/') =>
+              (html.charAt(lt + 1).isLetter || html.charAt(lt + 1) == '/') &&
+              html.indexOf('>', lt) >= 0 =>
             // tag-shaped but unparseable (unterminated quote etc.):
             // DROP to the next '>' rather than leaking raw tag bytes
-            // into the text extraction
-            val end = html.indexOf('>', lt)
-            pos = if (end < 0) html.length else end + 1
+            // into the text extraction; with NO '>' anywhere after (a
+            // truncated scrape tail) fall through to the literal-text
+            // case instead of discarding the rest of the document
+            pos = html.indexOf('>', lt) + 1
           case None => // stray '<' — literal text
             stack.last._3 += Text("<"); pos = lt + 1
           case Some(m) =>

@@ -55,14 +55,16 @@ object GlobalRank {
     * knows it (local relations, ranges, CBO), else a conservative
     * bytes-based guess. None = unknown (caller should assume large).
     */
-  private def estimatedRows(df: DataFrame): Option[Long] = {
+  private[operators] def estimatedRows(df: DataFrame): Option[Long] = {
     val stats = df.queryExecution.optimizedPlan.stats
     stats.rowCount.map(_.longValue).orElse {
       val sz = stats.sizeInBytes
-      // 8 B/row — the narrowest realistic row. Anything wider makes this
-      // OVERestimate the count and route distributed, the safe direction;
-      // a narrow-row underestimate would wrongly pick the one-task window
-      if (sz < BigInt(Long.MaxValue / 2)) Some((sz / 8).longValue.max(1L)) else None
+      // For file sources sizeInBytes is the COMPRESSED on-disk size, so
+      // assume 1 byte/row: an 8 B/row minimum width times an up-to-8×
+      // decompression margin. Every realistic source then OVERestimates
+      // the count and routes distributed — the safe direction; the
+      // wrongly-single-task direction risks one task sorting everything
+      if (sz < BigInt(Long.MaxValue / 2)) Some(sz.longValue.max(1L)) else None
     }
   }
 

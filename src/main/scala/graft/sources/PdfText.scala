@@ -524,17 +524,46 @@ object PdfText {
   /** One scanned stream: owning object/generation (for per-object
     * decryption keys), its dict text, and the raw bytes.
     */
-  private final case class RawStream(obj: Int, gen: Int, dict: String,
+  private[sources] final case class RawStream(obj: Int, gen: Int, dict: String,
                                      data: Array[Byte])
 
-  private val objHeader = """(\d+)\s+(\d+)\s+obj[^o]*$""".r
+  /** Nearest `N G obj` header before `dictStart` — the object whose
+    * per-object decryption key applies to a stream. Backward scan with
+    * NO byte cap (whitespace/comments can separate header and dict
+    * arbitrarily; a fixed window resolved such objects to (0,0) and
+    * derived a wrong key); an intervening `endobj` means the stream
+    * belongs to no open object.
+    */
+  private[sources] def owningObject(hay: String, dictStart: Int): (Int, Int) = {
+    if (dictStart <= 0) return (0, 0)
+    var oAt = -1
+    var search = dictStart
+    while (oAt < 0 && search > 0) {
+      val cand = hay.lastIndexOf("obj", search - 1)
+      if (cand <= 0) search = 0
+      else if (Character.isWhitespace(hay.charAt(cand - 1))) oAt = cand
+      else search = cand // e.g. the "obj" inside "endobj"
+    }
+    val endAt = hay.lastIndexOf("endobj", dictStart - 1)
+    if (oAt < 0 || endAt > oAt) return (0, 0)
+    var i = oAt - 1
+    def skipWs(): Unit =
+      while (i >= 0 && Character.isWhitespace(hay.charAt(i))) i -= 1
+    def readNum(): Int = {
+      val e = i
+      while (i >= 0 && hay.charAt(i).isDigit) i -= 1
+      if (e == i || e - i > 9) -1 else hay.substring(i + 1, e + 1).toInt
+    }
+    skipWs(); val g = readNum(); skipWs(); val n = readNum()
+    if (g < 0 || n < 0) (0, 0) else (n, g)
+  }
 
   /** Streams found by a linear scan — no xref walk, so damaged files
     * and PDF-1.5 xref-STREAM files still yield their readable content
     * streams (Tika is similarly lenient; the xref stream itself is
     * recognized by its /Type and skipped).
     */
-  private def streams(bytes: Array[Byte]): Seq[RawStream] = {
+  private[sources] def streams(bytes: Array[Byte]): Seq[RawStream] = {
     val hay = new String(bytes, Latin1)
     val out = Vector.newBuilder[RawStream]
     var from = 0
@@ -552,11 +581,9 @@ object PdfText {
         val dictStart = enclosingDictStart(hay, at)
         val dict =
           if (dictStart >= 0) hay.substring(dictStart, dictEnd) else ""
-        // the `N G obj` header just before the dict names the object
-        // whose per-object decryption key applies
-        val window = hay.substring(math.max(0, dictStart - 64), math.max(0, dictStart))
-        val (onum, ogen) = objHeader.findFirstMatchIn(window)
-          .map(m => (m.group(1).toInt, m.group(2).toInt)).getOrElse((0, 0))
+        // the `N G obj` header before the dict names the object whose
+        // per-object decryption key applies (uncapped backward scan)
+        val (onum, ogen) = owningObject(hay, dictStart)
         // stream data starts after "stream" + EOL
         var s = at + "stream".length
         if (s < hay.length && hay.charAt(s) == '\r') s += 1
@@ -570,7 +597,10 @@ object PdfText {
           // A damaged file's wrong length falls back to EOL-trim
           // instead of silently truncating real data; indirect /Length
           // refs (unresolvable without an xref walk) also fall back.
-          val declared = """/Length\s+(\d+)(?!\s+\d+\s+R)""".r
+          // (?![0-9]) pins the capture to the FULL number: without it,
+          // an indirect ref like "/Length 70 0 R" backtracks to
+          // capture "7" (the ref-lookahead then passes) and truncates
+          val declared = """/Length\s+(\d+)(?![0-9])(?!\s+\d+\s+R)""".r
             .findFirstMatchIn(dict)
             .flatMap(m => scala.util.Try(m.group(1).toInt).toOption)
           var end = e

@@ -73,4 +73,13 @@ class HtmlDomSpec extends AnyFunSuite {
     val html = "<div class=\"content\"><p>Urteil</p><table><tr><td>a</td></tr></table></div>"
     assert(render(parse(html)) == html)
   }
+  test("unparseable tag with NO '>' anywhere after keeps the tail as text") {
+    // a truncated scrape tail: '<a href="x' with the quote and the
+    // bracket both missing — the recovery path must not discard the
+    // remainder of the document (ADVICE r3: fall through to the
+    // literal-text case when indexOf('>') fails)
+    assert(text("""<div>Text bleibt <a href="x""") == """Text bleibt <a href="x""")
+    // with a '>' present the unparseable tag itself is still dropped
+    assert(text("""<div>Text <span class="x>Ende</div>""") == "Text Ende")
+  }
 }

@@ -82,4 +82,19 @@ class GlobalRankSpec extends SparkSpec {
     val df = Seq.empty[(Int, Int)].toDF("v", "id")
     assert(GlobalRank.ntileGlobal(df, 4, Seq(col("v")), "q").count() == 0)
   }
+  test("bytes-only estimates assume 1 compressed byte per row (ADVICE r3)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("grank").toString
+    (1 to 2000).map(i => (i.toLong, s"v$i")).toDF("id", "s")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val size = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val est = GlobalRank.estimatedRows(df)
+    // parquet stats carry no rowCount here — the estimate must treat
+    // every on-disk byte as a potential row (compressed sources), not
+    // divide by a decompressed row width
+    assert(est.isDefined && est.get >= size,
+      s"estimate ${est} must be >= on-disk size $size")
+  }
 }

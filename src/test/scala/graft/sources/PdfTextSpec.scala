@@ -329,4 +329,36 @@ class PdfTextSpec extends AnyFunSuite {
       pdf("BT (Echter Inhalt.) Tj ET", flate = false)
     assert(PdfText.extract(bytes) == "Echter Inhalt.")
   }
+  test("indirect /Length ref is never honored, even with EOL-like tail bytes") {
+    // '/Length 70 0 R': the old regex backtracked to capture '7' (the
+    // ref-lookahead then passed); with 7 data bytes followed by only
+    // newlines before 'endstream', the EOL-consistency guard would
+    // accept the bogus length and truncate. The anchored capture
+    // ((?![0-9])) must refuse the partial number outright.
+    val bytes = ("%PDF-1.4\n5 0 obj << /Length 70 0 R >>\nstream\n" +
+      "AAAAAAA\n\n\nendstream\nendobj\n%%EOF\n").getBytes(ISO_8859_1)
+    val st = PdfText.streams(bytes)
+    assert(st.length == 1)
+    // EOL-trim fallback strips ONE trailing newline, not down to 7 bytes
+    assert(st.head.data.length == 9, new String(st.head.data, ISO_8859_1))
+  }
+
+  test("owning object resolves across more than 64 bytes before the dict") {
+    // header separated from '<<' by 100 bytes of whitespace: the old
+    // fixed 64-byte window resolved this to (0,0) and derived a wrong
+    // per-object decryption key (ADVICE r3)
+    val pad = " " * 100
+    val bytes = ("%PDF-1.4\n12 3 obj" + pad + "<< /Length 4 >>\nstream\n" +
+      "DATA\nendstream\nendobj\n%%EOF\n").getBytes(ISO_8859_1)
+    val st = PdfText.streams(bytes)
+    assert(st.length == 1)
+    assert((st.head.obj, st.head.gen) == (12, 3))
+  }
+
+  test("owningObject: intervening endobj detaches the stream") {
+    val hay = "1 0 obj << /x 1 >> endobj junk << /Length 4 >>"
+    assert(PdfText.owningObject(hay, hay.indexOf("<< /Length")) == (0, 0))
+    val hay2 = "7 0 obj\n% comment line\n<< /Length 4 >>"
+    assert(PdfText.owningObject(hay2, hay2.indexOf("<<")) == (7, 0))
+  }
 }
