@@ -166,4 +166,12 @@ object TokenCounter {
   object BundledBpe extends TokenCounter {
     def tokens(text: String): Seq[String] = Bpe.tokenize(text, Bpe.bundled)
   }
+
+  /** WordPiece over the bundled BERT-format vocab (t16's tier) — the
+    * family the reference's P7 cutoffs are calibrated in
+    */
+  object BundledWordPiece extends TokenCounter {
+    def tokens(text: String): Seq[String] =
+      WordPiece.tokenize(text, WordPiece.bundled)
+  }
 }

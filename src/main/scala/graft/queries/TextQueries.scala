@@ -105,6 +105,44 @@ object TextQueries extends QueryPack {
                   WHEN 1 THEN 7 WHEN 2 THEN 7 ELSE 8 END AS BIGINT) AS n_bpe_tokens
               FROM documents""")),
 
+    // ---- F34 WordPiece tier (t16): greedy longest-match over the
+    // bundled BERT-format vocab — the tokenizer family the reference's
+    // P7 cutoffs are calibrated in (num_tokens_bert = len(input_ids),
+    // abstract_preprocessor.py:286-288). Fixtures exercise subword
+    // continuation (##gericht/##e/##s), punctuation split-off, the
+    // char-level fallback, and the whole-word [UNK] path; n_bert adds
+    // the [CLS]/[SEP] pair like the reference's count. Oracle restates
+    // the expected segmentation literally.
+    Q("t16_wordpiece",
+      (s, d) => {
+        val body = expr(
+          """CASE CAST(doc_id % 4 AS INT)
+             WHEN 0 THEN 'Das Bundesgericht weist die Beschwerde ab.'
+             WHEN 1 THEN 'Urteile des Kantons Zürich'
+             WHEN 2 THEN 'Die Beschwerde wird gutgeheissen!'
+             ELSE 'Œuvre unbekannt' END""")
+        val wpUdf = udf { t: String =>
+          graft.functions.WordPiece.tokenize(t, graft.functions.WordPiece.bundled)
+        }
+        Tables.documents(s, d)
+          .withColumn("toks", wpUdf(body))
+          .select(col("doc_id"),
+            array_join(col("toks"), " ").as("wp_tokens"),
+            size(col("toks")).cast("bigint").as("n_wp_tokens"),
+            (size(col("toks")) + 2).cast("bigint").as("n_bert"))
+      },
+      Some("""SELECT doc_id,
+                CASE CAST(doc_id % 4 AS INT)
+                  WHEN 0 THEN 'Das Bundes ##gericht weist die Beschwerde ab .'
+                  WHEN 1 THEN 'Urteil ##e des Kanton ##s Zürich'
+                  WHEN 2 THEN 'Die Beschwerde wird gut ##geheissen !'
+                  ELSE '[UNK] u ##n ##b ##e ##k ##a ##n ##n ##t' END AS wp_tokens,
+                CAST(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 8
+                  WHEN 1 THEN 6 WHEN 2 THEN 6 ELSE 10 END AS BIGINT) AS n_wp_tokens,
+                CAST(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 10
+                  WHEN 1 THEN 8 WHEN 2 THEN 8 ELSE 12 END AS BIGINT) AS n_bert
+              FROM documents""")),
+
     // ---- A3 with the lemma/POS feeder (graft.functions.Lemmatizer):
     // per-doc lemma|pos counter maps merged through the native
     // counter_merge aggregate — the reference's per-chunk spaCy
