@@ -576,6 +576,96 @@ object ExtractQueries extends QueryPack {
               ) AS t(case_id, spider, quarantined, n_plaintiffs, p_name, p_gender, p_type,
                      pc_name, pc_gender, pc_type, pc_titles, n_defendants, d_name, d_type, dc_name)""")),
 
+    // ---- §3.1 end-to-end gate: a REAL landing corpus (json+html+pdf
+    // triples written to a scratch dir, the m3/x1 constructions
+    // composed) through the actual pipeline stages — ingest (binary
+    // scan, PDF native decode / HTML DOM paragraphs, F4 preference,
+    // clean, min-chars gate, language ID) → CH_BGer section fold →
+    // judgment extraction + citation child table — joined back to one
+    // wide row per surviving document. Every value is known by
+    // construction, so the oracle is a literal VALUES table; rows
+    // traverse 6 stages, proving the stages COMPOSE (each is also
+    // gated in isolation: m3, x1/x10, x2, x3).
+    Q("x22_pipeline_e2e",
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_x22_landing")
+        Files.createDirectories(dir)
+        def facts(i: Int) =
+          s"Am ${i + 1}. Januar 2020 erhob die Partei Beschwerde gegen den angefochtenen Entscheid."
+        def cons(i: Int) = i match {
+          case 1 => "Die Beschwerde ist zulässig. Vgl. BGE 121 II 32 und BGE 130 IV 5."
+          case 4 => "Die Beschwerde ist zulässig und wird materiell geprüft."
+          case _ => s"Die Beschwerde ist form- und fristgerecht. Vgl. BGE ${120 + i} II ${31 + i}."
+        }
+        def ruling(i: Int) = i match {
+          case 0 | 2 => "Die Beschwerde wird abgewiesen."
+          case 4     => "Die Beschwerde wird teilweise gutgeheissen."
+          case _     => "Die Beschwerde wird gutgeheissen."
+        }
+        def paras(i: Int) = Seq("Urteil des Bundesgerichts", "Gegenstand",
+          "Sachverhalt:", facts(i), "Erwägungen:", cons(i),
+          "Demnach erkennt das Bundesgericht", ruling(i))
+        def html(i: Int) = ("<html><body>" +
+          paras(i).map(p => s"<p>$p</p>").mkString + "</body></html>")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        def pdf(i: Int, filters: Seq[String]) =
+          graft.sources.PdfText.synthesize(paras(i).mkString("\n"), filters)
+        for (i <- 0 to 5)
+          Files.write(dir.resolve(s"d$i.json"),
+            s"""{"id":"d$i"}""".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        Files.write(dir.resolve("d0.pdf"), pdf(0, Seq.empty))
+        Files.write(dir.resolve("d1.html"), html(1))
+        Files.write(dir.resolve("d2.html"), html(2))
+        // d2 also ships a DECOY pdf — the F4 preference must pick html
+        Files.write(dir.resolve("d2.pdf"), graft.sources.PdfText.synthesize(
+          "PDF Variante die nicht gewinnen darf", Seq.empty))
+        Files.write(dir.resolve("d3.pdf"), pdf(3, Seq("FlateDecode")))
+        Files.write(dir.resolve("d4.html"), html(4))
+        // d5 is under the min-chars ingest gate → must NOT surface
+        Files.write(dir.resolve("d5.html"),
+          "<p>Kurz</p>".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        import graft.pipeline.CorpusPipeline
+        val docs = CorpusPipeline.ingest(s, dir.toString)
+        val sect = CorpusPipeline.splitSections(docs, "CH_BGer")
+        val jd = CorpusPipeline.judgments(sect)
+        val cit = CorpusPipeline.citations(sect)
+          .groupBy("decision_id")
+          .agg(count(lit(1)).as("n_cites"),
+            min(col("volume")).cast("bigint").as("cite_volume"))
+        docs.select("decision_id", "stem", "lang")
+          .join(sect, Seq("decision_id"))
+          .join(jd, Seq("decision_id"))
+          .join(cit, Seq("decision_id"), "left")
+          .select(col("stem"), col("lang"), col("header"), col("facts"),
+            col("considerations"), col("rulings"),
+            array_join(col("outcomes"), ",").as("outcomes"),
+            coalesce(col("n_cites"), lit(0L)).cast("bigint").as("n_cites"),
+            col("cite_volume"))
+      },
+      Some("""SELECT stem, lang, header,
+                'Sachverhalt:' || chr(10) || 'Am ' || nr || '. Januar 2020 erhob die Partei Beschwerde gegen den angefochtenen Entscheid.' AS facts,
+                'Erwägungen:' || chr(10) || cons AS considerations,
+                'Demnach erkennt das Bundesgericht' || chr(10) || ruling AS rulings,
+                outcomes, n_cites::BIGINT AS n_cites, cite_volume::BIGINT AS cite_volume
+              FROM (VALUES
+                ('d0', 'de', 'Urteil des Bundesgerichts', 1,
+                 'Die Beschwerde ist form- und fristgerecht. Vgl. BGE 120 II 31.',
+                 'Die Beschwerde wird abgewiesen.', 'dismissal', 1, 120),
+                ('d1', 'de', 'Urteil des Bundesgerichts', 2,
+                 'Die Beschwerde ist zulässig. Vgl. BGE 121 II 32 und BGE 130 IV 5.',
+                 'Die Beschwerde wird gutgeheissen.', 'approval', 2, 121),
+                ('d2', 'de', 'Urteil des Bundesgerichts', 3,
+                 'Die Beschwerde ist form- und fristgerecht. Vgl. BGE 122 II 33.',
+                 'Die Beschwerde wird abgewiesen.', 'dismissal', 1, 122),
+                ('d3', 'de', 'Urteil des Bundesgerichts', 4,
+                 'Die Beschwerde ist form- und fristgerecht. Vgl. BGE 123 II 34.',
+                 'Die Beschwerde wird gutgeheissen.', 'approval', 1, 123),
+                ('d4', 'de', 'Urteil des Bundesgerichts', 5,
+                 'Die Beschwerde ist zulässig und wird materiell geprüft.',
+                 'Die Beschwerde wird teilweise gutgeheissen.', 'partial_approval', 0, NULL)
+              ) AS t(stem, lang, header, nr, cons, ruling, outcomes, n_cites, cite_volume)""")),
+
     // ---- F36: offline gender enrichment — first-name extraction
     // (initials and titles skipped, reference preprocess_names) + the
     // bundled lookup table; unknown surnames stay null like the

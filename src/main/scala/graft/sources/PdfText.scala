@@ -21,9 +21,9 @@ package graft.sources
   * Semantics preserved from the reference: extracted text is
   * NUL-stripped; failures yield null (quarantine channel) rather than
   * throwing. Line structure: each BT…ET block contributes its text
-  * chunks space-joined, one line per block — the paragraph splitter
-  * downstream works on blank-line structure exactly as with Tika
-  * output.
+  * chunks space-joined as one paragraph, blocks separated by blank
+  * lines — the paragraph splitter downstream works on blank-line
+  * structure exactly as with Tika output.
   */
 object PdfText {
 
@@ -793,8 +793,13 @@ object PdfText {
     * honest.
     */
   def synthesize(text: String, filters: Seq[String]): Array[Byte] = {
-    val escaped = text.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
-    val contents = s"BT /F1 12 Tf 72 720 Td ($escaped) Tj ET"
+    // one BT block per input line — the shape real writers emit (a
+    // block per paragraph/line group), so extract's blank-line block
+    // join round-trips multi-paragraph fixtures
+    val contents = text.split("\n", -1).zipWithIndex.map { case (line, i) =>
+      val escaped = line.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+      s"BT /F1 12 Tf 72 ${720 - i * 14} Td ($escaped) Tj ET"
+    }.mkString("\n")
     val content = filters.reverse.foldLeft(contents.getBytes(Latin1)) { (d, f) =>
       f match {
         case "FlateDecode" => deflateBytes(d)
@@ -940,8 +945,13 @@ object PdfText {
         if (s.contains("BT") && !s.contains("begincmap")) contentText(s, cmap)
         else Nil
       }
+      // blocks join with a BLANK line, mirroring Tika's paragraph
+      // output: each BT…ET group is a layout unit, and the downstream
+      // paragraph splitter (TextFunctions.pdfToParagraphs) divides on
+      // \n\n — a single-\n join would glue every native-extracted PDF
+      // into one paragraph and starve the section fold of markers
       if (texts.isEmpty) null
-      else texts.mkString("\n").replace("\u0000", "")
+      else texts.mkString("\n\n").replace("\u0000", "")
     } catch { case _: Throwable => null }
   }
 }

@@ -42,7 +42,7 @@ class PdfTextSpec extends AnyFunSuite {
       "BT (Das Bundesgericht zieht in Erwaegung) Tj ET\n" +
         "BT (dass die Beschwerde rechtzeitig erfolgte.) Tj ET", flate = true)
     assert(PdfText.extract(bytes) ==
-      "Das Bundesgericht zieht in Erwaegung\ndass die Beschwerde rechtzeitig erfolgte.")
+      "Das Bundesgericht zieht in Erwaegung\n\ndass die Beschwerde rechtzeitig erfolgte.")
   }
 
   test("TJ kerning arrays and string escapes decode") {
@@ -85,7 +85,7 @@ class PdfTextSpec extends AnyFunSuite {
       s"5 0 obj << /Length $n /Filter /FlateDecode >>\nstream\n".getBytes(ISO_8859_1) ++
       flate ++ "\nendstream\nendobj\n%%EOF\n".getBytes(ISO_8859_1)
     assert(PdfText.extract(bytes) ==
-      "Erster Teil des Urteils.\nZweiter Teil des Urteils.")
+      "Erster Teil des Urteils.\n\nZweiter Teil des Urteils.")
   }
 
   test("hex string operands decode; dict opens are not strings") {
