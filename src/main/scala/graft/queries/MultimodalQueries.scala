@@ -94,6 +94,36 @@ object MultimodalQueries extends QueryPack {
       Some("""SELECT doc_id, 'Vertraulich Nr. ' || doc_id || ' (rechtskräftig)' AS pdf_text
               FROM documents""")),
 
+    // ---- S3 hostile tier (m5): the damage classes real court corpora
+    // contain, with the extraction-vs-quarantine split oracle-stated —
+    // wrong /Length recovers via the EOL-consistency fallback, every
+    // other class yields a clean null (the reference's Tika-timeout /
+    // log-and-skip path), never corrupted text. 1 of 5 classes
+    // recovers → quarantine rate 80% on this fixture corpus.
+    Q("m5_pdf_hostile",
+      (s, d) => {
+        val mkPdf = udf { id: Long =>
+          val kind = (id % 5) match {
+            case 0 => "wrong-length"
+            case 1 => "bogus-filter"
+            case 2 => "truncated"
+            case 3 => "corrupt-flate"
+            case _ => "identity-h-no-tounicode"
+          }
+          graft.sources.PdfText.synthesizeHostile(kind, s"Urteil Nr. $id bleibt lesbar")
+        }
+        Tables.documents(s, d)
+          .withColumn("pdf_raw", mkPdf(col("doc_id")))
+          .select(col("doc_id"),
+            graft.sources.Ingest.pdfTextUdf(col("pdf_raw")).as("pdf_text"),
+            graft.sources.Ingest.pdfTextUdf(col("pdf_raw")).isNull.as("quarantined"))
+      },
+      Some("""SELECT doc_id,
+                CASE CAST(doc_id % 5 AS INT)
+                  WHEN 0 THEN 'Urteil Nr. ' || doc_id || ' bleibt lesbar' END AS pdf_text,
+                CAST(doc_id % 5 AS INT) <> 0 AS quarantined
+              FROM documents""")),
+
     // ---- Sliding 1-hour windows every 15 min (batch dual of
     // streaming.EventStreams.slidingCounts): each row lands in exactly 4
     // windows — explode the 4 offsets, then one hash agg.

@@ -895,6 +895,49 @@ object PdfText {
       "\nendstream\nendobj\ntrailer << /Root 1 0 R >>\n%%EOF\n".getBytes(Latin1)
   }
 
+  /** Deliberately broken / exotic fixtures for the quarantine gate —
+    * each `kind` is a damage class real court corpora contain. Classes
+    * and their REQUIRED outcome (asserted in PdfHostileSpec / m5):
+    * wrong-length recovers via the EOL-consistency fallback; every
+    * other class must quarantine (null), never corrupt.
+    */
+  def synthesizeHostile(kind: String, text: String): Array[Byte] = {
+    def wrap(dict: String, body: Array[Byte], tail: Boolean = true): Array[Byte] =
+      (s"%PDF-1.4\n4 0 obj << $dict >>\nstream\n").getBytes(Latin1) ++ body ++
+        (if (tail) "\nendstream\nendobj\ntrailer\n%%EOF\n".getBytes(Latin1)
+         else Array.empty[Byte])
+    val contents = s"BT /F1 12 Tf ($text) Tj ET".getBytes(Latin1)
+    kind match {
+      // declared length is WRONG but inconsistent with the data, so
+      // the EOL-trim fallback recovers the full text
+      case "wrong-length" => wrap(s"/Length 5", contents)
+      // unknown decode filter: stream undecodable → no text → null
+      case "bogus-filter" =>
+        wrap(s"/Length ${contents.length} /Filter /FooDecode", contents)
+      // file cut mid-stream (no endstream/EOF): scanner finds no
+      // complete stream → null
+      case "truncated" =>
+        wrap(s"/Length ${contents.length}", contents, tail = false)
+      // FlateDecode whose bytes are garbage: inflate fails → null
+      case "corrupt-flate" =>
+        wrap(s"/Length 8 /Filter /FlateDecode",
+          Array[Byte](0x13, 0x37, -1, -2, 0x00, 0x42, 0x7f, -128))
+      // Type0/Identity-H with NO ToUnicode: 2-byte codes unresolvable
+      // without external predefined CMaps → must quarantine, not
+      // misread the hex string as Latin-1
+      case "identity-h-no-tounicode" =>
+        val hex = text.flatMap(c => f"${c.toInt}%04x")
+        val body = s"BT /F1 12 Tf <$hex> Tj ET".getBytes(Latin1)
+        ("%PDF-1.6\n" +
+          "5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /F1" +
+          " /Encoding /Identity-H >> endobj\n" +
+          s"4 0 obj << /Length ${body.length} >>\nstream\n").getBytes(Latin1) ++
+          body ++
+          "\nendstream\nendobj\ntrailer\n%%EOF\n".getBytes(Latin1)
+      case other => throw new IllegalArgumentException(s"unknown kind $other")
+    }
+  }
+
   /** bytes → extracted text (NUL-stripped), or null when nothing
     * decodable was found (the reference's skip-and-log path).
     */
@@ -936,11 +979,18 @@ object PdfText {
             .map(st => new String(decoded(st), Latin1))
             .exists(s => s.contains("/Type0") || s.contains("/Identity-H"))
         }
+      val cidDeclared = declaresCidFont
       val cmap =
-        if (!declaresCidFont) Map.empty[Int, String]
+        if (!cidDeclared) Map.empty[Int, String]
         else all.filter(_.contains("begincmap"))
           .map(parseToUnicode)
           .foldLeft(Map.empty[Int, String])(_ ++ _)
+      // a CID/Type0 document with NO embedded ToUnicode (predefined
+      // CMaps like bare Identity-H) cannot be decoded without external
+      // CMap tables — QUARANTINE rather than misread its 2-byte codes
+      // as Latin-1 garbage (`text_to_database.py` Tika territory; the
+      // reference logs + skips such rows)
+      if (cidDeclared && cmap.isEmpty) return null
       val texts = all.flatMap { s =>
         if (s.contains("BT") && !s.contains("begincmap")) contentText(s, cmap)
         else Nil
