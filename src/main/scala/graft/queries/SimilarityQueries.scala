@@ -163,7 +163,9 @@ object SimilarityQueries extends QueryPack {
     // nprobe=2 probing, and search restricted to the probed cells — a
     // broadcast equi-join on cell id, never the full corpus. Collecting
     // the 8-row codebook at build time is the IVF design (the codebook
-    // IS driver/broadcast state).
+    // IS driver/broadcast state). NOT the production tier: s6 gates the
+    // cheap sampled index; the trained-codebook sibling s9_ivf_kmeans
+    // is the path a deployment would run.
     Q("s6_ivf_ann_topk",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
@@ -217,7 +219,9 @@ object SimilarityQueries extends QueryPack {
     // compiled pass. Queries carry a precomputed ADC table (4×4
     // distances), so the per-pair score is 4 array lookups + 3 adds —
     // full vectors never travel to the scoring join. At 100 TB the
-    // encoded corpus is ~128x smaller than the raw vectors.
+    // encoded corpus is ~128x smaller than the raw vectors. NOT the
+    // production tier: s7 gates the cheap sampled sub-codebooks; the
+    // trained sibling s10_pq_kmeans is the path a deployment would run.
     Q("s7_pq_ann_topk",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
