@@ -67,6 +67,7 @@ class GoldenCompositionSpec extends AnyFunSuite {
   test("ZH_Steuerrekurs header 2 (test_utils.py:131-140)") {
     val c = parseComposition(zhSr2)
     assert(c.president.map(_.name) == Some("Christian Mäder"))
+    assert(c.president.flatMap(_.gender) == Some("m")) // test_utils.py:132
     assert(c.judges.map(_.name) ==
       Seq("Christian Mäder", "Alexander Widl", "Claude Treyer"))
     assert(c.judges.flatMap(_.gender) == Seq("m", "m", "m"))
@@ -96,6 +97,7 @@ class GoldenCompositionSpec extends AnyFunSuite {
   test("ZH_Baurekurs header 2 (test_utils.py:151-159)") {
     val c = parseComposition(zhBr2)
     assert(c.judges.map(_.name) == Seq("Emil Seliner", "Peter Rütimann", "Adrian Bergmann"))
+    assert(c.judges.flatMap(_.gender) == Seq("m", "m", "m")) // test_utils.py:152-157
     assert(c.clerks == Seq(Person("Robert Durisch", Some("m"))))
   }
 
@@ -110,7 +112,8 @@ class GoldenCompositionSpec extends AnyFunSuite {
     val c = parseComposition(zhOg)
     assert(c.president.isEmpty)
     assert(c.judges.map(_.name) == Seq("Th. Kläusli", "K. Vogel", "D. Brugger"))
-    assert(c.clerks.map(_.name) == Seq("Ch. Reitze"))
+    assert(c.judges.flatMap(_.gender) == Seq("m", "m", "m")) // test_utils.py:161-166
+    assert(c.clerks == Seq(Person("Ch. Reitze", Some("m")))) // :167-168
   }
 
   // test_utils.py:51 (header 2)
@@ -123,6 +126,7 @@ class GoldenCompositionSpec extends AnyFunSuite {
   test("ZH_Obergericht header 2 (test_utils.py:169-183): plural role + name list") {
     val c = parseComposition(zhOg2)
     assert(c.president.map(_.name) == Some("Moritz Kuhn"))
+    assert(c.president.flatMap(_.gender) == Some("m")) // test_utils.py:170
     assert(c.judges.map(_.name) == Seq("Moritz Kuhn", "Robert Karrer",
       "Karl Spühler", "Paul Baumgartner", "Yvona Griesser"))
     assert(c.judges.flatMap(_.gender) == Seq("m", "m", "m", "m", "f"))
