@@ -159,17 +159,25 @@ object ParticipationExtractors {
     "B.A." -> "B.A.", "HSG" -> "HSG", "LL.M." -> "LL.M.",
     "jur." -> "iur.", "LLM" -> "LL.M.", "LL. M." -> "LL.M.")
 
+  // (containment needle, removal pattern, canonical value) hoisted —
+  // compiling 22 Patterns per counsel call was per-row hot-path waste
+  private val titleMatchers: Seq[(String, Pattern, String)] =
+    titleValues.map { case (pat, value) =>
+      (pat.toLowerCase,
+        Pattern.compile(pat, Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE),
+        value)
+    }
+
   /** `search_titles` (`:376-402`): literal containment check, regex
     * removal (case-insensitive), ' et ' joined titles pre-collapsed
     */
   def searchTitles(text0: String): (Seq[String], String) = {
     var text = text0.replace(" et ", " ")
     var titles = Vector.empty[String]
-    for ((pat, value) <- titleValues)
-      if (text.toLowerCase.contains(pat.toLowerCase)) {
+    for ((needle, matcher, value) <- titleMatchers)
+      if (text.toLowerCase.contains(needle)) {
         titles :+= value
-        text = Pattern.compile(pat,
-          Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE).matcher(text).replaceAll("")
+        text = matcher.matcher(text).replaceAll("")
       }
     (titles, text)
   }

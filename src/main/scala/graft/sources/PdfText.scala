@@ -563,6 +563,12 @@ object PdfText {
     * streams (Tika is similarly lenient; the xref stream itself is
     * recognized by its /Type and skipped).
     */
+  // (?![0-9]) pins the capture to the FULL number: without it, an
+  // indirect ref like "/Length 70 0 R" backtracks to capture "7" (the
+  // ref-lookahead then passes) and truncates. Hoisted: compiling per
+  // stream was measurable on the decode hot path.
+  private val directLength = """/Length\s+(\d+)(?![0-9])(?!\s+\d+\s+R)""".r
+
   private[sources] def streams(bytes: Array[Byte]): Seq[RawStream] = {
     val hay = new String(bytes, Latin1)
     val out = Vector.newBuilder[RawStream]
@@ -597,11 +603,7 @@ object PdfText {
           // A damaged file's wrong length falls back to EOL-trim
           // instead of silently truncating real data; indirect /Length
           // refs (unresolvable without an xref walk) also fall back.
-          // (?![0-9]) pins the capture to the FULL number: without it,
-          // an indirect ref like "/Length 70 0 R" backtracks to
-          // capture "7" (the ref-lookahead then passes) and truncates
-          val declared = """/Length\s+(\d+)(?![0-9])(?!\s+\d+\s+R)""".r
-            .findFirstMatchIn(dict)
+          val declared = directLength.findFirstMatchIn(dict)
             .flatMap(m => scala.util.Try(m.group(1).toInt).toOption)
           var end = e
           declared match {
