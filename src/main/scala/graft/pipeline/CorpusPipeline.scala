@@ -80,8 +80,9 @@ object CorpusPipeline {
     docs
       .withColumn("secs",
         ExtractUdfs.splitSectionsLang(lit(spider), col("lang"), col("paras")))
-      .select(col("decision_id"),
+      .select(col("decision_id"), col("lang"),
         concat_ws("\n", element_at(col("secs"), "header")).as("header"),
+        concat_ws("\n", element_at(col("secs"), "topic")).as("topic"),
         concat_ws("\n", element_at(col("secs"), "facts")).as("facts"),
         concat_ws("\n", element_at(col("secs"), "considerations")).as("considerations"),
         concat_ws("\n", element_at(col("secs"), "rulings")).as("rulings"))
@@ -105,6 +106,32 @@ object CorpusPipeline {
       .withColumn("comp", ExtractUdfs.compositionSpider(lit(spider), col("header")))
       .select(col("decision_id"), col("comp.president").as("president"),
         col("comp.judges").as("judges"), col("comp.clerks").as("clerks"))
+
+  /** Stage 6b (F38): procedural participation, spider- and language-
+    * dispatched through the ported per-spider regex configs; rows whose
+    * header the parser rejects (or spiders without a config) carry null
+    * participation — the reference's log-and-skip, kept as data.
+    */
+  def participations(sectioned: DataFrame, spider: String = "default"): DataFrame =
+    sectioned
+      .withColumn("part", ExtractUdfs.participationSpider(
+        lit(spider), coalesce(col("lang"), lit("de")), col("header")))
+      .select(col("decision_id"),
+        col("part.plaintiffs").as("plaintiffs"),
+        col("part.defendants").as("defendants"))
+
+  /** Stage 6c (F39): lower court from the header region (the topic
+    * line carries the "Beschwerde gegen das Urteil des …" sentence for
+    * spiders whose marker tables split it out, so both are scanned).
+    */
+  def lowerCourts(sectioned: DataFrame): DataFrame =
+    sectioned
+      .withColumn("lc", ExtractUdfs.lowerCourt(
+        concat_ws("\n", col("header"), col("topic"))))
+      .select(col("decision_id"),
+        col("lc.court").as("court"), col("lc.canton").as("canton"),
+        col("lc.chamber").as("chamber"), col("lc.date").as("date"),
+        col("lc.fileNumber").as("file_number"))
 
   /** Stage 7 (NameToGender, F36): one row per person in a composition,
     * gender filled from (a) the role-word context the parser saw, else
@@ -154,6 +181,10 @@ object CorpusPipeline {
         Sinks.upsertBucketed(citations(sectioned), s"$outDir/citations", "decision_id", 16)
         Sinks.upsertBucketed(jd, s"$outDir/judgments", "decision_id", 16)
         Sinks.upsertBucketed(compositions(sectioned, spider), s"$outDir/compositions",
+          "decision_id", 16)
+        Sinks.upsertBucketed(participations(sectioned, spider), s"$outDir/participations",
+          "decision_id", 16)
+        Sinks.upsertBucketed(lowerCourts(sectioned), s"$outDir/lower_courts",
           "decision_id", 16)
         Sinks.upsertBucketed(people(spark, sectioned), s"$outDir/people",
           "decision_id", 16)

@@ -634,7 +634,7 @@ object ExtractQueries extends QueryPack {
           .agg(count(lit(1)).as("n_cites"),
             min(col("volume")).cast("bigint").as("cite_volume"))
         docs.select("decision_id", "stem", "lang")
-          .join(sect, Seq("decision_id"))
+          .join(sect.drop("lang", "topic"), Seq("decision_id"))
           .join(jd, Seq("decision_id"))
           .join(cit, Seq("decision_id"), "left")
           .select(col("stem"), col("lang"), col("header"), col("facts"),

@@ -81,4 +81,44 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/documents").count() == 6)
     assert(spark.read.parquet(s"$out/citations").count() == 4)
   }
+  test("CH_BGer run populates participation and lower-court child tables") {
+    val dir = Files.createTempDirectory("landing_bger")
+    def put(name: String, content: String) =
+      Files.write(dir.resolve(name), content.getBytes(StandardCharsets.UTF_8))
+    def doc(i: Int) = Seq(
+      "Urteil des Bundesgerichts",
+      s"Besetzung Bundesrichter Meier, Präsident, Gerichtsschreiber S$i",
+      "Verfahrensbeteiligte A._, Beschwerdeführer, vertreten durch Rechtsanwalt Dr. Hans Muster, gegen, B._ AG, Beschwerdegegnerin",
+      "Gegenstand Beschwerde gegen das Urteil des Obergerichts des Kantons Zürich, II. Zivilkammer, vom 12. März 2019 (LB180001).",
+      "Sachverhalt:",
+      s"Am ${i + 1}. Januar 2020 erhob die Partei Beschwerde gegen den Entscheid.",
+      "Erwägungen:",
+      s"Vgl. BGE ${120 + i} II 31.",
+      "Demnach erkennt das Bundesgericht",
+      "Die Beschwerde wird abgewiesen.")
+      .map(pp => s"<p>$pp</p>").mkString("<html><body>", "", "</body></html>")
+    for (i <- 0 until 3) {
+      put(s"bger_$i.json", s"""{"id": $i}""")
+      put(s"bger_$i.html", doc(i))
+    }
+    val out = Files.createTempDirectory("corpus_bger_out").toString
+    val report = CorpusPipeline.run(spark, dir.toString, out, spider = "CH_BGer")
+    assert(report.nIngested == 3)
+
+    // F38 through the pipeline: spider-dispatched participation
+    val part = spark.read.parquet(s"$out/participations")
+    assert(part.count() == 3)
+    val p0 = part.selectExpr("plaintiffs[0].name", "plaintiffs[0].gender",
+      "plaintiffs[0].counsel[0].name", "defendants[0].name").collect()
+    assert(p0.forall(_.getString(0) == "A._"))
+    assert(p0.forall(_.getString(1) == "m"))
+    assert(p0.forall(_.getString(2) == " Dr. Hans Muster")) // CH_BGer keeps raw match
+    assert(p0.forall(_.getString(3) == "B._ AG"))
+
+    // F39 through the pipeline: lower court resolved from header+topic
+    val lc = spark.read.parquet(s"$out/lower_courts")
+    assert(lc.where(col("court") === "ZH_OG").count() == 3)
+    assert(lc.where(col("file_number") === "LB180001").count() == 3)
+    assert(lc.where(col("date") === "2019-03-12").count() == 3)
+  }
 }
