@@ -582,10 +582,11 @@ object ExtractQueries extends QueryPack {
     // scan, PDF native decode / HTML DOM paragraphs, F4 preference,
     // clean, min-chars gate, language ID) → CH_BGer section fold →
     // judgment extraction + citation child table — joined back to one
-    // wide row per surviving document. Every value is known by
-    // construction, so the oracle is a literal VALUES table; rows
-    // traverse 6 stages, proving the stages COMPOSE (each is also
-    // gated in isolation: m3, x1/x10, x2, x3).
+    // wide row per surviving document, now including the spider-
+    // dispatched participation (F38) and lower-court (F39) stages.
+    // Every value is known by construction, so the oracle is a literal
+    // VALUES table; rows traverse 8 stages, proving the stages COMPOSE
+    // (each is also gated in isolation: m3, x1/x10, x2, x3, x21, x17).
     Q("x22_pipeline_e2e",
       (s, d) => {
         import java.nio.file.{Files, Paths}
@@ -603,7 +604,11 @@ object ExtractQueries extends QueryPack {
           case 4     => "Die Beschwerde wird teilweise gutgeheissen."
           case _     => "Die Beschwerde wird gutgeheissen."
         }
-        def paras(i: Int) = Seq("Urteil des Bundesgerichts", "Gegenstand",
+        val partyLine =
+          "Verfahrensbeteiligte A._, Beschwerdeführer, vertreten durch Rechtsanwalt Dr. Hans Muster, gegen, B._ AG, Beschwerdegegnerin"
+        val topicLine =
+          "Gegenstand Beschwerde gegen das Urteil des Obergerichts des Kantons Zürich, II. Zivilkammer, vom 12. März 2019 (LB180001)."
+        def paras(i: Int) = Seq("Urteil des Bundesgerichts", partyLine, topicLine,
           "Sachverhalt:", facts(i), "Erwägungen:", cons(i),
           "Demnach erkennt das Bundesgericht", ruling(i))
         def html(i: Int) = ("<html><body>" +
@@ -629,6 +634,8 @@ object ExtractQueries extends QueryPack {
         val docs = CorpusPipeline.ingest(s, dir.toString)
         val sect = CorpusPipeline.splitSections(docs, "CH_BGer")
         val jd = CorpusPipeline.judgments(sect)
+        val part = CorpusPipeline.participations(sect, "CH_BGer")
+        val lc = CorpusPipeline.lowerCourts(sect)
         val cit = CorpusPipeline.citations(sect)
           .groupBy("decision_id")
           .agg(count(lit(1)).as("n_cites"),
@@ -636,35 +643,47 @@ object ExtractQueries extends QueryPack {
         docs.select("decision_id", "stem", "lang")
           .join(sect.drop("lang", "topic"), Seq("decision_id"))
           .join(jd, Seq("decision_id"))
+          .join(part, Seq("decision_id"))
+          .join(lc, Seq("decision_id"))
           .join(cit, Seq("decision_id"), "left")
           .select(col("stem"), col("lang"), col("header"), col("facts"),
             col("considerations"), col("rulings"),
             array_join(col("outcomes"), ",").as("outcomes"),
             coalesce(col("n_cites"), lit(0L)).cast("bigint").as("n_cites"),
-            col("cite_volume"))
+            col("cite_volume"),
+            expr("try_element_at(plaintiffs, 1).name").as("p1_name"),
+            expr("try_element_at(plaintiffs, 1).gender").as("p1_gender"),
+            expr("try_element_at(try_element_at(plaintiffs, 1).counsel, 1).name").as("pc1_name"),
+            expr("try_element_at(defendants, 1).name").as("d1_name"),
+            col("court").as("lc_court"),
+            col("file_number").as("lc_file"))
       },
-      Some("""SELECT stem, lang, header,
+      Some("""SELECT stem, lang,
+                'Urteil des Bundesgerichts' || chr(10) ||
+                'Verfahrensbeteiligte A._, Beschwerdeführer, vertreten durch Rechtsanwalt Dr. Hans Muster, gegen, B._ AG, Beschwerdegegnerin' AS header,
                 'Sachverhalt:' || chr(10) || 'Am ' || nr || '. Januar 2020 erhob die Partei Beschwerde gegen den angefochtenen Entscheid.' AS facts,
                 'Erwägungen:' || chr(10) || cons AS considerations,
                 'Demnach erkennt das Bundesgericht' || chr(10) || ruling AS rulings,
-                outcomes, n_cites::BIGINT AS n_cites, cite_volume::BIGINT AS cite_volume
+                outcomes, n_cites::BIGINT AS n_cites, cite_volume::BIGINT AS cite_volume,
+                'A._' AS p1_name, 'm' AS p1_gender, ' Dr. Hans Muster' AS pc1_name,
+                'B._ AG' AS d1_name, 'ZH_OG' AS lc_court, 'LB180001' AS lc_file
               FROM (VALUES
-                ('d0', 'de', 'Urteil des Bundesgerichts', 1,
+                ('d0', 'de', 1,
                  'Die Beschwerde ist form- und fristgerecht. Vgl. BGE 120 II 31.',
                  'Die Beschwerde wird abgewiesen.', 'dismissal', 1, 120),
-                ('d1', 'de', 'Urteil des Bundesgerichts', 2,
+                ('d1', 'de', 2,
                  'Die Beschwerde ist zulässig. Vgl. BGE 121 II 32 und BGE 130 IV 5.',
                  'Die Beschwerde wird gutgeheissen.', 'approval', 2, 121),
-                ('d2', 'de', 'Urteil des Bundesgerichts', 3,
+                ('d2', 'de', 3,
                  'Die Beschwerde ist form- und fristgerecht. Vgl. BGE 122 II 33.',
                  'Die Beschwerde wird abgewiesen.', 'dismissal', 1, 122),
-                ('d3', 'de', 'Urteil des Bundesgerichts', 4,
+                ('d3', 'de', 4,
                  'Die Beschwerde ist form- und fristgerecht. Vgl. BGE 123 II 34.',
                  'Die Beschwerde wird gutgeheissen.', 'approval', 1, 123),
-                ('d4', 'de', 'Urteil des Bundesgerichts', 5,
+                ('d4', 'de', 5,
                  'Die Beschwerde ist zulässig und wird materiell geprüft.',
                  'Die Beschwerde wird teilweise gutgeheissen.', 'partial_approval', 0, NULL)
-              ) AS t(stem, lang, header, nr, cons, ruling, outcomes, n_cites, cite_volume)""")),
+              ) AS t(stem, lang, nr, cons, ruling, outcomes, n_cites, cite_volume)""")),
 
     // ---- F36: offline gender enrichment — first-name extraction
     // (initials and titles skipped, reference preprocess_names) + the
