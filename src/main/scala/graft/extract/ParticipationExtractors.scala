@@ -173,11 +173,13 @@ object ParticipationExtractors {
     */
   def searchTitles(text0: String): (Seq[String], String) = {
     var text = text0.replace(" et ", " ")
+    var lower = text.toLowerCase // refreshed only when a removal fires
     var titles = Vector.empty[String]
     for ((needle, matcher, value) <- titleMatchers)
-      if (text.toLowerCase.contains(needle)) {
+      if (lower.contains(needle)) {
         titles :+= value
         text = matcher.matcher(text).replaceAll("")
+        lower = text.toLowerCase
       }
     (titles, text)
   }
@@ -247,6 +249,10 @@ object ParticipationExtractors {
       if (lawyers.nonEmpty) lawyers
       else cfg.entityNameBounded.findFirstIn(seg)
         .orElse(cfg.entityNameBare.findFirstIn(seg)) match {
+        // faithful reference quirk (`:144`/`:479`): the check is the
+        // bare prefix "Me" with NO trailing space, so entity names
+        // like "Metzger Treuhand AG" also lose their first two chars —
+        // intentionally preserved, do not "fix"
         case Some(name) if name.startsWith("Me") =>
           Seq(LegalCounsel(name.substring(2), "natural person", None, Nil))
         case Some(name) =>

@@ -112,7 +112,7 @@ object CorpusPipeline {
     * header the parser rejects (or spiders without a config) carry null
     * participation — the reference's log-and-skip, kept as data.
     */
-  def participations(sectioned: DataFrame, spider: String = "default"): DataFrame =
+  def participations(sectioned: DataFrame, spider: String): DataFrame =
     sectioned
       .withColumn("part", ExtractUdfs.participationSpider(
         lit(spider), coalesce(col("lang"), lit("de")), col("header")))

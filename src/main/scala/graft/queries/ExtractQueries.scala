@@ -589,9 +589,11 @@ object ExtractQueries extends QueryPack {
     // (each is also gated in isolation: m3, x1/x10, x2, x3, x21, x17).
     Q("x22_pipeline_e2e",
       (s, d) => {
-        import java.nio.file.{Files, Paths}
-        val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_x22_landing")
-        Files.createDirectories(dir)
+        import java.nio.file.Files
+        // fresh dir per run: a fixed shared path would let stale files
+        // from an older fixture set (or a concurrent driver) leak into
+        // the corpus under test; fixture CONTENT stays deterministic
+        val dir = Files.createTempDirectory("graft_x22_landing_")
         def facts(i: Int) =
           s"Am ${i + 1}. Januar 2020 erhob die Partei Beschwerde gegen den angefochtenen Entscheid."
         def cons(i: Int) = i match {

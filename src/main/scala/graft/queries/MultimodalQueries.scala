@@ -114,9 +114,9 @@ object MultimodalQueries extends QueryPack {
         }
         Tables.documents(s, d)
           .withColumn("pdf_raw", mkPdf(col("doc_id")))
-          .select(col("doc_id"),
-            graft.sources.Ingest.pdfTextUdf(col("pdf_raw")).as("pdf_text"),
-            graft.sources.Ingest.pdfTextUdf(col("pdf_raw")).isNull.as("quarantined"))
+          .withColumn("pdf_text", graft.sources.Ingest.pdfTextUdf(col("pdf_raw")))
+          .select(col("doc_id"), col("pdf_text"),
+            col("pdf_text").isNull.as("quarantined"))
       },
       Some("""SELECT doc_id,
                 CASE CAST(doc_id % 5 AS INT)

@@ -713,7 +713,8 @@ object PdfText {
     * cannot fully resolve fall back to single-byte Latin-1.
     */
   private def contentText(content: String,
-                          cmap: Map[Int, String] = Map.empty): Seq[String] = {
+                          cmap: Map[Int, String] = Map.empty,
+                          skipHex: Boolean = false): Seq[String] = {
     val lines = Vector.newBuilder[String]
     var i = 0
     while ({ val bt = content.indexOf("BT", i); bt >= 0 && {
@@ -732,6 +733,7 @@ object PdfText {
           case '<' if j + 1 < block.length && block.charAt(j + 1) != '<' =>
             val e = block.indexOf('>', j)
             if (e < 0) j = block.length
+            else if (skipHex) j = e + 1 // CID codes with no ToUnicode: undecodable
             else {
               val hexs = block.substring(j + 1, e).replaceAll("\\s+", "")
               val padded = if (hexs.length % 2 == 1) hexs + "0" else hexs
@@ -988,13 +990,17 @@ object PdfText {
           .map(parseToUnicode)
           .foldLeft(Map.empty[Int, String])(_ ++ _)
       // a CID/Type0 document with NO embedded ToUnicode (predefined
-      // CMaps like bare Identity-H) cannot be decoded without external
-      // CMap tables — QUARANTINE rather than misread its 2-byte codes
-      // as Latin-1 garbage (`text_to_database.py` Tika territory; the
-      // reference logs + skips such rows)
-      if (cidDeclared && cmap.isEmpty) return null
+      // CMaps like bare Identity-H) cannot decode its HEX strings
+      // without external CMap tables — skip those rather than misread
+      // their 2-byte codes as Latin-1 garbage, but keep any simple-font
+      // literal-string text in the same document; a document whose text
+      // was all-CID then yields no text and quarantines naturally
+      // (`text_to_database.py` Tika territory; the reference logs +
+      // skips such rows)
+      val cidNoMap = cidDeclared && cmap.isEmpty
       val texts = all.flatMap { s =>
-        if (s.contains("BT") && !s.contains("begincmap")) contentText(s, cmap)
+        if (s.contains("BT") && !s.contains("begincmap"))
+          contentText(s, cmap, skipHex = cidNoMap)
         else Nil
       }
       // blocks join with a BLANK line, mirroring Tika's paragraph

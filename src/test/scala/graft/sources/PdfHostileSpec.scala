@@ -43,6 +43,20 @@ class PdfHostileSpec extends AnyFunSuite {
     assert(extract(PdfText.synthesizeCid(text)) == text)
   }
 
+  test("mixed document: CID hex skipped, simple-font text KEPT") {
+    // a Type0/Identity-H font with no ToUnicode must not quarantine
+    // the whole document when other streams carry decodable
+    // literal-string text (e.g. a watermark font subset next to the
+    // real ruling) — only the undecodable hex strings are dropped
+    val cidPart = PdfText.synthesizeHostile("identity-h-no-tounicode", "Geheim")
+    val simple = ("9 0 obj << /Length 41 >>\nstream\n" +
+      "BT (Lesbarer Teil bleibt erhalten.) Tj ET" +
+      "\nendstream\nendobj\n").getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val mixed = cidPart.dropRight("%%EOF\n".length) ++ simple ++
+      "%%EOF\n".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(extract(mixed) == "Lesbarer Teil bleibt erhalten.")
+  }
+
   test("truncation mid-file never throws across prefix lengths") {
     val full = PdfText.synthesize(text, Seq("FlateDecode"))
     for (n <- 8 until full.length by 7) {
