@@ -687,6 +687,35 @@ object ExtractQueries extends QueryPack {
                  'Die Beschwerde wird teilweise gutgeheissen.', 'partial_approval', 0, NULL)
               ) AS t(stem, lang, nr, cons, ruling, outcomes, n_cites, cite_volume)""")),
 
+    // ---- F23: BGer docket-reference extraction + normalization —
+    // all four docket forms (underscore, dot, space, old-register) and
+    // the multi-reference join, synthesized per row so the oracle
+    // restates the canonical normalized string literally
+    // (`bge_reference_extracting_functions.py:14-40`).
+    Q("x23_bger_refs",
+      (s, d) => {
+        val header = expr(
+          """CASE CAST(doc_id % 5 AS INT)
+             WHEN 0 THEN concat('Urteil 5A_', cast(doc_id % 900 + 100 as string), '/2019 vom 1. Mai 2019')
+             WHEN 1 THEN concat('Verfahren 4C.', cast(doc_id % 900 + 100 as string), '/2005 betreffend X')
+             WHEN 2 THEN concat('Urteil 1P ', cast(doc_id % 900 + 100 as string), '/2001 der I. Kammer')
+             WHEN 3 THEN concat('B ', cast(doc_id % 90 + 10 as string), '/06 und 5A_7/2020 (Vereinigung)')
+             ELSE 'Kein Aktenzeichen vorhanden' END""")
+        val refsUdf = udf { h: String =>
+          graft.extract.Extractors.extractBgerReferences(h).orNull }
+        Tables.documents(s, d)
+          .withColumn("header", header)
+          .select(col("doc_id"), refsUdf(col("header")).as("bger_ref"))
+      },
+      Some("""SELECT doc_id,
+                CASE CAST(doc_id % 5 AS INT)
+                  WHEN 0 THEN '5A_' || (doc_id % 900 + 100) || '/2019'
+                  WHEN 1 THEN '4C_' || (doc_id % 900 + 100) || '/2005'
+                  WHEN 2 THEN '1P_' || (doc_id % 900 + 100) || '/2001'
+                  WHEN 3 THEN 'B_' || (doc_id % 90 + 10) || '/06-5A_7/2020'
+                END AS bger_ref
+              FROM documents""")),
+
     // ---- F36: offline gender enrichment — first-name extraction
     // (initials and titles skipped, reference preprocess_names) + the
     // bundled lookup table; unknown surnames stay null like the
