@@ -26,6 +26,74 @@ object TextQueries extends QueryPack {
 
   def all: Seq[Q] = Seq(
 
+    // ---- F30: word-budget paragraph truncation — paragraphs of KNOWN
+    // word counts (3 words each), budgets chosen so the cut lands
+    // before/inside/after a boundary; the reference keeps a paragraph
+    // that BREACHES the budget (checks before adding, counts after),
+    // which the oracle restates literally
+    // (citation_extraction_dataset_creator.py:397-411).
+    Q("t17_word_budget",
+      (s, d) => {
+        val text = expr(
+          """concat('eins zwei drei', chr(10), 'vier fünf sechs', chr(10),
+                    'sieben acht neun', chr(10), 'zehn elf zwölf')""")
+        val budget = expr( // budgets 4, 7, 10, 1 — mid-paragraph cuts + a sub-paragraph one
+          "CAST(CASE doc_id % 4 WHEN 3 THEN 1 ELSE (doc_id % 4 + 2) * 3 - 2 END AS INT)")
+        val truncUdf = udf { (t: String, n: Int) =>
+          graft.functions.TextFunctions.truncateParagraphs(t, n) }
+        Tables.documents(s, d)
+          .withColumn("truncated", truncUdf(text, budget))
+          .select(col("doc_id"),
+            col("truncated"),
+            size(split(col("truncated"), "\n")).cast("bigint").as("n_paras"))
+      },
+      Some("""SELECT doc_id,
+                CASE CAST(doc_id % 4 AS INT)
+                  WHEN 0 THEN 'eins zwei drei' || chr(10) || 'vier fünf sechs'
+                  WHEN 1 THEN 'eins zwei drei' || chr(10) || 'vier fünf sechs' || chr(10) || 'sieben acht neun'
+                  WHEN 2 THEN 'eins zwei drei' || chr(10) || 'vier fünf sechs' || chr(10) || 'sieben acht neun' || chr(10) || 'zehn elf zwölf'
+                  ELSE 'eins zwei drei'
+                END AS truncated,
+                CAST(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 2 WHEN 1 THEN 3
+                  WHEN 2 THEN 4 ELSE 1 END AS BIGINT) AS n_paras
+              FROM documents""")),
+
+    // ---- F17: roman-numeral parsing — literal roman strings on BOTH
+    // sides (subtractive forms included), so the oracle states the
+    // integer ground truth without running any conversion.
+    Q("t18_roman_parse",
+      (s, d) => {
+        val roman = expr(
+          """CASE CAST(doc_id % 8 AS INT)
+             WHEN 0 THEN 'I' WHEN 1 THEN 'IV' WHEN 2 THEN 'IX'
+             WHEN 3 THEN 'XIV' WHEN 4 THEN 'XL' WHEN 5 THEN 'XCIX'
+             WHEN 6 THEN 'MCMXCIX' ELSE 'MMXXIV' END""")
+        val parseUdf = udf { r: String =>
+          graft.functions.TextFunctions.romanToInt(r) }
+        val emitUdf = udf { n: Int =>
+          graft.functions.TextFunctions.intToRoman(n) }
+        Tables.documents(s, d)
+          .withColumn("roman", roman)
+          .withColumn("value", parseUdf(col("roman")))
+          .select(col("doc_id"), col("roman"),
+            col("value").cast("bigint").as("value"),
+            emitUdf(col("value")).as("round_trip"))
+      },
+      Some("""SELECT doc_id,
+                CASE CAST(doc_id % 8 AS INT)
+                  WHEN 0 THEN 'I' WHEN 1 THEN 'IV' WHEN 2 THEN 'IX'
+                  WHEN 3 THEN 'XIV' WHEN 4 THEN 'XL' WHEN 5 THEN 'XCIX'
+                  WHEN 6 THEN 'MCMXCIX' ELSE 'MMXXIV' END AS roman,
+                CAST(CASE CAST(doc_id % 8 AS INT)
+                  WHEN 0 THEN 1 WHEN 1 THEN 4 WHEN 2 THEN 9
+                  WHEN 3 THEN 14 WHEN 4 THEN 40 WHEN 5 THEN 99
+                  WHEN 6 THEN 1999 ELSE 2024 END AS BIGINT) AS value,
+                CASE CAST(doc_id % 8 AS INT)
+                  WHEN 0 THEN 'I' WHEN 1 THEN 'IV' WHEN 2 THEN 'IX'
+                  WHEN 3 THEN 'XIV' WHEN 4 THEN 'XL' WHEN 5 THEN 'XCIX'
+                  WHEN 6 THEN 'MCMXCIX' ELSE 'MMXXIV' END AS round_trip
+              FROM documents""")),
+
     // ---- Token counting (F34 analog): whitespace tokens, distinct
     // tokens, 3-gram shingle count. Pure per-row expressions.
     Q("t1_token_stats",
