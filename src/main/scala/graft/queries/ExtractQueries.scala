@@ -716,6 +716,23 @@ object ExtractQueries extends QueryPack {
                 END AS bger_ref
               FROM documents""")),
 
+    // ---- S7: text side inputs — a `<file_number> <target>` reference
+    // list written to a fresh scratch file per run, read through the
+    // real side-input reader (blank lines dropped); oracle is the
+    // literal content.
+    Q("x24_reference_list",
+      (s, d) => {
+        val f = java.nio.file.Files.createTempFile("graft_x24_", ".txt")
+        java.nio.file.Files.writeString(f,
+          "5A_1/2019 BGE_120_II_31\n\n4C_2/2005 BGE_121_III_44\n  \n1P_3/2001 BGE_99_IA_5\n")
+        graft.sources.Ingest.referenceList(s, f.toString)
+      },
+      Some("""SELECT * FROM (VALUES
+                ('5A_1/2019', 'BGE_120_II_31'),
+                ('4C_2/2005', 'BGE_121_III_44'),
+                ('1P_3/2001', 'BGE_99_IA_5')
+              ) AS t(file_number, target)""")),
+
     // ---- F36: offline gender enrichment — first-name extraction
     // (initials and titles skipped, reference preprocess_names) + the
     // bundled lookup table; unknown surnames stay null like the

@@ -58,8 +58,12 @@ class PdfHostileSpec extends AnyFunSuite {
   }
 
   test("truncation mid-file never throws across prefix lengths") {
-    val full = PdfText.synthesize(text, Seq("FlateDecode"))
-    for (n <- 8 until full.length by 7) {
+    val fixtures = Seq(
+      PdfText.synthesize(text, Seq("FlateDecode")),
+      PdfText.synthesizeEncrypted(text, "rc4-128"),
+      PdfText.synthesizeEncrypted(text, "aes-128"),
+      PdfText.synthesizeCid(text))
+    for (full <- fixtures; n <- 8 until full.length by 7) {
       val cut = java.util.Arrays.copyOf(full, n)
       val out = extract(cut) // null or a string — must not throw
       assert(out == null || out.isInstanceOf[String])
