@@ -30,6 +30,15 @@ object Catalog {
   case class Citation(citation_id: Int, citation_type_id: Int,
                       decision_id: String, url: String, text: String)
   case class FileNumber(file_number_id: Int, decision_id: String, text: String)
+  /** get_df 'party' attachment (sql_select_utils.py:312-315): person
+    * fields inlined like the reference's json_build_object fill
+    */
+  case class Party(party_id: Int, decision_id: String, name: String,
+                   is_natural_person: Boolean, gender: String, party_type_id: Int)
+  /** get_df 'judicial_person' attachment (sql_select_utils.py:317-321) */
+  case class JudicialPerson(person_id: Int, decision_id: String, name: String,
+                            is_natural_person: Boolean, gender: String,
+                            is_president: Boolean, judicial_person_type_id: Int)
   case class LowerCourt(lower_court_id: Int, court_id: Int, canton_id: Int,
                         chamber_id: Int, date: Date, file_number: String,
                         decision_id: String)

@@ -100,6 +100,34 @@ object MiniCorpus {
     }.toDF()
   }
 
+  def parties(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    (0 until nDecisions).flatMap { i =>
+      val id = decisionId(i)
+      if (i % 8 == 0) Nil // party extraction failed → no rows
+      else Seq(
+        Party(i * 10 + 1, id, s"Partei A$i", i % 2 == 0,
+          if (i % 2 == 0) "m" else "f", 1),
+        Party(i * 10 + 2, id, s"Gegenpartei B$i", i % 3 != 0,
+          if (i % 3 == 0) null else "f", 2))
+    }.toDF()
+  }
+
+  def judicialPeople(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    (0 until nDecisions).flatMap { i =>
+      val id = decisionId(i)
+      Seq(
+        JudicialPerson(i * 10 + 1, id, s"Richter R$i", true, "m",
+          is_president = true, judicial_person_type_id = 1),
+        JudicialPerson(i * 10 + 2, id, s"Richterin S$i", true, "f",
+          is_president = false, judicial_person_type_id = 1),
+        JudicialPerson(i * 10 + 3, id, s"Schreiber T$i", true,
+          if (i % 2 == 0) "m" else "f",
+          is_president = false, judicial_person_type_id = 2))
+    }.toDF()
+  }
+
   def fileNumbers(spark: SparkSession): DataFrame = {
     import spark.implicits._
     (0 until nDecisions).flatMap { i =>

@@ -31,14 +31,16 @@ object DecisionJoins {
   case class Inputs(decisions: DataFrame, languages: DataFrame,
                     chambers: DataFrame, courts: DataFrame, cantons: DataFrame,
                     sections: DataFrame, judgments: DataFrame,
-                    citations: DataFrame, fileNumbers: DataFrame)
+                    citations: DataFrame, fileNumbers: DataFrame,
+                    parties: DataFrame, judicialPeople: DataFrame)
 
   def miniCorpus(spark: SparkSession): Inputs = Inputs(
     MiniCorpus.decisions(spark), MiniCorpus.languages(spark),
     MiniCorpus.chambers(spark), MiniCorpus.courts(spark),
     MiniCorpus.cantons(spark), MiniCorpus.sections(spark),
     MiniCorpus.judgmentMaps(spark), MiniCorpus.citations(spark),
-    MiniCorpus.fileNumbers(spark))
+    MiniCorpus.fileNumbers(spark), MiniCorpus.parties(spark),
+    MiniCorpus.judicialPeople(spark))
 
   /** The wide decision frame: J1 dimension chain + J2 aggregate-joins +
     * derived year/court/canton columns.
@@ -62,6 +64,14 @@ object DecisionJoins {
       .join(agg(in.citations, "citations",
         col("citation_type_id"), col("text")), Seq("decision_id"), "left")
       .join(agg(in.fileNumbers, "file_numbers", col("text")), Seq("decision_id"), "left")
+      // the reference's 'party' and 'judicial_person' map-joins
+      // (sql_select_utils.py:312-321): person fields as one sorted
+      // array<struct> per decision, same J2 shape as the others
+      .join(agg(in.parties, "parties", col("party_type_id"), col("name"),
+        col("is_natural_person"), col("gender")), Seq("decision_id"), "left")
+      .join(agg(in.judicialPeople, "judicial_people",
+        col("judicial_person_type_id"), col("name"), col("is_president"),
+        col("gender")), Seq("decision_id"), "left")
   }
 
   /** J6 self-join analog: facts + rulings text of the same decision as

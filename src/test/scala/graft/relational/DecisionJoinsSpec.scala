@@ -64,4 +64,23 @@ class DecisionJoinsSpec extends SparkSpec {
     assert(r.getString(0).startsWith("Sachverhalt"))
     assert(r.getString(1) == "Die Beschwerde wird abgewiesen.")
   }
+  test("party and judicial-person map-joins attach one array per decision") {
+    // one row per decision regardless of child cardinality (the
+    // reference's len(file_df) == len(df) invariant)
+    assert(wide.count() == in.decisions.count())
+    import org.apache.spark.sql.functions._
+    // decisions with i % 8 == 0 have NO party rows → null array
+    assert(wide.where(col("parties").isNull).count() ==
+      in.decisions.count() - in.parties.select("decision_id").distinct().count())
+    // everyone else carries both parties, sorted by type id
+    val two = wide.where(col("parties").isNotNull)
+    assert(two.where(size(col("parties")) =!= 2).count() == 0)
+    assert(two.selectExpr("parties[0].party_type_id").distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(1))
+    // judicial people: every decision has exactly one president
+    assert(wide.where(expr(
+      "size(filter(judicial_people, p -> p.is_president)) != 1")).count() == 0)
+    assert(wide.selectExpr("judicial_people[0].name").first().getString(0)
+      .startsWith("Richter"))
+  }
 }
