@@ -238,4 +238,25 @@ class SpiderParticipationSpec extends AnyFunSuite {
     assert(parseParticipationFor("AG_Gerichte", "de", "in Sachen A gegen B").isEmpty)
     assert(parseParticipationFor("ZH_Obergericht", "fr", "in Sachen A gegen B").isEmpty)
   }
+  test("lawyer name BEFORE the role word when a comma follows it (:429-433)") {
+    // '<name>, Rechtsanwalt,' — the role is immediately followed by a
+    // comma, so the reference searches the text BEFORE it for the name
+    val p = parse("ZH_Obergericht", "in Sachen", "A._, Kläger",
+      "vertreten durch Hans Muster, Rechtsanwalt,", "gegen",
+      "B._, Beklagte")
+    assert(p.plaintiffs.head.counsel.head.name == "Hans Muster")
+    assert(p.plaintiffs.head.counsel.head.legalType == "natural person")
+    assert(p.plaintiffs.head.counsel.head.gender == Some("m"))
+  }
+
+  test("CH_BGer nameless lawyer keeps an empty-name counsel (:116 quirk)") {
+    // role word with a comma right after and nothing before: the
+    // backward search yields an empty match; CH_BGer appends the
+    // counsel anyway (the shared engine would quarantine instead)
+    val p = parse("CH_BGer", "Verfahrensbeteiligte",
+      "A._, vertreten durch Rechtsanwalt,", "gegen",
+      "B._ AG, Beschwerdegegnerin", "Gegenstand", "Klage")
+    assert(p.plaintiffs.head.counsel.head.name == "")
+    assert(p.plaintiffs.head.counsel.head.legalType == "natural person")
+  }
 }
