@@ -228,9 +228,26 @@ object TextFunctions {
     out.result()
   }
 
+  /** The reference's word-rule tokenizer (`[\w]+|[^\s\w]`) — shared
+    * by BIO labeling and the spaCy-analog token counts.
+    */
+  private val wordTokenRe = "[\\w]+|[^\\s\\w]".r
+
+  def wordTokens(text: String): Seq[String] =
+    if (text == null) Seq.empty else wordTokenRe.findAllIn(text).toSeq
+
+  /** Unicode variant of the word rule — the spaCy-analog token counts
+    * use Python's unicode `\w` (umlauts/ligatures are word chars);
+    * bioLabels keeps the ASCII rule its oracle restates.
+    */
+  private val unicodeWordTokenRe = "(?U)[\\w]+|[^\\s\\w]".r
+
+  def unicodeWordTokens(text: String): Seq[String] =
+    if (text == null) Seq.empty else unicodeWordTokenRe.findAllIn(text).toSeq
+
   def bioLabels(text: String, spans: Seq[(Int, Int, String)]): Seq[(String, String)] = {
     if (text == null) return Seq.empty
-    val tokenRe = "[\\w]+|[^\\s\\w]".r
+    val tokenRe = wordTokenRe
     val toks = tokenRe.findAllMatchIn(text).map(m => (m.matched, m.start, m.end)).toSeq
     toks.map { case (tok, s, e) =>
       spans.find(sp => s >= sp._1 && e <= sp._2) match {

@@ -26,6 +26,33 @@ object RelationalQueries extends QueryPack {
 
   def all: Seq[Q] = Seq(
 
+    // ---- run_nlp_pipe token persistence (abstract_preprocessor.py:
+    // 256-298): per-section counts in both calibration currencies —
+    // word-rule "spacy" analog + WordPiece len(input_ids). Fixture
+    // sentences have HAND-DERIVED counts (t16's construction), so the
+    // oracle states literal numbers and runs no tokenizer.
+    Q("r8_num_tokens",
+      (s, d) => {
+        import s.implicits._
+        val sections = Seq(
+          (1, "Das Bundesgericht weist die Beschwerde ab."),
+          (2, "Urteile des Kantons Zürich"),
+          (3, "Die Beschwerde wird gutgeheissen!"),
+          (4, "Œuvre unbekannt")).toDF("section_id", "section_text")
+        graft.relational.DecisionJoins.numTokens(sections)
+          .select(col("num_tokens_id").cast("bigint").as("num_tokens_id"),
+            col("section_id").cast("bigint").as("section_id"),
+            col("num_tokens_spacy").cast("bigint").as("num_tokens_spacy"),
+            col("num_tokens_bert").cast("bigint").as("num_tokens_bert"))
+      },
+      Some("""SELECT * FROM (VALUES
+                (1, 1, 7, 10),  -- 6 words + '.'; WP 8 + [CLS]/[SEP]
+                (2, 2, 4, 8),
+                (3, 3, 5, 8),
+                (4, 4, 2, 12)   -- [UNK] + char-fallback pieces
+              ) AS t(num_tokens_id, section_id, num_tokens_spacy, num_tokens_bert)""")),
+
+
     // ---- A1: grouped aggregation with multiple measures (TPC-H Q1 shape).
     // Partial (map-side) agg + single shuffle on the 4-value group key.
     Q("a1_pricing_summary",

@@ -74,6 +74,29 @@ object DecisionJoins {
         col("gender")), Seq("decision_id"), "left")
   }
 
+  /** The reference's `run_nlp_pipe` token persistence
+    * (`abstract_preprocessor.py:256-298`): per-SECTION token counts in
+    * both calibration currencies — the word-rule count standing in for
+    * the spaCy doc length (deterministic analog, same substitution as
+    * the lemma tier) and the WordPiece `len(input_ids)` count
+    * (`num_tokens_bert`). Pure per-row maps; ids derive from
+    * section_id so re-runs are idempotent.
+    */
+  def numTokens(sections: DataFrame): DataFrame = {
+    val spacyLike = udf { t: String =>
+      if (t == null) 0
+      else graft.functions.TextFunctions.unicodeWordTokens(t).size }
+    val bert = udf { t: String =>
+      if (t == null) 2
+      else graft.functions.WordPiece.countWithSpecials(
+        t, graft.functions.WordPiece.bundled) }
+    sections.select(
+      col("section_id").as("num_tokens_id"),
+      col("section_id"),
+      spacyLike(col("section_text")).as("num_tokens_spacy"),
+      bert(col("section_text")).as("num_tokens_bert"))
+  }
+
   /** J6 self-join analog: facts + rulings text of the same decision as
     * two columns via conditional aggregation (one pass, no self-join).
     */
