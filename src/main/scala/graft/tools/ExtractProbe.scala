@@ -47,6 +47,8 @@ object ExtractProbe {
       graft.extract.Extractors.parseRulingCitations(t).size }
     val compUdf = udf { (h: String) =>
       graft.extract.PeopleExtractors.parseCompositionFor("ZH_Obergericht", h).judges.size }
+    val wpUdf = udf { (t: String) =>
+      graft.functions.WordPiece.countWithSpecials(t, graft.functions.WordPiece.bundled) }
     val partUdf = udf { (h: String) =>
       graft.extract.ParticipationExtractors
         .parseParticipationFor("CH_BGer", "de", h).map(_.plaintiffs.size).getOrElse(-1) }
@@ -72,6 +74,7 @@ object ExtractProbe {
       "judgments"  -> (_ => judgmentUdf(concat(lit(paras(9)), col("id").cast("string")))),
       "citations"  -> (_ => citeUdf(concat(lit(paras(7)), col("id").cast("string")))),
       "composition" -> (_ => compUdf(concat(lit(header), col("id").cast("string")))),
+      "wordpiece"   -> (_ => wpUdf(concat(lit(fullText), col("id").cast("string")))),
       "participation" -> (_ => partUdf(concat(lit(header), col("id").cast("string")))))
 
     // warm codegen + classloading once
