@@ -120,5 +120,11 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(lc.where(col("court") === "ZH_OG").count() == 3)
     assert(lc.where(col("file_number") === "LB180001").count() == 3)
     assert(lc.where(col("date") === "2019-03-12").count() == 3)
+
+    // F36/F37 through the pipeline: the people table carries the
+    // parsed president with role-context gender
+    val people = spark.read.parquet(s"$out/people")
+    assert(people.where(col("role") === "president")
+      .where(col("name") === "Meier").where(col("gender") === "m").count() == 3)
   }
 }
