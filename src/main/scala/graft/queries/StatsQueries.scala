@@ -156,6 +156,39 @@ object StatsQueries extends QueryPack {
               GROUP BY ngram ORDER BY freq DESC, ngram LIMIT 20""")),
 
     // ---- P7 per-court token cutoffs: config-map-driven row filter.
+    // ---- P7 in its CALIBRATION currency (r9): the reference's
+    // per-court cutoffs are defined in BERT tokens
+    // (dataset_creator.py:1160-1196); here the filter counts through
+    // the WordPiece tier. Each doc repeats a sentence with a
+    // hand-derived 8-token segmentation k times, so n_bert = 8k + 2
+    // and the oracle is pure arithmetic — no tokenizer runs on the
+    // oracle side.
+    Q("r9_bert_cutoff",
+      (s, d) => {
+        val wpCount = udf { t: String =>
+          graft.functions.WordPiece.countWithSpecials(
+            t, graft.functions.WordPiece.bundled) }
+        val cutoffs = expr(
+          "map('src1', 20, 'src2', 30, 'src3', 40)")
+        Tables.documents(s, d)
+          .withColumn("body", expr(
+            "repeat('Das Bundesgericht weist die Beschwerde ab. ', CAST(doc_id % 5 + 1 AS INT))"))
+          .withColumn("n_bert", wpCount(col("body")))
+          .withColumn("cutoff", coalesce(element_at(cutoffs, col("source")), lit(10)))
+          .where(col("n_bert") >= col("cutoff"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            min("n_bert").cast("bigint").as("min_bert"))
+      },
+      Some("""WITH t AS (
+                SELECT source, 8 * (doc_id % 5 + 1) + 2 AS n_bert,
+                       CASE source WHEN 'src1' THEN 20 WHEN 'src2' THEN 30
+                            WHEN 'src3' THEN 40 ELSE 10 END AS cutoff
+                FROM documents)
+              SELECT source, count(*) AS n_docs,
+                     cast(min(n_bert) as bigint) AS min_bert
+              FROM t WHERE n_bert >= cutoff GROUP BY source""")),
+
     Q("r4_token_cutoff",
       (s, d) => {
         val cutoffs = expr(
