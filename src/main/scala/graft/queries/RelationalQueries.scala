@@ -26,6 +26,37 @@ object RelationalQueries extends QueryPack {
 
   def all: Seq[Q] = Seq(
 
+    // ---- K5/K6 write-path round-trips (k1/k2): the gzip-JSONL and
+    // text-dropping CSV sinks exercised END-TO-END inside a gated
+    // query — write to a fresh scratch dir, read back through the
+    // standard readers, compare to the oracle's view of the same
+    // source rows. Upgrades the export sinks from spec-only to
+    // oracle-gated (the keyed/bucketed sinks stay spec-level — their
+    // semantics are idempotence across RUNS, not a row transform).
+    Q("k1_jsonl_roundtrip",
+      (s, d) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_k1_").toString
+        graft.sources.Sinks.writeJsonl(
+          Tables.nation(s, d).select(col("n_nationkey"), col("n_name")), out)
+        s.read.json(out)
+          .select(col("n_nationkey").cast("bigint").as("n_nationkey"),
+            col("n_name"))
+      },
+      Some("SELECT n_nationkey, n_name FROM nation")),
+
+    Q("k2_csv_drops_text",
+      (s, d) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_k2_").toString
+        graft.sources.Sinks.writeCsv(
+          Tables.nation(s, d).select(col("n_nationkey"), col("n_name"),
+            col("n_regionkey")), out, dropTextCols = Seq("n_regionkey"))
+        val back = s.read.option("header", "true").csv(out)
+        back.select(col("n_nationkey").cast("bigint").as("n_nationkey"),
+          col("n_name"),
+          lit(back.columns.length).cast("bigint").as("n_cols"))
+      },
+      Some("SELECT n_nationkey, n_name, 2::BIGINT AS n_cols FROM nation")),
+
     // ---- run_nlp_pipe token persistence (abstract_preprocessor.py:
     // 256-298): per-section counts in both calibration currencies —
     // word-rule "spacy" analog + WordPiece len(input_ids). Fixture
