@@ -57,6 +57,23 @@ object RelationalQueries extends QueryPack {
       },
       Some("SELECT n_nationkey, n_name, 2::BIGINT AS n_cols FROM nation")),
 
+    // ---- K7 labels-JSON round-trip (k3): writeLabels emits the
+    // id2label/label2id file the dataset creators ship
+    // (dataset_creator.py label maps); read back as JSON and exploded
+    // to (id, label) rows against a literal oracle.
+    Q("k3_labels_roundtrip",
+      (s, d) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_k3_").toString
+        graft.sources.Sinks.writeLabels(
+          Seq("dismissal", "approval", "partial_approval"), out)
+        s.read.option("multiLine", "true").json(s"$out/labels.json")
+          .selectExpr("explode(map_entries(from_json(to_json(label2id), 'map<string,bigint>'))) AS e")
+          .select(col("e.key").as("label"), col("e.value").cast("bigint").as("id"))
+      },
+      Some("""SELECT * FROM (VALUES
+                ('dismissal', 0), ('approval', 1), ('partial_approval', 2)
+              ) AS t(label, id)""")),
+
     // ---- run_nlp_pipe token persistence (abstract_preprocessor.py:
     // 256-298): per-section counts in both calibration currencies —
     // word-rule "spacy" analog + WordPiece len(input_ids). Fixture
