@@ -247,18 +247,25 @@ object ParticipationExtractors {
       val seg = text.substring(from, to)
       val lawyers = searchLawyers(seg, cfg, lang)
       if (lawyers.nonEmpty) lawyers
-      else cfg.entityNameBounded.findFirstIn(seg)
-        .orElse(cfg.entityNameBare.findFirstIn(seg)) match {
+      else cfg.entityNameBounded.findFirstIn(seg) match {
         // faithful reference quirk (`:144`/`:479`): the check is the
         // bare prefix "Me" with NO trailing space, so entity names
         // like "Metzger Treuhand AG" also lose their first two chars —
-        // intentionally preserved, do not "fix"
+        // intentionally preserved, do not "fix". The check belongs to
+        // the bounded branch ONLY (`:141-150`/`:476-487`); a bare-only
+        // match (`:151-156`/`:488-493`) is always a legal entity with
+        // its full name, even when it starts with "Me".
         case Some(name) if name.startsWith("Me") =>
           Seq(LegalCounsel(name.substring(2), "natural person", None, Nil))
         case Some(name) =>
           Seq(LegalCounsel(if (cfg.extractTitles) name.trim else name,
             "legal entity", None, Nil))
-        case None => Nil
+        case None => cfg.entityNameBare.findFirstIn(seg) match {
+          case Some(name) =>
+            Seq(LegalCounsel(if (cfg.extractTitles) name.trim else name,
+              "legal entity", None, Nil))
+          case None => Nil
+        }
       }
     }
     reps.distinctBy(c => (c.legalType, c.name, c.gender))

@@ -74,20 +74,62 @@ object RelationalQueries extends QueryPack {
                 ('dismissal', 0), ('approval', 1), ('partial_approval', 2)
               ) AS t(label, id)""")),
 
+    // ---- K2/K3/K4 keyed-upsert round-trip (k4): the bucketed
+    // delete-then-insert sink — the load-bearing primitive for 100 TB
+    // incremental runs (abstract_preprocessor.py:202-244 bulk UPDATE;
+    // section_splitter.py:140-174 delete+insert) — exercised
+    // END-TO-END inside a gated query: write a base table, upsert an
+    // overlapping delta TWICE (idempotency pinned under the oracle —
+    // a re-run must not duplicate or drop rows), read back, and state
+    // the merged rows. Oracle = delta value for delta keys, base value
+    // otherwise, plus the brand-new key.
+    Q("k4_upsert_roundtrip",
+      (s, d) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_k4_")
+          .resolve("t").toString
+        val base = Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))
+        graft.sources.Sinks.upsertBucketed(base, out, "n_nationkey", 8)
+        // overlapping delta: region-1 nations get updated values, and
+        // one key the base has never seen is inserted
+        val delta = Tables.nation(s, d).where(col("n_regionkey") === 1)
+          .select(col("n_nationkey"),
+            concat(col("n_name"), lit("_V2")).as("n_name"))
+          .unionByName(s.range(1).select(
+            lit(99).cast("int").as("n_nationkey"),
+            lit("ATLANTIS").as("n_name")))
+        graft.sources.Sinks.upsertBucketed(delta, out, "n_nationkey", 8)
+        graft.sources.Sinks.upsertBucketed(delta, out, "n_nationkey", 8)
+        graft.sources.Sinks.readUpserted(s, out)
+          .select(col("n_nationkey").cast("bigint").as("n_nationkey"),
+            col("n_name"))
+      },
+      Some("""SELECT n_nationkey::BIGINT AS n_nationkey,
+                     CASE WHEN n_regionkey = 1 THEN n_name || '_V2'
+                          ELSE n_name END AS n_name
+              FROM nation
+              UNION ALL
+              SELECT 99::BIGINT, 'ATLANTIS'""")),
+
     // ---- run_nlp_pipe token persistence (abstract_preprocessor.py:
     // 256-298): per-section counts in both calibration currencies —
-    // word-rule "spacy" analog + WordPiece len(input_ids). Fixture
-    // sentences have HAND-DERIVED counts (t16's construction), so the
-    // oracle states literal numbers and runs no tokenizer.
+    // word-rule "spacy" analog + model-tokenizer len(input_ids),
+    // language-dispatched: de/it → WordPiece (+[CLS]/[SEP]), fr → BPE
+    // (+<s>/</s>) since the reference's fr model (camembert-base-ccnet)
+    // is SentencePiece/BPE-family, not WordPiece. Fixture sentences
+    // have HAND-DERIVED counts (t16's construction), so the oracle
+    // states literal numbers and runs no tokenizer.
     Q("r8_num_tokens",
       (s, d) => {
         import s.implicits._
         val sections = Seq(
-          (1, "Das Bundesgericht weist die Beschwerde ab."),
-          (2, "Urteile des Kantons Zürich"),
-          (3, "Die Beschwerde wird gutgeheissen!"),
-          (4, "Œuvre unbekannt")).toDF("section_id", "section_text")
-        graft.relational.DecisionJoins.numTokens(sections)
+          (1, "Das Bundesgericht weist die Beschwerde ab.", "de"),
+          (2, "Urteile des Kantons Zürich", "de"),
+          (3, "Die Beschwerde wird gutgeheissen!", "de"),
+          (4, "Œuvre unbekannt", "de"),
+          (5, "Le recours est rejeté.", "fr"))
+          .toDF("section_id", "section_text", "language")
+        graft.relational.DecisionJoins.numTokens(sections, Some("language"))
           .select(col("num_tokens_id").cast("bigint").as("num_tokens_id"),
             col("section_id").cast("bigint").as("section_id"),
             col("num_tokens_spacy").cast("bigint").as("num_tokens_spacy"),
@@ -97,7 +139,8 @@ object RelationalQueries extends QueryPack {
                 (1, 1, 7, 10),  -- 6 words + '.'; WP 8 + [CLS]/[SEP]
                 (2, 2, 4, 8),
                 (3, 3, 5, 8),
-                (4, 4, 2, 12)   -- [UNK] + char-fallback pieces
+                (4, 4, 2, 12),  -- [UNK] + char-fallback pieces
+                (5, 5, 5, 20)   -- fr tier: 18 BPE subwords + <s>/</s>
               ) AS t(num_tokens_id, section_id, num_tokens_spacy, num_tokens_bert)""")),
 
 

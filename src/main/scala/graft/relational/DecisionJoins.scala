@@ -78,23 +78,33 @@ object DecisionJoins {
     * (`abstract_preprocessor.py:256-298`): per-SECTION token counts in
     * both calibration currencies — the word-rule count standing in for
     * the spaCy doc length (deterministic analog, same substitution as
-    * the lemma tier) and the WordPiece `len(input_ids)` count
-    * (`num_tokens_bert`). Pure per-row maps; ids derive from
+    * the lemma tier) and the model-tokenizer `len(input_ids)` count
+    * (`num_tokens_bert`). The reference's de/it models are
+    * WordPiece-family BERTs but its fr model is camembert-base-ccnet
+    * (`abstract_preprocessor.py:304-310`) — a SentencePiece/BPE
+    * tokenizer — so when a language column is supplied, fr rows count
+    * through the BPE tier (subwords + the 2 `<s>`/`</s>` specials) and
+    * de/it through WordPiece (+ [CLS]/[SEP]). Without a language
+    * column every row uses the WordPiece tier (exact only for the
+    * de/it model family). Pure per-row maps; ids derive from
     * section_id so re-runs are idempotent.
     */
-  def numTokens(sections: DataFrame): DataFrame = {
+  def numTokens(sections: DataFrame, languageCol: Option[String] = None): DataFrame = {
     val spacyLike = udf { t: String =>
       if (t == null) 0
       else graft.functions.TextFunctions.unicodeWordTokens(t).size }
-    val bert = udf { t: String =>
+    val bert = udf { (t: String, lang: String) =>
       if (t == null) 2
+      else if (lang == "fr")
+        graft.functions.Bpe.tokenize(t, graft.functions.Bpe.bundled).size + 2
       else graft.functions.WordPiece.countWithSpecials(
         t, graft.functions.WordPiece.bundled) }
+    val lang = languageCol.map(col).getOrElse(lit(null).cast("string"))
     sections.select(
       col("section_id").as("num_tokens_id"),
       col("section_id"),
       spacyLike(col("section_text")).as("num_tokens_spacy"),
-      bert(col("section_text")).as("num_tokens_bert"))
+      bert(col("section_text"), lang).as("num_tokens_bert"))
   }
 
   /** J6 self-join analog: facts + rulings text of the same decision as

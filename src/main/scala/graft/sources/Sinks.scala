@@ -64,8 +64,13 @@ object Sinks {
     val routed = batch
       .withColumn("__bucket", pmod(xxhash64(col(keyCol)), lit(numBuckets)))
     val merged =
-      if (!Files.exists(Paths.get(path))) routed
-      else {
+      if (!Files.exists(Paths.get(path))) {
+        // an all-empty FIRST batch must write nothing: overwriting with
+        // zero rows leaves a schemaless dir (only _SUCCESS) that poisons
+        // every later read-back of this sink
+        if (routed.isEmpty) return
+        routed
+      } else {
         val touched = routed.select("__bucket").distinct()
           .collect().map(_.getLong(0))
         if (touched.isEmpty) return // empty batch: nothing to rewrite

@@ -249,6 +249,17 @@ class SpiderParticipationSpec extends AnyFunSuite {
     assert(p.plaintiffs.head.counsel.head.gender == Some("m"))
   }
 
+  test("bare-only entity keeps its full Me-name as legal entity (:151-156)") {
+    // the bounded entity regex (`:141`) needs a trailing comma; with
+    // none in the segment only the bare fallback (`:151`) matches —
+    // and that branch is ALWAYS a legal entity with the full name: the
+    // Me-prefix munging (`:144`) belongs to the bounded branch alone
+    val p = parseParticipationFor("CH_BGer", "de",
+      "Verfahrensbeteiligte, A._, Beschwerdeführer, vertreten durch Metzger Treuhand AG gegen B._ AG, Beschwerdegegnerin, Gegenstand, Klage").get
+    assert(p.plaintiffs.head.counsel.head.name.trim == "Metzger Treuhand AG")
+    assert(p.plaintiffs.head.counsel.head.legalType == "legal entity")
+  }
+
   test("CH_BGer nameless lawyer keeps an empty-name counsel (:116 quirk)") {
     // role word with a comma right after and nothing before: the
     // backward search yields an empty match; CH_BGer appends the

@@ -46,6 +46,21 @@ class SinksSpec extends SparkSpec {
     assert(after(6L) == "v6" && after(8L) == "v8")
   }
 
+  test("upsertBucketed: an all-empty first batch does not poison the sink") {
+    import spark.implicits._
+    val path = tmp("upsert_empty")
+    val empty = Seq.empty[(Long, String)].toDF("id", "v")
+    // empty first batch: no schemaless dir (only _SUCCESS) may be left
+    // behind — that would break every later read-back of the sink
+    Sinks.upsertBucketed(empty, path, "id", numBuckets = 4)
+    assert(!Files.exists(java.nio.file.Paths.get(path)))
+    // a real batch afterwards works normally
+    Sinks.upsertBucketed(Seq((1L, "a")).toDF("id", "v"), path, "id", numBuckets = 4)
+    Sinks.upsertBucketed(empty, path, "id", numBuckets = 4) // and empty again: no-op
+    assert(Sinks.readUpserted(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap == Map(1L -> "a"))
+  }
+
   test("appendNewKeys only appends unseen keys") {
     import spark.implicits._
     val path = tmp("append")

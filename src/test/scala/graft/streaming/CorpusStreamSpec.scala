@@ -72,4 +72,60 @@ class CorpusStreamSpec extends SparkSpec {
       assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
     } finally q.stop()
   }
+
+  test("late payload re-triggers its stem instead of being lost") {
+    val landing = Files.createTempDirectory("stream_late_landing")
+    val out = Files.createTempDirectory("stream_late_out").toString
+    val ckpt = Files.createTempDirectory("stream_late_ckpt").toString
+    // wave 1: the meta lands ALONE — the payload is still in flight
+    Files.write(landing.resolve("late0.json"),
+      """{"id": 0}""".getBytes(StandardCharsets.UTF_8))
+    val q = CorpusStream.run(spark, landing.toString, out, "CH_BGer", ckpt)
+    try {
+      q.processAllAvailable()
+      // a payload-less triple fails min_chars → nothing ingested yet
+      // (the sink may not even exist: an all-empty batch writes no files)
+      assert(scala.util.Try(
+        spark.read.parquet(s"$out/documents").count()).getOrElse(0L) == 0L)
+
+      // wave 2: the html payload lands minutes later; its own file
+      // event must re-enter the stem (a meta-driven stream would never
+      // revisit it — no new .json ever lands for this stem)
+      Files.write(landing.resolve("late0.html"),
+        doc(0).getBytes(StandardCharsets.UTF_8))
+      q.processAllAvailable()
+      val docs = spark.read.parquet(s"$out/documents")
+      assert(docs.count() == 1)
+      assert(docs.select("stem").collect()(0).getString(0) == "late0")
+      assert(spark.read.parquet(s"$out/judgments").count() == 1)
+    } finally q.stop()
+  }
+
+  test("partitioned landing: only the open partition is listed and ingested") {
+    val landing = Files.createTempDirectory("stream_part_landing")
+    val out = Files.createTempDirectory("stream_part_out").toString
+    val ckpt = Files.createTempDirectory("stream_part_ckpt").toString
+    val closed = Files.createDirectory(landing.resolve("date=2026-08-12"))
+    val open = Files.createDirectory(landing.resolve("date=2026-08-13"))
+    def land(dir: java.nio.file.Path, name: String, i: Int): Unit = {
+      Files.write(dir.resolve(s"$name.json"),
+        s"""{"id": $i}""".getBytes(StandardCharsets.UTF_8))
+      Files.write(dir.resolve(s"$name.html"),
+        doc(i).getBytes(StandardCharsets.UTF_8))
+    }
+    land(closed, "old0", 0)
+    land(open, "new0", 1)
+    land(open, "new1", 2)
+    val q = CorpusStream.run(spark, landing.toString, out, "CH_BGer", ckpt,
+      openPartition = Some("date=2026-08-13"), maxFilesPerTrigger = Some(2))
+    try {
+      q.processAllAvailable()
+      val docs = spark.read.parquet(s"$out/documents")
+      // the closed partition's stem never enters a batch — the listing
+      // (source AND rescan) is confined to the open partition
+      assert(docs.count() == 2)
+      assert(docs.select("stem").collect().map(_.getString(0)).toSet ==
+        Set("new0", "new1"))
+    } finally q.stop()
+  }
 }
