@@ -11,9 +11,13 @@ package graft.functions
   *
   * The vocab is DATA in the standard HuggingFace `vocab.txt` format
   * (one token per line, line order = id), bundled at
-  * /graft/wordpiece_vocab.txt (a compact cased legal-German demo
-  * vocab, same precedent as the bundled BPE merges) and swappable for
-  * any publicly distributed BERT vocab of the same format.
+  * /graft/wordpiece_vocab.txt: 30 522 cased de/fr/it legal-domain
+  * entries — the bert-base-cased family SIZE the reference loads —
+  * generated deterministically by tools/gen_wordpiece_vocab.py
+  * (curated legal/function head + morphology-driven tail; same
+  * precedent as the bundled BPE merges). A production deployment
+  * swaps the actual model's publicly distributed vocab.txt into the
+  * same resource slot; the tokenizer is vocab-agnostic.
   *
   * Tokenization follows the reference pipeline's two stages:
   *   1. basic tokenization — whitespace split with every punctuation

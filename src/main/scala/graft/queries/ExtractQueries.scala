@@ -687,6 +687,76 @@ object ExtractQueries extends QueryPack {
                  'Die Beschwerde wird teilweise gutgeheissen.', 'partial_approval', 0, NULL)
               ) AS t(stem, lang, nr, cons, ruling, outcomes, n_cites, cite_volume)""")),
 
+    // ---- §3.2 end-to-end gate: the flagship JUDGMENT dataset creator
+    // (judgment_dataset_creator.py:37-56 over get_df, dataset_creator
+    // .py:493-547) composed from RAW child tables in-query — the x22
+    // treatment applied to the dataset-creation lifecycle. Wide
+    // assembly (J1 dims + J2 aggregate-joins, DecisionJoins.wide) →
+    // dropna(judgments) → F15 binary conversion (partials merged,
+    // write_off/unification/inadmissible dropped, contradictory →
+    // null, make_single_label) → dropna(label) → date-stratified
+    // dropna(year) (dataset_creator.py:813-814) → O6 reference year
+    // boundaries (:158-159) → A16 label vocabulary ids. The mini
+    // corpus is deterministic (FIXTURES.md §1), so every surviving row
+    // is known by construction and the oracle states all 29 literally
+    // — covering all four splits, both labels, and every drop path
+    // (no-judgment, contradictory-partials, NULL-date).
+    Q("x25_judgment_dataset_e2e",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val in = graft.relational.DecisionJoins.miniCorpus(s)
+        val labeled = graft.relational.DecisionJoins.wide(in)
+          .where(col("judgments").isNotNull) // dropna(subset=['judgments'])
+          .withColumn("label", graft.extract.ExtractUdfs.binaryJudgment(
+            col("judgments.judgment")))
+          .where(col("label").isNotNull)  // drop labels emptied by cleaning
+          .where(col("year").isNotNull)   // date-stratified needs a year
+          .withColumn("split", graft.datasets.DatasetWriter.dateSplit("year"))
+        // A16: vocab is tiny by construction — the single-partition
+        // window runs over |labels| rows, never the data
+        val vocab = labeled.groupBy("label").agg(count(lit(1)).as("n"))
+          .withColumn("label_id",
+            row_number().over(Window.orderBy("label")).cast("bigint") - 1)
+          .select("label", "label_id")
+        labeled.join(broadcast(vocab), Seq("label"))
+          .select(col("file_id").cast("bigint").as("file_id"),
+            col("year").cast("bigint").as("year"),
+            col("split"), col("label"), col("label_id"))
+      },
+      Some("""SELECT file_id::BIGINT AS file_id, year::BIGINT AS year,
+                     split, label, label_id::BIGINT AS label_id
+              FROM (VALUES
+                (1, 2001, 'train', 'approval', 0),
+                (2, 2002, 'train', 'approval', 0),
+                (3, 2003, 'train', 'dismissal', 1),
+                (4, 2004, 'train', 'approval', 0),
+                (5, 2005, 'train', 'approval', 0),
+                (6, 2006, 'train', 'dismissal', 1),
+                (8, 2008, 'train', 'approval', 0),
+                (9, 2009, 'train', 'dismissal', 1),
+                (10, 2010, 'train', 'approval', 0),
+                (12, 2012, 'train', 'dismissal', 1),
+                (13, 2013, 'train', 'approval', 0),
+                (15, 2015, 'train', 'dismissal', 1),
+                (16, 2016, 'validation', 'approval', 0),
+                (17, 2017, 'validation', 'approval', 0),
+                (18, 2018, 'test', 'dismissal', 1),
+                (19, 2019, 'test', 'approval', 0),
+                (20, 2020, 'test', 'approval', 0),
+                (23, 2023, 'secret_test', 'approval', 0),
+                (24, 2000, 'train', 'dismissal', 1),
+                (25, 2001, 'train', 'approval', 0),
+                (26, 2002, 'train', 'approval', 0),
+                (27, 2003, 'train', 'dismissal', 1),
+                (29, 2005, 'train', 'approval', 0),
+                (30, 2006, 'train', 'dismissal', 1),
+                (31, 2007, 'train', 'approval', 0),
+                (32, 2008, 'train', 'approval', 0),
+                (34, 2010, 'train', 'approval', 0),
+                (36, 2012, 'train', 'dismissal', 1),
+                (37, 2013, 'train', 'approval', 0)
+              ) AS t(file_id, year, split, label, label_id)""")),
+
     // ---- F23: BGer docket-reference extraction + normalization —
     // all four docket forms (underscore, dot, space, old-register) and
     // the multi-reference join, synthesized per row so the oracle

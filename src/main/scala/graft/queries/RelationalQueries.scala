@@ -136,10 +136,10 @@ object RelationalQueries extends QueryPack {
             col("num_tokens_bert").cast("bigint").as("num_tokens_bert"))
       },
       Some("""SELECT * FROM (VALUES
-                (1, 1, 7, 10),  -- 6 words + '.'; WP 8 + [CLS]/[SEP]
-                (2, 2, 4, 8),
-                (3, 3, 5, 8),
-                (4, 4, 2, 12),  -- [UNK] + char-fallback pieces
+                (1, 1, 7, 9),   -- 6 words + '.'; WP 7 + [CLS]/[SEP]
+                (2, 2, 4, 7),
+                (3, 3, 5, 7),
+                (4, 4, 2, 11),  -- [UNK] + prefix/char-fallback pieces
                 (5, 5, 5, 20)   -- fr tier: 18 BPE subwords + <s>/</s>
               ) AS t(num_tokens_id, section_id, num_tokens_spacy, num_tokens_bert)""")),
 

@@ -159,8 +159,9 @@ object StatsQueries extends QueryPack {
     // ---- P7 in its CALIBRATION currency (r9): the reference's
     // per-court cutoffs are defined in BERT tokens
     // (dataset_creator.py:1160-1196); here the filter counts through
-    // the WordPiece tier. Each doc repeats a sentence with a
-    // hand-derived 8-token segmentation k times, so n_bert = 8k + 2
+    // the WordPiece tier over the realistic-scale bundled vocab. Each
+    // doc repeats a sentence with a derived 7-token segmentation
+    // (gen_wordpiece_vocab.py --derive) k times, so n_bert = 7k + 2
     // and the oracle is pure arithmetic — no tokenizer runs on the
     // oracle side.
     Q("r9_bert_cutoff",
@@ -181,7 +182,7 @@ object StatsQueries extends QueryPack {
             min("n_bert").cast("bigint").as("min_bert"))
       },
       Some("""WITH t AS (
-                SELECT source, 8 * (doc_id % 5 + 1) + 2 AS n_bert,
+                SELECT source, 7 * (doc_id % 5 + 1) + 2 AS n_bert,
                        CASE source WHEN 'src1' THEN 20 WHEN 'src2' THEN 30
                             WHEN 'src3' THEN 40 ELSE 10 END AS cutoff
                 FROM documents)

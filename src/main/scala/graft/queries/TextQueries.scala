@@ -176,11 +176,16 @@ object TextQueries extends QueryPack {
     // ---- F34 WordPiece tier (t16): greedy longest-match over the
     // bundled BERT-format vocab — the tokenizer family the reference's
     // P7 cutoffs are calibrated in (num_tokens_bert = len(input_ids),
-    // abstract_preprocessor.py:286-288). Fixtures exercise subword
-    // continuation (##gericht/##e/##s), punctuation split-off, the
-    // char-level fallback, and the whole-word [UNK] path; n_bert adds
+    // abstract_preprocessor.py:286-288). The bundled vocab is
+    // REALISTIC-SCALE (30 522 cased de/fr/it entries, the
+    // bert-base-cased family size the reference loads), generated
+    // deterministically by tools/gen_wordpiece_vocab.py. Fixtures
+    // exercise full-compound match, stem+##s continuation, punctuation
+    // split-off, the known-prefix + char-continuation fallback, and
+    // the whole-word [UNK] path (Œ is outside the vocab); n_bert adds
     // the [CLS]/[SEP] pair like the reference's count. Oracle restates
-    // the expected segmentation literally.
+    // the expected segmentation literally — derived independently by
+    // the generator's own Python mirror (--derive).
     Q("t16_wordpiece",
       (s, d) => {
         val body = expr(
@@ -201,14 +206,14 @@ object TextQueries extends QueryPack {
       },
       Some("""SELECT doc_id,
                 CASE CAST(doc_id % 4 AS INT)
-                  WHEN 0 THEN 'Das Bundes ##gericht weist die Beschwerde ab .'
-                  WHEN 1 THEN 'Urteil ##e des Kanton ##s Zürich'
-                  WHEN 2 THEN 'Die Beschwerde wird gut ##geheissen !'
-                  ELSE '[UNK] u ##n ##b ##e ##k ##a ##n ##n ##t' END AS wp_tokens,
-                CAST(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 8
-                  WHEN 1 THEN 6 WHEN 2 THEN 6 ELSE 10 END AS BIGINT) AS n_wp_tokens,
-                CAST(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 10
-                  WHEN 1 THEN 8 WHEN 2 THEN 8 ELSE 12 END AS BIGINT) AS n_bert
+                  WHEN 0 THEN 'Das Bundesgericht weist die Beschwerde ab .'
+                  WHEN 1 THEN 'Urteile des Kanton ##s Zürich'
+                  WHEN 2 THEN 'Die Beschwerde wird gutgeheissen !'
+                  ELSE '[UNK] un ##b ##e ##k ##a ##n ##n ##t' END AS wp_tokens,
+                CAST(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 7
+                  WHEN 1 THEN 5 WHEN 2 THEN 5 ELSE 9 END AS BIGINT) AS n_wp_tokens,
+                CAST(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 9
+                  WHEN 1 THEN 7 WHEN 2 THEN 7 ELSE 11 END AS BIGINT) AS n_bert
               FROM documents""")),
 
     // ---- A3 with the lemma/POS feeder (graft.functions.Lemmatizer):
