@@ -20,8 +20,17 @@ import graft.sources.Tables
   */
 object CriticalityDataset {
 
-  /** labeled corpus: doc_id, year, label, score, split */
-  def prepare(spark: SparkSession, sfDir: String): DataFrame = {
+  /** `prepare` plus the release handle of GlobalRank's internal cache
+    * (a no-op on the small-input dispatch): consumers that OWN their
+    * action — like `build` — must try/finally-release so the
+    * range-partitioned frame's MEMORY_AND_DISK pin does not outlive
+    * the action in a long-lived session (VERDICT r4 item 5).
+    * `smallInputRows` is forwarded to the size-adaptive dispatch
+    * (probes/specs pass 0 to force the distributed, caching path).
+    */
+  def prepareReleasable(spark: SparkSession, sfDir: String,
+                        smallInputRows: Long = graft.operators.GlobalRank.SmallInputRows)
+      : (DataFrame, () => Unit) = {
     val docs = Tables.documents(spark, sfDir)
       .withColumn("year", (col("doc_id") % 25 + 2000).cast("int"))
       // each doc IS ruling (volume, book, page) and CITES the ruling
@@ -35,20 +44,33 @@ object CriticalityDataset {
     // freq is bounded by the distinct-cited-ruling vocabulary; the
     // distributed ntile (operators.GlobalRank) still avoids funneling
     // it through one partition at corpus scale
-    val labeled = graft.operators.GlobalRank.ntileGlobal(freq, 4,
-      Seq(col("freq").desc, col("own_key")), "__q")
+    val (tiled, release) = graft.operators.GlobalRank.ntileGlobalReleasable(
+      freq, 4, Seq(col("freq").desc, col("own_key")), "__q", smallInputRows)
+    val labeled = tiled
       .withColumn("label", concat(lit("critical-"), col("__q").cast("string")))
       .drop("__q")
 
-    docs.join(broadcast(labeled), Seq("own_key"), "left")
+    val out = docs.join(broadcast(labeled), Seq("own_key"), "left")
       .withColumn("label", coalesce(col("label"), lit("non-critical")))
       .withColumn("score", when(col("freq").isNull, 0.0)
         .otherwise(round(col("freq") *
           greatest(lit(0.0), (col("last_cite_year") - 2000).cast("double") / 25), 6)))
       .withColumn("split", DatasetWriter.dateSplit("year"))
       .select("doc_id", "year", "lang", "text", "label", "score", "split")
+    (out, release)
   }
 
-  def build(spark: SparkSession, sfDir: String, outDir: String): JudgmentDataset.Report =
-    DatasetWriter.write(prepare(spark, sfDir), outDir, Some("label"))
+  /** labeled corpus: doc_id, year, label, score, split — handle-free
+    * (for plan handoff where the caller cannot release; the cache then
+    * lives until the plan is GC'd). Action-owning callers should use
+    * `prepareReleasable`.
+    */
+  def prepare(spark: SparkSession, sfDir: String): DataFrame =
+    prepareReleasable(spark, sfDir)._1
+
+  def build(spark: SparkSession, sfDir: String, outDir: String): JudgmentDataset.Report = {
+    val (ds, release) = prepareReleasable(spark, sfDir)
+    try DatasetWriter.write(ds, outDir, Some("label"))
+    finally release()
+  }
 }

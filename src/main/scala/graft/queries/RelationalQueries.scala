@@ -344,7 +344,13 @@ object RelationalQueries extends QueryPack {
     // local index + broadcast prefix offsets — identical assignment to
     // `ntile OVER (ORDER BY …)` (GlobalRankSpec) without funneling the
     // table through one partition. The single-partition work is the
-    // per-partition count table, never the data.
+    // per-partition count table, never the data. Handle-free form on
+    // purpose: this is PLAN HANDOFF (the driver runs the action), so a
+    // try/finally release would fire before the action; the
+    // size-adaptive dispatch takes the no-cache window path at this
+    // input size (asserted in GlobalRankSpec), so nothing is pinned —
+    // action-owning consumers (datasets.CriticalityDataset.build) use
+    // the releasable form instead.
     Q("w3_ntile_quartiles",
       (s, d) => graft.operators.GlobalRank.ntileGlobal(
         Tables.customer(s, d), 4,

@@ -219,7 +219,10 @@ object StatsQueries extends QueryPack {
         val freq = cites.groupBy("volume", "book", "page")
           .agg(count(lit(1)).as("freq"), max("cite_year").as("last_year"))
         // freq is vocabulary-bounded (distinct cited rulings), but the
-        // distributed ntile keeps even that out of a single partition
+        // distributed ntile keeps even that out of a single partition.
+        // Handle-free on purpose — plan handoff to the driver's action;
+        // the small-input dispatch pins no cache here (GlobalRankSpec);
+        // action-owning consumers use ntileGlobalReleasable
         graft.operators.GlobalRank.ntileGlobal(freq, 4,
           Seq(col("freq").desc, col("volume"), col("book"), col("page")), "__q")
           .withColumn("label", concat(lit("critical-"), col("__q").cast("string")))

@@ -27,4 +27,25 @@ class CriticalityDatasetSpec extends SparkSpec {
     assert(train.count() > 0)
     assert(train.columns.contains("label") && train.columns.contains("score"))
   }
+
+  test("build frees every cache it pinned (releasable handle wiring)") {
+    // default threshold path: DatasetWriter's own persist plus the
+    // (no-op) small-path handle — nothing may survive build
+    val before = spark.sparkContext.getPersistentRDDs.size
+    CriticalityDataset.build(spark, sfDir,
+      Files.createTempDirectory("criticality_rel").toString)
+    assert(spark.sparkContext.getPersistentRDDs.size <= before)
+
+    // forced-distributed path: GlobalRank pins the range-partitioned
+    // frame MEMORY_AND_DISK during the action; the handle must free it
+    val (ds, release) = CriticalityDataset.prepareReleasable(
+      spark, sfDir, smallInputRows = 0L)
+    try {
+      assert(ds.count() > 0) // action materializes the pinned frame
+      assert(spark.sparkContext.getPersistentRDDs.size > before,
+        "distributed ntile should have pinned its internal frame")
+    } finally release()
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      "release() must drop the GlobalRank cache")
+  }
 }

@@ -98,4 +98,20 @@ class PlanShapeSpec extends SparkSpec {
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() == 10)
   }
+
+  test("plan-handoff ntile queries pin no cache (w3/r5 small path)") {
+    // these call sites hand their plan to the driver, so they cannot
+    // try/finally-release; the size-adaptive dispatch must take the
+    // cache-free window path at gate scale — no InMemoryRelation may
+    // appear, and the storage registry must stay untouched by the action
+    val before = spark.sparkContext.getPersistentRDDs.size
+    for (name <- Seq("w3_ntile_quartiles", "r5_criticality_labels")) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      assert(!df.queryExecution.executedPlan.toString.contains("InMemoryRelation")
+        && !df.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
+        s"$name must not pin a cache on plan handoff")
+      df.count()
+    }
+    assert(spark.sparkContext.getPersistentRDDs.size <= before)
+  }
 }
