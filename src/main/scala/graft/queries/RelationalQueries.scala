@@ -111,6 +111,73 @@ object RelationalQueries extends QueryPack {
               UNION ALL
               SELECT 99::BIGINT, 'ATLANTIS'""")),
 
+    // ---- J12 high-watermark append sink (k5): appendNewKeys is the
+    // reference's anti-join over already-processed rows (the
+    // process-new-files-only path). Gate: seed with region-0 nations,
+    // append ALL nations twice — only unseen keys may land, re-running
+    // must not duplicate. Read back = exactly one row per nation.
+    Q("k5_append_newkeys",
+      (s, d) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_k5_")
+          .resolve("t").toString
+        val all = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+        graft.sources.Sinks.appendNewKeys(
+          Tables.nation(s, d).where(col("n_regionkey") === 0)
+            .select(col("n_nationkey"), col("n_name")), out, "n_nationkey")
+        graft.sources.Sinks.appendNewKeys(all, out, "n_nationkey")
+        graft.sources.Sinks.appendNewKeys(all, out, "n_nationkey")
+        s.read.parquet(out)
+          .select(col("n_nationkey").cast("bigint").as("n_nationkey"),
+            col("n_name"))
+      },
+      Some("SELECT n_nationkey::BIGINT AS n_nationkey, n_name FROM nation")),
+
+    // ---- compaction round-trip (k6): the small-files maintenance pass
+    // (incremental appends accumulate tiny files; compact() rewrites to
+    // size-targeted files via temp-dir + atomic rename). Gate: write a
+    // deliberately 16-way-fragmented table, compact to one file, read
+    // back — rows and values must be untouched and the file count
+    // provably dropped (stated as a column so the oracle checks it).
+    Q("k6_compact_roundtrip",
+      (s, d) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_k6_")
+          .resolve("t").toString
+        Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+          .repartition(16).write.parquet(out)
+        val before = new java.io.File(out).listFiles()
+          .count(_.getName.endsWith(".parquet"))
+        graft.sources.Sinks.compact(s, out, targetFileBytes = 512L * 1024 * 1024)
+        val after = new java.io.File(out).listFiles()
+          .count(_.getName.endsWith(".parquet"))
+        s.read.parquet(out)
+          .select(col("n_nationkey").cast("bigint").as("n_nationkey"),
+            col("n_name"),
+            lit(before > after && after == 1).as("compacted"))
+      },
+      Some("""SELECT n_nationkey::BIGINT AS n_nationkey, n_name,
+                     true AS compacted FROM nation""")),
+
+    // ---- partitioned layout + pruning read (k7): writePartitioned is
+    // the court/lang/year directory layout; the gate reads back ONE
+    // partition through a partition-column predicate (pruned at
+    // planning — PlanShapeSpec asserts the scan shape) and states the
+    // surviving rows via the same predicate in the oracle.
+    Q("k7_partitioned_read",
+      (s, d) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_k7_")
+          .resolve("t").toString
+        graft.sources.Sinks.writePartitioned(
+          Tables.nation(s, d).select(col("n_nationkey"), col("n_name"),
+            col("n_regionkey")), out, "n_regionkey")
+        s.read.parquet(out).where(col("n_regionkey") === 2)
+          .select(col("n_nationkey").cast("bigint").as("n_nationkey"),
+            col("n_name"),
+            col("n_regionkey").cast("bigint").as("n_regionkey"))
+      },
+      Some("""SELECT n_nationkey::BIGINT AS n_nationkey, n_name,
+                     n_regionkey::BIGINT AS n_regionkey
+              FROM nation WHERE n_regionkey = 2""")),
+
     // ---- run_nlp_pipe token persistence (abstract_preprocessor.py:
     // 256-298): per-section counts in both calibration currencies —
     // word-rule "spacy" analog + model-tokenizer len(input_ids),
