@@ -124,6 +124,28 @@ object MultimodalQueries extends QueryPack {
                 CAST(doc_id % 5 AS INT) <> 0 AS quarantined
               FROM documents""")),
 
+    // ---- S3 exotic-CID upper tier (m6): Type0/Identity-H with NO
+    // /ToUnicode but WITH an embedded TrueType font program — the
+    // realistic shape of the class m5 pins as terminal-without-a-font.
+    // Recovery inverts the font's own cmap table (glyph id → Unicode,
+    // sources.TrueTypeCmap), the same tier Tika/PDFBox use
+    // (text_to_database.py:256-287 territory). Per-row synthesis makes
+    // every expected string known by construction.
+    Q("m6_pdf_cid_fontcmap",
+      (s, d) => {
+        val mkPdf = udf { id: Long =>
+          graft.sources.PdfText.synthesizeCidTrueType(
+            s"Urteil Nr. $id der II. Kammer: Beschwerde abgewiesen.")
+        }
+        Tables.documents(s, d)
+          .withColumn("pdf_raw", mkPdf(col("doc_id")))
+          .withColumn("pdf_text", graft.sources.Ingest.pdfTextUdf(col("pdf_raw")))
+          .select(col("doc_id"), col("pdf_text"))
+      },
+      Some("""SELECT doc_id,
+                'Urteil Nr. ' || doc_id || ' der II. Kammer: Beschwerde abgewiesen.' AS pdf_text
+              FROM documents""")),
+
     // ---- Sliding 1-hour windows every 15 min (batch dual of
     // streaming.EventStreams.slidingCounts): each row lands in exactly 4
     // windows — explode the 4 offsets, then one hash agg.

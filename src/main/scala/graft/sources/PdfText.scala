@@ -899,6 +899,38 @@ object PdfText {
       "\nendstream\nendobj\ntrailer << /Root 1 0 R >>\n%%EOF\n".getBytes(Latin1)
   }
 
+  /** Synthesize a Type0/Identity-H PDF with NO /ToUnicode but WITH an
+    * embedded TrueType font program (/FontFile2) whose `cmap` maps the
+    * text's characters — the realistic shape of the exotic-CID class
+    * in real court corpora, recoverable through the font-program tier
+    * (`TrueTypeCmap.gidToUnicode`). CIDs are glyph ids (Identity-H +
+    * default /CIDToGIDMap /Identity), assigned 1+index over the text's
+    * sorted distinct characters to match `TrueTypeCmap.synthesizeFont`.
+    */
+  def synthesizeCidTrueType(text: String): Array[Byte] = {
+    val chars = text.distinct.sorted
+    val gidOf = chars.zipWithIndex.map { case (c, i) => c -> (i + 1) }.toMap
+    val hexCodes = text.map(c => f"${gidOf(c)}%04x").mkString
+    val contents = s"BT /F1 12 Tf 72 720 Td <$hexCodes> Tj ET"
+    val font = TrueTypeCmap.synthesizeFont(chars)
+    (("%PDF-1.6\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+      "5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /F1" +
+      " /Encoding /Identity-H /DescendantFonts [6 0 R] >> endobj\n" +
+      "6 0 obj << /Type /Font /Subtype /CIDFontType2 /BaseFont /F1" +
+      " /CIDToGIDMap /Identity /FontDescriptor 7 0 R >> endobj\n" +
+      "7 0 obj << /Type /FontDescriptor /FontName /F1 /FontFile2 8 0 R >> endobj\n" +
+      s"8 0 obj << /Length ${font.length} /Length1 ${font.length} >>\nstream\n")
+      .getBytes(Latin1)) ++
+      font ++
+      ("\nendstream\nendobj\n" +
+        s"4 0 obj << /Length ${contents.length} >>\nstream\n").getBytes(Latin1) ++
+      contents.getBytes(Latin1) ++
+      "\nendstream\nendobj\ntrailer << /Root 1 0 R >>\n%%EOF\n".getBytes(Latin1)
+  }
+
   /** Deliberately broken / exotic fixtures for the quarantine gate —
     * each `kind` is a damage class real court corpora contain. Classes
     * and their REQUIRED outcome (asserted in PdfHostileSpec / m5):
@@ -964,9 +996,16 @@ object PdfText {
       // decrypt + filter chain is the ingest hot path) and reuse for
       // both the CMap scan and the text pass.
       val scanned = streams(bytes)
-      val all = scanned
+      val decodedAll = scanned
         .filter(st => skip.findFirstIn(st.dict).isEmpty)
-        .map(st => new String(decoded(st), Latin1))
+        .map(st => decoded(st))
+      // embedded font programs (FontFile2 sfnt binaries) are data for
+      // the CID-recovery tier below, never text — and their bytes can
+      // contain an accidental "BT", so keep them out of the text pass
+      val fontPrograms = decodedAll.filter(TrueTypeCmap.looksLikeSfnt)
+      val all = decodedAll
+        .filterNot(TrueTypeCmap.looksLikeSfnt)
+        .map(new String(_, Latin1))
         .filter(_.nonEmpty)
       // merged ToUnicode tables (CID/Type0 text, §9.10.3): CMap streams
       // decrypt/decode like any other stream, then parse as data. Only
@@ -989,18 +1028,30 @@ object PdfText {
         else all.filter(_.contains("begincmap"))
           .map(parseToUnicode)
           .foldLeft(Map.empty[Int, String])(_ ++ _)
-      // a CID/Type0 document with NO embedded ToUnicode (predefined
-      // CMaps like bare Identity-H) cannot decode its HEX strings
-      // without external CMap tables — skip those rather than misread
-      // their 2-byte codes as Latin-1 garbage, but keep any simple-font
-      // literal-string text in the same document; a document whose text
-      // was all-CID then yields no text and quarantines naturally
-      // (`text_to_database.py` Tika territory; the reference logs +
-      // skips such rows)
-      val cidNoMap = cidDeclared && cmap.isEmpty
+      // a CID/Type0 document with NO embedded ToUnicode falls back to
+      // the FONT-PROGRAM tier (the Tika/PDFBox approach,
+      // `text_to_database.py:256-287` territory): under Identity-H with
+      // the default /CIDToGIDMap, CID = glyph id, and the embedded
+      // TrueType font's own `cmap` table inverts glyph id → Unicode
+      // (sources.TrueTypeCmap). A non-Identity /CIDToGIDMap (a mapping
+      // stream) would break the CID=GID premise, so its presence
+      // disables the tier. With NO usable font program either, the
+      // class is terminal: skip the hex strings rather than misread
+      // their 2-byte codes as Latin-1 garbage, keep any simple-font
+      // literal text, and let an all-CID document quarantine naturally
+      // (the reference logs + skips such rows).
+      val nonIdentityGidMap =
+        "/CIDToGIDMap\\s*+(?!/Identity)\\S".r.findFirstIn(hay).isDefined
+      val fontCmap =
+        if (cmap.nonEmpty || !cidDeclared || nonIdentityGidMap) Map.empty[Int, String]
+        else fontPrograms.iterator
+          .flatMap(TrueTypeCmap.gidToUnicode(_).iterator)
+          .nextOption().getOrElse(Map.empty)
+      val effCmap = if (cmap.nonEmpty) cmap else fontCmap
+      val cidNoMap = cidDeclared && effCmap.isEmpty
       val texts = all.flatMap { s =>
         if (s.contains("BT") && !s.contains("begincmap"))
-          contentText(s, cmap, skipHex = cidNoMap)
+          contentText(s, effCmap, skipHex = cidNoMap)
         else Nil
       }
       // blocks join with a BLANK line, mirroring Tika's paragraph

@@ -23,6 +23,7 @@ class PdfFuzzSpec extends AnyFunSuite {
     "chain" -> PdfText.synthesize("Chained filters here.",
       Seq("ASCIIHexDecode", "FlateDecode")),
     "lzw" -> PdfText.synthesize("LZW encoded ruling.", Seq("LZWDecode")),
+    "cid-ttf" -> PdfText.synthesizeCidTrueType("Eingebettete Schrift."),
     "hostile-len" -> PdfText.synthesizeHostile("wrong-length", "x"),
     "hostile-filter" -> PdfText.synthesizeHostile("bogus-filter", "x"),
     "hostile-trunc" -> PdfText.synthesizeHostile("truncated", "x"),
