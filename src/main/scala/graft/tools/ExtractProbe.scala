@@ -54,6 +54,7 @@ object ExtractProbe {
         .parseParticipationFor("CH_BGer", "de", h).map(_.plaintiffs.size).getOrElse(-1) }
     val pdfUdf = udf { (b: Array[Byte], salt: Long) =>
       val t = graft.sources.PdfText.extract(b); if (t == null) salt else t.length + salt }
+    val cidTtfBytes = graft.sources.PdfText.synthesizeCidTrueType(fullText)
 
     def run(label: String, n: Long)(mk: org.apache.spark.sql.DataFrame =>
         org.apache.spark.sql.Column): Double = {
@@ -67,6 +68,7 @@ object ExtractProbe {
     val stages: Seq[(String, org.apache.spark.sql.DataFrame =>
         org.apache.spark.sql.Column)] = Seq(
       "pdf_decode" -> (df => pdfUdf(lit(pdfBytes), col("id"))),
+      "pdf_cid_ttf" -> (_ => pdfUdf(lit(cidTtfBytes), col("id"))),
       "html_paras" -> (_ => htmlParasUdf(concat(lit(html), col("id").cast("string")))),
       "clean_text" -> (_ => cleanUdf(concat(lit(fullText), col("id").cast("string")))),
       "sections"   -> (_ => sectionsUdf(
