@@ -243,6 +243,119 @@ object StatsQueries extends QueryPack {
                 round(freq * cast(last_year - 2000 as double) / 20, 6) AS score
               FROM freq""")),
 
+    // ---- §3.2 criticality creator END-TO-END (x26, the x25 treatment
+    // for the second flagship creator, criticality_dataset_creator.py):
+    // the ENTIRE prepare() pipeline — citation-graph aggregate →
+    // global quartile labels (GlobalRank) → non-critical fallback →
+    // time-weighted score → date-stratified split — restated as one
+    // DuckDB query over the same parquet. Proves the composed creator,
+    // not just its stages; the label join is oracle-checked per ROW
+    // (every doc, all four quartiles + non-critical).
+    Q("x26_criticality_e2e",
+      (s, d) => graft.datasets.CriticalityDataset.prepare(s, d),
+      Some("""WITH docs AS (
+                SELECT doc_id, lang, text,
+                       CAST(doc_id % 25 + 2000 AS INT) AS year,
+                       doc_id % 400 AS own_key,
+                       (doc_id + 1) % 400 AS cited_key
+                FROM documents),
+              freq AS (
+                SELECT cited_key AS own_key, count(*) AS freq,
+                       max(year) AS last_cite_year
+                FROM docs GROUP BY 1),
+              labeled AS (
+                SELECT own_key, freq, last_cite_year,
+                       'critical-' || ntile(4) OVER (ORDER BY freq DESC, own_key) AS label
+                FROM freq)
+              SELECT d.doc_id, d.year, d.lang, d.text,
+                     coalesce(l.label, 'non-critical') AS label,
+                     CASE WHEN l.freq IS NULL THEN 0.0
+                          ELSE round(l.freq * greatest(0.0,
+                            cast(l.last_cite_year - 2000 as double) / 25), 6)
+                     END AS score,
+                     CASE WHEN d.year <= 2015 THEN 'train'
+                          WHEN d.year <= 2017 THEN 'validation'
+                          WHEN d.year <= 2022 THEN 'test'
+                          ELSE 'secret_test' END AS split
+              FROM docs d LEFT JOIN labeled l USING (own_key)""")),
+
+    // ---- §3.2 doc2doc-IR creator END-TO-END (x27,
+    // doc2doc_ir_dataset_creator.py): citation-graph corpus → top-k
+    // label vocabulary (deterministic order) → out-of-vocab drop →
+    // r7-shape resolution join → citation masking (<ref-ruling>) →
+    // splits. The full prepare() against one DuckDB restatement.
+    Q("x27_doc2doc_e2e",
+      (s, d) => graft.datasets.Doc2DocIRDataset.prepare(s, d),
+      Some("""WITH docs AS (
+                SELECT doc_id, lang, CAST(doc_id % 25 + 2000 AS INT) AS year,
+                       (doc_id + 1) % 400 AS cited_key,
+                       doc_id % 400 AS own_key,
+                       text || ' Vgl. BGE ' || ((doc_id + 1) % 400 % 50 + 100)
+                            || ' II ' || ((doc_id + 1) % 400 % 400 + 1) || '.' AS body
+                FROM documents),
+              vocab AS (
+                SELECT cited_key FROM (
+                  SELECT cited_key, count(*) AS freq FROM docs GROUP BY 1)
+                ORDER BY freq DESC, cited_key LIMIT 100),
+              resolved AS (
+                SELECT own_key AS cited_key, min(doc_id) AS resolved_ruling_id
+                FROM docs GROUP BY 1)
+              SELECT d.doc_id, d.year, d.lang,
+                     regexp_replace(d.body,
+                       '(?:BGE|ATF|DTF) \d{1,3} [IVX]+ \d{1,3}',
+                       '<ref-ruling>', 'g') AS feature_text,
+                     d.cited_key, r.resolved_ruling_id,
+                     CASE WHEN d.year <= 2015 THEN 'train'
+                          WHEN d.year <= 2017 THEN 'validation'
+                          WHEN d.year <= 2022 THEN 'test'
+                          ELSE 'secret_test' END AS split
+              FROM docs d
+              JOIN vocab v USING (cited_key)
+              LEFT JOIN resolved r USING (cited_key)""")),
+
+    // ---- §3.2 law-area creator END-TO-END (x28,
+    // law_area_dataset_creator.py): broadcast config-dimension label
+    // join with 'other' fallback + splits.
+    Q("x28_lawarea_e2e",
+      (s, d) => graft.datasets.TextDatasets.lawArea(s, d),
+      Some("""SELECT doc_id, CAST(doc_id % 25 + 2000 AS INT) AS year, lang, text,
+                     CASE source WHEN 'src0' THEN 'civil_law'
+                          WHEN 'src1' THEN 'public_law'
+                          WHEN 'src2' THEN 'penal_law'
+                          WHEN 'src3' THEN 'social_law'
+                          ELSE 'other' END AS law_area,
+                     CASE WHEN doc_id % 25 + 2000 <= 2015 THEN 'train'
+                          WHEN doc_id % 25 + 2000 <= 2017 THEN 'validation'
+                          WHEN doc_id % 25 + 2000 <= 2022 THEN 'test'
+                          ELSE 'secret_test' END AS split
+              FROM documents""")),
+
+    // ---- §3.2 court-view creator END-TO-END (x29): facts →
+    // considerations generation pairs via position split + empty drop.
+    Q("x29_courtview_e2e",
+      (s, d) => graft.datasets.TextDatasets.courtView(s, d),
+      Some("""SELECT doc_id, CAST(doc_id % 25 + 2000 AS INT) AS year, lang,
+                     substring(text, 1, 120) AS facts,
+                     substring(text, 121, 10000) AS considerations,
+                     CASE WHEN doc_id % 25 + 2000 <= 2015 THEN 'train'
+                          WHEN doc_id % 25 + 2000 <= 2017 THEN 'validation'
+                          WHEN doc_id % 25 + 2000 <= 2022 THEN 'test'
+                          ELSE 'secret_test' END AS split
+              FROM documents
+              WHERE length(substring(text, 121, 10000)) > 0""")),
+
+    // ---- §3.2 pretraining creator END-TO-END (x30): min-length gate +
+    // whitespace normalization + splits.
+    Q("x30_pretraining_e2e",
+      (s, d) => graft.datasets.TextDatasets.pretraining(s, d),
+      Some("""SELECT doc_id, lang,
+                     trim(regexp_replace(text, '\s+', ' ', 'g')) AS text,
+                     CASE WHEN doc_id % 25 + 2000 <= 2015 THEN 'train'
+                          WHEN doc_id % 25 + 2000 <= 2017 THEN 'validation'
+                          WHEN doc_id % 25 + 2000 <= 2022 THEN 'test'
+                          ELSE 'secret_test' END AS split
+              FROM documents WHERE n_chars >= 100""")),
+
     // ---- A3/A4 hierarchical counter rollup: distinct-token counts at
     // (lang, source), per-lang, and grand-total levels in one pass.
     Q("r6_counter_rollup",
