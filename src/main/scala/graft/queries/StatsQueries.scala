@@ -356,6 +356,55 @@ object StatsQueries extends QueryPack {
                           ELSE 'secret_test' END AS split
               FROM documents WHERE n_chars >= 100""")),
 
+    // ---- §3.3 ad-hoc analysis END-TO-END (x31/x32,
+    // fundamental_importance.py:118-176): pushed contains-scan →
+    // sentence explode → negation flags → grouped summaries with the
+    // "All" grand total (x31) and the deterministic md5-ordered
+    // n-per-stratum validation sample (x32) — the whole composed
+    // lifecycle under the oracle, not just its stages.
+    Q("x31_fi_summary",
+      (s, d) => graft.analyses.FundamentalImportance.summary(
+        graft.analyses.FundamentalImportance.sentences(s, d)),
+      Some("""WITH sent AS (
+                SELECT doc_id, lang, sentence FROM (
+                  SELECT doc_id, lang,
+                         unnest(string_split(regexp_replace(text || '.',
+                           '([.!?]) ', '\1' || chr(10), 'g'), chr(10))) AS sentence
+                  FROM documents
+                  WHERE text LIKE '%vector%' OR text LIKE '%stream%') t
+                WHERE length(sentence) > 0
+                  AND (sentence LIKE '%vector%' OR sentence LIKE '%stream%')),
+              neg AS (
+                SELECT lang,
+                       (sentence LIKE '%slow%' OR sentence LIKE '%filter%') AS negated
+                FROM sent)
+              SELECT lang, negated, count(*) AS n_sentences FROM neg GROUP BY 1, 2
+              UNION ALL
+              SELECT 'All', negated, count(*) FROM neg GROUP BY 2""")),
+
+    Q("x32_fi_sample",
+      (s, d) => graft.analyses.FundamentalImportance.sample(
+        graft.analyses.FundamentalImportance.sentences(s, d)),
+      Some("""WITH sent AS (
+                SELECT doc_id, lang, sentence FROM (
+                  SELECT doc_id, lang,
+                         unnest(string_split(regexp_replace(text || '.',
+                           '([.!?]) ', '\1' || chr(10), 'g'), chr(10))) AS sentence
+                  FROM documents
+                  WHERE text LIKE '%vector%' OR text LIKE '%stream%') t
+                WHERE length(sentence) > 0
+                  AND (sentence LIKE '%vector%' OR sentence LIKE '%stream%')),
+              neg AS (
+                SELECT doc_id, lang, sentence,
+                       (sentence LIKE '%slow%' OR sentence LIKE '%filter%') AS negated
+                FROM sent)
+              SELECT doc_id, lang, sentence, negated FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY lang, negated
+                  ORDER BY md5(doc_id::VARCHAR || sentence)) AS rn
+                FROM neg) s
+              WHERE rn <= 3""")),
+
     // ---- A3/A4 hierarchical counter rollup: distinct-token counts at
     // (lang, source), per-lang, and grand-total levels in one pass.
     Q("r6_counter_rollup",

@@ -99,6 +99,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() == 10)
   }
 
+  test("creator e2e gates keep their scale shapes") {
+    // doc2doc vocab top-k must be TakeOrderedAndProject, never a global
+    // sort; the criticality e2e takes the cache-free ntile small path
+    val x27 = plan("x27_doc2doc_e2e")
+    assert(x27.contains("TakeOrderedAndProject"), x27.take(800))
+    val x26 = plan("x26_criticality_e2e")
+    assert(!x26.contains("InMemoryRelation") && !x26.contains("InMemoryTableScan"),
+      "x26 must not pin a cache on plan handoff")
+    // the §3.3 scan pushes its contains-predicate to the source
+    val x31 = plan("x31_fi_summary")
+    assert(x31.contains("PushedFilters") || x31.contains("Filter"), x31.take(400))
+  }
+
   test("plan-handoff ntile queries pin no cache (w3/r5 small path)") {
     // these call sites hand their plan to the driver, so they cannot
     // try/finally-release; the size-adaptive dispatch must take the
