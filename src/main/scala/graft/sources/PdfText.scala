@@ -623,6 +623,95 @@ object PdfText {
     out.result()
   }
 
+  // ---- per-font /Tf scoping (mixed-font documents): a hex string's
+  // decoding depends on the CURRENT font — simple fonts are
+  // single-byte Latin-1, Type0/CID fonts are 2-byte codes through
+  // THAT font's map. Resolved from the document's object graph
+  // (resource /Font name → font dict → ToUnicode stream or embedded
+  // FontFile2 cmap); names that cannot be resolved (fonts packed into
+  // ObjStm, damaged graphs) fall back to the legacy merged-map
+  // heuristic, so single-font documents behave identically.
+
+  private[sources] final case class FontInfo(isCid: Boolean,
+                                             cmap: Map[Int, String])
+
+  /** Non-stream object dicts by object number: forward scan for
+    * `N 0 obj` headers followed by a nesting-aware `<< … >>` capture
+    * (a non-greedy regex would truncate at the first `>>` of a nested
+    * sub-dict). Lenient: malformed candidates are skipped.
+    */
+  private[sources] def objectDicts(hay: String): Map[Int, String] = {
+    val out = Map.newBuilder[Int, String]
+    val objRe = """(\d{1,9})\s+\d+\s+obj""".r
+    for (m <- objRe.findAllMatchIn(hay)) {
+      var i = m.end
+      while (i < hay.length && Character.isWhitespace(hay.charAt(i))) i += 1
+      if (i + 1 < hay.length && hay.charAt(i) == '<' && hay.charAt(i + 1) == '<') {
+        var depth = 0
+        var j = i
+        var end = -1
+        while (end < 0 && j < hay.length - 1) {
+          if (hay.charAt(j) == '<' && hay.charAt(j + 1) == '<') { depth += 1; j += 2 }
+          else if (hay.charAt(j) == '>' && hay.charAt(j + 1) == '>') {
+            depth -= 1; j += 2; if (depth == 0) end = j
+          }
+          else j += 1
+        }
+        if (end > 0) out += m.group(1).toInt -> hay.substring(i, end)
+      }
+    }
+    out.result()
+  }
+
+  private val resourceFontRe = """/Font\s*<<([^>]*)>>""".r
+  private val fontPairRe = """/(\w+)\s+(\d{1,9})\s+\d+\s+R""".r
+  private val toUnicodeRefRe = """/ToUnicode\s+(\d{1,9})\s+\d+\s+R""".r
+  private val descendantRefRe = """/DescendantFonts\s*\[\s*(\d{1,9})\s+\d+\s+R""".r
+  private val fontDescRefRe = """/FontDescriptor\s+(\d{1,9})\s+\d+\s+R""".r
+  private val fontFile2RefRe = """/FontFile2\s+(\d{1,9})\s+\d+\s+R""".r
+
+  /** Resource font name → FontInfo over the resolved object graph.
+    * `cmapByObj` maps ToUnicode STREAM object numbers to parsed maps,
+    * `bytesByObj` maps stream object numbers to decoded bytes (for
+    * FontFile2 programs).
+    */
+  private def resolveFonts(hay: String,
+                           cmapByObj: Map[Int, Map[Int, String]],
+                           bytesByObj: Map[Int, Array[Byte]]): Map[String, FontInfo] = {
+    val dicts = objectDicts(hay)
+    if (dicts.isEmpty) return Map.empty
+    val refs = resourceFontRe.findAllMatchIn(hay).flatMap(rm =>
+      fontPairRe.findAllMatchIn(rm.group(1)).map(p => p.group(1) -> p.group(2).toInt))
+    // first-wins keeps the earliest page's mapping stable under re-use
+    val named = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    for ((n, o) <- refs if !named.contains(n)) named(n) = o
+    named.iterator.flatMap { case (name, objNum) =>
+      dicts.get(objNum).map { d =>
+        val isCid = d.contains("/Type0")
+        val viaToUnicode = toUnicodeRefRe.findFirstMatchIn(d)
+          .flatMap(m => cmapByObj.get(m.group(1).toInt))
+        def viaFontProgram: Option[Map[Int, String]] = for {
+          desc <- descendantRefRe.findFirstMatchIn(d).map(_.group(1).toInt)
+          dd <- dicts.get(desc)
+          // a non-Identity CIDToGIDMap (mapping stream) breaks CID=GID
+          if !fontDescNonIdentityGid(dd)
+          fd <- fontDescRefRe.findFirstMatchIn(dd).map(_.group(1).toInt)
+          fdd <- dicts.get(fd)
+          ff <- fontFile2RefRe.findFirstMatchIn(fdd).map(_.group(1).toInt)
+          bytes <- bytesByObj.get(ff)
+          m <- TrueTypeCmap.gidToUnicode(bytes)
+        } yield m
+        val cmap =
+          if (!isCid) Map.empty[Int, String]
+          else viaToUnicode.orElse(viaFontProgram).getOrElse(Map.empty)
+        name -> FontInfo(isCid, cmap)
+      }
+    }.toMap
+  }
+
+  private def fontDescNonIdentityGid(descendantDict: String): Boolean =
+    "/CIDToGIDMap\\s*+(?!/Identity)\\S".r.findFirstIn(descendantDict).isDefined
+
   // ---- ToUnicode CMaps (CID/Type0 fonts, §9.10.3): 2-byte character
   // codes resolve through the font's bfchar/bfrange mappings; without a
   // resolving map, hex strings stay single-byte Latin-1 (simple fonts).
@@ -710,11 +799,29 @@ object PdfText {
   /** Text chunks of one content stream: BT…ET blocks, string operands
     * of Tj / ' / " and TJ arrays, block per line. `cmap` (merged
     * ToUnicode tables) resolves 2-byte CID hex strings; hex strings it
-    * cannot fully resolve fall back to single-byte Latin-1.
+    * cannot fully resolve fall back to single-byte Latin-1. When
+    * `fonts` resolves the document's resource names, each hex string
+    * instead decodes under the font SELECTED by the last `/Name … Tf`
+    * before it (simple → Latin-1; CID → that font's map; CID with no
+    * map → skipped); unresolved names keep the legacy merged-map path.
     */
+  private val tfRe = """/(\w+)\s+[-\d.]+\s+Tf""".r
+
   private def contentText(content: String,
                           cmap: Map[Int, String] = Map.empty,
-                          skipHex: Boolean = false): Seq[String] = {
+                          skipHex: Boolean = false,
+                          fonts: Map[String, FontInfo] = Map.empty): Seq[String] = {
+    val switches: Array[(Int, String)] =
+      if (fonts.isEmpty) Array.empty
+      else tfRe.findAllMatchIn(content).map(m => (m.end, m.group(1))).toArray
+    def activeFont(pos: Int): Option[FontInfo] = {
+      var lo = 0; var hi = switches.length - 1; var best = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (switches(mid)._1 <= pos) { best = mid; lo = mid + 1 } else hi = mid - 1
+      }
+      if (best < 0) None else fonts.get(switches(best)._2)
+    }
     val lines = Vector.newBuilder[String]
     var i = 0
     while ({ val bt = content.indexOf("BT", i); bt >= 0 && {
@@ -733,29 +840,44 @@ object PdfText {
           case '<' if j + 1 < block.length && block.charAt(j + 1) != '<' =>
             val e = block.indexOf('>', j)
             if (e < 0) j = block.length
-            else if (skipHex) j = e + 1 // CID codes with no ToUnicode: undecodable
             else {
-              val hexs = block.substring(j + 1, e).replaceAll("\\s+", "")
-              val padded = if (hexs.length % 2 == 1) hexs + "0" else hexs
-              try {
-                val cidCodes =
-                  if (cmap.nonEmpty && padded.length % 4 == 0)
-                    Some(padded.grouped(4).map(Integer.parseInt(_, 16)).toSeq)
-                      .filter(_.forall(cmap.contains))
-                  else None
-                cidCodes match {
-                  case Some(codes) => parts += codes.map(cmap).mkString
-                  case None =>
-                    val sb = new StringBuilder
-                    var h = 0
-                    while (h < padded.length) {
-                      sb.append(Integer.parseInt(padded.substring(h, h + 2), 16).toChar)
-                      h += 2
-                    }
-                    parts += sb.toString
+              val font = activeFont(bt + 2 + j)
+              if (font.isEmpty && skipHex) j = e + 1 // CID, no map: undecodable
+              else {
+                val hexs = block.substring(j + 1, e).replaceAll("\\s+", "")
+                val padded = if (hexs.length % 2 == 1) hexs + "0" else hexs
+                def latin1(): Unit = {
+                  val sb = new StringBuilder
+                  var h = 0
+                  while (h < padded.length) {
+                    sb.append(Integer.parseInt(padded.substring(h, h + 2), 16).toChar)
+                    h += 2
+                  }
+                  parts += sb.toString
                 }
-              } catch { case _: NumberFormatException => () }
-              j = e + 1
+                try font match {
+                  // scoped: the CURRENT font decides, per string
+                  case Some(f) if !f.isCid => latin1()
+                  case Some(f) if f.cmap.nonEmpty && padded.length % 4 == 0 =>
+                    // unmapped codes emit nothing rather than fabricate
+                    parts += padded.grouped(4)
+                      .map(h => f.cmap.getOrElse(Integer.parseInt(h, 16), ""))
+                      .mkString
+                  case Some(_) => () // CID font without a map: skip
+                  // legacy merged-map heuristic (unresolved font names)
+                  case None =>
+                    val cidCodes =
+                      if (cmap.nonEmpty && padded.length % 4 == 0)
+                        Some(padded.grouped(4).map(Integer.parseInt(_, 16)).toSeq)
+                          .filter(_.forall(cmap.contains))
+                      else None
+                    cidCodes match {
+                      case Some(codes) => parts += codes.map(cmap).mkString
+                      case None => latin1()
+                    }
+                } catch { case _: NumberFormatException => () }
+                j = e + 1
+              }
             }
           case '<' => j += 2 // dict open
           case '%' => // comment to EOL
@@ -888,8 +1010,49 @@ object PdfText {
     (("%PDF-1.6\n" +
       "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
       "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
-      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R" +
+      " /Resources << /Font << /F1 5 0 R >> >> >> endobj\n" +
       "5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /F1" +
+      " /Encoding /Identity-H /ToUnicode 6 0 R >> endobj\n" +
+      s"6 0 obj << /Length ${cmapBody.length} >>\nstream\n").getBytes(Latin1)) ++
+      cmapBody ++
+      ("\nendstream\nendobj\n" +
+        s"4 0 obj << /Length ${contents.length} >>\nstream\n").getBytes(Latin1) ++
+      contents.getBytes(Latin1) ++
+      "\nendstream\nendobj\ntrailer << /Root 1 0 R >>\n%%EOF\n".getBytes(Latin1)
+  }
+
+  /** Synthesize a MIXED-FONT page: /F1 a simple (Latin-1) font, /F2 a
+    * Type0/Identity-H font with a ToUnicode CMap — and the CID codes
+    * deliberately CHOSen to collide with `simpleText`'s Latin-1 byte
+    * pairs, so only per-font /Tf scoping decodes both strings right
+    * (the merged-map heuristic would misread the simple string as CID).
+    */
+  def synthesizeMixedFonts(simpleText: String, cidText: String): Array[Byte] = {
+    val collide = simpleText.getBytes(Latin1).grouped(2)
+      .filter(_.length == 2)
+      .map(p => ((p(0) & 0xff) << 8) | (p(1) & 0xff)).toSeq.distinct
+    val cidChars = cidText.distinct
+    val codeOf = cidChars.zipWithIndex.map { case (c, i) =>
+      c -> (if (i < collide.length) collide(i) else 0x3000 + i)
+    }.toMap
+    val simpleHex = simpleText.getBytes(Latin1).map(b => f"${b & 0xff}%02x").mkString
+    val cidHex = cidText.map(c => f"${codeOf(c)}%04x").mkString
+    val contents =
+      s"BT /F1 12 Tf <$simpleHex> Tj ET\nBT /F2 12 Tf <$cidHex> Tj ET"
+    val bfchars = cidChars
+      .map(c => f"<${codeOf(c)}%04x> <${c.toInt}%04x>").mkString("\n")
+    val cmapBody = ("/CIDInit /ProcSet findresource begin\n" +
+      "12 dict begin begincmap\n" +
+      s"${cidChars.length} beginbfchar\n$bfchars\nendbfchar\n" +
+      "endcmap end end").getBytes(Latin1)
+    (("%PDF-1.6\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R" +
+      " /Resources << /Font << /F1 9 0 R /F2 5 0 R >> >> >> endobj\n" +
+      "9 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n" +
+      "5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /F2" +
       " /Encoding /Identity-H /ToUnicode 6 0 R >> endobj\n" +
       s"6 0 obj << /Length ${cmapBody.length} >>\nstream\n").getBytes(Latin1)) ++
       cmapBody ++
@@ -916,7 +1079,8 @@ object PdfText {
     (("%PDF-1.6\n" +
       "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
       "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
-      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R" +
+      " /Resources << /Font << /F1 5 0 R >> >> >> endobj\n" +
       "5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /F1" +
       " /Encoding /Identity-H /DescendantFonts [6 0 R] >> endobj\n" +
       "6 0 obj << /Type /Font /Subtype /CIDFontType2 /BaseFont /F1" +
@@ -996,23 +1160,24 @@ object PdfText {
       // decrypt + filter chain is the ingest hot path) and reuse for
       // both the CMap scan and the text pass.
       val scanned = streams(bytes)
-      val decodedAll = scanned
+      val decodedPairs = scanned
         .filter(st => skip.findFirstIn(st.dict).isEmpty)
-        .map(st => decoded(st))
+        .map(st => (st, decoded(st)))
       // embedded font programs (FontFile2 sfnt binaries) are data for
       // the CID-recovery tier below, never text — and their bytes can
       // contain an accidental "BT", so keep them out of the text pass
-      val fontPrograms = decodedAll.filter(TrueTypeCmap.looksLikeSfnt)
-      val all = decodedAll
+      val fontPrograms = decodedPairs.map(_._2).filter(TrueTypeCmap.looksLikeSfnt)
+      val all = decodedPairs
+        .map(_._2)
         .filterNot(TrueTypeCmap.looksLikeSfnt)
         .map(new String(_, Latin1))
         .filter(_.nonEmpty)
       // merged ToUnicode tables (CID/Type0 text, §9.10.3): CMap streams
       // decrypt/decode like any other stream, then parse as data. Only
-      // consulted when the document actually declares a Type0/CID font
-      // — in a mixed-font document a simple-font hex string whose byte
-      // pairs happen to collide with CMap codes would otherwise be
-      // misread (full per-font /Tf scoping is the Tika-tier upgrade).
+      // consulted when the document actually declares a Type0/CID font,
+      // and only as the FALLBACK for hex strings whose font name the
+      // per-font /Tf scoping below cannot resolve (fonts packed into
+      // ObjStm, damaged object graphs, no /Resources).
       // PDF-1.5 files may pack the font dicts into compressed object
       // streams, so the marker search covers decoded ObjStm bodies too.
       def declaresCidFont: Boolean =
@@ -1049,9 +1214,28 @@ object PdfText {
           .nextOption().getOrElse(Map.empty)
       val effCmap = if (cmap.nonEmpty) cmap else fontCmap
       val cidNoMap = cidDeclared && effCmap.isEmpty
+      // per-font /Tf scoping for mixed-font documents: resolve each
+      // resource font name through the object graph so a simple-font
+      // hex string never runs through another font's CID map (and vice
+      // versa). Only attempted when the document declares a CID font —
+      // single-family documents keep the one-pass legacy path; names
+      // the graph cannot resolve also fall back to it per string.
+      val fonts: Map[String, FontInfo] =
+        if (!cidDeclared) Map.empty
+        else {
+          val cmapByObj = decodedPairs.collect {
+            case (st, b) if st.obj > 0 =>
+              val s = new String(b, Latin1)
+              if (s.contains("begincmap")) Some(st.obj -> parseToUnicode(s)) else None
+          }.flatten.toMap
+          val bytesByObj = decodedPairs.collect {
+            case (st, b) if st.obj > 0 => st.obj -> b
+          }.toMap
+          resolveFonts(hay, cmapByObj, bytesByObj)
+        }
       val texts = all.flatMap { s =>
         if (s.contains("BT") && !s.contains("begincmap"))
-          contentText(s, effCmap, skipHex = cidNoMap)
+          contentText(s, effCmap, skipHex = cidNoMap, fonts = fonts)
         else Nil
       }
       // blocks join with a BLANK line, mirroring Tika's paragraph

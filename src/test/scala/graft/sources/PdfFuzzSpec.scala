@@ -24,6 +24,7 @@ class PdfFuzzSpec extends AnyFunSuite {
       Seq("ASCIIHexDecode", "FlateDecode")),
     "lzw" -> PdfText.synthesize("LZW encoded ruling.", Seq("LZWDecode")),
     "cid-ttf" -> PdfText.synthesizeCidTrueType("Eingebettete Schrift."),
+    "mixed-fonts" -> PdfText.synthesizeMixedFonts("Einfach AB", "CID läuft"),
     "hostile-len" -> PdfText.synthesizeHostile("wrong-length", "x"),
     "hostile-filter" -> PdfText.synthesizeHostile("bogus-filter", "x"),
     "hostile-trunc" -> PdfText.synthesizeHostile("truncated", "x"),

@@ -72,4 +72,29 @@ class TrueTypeCmapSpec extends AnyFunSuite {
     assert(PdfText.extract(
       PdfText.synthesizeHostile("identity-h-no-tounicode", "x")) == null)
   }
+
+  test("mixed fonts: /Tf scoping decodes each string under ITS font") {
+    // the fixture chooses CID codes that COLLIDE with the simple
+    // string's Latin-1 byte pairs — the legacy merged-map heuristic
+    // would decode the simple string as CID garbage; per-font scoping
+    // must keep both strings intact
+    val simple = "Einfache Schrift"
+    val cid = "CID Schrift läuft."
+    val out = PdfText.extract(PdfText.synthesizeMixedFonts(simple, cid))
+    assert(out != null)
+    assert(out.contains(simple), s"simple-font string corrupted: $out")
+    assert(out.contains(cid), s"CID string corrupted: $out")
+  }
+
+  test("scoping survives an unresolvable font name (legacy fallback)") {
+    // strip the /Resources dict: names resolve to nothing, the legacy
+    // merged-map path takes over, and the ToUnicode'd CID text still
+    // decodes (the pre-scoping behavior, byte for byte)
+    val text = "Beschwerde gutgeheissen"
+    val pdf = new String(PdfText.synthesizeCid(text),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+      .replace(" /Resources << /Font << /F1 5 0 R >> >>", "")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(PdfText.extract(pdf) == text)
+  }
 }
