@@ -640,27 +640,62 @@ object PdfText {
     * (a non-greedy regex would truncate at the first `>>` of a nested
     * sub-dict). Lenient: malformed candidates are skipped.
     */
+  /** Nesting-aware `<< … >>` capture starting at `i` (must point at
+    * the opening `<<`); None when unbalanced.
+    */
+  private def captureDict(hay: String, i: Int): Option[String] = {
+    var depth = 0
+    var j = i
+    var end = -1
+    while (end < 0 && j < hay.length - 1) {
+      if (hay.charAt(j) == '<' && hay.charAt(j + 1) == '<') { depth += 1; j += 2 }
+      else if (hay.charAt(j) == '>' && hay.charAt(j + 1) == '>') {
+        depth -= 1; j += 2; if (depth == 0) end = j
+      }
+      else j += 1
+    }
+    if (end > 0) Some(hay.substring(i, end)) else None
+  }
+
   private[sources] def objectDicts(hay: String): Map[Int, String] = {
     val out = Map.newBuilder[Int, String]
     val objRe = """(\d{1,9})\s+\d+\s+obj""".r
     for (m <- objRe.findAllMatchIn(hay)) {
       var i = m.end
       while (i < hay.length && Character.isWhitespace(hay.charAt(i))) i += 1
-      if (i + 1 < hay.length && hay.charAt(i) == '<' && hay.charAt(i + 1) == '<') {
-        var depth = 0
-        var j = i
-        var end = -1
-        while (end < 0 && j < hay.length - 1) {
-          if (hay.charAt(j) == '<' && hay.charAt(j + 1) == '<') { depth += 1; j += 2 }
-          else if (hay.charAt(j) == '>' && hay.charAt(j + 1) == '>') {
-            depth -= 1; j += 2; if (depth == 0) end = j
-          }
-          else j += 1
-        }
-        if (end > 0) out += m.group(1).toInt -> hay.substring(i, end)
-      }
+      if (i + 1 < hay.length && hay.charAt(i) == '<' && hay.charAt(i + 1) == '<')
+        captureDict(hay, i).foreach(d => out += m.group(1).toInt -> d)
     }
     out.result()
+  }
+
+  /** Objects packed in an ObjStm body (§7.5.7): `/N` pairs of
+    * `objnum offset` before `/First`, objects at `First + offset`.
+    * Dict-valued objects by number; bodies whose pairs header does not
+    * parse fall back to the top-level headered scan (the lenient shape
+    * some producers — and the m-gate fixtures — ship).
+    */
+  private[sources] def objStmDicts(dict: String, body: String): Map[Int, String] = {
+    val n = """/N\s+(\d+)""".r.findFirstMatchIn(dict).map(_.group(1).toInt)
+    val first = """/First\s+(\d+)""".r.findFirstMatchIn(dict).map(_.group(1).toInt)
+    val packed = (n, first) match {
+      case (Some(cnt), Some(f0)) if cnt > 0 && f0 > 0 && f0 <= body.length =>
+        val header = body.substring(0, f0).trim.split("\\s+").filter(_.nonEmpty)
+        if (header.length >= 2 * cnt &&
+            header.take(2 * cnt).forall(t => t.nonEmpty && t.forall(_.isDigit) && t.length <= 9)) {
+          val pairs = (0 until cnt).map(i => (header(2 * i).toInt, header(2 * i + 1).toInt))
+          val out = Map.newBuilder[Int, String]
+          for ((objNum, off) <- pairs) {
+            var s = f0 + off
+            while (s < body.length && Character.isWhitespace(body.charAt(s))) s += 1
+            if (s + 1 < body.length && body.charAt(s) == '<' && body.charAt(s + 1) == '<')
+              captureDict(body, s).foreach(d => out += objNum -> d)
+          }
+          out.result()
+        } else Map.empty[Int, String]
+      case _ => Map.empty[Int, String]
+    }
+    packed ++ objectDicts(body)
   }
 
   private val resourceFontRe = """/Font\s*<<([^>]*)>>""".r
@@ -671,17 +706,21 @@ object PdfText {
   private val fontFile2RefRe = """/FontFile2\s+(\d{1,9})\s+\d+\s+R""".r
 
   /** Resource font name → FontInfo over the resolved object graph.
-    * `cmapByObj` maps ToUnicode STREAM object numbers to parsed maps,
-    * `bytesByObj` maps stream object numbers to decoded bytes (for
-    * FontFile2 programs).
+    * `packedDicts`/`packedBodies` carry ObjStm-packed objects (PDF-1.5
+    * documents keep font and page dicts there), `cmapByObj` maps
+    * ToUnicode STREAM object numbers to parsed maps, `bytesByObj` maps
+    * stream object numbers to decoded bytes (for FontFile2 programs).
     */
   private def resolveFonts(hay: String,
+                           packedDicts: Map[Int, String],
+                           packedBodies: Seq[String],
                            cmapByObj: Map[Int, Map[Int, String]],
                            bytesByObj: Map[Int, Array[Byte]]): Map[String, FontInfo] = {
-    val dicts = objectDicts(hay)
+    val dicts = objectDicts(hay) ++ packedDicts
     if (dicts.isEmpty) return Map.empty
-    val refs = resourceFontRe.findAllMatchIn(hay).flatMap(rm =>
-      fontPairRe.findAllMatchIn(rm.group(1)).map(p => p.group(1) -> p.group(2).toInt))
+    val refs = (hay +: packedBodies).iterator.flatMap(h =>
+      resourceFontRe.findAllMatchIn(h).flatMap(rm =>
+        fontPairRe.findAllMatchIn(rm.group(1)).map(p => p.group(1) -> p.group(2).toInt)))
     // first-wins keeps the earliest page's mapping stable under re-use
     val named = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     for ((n, o) <- refs if !named.contains(n)) named(n) = o
@@ -1179,14 +1218,17 @@ object PdfText {
       // per-font /Tf scoping below cannot resolve (fonts packed into
       // ObjStm, damaged object graphs, no /Resources).
       // PDF-1.5 files may pack the font dicts into compressed object
-      // streams, so the marker search covers decoded ObjStm bodies too.
+      // streams: decode each ObjStm ONCE and reuse the bodies for the
+      // CID-marker search and the per-font resolution below.
+      lazy val objStmPairs: Seq[(String, String)] = {
+        val objStm = "/Type\\s*/ObjStm".r
+        scanned.filter(st => objStm.findFirstIn(st.dict).isDefined)
+          .map(st => (st.dict, new String(decoded(st), Latin1)))
+      }
       def declaresCidFont: Boolean =
-        hay.contains("/Type0") || hay.contains("/Identity-H") || {
-          val objStm = "/Type\\s*/ObjStm".r
-          scanned.filter(st => objStm.findFirstIn(st.dict).isDefined)
-            .map(st => new String(decoded(st), Latin1))
-            .exists(s => s.contains("/Type0") || s.contains("/Identity-H"))
-        }
+        hay.contains("/Type0") || hay.contains("/Identity-H") ||
+          objStmPairs.exists { case (_, s) =>
+            s.contains("/Type0") || s.contains("/Identity-H") }
       val cidDeclared = declaresCidFont
       val cmap =
         if (!cidDeclared) Map.empty[Int, String]
@@ -1231,7 +1273,11 @@ object PdfText {
           val bytesByObj = decodedPairs.collect {
             case (st, b) if st.obj > 0 => st.obj -> b
           }.toMap
-          resolveFonts(hay, cmapByObj, bytesByObj)
+          val packedDicts = objStmPairs
+            .map { case (d, b) => objStmDicts(d, b) }
+            .foldLeft(Map.empty[Int, String])(_ ++ _)
+          resolveFonts(hay, packedDicts, objStmPairs.map(_._2),
+            cmapByObj, bytesByObj)
         }
       val texts = all.flatMap { s =>
         if (s.contains("BT") && !s.contains("begincmap"))

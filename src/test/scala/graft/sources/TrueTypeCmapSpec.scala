@@ -86,6 +86,34 @@ class TrueTypeCmapSpec extends AnyFunSuite {
     assert(out.contains(cid), s"CID string corrupted: $out")
   }
 
+  test("ObjStm-packed font dicts resolve for scoping (PDF-1.5 shape)") {
+    // move BOTH font dicts into a real pairs-header ObjStm: without
+    // §7.5.7 parsing the simple font would be unresolvable and the
+    // collision below would corrupt it through the merged map
+    val simple = "Einfache Schrift"
+    val cid = "CID Schrift läuft."
+    var doc = new String(PdfText.synthesizeMixedFonts(simple, cid),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val simpleFont = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    val cidFontRe = """(?s)5 0 obj (<< /Type /Font /Subtype /Type0.*?>>) endobj\n""".r
+    val cidFont = cidFontRe.findFirstMatchIn(doc).get.group(1)
+    doc = doc.replace(s"9 0 obj $simpleFont endobj\n", "")
+    doc = cidFontRe.replaceFirstIn(doc, "")
+    assert(!doc.contains("/Type0"))
+    val objects = simpleFont + " " + cidFont
+    val header = s"9 0 5 ${simpleFont.length + 1} "
+    val body = (header + objects).getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val objStm = (s"12 0 obj << /Type /ObjStm /N 2 /First ${header.length}" +
+      s" /Length ${body.length} >>\nstream\n")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++ body ++
+      "\nendstream\nendobj\n".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val bytes = doc.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++ objStm
+    val out = PdfText.extract(bytes)
+    assert(out != null)
+    assert(out.contains(simple), s"simple-font string corrupted: $out")
+    assert(out.contains(cid), s"CID string corrupted: $out")
+  }
+
   test("scoping survives an unresolvable font name (legacy fallback)") {
     // strip the /Resources dict: names resolve to nothing, the legacy
     // merged-map path takes over, and the ToUnicode'd CID text still
