@@ -767,14 +767,32 @@ object PdfText {
     val bfrange = """(?s)beginbfrange(.*?)endbfrange""".r
     val pair = """<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>""".r
     val triple = """<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>""".r
+    // §9.10.3 array-destination form: <lo> <hi> [<d0> <d1> …] — one
+    // explicit UTF-16BE destination per code in the range
+    val arrayForm =
+      """<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>\s*\[((?:\s*<[0-9a-fA-F]+>)+)\s*\]""".r
+    val element = """<([0-9a-fA-F]+)>""".r
     for (m <- bfchar.findAllMatchIn(cmap); p <- pair.findAllMatchIn(m.group(1)))
       out += code(hex(p.group(1))) -> utf16(hex(p.group(2)))
-    for (m <- bfrange.findAllMatchIn(cmap); t <- triple.findAllMatchIn(m.group(1))) {
-      val lo = code(hex(t.group(1)))
-      val hi = code(hex(t.group(2)))
-      val dst = code(hex(t.group(3)))
-      for (c <- lo to math.min(hi, lo + 65535))
-        out += c -> new String(Character.toChars(dst + (c - lo)))
+    for (m <- bfrange.findAllMatchIn(cmap)) {
+      val body = m.group(1)
+      for (a <- arrayForm.findAllMatchIn(body)) {
+        val lo = code(hex(a.group(1)))
+        val hi = code(hex(a.group(2)))
+        val dsts = element.findAllMatchIn(a.group(3)).map(_.group(1)).toVector
+        for ((d, i) <- dsts.zipWithIndex if lo + i <= hi)
+          out += (lo + i) -> utf16(hex(d))
+      }
+      // mask array-form entries so the triple scan cannot misread an
+      // array's first element as a <dst> of the continuous form
+      val masked = arrayForm.replaceAllIn(body, "")
+      for (t <- triple.findAllMatchIn(masked)) {
+        val lo = code(hex(t.group(1)))
+        val hi = code(hex(t.group(2)))
+        val dst = code(hex(t.group(3)))
+        for (c <- lo to math.min(hi, lo + 65535))
+          out += c -> new String(Character.toChars(dst + (c - lo)))
+      }
     }
     out.result()
   }

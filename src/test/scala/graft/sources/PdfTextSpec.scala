@@ -242,6 +242,22 @@ class PdfTextSpec extends AnyFunSuite {
     assert(m(1) == "ä")
   }
 
+  test("bfrange ARRAY destinations map one explicit target per code") {
+    // §9.10.3 second form: [<d0> <d1> …] — including a multi-char
+    // (ligature) destination; a continuous range after it must still
+    // parse and the array's first element must not leak into it
+    val m = PdfText.parseToUnicode(
+      """begincmap
+        |2 beginbfrange
+        |<0020> <0022> [<0058> <00660066> <005A>]
+        |<0030> <0031> <0041>
+        |endbfrange
+        |endcmap""".stripMargin)
+    assert(m(0x20) == "X" && m(0x21) == "ff" && m(0x22) == "Z")
+    assert(m(0x30) == "A" && m(0x31) == "B")
+    assert(!m.contains(0x23))
+  }
+
   test("hex strings without a resolving cmap stay single-byte latin-1") {
     // the Gruezi fixture has no ToUnicode stream: 2-byte interpretation
     // must NOT kick in
