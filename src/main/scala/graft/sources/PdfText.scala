@@ -658,14 +658,34 @@ object PdfText {
   }
 
   private[sources] def objectDicts(hay: String): Map[Int, String] = {
+    // indexOf scan, not a regex: this runs per DOCUMENT over the whole
+    // byte haystack (like `streams`), and a `\d+\s+\d+\s+obj` regex
+    // attempts a match at every offset — measured ~10× slower on the
+    // CID probe fixture
     val out = Map.newBuilder[Int, String]
-    val objRe = """(\d{1,9})\s+\d+\s+obj""".r
-    for (m <- objRe.findAllMatchIn(hay)) {
-      var i = m.end
-      while (i < hay.length && Character.isWhitespace(hay.charAt(i))) i += 1
-      if (i + 1 < hay.length && hay.charAt(i) == '<' && hay.charAt(i + 1) == '<')
-        captureDict(hay, i).foreach(d => out += m.group(1).toInt -> d)
-    }
+    var from = 0
+    while ({ val at = hay.indexOf("obj", from); at >= 0 && {
+      // standalone token only ("endobj" is preceded by 'd', not space)
+      if (at >= 1 && Character.isWhitespace(hay.charAt(at - 1))) {
+        var i = at - 1
+        def skipWs(): Unit =
+          while (i >= 0 && Character.isWhitespace(hay.charAt(i))) i -= 1
+        def readNum(): Int = {
+          val e = i
+          while (i >= 0 && hay.charAt(i).isDigit) i -= 1
+          if (e == i || e - i > 9) -1 else hay.substring(i + 1, e + 1).toInt
+        }
+        skipWs(); val g = readNum(); skipWs(); val n = readNum()
+        if (g >= 0 && n >= 0) {
+          var j = at + 3
+          while (j < hay.length && Character.isWhitespace(hay.charAt(j))) j += 1
+          if (j + 1 < hay.length && hay.charAt(j) == '<' && hay.charAt(j + 1) == '<')
+            captureDict(hay, j).foreach(d => out += n -> d)
+        }
+      }
+      from = at + 3
+      true
+    }}) ()
     out.result()
   }
 
@@ -676,8 +696,8 @@ object PdfText {
     * some producers — and the m-gate fixtures — ship).
     */
   private[sources] def objStmDicts(dict: String, body: String): Map[Int, String] = {
-    val n = """/N\s+(\d+)""".r.findFirstMatchIn(dict).map(_.group(1).toInt)
-    val first = """/First\s+(\d+)""".r.findFirstMatchIn(dict).map(_.group(1).toInt)
+    val n = objStmNRe.findFirstMatchIn(dict).map(_.group(1).toInt)
+    val first = objStmFirstRe.findFirstMatchIn(dict).map(_.group(1).toInt)
     val packed = (n, first) match {
       case (Some(cnt), Some(f0)) if cnt > 0 && f0 > 0 && f0 <= body.length =>
         val header = body.substring(0, f0).trim.split("\\s+").filter(_.nonEmpty)
@@ -698,6 +718,20 @@ object PdfText {
     packed ++ objectDicts(body)
   }
 
+  private val objStmNRe = """/N\s+(\d+)""".r
+  private val objStmFirstRe = """/First\s+(\d+)""".r
+  private val objStmTypeRe = "/Type\\s*/ObjStm".r
+  private val skipStreamRe = "/(?:Type|Subtype)\\s*/(?:XRef|ObjStm|Image|Metadata)".r
+  // ToUnicode CMap grammar, hoisted (compiling per document was the
+  // round-4 hot-path lesson)
+  private val bfcharRe = """(?s)beginbfchar(.*?)endbfchar""".r
+  private val bfrangeRe = """(?s)beginbfrange(.*?)endbfrange""".r
+  private val bfPairRe = """<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>""".r
+  private val bfTripleRe = """<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>""".r
+  // §9.10.3 array-destination form: <lo> <hi> [<d0> <d1> …]
+  private val bfArrayRe =
+    """<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>\s*\[((?:\s*<[0-9a-fA-F]+>)+)\s*\]""".r
+  private val bfElementRe = """<([0-9a-fA-F]+)>""".r
   private val resourceFontRe = """/Font\s*<<([^>]*)>>""".r
   private val fontPairRe = """/(\w+)\s+(\d{1,9})\s+\d+\s+R""".r
   private val toUnicodeRefRe = """/ToUnicode\s+(\d{1,9})\s+\d+\s+R""".r
@@ -748,8 +782,10 @@ object PdfText {
     }.toMap
   }
 
+  private val nonIdentityGidRe = "/CIDToGIDMap\\s*+(?!/Identity)\\S".r
+
   private def fontDescNonIdentityGid(descendantDict: String): Boolean =
-    "/CIDToGIDMap\\s*+(?!/Identity)\\S".r.findFirstIn(descendantDict).isDefined
+    nonIdentityGidRe.findFirstIn(descendantDict).isDefined
 
   // ---- ToUnicode CMaps (CID/Type0 fonts, §9.10.3): 2-byte character
   // codes resolve through the font's bfchar/bfrange mappings; without a
@@ -763,15 +799,12 @@ object PdfText {
       new String(bs, java.nio.charset.StandardCharsets.UTF_16BE)
     def code(bs: Array[Byte]): Int =
       bs.foldLeft(0)((a, b) => (a << 8) | (b & 0xff))
-    val bfchar = """(?s)beginbfchar(.*?)endbfchar""".r
-    val bfrange = """(?s)beginbfrange(.*?)endbfrange""".r
-    val pair = """<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>""".r
-    val triple = """<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>""".r
-    // §9.10.3 array-destination form: <lo> <hi> [<d0> <d1> …] — one
-    // explicit UTF-16BE destination per code in the range
-    val arrayForm =
-      """<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>\s*\[((?:\s*<[0-9a-fA-F]+>)+)\s*\]""".r
-    val element = """<([0-9a-fA-F]+)>""".r
+    val bfchar = bfcharRe
+    val bfrange = bfrangeRe
+    val pair = bfPairRe
+    val triple = bfTripleRe
+    val arrayForm = bfArrayRe
+    val element = bfElementRe
     for (m <- bfchar.findAllMatchIn(cmap); p <- pair.findAllMatchIn(m.group(1)))
       out += code(hex(p.group(1))) -> utf16(hex(p.group(2)))
     for (m <- bfrange.findAllMatchIn(cmap)) {
@@ -1203,7 +1236,7 @@ object PdfText {
     try {
       val hay = new String(bytes, Latin1)
       val decryptor = findDecryptor(hay)
-      val skip = "/(?:Type|Subtype)\\s*/(?:XRef|ObjStm|Image|Metadata)".r
+      val skip = skipStreamRe
       // decryption applies BEFORE the filter chain (§7.6.2); the
       // /Encrypt dict's own strings (O, U) are never encrypted
       def decoded(st: RawStream): Array[Byte] = {
@@ -1238,11 +1271,9 @@ object PdfText {
       // PDF-1.5 files may pack the font dicts into compressed object
       // streams: decode each ObjStm ONCE and reuse the bodies for the
       // CID-marker search and the per-font resolution below.
-      lazy val objStmPairs: Seq[(String, String)] = {
-        val objStm = "/Type\\s*/ObjStm".r
-        scanned.filter(st => objStm.findFirstIn(st.dict).isDefined)
+      lazy val objStmPairs: Seq[(String, String)] = 
+        scanned.filter(st => objStmTypeRe.findFirstIn(st.dict).isDefined)
           .map(st => (st.dict, new String(decoded(st), Latin1)))
-      }
       def declaresCidFont: Boolean =
         hay.contains("/Type0") || hay.contains("/Identity-H") ||
           objStmPairs.exists { case (_, s) =>
@@ -1265,8 +1296,7 @@ object PdfText {
       // their 2-byte codes as Latin-1 garbage, keep any simple-font
       // literal text, and let an all-CID document quarantine naturally
       // (the reference logs + skips such rows).
-      val nonIdentityGidMap =
-        "/CIDToGIDMap\\s*+(?!/Identity)\\S".r.findFirstIn(hay).isDefined
+      val nonIdentityGidMap = nonIdentityGidRe.findFirstIn(hay).isDefined
       val fontCmap =
         if (cmap.nonEmpty || !cidDeclared || nonIdentityGidMap) Map.empty[Int, String]
         else fontPrograms.iterator
