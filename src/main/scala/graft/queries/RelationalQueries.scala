@@ -178,6 +178,33 @@ object RelationalQueries extends QueryPack {
                      n_regionkey::BIGINT AS n_regionkey
               FROM nation WHERE n_regionkey = 2""")),
 
+    // ---- §3.2 sub-dataset slices (k8): DatasetWriter.subDatasets —
+    // one partitionBy(slice, split) pass per slice FAMILY (vs the
+    // reference's loop of filtered writes, dataset_creator.py:941-1004)
+    // — exercised end-to-end: write a year-band slice family over the
+    // nation-derived fixture, read ONE slice directory back through the
+    // partition-pruned path, oracle-state its rows (null label routes
+    // to __other like the reference's unknown bucket).
+    Q("k8_subdatasets_roundtrip",
+      (s, d) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_k8_").toString
+        val ds = Tables.nation(s, d)
+          .withColumn("split",
+            when(col("n_nationkey") % 2 === 0, "train").otherwise("test"))
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"), col("split"))
+        graft.datasets.DatasetWriter.subDatasets(ds, out, Map(
+          "region_band" -> when(col("n_regionkey") < 2, lit("low"))
+            .when(col("n_regionkey") < 4, lit("mid"))))
+        s.read.json(s"$out/by_region_band")
+          .where(col("region_band") === "mid")
+          .select(col("n_nationkey").cast("bigint").as("n_nationkey"),
+            col("n_name"), col("region_band"), col("split"))
+      },
+      Some("""SELECT n_nationkey::BIGINT AS n_nationkey, n_name,
+                     'mid' AS region_band,
+                     CASE WHEN n_nationkey % 2 = 0 THEN 'train' ELSE 'test' END AS split
+              FROM nation WHERE n_regionkey IN (2, 3)""")),
+
     // ---- run_nlp_pipe token persistence (abstract_preprocessor.py:
     // 256-298): per-section counts in both calibration currencies —
     // word-rule "spacy" analog + model-tokenizer len(input_ids),
