@@ -57,6 +57,13 @@ object Sinks {
     * a bucket survive. Only touched buckets are read or rewritten —
     * untouched buckets are never opened, so batch cost scales with
     * |batch| + |touched buckets|, not table size.
+    *
+    * `numBuckets` is part of the table's LAYOUT CONTRACT: it must stay
+    * constant for the table's lifetime (like Hive bucketing) — routing
+    * and the touched-bucket pruning both derive from it, so changing
+    * it mid-table would strand rows in partitions the new routing
+    * never revisits. Re-bucketing = full rewrite through `compact`-
+    * style read-all + fresh upsert.
     */
   def upsertBucketed(batch: DataFrame, path: String, keyCol: String,
                      numBuckets: Int = 64): Unit = {

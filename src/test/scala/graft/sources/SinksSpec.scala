@@ -61,6 +61,35 @@ class SinksSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap == Map(1L -> "a"))
   }
 
+  test("upsertBucketed matches a Map model over random batch sequences") {
+    // model-based check of the 100 TB incremental primitive: any
+    // sequence of keyed batches must leave the table equal to "last
+    // write per key wins" (seed-pinned so failures reproduce)
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xD00D)
+    for (scenario <- 1 to 3) {
+      val path = tmp(s"upsert_model$scenario")
+      val model = scala.collection.mutable.Map.empty[Long, String]
+      // bucket count is part of the table's layout contract: fixed at
+      // creation, never varied across upserts (see upsertBucketed doc)
+      val buckets = 1 + rnd.nextInt(4)
+      for (batchNo <- 1 to 4) {
+        val batch = (0 until rnd.nextInt(12))
+          .map(_ => (rnd.nextInt(20).toLong, s"s$scenario-b$batchNo-${rnd.nextInt(1000)}"))
+          // within one batch the model keeps ONE row per key like the
+          // sink's delete-then-insert; drop in-batch dup keys up front
+          .groupBy(_._1).map(_._2.head).toSeq
+        batch.foreach { case (k, v) => model(k) = v }
+        Sinks.upsertBucketed(batch.toDF("id", "v"), path, "id", buckets)
+      }
+      val got =
+        if (model.isEmpty) Map.empty[Long, String]
+        else Sinks.readUpserted(spark, path).collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == model.toMap, s"scenario $scenario diverged from model")
+    }
+  }
+
   test("appendNewKeys only appends unseen keys") {
     import spark.implicits._
     val path = tmp("append")
