@@ -112,4 +112,61 @@ object WordPiece {
     */
   def countWithSpecials(text: String, vocab: Set[String]): Int =
     tokenize(text, vocab).size + 2
+
+  val Specials: Seq[String] = Seq("[PAD]", Unk, "[CLS]", "[SEP]", "[MASK]")
+
+  /** Learn a WordPiece vocab from a corpus (the builder tooling side
+    * of the F34 tier, mirroring `Bpe.train`): HuggingFace's WordPiece
+    * trainer is BPE with LIKELIHOOD scoring — start every word as
+    * first-char + `##`-continuations, repeatedly merge the adjacent
+    * pair with the highest `freq(ab) / (freq(a) * freq(b))` (ties
+    * break lexicographically, so training is deterministic), each
+    * merge contributing its joined token to the vocab, until
+    * `vocabSize` entries or saturation (every word fully merged — a
+    * corpus can only fill a vocab as far as its own diversity allows).
+    * Output order: specials, then single units, then merges in
+    * learned order — the standard `vocab.txt` shape.
+    */
+  def train(words: Seq[String], vocabSize: Int): Seq[String] = {
+    def join(a: String, b: String): String = a + b.stripPrefix("##")
+    val vocab = scala.collection.mutable.Map.empty[Vector[String], Long]
+    for (w <- words; if w.nonEmpty) {
+      val units = w.head.toString +: w.tail.map(c => "##" + c).toVector
+      vocab.updateWith(units)(c => Some(c.getOrElse(0L) + 1))
+    }
+    val out = scala.collection.mutable.LinkedHashSet.empty[String]
+    Specials.foreach(out += _)
+    vocab.keys.flatten.foreach(out += _)
+    var done = out.size >= vocabSize
+    while (!done) {
+      val unitFreq = scala.collection.mutable.Map.empty[String, Long]
+      val pairFreq = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((toks, c) <- vocab) {
+        for (t <- toks) unitFreq.updateWith(t)(v => Some(v.getOrElse(0L) + c))
+        for (i <- 0 until toks.length - 1)
+          pairFreq.updateWith((toks(i), toks(i + 1)))(v => Some(v.getOrElse(0L) + c))
+      }
+      if (pairFreq.isEmpty) done = true
+      else {
+        val best = pairFreq.keys.minBy { case (a, b) =>
+          (-pairFreq((a, b)).toDouble / (unitFreq(a).toDouble * unitFreq(b)), a, b)
+        }
+        out += join(best._1, best._2)
+        val updated = vocab.toSeq.map { case (toks, c) =>
+          val nb = Vector.newBuilder[String]
+          var j = 0
+          while (j < toks.length) {
+            if (j < toks.length - 1 && toks(j) == best._1 && toks(j + 1) == best._2) {
+              nb += join(toks(j), toks(j + 1)); j += 2
+            } else { nb += toks(j); j += 1 }
+          }
+          nb.result() -> c
+        }
+        vocab.clear()
+        for ((t, c) <- updated) vocab.updateWith(t)(v => Some(v.getOrElse(0L) + c))
+        if (out.size >= vocabSize) done = true
+      }
+    }
+    out.toSeq.take(vocabSize)
+  }
 }

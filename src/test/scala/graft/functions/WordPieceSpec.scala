@@ -51,6 +51,30 @@ class WordPieceSpec extends AnyFunSuite {
     assert(TokenCounter.BundledWordPiece.tokens("") == Seq.empty)
   }
 
+  test("train learns a vocab that re-segments its own corpus compactly") {
+    // HF-style likelihood-scored trainer: after training, frequent
+    // corpus words must tokenize to few pieces through the standard
+    // greedy encoder, continuations must carry ##, specials present
+    val corpus = Seq.fill(50)("gericht") ++ Seq.fill(30)("gerichts") ++
+      Seq.fill(20)("urteil") ++ Seq.fill(10)("urteile") ++ Seq("zug")
+    val vocab = train(corpus, 64).toSet
+    assert(Specials.forall(vocab))
+    assert(vocab.exists(t => t.startsWith("##") && t.length > 3))
+    assert(encodeWord("gericht", vocab).size <= 2)
+    assert(encodeWord("urteil", vocab).size <= 3)
+    // saturation: a tiny corpus cannot fill a huge vocab — train stops
+    // instead of looping (the reason the bundled 30k vocab is
+    // generated, not corpus-trained: sf0.1 documents hold 31 distinct
+    // words and saturate far below BERT size)
+    val tiny = train(Seq("ab", "ab", "cd"), 10000)
+    assert(tiny.size < 30)
+  }
+
+  test("trained vocab is deterministic for a fixed corpus") {
+    val corpus = Seq.fill(5)("beschwerde") ++ Seq.fill(3)("bescheid")
+    assert(train(corpus, 40) == train(corpus, 40))
+  }
+
   test("bundled vocab is realistic-scale (the reference's BERT family)") {
     // abstract_preprocessor.py:304-310 loads ~30k-entry cased vocabs;
     // the bundled slot carries that scale so t16/r8/r9 and the

@@ -6,7 +6,13 @@ cased de/fr/it legal-domain vocabulary at the scale of the BERT vocabs
 the reference loads (~30k entries, abstract_preprocessor.py:304-310 —
 bert-base-german-cased etc. ship 30 522). No randomness, no network:
 the head is a curated legal/function wordlist (superset of the old
-184-entry demo vocab), the tail is morphology-driven expansion
+184-entry demo vocab), the tail is morphology-driven expansion.
+Corpus-TRAINED vocabs are supported by the library itself
+(graft.functions.WordPiece.train, the HF likelihood-scored trainer,
+mirroring Bpe.train) — but the synthetic sf corpus holds only 31
+distinct words and saturates a trained vocab far below BERT size,
+hence this generator for the realistic-SCALE slot; the tail is
+morphology-driven expansion
 (root x prefix x suffix over German/French/Italian legal stems) —
 structurally like a trained vocab's long tail (prefix-sharing, cased,
 ## continuations) so greedy longest-match does realistic work per
