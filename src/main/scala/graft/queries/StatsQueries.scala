@@ -356,6 +356,92 @@ object StatsQueries extends QueryPack {
                           ELSE 'secret_test' END AS split
               FROM documents WHERE n_chars >= 100""")),
 
+    // ---- §3.2 citation-extraction (NER) creator END-TO-END (x33,
+    // citation_extraction_dataset_creator.py): the full creator —
+    // body synthesis → citation-span BIO labeling → token/label
+    // sequences → splits — with both sequences restated literally as
+    // space-joined strings (the oracle recomputes the tokenizer and
+    // knows the appended citation contributes exactly
+    // B-CITATION + 3×I-CITATION followed by the final-period O).
+    Q("x33_citation_ner_e2e",
+      (s, d) => graft.datasets.TextDatasets.citationExtraction(s, d)
+        .select(col("doc_id"), col("year"),
+          array_join(col("tokens"), " ").as("tokens_str"),
+          array_join(col("labels"), " ").as("labels_str"),
+          col("split")),
+      Some("""WITH b AS (
+                SELECT doc_id, CAST(doc_id % 25 + 2000 AS INT) AS year,
+                       text || ' Vgl. BGE ' || (doc_id % 50 + 100) || ' II ' ||
+                       (doc_id % 400 + 1) || '.' AS body
+                FROM documents),
+              tok AS (
+                SELECT doc_id, year,
+                       regexp_extract_all(body, '[0-9A-Za-z_]+|[^\s0-9A-Za-z_]') AS toks
+                FROM b)
+              SELECT doc_id, year,
+                     array_to_string(toks, ' ') AS tokens_str,
+                     repeat('O ', len(toks) - 5) ||
+                       'B-CITATION I-CITATION I-CITATION I-CITATION O' AS labels_str,
+                     CASE WHEN year <= 2015 THEN 'train'
+                          WHEN year <= 2017 THEN 'validation'
+                          WHEN year <= 2022 THEN 'test'
+                          ELSE 'secret_test' END AS split
+              FROM tok""")),
+
+    // ---- §3.2 regeste creator END-TO-END (x34,
+    // regeste_dataset_creator.py:27-76): header/regeste/text triples
+    // with the reference's shorter-regeste disambiguation between the
+    // Sachverhalt and Erwägungen splits, missing-keyword fallbacks,
+    // null quirks, and edge-newline strip — all six branches cycled
+    // by the synthesized full_text and restated per row.
+    Q("x34_regeste_e2e",
+      (s, d) => graft.datasets.TextDatasets.regeste(s, d),
+      Some("""WITH f AS (
+                SELECT doc_id, lang, CAST(doc_id % 25 + 2000 AS INT) AS year,
+                       CASE CAST(doc_id % 6 AS INT)
+                         WHEN 0 THEN substr(text,1,40) || chr(10) || 'Regeste ' || substr(text,41,60)
+                                  || chr(10) || 'Sachverhalt ' || substr(text,101,120)
+                                  || chr(10) || 'Erwägungen ' || substr(text,221,120)
+                         WHEN 1 THEN substr(text,1,40) || chr(10) || 'Regeste ' || substr(text,41,60)
+                                  || chr(10) || 'Erwägungen ' || substr(text,101,120)
+                                  || chr(10) || 'Sachverhalt ' || substr(text,221,120)
+                         WHEN 2 THEN substr(text,1,40) || chr(10) || 'Regeste ' || substr(text,41,60)
+                                  || chr(10) || 'Sachverhalt ' || substr(text,101,200)
+                         WHEN 3 THEN substr(text,1,40) || chr(10) || 'Regeste ' || substr(text,41,60)
+                                  || chr(10) || 'Erwägungen ' || substr(text,101,200)
+                         WHEN 4 THEN substr(text,1,40)
+                         ELSE substr(text,1,40) || chr(10) || 'Regeste ' || substr(text,41,60)
+                                  || ' ' || substr(text,101,200)
+                       END AS full_text
+                FROM documents),
+              s1 AS (SELECT *, strpos(full_text, chr(10) || 'Regeste') AS p_r FROM f),
+              s2 AS (SELECT *,
+                       CASE WHEN p_r > 0 THEN substr(full_text, 1, p_r - 1)
+                            ELSE full_text END AS header,
+                       CASE WHEN p_r > 0 THEN substr(full_text, p_r + 8) END AS rest
+                     FROM s1),
+              s3 AS (SELECT *,
+                       coalesce(strpos(rest, chr(10) || 'Sachverhalt'), 0) AS p_f,
+                       coalesce(strpos(rest, chr(10) || 'Erwägungen'), 0) AS p_e
+                     FROM s2),
+              s4 AS (SELECT *,
+                       CASE WHEN p_f > 0 AND p_e > 0 THEN least(p_f, p_e)
+                            WHEN p_f > 0 THEN p_f
+                            WHEN p_e > 0 THEN p_e END AS p_c
+                     FROM s3)
+              SELECT doc_id, year, lang, header,
+                     CASE WHEN p_c IS NOT NULL THEN
+                       trim(chr(10) || 'Regeste' || substr(rest, 1, p_c - 1), chr(10))
+                     END AS regeste,
+                     CASE WHEN p_c IS NOT NULL THEN
+                       trim(substr(rest, p_c), chr(10))
+                     END AS text,
+                     CASE WHEN year <= 2015 THEN 'train'
+                          WHEN year <= 2017 THEN 'validation'
+                          WHEN year <= 2022 THEN 'test'
+                          ELSE 'secret_test' END AS split
+              FROM s4""")),
+
     // ---- §3.3 ad-hoc analysis END-TO-END (x31/x32,
     // fundamental_importance.py:118-176): pushed contains-scan →
     // sentence explode → negation flags → grouped summaries with the
