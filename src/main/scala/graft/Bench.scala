@@ -1,12 +1,27 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. One JSON line on stdout:
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"failed":N,...}`.
+  *
+  * Failure-transparent: a query that throws gets `-1` in `queries`, its
+  * name in `"errors"`, and bumps `"failed"` — a regression can never
+  * hide inside a plausible-looking total (round-5 lesson: the swallowed
+  * exceptions timed at ~0.07 s and looked like fast queries).
+  *
+  * `SPARK_GRAFT_BENCH_ITERS` (default 3) runs every query N times and
+  * reports per-query MEDIANS — the box shows 1.5–6× same-code noise
+  * (PERF.md), medians of 3 cut most of it.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -19,18 +34,32 @@ object Bench {
     // dev knob: comma-separated query names to bench in isolation
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
-      }.toMap
+    // iterate OVER the whole suite, not per-query back-to-back runs, so
+    // iteration i's cache warmth doesn't flatter query i's iteration i+1
+    val samples = collection.mutable.Map.empty[String, List[Double]]
+    val errors = collection.mutable.LinkedHashSet.empty[String]
+    for (_ <- 1 to iters; (name, fn) <- names) {
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => errors += name; false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (ok) samples(name) = sec :: samples.getOrElse(name, Nil)
+    }
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted; s(s.size / 2)
+    }
+    val results: Map[String, Double] = names.map { case (name, _) =>
+      name -> samples.get(name).map(median).getOrElse(-1.0)
+    }.toMap
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
+    val errJson = errors.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${errors.size},"errors":$errJson,"iters":$iters,"sf":"$sfDir","cpus":$cpus}"""
     println(line)
     // the driver's log tail truncates at 2000 chars (r3 kept only 61 of
     // 105 per-query times) — persist the COMPLETE machine-readable
@@ -39,5 +68,6 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { case _: Throwable => () } // bench output must never fail the run
     spark.stop()
+    if (errors.nonEmpty) System.err.println(s"BENCH FAILURES: ${errors.mkString(", ")}")
   }
 }

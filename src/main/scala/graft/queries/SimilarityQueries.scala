@@ -412,12 +412,16 @@ object SimilarityQueries extends QueryPack {
     // update / class-prototype computation.
     Q("s5_label_centroids",
       (s, d) => Tables.embeddings(s, d)
+        // slice BEFORE the posexplode: the gated output keeps only dims
+        // 0–7, and a dim filter above the Generate can't push below it —
+        // exploding all 64 dims would shuffle 8× the needed rows (the
+        // difference between 12.5 TB and 100 TB of shuffle at scale).
         .select(col("label").cast("bigint").as("label"),
-          posexplode(expr("transform(embedding, x -> cast(x as decimal(20,10)))"))
+          posexplode(expr(
+            "transform(slice(embedding, 1, 8), x -> cast(x as decimal(20,10)))"))
             .as(Seq("dim", "component")))
         .groupBy("label", "dim")
         .agg(round((sum("component") / count(lit(1))).cast("double"), 6).as("centroid"))
-        .where(col("dim") < 8) // keep the gated output compact
         .select(col("label"), col("dim").cast("bigint").as("dim"), col("centroid")),
       Some("""SELECT cast(label as bigint) AS label, cast(dim - 1 as bigint) AS dim,
                 round(cast(sum(component) / count(*) as double), 6) AS centroid

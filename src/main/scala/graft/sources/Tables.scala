@@ -17,22 +17,40 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. We read it as a Long of epoch-nanos
-    * (legacy flag) and expose both the raw nanos and a truncated
-    * microsecond timestamp (matches DuckDB's ns→µs cast truncation).
-    * The flag is a runtime SQL conf, so setting it here also covers a
-    * driver-created session (`SparkEntry.entry`).
+  /** `events.ts` has been generated under two encodings across driver
+    * runs: parquet TIMESTAMP(NANOS) — which Spark's vectorized reader
+    * rejects, so we read it as epoch-nanos Long via the legacy flag —
+    * and plain TIMESTAMP_NTZ at microsecond precision. We branch on the
+    * schema Spark actually reads and normalize both to the same three
+    * columns: `ts_ns` (epoch nanos, Long), `ts_us` (epoch micros,
+    * Long), `ts` (microsecond timestamp). DuckDB oracles using
+    * `epoch_ns(ts)` agree with either path (µs×1000 is exact and stays
+    * well under 2^63 until year 2262).
+    * The legacy flag is a runtime SQL conf, so setting it here also
+    * covers a driver-created session (`SparkEntry.entry`).
     */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts_ns", col("ts").cast("long"))
-        // integer division BEFORE any widening: 1.7e18 exceeds 2^53, a
-        // double round-trip would corrupt the low bits.
-        .withColumn("ts_us", expr("ts_ns div 1000"))
-        .withColumn("ts", expr("timestamp_micros(ts_us)"))
+      // The NTZ→instant cast below uses the session timezone; pin it so
+      // ts_us/ts_ns are the same epoch values DuckDB's epoch_ns computes
+      // regardless of which entrypoint built the session.
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          // legacy TIMESTAMP(NANOS) read back as epoch-nanos Long
+          raw.withColumn("ts_ns", col("ts").cast("long"))
+            // integer division BEFORE any widening: 1.7e18 exceeds 2^53,
+            // a double round-trip would corrupt the low bits.
+            .withColumn("ts_us", expr("ts_ns div 1000"))
+            .withColumn("ts", expr("timestamp_micros(ts_us)"))
+        case _ =>
+          // TIMESTAMP / TIMESTAMP_NTZ at microsecond precision
+          raw.withColumn("ts_us", expr("unix_micros(cast(ts as timestamp))"))
+            .withColumn("ts_ns", expr("ts_us * 1000L"))
+            .withColumn("ts", expr("timestamp_micros(ts_us)"))
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

@@ -152,14 +152,22 @@ object EventStreams {
 
   /** File-source reader for a directory of event parquet files — the
     * production ingest shape (each micro-batch = newly landed files).
-    * Nanos timestamps are read as epoch-nanos longs (same policy as
-    * sources.Tables) — Spark's vectorized reader rejects TIMESTAMP(NANOS).
+    * Same two-encoding policy as `sources.Tables`: legacy
+    * TIMESTAMP(NANOS) read as epoch-nanos longs (Spark's vectorized
+    * reader rejects NANOS), or plain µs TIMESTAMP/TIMESTAMP_NTZ.
     */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val schema = spark.read.parquet(dir).schema
-    spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts_ns", col("ts").cast("long"))
-      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+    val raw = spark.readStream.schema(schema).parquet(dir)
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts_ns", col("ts").cast("long"))
+          .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+      case _ =>
+        raw.withColumn("ts_ns", expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+          .withColumn("ts", expr("cast(ts as timestamp)"))
+    }
   }
 }

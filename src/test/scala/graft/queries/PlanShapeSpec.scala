@@ -127,4 +127,15 @@ class PlanShapeSpec extends SparkSpec {
     }
     assert(spark.sparkContext.getPersistentRDDs.size <= before)
   }
+
+  test("s5 centroids slice the embedding before the explode (8 dims, not 64)") {
+    // a dim filter above the Generate can't push below it; the slice must
+    // sit inside the exploded expression so only 8 components are
+    // generated and shuffled per row
+    val p = plan("s5_label_centroids")
+    assert(p.contains("slice"), "Generate input must be sliced pre-explode: " + p.take(1000))
+    val filterAboveGenerate = p.linesIterator.exists(l =>
+      l.contains("Filter") && l.contains("dim"))
+    assert(!filterAboveGenerate, "no post-explode dim filter may remain: " + p.take(1000))
+  }
 }
