@@ -184,5 +184,69 @@ object EventQueries extends QueryPack {
                 FROM f)
               SELECT user_id, min(ts_us) AS start_us, count(*) AS n_events
               FROM g GROUP BY user_id, sess_id""")),
+
+    // ---- ACTUAL streaming execution, gated (not just the batch dual):
+    // the events table lands as a file-source micro-batch, runs through
+    // streaming.EventStreams.sessionize (flatMapGroupsWithState, event-
+    // time timeout), and each batch's closed sessions append to parquet
+    // via foreachBatch — the production ingest→state→sink shape. Two
+    // far-future flush events (user -1, filtered out) land as separate
+    // micro-batches to push the watermark past every real session's
+    // timeout, so the emitted set is deterministic and equals the e2
+    // lag/cumsum oracle exactly.
+    Q("e9_stream_sessionize",
+      (s, d) => {
+        val stageDir = java.nio.file.Files.createTempDirectory("graft_e9_in_").toString
+        val ckptDir = java.nio.file.Files.createTempDirectory("graft_e9_ck_").toString
+        val outDir = java.nio.file.Files.createTempDirectory("graft_e9_out_").toString
+        val cols = Seq("event_id", "ts", "user_id", "event_type", "value").map(col)
+        val base = Tables.events(s, d).select(cols: _*)
+        base.coalesce(1).write.mode("overwrite").parquet(stageDir)
+        val maxUs = base.agg(max(unix_micros(col("ts")))).head().getLong(0)
+        import s.implicits._
+        val stream = graft.streaming.EventStreams
+          .readEventStream(s, stageDir)
+          .select(cols: _*)
+          .as[graft.streaming.EventStreams.Event]
+        val q = graft.streaming.EventStreams.sessionize(stream)
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckptDir)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[graft.streaming.EventStreams.SessionUpdate],
+             _: Long) => batch.write.mode("append").parquet(outDir)
+          }
+          .start()
+        try {
+          q.processAllAvailable()
+          // flush batches: hidden-file rules ignore _SUCCESS, so a plain
+          // append lands one new visible part-file per call
+          for ((fid, hours) <- Seq((-1L, 36L), (-2L, 72L))) {
+            Seq((fid, maxUs + hours * 3600000000L))
+              .toDF("event_id", "us")
+              .select(col("event_id"), expr("timestamp_micros(us)").as("ts"),
+                lit(-1L).as("user_id"), lit("flush").as("event_type"),
+                lit(0.0).as("value"))
+              .coalesce(1).write.mode("append").parquet(stageDir)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.read.parquet(outDir)
+          .where(col("closed") && col("user_id") >= 0)
+          .select(col("user_id"), col("n_events"), col("start_us"),
+            (col("end_us") - col("start_us")).as("dur_us"))
+      },
+      Some("""WITH t AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us FROM events),
+              f AS (SELECT user_id, ts_us,
+                CASE WHEN lag(ts_us) OVER w IS NULL
+                          OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+                FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+              g AS (SELECT user_id, ts_us,
+                cast(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS sess_id
+                FROM f)
+              SELECT user_id, count(*) AS n_events,
+                min(ts_us) AS start_us, max(ts_us) - min(ts_us) AS dur_us
+              FROM g GROUP BY user_id, sess_id""")),
   )
 }
