@@ -23,12 +23,20 @@ import java.nio.file.{Files, Paths}
   */
 object Sinks {
 
-  /** K5: JSONL export, gzip-compressed (xz in the reference; gzip is
-    * the built-in codec — swap via spark.sql.sources codec conf).
+  /** K5: JSONL export. Default codec is xz for parity with the
+    * reference's `xz -T0` pipe (`dataset_creator.py:482-489`), via the
+    * stream-only [[XzCodec]]; pass "gzip"/"zstd"/… for the built-ins.
+    * Registers the xz codec on the session so the read-back resolves
+    * `.xz` by extension.
     */
-  def writeJsonl(df: DataFrame, path: String): Unit =
+  def writeJsonl(df: DataFrame, path: String, codec: String = "xz"): Unit = {
+    val codecName = if (codec == "xz") {
+      XzCodec.register(df.sparkSession)
+      classOf[XzCodec].getName
+    } else codec
     df.write.mode(SaveMode.Overwrite)
-      .option("compression", "gzip").json(path)
+      .option("compression", codecName).json(path)
+  }
 
   /** K6: CSV export with long text columns dropped first. */
   def writeCsv(df: DataFrame, path: String, dropTextCols: Seq[String]): Unit =

@@ -121,6 +121,25 @@ class SinksSpec extends SparkSpec {
     assert(json.contains(""""0": "lbl_a"""") && json.contains(""""lbl_b": 1"""))
   }
 
+  test("jsonl default codec is real xz (container magic + extension + read-back)") {
+    import spark.implicits._
+    val df = Seq((1L, "ein Urteil"), (2L, "zwei Urteile")).toDF("id", "text")
+    val out = tmp("jsonl_xz")
+    Sinks.writeJsonl(df, out)
+    val parts = Files.list(java.nio.file.Paths.get(out)).toArray.map(_.toString)
+      .filter(p => !new java.io.File(p).getName.startsWith("_")
+        && !new java.io.File(p).getName.startsWith("."))
+    assert(parts.nonEmpty && parts.forall(_.endsWith(".json.xz")), parts.toSeq.toString)
+    // the 6-byte xz stream header: FD '7zXZ' 00 — proves a real xz
+    // container, not a renamed gzip
+    val magic = Files.readAllBytes(java.nio.file.Paths.get(parts.head)).take(6)
+    assert(magic.sameElements(Array(0xFD, '7', 'z', 'X', 'Z', 0x00).map(_.toByte)),
+      magic.map(b => f"$b%02x").mkString(" "))
+    val back = spark.read.json(out)
+    assert(back.count() == 2)
+    assert(back.where(col("id") === 1L).select("text").head().getString(0) == "ein Urteil")
+  }
+
   test("compact merges small files without changing rows") {
     import spark.implicits._
     val path = tmp("compact")
