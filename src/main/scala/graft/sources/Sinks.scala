@@ -76,41 +76,73 @@ object Sinks {
   def upsertBucketed(batch: DataFrame, path: String, keyCol: String,
                      numBuckets: Int = 64): Unit = {
     val spark = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    healUpsert(fs, path) // roll back any swap a previous run crashed in
     val routed = batch
       .withColumn("__bucket", pmod(xxhash64(col(keyCol)), lit(numBuckets)))
-    val merged =
-      if (!Files.exists(Paths.get(path))) {
-        // an all-empty FIRST batch must write nothing: overwriting with
-        // zero rows leaves a schemaless dir (only _SUCCESS) that poisons
-        // every later read-back of this sink
-        if (routed.isEmpty) return
-        routed
-      } else {
-        val touched = routed.select("__bucket").distinct()
-          .collect().map(_.getLong(0))
-        if (touched.isEmpty) return // empty batch: nothing to rewrite
-        // partition pruning keeps this read to the touched buckets only
-        val survivors = spark.read.parquet(path)
-          .where(col("__bucket").cast("long").isin(touched.toSeq: _*))
-          .withColumn("__bucket", col("__bucket").cast("long"))
-          .join(batch.select(keyCol).distinct(), Seq(keyCol), "left_anti")
-        // materialize before the overwrite below deletes the files this
-        // plan reads (Spark forbids/corrupts read-from-overwrite-target)
-        routed.unionByName(survivors.select(routed.columns.map(col): _*))
-          .localCheckpoint(true)
-      }
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      merged.write.mode(SaveMode.Overwrite)
-        .partitionBy("__bucket")
-        .parquet(path)
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    if (!Files.exists(Paths.get(path))) {
+      // an all-empty FIRST batch must write nothing: overwriting with
+      // zero rows leaves a schemaless dir (only _SUCCESS) that poisons
+      // every later read-back of this sink
+      if (routed.isEmpty) return
+      routed.write.mode(SaveMode.Overwrite).partitionBy("__bucket").parquet(path)
+      return
+    }
+    val touched = routed.select("__bucket").distinct()
+      .collect().map(_.getLong(0))
+    if (touched.isEmpty) return // empty batch: nothing to rewrite
+    // partition pruning keeps this read to the touched buckets only
+    val survivors = spark.read.parquet(path)
+      .where(col("__bucket").cast("long").isin(touched.toSeq: _*))
+      .withColumn("__bucket", col("__bucket").cast("long"))
+      .join(batch.select(keyCol).distinct(), Seq(keyCol), "left_anti")
+    // merged output goes to a SIDE temp dir: the plan reads `path` and
+    // writes `tmp`, so there is no read-from-overwrite-target hazard and
+    // nothing to materialize up front. (The previous localCheckpoint
+    // strategy pinned the whole merged set in executor block storage —
+    // measured parity at sf0.1 (tools.UpsertProbe, medians 2.01 vs
+    // 1.97 s) but a memory ceiling and an executor-loss hazard at scale;
+    // this writes the data exactly once, then swaps directory entries.)
+    val tmp = path + "__upsert_tmp"
+    val old = path + "__upsert_old"
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    routed.unionByName(survivors.select(routed.columns.map(col): _*))
+      .write.mode(SaveMode.Overwrite).partitionBy("__bucket").parquet(tmp)
+    // swap each touched bucket via rename-aside: between the two renames
+    // a bucket's live dir is absent but its data sits at __upsert_old —
+    // healUpsert restores it on the next call (SinksCrashSpec pins both
+    // windows). Renames are metadata-only on any rename-capable fs.
+    fs.mkdirs(new org.apache.hadoop.fs.Path(old))
+    for (k <- touched) {
+      val src = new org.apache.hadoop.fs.Path(s"$tmp/__bucket=$k")
+      val dst = new org.apache.hadoop.fs.Path(s"$path/__bucket=$k")
+      if (fs.exists(src)) {
+        if (fs.exists(dst))
+          fs.rename(dst, new org.apache.hadoop.fs.Path(s"$old/__bucket=$k"))
+        fs.rename(src, dst)
       }
     }
+    fs.delete(new org.apache.hadoop.fs.Path(old), true)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
+  /** Crash recovery for upsertBucketed's swap: any bucket renamed aside
+    * whose live dir never got its replacement rolls BACK (old data is
+    * consistent for a re-run — per-key idempotency reapplies the batch);
+    * buckets that completed keep the new data. The partial temp dir is
+    * discarded.
+    */
+  private def healUpsert(fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    val old = new org.apache.hadoop.fs.Path(path + "__upsert_old")
+    if (fs.exists(old)) {
+      for (st <- fs.listStatus(old)) {
+        val dst = new org.apache.hadoop.fs.Path(path + "/" + st.getPath.getName)
+        if (!fs.exists(dst)) fs.rename(st.getPath, dst)
+      }
+      fs.delete(old, true)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(path + "__upsert_tmp"), true)
   }
 
   /** Read back an upsert table (drops the routing column). */

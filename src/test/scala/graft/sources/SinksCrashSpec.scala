@@ -109,6 +109,60 @@ class SinksCrashSpec extends SparkSpec {
     assert(Sinks.readUpserted(spark, path).count() == 40)
   }
 
+  test("upsertBucketed: crash BETWEEN the swap renames (bucket aside, no replacement) rolls back") {
+    import spark.implicits._
+    val path = tmp("u2")
+    val base = (1L to 40L).map(i => (i, s"old$i")).toDF("id", "v")
+    Sinks.upsertBucketed(base, path, "id", numBuckets = 4)
+    val want = Sinks.readUpserted(spark, path).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+    // reproduce the exact window: one bucket renamed aside to
+    // __upsert_old, its replacement rename never happened, tmp partial
+    val bucketDirs = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(_.getPath.getName.startsWith("__bucket=")).map(_.getPath)
+    assert(bucketDirs.nonEmpty)
+    val old = new org.apache.hadoop.fs.Path(path + "__upsert_old")
+    fs.mkdirs(old)
+    fs.rename(bucketDirs.head,
+      new org.apache.hadoop.fs.Path(old, bucketDirs.head.getName))
+    Seq((999L, "garbage")).toDF("id", "v")
+      .write.parquet(path + "__upsert_tmp/__bucket=99")
+    // the next call must first heal (restore the aside bucket, drop tmp)
+    Sinks.upsertBucketed(spark.emptyDataset[(Long, String)].toDF("id", "v"),
+      path, "id", numBuckets = 4)
+    val got = Sinks.readUpserted(spark, path).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+    assert(got == want, "heal must restore the renamed-aside bucket")
+    assert(!fs.exists(old))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__upsert_tmp")))
+  }
+
+  test("upsertBucketed: a completed-then-crashed swap (bucket replaced, old left) keeps new data") {
+    import spark.implicits._
+    val path = tmp("u3")
+    val base = (1L to 40L).map(i => (i, s"old$i")).toDF("id", "v")
+    Sinks.upsertBucketed(base, path, "id", numBuckets = 4)
+    val batch = Seq((1L, "new1"), (2L, "new2")).toDF("id", "v")
+    Sinks.upsertBucketed(batch, path, "id", numBuckets = 4)
+    // crash AFTER both renames but before the old-dir cleanup: the aside
+    // copy still exists while the live bucket already has the new data
+    val live = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(_.getPath.getName.startsWith("__bucket=")).map(_.getPath).head
+    val old = new org.apache.hadoop.fs.Path(path + "__upsert_old")
+    fs.mkdirs(old)
+    org.apache.hadoop.fs.FileUtil.copy(fs, live, fs,
+      new org.apache.hadoop.fs.Path(old, live.getName), false,
+      spark.sparkContext.hadoopConfiguration)
+    Sinks.upsertBucketed(spark.emptyDataset[(Long, String)].toDF("id", "v"),
+      path, "id", numBuckets = 4)
+    val got = Sinks.readUpserted(spark, path).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+    val want = (1L to 40L).map(i =>
+      i -> (if (i <= 2) s"new$i" else s"old$i")).toMap
+    assert(got == want, "heal must NOT clobber a completed bucket with the aside copy")
+    assert(!fs.exists(old))
+  }
+
   test("appendNewKeys: re-running the same batch after a crash-restart adds nothing") {
     import spark.implicits._
     val path = tmp("a1")
