@@ -71,18 +71,20 @@ object MultimodalQueries extends QueryPack {
               FROM documents""")),
 
     // ---- S3 Tika-gap tiers: ENCRYPTED PDFs (standard security
-    // handler, empty user password — RC4-40, RC4-128, AES-128-CBC; the
-    // writer derives O/U/file-key with the spec algorithms, so the gate
+    // handler, empty user password — RC4-40, RC4-128, AES-128-CBC, and
+    // V5/R6 AES-256 with the hardened SHA-2 hash; the writer derives
+    // O/U/OE/UE/file-key with the spec algorithms, so the gate
     // exercises real key derivation + per-object keys) and CID/Type0
     // text resolved through a /ToUnicode CMap. Round-trip oracle.
     Q("m4_pdf_secure",
       (s, d) => {
         val mkPdf = udf { id: Long =>
           val text = s"Vertraulich Nr. $id (rechtskräftig)"
-          (id % 4) match {
+          (id % 5) match {
             case 0 => graft.sources.PdfText.synthesizeEncrypted(text, "rc4-40")
             case 1 => graft.sources.PdfText.synthesizeEncrypted(text, "rc4-128")
             case 2 => graft.sources.PdfText.synthesizeEncrypted(text, "aes-128")
+            case 3 => graft.sources.PdfText.synthesizeEncrypted(text, "aes-256")
             case _ => graft.sources.PdfText.synthesizeCid(text)
           }
         }

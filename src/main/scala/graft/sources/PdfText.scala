@@ -288,14 +288,63 @@ object PdfText {
 
   private val AesSalt = Array(0x73, 0x41, 0x6C, 0x54).map(_.toByte) // "sAlT"
 
-  private final case class Decryptor(key: Array[Byte], aes: Boolean) {
-    /** Algorithm 1: per-object key, then RC4 or AES-CBC (IV-prefixed,
-      * PKCS#7-padded).
+  // ---- V5/R6 (AES-256): ISO 32000-2 §7.6.4.3.3/4. The hardened hash
+  // (Algorithm 2.B) replaces the MD5/RC4 derivation; streams and
+  // strings are AES-256-CBC under the FILE key directly (V5 has no
+  // per-object key).
+
+  private def sha(alg: String)(parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance(alg)
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  private def aesCbcRaw(mode: Int, key: Array[Byte], iv: Array[Byte],
+                        data: Array[Byte]): Array[Byte] = {
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(mode, new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    c.doFinal(data)
+  }
+
+  /** Algorithm 2.B: the iterated SHA-256/384/512 password hash. At
+    * least 64 rounds, then continue until the last byte of the AES
+    * round output is <= round - 32.
+    */
+  private[sources] def hash2B(password: Array[Byte], salt: Array[Byte],
+                              udata: Array[Byte]): Array[Byte] = {
+    var k = sha("SHA-256")(password, salt, udata)
+    var e = Array.empty[Byte]
+    var round = 0
+    while (round < 64 || (e.last & 0xff) > round - 32) {
+      val block = password ++ k ++ udata
+      val k1 = new Array[Byte](block.length * 64)
+      for (i <- 0 until 64)
+        System.arraycopy(block, 0, k1, i * block.length, block.length)
+      e = aesCbcRaw(javax.crypto.Cipher.ENCRYPT_MODE,
+        k.take(16), k.slice(16, 32), k1)
+      k = (e.take(16).map(_ & 0xff).sum % 3) match {
+        case 0 => sha("SHA-256")(e)
+        case 1 => sha("SHA-384")(e)
+        case _ => sha("SHA-512")(e)
+      }
+      round += 1
+    }
+    k.take(32)
+  }
+
+  private final case class Decryptor(key: Array[Byte], aes: Boolean,
+                                     v5: Boolean = false) {
+    /** Algorithm 1 (<=R4): per-object key, then RC4 or AES-CBC
+      * (IV-prefixed, PKCS#7-padded). Algorithm 1.A (V5): the file key
+      * itself, always AES-CBC.
       */
     def decrypt(obj: Int, gen: Int, data: Array[Byte]): Array[Byte] = {
-      val objKey = md5(Seq(key, intLE(obj).take(3), intLE(gen).take(2)) ++
-        (if (aes) Seq(AesSalt) else Nil): _*)
-        .take(math.min(key.length + 5, 16))
+      val objKey =
+        if (v5) key
+        else md5(Seq(key, intLE(obj).take(3), intLE(gen).take(2)) ++
+          (if (aes) Seq(AesSalt) else Nil): _*)
+          .take(math.min(key.length + 5, 16))
       if (!aes) rc4(objKey, data)
       else {
         if (data.length < 16 || (data.length - 16) % 16 != 0)
@@ -314,9 +363,11 @@ object PdfText {
     }
 
     def encrypt(obj: Int, gen: Int, data: Array[Byte]): Array[Byte] = {
-      val objKey = md5(Seq(key, intLE(obj).take(3), intLE(gen).take(2)) ++
-        (if (aes) Seq(AesSalt) else Nil): _*)
-        .take(math.min(key.length + 5, 16))
+      val objKey =
+        if (v5) key
+        else md5(Seq(key, intLE(obj).take(3), intLE(gen).take(2)) ++
+          (if (aes) Seq(AesSalt) else Nil): _*)
+          .take(math.min(key.length + 5, 16))
       if (!aes) rc4(objKey, data)
       else {
         val pad = 16 - data.length % 16
@@ -332,9 +383,15 @@ object PdfText {
     }
   }
 
-  /** A string value from a dict: `<hex>` or `(literal)` form. */
+  /** A string value from a dict: `<hex>` or `(literal)` form. The name
+    * match is boundary-checked so `/O` never matches inside `/OE` or
+    * `/U` inside `/UE` (the V5 dicts carry both).
+    */
   private def stringValueAfter(dict: String, name: String): Option[Array[Byte]] = {
-    val at = dict.indexOf(name)
+    var at = dict.indexOf(name)
+    while (at >= 0 && at + name.length < dict.length &&
+      Character.isLetterOrDigit(dict.charAt(at + name.length)))
+      at = dict.indexOf(name, at + 1)
     if (at < 0) return None
     var i = at + name.length
     while (i < dict.length && dict.charAt(i).isWhitespace) i += 1
@@ -393,6 +450,22 @@ object PdfText {
       val dict = objectDict(hay, m.group(1).toInt).getOrElse(return None)
       if (!dict.contains("/Standard")) return None
       val r = intValueAfter(dict, "/R").getOrElse(2)
+      if (r >= 5) {
+        // V5/R5-R6 (AES-256): derive the file key from /U + /UE with the
+        // empty user password (Algorithm 2.A). An R5/R6 dict the empty
+        // password can't open (or missing /UE) quarantines — falling
+        // through to the RC4-era derivation would emit garbage text.
+        val u = stringValueAfter(dict, "/U").getOrElse(return None)
+        val ue = stringValueAfter(dict, "/UE").getOrElse(return None)
+        if (u.length < 48 || ue.length != 32) return None
+        val (hash, vSalt, kSalt) = (u.take(32), u.slice(32, 40), u.slice(40, 48))
+        val none = Array.empty[Byte]
+        if (!java.util.Arrays.equals(hash2B(none, vSalt, none), hash)) return None
+        val ik = hash2B(none, kSalt, none)
+        val fk = aesCbcRaw(javax.crypto.Cipher.DECRYPT_MODE, ik,
+          new Array[Byte](16), ue)
+        return Some(Decryptor(fk, aes = true, v5 = true))
+      }
       val lengthBits = intValueAfter(dict, "/Length").getOrElse(40)
       val p = intValueAfter(dict, "/P").getOrElse(-1)
       val o = stringValueAfter(dict, "/O").getOrElse(return None)
@@ -1045,12 +1118,14 @@ object PdfText {
   /** Synthesize an ENCRYPTED single-page PDF (standard security
     * handler, empty user+owner passwords — the court-corpus shape).
     * Modes: "rc4-40" (V1/R2), "rc4-128" (V2/R3), "aes-128" (V4/R4
-    * /AESV2). The writer derives O/U/file-key with the spec algorithms,
-    * so extraction exercises the real key-derivation path.
+    * /AESV2), "aes-256" (V5/R6 /AESV3). The writer derives
+    * O/U(/OE/UE)/file-key with the spec algorithms, so extraction
+    * exercises the real key-derivation path.
     */
   def synthesizeEncrypted(text: String, mode: String): Array[Byte] = {
     val escaped = text.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
     val contents = s"BT /F1 12 Tf 72 720 Td ($escaped) Tj ET".getBytes(Latin1)
+    if (mode == "aes-256") return synthesizeAes256(escaped, contents)
     val (v, r, lengthBits, aes) = mode match {
       case "rc4-40" => (1, 2, 40, false)
       case "rc4-128" => (2, 3, 128, false)
@@ -1079,6 +1154,48 @@ object PdfText {
       s" /O <${hx(o)}> /U <${hx(u)}>$cf >> endobj\n" +
       s"trailer << /Root 1 0 R /Encrypt 5 0 R /ID [<${hx(id0)}> <${hx(id0)}>] >>\n%%EOF\n")
       .getBytes(Latin1)
+    head ++ enc ++ tail
+  }
+
+  /** V5/R6 writer (ISO 32000-2 Algorithms 8-10): U/UE from the empty
+    * user password, O/OE from the empty owner password over U, /Perms
+    * AES-ECB under the file key. Salts and key are deterministic
+    * functions of the text so fixtures are reproducible.
+    */
+  private def synthesizeAes256(escaped: String, contents: Array[Byte]): Array[Byte] = {
+    val none = Array.empty[Byte]
+    val seed = sha("SHA-256")(contents)
+    val fk = sha("SHA-256")(seed, "filekey".getBytes(Latin1)) // 32 bytes
+    def salt(tag: String) = sha("SHA-256")(seed, tag.getBytes(Latin1)).take(8)
+    val (uvs, uks) = (salt("uv"), salt("uk"))
+    val u = hash2B(none, uvs, none) ++ uvs ++ uks
+    val ue = aesCbcRaw(javax.crypto.Cipher.ENCRYPT_MODE,
+      hash2B(none, uks, none), new Array[Byte](16), fk)
+    val (ovs, oks) = (salt("ov"), salt("ok"))
+    val o = hash2B(none, ovs, u) ++ ovs ++ oks
+    val oe = aesCbcRaw(javax.crypto.Cipher.ENCRYPT_MODE,
+      hash2B(none, oks, u), new Array[Byte](16), fk)
+    val p = -4
+    val permsBlock = intLE(p) ++ Array.fill(4)(0xff.toByte) ++
+      "Tadb".getBytes(Latin1) ++ salt("pr").take(4)
+    val ecb = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
+    ecb.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(fk, "AES"))
+    val perms = ecb.doFinal(permsBlock)
+    val enc = Decryptor(fk, aes = true, v5 = true).encrypt(4, 0, contents)
+    def hx(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02x").mkString
+    val head = ("%PDF-2.0\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+      s"4 0 obj << /Length ${enc.length} >>\nstream\n").getBytes(Latin1)
+    val tail = ("\nendstream\nendobj\n" +
+      "5 0 obj << /Filter /Standard /V 5 /R 6 /Length 256 " +
+      s"/P $p /O <${hx(o)}> /U <${hx(u)}> /OE <${hx(oe)}> /UE <${hx(ue)}>" +
+      s" /Perms <${hx(perms)}>" +
+      " /CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen >> >>" +
+      " /StmF /StdCF /StrF /StdCF >> endobj\n" +
+      "trailer << /Root 1 0 R /Encrypt 5 0 R >>\n%%EOF\n").getBytes(Latin1)
     head ++ enc ++ tail
   }
 

@@ -179,9 +179,33 @@ class PdfTextSpec extends AnyFunSuite {
 
   test("encrypted PDFs round-trip through every supported mode") {
     val text = "Vertrauliches Urteil Nr. 9 (rechtskräftig)"
-    for (mode <- Seq("rc4-40", "rc4-128", "aes-128"))
+    for (mode <- Seq("rc4-40", "rc4-128", "aes-128", "aes-256"))
       assert(PdfText.extract(PdfText.synthesizeEncrypted(text, mode)) == text,
         s"mode=$mode")
+  }
+
+  test("hash2B matches the 64-round floor and is deterministic") {
+    // no public test vectors ship offline; pin determinism + shape so a
+    // derivation regression (round rule, digest switch) changes output
+    val a = PdfText.hash2B(Array.empty, Array.fill(8)(1.toByte), Array.empty)
+    val b = PdfText.hash2B(Array.empty, Array.fill(8)(1.toByte), Array.empty)
+    assert(a.length == 32 && a.sameElements(b))
+    val c = PdfText.hash2B(Array.empty, Array.fill(8)(2.toByte), Array.empty)
+    assert(!a.sameElements(c))
+  }
+
+  test("an R6 dict the empty password cannot open quarantines, never garbage") {
+    val bytes = PdfText.synthesizeEncrypted("geheim", "aes-256")
+    val s = new String(bytes, ISO_8859_1)
+    // corrupt the /U validation hash: wrong-password case → clean null
+    val uHex = """/U <([0-9a-f]+)>""".r.findFirstMatchIn(s).get.group(1)
+    val flipped = (Integer.parseInt(uHex.take(2), 16) ^ 0xff).toHexString
+      .reverse.padTo(2, '0').reverse.mkString
+    assert(PdfText.extract(s.replace(s"/U <$uHex>",
+      s"/U <$flipped${uHex.drop(2)}>").getBytes(ISO_8859_1)) == null)
+    // an R6 dict with NO /UE (undecryptable) → clean null
+    val noUe = """/UE <[0-9a-f]+>""".r.replaceAllIn(s, "")
+    assert(PdfText.extract(noUe.getBytes(ISO_8859_1)) == null)
   }
 
   test("rc4 is its own inverse and matches a known vector") {
