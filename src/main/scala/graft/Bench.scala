@@ -9,9 +9,12 @@ import org.apache.spark.sql.SparkSession
   * hide inside a plausible-looking total (round-5 lesson: the swallowed
   * exceptions timed at ~0.07 s and looked like fast queries).
   *
-  * `SPARK_GRAFT_BENCH_ITERS` (default 3) runs every query N times and
-  * reports per-query MEDIANS — the box shows 1.5–6× same-code noise
-  * (PERF.md), medians of 3 cut most of it.
+  * `SPARK_GRAFT_BENCH_ITERS` (default 3) runs every query up to N times
+  * and reports per-query MEDIANS — the box shows 1.5–6× same-code noise
+  * (PERF.md), medians of 3 cut most of it. `SPARK_GRAFT_BENCH_BUDGET`
+  * (seconds, default 420) bounds total wall: the first pass always
+  * completes (a full artifact is guaranteed), later passes start only
+  * while under budget.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -38,15 +41,22 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
     // iterate OVER the whole suite, not per-query back-to-back runs, so
     // iteration i's cache warmth doesn't flatter query i's iteration i+1
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "420").toDouble
+    val wall0 = System.nanoTime()
     val samples = collection.mutable.Map.empty[String, List[Double]]
     val errors = collection.mutable.LinkedHashSet.empty[String]
-    for (_ <- 1 to iters; (name, fn) <- names) {
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case _: Throwable => errors += name; false }
-      val sec = (System.nanoTime() - t0) / 1e9
-      if (ok) samples(name) = sec :: samples.getOrElse(name, Nil)
+    var itersRun = 0
+    while (itersRun < iters &&
+      (itersRun == 0 || (System.nanoTime() - wall0) / 1e9 < budgetSec)) {
+      for ((name, fn) <- names) {
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => errors += name; false }
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (ok) samples(name) = sec :: samples.getOrElse(name, Nil)
+      }
+      itersRun += 1
     }
     def median(xs: List[Double]): Double = {
       val s = xs.sorted; s(s.size / 2)
@@ -59,7 +69,7 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val errJson = errors.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${errors.size},"errors":$errJson,"iters":$iters,"sf":"$sfDir","cpus":$cpus}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${errors.size},"errors":$errJson,"iters":$itersRun,"sf":"$sfDir","cpus":$cpus}"""
     println(line)
     // the driver's log tail truncates at 2000 chars (r3 kept only 61 of
     // 105 per-query times) — persist the COMPLETE machine-readable

@@ -851,5 +851,62 @@ object ExtractQueries extends QueryPack {
                 cast(1 as bigint) AS n_b,
                 cast(3 as bigint) AS n_i
               FROM b""")),
+
+    // ---- CONTINUOUS corpus construction, actually streaming (the §3.1
+    // stream dual, not its batch shape): file triples land in two waves
+    // into a watched dir, CorpusStream.run consumes them through the
+    // binaryFile streaming source + foreachBatch + keyed upserts, and
+    // the gate oracle-checks the upserted documents⋈judgments read-back.
+    // Wave 2 delivers d1's payload LATE (its meta landed in wave 1 — the
+    // landing-protocol hazard the stream's design absorbs) plus a new
+    // complete triple; both must surface with correct outcomes.
+    Q("x35_corpus_stream",
+      (s, d) => {
+        import java.nio.file.Files
+        import java.nio.charset.StandardCharsets.UTF_8
+        val landing = Files.createTempDirectory("graft_x35_landing_")
+        val out = Files.createTempDirectory("graft_x35_out_").toString
+        val ckpt = Files.createTempDirectory("graft_x35_ck_").toString
+        def paras(i: Int, ruling: String) = Seq(
+          "Urteil des Bundesgerichts",
+          "Verfahrensbeteiligte A._, Beschwerdeführer, gegen, B._ AG, Beschwerdegegnerin",
+          "Sachverhalt:",
+          s"Am ${i + 1}. Januar 2020 erhob die Partei Beschwerde gegen den angefochtenen Entscheid.",
+          "Erwägungen:",
+          "Die Beschwerde ist form- und fristgerecht eingereicht worden.",
+          "Demnach erkennt das Bundesgericht", ruling)
+        def html(i: Int, ruling: String) = ("<html><body>" +
+          paras(i, ruling).map(p => s"<p>$p</p>").mkString + "</body></html>").getBytes(UTF_8)
+        def put(name: String, bytes: Array[Byte]): Unit =
+          { Files.write(landing.resolve(name), bytes); () }
+        // wave 1: d0 + d2 complete, d1 meta-only (payload still in flight)
+        put("d0.json", """{"id":"d0"}""".getBytes(UTF_8))
+        put("d0.html", html(0, "Die Beschwerde wird abgewiesen."))
+        put("d1.json", """{"id":"d1"}""".getBytes(UTF_8))
+        put("d2.json", """{"id":"d2"}""".getBytes(UTF_8))
+        put("d2.html", html(2, "Die Beschwerde wird gutgeheissen."))
+        val q = graft.streaming.CorpusStream.run(
+          s, landing.toString, out, "CH_BGer", ckpt)
+        try {
+          q.processAllAvailable()
+          // wave 2: d1's late payload re-triggers its stem; d3 is new
+          put("d1.html", html(1, "Die Beschwerde wird teilweise gutgeheissen."))
+          put("d3.json", """{"id":"d3"}""".getBytes(UTF_8))
+          put("d3.html", html(3, "Die Beschwerde wird abgewiesen."))
+          q.processAllAvailable()
+        } finally q.stop()
+        graft.sources.Sinks.readUpserted(s, s"$out/documents")
+          .select("decision_id", "stem", "lang")
+          .join(graft.sources.Sinks.readUpserted(s, s"$out/judgments"),
+            Seq("decision_id"))
+          .select(col("stem"), col("lang"),
+            array_join(col("outcomes"), ",").as("outcomes"))
+      },
+      Some("""SELECT * FROM (VALUES
+                ('d0', 'de', 'dismissal'),
+                ('d1', 'de', 'partial_approval'),
+                ('d2', 'de', 'approval'),
+                ('d3', 'de', 'dismissal')
+              ) AS t(stem, lang, outcomes)""")),
   )
 }
