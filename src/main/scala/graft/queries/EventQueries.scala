@@ -200,9 +200,14 @@ object EventQueries extends QueryPack {
         val ckptDir = java.nio.file.Files.createTempDirectory("graft_e9_ck_").toString
         val outDir = java.nio.file.Files.createTempDirectory("graft_e9_out_").toString
         val cols = Seq("event_id", "ts", "user_id", "event_type", "value").map(col)
+        // single-file staging write (no shuffle; ~MBs at gate scale —
+        // at production scale the landing dir already exists and this
+        // fixture staging step has no analog); all files present before
+        // the stream starts land in micro-batch 1 together
         val base = Tables.events(s, d).select(cols: _*)
         base.coalesce(1).write.mode("overwrite").parquet(stageDir)
-        val maxUs = base.agg(max(unix_micros(col("ts")))).head().getLong(0)
+        val maxUs = s.read.parquet(stageDir)
+          .agg(max(unix_micros(col("ts")))).head().getLong(0)
         import s.implicits._
         val stream = graft.streaming.EventStreams
           .readEventStream(s, stageDir)
