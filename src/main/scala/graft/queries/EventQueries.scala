@@ -213,15 +213,23 @@ object EventQueries extends QueryPack {
           .readEventStream(s, stageDir)
           .select(cols: _*)
           .as[graft.streaming.EventStreams.Event]
-        val q = graft.streaming.EventStreams.sessionize(stream)
-          .writeStream
-          .outputMode("append")
-          .option("checkpointLocation", ckptDir)
-          .foreachBatch {
-            (batch: org.apache.spark.sql.Dataset[graft.streaming.EventStreams.SessionUpdate],
-             _: Long) => batch.write.mode("append").parquet(outDir)
-          }
-          .start()
+        // state-partition count is a per-stream deployment knob (baked
+        // into the checkpoint at query start): this gate's state is one
+        // session per user — 8 state tasks per micro-batch, not 32,
+        // without touching the session's batch shuffle setting
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q =
+          try graft.streaming.EventStreams.sessionize(stream)
+            .writeStream
+            .outputMode("append")
+            .option("checkpointLocation", ckptDir)
+            .foreachBatch {
+              (batch: org.apache.spark.sql.Dataset[graft.streaming.EventStreams.SessionUpdate],
+               _: Long) => batch.write.mode("append").parquet(outDir)
+            }
+            .start()
+          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
         try {
           q.processAllAvailable()
           // flush batches: hidden-file rules ignore _SUCCESS, so a plain

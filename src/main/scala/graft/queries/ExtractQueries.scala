@@ -885,6 +885,12 @@ object ExtractQueries extends QueryPack {
         put("d1.json", """{"id":"d1"}""".getBytes(UTF_8))
         put("d2.json", """{"id":"d2"}""".getBytes(UTF_8))
         put("d2.html", html(2, "Die Beschwerde wird gutgeheissen."))
+        // few-doc batches: 8-way shuffles for the stream's state AND the
+        // per-batch pipeline jobs (gates run sequentially, so narrowing
+        // the session knob for the stream's lifetime is safe; restored
+        // below). A production deployment sizes this to its batch volume.
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
         val q = graft.streaming.CorpusStream.run(
           s, landing.toString, out, "CH_BGer", ckpt)
         try {
@@ -894,7 +900,10 @@ object ExtractQueries extends QueryPack {
           put("d3.json", """{"id":"d3"}""".getBytes(UTF_8))
           put("d3.html", html(3, "Die Beschwerde wird abgewiesen."))
           q.processAllAvailable()
-        } finally q.stop()
+        } finally {
+          q.stop()
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
         graft.sources.Sinks.readUpserted(s, s"$out/documents")
           .select("decision_id", "stem", "lang")
           .join(graft.sources.Sinks.readUpserted(s, s"$out/judgments"),
