@@ -385,6 +385,20 @@ object RelationalQueries extends QueryPack {
       Some("""SELECT c_custkey, c_name FROM customer c
               WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""")),
 
+    // ---- J12 with a NONZERO result: the synthetic generator gives
+    // every customer an order, so j12's 0-row match is weak evidence
+    // that anti-join semantics are right; filtering the right side
+    // ("customers with no large order") produces real rows at every SF
+    // (3 / 30 / 308 at sf0.001/0.01/0.1).
+    Q("j16_anti_join_filtered",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d).where(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name"),
+      Some("""SELECT c_custkey, c_name FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)""")),
+
     // ---- J15: semi join (membership labeling).
     Q("j15_semi_join",
       (s, d) => Tables.customer(s, d)
@@ -537,6 +551,19 @@ object RelationalQueries extends QueryPack {
       Some("""SELECT DISTINCT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
               EXCEPT
               SELECT DISTINCT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey""")),
+
+    // ---- U3 with a NONZERO result at every SF (u3's 0-row match is
+    // weak evidence for set-difference semantics — the generator gives
+    // every nation both customers and suppliers): row-level EXCEPT over
+    // the full customer keyset against its mod-3 subset — 2/3 of the
+    // table survives, both sides shuffle-dedup at data volume.
+    Q("u6_except_rows",
+      (s, d) => Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+        .except(Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+          .where(col("c_custkey") % 3 === 0)),
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+              EXCEPT
+              SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 = 0""")),
 
     // ---- U5: intersect.
     Q("u5_intersect_nations",
