@@ -261,5 +261,40 @@ object EventQueries extends QueryPack {
               SELECT user_id, count(*) AS n_events,
                 min(ts_us) AS start_us, max(ts_us) - min(ts_us) AS dur_us
               FROM g GROUP BY user_id, sess_id""")),
+
+    // ---- Streaming exactly-once ingest, gated: the whole events table
+    // lands TWICE (two staged files — an at-least-once redelivery), runs
+    // through dropDuplicatesWithinWatermark on event_id, and the
+    // foreachBatch parquet read-back must equal the table exactly once.
+    // Deterministic because redeliveries are byte-identical rows, so the
+    // surviving copy is the same row either way.
+    Q("e10_stream_dedup",
+      (s, d) => {
+        val stageDir = java.nio.file.Files.createTempDirectory("graft_e10_in_").toString
+        val ckptDir = java.nio.file.Files.createTempDirectory("graft_e10_ck_").toString
+        val outDir = java.nio.file.Files.createTempDirectory("graft_e10_out_").toString
+        val cols = Seq("event_id", "ts", "user_id", "event_type", "value").map(col)
+        val base = Tables.events(s, d).select(cols: _*)
+        base.coalesce(1).write.mode("overwrite").parquet(stageDir)
+        base.coalesce(1).write.mode("append").parquet(stageDir) // redelivery
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q =
+          try graft.streaming.EventStreams.dedupEvents(
+            graft.streaming.EventStreams.readEventStream(s, stageDir)
+              .select(cols: _*))
+            .writeStream
+            .outputMode("append")
+            .option("checkpointLocation", ckptDir)
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              batch.write.mode("append").parquet(outDir)
+            }
+            .start()
+          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        try q.processAllAvailable() finally q.stop()
+        s.read.parquet(outDir)
+          .select(col("event_id"), col("user_id"), col("event_type"))
+      },
+      Some("SELECT event_id, user_id, event_type FROM events")),
   )
 }
