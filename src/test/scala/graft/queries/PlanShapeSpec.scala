@@ -53,6 +53,11 @@ class PlanShapeSpec extends SparkSpec {
   test("semi/anti joins plan as joins, not filters-with-subquery") {
     assert(plan("j12_anti_join").contains("LeftAnti"))
     assert(plan("j15_semi_join").contains("LeftSemi"))
+    // the nonzero-result variant must ALSO push its price filter into
+    // the right-side scan, not evaluate it post-join
+    val j16 = plan("j16_anti_join_filtered")
+    assert(j16.contains("LeftAnti"), j16.take(600))
+    assert(j16.contains("GreaterThan(o_totalprice"), "filter must reach the scan: " + j16.take(1200))
   }
 
   test("whole-stage codegen covers the exact-dedup path") {
