@@ -296,5 +296,95 @@ object EventQueries extends QueryPack {
           .select(col("event_id"), col("user_id"), col("event_type"))
       },
       Some("SELECT event_id, user_id, event_type FROM events")),
+
+    // ---- Streaming WINDOWED AGGREGATION, gated: tumblingCounts in
+    // append mode emits each 1-hour window exactly once, when the
+    // watermark passes its end. Flush micro-batches finalize every real
+    // window; flush rows are filtered by event_type. Equals the e1-style
+    // per-window-per-type rollup.
+    Q("e11_stream_tumbling",
+      (s, d) => {
+        val stageDir = java.nio.file.Files.createTempDirectory("graft_e11_in_").toString
+        val ckptDir = java.nio.file.Files.createTempDirectory("graft_e11_ck_").toString
+        val outDir = java.nio.file.Files.createTempDirectory("graft_e11_out_").toString
+        val cols = Seq("event_id", "ts", "user_id", "event_type", "value").map(col)
+        val base = Tables.events(s, d).select(cols: _*)
+        base.coalesce(1).write.mode("overwrite").parquet(stageDir)
+        val maxUs = s.read.parquet(stageDir)
+          .agg(max(unix_micros(col("ts")))).head().getLong(0)
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q =
+          try graft.streaming.EventStreams.tumblingCounts(
+            graft.streaming.EventStreams.readEventStream(s, stageDir)
+              .select(cols: _*))
+            .writeStream
+            .outputMode("append")
+            .option("checkpointLocation", ckptDir)
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              batch.write.mode("append").parquet(outDir)
+            }
+            .start()
+          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        try {
+          q.processAllAvailable()
+          for ((fid, hours) <- Seq((-1L, 36L), (-2L, 72L))) {
+            import s.implicits._
+            Seq((fid, maxUs + hours * 3600000000L)).toDF("event_id", "us")
+              .select(col("event_id"), expr("timestamp_micros(us)").as("ts"),
+                lit(-1L).as("user_id"), lit("flush").as("event_type"),
+                lit(0.0).as("value"))
+              .coalesce(1).write.mode("append").parquet(stageDir)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.read.parquet(outDir)
+          .where(col("event_type") =!= "flush")
+          .select(unix_micros(col("window_start")).as("window_start_us"),
+            col("event_type"), col("n_events"),
+            col("sum_value").cast("double").as("sum_value"))
+      },
+      Some("""SELECT (epoch_ns(ts) // 1000 // 3600000000) * 3600000000 AS window_start_us,
+                event_type, count(*) AS n_events,
+                cast(sum(cast(value as decimal(18,6))) as double) AS sum_value
+              FROM events GROUP BY 1, 2""")),
+
+    // ---- Stream-stream INTERVAL JOIN, gated: the attribution join of
+    // clicks to same-user purchases within the following hour, running
+    // as an actual watermarked stream-stream self-join (state on both
+    // sides). Inner-join matches emit as soon as both rows are present,
+    // so one staged batch suffices; equals the e8 batch dual.
+    Q("e12_stream_join",
+      (s, d) => {
+        val stageDir = java.nio.file.Files.createTempDirectory("graft_e12_in_").toString
+        val ckptDir = java.nio.file.Files.createTempDirectory("graft_e12_ck_").toString
+        val outDir = java.nio.file.Files.createTempDirectory("graft_e12_out_").toString
+        val cols = Seq("event_id", "ts", "user_id", "event_type", "value").map(col)
+        Tables.events(s, d).select(cols: _*)
+          .coalesce(1).write.mode("overwrite").parquet(stageDir)
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q =
+          try graft.streaming.EventStreams.clickToPurchase(
+            graft.streaming.EventStreams.readEventStream(s, stageDir)
+              .select(cols: _*))
+            .writeStream
+            .outputMode("append")
+            .option("checkpointLocation", ckptDir)
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              batch.write.mode("append").parquet(outDir)
+            }
+            .start()
+          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        try q.processAllAvailable() finally q.stop()
+        s.read.parquet(outDir)
+          .select(col("click_id"), col("purchase_id"), col("user_id"))
+      },
+      Some("""WITH t AS (SELECT event_id, user_id, event_type,
+                epoch_ns(ts) // 1000 AS ts_us FROM events)
+              SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+              FROM t c JOIN t p ON c.user_id = p.user_id
+              WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+                AND p.ts_us >= c.ts_us AND p.ts_us <= c.ts_us + 3600000000""")),
   )
 }
