@@ -509,28 +509,30 @@ object StatsQueries extends QueryPack {
 
     // ---- J9/J11 citation → ruling resolution: exact key join of the
     // citation graph against the rulings "corpus" (deterministic pick +
+    // key moduli sized so dockets COLLIDE at gate scale — lcm(20,3,40)
+    // = 120 < 500 docs; the r5-era lcm of 1200 made this a 0-row gate +
     // ambiguity count — multiple rulings can share a docket key).
     Q("r7_citation_resolution",
       (s, d) => {
         val rulings = Tables.documents(s, d).select(
           col("doc_id").as("ruling_id"),
-          (col("doc_id") % 50 + 100).as("volume"),
+          (col("doc_id") % 20 + 100).as("volume"),
           expr("CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END").as("book"),
-          (col("doc_id") % 400 + 1).as("page"))
+          (col("doc_id") % 40 + 1).as("page"))
         val cites = Tables.documents(s, d).select(
           col("doc_id").as("citing_id"),
-          (col("doc_id") % 50 + 100).as("volume"),
+          (col("doc_id") % 20 + 100).as("volume"),
           expr("CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END").as("book"),
-          (col("doc_id") % 400 + 1).as("page"))
+          (col("doc_id") % 40 + 1).as("page"))
         cites.join(rulings, Seq("volume", "book", "page"), "left")
           .where(col("ruling_id") =!= col("citing_id"))
           .groupBy("citing_id")
           .agg(min("ruling_id").as("resolved_id"),
             count(lit(1)).as("n_candidates"))
       },
-      Some("""WITH k AS (SELECT doc_id, doc_id % 50 + 100 AS volume,
+      Some("""WITH k AS (SELECT doc_id, doc_id % 20 + 100 AS volume,
                 CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END AS book,
-                doc_id % 400 + 1 AS page
+                doc_id % 40 + 1 AS page
               FROM documents)
               SELECT c.doc_id AS citing_id, min(r.doc_id) AS resolved_id,
                 count(*) AS n_candidates
