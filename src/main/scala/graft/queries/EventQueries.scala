@@ -219,6 +219,15 @@ object EventQueries extends QueryPack {
         // without touching the session's batch shuffle setting
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "8")
+        // every gated row is emitted inside a DATA batch (the flush
+        // batches carry the watermark past all real state; dedup/join
+        // emit on arrival) — a trailing no-data batch could only close
+        // the filtered flush artifacts, so skip those batches. Restored
+        // after stop: unlike the state-partition count this conf is
+        // consulted live per trigger, not pinned at query start.
+        val prevNoData = s.conf.get(
+          "spark.sql.streaming.noDataMicroBatches.enabled", "true")
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
         val q =
           try graft.streaming.EventStreams.sessionize(stream)
             .writeStream
@@ -243,7 +252,10 @@ object EventQueries extends QueryPack {
               .coalesce(1).write.mode("append").parquet(stageDir)
             q.processAllAvailable()
           }
-        } finally q.stop()
+        } finally {
+          q.stop()
+          s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+        }
         s.read.parquet(outDir)
           .where(col("closed") && col("user_id") >= 0)
           .select(col("user_id"), col("n_events"), col("start_us"),
@@ -279,6 +291,15 @@ object EventQueries extends QueryPack {
         base.coalesce(1).write.mode("append").parquet(stageDir) // redelivery
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "8")
+        // every gated row is emitted inside a DATA batch (the flush
+        // batches carry the watermark past all real state; dedup/join
+        // emit on arrival) — a trailing no-data batch could only close
+        // the filtered flush artifacts, so skip those batches. Restored
+        // after stop: unlike the state-partition count this conf is
+        // consulted live per trigger, not pinned at query start.
+        val prevNoData = s.conf.get(
+          "spark.sql.streaming.noDataMicroBatches.enabled", "true")
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
         val q =
           try graft.streaming.EventStreams.dedupEvents(
             graft.streaming.EventStreams.readEventStream(s, stageDir)
@@ -291,7 +312,10 @@ object EventQueries extends QueryPack {
             }
             .start()
           finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        try q.processAllAvailable() finally q.stop()
+        try q.processAllAvailable() finally {
+          q.stop()
+          s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+        }
         s.read.parquet(outDir)
           .select(col("event_id"), col("user_id"), col("event_type"))
       },
@@ -314,6 +338,15 @@ object EventQueries extends QueryPack {
           .agg(max(unix_micros(col("ts")))).head().getLong(0)
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "8")
+        // every gated row is emitted inside a DATA batch (the flush
+        // batches carry the watermark past all real state; dedup/join
+        // emit on arrival) — a trailing no-data batch could only close
+        // the filtered flush artifacts, so skip those batches. Restored
+        // after stop: unlike the state-partition count this conf is
+        // consulted live per trigger, not pinned at query start.
+        val prevNoData = s.conf.get(
+          "spark.sql.streaming.noDataMicroBatches.enabled", "true")
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
         val q =
           try graft.streaming.EventStreams.tumblingCounts(
             graft.streaming.EventStreams.readEventStream(s, stageDir)
@@ -337,7 +370,10 @@ object EventQueries extends QueryPack {
               .coalesce(1).write.mode("append").parquet(stageDir)
             q.processAllAvailable()
           }
-        } finally q.stop()
+        } finally {
+          q.stop()
+          s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+        }
         s.read.parquet(outDir)
           .where(col("event_type") =!= "flush")
           .select(unix_micros(col("window_start")).as("window_start_us"),
@@ -364,6 +400,15 @@ object EventQueries extends QueryPack {
           .coalesce(1).write.mode("overwrite").parquet(stageDir)
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "8")
+        // every gated row is emitted inside a DATA batch (the flush
+        // batches carry the watermark past all real state; dedup/join
+        // emit on arrival) — a trailing no-data batch could only close
+        // the filtered flush artifacts, so skip those batches. Restored
+        // after stop: unlike the state-partition count this conf is
+        // consulted live per trigger, not pinned at query start.
+        val prevNoData = s.conf.get(
+          "spark.sql.streaming.noDataMicroBatches.enabled", "true")
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
         val q =
           try graft.streaming.EventStreams.clickToPurchase(
             graft.streaming.EventStreams.readEventStream(s, stageDir)
@@ -376,7 +421,10 @@ object EventQueries extends QueryPack {
             }
             .start()
           finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        try q.processAllAvailable() finally q.stop()
+        try q.processAllAvailable() finally {
+          q.stop()
+          s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+        }
         s.read.parquet(outDir)
           .select(col("click_id"), col("purchase_id"), col("user_id"))
       },
