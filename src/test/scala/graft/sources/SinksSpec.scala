@@ -90,6 +90,49 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("upsertBucketed model holds under randomly injected crash states") {
+    // same model as above, but BETWEEN batches a simulated crash leaves
+    // the table in one of the swap's recovery states (bucket renamed
+    // aside / stale tmp garbage / both); healUpsert must roll back to a
+    // per-key-consistent table so the next batch still converges to
+    // last-write-wins. Rollback may undo the PREVIOUS batch for the
+    // affected bucket, so after each injection the crashed batch is
+    // re-run, as a restarted at-least-once job would.
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val rnd = new scala.util.Random(0xCAFE)
+    for (scenario <- 1 to 3) {
+      val path = tmp(s"upsert_crash_model$scenario")
+      val model = scala.collection.mutable.Map.empty[Long, String]
+      val buckets = 2 + rnd.nextInt(3)
+      for (batchNo <- 1 to 4) {
+        val batch = (0 until 3 + rnd.nextInt(9))
+          .map(_ => (rnd.nextInt(20).toLong, s"c$scenario-b$batchNo-${rnd.nextInt(1000)}"))
+          .groupBy(_._1).map(_._2.head).toSeq
+        batch.foreach { case (k, v) => model(k) = v }
+        Sinks.upsertBucketed(batch.toDF("id", "v"), path, "id", buckets)
+        // inject a crash state, then replay the batch (at-least-once)
+        val kind = rnd.nextInt(3)
+        val liveBuckets = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+          .filter(_.getPath.getName.startsWith("__bucket=")).map(_.getPath)
+        if (kind != 1 && liveBuckets.nonEmpty) {
+          val victim = liveBuckets(rnd.nextInt(liveBuckets.length))
+          val old = new org.apache.hadoop.fs.Path(path + "__upsert_old")
+          fs.mkdirs(old)
+          fs.rename(victim, new org.apache.hadoop.fs.Path(old, victim.getName))
+        }
+        if (kind != 0)
+          Seq((999L, "garbage")).toDF("id", "v")
+            .write.mode("overwrite").parquet(path + "__upsert_tmp/__bucket=99")
+        Sinks.upsertBucketed(batch.toDF("id", "v"), path, "id", buckets)
+      }
+      val got = Sinks.readUpserted(spark, path).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == model.toMap, s"crash scenario $scenario diverged from model")
+    }
+  }
+
   test("appendNewKeys only appends unseen keys") {
     import spark.implicits._
     val path = tmp("append")
