@@ -22,6 +22,83 @@ object EventQueries extends QueryPack {
 
   private val hourUs = 3600L * 1000000L
 
+  // ---- shared scaffolding for the gated STREAMING queries (e9–e12) ----
+
+  private val eventCols = Seq("event_id", "ts", "user_id", "event_type", "value")
+
+  /** Stage the events table into a fresh landing dir (`copies` > 1
+    * models at-least-once redelivery). Single-file writes: no shuffle,
+    * ~MBs at gate scale — at production scale the landing dir already
+    * exists and this fixture step has no analog. All files present
+    * before the stream starts land in micro-batch 1 together.
+    */
+  private def stageEvents(s: org.apache.spark.sql.SparkSession, d: String,
+                          copies: Int = 1): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_in_").toString
+    val base = Tables.events(s, d).select(eventCols.map(col): _*)
+    base.coalesce(1).write.mode("overwrite").parquet(dir)
+    for (_ <- 2 to copies) base.coalesce(1).write.mode("append").parquet(dir)
+    dir
+  }
+
+  private def eventStream(s: org.apache.spark.sql.SparkSession,
+                          stageDir: String): org.apache.spark.sql.DataFrame =
+    graft.streaming.EventStreams.readEventStream(s, stageDir)
+      .select(eventCols.map(col): _*)
+
+  /** Land one far-future flush event as its own staged file → its own
+    * micro-batch (hidden-file rules ignore _SUCCESS, so a plain append
+    * lands one new visible part-file). user -1 marks it for filtering.
+    */
+  private def landFlush(s: org.apache.spark.sql.SparkSession, stageDir: String,
+                        fid: Long, us: Long): Unit = {
+    import s.implicits._
+    Seq((fid, us)).toDF("event_id", "us")
+      .select(col("event_id"), expr("timestamp_micros(us)").as("ts"),
+        lit(-1L).as("user_id"), lit("flush").as("event_type"),
+        lit(0.0).as("value"))
+      .coalesce(1).write.mode("append").parquet(stageDir)
+  }
+
+  /** Run a gated stream: `out` appends every micro-batch to a fresh
+    * parquet dir via foreachBatch; `drive` owns the query's lifetime
+    * (processAllAvailable + any landings). Returns the output dir.
+    *
+    * Conf discipline: 8 state partitions — a per-stream deployment knob
+    * BAKED INTO THE CHECKPOINT at query start, so it is restored right
+    * after start without touching the session's batch setting. No-data
+    * micro-batches off — every gated row is emitted inside a DATA batch
+    * (flush batches carry the watermark past all real state; dedup/join
+    * emit on arrival), so a trailing no-data batch could only close the
+    * filtered flush artifacts; that conf is consulted live per trigger,
+    * hence restored only after stop.
+    */
+  private def runGatedStream(s: org.apache.spark.sql.SparkSession,
+                             out: org.apache.spark.sql.DataFrame)
+      (drive: org.apache.spark.sql.streaming.StreamingQuery => Unit): String = {
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_stream_ck_").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_out_").toString
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = s.conf.get(
+      "spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val q =
+      try out.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try drive(q) finally {
+      q.stop()
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+    }
+    outDir
+  }
+
   def all: Seq[Q] = Seq(
 
     // ---- Tumbling 1-hour window aggregate (streaming dual: groupBy
@@ -196,65 +273,18 @@ object EventQueries extends QueryPack {
     // lag/cumsum oracle exactly.
     Q("e9_stream_sessionize",
       (s, d) => {
-        val stageDir = java.nio.file.Files.createTempDirectory("graft_e9_in_").toString
-        val ckptDir = java.nio.file.Files.createTempDirectory("graft_e9_ck_").toString
-        val outDir = java.nio.file.Files.createTempDirectory("graft_e9_out_").toString
-        val cols = Seq("event_id", "ts", "user_id", "event_type", "value").map(col)
-        // single-file staging write (no shuffle; ~MBs at gate scale —
-        // at production scale the landing dir already exists and this
-        // fixture staging step has no analog); all files present before
-        // the stream starts land in micro-batch 1 together
-        val base = Tables.events(s, d).select(cols: _*)
-        base.coalesce(1).write.mode("overwrite").parquet(stageDir)
+        val stageDir = stageEvents(s, d)
         val maxUs = s.read.parquet(stageDir)
           .agg(max(unix_micros(col("ts")))).head().getLong(0)
         import s.implicits._
-        val stream = graft.streaming.EventStreams
-          .readEventStream(s, stageDir)
-          .select(cols: _*)
-          .as[graft.streaming.EventStreams.Event]
-        // state-partition count is a per-stream deployment knob (baked
-        // into the checkpoint at query start): this gate's state is one
-        // session per user — 8 state tasks per micro-batch, not 32,
-        // without touching the session's batch shuffle setting
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        // every gated row is emitted inside a DATA batch (the flush
-        // batches carry the watermark past all real state; dedup/join
-        // emit on arrival) — a trailing no-data batch could only close
-        // the filtered flush artifacts, so skip those batches. Restored
-        // after stop: unlike the state-partition count this conf is
-        // consulted live per trigger, not pinned at query start.
-        val prevNoData = s.conf.get(
-          "spark.sql.streaming.noDataMicroBatches.enabled", "true")
-        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-        val q =
-          try graft.streaming.EventStreams.sessionize(stream)
-            .writeStream
-            .outputMode("append")
-            .option("checkpointLocation", ckptDir)
-            .foreachBatch {
-              (batch: org.apache.spark.sql.Dataset[graft.streaming.EventStreams.SessionUpdate],
-               _: Long) => batch.write.mode("append").parquet(outDir)
-            }
-            .start()
-          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        try {
+        val sessions = graft.streaming.EventStreams.sessionize(
+          eventStream(s, stageDir).as[graft.streaming.EventStreams.Event]).toDF()
+        val outDir = runGatedStream(s, sessions) { q =>
           q.processAllAvailable()
-          // flush batches: hidden-file rules ignore _SUCCESS, so a plain
-          // append lands one new visible part-file per call
           for ((fid, hours) <- Seq((-1L, 36L), (-2L, 72L))) {
-            Seq((fid, maxUs + hours * 3600000000L))
-              .toDF("event_id", "us")
-              .select(col("event_id"), expr("timestamp_micros(us)").as("ts"),
-                lit(-1L).as("user_id"), lit("flush").as("event_type"),
-                lit(0.0).as("value"))
-              .coalesce(1).write.mode("append").parquet(stageDir)
+            landFlush(s, stageDir, fid, maxUs + hours * 3600000000L)
             q.processAllAvailable()
           }
-        } finally {
-          q.stop()
-          s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
         }
         s.read.parquet(outDir)
           .where(col("closed") && col("user_id") >= 0)
@@ -282,40 +312,10 @@ object EventQueries extends QueryPack {
     // surviving copy is the same row either way.
     Q("e10_stream_dedup",
       (s, d) => {
-        val stageDir = java.nio.file.Files.createTempDirectory("graft_e10_in_").toString
-        val ckptDir = java.nio.file.Files.createTempDirectory("graft_e10_ck_").toString
-        val outDir = java.nio.file.Files.createTempDirectory("graft_e10_out_").toString
-        val cols = Seq("event_id", "ts", "user_id", "event_type", "value").map(col)
-        val base = Tables.events(s, d).select(cols: _*)
-        base.coalesce(1).write.mode("overwrite").parquet(stageDir)
-        base.coalesce(1).write.mode("append").parquet(stageDir) // redelivery
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        // every gated row is emitted inside a DATA batch (the flush
-        // batches carry the watermark past all real state; dedup/join
-        // emit on arrival) — a trailing no-data batch could only close
-        // the filtered flush artifacts, so skip those batches. Restored
-        // after stop: unlike the state-partition count this conf is
-        // consulted live per trigger, not pinned at query start.
-        val prevNoData = s.conf.get(
-          "spark.sql.streaming.noDataMicroBatches.enabled", "true")
-        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-        val q =
-          try graft.streaming.EventStreams.dedupEvents(
-            graft.streaming.EventStreams.readEventStream(s, stageDir)
-              .select(cols: _*))
-            .writeStream
-            .outputMode("append")
-            .option("checkpointLocation", ckptDir)
-            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-              batch.write.mode("append").parquet(outDir)
-            }
-            .start()
-          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        try q.processAllAvailable() finally {
-          q.stop()
-          s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
-        }
+        val stageDir = stageEvents(s, d, copies = 2) // redelivery
+        val outDir = runGatedStream(s,
+          graft.streaming.EventStreams.dedupEvents(eventStream(s, stageDir)))(
+          _.processAllAvailable())
         s.read.parquet(outDir)
           .select(col("event_id"), col("user_id"), col("event_type"))
       },
@@ -328,51 +328,16 @@ object EventQueries extends QueryPack {
     // per-window-per-type rollup.
     Q("e11_stream_tumbling",
       (s, d) => {
-        val stageDir = java.nio.file.Files.createTempDirectory("graft_e11_in_").toString
-        val ckptDir = java.nio.file.Files.createTempDirectory("graft_e11_ck_").toString
-        val outDir = java.nio.file.Files.createTempDirectory("graft_e11_out_").toString
-        val cols = Seq("event_id", "ts", "user_id", "event_type", "value").map(col)
-        val base = Tables.events(s, d).select(cols: _*)
-        base.coalesce(1).write.mode("overwrite").parquet(stageDir)
+        val stageDir = stageEvents(s, d)
         val maxUs = s.read.parquet(stageDir)
           .agg(max(unix_micros(col("ts")))).head().getLong(0)
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        // every gated row is emitted inside a DATA batch (the flush
-        // batches carry the watermark past all real state; dedup/join
-        // emit on arrival) — a trailing no-data batch could only close
-        // the filtered flush artifacts, so skip those batches. Restored
-        // after stop: unlike the state-partition count this conf is
-        // consulted live per trigger, not pinned at query start.
-        val prevNoData = s.conf.get(
-          "spark.sql.streaming.noDataMicroBatches.enabled", "true")
-        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-        val q =
-          try graft.streaming.EventStreams.tumblingCounts(
-            graft.streaming.EventStreams.readEventStream(s, stageDir)
-              .select(cols: _*))
-            .writeStream
-            .outputMode("append")
-            .option("checkpointLocation", ckptDir)
-            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-              batch.write.mode("append").parquet(outDir)
-            }
-            .start()
-          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        try {
+        val outDir = runGatedStream(s,
+          graft.streaming.EventStreams.tumblingCounts(eventStream(s, stageDir))) { q =>
           q.processAllAvailable()
           for ((fid, hours) <- Seq((-1L, 36L), (-2L, 72L))) {
-            import s.implicits._
-            Seq((fid, maxUs + hours * 3600000000L)).toDF("event_id", "us")
-              .select(col("event_id"), expr("timestamp_micros(us)").as("ts"),
-                lit(-1L).as("user_id"), lit("flush").as("event_type"),
-                lit(0.0).as("value"))
-              .coalesce(1).write.mode("append").parquet(stageDir)
+            landFlush(s, stageDir, fid, maxUs + hours * 3600000000L)
             q.processAllAvailable()
           }
-        } finally {
-          q.stop()
-          s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
         }
         s.read.parquet(outDir)
           .where(col("event_type") =!= "flush")
@@ -392,39 +357,10 @@ object EventQueries extends QueryPack {
     // so one staged batch suffices; equals the e8 batch dual.
     Q("e12_stream_join",
       (s, d) => {
-        val stageDir = java.nio.file.Files.createTempDirectory("graft_e12_in_").toString
-        val ckptDir = java.nio.file.Files.createTempDirectory("graft_e12_ck_").toString
-        val outDir = java.nio.file.Files.createTempDirectory("graft_e12_out_").toString
-        val cols = Seq("event_id", "ts", "user_id", "event_type", "value").map(col)
-        Tables.events(s, d).select(cols: _*)
-          .coalesce(1).write.mode("overwrite").parquet(stageDir)
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        // every gated row is emitted inside a DATA batch (the flush
-        // batches carry the watermark past all real state; dedup/join
-        // emit on arrival) — a trailing no-data batch could only close
-        // the filtered flush artifacts, so skip those batches. Restored
-        // after stop: unlike the state-partition count this conf is
-        // consulted live per trigger, not pinned at query start.
-        val prevNoData = s.conf.get(
-          "spark.sql.streaming.noDataMicroBatches.enabled", "true")
-        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-        val q =
-          try graft.streaming.EventStreams.clickToPurchase(
-            graft.streaming.EventStreams.readEventStream(s, stageDir)
-              .select(cols: _*))
-            .writeStream
-            .outputMode("append")
-            .option("checkpointLocation", ckptDir)
-            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-              batch.write.mode("append").parquet(outDir)
-            }
-            .start()
-          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        try q.processAllAvailable() finally {
-          q.stop()
-          s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
-        }
+        val stageDir = stageEvents(s, d)
+        val outDir = runGatedStream(s,
+          graft.streaming.EventStreams.clickToPurchase(eventStream(s, stageDir)))(
+          _.processAllAvailable())
         s.read.parquet(outDir)
           .select(col("click_id"), col("purchase_id"), col("user_id"))
       },
