@@ -543,5 +543,52 @@ object TextQueries extends QueryPack {
       Some("""SELECT doc_id, lang, source FROM documents
               WHERE len(list_filter(string_split(text, ' '),
                 x -> x IN ('vector', 'stream'))) > 0""")),
+
+    // ---- PII scrubbing — the redaction pass a training-data pipeline
+    // runs before corpus release (and the operator behind the court
+    // corpus's A._/B._ anonymization discipline): mask emails, Swiss
+    // phone numbers and AHV social-security ids. PII is INJECTED
+    // deterministically per row so the masking is provably non-trivial;
+    // patterns stay in the Java∩RE2 regex subset so both engines
+    // compute identical text. Pure per-row map — zero shuffle.
+    Q("t19_pii_mask",
+      (s, d) => {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phone = "\\+41 \\d{2} \\d{3} \\d{2} \\d{2}"
+        val ahv = "756\\.\\d{4}\\.\\d{4}\\.\\d{2}"
+        Tables.documents(s, d)
+          .withColumn("body", concat(col("text"),
+            lit(" Kontakt: user"), col("doc_id"), lit("@gericht.example.ch"),
+            lit(" Tel. +41 79 123 45 "), format_string("%02d", col("doc_id") % 100),
+            lit(" AHV 756.1234.5678."), format_string("%02d", col("doc_id") % 100)))
+          .withColumn("masked",
+            regexp_replace(regexp_replace(regexp_replace(col("body"),
+              email, "<EMAIL>"), phone, "<PHONE>"), ahv, "<ID>"))
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("body"), lit(email), lit(0)))
+              .cast("bigint").as("n_emails"),
+            size(regexp_extract_all(col("body"), lit(phone), lit(0)))
+              .cast("bigint").as("n_phones"),
+            size(regexp_extract_all(col("body"), lit(ahv), lit(0)))
+              .cast("bigint").as("n_ids"),
+            expr("right(masked, 60)").as("masked_tail"))
+      },
+      Some("""WITH b AS (SELECT doc_id,
+                text || ' Kontakt: user' || doc_id || '@gericht.example.ch' ||
+                ' Tel. +41 79 123 45 ' || format('{:02d}', doc_id % 100) ||
+                ' AHV 756.1234.5678.' || format('{:02d}', doc_id % 100) AS body
+              FROM documents)
+              SELECT doc_id,
+                cast(len(regexp_extract_all(body,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) as bigint) AS n_emails,
+                cast(len(regexp_extract_all(body,
+                  '\+41 \d{2} \d{3} \d{2} \d{2}')) as bigint) AS n_phones,
+                cast(len(regexp_extract_all(body,
+                  '756\.\d{4}\.\d{4}\.\d{2}')) as bigint) AS n_ids,
+                right(regexp_replace(regexp_replace(regexp_replace(body,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '\+41 \d{2} \d{3} \d{2} \d{2}', '<PHONE>', 'g'),
+                  '756\.\d{4}\.\d{4}\.\d{2}', '<ID>', 'g'), 60) AS masked_tail
+              FROM b""")),
   )
 }
