@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -590,5 +591,34 @@ object TextQueries extends QueryPack {
                   '\+41 \d{2} \d{3} \d{2} \d{2}', '<PHONE>', 'g'),
                   '756\.\d{4}\.\d{4}\.\d{2}', '<ID>', 'g'), 60) AS masked_tail
               FROM b""")),
+
+    // ---- Sequence packing — the concat-then-chunk pass every LLM
+    // pretraining pipeline runs: documents concatenate in a stable
+    // order and slice into fixed-token blocks (docs may straddle a
+    // boundary; a doc's pack = its first token's position div budget).
+    // One window cumsum per language partition, then a hash agg. At
+    // corpus scale the partition key widens to (lang, shard) with
+    // per-shard offsets stitched broadcast-side (operators.GlobalRank
+    // is exactly that machinery) — never a single global window.
+    Q("t20_sequence_pack",
+      (s, d) => {
+        val budget = 128L
+        val byLang = Window.partitionBy("lang").orderBy("doc_id")
+        Tables.documents(s, d)
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast("bigint"))
+          .withColumn("cum", sum("n_tokens").over(
+            byLang.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("pack_id", expr(s"(cum - n_tokens) div $budget"))
+          .groupBy("lang", "pack_id")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      },
+      Some("""WITH t AS (SELECT lang, doc_id,
+                cast(len(string_split(text, ' ')) as bigint) AS n_tokens FROM documents),
+              c AS (SELECT lang, n_tokens,
+                sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+              SELECT lang, cast((cum - n_tokens) // 128 as bigint) AS pack_id,
+                count(*) AS n_docs, cast(sum(n_tokens) as bigint) AS n_tokens
+              FROM c GROUP BY 1, 2""")),
   )
 }
