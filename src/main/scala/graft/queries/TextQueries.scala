@@ -620,5 +620,34 @@ object TextQueries extends QueryPack {
               SELECT lang, cast((cum - n_tokens) // 128 as bigint) AS pack_id,
                 count(*) AS n_docs, cast(sum(n_tokens) as bigint) AS n_tokens
               FROM c GROUP BY 1, 2""")),
+
+    // ---- Overlapping token-window chunking — the RAG/embedding
+    // chunker: 64-token windows at stride 48 (16-token overlap), last
+    // window ragged. Pure per-row explode, zero shuffle; integer-only
+    // window count (ceil via (a+b-1) div b) so both engines agree
+    // exactly.
+    Q("t21_overlap_chunks",
+      (s, d) => {
+        val (chunk, stride) = (64, 48)
+        Tables.documents(s, d)
+          .withColumn("w", split(col("text"), " "))
+          .withColumn("n", size(col("w")).cast("bigint"))
+          .withColumn("n_chunks",
+            expr(s"1L + (greatest(0L, n - $chunk) + ${stride - 1}) div $stride"))
+          .withColumn("chunk_idx", explode(expr("sequence(0L, n_chunks - 1)")))
+          .select(col("doc_id"), col("chunk_idx"),
+            least(lit(chunk.toLong), col("n") - col("chunk_idx") * stride)
+              .as("n_chunk_tokens"),
+            expr(s"element_at(w, cast(chunk_idx * $stride + 1 as int))")
+              .as("head_token"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+                cast(len(string_split(text, ' ')) as bigint) AS n FROM documents),
+              c AS (SELECT doc_id, w, n,
+                1 + (greatest(0, n - 64) + 47) // 48 AS n_chunks FROM t)
+              SELECT doc_id, cast(i as bigint) AS chunk_idx,
+                cast(least(64, n - i * 48) as bigint) AS n_chunk_tokens,
+                w[cast(i * 48 + 1 as int)] AS head_token
+              FROM (SELECT doc_id, w, n, unnest(range(n_chunks)) AS i FROM c)""")),
   )
 }
