@@ -89,7 +89,7 @@ class PlanShapeSpec extends SparkSpec {
   test("per-row tiers (langid, sentences, pdf incl. crypto) plan no Exchange") {
     for (name <- Seq("t10_langid_trigram", "t11_sentence_icu", "m3_pdf_text",
       "m4_pdf_secure", "m5_pdf_hostile", "m6_pdf_cid_fontcmap",
-      "t19_pii_mask")) {
+      "t19_pii_mask", "t21_overlap_chunks")) {
       val p = plan(name)
       assert(!p.contains("Exchange"), s"$name should be map-only:\n${p.take(600)}")
     }
