@@ -629,6 +629,27 @@ object RelationalQueries extends QueryPack {
                   ORDER BY md5(cast(c_custkey as varchar)), c_custkey) AS rn
                 FROM customer) WHERE rn <= 3""")),
 
+    // ---- Weighted corpus mixing — the domain-reweighting sampler a
+    // pretraining pipeline runs over source mixtures: keep each row
+    // with a per-source rate, decided by an md5 hex-prefix threshold
+    // (first nibble < 'c' ⇔ rate 0.75, '8' ⇔ 0.5, '4' ⇔ 0.25) — the
+    // same engine-neutral determinism trick as o3, scan-level filter,
+    // reproducible across runs and engines.
+    Q("o8_weighted_mix",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("thr", expr(
+          "CASE lang WHEN 'de' THEN 'c' WHEN 'fr' THEN '8' WHEN 'it' THEN '4' ELSE 'g' END"))
+        .where(substring(md5(col("doc_id").cast("string")), 1, 1) < col("thr"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("bigint").as("sum_chars")),
+      Some("""SELECT lang, count(*) AS n_docs, cast(sum(n_chars) as bigint) AS sum_chars
+              FROM documents
+              WHERE substr(md5(cast(doc_id as varchar)), 1, 1) <
+                CASE lang WHEN 'de' THEN 'c' WHEN 'fr' THEN '8'
+                          WHEN 'it' THEN '4' ELSE 'g' END
+              GROUP BY 1""")),
+
     // ---- O4: random-label sample submission (kaggle variant in the
     // reference) — deterministic label pick via md5-hash bucketing.
     Q("o4_sample_submission",
