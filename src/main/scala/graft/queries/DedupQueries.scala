@@ -235,5 +235,45 @@ object DedupQueries extends QueryPack {
                         i -> a.v[i] * b.v[i]), 'sum') / (sqrt(a.nn) * sqrt(b.nn)), 6) AS cos
                 FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
               SELECT ia, ib, cos FROM p WHERE cos > 0.3""")),
+
+    // ---- Duplicate-LINE removal (the CCNet/boilerplate pass): a line
+    // appearing in more than `maxDf` documents is boilerplate (headers,
+    // footers, nav chrome) and is struck from every document; the doc
+    // reassembles from its surviving lines in order. The corpus pays
+    // one explode + one line-key agg + one regroup — three shuffles on
+    // line/doc keys, no pairwise work. The synthesized prose plants a
+    // corpus-wide duplicate line ("Erster Satz") plus per-doc unique
+    // lines, so the strike is provably non-trivial.
+    Q("d9_line_dedup",
+      (s, d) => {
+        val maxDf = 3L
+        val lines = Tables.documents(s, d)
+          .withColumn("body", expr(
+            "concat('Erster Satz', '. ', substr(text, 1, 40), '. Doc ', doc_id, ' Ende')"))
+          .select(col("doc_id"),
+            posexplode(split(col("body"), "\\. ")).as(Seq("idx", "line")))
+        val df = lines.groupBy("line")
+          .agg(countDistinct("doc_id").as("line_df"))
+        lines.join(df, "line")
+          .groupBy("doc_id")
+          .agg(
+            sum(when(col("line_df") <= maxDf, 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("line_df") > maxDf, 1L).otherwise(0L)).as("n_dropped"),
+            array_join(expr(
+              s"transform(array_sort(collect_list(CASE WHEN line_df <= $maxDf" +
+                " THEN struct(idx, line) END)), x -> x.line)"), ". ")
+              .as("rebuilt"))
+      },
+      Some("""WITH l AS (SELECT doc_id, unnest(ls) AS line,
+                generate_subscripts(ls, 1) AS idx
+              FROM (SELECT doc_id, string_split(
+                'Erster Satz' || '. ' || substr(text, 1, 40) || '. Doc ' || doc_id || ' Ende',
+                '. ') AS ls FROM documents)),
+              f AS (SELECT line, count(DISTINCT doc_id) AS line_df FROM l GROUP BY 1)
+              SELECT doc_id,
+                cast(sum(CASE WHEN line_df <= 3 THEN 1 ELSE 0 END) as bigint) AS n_kept,
+                cast(sum(CASE WHEN line_df > 3 THEN 1 ELSE 0 END) as bigint) AS n_dropped,
+                string_agg(CASE WHEN line_df <= 3 THEN line END, '. ' ORDER BY idx) AS rebuilt
+              FROM l JOIN f USING (line) GROUP BY doc_id""")),
   )
 }
