@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.{CosineSim, CounterMerge, MinHashSig, TextFunctions, Uuid3}
+import graft.functions.{CosineSim, CounterMerge, MinHashSig, SimHashMd5, TextFunctions, Uuid3}
 
 /** Session extension point: registers graft's native functions so SQL
   * users get them without touching the Scala API.
@@ -22,6 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       CosineSim.info, CosineSim.builder))
     ext.injectFunction((FunctionIdentifier("minhash_sig"),
       MinHashSig.info, MinHashSig.builder))
+    ext.injectFunction((FunctionIdentifier("simhash_md5"),
+      SimHashMd5.info, SimHashMd5.builder))
   }
 }
 
@@ -39,6 +41,8 @@ object GraftExtensions {
       CosineSim.info, CosineSim.builder)
     reg.registerFunction(FunctionIdentifier("minhash_sig"),
       MinHashSig.info, MinHashSig.builder)
+    reg.registerFunction(FunctionIdentifier("simhash_md5"),
+      SimHashMd5.info, SimHashMd5.builder)
   }
 
   /** UDF-backed helpers (no codegen need): RFC uuid5 decision ids,

@@ -111,18 +111,20 @@ object DedupQueries extends QueryPack {
               FROM cand JOIN sh sa ON cand.ia = sa.doc_id
                         JOIN sh sb ON cand.ib = sb.doc_id""")),
 
-    // ---- SimHash (32-bit, token-multiset weighted): per-row nested
-    // higher-order fold, no shuffle at all. Same fingerprint as
-    // functions.TextFunctions.simhash64 truncated to the md5-low-32 path.
+    // ---- SimHash (32-bit, token-multiset weighted): per-row, no
+    // shuffle at all. Computed by the native codegen'd
+    // `simhash_md5` expression (functions.SimHashMd5) — one digest per
+    // token, all 32 bit-votes in one pass over raw bytes; bit-identical
+    // to the interpreted higher-order-lambda SQL formulation
+    // (SimHashMd5Spec pins the equivalence, tools.SimhashProbe the
+    // speedup). Same fingerprint family as TextFunctions.simhash64
+    // truncated to the md5-low-32 path.
     Q("d4_simhash",
-      (s, d) => withWords(Tables.documents(s, d))
-        .withColumn("hs", expr(
-          "transform(w, x -> cast(conv(substring(md5(x), 25, 8), 16, 10) as bigint))"))
-        .select(col("doc_id"), expr(
-          """aggregate(sequence(0, 31), cast(0 as bigint), (acc, b) -> acc +
-             IF(aggregate(hs, cast(0 as bigint),
-                  (a, h) -> a + (((h >> b) & 1) * 2 - 1)) > 0,
-                shiftleft(cast(1 as bigint), b), cast(0 as bigint)))""").as("simhash")),
+      (s, d) => {
+        graft.GraftExtensions.registerNative(s)
+        withWords(Tables.documents(s, d))
+          .select(col("doc_id"), expr("simhash_md5(w)").as("simhash"))
+      },
       Some("""WITH tok AS (SELECT doc_id,
                 CAST(('0x' || substr(md5(t), 25, 8)) AS BIGINT) AS h
               FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)),
