@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.{CosineSim, CounterMerge, MinHashSig, SimHashMd5, TextFunctions, Uuid3}
+import graft.functions.{CosineSim, CounterMerge, MinHashSig, SimHashMd5, TextFunctions, Uuid3, WinnowFp}
 
 /** Session extension point: registers graft's native functions so SQL
   * users get them without touching the Scala API.
@@ -24,6 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       MinHashSig.info, MinHashSig.builder))
     ext.injectFunction((FunctionIdentifier("simhash_md5"),
       SimHashMd5.info, SimHashMd5.builder))
+    ext.injectFunction((FunctionIdentifier("winnow_fp"),
+      WinnowFp.info, WinnowFp.builder))
   }
 }
 
@@ -43,6 +45,8 @@ object GraftExtensions {
       MinHashSig.info, MinHashSig.builder)
     reg.registerFunction(FunctionIdentifier("simhash_md5"),
       SimHashMd5.info, SimHashMd5.builder)
+    reg.registerFunction(FunctionIdentifier("winnow_fp"),
+      WinnowFp.info, WinnowFp.builder)
   }
 
   /** UDF-backed helpers (no codegen need): RFC uuid5 decision ids,

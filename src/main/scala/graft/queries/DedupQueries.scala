@@ -141,16 +141,11 @@ object DedupQueries extends QueryPack {
     // dedupe. Pure per-row higher-order folds — zero shuffle; the
     // fingerprint SET is what a plagiarism/near-dup index would key on.
     Q("d7_winnowing",
-      (s, d) => Tables.documents(s, d)
-        .withColumn("h", expr(
-          """IF(length(text) < 5, array(),
-             transform(sequence(0, length(text) - 5),
-               i -> cast(conv(substring(md5(substring(text, i + 1, 5)), 25, 8),
-                              16, 10) as bigint)))"""))
-        .withColumn("fp", expr(
-          """IF(size(h) < 4, array_distinct(h),
-             array_distinct(transform(sequence(0, size(h) - 4),
-               i -> array_min(slice(h, i + 1, 4)))))"""))
+      (s, d) => {
+        graft.GraftExtensions.registerNative(s)
+        Tables.documents(s, d)
+          .withColumn("fp", expr("winnow_fp(text)"))
+      }
         .select(col("doc_id"),
           size(col("fp")).cast("bigint").as("n_fingerprints"),
           expr("array_min(fp)").as("fp_min"),
