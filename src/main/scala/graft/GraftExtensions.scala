@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.{CosineSim, CounterMerge, MinHashSig, SimHashMd5, TextFunctions, Uuid3, WinnowFp}
+import graft.functions.{CosineSim, CounterMerge, MinHashSig, SimHashMd5, TextFunctions, Uuid3, WinnowFp, WordNgrams}
 
 /** Session extension point: registers graft's native functions so SQL
   * users get them without touching the Scala API.
@@ -26,6 +26,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       SimHashMd5.info, SimHashMd5.builder))
     ext.injectFunction((FunctionIdentifier("winnow_fp"),
       WinnowFp.info, WinnowFp.builder))
+    ext.injectFunction((FunctionIdentifier("word_ngrams"),
+      WordNgrams.info, WordNgrams.builder))
   }
 }
 
@@ -47,6 +49,8 @@ object GraftExtensions {
       SimHashMd5.info, SimHashMd5.builder)
     reg.registerFunction(FunctionIdentifier("winnow_fp"),
       WinnowFp.info, WinnowFp.builder)
+    reg.registerFunction(FunctionIdentifier("word_ngrams"),
+      WordNgrams.info, WordNgrams.builder)
   }
 
   /** UDF-backed helpers (no codegen need): RFC uuid5 decision ids,

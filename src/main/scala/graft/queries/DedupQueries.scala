@@ -174,20 +174,12 @@ object DedupQueries extends QueryPack {
     // one explode + probe, no corpus shuffle.
     Q("d8_decontaminate",
       (s, d) => {
+        graft.GraftExtensions.registerNative(s)
         val docs = withWords(Tables.documents(s, d))
-        val grams5 = expr(
-          """CASE WHEN size(w) >= 5 THEN
-               transform(sequence(0, size(w) - 5),
-                 i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))
-             ELSE array() END""")
+        val grams5 = expr("word_ngrams(w, 5)")
         val bench = docs.where(col("doc_id") % 50 === 0)
           .withColumn("bw", expr("slice(w, 20, 12)"))
-          .select(explode(expr(
-            """CASE WHEN size(bw) >= 5 THEN
-                 transform(sequence(0, size(bw) - 5),
-                   i -> concat_ws(' ', bw[i], bw[i+1], bw[i+2], bw[i+3], bw[i+4]))
-               ELSE array() END"""))
-            .as("g")).distinct()
+          .select(explode(expr("word_ngrams(bw, 5)")).as("g")).distinct()
         val hits = docs.select(col("doc_id"), explode(grams5).as("g"))
           .join(broadcast(bench), Seq("g"), "left_semi")
           .select("doc_id").distinct()

@@ -141,11 +141,12 @@ object StatsQueries extends QueryPack {
 
     // ---- F32 n-gram mining: top-20 corpus 3-grams, deterministic ties.
     Q("r3_ngram_top20",
-      (s, d) => Tables.documents(s, d)
-        .withColumn("w", split(col("text"), " "))
-        .select(explode(expr(
-          "transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"))
-          .as("ngram"))
+      (s, d) => {
+        graft.GraftExtensions.registerNative(s)
+        Tables.documents(s, d)
+          .withColumn("w", split(col("text"), " "))
+          .select(explode(expr("word_ngrams(w, 3)")).as("ngram"))
+      }
         .groupBy("ngram").agg(count(lit(1)).as("freq"))
         .orderBy(col("freq").desc, col("ngram"))
         .limit(20),
