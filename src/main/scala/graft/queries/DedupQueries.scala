@@ -30,11 +30,14 @@ object DedupQueries extends QueryPack {
   private def withWords(df: DataFrame): DataFrame =
     df.withColumn("w", split(col("text"), " "))
 
-  /** distinct 3-gram shingles (compiled single-pass UDF — the
-    * expression formulation spends its time in interpreted lambdas)
+  /** distinct 3-gram shingles: native word_ngrams (UTF8String concats,
+    * no per-word String conversion) + array_distinct (first-occurrence
+    * order, same as the previous compiled UDF's LinkedHashSet)
     */
-  private def withShingles(df: DataFrame): DataFrame =
-    withWords(df).withColumn("sh", MinHashLSH.shinglesUdf(col("w")))
+  private def withShingles(df: DataFrame): DataFrame = {
+    graft.GraftExtensions.registerNative(df.sparkSession)
+    withWords(df).withColumn("sh", expr("array_distinct(word_ngrams(w, 3))"))
+  }
 
   private val duckShingles =
     """SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),

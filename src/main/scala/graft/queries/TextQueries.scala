@@ -98,15 +98,17 @@ object TextQueries extends QueryPack {
     // ---- Token counting (F34 analog): whitespace tokens, distinct
     // tokens, 3-gram shingle count. Pure per-row expressions.
     Q("t1_token_stats",
-      (s, d) => Tables.documents(s, d)
-        .withColumn("w", split(col("text"), " "))
-        .select(
-          col("doc_id"),
-          size(col("w")).cast("bigint").as("n_tokens"),
-          size(array_distinct(col("w"))).cast("bigint").as("n_distinct_tokens"),
-          size(array_distinct(expr(
-            "transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))")))
-            .cast("bigint").as("n_shingles")),
+      (s, d) => {
+        graft.GraftExtensions.registerNative(s)
+        Tables.documents(s, d)
+          .withColumn("w", split(col("text"), " "))
+          .select(
+            col("doc_id"),
+            size(col("w")).cast("bigint").as("n_tokens"),
+            size(array_distinct(col("w"))).cast("bigint").as("n_distinct_tokens"),
+            size(expr("array_distinct(word_ngrams(w, 3))"))
+              .cast("bigint").as("n_shingles"))
+      },
       Some("""SELECT doc_id,
                 cast(len(w) as bigint) AS n_tokens,
                 cast(len(list_distinct(w)) as bigint) AS n_distinct_tokens,
@@ -400,12 +402,9 @@ object TextQueries extends QueryPack {
           .groupBy("doc_id")
           .agg(round(max("c").cast("double") / sum("c"), 6).as("top_token_ratio"))
         // duplicate-trigram fraction: pure per-row expression, no shuffle
+        graft.GraftExtensions.registerNative(s)
         val gr = docs
-          .withColumn("g", expr(
-            """CASE WHEN size(w) >= 3 THEN
-                 transform(sequence(0, size(w) - 3),
-                   i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))
-               ELSE array() END"""))
+          .withColumn("g", expr("word_ngrams(w, 3)"))
           .select(col("doc_id"),
             when(size(col("g")) > 0, round(
               lit(1.0) - size(array_distinct(col("g"))).cast("double") / size(col("g")), 6))
