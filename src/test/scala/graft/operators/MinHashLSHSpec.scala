@@ -18,6 +18,19 @@ class MinHashLSHSpec extends SparkSpec {
     assert(f == s)
   }
 
+  test("native distinct word_ngrams equals the compiled shingle UDF") {
+    // d3 swapped from shinglesUdf to array_distinct(word_ngrams(w,3));
+    // element order included (first-occurrence, like the LinkedHashSet)
+    graft.GraftExtensions.registerNative(spark)
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("w", split(col("text"), " "))
+    val bad = docs.select(col("doc_id"),
+        expr("array_distinct(word_ngrams(w, 3))").as("native"),
+        MinHashLSH.shinglesUdf(col("w")).as("udf"))
+      .where(not(col("native") <=> col("udf"))).count()
+    assert(bad == 0)
+  }
+
   test("identical docs share every band; disjoint docs share none") {
     import spark.implicits._
     val docs = Seq(
