@@ -1,77 +1,225 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.{IIOImage, ImageIO}
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-/** Multimodal column plumbing: image/audio/video as opaque `binary`
-  * columns with typed metadata, processed per-partition in batches.
+/** Multimodal columns: image/video payloads as opaque `binary` columns
+  * with typed metadata, decoded per-partition in batches with a REAL
+  * JDK-only codec tier (`javax.imageio` — PNG, JPEG, GIF, BMP; the same
+  * no-new-dependency discipline as sources.PdfText).
   *
-  * The Spark-side mechanics here are real and tested — schema, binary
-  * column handling, partition-level batch iteration (the Scala analog
-  * of mapInPandas' batch shape), metadata structs. The actual codec
-  * work is STUBBED (no image/audio libs in this container): `decodeStub`
-  * derives deterministic fake dimensions from the bytes. Swapping in a
-  * real decoder changes only the function body, not the pipeline.
+  * The fixture strategy mirrors the PDF tier (m3–m6): each row
+  * SYNTHESIZES a real image with writer-known dimensions / frame count /
+  * top-left pixel, the decoder recovers them from the actual bytes, and
+  * the oracle restates the ground truth the writer planted — so a gate
+  * passing proves the decode is real, not arithmetic on byte lengths.
+  * Multi-frame payloads (the video stand-in) are animated GIFs written
+  * with `writeToSequence`; frame sampling decodes EVERY frame's pixel
+  * raster, the per-frame shape of video frame extraction.
+  *
+  * Hostile bytes follow the m5 quarantine discipline: no reader claims
+  * the bytes, the container is truncated, or pixel-data decode throws →
+  * a quarantined row with null metadata, never an exception. Validity is
+  * decided by decoding frame 0's raster, not by trusting header fields
+  * (a truncated PNG has a readable IHDR but undecodable pixel data).
   *
   * Scale notes: decode work is embarrassingly parallel and CPU-bound —
-  * `mapPartitions` amortizes per-batch setup (a real decoder's native
-  * context) across the partition, exactly like a Pandas UDF amortizes
-  * Arrow batch conversion. Binary payloads stay off the driver; only
-  * small metadata structs flow into downstream joins/aggregations.
-  * Partition sizing: binary columns dominate bytes — set
+  * `mapPartitions` amortizes per-batch setup across the partition,
+  * exactly like a Pandas UDF amortizes Arrow batch conversion. Binary
+  * payloads stay off the driver; only small metadata structs flow into
+  * downstream joins/aggregations. `ImageIO.setUseCache(false)` keeps the
+  * codec in-memory (the default spills every decode through a temp
+  * file — pathological with 32 executor threads on one disk). Partition
+  * sizing: binary columns dominate bytes — set
   * `spark.sql.files.maxPartitionBytes` so a partition of payloads fits
   * executor memory, and never collect() a binary column.
+  *
+  * Reference: file-format handling in scrc's ingest
+  * (text_to_database.py) treats media as opaque bytes + extracted
+  * metadata; this is the Spark-native shape of that contract.
   */
 object MediaPipeline {
 
-  case class MediaMeta(doc_id: Long, n_bytes: Long, format: String,
-                       width: Int, height: Int, n_frames: Int)
+  // In-memory ImageIO streams; runs once per JVM on first class use
+  // (driver AND executors — the decode closures reference this object).
+  ImageIO.setUseCache(false)
 
-  /** STUB decoder — deterministic fake in lieu of a real codec.
-    * Replace the body with (e.g.) javax.imageio / ffmpeg bindings in a
-    * real deployment; signature and batch usage stay identical.
+  /** Decoded image/video metadata; quarantined rows carry nulls.
+    * `px_red` (top-left red channel) is only asserted for lossless
+    * RGB formats (png, bmp) — JPEG is lossy, GIF is palette-quantized.
     */
-  def decodeStub(docId: Long, bytes: Array[Byte]): MediaMeta = {
-    val n = bytes.length
-    // fake but deterministic "decoded" properties derived from payload
-    MediaMeta(
-      doc_id = docId,
-      n_bytes = n.toLong,
-      format = if (n % 3 == 0) "png" else if (n % 3 == 1) "jpeg" else "webp",
-      width = 320 + (n % 320),
-      height = 240 + (n % 240),
-      n_frames = 1 + (n % 4))
+  case class MediaMeta(doc_id: Long, quarantined: Boolean,
+                       format: Option[String], width: Option[Int],
+                       height: Option[Int], n_frames: Option[Int],
+                       px_red: Option[Int])
+
+  case class FrameMeta(doc_id: Long, frame_idx: Int, frame_w: Int, frame_h: Int)
+
+  private def quarantine(id: Long) =
+    MediaMeta(id, quarantined = true, None, None, None, None, None)
+
+  /** Deterministic raster: ≤64 gray levels + one planted pixel, so the
+    * GIF palette stays exact and the writer knows every ground truth.
+    */
+  private def frame(id: Long, w: Int, h: Int, idx: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, ((x * 31 + y * 17 + idx * 7) & 0x3f) * 0x010101)
+        x += 1
+      }
+      y += 1
+    }
+    img.setRGB(0, 0,
+      ((id % 256).toInt << 16) | (((id * 7) % 256).toInt << 8) | ((id * 13) % 256).toInt)
+    img
   }
 
-  /** Attach a binary payload column (here: utf-8 bytes of `text` stand
-    * in for real media bytes landed by an ingest job).
+  /** Synthesize a REAL image for doc `id` — the fixture writer.
+    * format = id%4 ∈ {png, jpeg, gif, bmp}; width = 16 + id%48;
+    * height = 12 + id%36; gif payloads are animated with 1 + id%3
+    * frames (the multi-frame/video stand-in).
     */
-  def withPayload(docs: DataFrame): DataFrame =
-    docs.withColumn("payload", col("text").cast("binary"))
+  def synthesizeImage(id: Long): Array[Byte] = {
+    val fmt = (id % 4) match {
+      case 0 => "png"; case 1 => "jpeg"; case 2 => "gif"; case _ => "bmp"
+    }
+    val w = (16 + id % 48).toInt
+    val h = (12 + id % 36).toInt
+    val baos = new ByteArrayOutputStream()
+    if (fmt == "gif") {
+      val nFrames = (1 + id % 3).toInt
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      val ios = ImageIO.createImageOutputStream(baos)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var i = 0
+        while (i < nFrames) {
+          writer.writeToSequence(new IIOImage(frame(id, w, h, i), null, null), null)
+          i += 1
+        }
+        writer.endWriteSequence()
+      } finally { ios.close(); writer.dispose() }
+    } else ImageIO.write(frame(id, w, h, 0), fmt, baos)
+    baos.toByteArray
+  }
+
+  /** Hostile fixture classes (id%4): 0 = valid png (control row);
+    * 1 = junk bytes no reader claims; 2 = empty payload; 3 = truncated
+    * png (valid header, amputated pixel data — the class that punishes
+    * header-trusting decoders).
+    */
+  def synthesizeHostileImage(id: Long): Array[Byte] = (id % 4) match {
+    case 0 => synthesizeImage(id * 4) // (id*4)%4 == 0 → png
+    case 1 => Array.tabulate(64)(i => (i * 37).toByte)
+    case 2 => Array.emptyByteArray
+    case _ =>
+      val p = synthesizeImage(id * 4)
+      java.util.Arrays.copyOf(p, p.length / 2)
+  }
+
+  /** REAL decode of one payload: find a reader by magic bytes, count
+    * frames, decode frame 0's raster (the validity check), read the
+    * planted pixel. Any failure → quarantined row, never a throw.
+    */
+  def decodeImage(docId: Long, bytes: Array[Byte]): MediaMeta =
+    try {
+      if (bytes == null || bytes.isEmpty) quarantine(docId)
+      else {
+        val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+        try {
+          val readers = ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) quarantine(docId)
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis, false, true)
+              val n = r.getNumImages(true)
+              val img0 = r.read(0)
+              val fmt = r.getFormatName.toLowerCase
+              val pxRed =
+                if (fmt == "png" || fmt == "bmp") Some((img0.getRGB(0, 0) >> 16) & 0xff)
+                else None
+              MediaMeta(docId, quarantined = false, Some(fmt),
+                Some(img0.getWidth), Some(img0.getHeight), Some(n), pxRed)
+            } finally r.dispose()
+          }
+        } finally iis.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => quarantine(docId) }
+
+  /** Decode EVERY frame of a payload (video frame extraction shape):
+    * one output row per frame with that frame's real decoded raster
+    * dimensions. Quarantined payloads yield zero frames.
+    */
+  def decodeFrames(docId: Long, bytes: Array[Byte]): Seq[FrameMeta] =
+    try {
+      if (bytes == null || bytes.isEmpty) Nil
+      else {
+        val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+        try {
+          val readers = ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) Nil
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis, false, true)
+              val n = r.getNumImages(true)
+              (0 until n).map { i =>
+                val img = r.read(i)
+                FrameMeta(docId, i, img.getWidth, img.getHeight)
+              }
+            } finally r.dispose()
+          }
+        } finally iis.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+
+  /** Attach a binary image payload column synthesized per row (the
+    * stand-in for media bytes landed by an ingest job — real encoded
+    * images, not text cast to binary).
+    */
+  def withImagePayload(docs: DataFrame): DataFrame = {
+    val mkImage = udf { id: Long => synthesizeImage(id) }
+    docs.withColumn("payload", mkImage(col("doc_id")))
+  }
+
+  def withHostilePayload(docs: DataFrame): DataFrame = {
+    val mk = udf { id: Long => synthesizeHostileImage(id) }
+    docs.withColumn("payload", mk(col("doc_id")))
+  }
 
   /** Decode payloads partition-by-partition. The iterator never
-    * materializes the whole partition; a real decoder would also reuse
-    * one native context per partition (the `// decoder setup` site).
+    * materializes the whole partition; codec setup (ImageIO registry
+    * lookup) amortizes across the partition's batch.
     */
-  def decodeMeta(docs: DataFrame): Dataset[MediaMeta] = {
-    import docs.sparkSession.implicits._
-    withPayload(docs)
+  def decodeMeta(withPayload: DataFrame): Dataset[MediaMeta] = {
+    import withPayload.sparkSession.implicits._
+    withPayload
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>
-        // decoder setup would happen here, once per partition
-        batch.map { case (id, bytes) => decodeStub(id, bytes) }
+        // per-partition decoder context lives here
+        batch.map { case (id, bytes) => decodeImage(id, bytes) }
       }
   }
 
-  /** Deterministic frame sampling: pick byte offsets for n_frames evenly
-    * spaced "frames" — the shape of video frame extraction (each output
-    * row = one frame reference), done with a generator-style explode.
+  /** Frame sampling: one row per DECODED frame (gif payloads emit one
+    * row per animation frame; single-image formats emit one row), via a
+    * flatMap generator over the partition batch.
     */
-  def sampleFrames(meta: Dataset[MediaMeta]): DataFrame =
-    meta.toDF()
-      .withColumn("frame_idx", explode(expr("sequence(0, n_frames - 1)")))
-      .withColumn("byte_offset",
-        floor(col("frame_idx") * (col("n_bytes") / col("n_frames"))).cast("bigint"))
-      .select("doc_id", "frame_idx", "byte_offset")
+  def sampleFrames(withPayload: DataFrame): Dataset[FrameMeta] = {
+    import withPayload.sparkSession.implicits._
+    withPayload
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(batch => batch.flatMap { case (id, bytes) => decodeFrames(id, bytes) })
+  }
 }

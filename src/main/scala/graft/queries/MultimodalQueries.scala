@@ -4,43 +4,65 @@ import org.apache.spark.sql.functions._
 import graft.multimodal.MediaPipeline
 import graft.sources.Tables
 
-/** Multimodal pack: binary-column metadata extraction and frame
-  * sampling through the REAL typed mapPartitions pipeline
-  * (graft.multimodal.MediaPipeline), plus the sliding-window batch dual
-  * of the streaming operator.
+/** Multimodal pack: binary-column image decode and frame sampling
+  * through the REAL typed mapPartitions pipeline
+  * (graft.multimodal.MediaPipeline — javax.imageio, JDK-only), plus the
+  * sliding-window batch dual of the streaming operator.
   *
-  * The decode step is a deterministic stub (no codec libs in this
-  * container) so the oracle can restate the same arithmetic in SQL —
-  * the gate therefore checks the actual Spark plumbing (binary cast,
-  * typed Dataset, partition batching, explode), not the fake codec.
+  * Fixture discipline = the PDF tier's (m3–m6): every row synthesizes a
+  * REAL encoded image (png/jpeg/gif/bmp; gif payloads animated) with
+  * writer-known dimensions / frame count / planted top-left pixel; the
+  * decoder recovers them from the actual bytes and the oracle restates
+  * the planted ground truth — a pass proves real decoding, not
+  * arithmetic on byte lengths.
   */
 object MultimodalQueries extends QueryPack {
 
   def all: Seq[Q] = Seq(
 
-    // ---- Binary payload → typed metadata via mapPartitions.
+    // ---- Binary payload → typed metadata via mapPartitions over a REAL
+    // javax.imageio decode (frame-0 raster decode is the validity bar).
+    // px_red asserts the planted pixel for the lossless RGB formats.
     Q("m1_media_meta",
-      (s, d) => MediaPipeline.decodeMeta(Tables.documents(s, d)).toDF(),
-      Some("""SELECT doc_id,
-                cast(octet_length(encode(text)) as bigint) AS n_bytes,
-                CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'png'
-                     WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
-                cast(320 + octet_length(encode(text)) % 320 as int) AS width,
-                cast(240 + octet_length(encode(text)) % 240 as int) AS height,
-                cast(1 + octet_length(encode(text)) % 4 as int) AS n_frames
+      (s, d) => MediaPipeline.decodeMeta(
+        MediaPipeline.withImagePayload(Tables.documents(s, d))).toDF(),
+      Some("""SELECT doc_id, false AS quarantined,
+                CASE CAST(doc_id % 4 AS int) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                     WHEN 2 THEN 'gif' ELSE 'bmp' END AS format,
+                CAST(16 + doc_id % 48 AS int) AS width,
+                CAST(12 + doc_id % 36 AS int) AS height,
+                CAST(CASE WHEN doc_id % 4 = 2 THEN 1 + doc_id % 3 ELSE 1 END AS int) AS n_frames,
+                CAST(CASE WHEN doc_id % 4 IN (0, 3) THEN doc_id % 256 END AS int) AS px_red
               FROM documents""")),
 
-    // ---- Frame sampling: one row per evenly-spaced frame offset.
+    // ---- Frame sampling: decode EVERY frame's raster (animated gifs
+    // emit one row per frame — the video-frame-extraction shape); the
+    // oracle restates the writer-known per-frame dimensions.
     Q("m2_frame_sample",
       (s, d) => MediaPipeline.sampleFrames(
-        MediaPipeline.decodeMeta(Tables.documents(s, d))),
+        MediaPipeline.withImagePayload(Tables.documents(s, d))).toDF(),
       Some("""WITH meta AS (SELECT doc_id,
-                cast(octet_length(encode(text)) as bigint) AS n_bytes,
-                1 + octet_length(encode(text)) % 4 AS n_frames FROM documents)
-              SELECT doc_id, cast(f as int) AS frame_idx,
-                cast(floor(f * (n_bytes / n_frames)) as bigint) AS byte_offset
-              FROM (SELECT doc_id, n_bytes, n_frames, unnest(range(n_frames)) AS f
-                    FROM meta)""")),
+                CAST(16 + doc_id % 48 AS int) AS w, CAST(12 + doc_id % 36 AS int) AS h,
+                CASE WHEN doc_id % 4 = 2 THEN 1 + doc_id % 3 ELSE 1 END AS nf
+              FROM documents)
+              SELECT doc_id, CAST(f AS int) AS frame_idx, w AS frame_w, h AS frame_h
+              FROM (SELECT doc_id, w, h, unnest(range(nf)) AS f FROM meta)""")),
+
+    // ---- Hostile media tier (the m5 discipline for images): junk
+    // bytes, empty payloads, and truncated PNGs (valid header, amputated
+    // pixel data) must quarantine — null metadata, never a throw — while
+    // the interleaved valid control rows still decode fully.
+    Q("m7_media_hostile",
+      (s, d) => MediaPipeline.decodeMeta(
+        MediaPipeline.withHostilePayload(Tables.documents(s, d))).toDF()
+        .select("doc_id", "quarantined", "format", "width", "height", "px_red"),
+      Some("""SELECT doc_id,
+                CAST(doc_id % 4 AS int) <> 0 AS quarantined,
+                CASE WHEN doc_id % 4 = 0 THEN 'png' END AS format,
+                CAST(CASE WHEN doc_id % 4 = 0 THEN 16 + (doc_id * 4) % 48 END AS int) AS width,
+                CAST(CASE WHEN doc_id % 4 = 0 THEN 12 + (doc_id * 4) % 36 END AS int) AS height,
+                CAST(CASE WHEN doc_id % 4 = 0 THEN (doc_id * 4) % 256 END AS int) AS px_red
+              FROM documents""")),
 
     // ---- S3 PDF ingest round-trip: synthesize a real single-page PDF
     // per row cycling through every native decode path of

@@ -6,34 +6,79 @@ import graft.sources.Tables
 
 class MediaPipelineSpec extends SparkSpec {
 
-  test("decodeMeta is deterministic and keeps one row per doc") {
-    val docs = Tables.documents(spark, sfDir)
-    val meta = MediaPipeline.decodeMeta(docs)
-    val a = meta.collect().sortBy(_.doc_id)
+  test("synthesize → decode recovers planted dimensions, format, frames, pixel") {
+    for (id <- 0L to 20L) {
+      val m = MediaPipeline.decodeImage(id, MediaPipeline.synthesizeImage(id))
+      assert(!m.quarantined, s"id=$id must decode")
+      val expFmt = (id % 4) match {
+        case 0 => "png"; case 1 => "jpeg"; case 2 => "gif"; case _ => "bmp"
+      }
+      assert(m.format.contains(expFmt))
+      assert(m.width.contains((16 + id % 48).toInt))
+      assert(m.height.contains((12 + id % 36).toInt))
+      val expFrames = if (expFmt == "gif") (1 + id % 3).toInt else 1
+      assert(m.n_frames.contains(expFrames))
+      if (expFmt == "png" || expFmt == "bmp")
+        assert(m.px_red.contains((id % 256).toInt), s"planted pixel must survive ($id)")
+      else assert(m.px_red.isEmpty)
+    }
+  }
+
+  test("decodeMeta is deterministic over the corpus and keeps one row per doc") {
+    val docs = MediaPipeline.withImagePayload(Tables.documents(spark, sfDir))
+    val a = MediaPipeline.decodeMeta(docs).collect().sortBy(_.doc_id)
     val b = MediaPipeline.decodeMeta(docs).collect().sortBy(_.doc_id)
     assert(a.toSeq == b.toSeq)
-    assert(a.length == docs.count())
-    assert(a.forall(m => m.width >= 320 && m.width < 640))
-    assert(a.forall(m => m.n_frames >= 1 && m.n_frames <= 4))
+    assert(a.length == Tables.documents(spark, sfDir).count())
+    assert(a.forall(!_.quarantined), "every synthesized payload must decode")
   }
 
-  test("payload bytes survive the binary cast round-trip") {
-    val docs = Tables.documents(spark, sfDir).limit(5)
-    val back = MediaPipeline.withPayload(docs)
-      .select(col("text"), col("payload").cast("string").as("roundtrip"))
-      .collect()
-    back.foreach(r => assert(r.getString(0) == r.getString(1)))
-  }
-
-  test("sampleFrames emits n_frames rows per doc with in-range offsets") {
-    val meta = MediaPipeline.decodeMeta(Tables.documents(spark, sfDir))
-    val frames = MediaPipeline.sampleFrames(meta)
-    val byDoc = frames.groupBy("doc_id").count()
-      .join(meta.toDF().select("doc_id", "n_frames"), "doc_id")
+  test("sampleFrames decodes one row per real frame with per-frame dims") {
+    val docs = MediaPipeline.withImagePayload(Tables.documents(spark, sfDir))
+    val meta = MediaPipeline.decodeMeta(docs).toDF()
+    val frames = MediaPipeline.sampleFrames(docs).toDF()
+    val mismatch = frames.groupBy("doc_id").count()
+      .join(meta.select("doc_id", "n_frames"), "doc_id")
       .where(col("count") =!= col("n_frames"))
-    assert(byDoc.count() == 0, "every doc must emit exactly n_frames rows")
-    val bad = frames.join(meta.toDF().select("doc_id", "n_bytes"), "doc_id")
-      .where(col("byte_offset") < 0 || col("byte_offset") >= col("n_bytes"))
-    assert(bad.count() == 0, "offsets must lie within the payload")
+    assert(mismatch.count() == 0, "every doc must emit exactly n_frames rows")
+    val badDims = frames.join(meta.select("doc_id", "width", "height"), "doc_id")
+      .where(col("frame_w") =!= col("width") || col("frame_h") =!= col("height"))
+    assert(badDims.count() == 0, "every frame raster must match the container dims")
+  }
+
+  test("hostile payloads quarantine (null meta, no throw); control rows decode") {
+    for (id <- 0L to 19L) {
+      val m = MediaPipeline.decodeImage(id, MediaPipeline.synthesizeHostileImage(id))
+      if (id % 4 == 0) {
+        assert(!m.quarantined, s"control row $id must decode")
+        assert(m.format.contains("png"))
+        assert(m.px_red.contains(((id * 4) % 256).toInt))
+      } else {
+        assert(m.quarantined, s"hostile row $id must quarantine")
+        assert(m.format.isEmpty && m.width.isEmpty && m.n_frames.isEmpty)
+      }
+    }
+  }
+
+  test("decodeFrames on hostile bytes yields zero frames, never a throw") {
+    assert(MediaPipeline.decodeFrames(1L, MediaPipeline.synthesizeHostileImage(1L)).isEmpty)
+    assert(MediaPipeline.decodeFrames(2L, Array.emptyByteArray).isEmpty)
+    assert(MediaPipeline.decodeFrames(3L, null).isEmpty)
+    // truncated png: header readable, raster amputated → no frames
+    assert(MediaPipeline.decodeFrames(3L, MediaPipeline.synthesizeHostileImage(3L)).isEmpty)
+  }
+
+  test("fuzz: bit-flipped and truncated images never throw") {
+    val rnd = new scala.util.Random(42)
+    for (id <- 0L to 7L) {
+      val base = MediaPipeline.synthesizeImage(id)
+      for (_ <- 0 until 25) {
+        val mut = base.clone()
+        mut(rnd.nextInt(mut.length)) = rnd.nextInt(256).toByte
+        MediaPipeline.decodeImage(id, mut) // must not throw; result free-form
+        val cut = java.util.Arrays.copyOf(base, rnd.nextInt(base.length))
+        MediaPipeline.decodeImage(id, cut)
+      }
+    }
   }
 }
