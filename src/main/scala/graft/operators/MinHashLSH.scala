@@ -136,21 +136,17 @@ object MinHashLSH {
   }
 
   /** Pair-free dedup keep-list: every document maps to the smallest id
-    * sharing any band bucket with it (one hop of connected components —
-    * the reference pipeline's "keep first, drop rest" shape). Unlike
-    * candidatePairs, output is ONE ROW PER DOCUMENT regardless of
-    * duplicate density: a corpus that is 50× duplicated produces 50×
-    * rows, not 2500× pairs. Iterate `hops` times to collapse chains
-    * (duplicates linked only transitively); 2 hops close the clusters
-    * replication produces in practice.
+    * in its CONNECTED COMPONENT of the band-bucket graph (the reference
+    * pipeline's "keep first, drop rest" shape, closed transitively).
+    * Unlike candidatePairs, output is ONE ROW PER DOCUMENT regardless
+    * of duplicate density: a corpus that is 50× duplicated produces 50×
+    * rows, not 2500× pairs. Default path is the FIXPOINT (no "enough
+    * hops in practice" assumption — long boilerplate chains at corpus
+    * scale under-merge silently under any fixed hop count).
     */
   def dedupKeepList(docs: DataFrame, idCol: String, wordsCol: Column,
-                    k: Int = 4, hops: Int = 2): DataFrame = {
-    val b = bands(docs, idCol, wordsCol, k)
-      .withColumn("rep", col(idCol))
-    val converged = (1 to hops).foldLeft(b)((cur, _) => keepListHop(cur, idCol))
-    converged.groupBy(idCol).agg(min("rep").as("keep_id"))
-  }
+                    k: Int = 4, maxHops: Int = 16): DataFrame =
+    dedupKeepListConverged(docs, idCol, wordsCol, k, maxHops)
 
   /** one min-propagation hop over the (id, bucket) bipartite graph */
   private def keepListHop(cur: DataFrame, idCol: String): DataFrame = {
@@ -163,16 +159,18 @@ object MinHashLSH {
       .select(col(idCol), col("band"), col("h"), col("rep"))
   }
 
-  /** Fixed-point keep-list: iterate min-propagation hops until the
+  /** Legacy fixed-hop variant, kept for specs that demonstrate WHY the
+    * fixpoint is the default: on a chain topology, `hops` hops reach
+    * only distance 2·hops and provably under-merge.
+    */
+  def fixedHopKeepList(b0: DataFrame, idCol: String, hops: Int): DataFrame =
+    (1 to hops).foldLeft(b0.withColumn("rep", col(idCol)))(
+      (cur, _) => keepListHop(cur, idCol))
+      .groupBy(idCol).agg(min("rep").as("keep_id"))
+
+  /** Fixed-point keep-list: iterate min-propagation until the
     * representative assignment stops changing — full connected
-    * components, no "enough hops in practice" assumption. Convergence
-    * is detected by the SUM of representatives (reps only ever
-    * decrease, so the assignment changed iff the sum dropped),
-    * accumulated in exact decimal so the check cannot alias at any id
-    * scale. Hop count is bounded by the cluster-graph diameter
-    * (≤ log n expected with min-propagation), with `maxHops` as the
-    * runaway backstop; each hop is one shuffle round, and the previous
-    * iteration's cache is released as soon as the next materializes.
+    * components. See convergeKeepList for the loop mechanics.
     */
   def dedupKeepListConverged(docs: DataFrame, idCol: String, wordsCol: Column,
                              k: Int = 4, maxHops: Int = 16): DataFrame =
@@ -183,28 +181,71 @@ object MinHashLSH {
     * specs without reverse-engineering MinHash collisions.
     */
   def convergeKeepList(b0: DataFrame, idCol: String,
-                       maxHops: Int = 16): DataFrame = {
-    // Option: an empty frame sums to SQL NULL — two empty hops then
-    // compare equal and the loop exits instead of dereferencing null
+                       maxHops: Int = 16): DataFrame =
+    convergeKeepListWithStats(b0, idCol, maxHops)._1
+
+  /** Fixpoint loop with POINTER JUMPING: each round does one
+    * min-propagation hop over the static (id, bucket) edges, then
+    * compresses rep := rep(rep) — the Hash-to-Min / pointer-doubling
+    * move from the MapReduce connected-components literature. Plain
+    * min-propagation needs O(diameter) rounds (a length-d boilerplate
+    * chain costs d/2 shuffle rounds); compression makes the reached
+    * distance roughly double per round, so rounds are O(log d) — the
+    * property that makes the fixpoint affordable at 100 TB.
+    *
+    * State per round is one (id, rep) row per document (NOT per band
+    * row); edges stay cached and never grow. Convergence is detected by
+    * the SUM of representatives (reps only ever decrease, so the
+    * assignment changed iff the sum dropped), accumulated in exact
+    * decimal so the check cannot alias at any id scale; an empty frame
+    * sums to SQL NULL on both sides of the compare and exits cleanly.
+    * `maxHops` is the runaway backstop. Returns (keepList, rounds).
+    */
+  def convergeKeepListWithStats(b0: DataFrame, idCol: String,
+                                maxHops: Int = 16): (DataFrame, Int) = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = b0.select(col(idCol), col("band"), col("h")).persist(lvl)
     def repSum(df: DataFrame): Option[java.math.BigDecimal] =
       Option(df.agg(sum(col("rep").cast("decimal(38,0)"))).collect()(0)
         .getDecimal(0))
-    var cur = b0.withColumn("rep", col(idCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var prevSum = repSum(cur)
+    var reps = edges.select(col(idCol)).distinct()
+      .withColumn("rep", col(idCol)).persist(lvl)
+    var prevSum = repSum(reps)
     var hop = 0
     var done = false
     while (!done && hop < maxHops) {
-      val next = keepListHop(cur, idCol)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // hop: every node takes the min rep over all buckets it touches
+      // (each bucket's min includes the node's own rep, so this is the
+      // full min(own, neighbors) update)
+      val withRep = edges.join(reps, idCol)
+      val bucketMin = withRep.groupBy("band", "h").agg(min("rep").as("bmin"))
+      val hopped = withRep.join(bucketMin, Seq("band", "h"))
+        .groupBy(idCol).agg(min("bmin").as("rep"))
+      // compression: rep := rep(rep). rep(p) <= p always, so this only
+      // decreases and shares the hop's fixpoint; the parent lookup is a
+      // self equi-join on the one-row-per-doc frame.
+      val compressed = hopped.as("a")
+        .join(hopped.select(col(idCol).as("__p"), col("rep").as("__prep")),
+          col("a.rep") === col("__p"), "left")
+        .select(col(s"a.$idCol"), coalesce(col("__prep"), col("a.rep")).as("rep"))
+      // truncate lineage: the self-join references the prior round's
+      // plan twice, so the logical tree would DOUBLE per round (2^hops
+      // nodes by round 10 — analyzer blowup long before any data
+      // cost). Re-wrapping the round's RDD as a LogicalRDD leaf keeps
+      // every round's plan constant-size — the standard iterative-
+      // algorithm move (GraphX/MLlib checkpoint discipline, without
+      // requiring a checkpoint dir).
+      val next = b0.sparkSession.createDataFrame(compressed.rdd, compressed.schema)
+        .persist(lvl)
       val nextSum = repSum(next)
-      cur.unpersist()
-      cur = next
+      reps.unpersist()
+      reps = next
       done = nextSum == prevSum
       prevSum = nextSum
       hop += 1
     }
-    cur.groupBy(idCol).agg(min("rep").as("keep_id"))
+    edges.unpersist()
+    (reps.select(col(idCol), col("rep").as("keep_id")), hop)
   }
 
   /** Distinct candidate pairs (ia < ib) sharing any band bucket.

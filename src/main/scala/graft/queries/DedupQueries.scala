@@ -74,22 +74,54 @@ object DedupQueries extends QueryPack {
               WHERE a.doc_id < b.doc_id""")),
 
     // ---- Pair-free dedup keep-list: one row per doc regardless of
-    // duplicate density (see PERF.md scaling experiment) — per-bucket
-    // min + 2 convergence hops.
+    // duplicate density (see PERF.md scaling experiment). The operator
+    // is the pointer-jumping FIXPOINT (full connected components of the
+    // band-bucket graph); the oracle restates the same fixpoint as a
+    // recursive-CTE transitive closure — no hop-count assumption on
+    // either side.
     Q("d6_dedup_keeplist",
       (s, d) => MinHashLSH.dedupKeepList(
         withWords(Tables.documents(s, d)), "doc_id", col("w")),
-      Some(s"""$duckBands,
-              b0 AS (SELECT doc_id, band, h, doc_id AS rep FROM bands),
-              s1 AS (SELECT doc_id, band, h,
-                       min(rep) OVER (PARTITION BY band, h) AS bmin FROM b0),
-              h1 AS (SELECT doc_id, band, h,
-                       min(bmin) OVER (PARTITION BY doc_id) AS rep FROM s1),
-              s2 AS (SELECT doc_id, band, h,
-                       min(rep) OVER (PARTITION BY band, h) AS bmin FROM h1),
-              h2 AS (SELECT doc_id, band, h,
-                       min(bmin) OVER (PARTITION BY doc_id) AS rep FROM s2)
-              SELECT doc_id, min(rep) AS keep_id FROM h2 GROUP BY doc_id""")),
+      Some(s"""${duckBands.replaceFirst("WITH", "WITH RECURSIVE")},
+              edges AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+                        FROM bands a JOIN bands b
+                          ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+              sym AS (SELECT src, dst FROM edges
+                      UNION ALL SELECT dst, src FROM edges),
+              reach(doc_id, r) AS (
+                SELECT doc_id, doc_id FROM (SELECT DISTINCT doc_id FROM bands)
+                UNION
+                SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.doc_id)
+              SELECT doc_id, min(r) AS keep_id FROM reach GROUP BY doc_id""")),
+
+    // ---- Fixpoint keep-list on an adversarial CHAIN topology: doc i
+    // shares a bucket only with i±1 inside blocks of 8 — diameter 7, so
+    // the legacy fixed-2-hop path provably under-merges (reach = 4;
+    // MinHashLSHSpec pins that), while the pointer-jumping fixpoint
+    // collapses every block to its minimum id. The oracle restates full
+    // connected components with a recursive CTE (transitive closure,
+    // then min per reachability set) — no hop-count assumption on
+    // either side.
+    Q("d10_dedup_chain_fixpoint",
+      (s, d) => {
+        val ids = Tables.documents(s, d).select("doc_id")
+        val own = ids.select(col("doc_id"), lit(0).as("band"),
+          col("doc_id").as("h"))
+        val prev = ids.where(col("doc_id") % 8 =!= 0)
+          .select(col("doc_id"), lit(0).as("band"), (col("doc_id") - 1).as("h"))
+        MinHashLSH.convergeKeepList(own.union(prev), "doc_id")
+      },
+      Some("""WITH RECURSIVE
+              edges AS (SELECT a.doc_id AS src, b.doc_id AS dst
+                        FROM documents a JOIN documents b
+                          ON b.doc_id = a.doc_id + 1 AND b.doc_id % 8 <> 0),
+              sym AS (SELECT src, dst FROM edges
+                      UNION ALL SELECT dst, src FROM edges),
+              reach(doc_id, r) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.doc_id)
+              SELECT doc_id, min(r) AS keep_id FROM reach GROUP BY doc_id""")),
 
     // ---- Candidate verification: exact n-gram Jaccard on LSH pairs only.
     Q("d3_lsh_jaccard",

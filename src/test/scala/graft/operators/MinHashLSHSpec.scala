@@ -57,20 +57,25 @@ class MinHashLSHSpec extends SparkSpec {
     val fixed = MinHashLSH.convergeKeepList(b, "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fixed == (0 until 8).map(i => i.toLong -> 0L).toMap)
-    // the same chain through the 2-hop path does NOT fully collapse —
-    // the caveat the fixpoint removes
-    val twoHop = (1 to 2).foldLeft(b.withColumn("rep", col("doc_id"))) {
-      (cur, _) =>
-        val bucketMin = cur.groupBy("band", "h").agg(min("rep").as("bucket_min"))
-        cur.join(bucketMin, Seq("band", "h"))
-          .groupBy(col("doc_id"), col("band"), col("h"))
-          .agg(min("bucket_min").as("m"))
-          .withColumn("rep", min(col("m")).over(
-            org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
-          .select(col("doc_id"), col("band"), col("h"), col("rep"))
-    }.groupBy("doc_id").agg(min("rep").as("keep_id"))
+    // the same chain through the legacy 2-hop path does NOT fully
+    // collapse — the caveat the fixpoint removes
+    val twoHop = MinHashLSH.fixedHopKeepList(b, "doc_id", 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(twoHop.values.toSet.size > 1, s"chain should defeat 2 hops: $twoHop")
+  }
+
+  test("pointer jumping converges a long chain in O(log d) rounds") {
+    import spark.implicits._
+    val n = 64 // diameter 63: plain min-propagation would need ~32 rounds
+    val edges = (0 until n).flatMap { i =>
+      Seq((i.toLong, 0, s"b$i")) ++
+        (if (i > 0) Seq((i.toLong, 0, s"b${i - 1}")) else Nil)
+    }
+    val (keep, rounds) =
+      MinHashLSH.convergeKeepListWithStats(edges.toDF("doc_id", "band", "h"), "doc_id")
+    val m = keep.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == (0 until n).map(i => i.toLong -> 0L).toMap)
+    assert(rounds <= 8, s"pointer jumping should close a 64-chain in <=8 rounds, took $rounds")
   }
 
   test("convergeKeepList on an empty band frame returns empty, no error") {
