@@ -37,6 +37,12 @@ object GraftExtensions {
     * library operators call this before using `cosine_sim` etc.).
     */
   def registerNative(spark: org.apache.spark.sql.SparkSession): Unit = {
+    // session-construction side effects that READERS depend on: the .xz
+    // codec must be resolvable by extension in THIS session, not only in
+    // whichever session happened to call writeJsonl — a fresh session
+    // reading an exported .xz JSONL would otherwise parse raw bytes into
+    // _corrupt_record (ADVICE r6)
+    graft.sources.XzCodec.register(spark)
     val reg = spark.sessionState.functionRegistry
     reg.registerFunction(FunctionIdentifier("uuid3"), Uuid3.info, Uuid3.builder)
     reg.registerFunction(FunctionIdentifier("counter_merge"),

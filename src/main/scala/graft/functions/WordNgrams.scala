@@ -10,10 +10,15 @@ import org.apache.spark.unsafe.types.UTF8String
 /** `word_ngrams(words, n)` — all space-joined word n-grams (the
   * multiset, in order — NOT deduped) as a native expression.
   *
-  * Bit-identical to
-  * `transform(sequence(0, size(w)-n), i -> concat(w[i],' ',…))` for
-  * null-free arrays (split never produces null elements): fewer than
-  * `n` words → empty array. The lambda formulation pays an interpreted
+  * Matches `transform(sequence(0, size(w)-n), i -> concat(w[i],' ',…))`
+  * bit-for-bit for null-free arrays (split never produces null
+  * elements) when `size(w) >= n`. Two DELIBERATE divergences at the
+  * edges, both matching the DuckDB-oracle semantics rather than the
+  * lambda form: (1) `size(w) < n` returns an EMPTY array, where Spark's
+  * `sequence(0, negative)` would descend and the lambda form yields
+  * null-concat grams; (2) `n <= 0` returns an empty array instead of
+  * throwing — the function is SQL-registered, so any query can pass a
+  * non-positive n. The lambda formulation also pays an interpreted
   * lambda call and boxed index arithmetic per gram; this builds each
   * gram as one UTF8String concat over the array's raw bytes.
   */
@@ -23,7 +28,7 @@ object WordNgrams {
 
   def compute(words: ArrayData, n: Int): ArrayData = {
     val sz = if (words == null) 0 else words.numElements()
-    if (sz < n) return new GenericArrayData(Array.empty[Any])
+    if (n <= 0 || sz < n) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](sz - n + 1)
     var i = 0
     while (i + n <= sz) {

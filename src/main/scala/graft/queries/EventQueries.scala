@@ -83,17 +83,27 @@ object EventQueries extends QueryPack {
       "spark.sql.streaming.noDataMicroBatches.enabled", "true")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    val q =
-      try out.writeStream
+    // restore discipline: shuffle.partitions is only read at plan time →
+    // restore right after start(); noDataMicroBatches is consulted live
+    // per trigger → restore only after stop. If start() itself throws,
+    // BOTH restore here — neither conf may leak into later queries.
+    var started = false
+    try {
+      val q = out.writeStream
         .outputMode("append")
         .option("checkpointLocation", ckptDir)
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
           batch.write.mode("append").parquet(outDir)
         }
         .start()
-      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    try drive(q) finally {
-      q.stop()
+      started = true
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try drive(q) finally {
+        q.stop()
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+      }
+    } finally if (!started) {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
     }
     outDir

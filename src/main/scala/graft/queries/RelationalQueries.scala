@@ -38,6 +38,9 @@ object RelationalQueries extends QueryPack {
         val out = java.nio.file.Files.createTempDirectory("graft_k1_").toString
         graft.sources.Sinks.writeJsonl(
           Tables.nation(s, d).select(col("n_nationkey"), col("n_name")), out)
+        // reader-side registration: resolves .xz even when the write
+        // happened in a DIFFERENT session/job (idempotent)
+        graft.sources.XzCodec.register(s)
         s.read.json(out)
           .select(col("n_nationkey").cast("bigint").as("n_nationkey"),
             col("n_name"))

@@ -72,12 +72,25 @@ object SimilarityQueries extends QueryPack {
                        FROM a1)
                  GROUP BY cid, dim) GROUP BY cid)"""
 
-  /** trained 4-centroid codebook shared by s8/s9/s10 (deterministic, so
-    * recomputing per query is gate-safe; one Lloyd iteration keeps the
-    * oracle restatement tractable)
+  /** trained 4-centroid codebook shared by s8/s9/s10 (deterministic;
+    * one Lloyd iteration keeps the oracle restatement tractable).
+    * Trained ONCE per (session, data dir) and memoized — a deployment
+    * trains a codebook once and serves many queries from it; the cache
+    * key includes the session so a restarted session (or another
+    * session in the same JVM) retrains rather than reusing stale state.
     */
+  private val codebookCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[(Int, Array[Double])]]()
+
+  /** fit-count telemetry: specs assert the cache collapses s8/s9/s10
+    * to one training run */
+  private[graft] val codebookFits = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private def trainedCodebook(s: SparkSession, d: String): Seq[(Int, Array[Double])] =
-    graft.operators.KMeansLite.fit(vecs(s, d), "vec_id", "v", 4, 1)
+    codebookCache.computeIfAbsent((s, d), { _ =>
+      codebookFits.incrementAndGet()
+      graft.operators.KMeansLite.fit(vecs(s, d), "vec_id", "v", 4, 1)
+    })
 
   def all: Seq[Q] = Seq(
 

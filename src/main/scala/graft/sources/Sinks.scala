@@ -23,6 +23,19 @@ import java.nio.file.{Files, Paths}
   */
 object Sinks {
 
+  /** Hadoop FileSystem.rename reports failure by RETURNING FALSE, not
+    * throwing — an unchecked rename in a swap sequence would let the job
+    * complete with a half-swapped table and no replay trigger (the
+    * crash-heal path only engages when the job actually fails). Every
+    * swap/heal rename goes through here so a failed rename surfaces as a
+    * job failure.
+    */
+  private def renameOrThrow(fs: org.apache.hadoop.fs.FileSystem,
+                            src: org.apache.hadoop.fs.Path,
+                            dst: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"rename failed: $src -> $dst")
+
   /** K5: JSONL export. Default codec is xz for parity with the
     * reference's `xz -T0` pipe (`dataset_creator.py:482-489`), via the
     * stream-only [[XzCodec]]; pass "gzip"/"zstd"/… for the built-ins.
@@ -119,8 +132,8 @@ object Sinks {
       val dst = new org.apache.hadoop.fs.Path(s"$path/__bucket=$k")
       if (fs.exists(src)) {
         if (fs.exists(dst))
-          fs.rename(dst, new org.apache.hadoop.fs.Path(s"$old/__bucket=$k"))
-        fs.rename(src, dst)
+          renameOrThrow(fs, dst, new org.apache.hadoop.fs.Path(s"$old/__bucket=$k"))
+        renameOrThrow(fs, src, dst)
       }
     }
     fs.delete(new org.apache.hadoop.fs.Path(old), true)
@@ -138,7 +151,9 @@ object Sinks {
     if (fs.exists(old)) {
       for (st <- fs.listStatus(old)) {
         val dst = new org.apache.hadoop.fs.Path(path + "/" + st.getPath.getName)
-        if (!fs.exists(dst)) fs.rename(st.getPath, dst)
+        // a silent rename failure here followed by the delete below
+        // would destroy the only copy of the bucket — throw instead
+        if (!fs.exists(dst)) renameOrThrow(fs, st.getPath, dst)
       }
       fs.delete(old, true)
     }
@@ -180,8 +195,8 @@ object Sinks {
     // so it wins; with no tmp, roll back to the renamed-aside old dir.
     // (SinksCrashSpec exercises both windows.)
     if (!fs.exists(dst)) {
-      if (fs.exists(tmpPath)) { fs.rename(tmpPath, dst); fs.delete(old, true) }
-      else if (fs.exists(old)) fs.rename(old, dst)
+      if (fs.exists(tmpPath)) { renameOrThrow(fs, tmpPath, dst); fs.delete(old, true) }
+      else if (fs.exists(old)) renameOrThrow(fs, old, dst)
     }
     val df = spark.read.parquet(path)
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
@@ -193,8 +208,8 @@ object Sinks {
     // the new dir one rename away plus the old dir at __old (healed by
     // the recovery block above on the next call)
     fs.delete(old, true) // clear any leftover from a previous crash
-    fs.rename(dst, old)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    renameOrThrow(fs, dst, old)
+    renameOrThrow(fs, new org.apache.hadoop.fs.Path(tmp), dst)
     fs.delete(old, true)
   }
 

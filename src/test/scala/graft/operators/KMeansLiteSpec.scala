@@ -48,6 +48,21 @@ class KMeansLiteSpec extends SparkSpec {
     assert(cells.select("cell").distinct().count() > 1, "clusters differentiate")
   }
 
+  test("s8/s9/s10 share ONE trained codebook per (session, dir)") {
+    val qs = graft.SparkEntry.queries
+    val before = graft.queries.SimilarityQueries.codebookFits.get()
+    qs("s8_kmeans_assign")(spark, sfDir).count()
+    qs("s9_ivf_kmeans")(spark, sfDir).count()
+    qs("s10_pq_kmeans")(spark, sfDir).count()
+    val afterFirst = graft.queries.SimilarityQueries.codebookFits.get()
+    assert(afterFirst - before <= 1,
+      s"three trained-ANN queries must share one fit (got ${afterFirst - before})")
+    qs("s9_ivf_kmeans")(spark, sfDir).count()
+    qs("s10_pq_kmeans")(spark, sfDir).count()
+    assert(graft.queries.SimilarityQueries.codebookFits.get() == afterFirst,
+      "repeat queries must hit the codebook cache")
+  }
+
   test("a cluster that loses every member keeps its previous centroid") {
     import spark.implicits._
     // two far groups + two sampled centroids that both land in group A:
