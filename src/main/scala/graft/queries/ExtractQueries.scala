@@ -593,7 +593,7 @@ object ExtractQueries extends QueryPack {
         // fresh dir per run: a fixed shared path would let stale files
         // from an older fixture set (or a concurrent driver) leak into
         // the corpus under test; fixture CONTENT stays deterministic
-        val dir = Files.createTempDirectory("graft_x22_landing_")
+        val dir = Scratch.dir("graft_x22_landing_")
         def facts(i: Int) =
           s"Am ${i + 1}. Januar 2020 erhob die Partei Beschwerde gegen den angefochtenen Entscheid."
         def cons(i: Int) = i match {
@@ -864,9 +864,9 @@ object ExtractQueries extends QueryPack {
       (s, d) => {
         import java.nio.file.Files
         import java.nio.charset.StandardCharsets.UTF_8
-        val landing = Files.createTempDirectory("graft_x35_landing_")
-        val out = Files.createTempDirectory("graft_x35_out_").toString
-        val ckpt = Files.createTempDirectory("graft_x35_ck_").toString
+        val landing = Scratch.dir("graft_x35_landing_")
+        val out = Scratch.dir("graft_x35_out_").toString
+        val ckpt = Scratch.dir("graft_x35_ck_").toString
         def paras(i: Int, ruling: String) = Seq(
           "Urteil des Bundesgerichts",
           "Verfahrensbeteiligte A._, Beschwerdeführer, gegen, B._ AG, Beschwerdegegnerin",
