@@ -861,7 +861,33 @@ object ExtractQueries extends QueryPack {
     // landing-protocol hazard the stream's design absorbs) plus a new
     // complete triple; both must surface with correct outcomes.
     Q("x35_corpus_stream",
+      (s, d) => corpusStreamJoin(s, corpusStreamFixture(s)),
+      corpusStreamOracle),
+
+    // ---- Post-stream COMPACTION (K-family maintenance): the stream's
+    // micro-batches leave one file per touched bucket per batch in every
+    // upsert table; compactUpserted rewrites each table to one file per
+    // bucket while preserving the __bucket layout (a later upsert must
+    // still find its routing dirs). Gate = the same corpus join read
+    // from the COMPACTED tables, against the same oracle — row-identical
+    // or the compaction corrupted the table.
+    Q("x36_stream_compacted",
       (s, d) => {
+        val out = corpusStreamFixture(s)
+        for (t <- Seq("documents", "sections", "citations", "judgments",
+          "participations", "lower_courts"))
+          graft.sources.Sinks.compactUpserted(s, s"$out/$t")
+        corpusStreamJoin(s, out)
+      },
+      corpusStreamOracle),
+  )
+
+  /** The x35/x36 stream fixture: two landing waves through
+    * CorpusStream.run into bucketed upsert tables; returns the output
+    * root. (Each caller runs its own stream — the fixture is the
+    * measured operator for x35, and the small-files producer for x36.)
+    */
+  private def corpusStreamFixture(s: org.apache.spark.sql.SparkSession): String = {
         import java.nio.file.Files
         import java.nio.charset.StandardCharsets.UTF_8
         val landing = Scratch.dir("graft_x35_landing_")
@@ -904,18 +930,24 @@ object ExtractQueries extends QueryPack {
           q.stop()
           s.conf.set("spark.sql.shuffle.partitions", prevParts)
         }
-        graft.sources.Sinks.readUpserted(s, s"$out/documents")
-          .select("decision_id", "stem", "lang")
-          .join(graft.sources.Sinks.readUpserted(s, s"$out/judgments"),
-            Seq("decision_id"))
-          .select(col("stem"), col("lang"),
-            array_join(col("outcomes"), ",").as("outcomes"))
-      },
-      Some("""SELECT * FROM (VALUES
-                ('d0', 'de', 'dismissal'),
-                ('d1', 'de', 'partial_approval'),
-                ('d2', 'de', 'approval'),
-                ('d3', 'de', 'dismissal')
-              ) AS t(stem, lang, outcomes)""")),
-  )
+        out
+  }
+
+  /** documents⋈judgments read-back of a corpus-stream output root */
+  private def corpusStreamJoin(s: org.apache.spark.sql.SparkSession,
+                               out: String): org.apache.spark.sql.DataFrame =
+    graft.sources.Sinks.readUpserted(s, s"$out/documents")
+      .select("decision_id", "stem", "lang")
+      .join(graft.sources.Sinks.readUpserted(s, s"$out/judgments"),
+        Seq("decision_id"))
+      .select(col("stem"), col("lang"),
+        array_join(col("outcomes"), ",").as("outcomes"))
+
+  private val corpusStreamOracle = Some(
+    """SELECT * FROM (VALUES
+         ('d0', 'de', 'dismissal'),
+         ('d1', 'de', 'partial_approval'),
+         ('d2', 'de', 'approval'),
+         ('d3', 'de', 'dismissal')
+       ) AS t(stem, lang, outcomes)""")
 }

@@ -213,6 +213,37 @@ object Sinks {
     fs.delete(old, true)
   }
 
+  /** Compact an UPSERT table (micro-batch upserts accumulate one file
+    * per touched bucket per batch — the streaming small-files problem)
+    * while PRESERVING the `__bucket=k` partition layout that routing and
+    * touched-bucket pruning depend on: plain `compact` would fold the
+    * partition column into the data files and strand every later upsert.
+    * One shuffle on the bucket id → one file per bucket; the swap reuses
+    * compact's rename-aside discipline via the same dir-level recovery.
+    */
+  def compactUpserted(spark: SparkSession, path: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(path + "__compact_old")
+    val tmpPath = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    if (!fs.exists(dst)) { // same crash windows as compact
+      if (fs.exists(tmpPath)) { renameOrThrow(fs, tmpPath, dst); fs.delete(old, true) }
+      else if (fs.exists(old)) renameOrThrow(fs, old, dst)
+      // a table this stream never wrote (all its batches were empty —
+      // upsertBucketed writes nothing then, by design): nothing to compact
+      else return
+    }
+    val df = spark.read.parquet(path)
+    df.repartition(col("__bucket"))
+      .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
+      .parquet(path + "__compact_tmp")
+    fs.delete(old, true)
+    renameOrThrow(fs, dst, old)
+    renameOrThrow(fs, tmpPath, dst)
+    fs.delete(old, true)
+  }
+
   /** Write a table partitioned by a low-cardinality column (court/lang/
     * year in the reference's layout) so scans with a partition predicate
     * prune at planning time.

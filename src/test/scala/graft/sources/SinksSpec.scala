@@ -46,6 +46,35 @@ class SinksSpec extends SparkSpec {
     assert(after(6L) == "v6" && after(8L) == "v8")
   }
 
+  test("compactUpserted merges small files, keeps rows AND the bucket layout") {
+    import spark.implicits._
+    val path = tmp("compact_up")
+    // 5 micro-batch-style upserts accumulate one file per touched bucket each
+    for (w <- 0 until 5)
+      Sinks.upsertBucketed((1L to 20L).map(i => (i, s"v$i-$w")).toDF("id", "v"),
+        path, "id", numBuckets = 4)
+    def parquetFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    def nParts = {
+      var n = 0; val it = parquetFiles
+      while (it.hasNext) if (it.next().toString.endsWith(".parquet")) n += 1
+      n
+    }
+    val before = Sinks.readUpserted(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val filesBefore = nParts
+    Sinks.compactUpserted(spark, path)
+    val after = Sinks.readUpserted(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after == before, "compaction must be row-identical")
+    assert(nParts < filesBefore, s"file count must drop ($filesBefore -> $nParts)")
+    // layout survives: a later upsert still finds its __bucket dirs
+    Sinks.upsertBucketed(Seq((7L, "POST")).toDF("id", "v"), path, "id", numBuckets = 4)
+    val post = Sinks.readUpserted(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(post(7L) == "POST" && post.size == 20 && post(6L) == before(6L))
+  }
+
   test("upsertBucketed: an all-empty first batch does not poison the sink") {
     import spark.implicits._
     val path = tmp("upsert_empty")
