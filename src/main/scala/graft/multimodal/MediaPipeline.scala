@@ -182,18 +182,28 @@ object MediaPipeline {
       }
     } catch { case scala.util.control.NonFatal(_) => Nil }
 
+  /** Codec work is CPU-bound and per-row: parallelism must track CORES,
+    * not input bytes — a small parquet file arrives as ONE partition and
+    * would run the whole encode/decode serially (at 100 TB the same
+    * mismatch appears as a few huge partitions; `maxPartitionBytes` is
+    * sized for scan throughput, not per-row CPU). One narrow-shuffle
+    * repartition to the cluster's parallelism before the heavy loop.
+    */
+  private def byCores(docs: DataFrame): DataFrame =
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+
   /** Attach a binary image payload column synthesized per row (the
     * stand-in for media bytes landed by an ingest job — real encoded
     * images, not text cast to binary).
     */
   def withImagePayload(docs: DataFrame): DataFrame = {
     val mkImage = udf { id: Long => synthesizeImage(id) }
-    docs.withColumn("payload", mkImage(col("doc_id")))
+    byCores(docs).withColumn("payload", mkImage(col("doc_id")))
   }
 
   def withHostilePayload(docs: DataFrame): DataFrame = {
     val mk = udf { id: Long => synthesizeHostileImage(id) }
-    docs.withColumn("payload", mk(col("doc_id")))
+    byCores(docs).withColumn("payload", mk(col("doc_id")))
   }
 
   /** Decode payloads partition-by-partition. The iterator never

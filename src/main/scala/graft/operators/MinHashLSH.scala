@@ -204,10 +204,22 @@ object MinHashLSH {
   def convergeKeepListWithStats(b0: DataFrame, idCol: String,
                                 maxHops: Int = 16): (DataFrame, Int) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = b0.select(col(idCol), col("band"), col("h")).persist(lvl)
+    // edges pre-shuffled on the join key and CACHED WITH that
+    // partitioning: InMemoryRelation preserves outputPartitioning, so
+    // every round's edges⋈reps join exchanges only the small (id, rep)
+    // side instead of re-shuffling the 4×|docs| band rows per round
+    val edges = b0.select(col(idCol), col("band"), col("h"))
+      .repartition(col(idCol)).persist(lvl)
     def repSum(df: DataFrame): Option[java.math.BigDecimal] =
       Option(df.agg(sum(col("rep").cast("decimal(38,0)"))).collect()(0)
         .getDecimal(0))
+    // one compression step: rep := rep(rep). rep(p) <= p always, so
+    // this only decreases and shares the hop's fixpoint; the parent
+    // lookup is a self equi-join on the one-row-per-doc frame.
+    def compress(r: DataFrame): DataFrame = r.as("a")
+      .join(r.select(col(idCol).as("__p"), col("rep").as("__prep")),
+        col("a.rep") === col("__p"), "left")
+      .select(col(s"a.$idCol"), coalesce(col("__prep"), col("a.rep")).as("rep"))
     var reps = edges.select(col(idCol)).distinct()
       .withColumn("rep", col(idCol)).persist(lvl)
     var prevSum = repSum(reps)
@@ -219,25 +231,28 @@ object MinHashLSH {
       // full min(own, neighbors) update)
       val withRep = edges.join(reps, idCol)
       val bucketMin = withRep.groupBy("band", "h").agg(min("rep").as("bmin"))
-      val hopped = withRep.join(bucketMin, Seq("band", "h"))
+      val hoppedPlan = withRep.join(bucketMin, Seq("band", "h"))
         .groupBy(idCol).agg(min("bmin").as("rep"))
-      // compression: rep := rep(rep). rep(p) <= p always, so this only
-      // decreases and shares the hop's fixpoint; the parent lookup is a
-      // self equi-join on the one-row-per-doc frame.
-      val compressed = hopped.as("a")
-        .join(hopped.select(col(idCol).as("__p"), col("rep").as("__prep")),
-          col("a.rep") === col("__p"), "left")
-        .select(col(s"a.$idCol"), coalesce(col("__prep"), col("a.rep")).as("rep"))
-      // truncate lineage: the self-join references the prior round's
-      // plan twice, so the logical tree would DOUBLE per round (2^hops
-      // nodes by round 10 — analyzer blowup long before any data
-      // cost). Re-wrapping the round's RDD as a LogicalRDD leaf keeps
-      // every round's plan constant-size — the standard iterative-
-      // algorithm move (GraphX/MLlib checkpoint discipline, without
-      // requiring a checkpoint dir).
+      // materialize the hop ONCE: the compression self-joins reference
+      // it four times, and recomputing the band-row pass per reference
+      // costs far more than the extra action. The LogicalRDD re-wrap
+      // also truncates lineage — the self-joins would otherwise grow
+      // the logical tree exponentially in rounds (analyzer blowup long
+      // before any data cost); constant-size round plans are the
+      // standard iterative-algorithm move (GraphX/MLlib checkpoint
+      // discipline, without requiring a checkpoint dir).
+      val hopped = b0.sparkSession
+        .createDataFrame(hoppedPlan.rdd, hoppedPlan.schema).persist(lvl)
+      // TWO compression steps per round: reach roughly quadruples per
+      // round instead of doubling — two extra small self-joins over the
+      // cached one-row-per-doc frame buy materially fewer rounds (each
+      // round is the expensive part: a full pass over the band rows +
+      // a convergence action)
+      val compressed = compress(compress(hopped))
       val next = b0.sparkSession.createDataFrame(compressed.rdd, compressed.schema)
         .persist(lvl)
       val nextSum = repSum(next)
+      hopped.unpersist()
       reps.unpersist()
       reps = next
       done = nextSum == prevSum
