@@ -237,6 +237,52 @@ object DedupQueries extends QueryPack {
               SELECT w.doc_id, (hits.doc_id IS NOT NULL) AS contaminated
               FROM w LEFT JOIN hits ON w.doc_id = hits.doc_id""")),
 
+    // ---- Bloom-filtered decontamination (the 100 TB shape of d8): the
+    // benchmark shingle set is folded into a Bloom filter
+    // (DataFrameStatFunctions.bloomFilter — Spark's own sketch, the
+    // structure its runtime row-group filters broadcast), the corpus
+    // pays ONE stateless scan probing the broadcast sketch per doc (no
+    // shuffle, no explode for the clean majority), and only the
+    // candidate survivors explode into the EXACT broadcast semi-join.
+    // False positives therefore cost a little verify work, never a
+    // wrong row — the final output is exact and shares d8's oracle.
+    Q("d11_bloom_decontaminate",
+      (s, d) => {
+        graft.GraftExtensions.registerNative(s)
+        val docs = withWords(Tables.documents(s, d))
+        val bench = docs.where(col("doc_id") % 50 === 0)
+          .withColumn("bw", expr("slice(w, 20, 12)"))
+          .select(explode(expr("word_ngrams(bw, 5)")).as("g")).distinct()
+        val bloom = bench.stat.bloomFilter("g", 10000, 0.01)
+        val bb = s.sparkContext.broadcast(bloom)
+        val mightHit = udf { gs: Seq[String] =>
+          gs != null && gs.exists(bb.value.mightContain) }
+        val cand = docs
+          .select(col("doc_id"), expr("word_ngrams(w, 5)").as("gs"))
+          .where(mightHit(col("gs")))
+        val hits = cand.select(col("doc_id"), explode(col("gs")).as("g"))
+          .join(broadcast(bench), Seq("g"), "left_semi")
+          .select("doc_id").distinct()
+        docs.select("doc_id")
+          .join(hits.withColumn("contaminated", lit(true)), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("contaminated"), lit(false)).as("contaminated"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              bw AS (SELECT doc_id, w[20:31] AS bw FROM w WHERE doc_id % 50 = 0),
+              bench AS (SELECT DISTINCT unnest(list_transform(range(1, len(bw) - 3),
+                          i -> bw[i] || ' ' || bw[i+1] || ' ' || bw[i+2] || ' ' ||
+                               bw[i+3] || ' ' || bw[i+4])) AS g
+                        FROM bw),
+              grams AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                               w[i+3] || ' ' || w[i+4])) AS g
+                        FROM w WHERE len(w) >= 5),
+              hits AS (SELECT DISTINCT doc_id FROM grams
+                       WHERE g IN (SELECT g FROM bench))
+              SELECT w.doc_id, (hits.doc_id IS NOT NULL) AS contaminated
+              FROM w LEFT JOIN hits ON w.doc_id = hits.doc_id""")),
+
     // ---- Embedding-cosine near-dup, LSH-blocked: candidate pairs come
     // from hyperplane-bucket equality; the exact cosine verify runs per
     // bucket — all-pairs never materializes. Norms are precomputed once

@@ -64,6 +64,63 @@ object MultimodalQueries extends QueryPack {
                 CAST(CASE WHEN doc_id % 4 = 0 THEN (doc_id * 4) % 256 END AS int) AS px_red
               FROM documents""")),
 
+    // ---- REAL pixel-level features over the decoded raster: full-frame
+    // red-channel sum + an 8×6 nearest-neighbor thumbnail resample
+    // (the feature-extract / resize steps of a multimodal pipeline).
+    // The fixture raster is closed-form — pixel (x,y) carries
+    // (x*31 + y*17) & 63 with the planted (0,0) = doc_id % 256 — so the
+    // oracle recomputes BOTH sums pixel-by-pixel in SQL; a hash match
+    // proves the decoder read every pixel the writer wrote. Lossless
+    // formats only (png/bmp); jpeg/gif rows are null by discipline.
+    Q("m9_image_features",
+      (s, d) => MediaPipeline.decodeImageFeatures(
+        MediaPipeline.withImagePayload(Tables.documents(s, d))).toDF(),
+      Some("""WITH dims AS (SELECT doc_id,
+                16 + doc_id % 48 AS w, 12 + doc_id % 36 AS h,
+                doc_id % 256 AS planted, doc_id % 4 IN (0, 3) AS lossless
+              FROM documents),
+              px AS (SELECT doc_id,
+                       planted + sum(CASE WHEN x = 0 AND y = 0 THEN 0
+                                     ELSE (x * 31 + y * 17) & 63 END) AS s
+                     FROM (SELECT doc_id, planted, unnest(range(w)) AS x, h
+                           FROM dims WHERE lossless),
+                          (SELECT unnest(range(48)) AS y)
+                     WHERE y < h GROUP BY doc_id, planted),
+              th AS (SELECT doc_id,
+                       sum(CASE WHEN tx * w // 8 = 0 AND ty * h // 6 = 0 THEN planted
+                           ELSE ((tx * w // 8) * 31 + (ty * h // 6) * 17) & 63 END) AS s
+                     FROM (SELECT doc_id, w, h, planted FROM dims WHERE lossless),
+                          (SELECT unnest(range(8)) AS tx),
+                          (SELECT unnest(range(6)) AS ty)
+                     GROUP BY doc_id)
+              SELECT dims.doc_id,
+                CAST(px.s AS bigint) AS px_sum,
+                CAST(th.s AS bigint) AS thumb_sum
+              FROM dims LEFT JOIN px ON dims.doc_id = px.doc_id
+                        LEFT JOIN th ON dims.doc_id = th.doc_id""")),
+
+    // ---- AUDIO tier (the third modality): real PCM-16 WAV payloads
+    // synthesized per row (javax.sound.sampled, JDK-only like the image
+    // and PDF tiers), decoded back for container metadata AND a full
+    // sample pass (the peak) — every output column restated by the
+    // oracle from the writer-planted ground truth.
+    Q("m8_audio_meta",
+      (s, d) => MediaPipeline.decodeAudioMeta(
+        MediaPipeline.withWavPayload(Tables.documents(s, d))).toDF(),
+      Some("""WITH t AS (SELECT doc_id,
+                CASE CAST(doc_id % 4 AS int) WHEN 0 THEN 8000 WHEN 1 THEN 11025
+                     WHEN 2 THEN 16000 ELSE 22050 END AS sr,
+                CAST(1 + doc_id % 2 AS int) AS ch,
+                500 + doc_id % 1000 AS nf
+              FROM documents)
+              SELECT doc_id, false AS quarantined, CAST(sr AS int) AS sample_rate,
+                ch AS channels, CAST(nf AS bigint) AS n_frames,
+                CAST(nf * 1000 // sr AS bigint) AS duration_ms,
+                CAST(CASE WHEN (doc_id % 3000) + nf * ch <= 3000
+                     THEN (doc_id % 3000) + nf * ch - 1 - 1500
+                     ELSE 1499 END AS int) AS peak
+              FROM t""")),
+
     // ---- S3 PDF ingest round-trip: synthesize a real single-page PDF
     // per row cycling through every native decode path of
     // sources.PdfText — plain, FlateDecode (with a nested /DecodeParms

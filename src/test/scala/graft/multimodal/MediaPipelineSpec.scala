@@ -68,6 +68,55 @@ class MediaPipelineSpec extends SparkSpec {
     assert(MediaPipeline.decodeFrames(3L, MediaPipeline.synthesizeHostileImage(3L)).isEmpty)
   }
 
+  test("wav synthesize → decode recovers planted rate/channels/frames/peak") {
+    for (id <- 0L to 20L) {
+      val m = MediaPipeline.decodeWav(id, MediaPipeline.synthesizeWav(id))
+      assert(!m.quarantined, s"id=$id must decode")
+      val expSr = Array(8000, 11025, 16000, 22050)((id % 4).toInt)
+      val expCh = (1 + id % 2).toInt
+      val expFrames = 500 + id % 1000
+      assert(m.sample_rate.contains(expSr))
+      assert(m.channels.contains(expCh))
+      assert(m.n_frames.contains(expFrames))
+      assert(m.duration_ms.contains(expFrames * 1000 / expSr))
+      val nSamples = expFrames * expCh
+      val expPeak =
+        if (id % 3000 + nSamples <= 3000) (id % 3000 + nSamples - 1 - 1500).toInt
+        else 1499
+      assert(m.peak.contains(expPeak), s"id=$id planted peak must survive the PCM pass")
+    }
+  }
+
+  test("hostile audio quarantines: junk, empty, truncated wav") {
+    assert(MediaPipeline.decodeWav(1L, Array.tabulate(64)(i => (i * 37).toByte)).quarantined)
+    assert(MediaPipeline.decodeWav(2L, Array.emptyByteArray).quarantined)
+    val wav = MediaPipeline.synthesizeWav(3L)
+    assert(MediaPipeline.decodeWav(3L, java.util.Arrays.copyOf(wav, 20)).quarantined)
+    assert(MediaPipeline.decodeWav(4L, null).quarantined)
+  }
+
+  test("image features: real pixel sums match the closed-form raster") {
+    for (id <- Seq(0L, 3L, 4L, 7L, 8L, 11L)) { // png and bmp rows
+      val f = MediaPipeline.imageFeatures(id, MediaPipeline.synthesizeImage(id))
+      val w = (16 + id % 48).toInt; val h = (12 + id % 36).toInt
+      var px = id % 256 // planted (0,0)
+      for (y <- 0 until h; x <- 0 until w; if !(x == 0 && y == 0))
+        px += (x * 31 + y * 17) & 63
+      assert(f.px_sum.contains(px), s"id=$id full-raster sum")
+      var th = 0L
+      for (ty <- 0 until 6; tx <- 0 until 8) {
+        val sx = tx * w / 8; val sy = ty * h / 6
+        th += (if (sx == 0 && sy == 0) id % 256 else (sx * 31 + sy * 17) & 63)
+      }
+      assert(f.thumb_sum.contains(th), s"id=$id thumbnail resample sum")
+    }
+    // lossy/palette formats stay null by discipline
+    assert(MediaPipeline.imageFeatures(1L, MediaPipeline.synthesizeImage(1L)).px_sum.isEmpty)
+    assert(MediaPipeline.imageFeatures(2L, MediaPipeline.synthesizeImage(2L)).px_sum.isEmpty)
+    // hostile bytes → nulls, no throw
+    assert(MediaPipeline.imageFeatures(9L, Array.emptyByteArray).px_sum.isEmpty)
+  }
+
   test("fuzz: bit-flipped and truncated images never throw") {
     val rnd = new scala.util.Random(42)
     for (id <- 0L to 7L) {
