@@ -135,6 +135,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.size <= before)
   }
 
+  test("d11 bloom probe filters BEFORE the gram explode") {
+    // the 100 TB shape: the stateless bloom-sketch probe must sit below
+    // the Generate so the clean majority of the corpus never explodes;
+    // the exact semi-join then sees candidates only
+    val p = plan("d11_bloom_decontaminate")
+    val lines = p.linesIterator.toSeq
+    val genIdx = lines.indexWhere(_.contains("Generate explode"))
+    val bloomIdx = lines.indexWhere(l => l.contains("Filter") && l.contains("UDF(word_ngrams"))
+    assert(genIdx >= 0 && bloomIdx >= 0, p.take(1200))
+    // deeper in the printed tree = later index; the probe filter must be
+    // BELOW (after) the Generate node in the tree dump
+    assert(bloomIdx > genIdx, "bloom probe must run pre-explode: " + p.take(1200))
+    assert(p.contains("LeftSemi"), "exact verify must stay a semi-join")
+  }
+
+  test("media decode tiers: one cores-repartition, then pure map (no agg shuffle)") {
+    for (name <- Seq("m1_media_meta", "m8_audio_meta", "m9_image_features")) {
+      val p = plan(name)
+      assert(p.contains("Exchange RoundRobinPartitioning") || p.contains("roundrobin"),
+        s"$name must repartition by cores for the CPU-bound codec loop: " + p.take(800))
+      assert(!p.contains("HashAggregate") && !p.contains("SortMergeJoin"),
+        s"$name must stay a per-row map after the repartition: " + p.take(800))
+    }
+  }
+
   test("s5 centroids slice the embedding before the explode (8 dims, not 64)") {
     // a dim filter above the Generate can't push below it; the slice must
     // sit inside the exploded expression so only 8 components are
