@@ -48,6 +48,42 @@ object VectorOps {
   /** 4-bit default — the gated-query configuration (oracle parity). */
   val bucket: Column = bucketBits(4)
 
+  /** Bucket id in hash TABLE `t` of a multi-table LSH index (the
+    * standard recall lever: L independent hyperplane families, a query
+    * probes its bucket in EVERY table and candidates are the union —
+    * recall compounds as 1-(1-p)^L while per-table selectivity stays
+    * high). Plane components are Murmur3-seeded by (i, j, t) so tables
+    * are independent; t = 0 is NOT the single-table family (that one
+    * keeps its legacy arithmetic planes for oracle parity).
+    */
+  def bucketTable(bits: Int, t: Int): Column = expr(
+    s"""aggregate(sequence(0, ${bits - 1}), 0, (acc, j) -> acc +
+       IF(aggregate(transform(sequence(0, size(v) - 1),
+            i -> v[i] * cast(pmod(hash(i, j, $t), 7) - 3 as double)),
+          cast(0 as double), (a, x) -> a + x) > 0, shiftleft(1, j), 0))""")
+
+  /** i-stride/j-stride per table, all coprime to the mod-7 component
+    * ring — the table family the GATED multi-table query uses, chosen
+    * engine-neutral (plain integer arithmetic) so a DuckDB oracle can
+    * restate every plane; the Murmur3 `bucketTable` family above is the
+    * non-gated default (stronger independence, not SQL-portable).
+    */
+  private val tableI = Array(31, 5, 2, 6)
+  private val tableJ = Array(17, 19, 23, 29)
+
+  def bucketTableOracle(bits: Int, t: Int): Column = expr(
+    s"""aggregate(sequence(0, ${bits - 1}), 0, (acc, j) -> acc +
+       IF(aggregate(transform(sequence(0, size(v) - 1),
+            i -> v[i] * cast((i * ${tableI(t)} + j * ${tableJ(t)}) % 7 - 3 as double)),
+          cast(0 as double), (a, x) -> a + x) > 0, shiftleft(1, j), 0))""")
+
+  /** DuckDB restatement of bucketTableOracle(bits, t) over column `v` */
+  def duckBucketTable(bits: Int, t: Int): String =
+    s"""list_aggregate(list_transform(range(0, $bits), j ->
+         CASE WHEN list_aggregate(list_transform(range(1, len(v) + 1),
+           i -> v[i] * (((i - 1) * ${tableI(t)} + j * ${tableJ(t)}) % 7 - 3)),
+           'sum') > 0 THEN (1 << j) ELSE 0 END), 'sum')"""
+
   /** Per-bucket near-dup pair generation: one row per LSH bucket
     * carries its vectors ONCE; pairs are enumerated in a compiled loop
     * and only survivors (raw cos > minCos) are emitted. This avoids the

@@ -169,6 +169,138 @@ object SimilarityQueries extends QueryPack {
               FROM e JOIN q ON e.bucket = q.bucket WHERE vec_id <> 0
               ORDER BY cos DESC, vec_id LIMIT 5""")),
 
+    // ---- MULTI-TABLE LSH ANN (the recall lever on the s4 path): L=4
+    // independent hyperplane tables, the query probes its bucket in
+    // EVERY table, candidates are the DISTINCT union — recall compounds
+    // as 1-(1-p)^L while each table stays selective (AnnRecallSpec
+    // measures 0.19 → ~0.5 recall@10 going 1 → 4 tables). The plane
+    // families here are the engine-neutral arithmetic ones so the
+    // oracle restates every plane; candidates stay an equi-join on
+    // (table-disambiguated) bucket id — the same scale shape as s4,
+    // L× the index rows.
+    Q("s11_lsh_multitable_topk",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = vecs(s, d)
+        val tables = 4
+        val b = e.withColumn("t", explode(expr(s"sequence(0, ${tables - 1})")))
+        val withBucket = (0 until tables).foldLeft(
+          b.withColumn("bucket", lit(-1L)))((acc, t) =>
+          acc.withColumn("bucket", when(col("t") === t,
+            graft.operators.VectorOps.bucketTableOracle(4, t).cast("long") * tables + t)
+            .otherwise(col("bucket"))))
+        val q = withBucket.where(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("bucket"))
+        val cand = withBucket.select("bucket", "vec_id")
+          .join(broadcast(q), "bucket")
+          .where(col("vec_id") =!= col("qid"))
+          .select("qid", "vec_id").distinct()
+        val qv = e.where(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("nn").as("qn"))
+        val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+        cand.join(e.select("vec_id", "v", "nn"), "vec_id")
+          .join(broadcast(qv), "qid")
+          .withColumn("cos", round(cosExpr, 6))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 5)
+          .select(col("qid"), col("rank").cast("bigint").as("rank"),
+            col("vec_id"), col("cos"))
+      },
+      Some {
+        val bucketCase = (0 until 4).map(t =>
+          s"WHEN $t THEN (${graft.operators.VectorOps.duckBucketTable(4, t)}) * 4 + $t")
+          .mkString("CASE t ", " ", " END")
+        s"""WITH e AS ($duckVecs),
+            bt AS (SELECT vec_id, v, nn, t, $bucketCase AS bucket
+                   FROM e CROSS JOIN (SELECT unnest(range(4)) AS t)),
+            q AS (SELECT vec_id AS qid, bucket FROM bt WHERE vec_id < 3),
+            cand AS (SELECT DISTINCT q.qid, bt.vec_id
+                     FROM bt JOIN q USING (bucket) WHERE bt.vec_id <> q.qid),
+            scored AS (SELECT cand.qid, cand.vec_id,
+                round(list_aggregate(list_transform(range(1, len(eq.v) + 1),
+                  i -> eq.v[i] * ev.v[i]), 'sum') / (sqrt(eq.nn) * sqrt(ev.nn)), 6) AS cos
+              FROM cand JOIN e ev ON cand.vec_id = ev.vec_id
+                        JOIN e eq ON cand.qid = eq.vec_id)
+            SELECT qid, cast(rank as bigint) AS rank, vec_id, cos FROM (
+              SELECT *, row_number() OVER (PARTITION BY qid
+                ORDER BY cos DESC, vec_id) AS rank FROM scored) WHERE rank <= 5"""
+      }),
+
+    // ---- PQ + EXACT RERANK (the production PQ serving shape): the ADC
+    // scan produces a compressed-domain SHORTLIST (top-20), then full
+    // vectors rerank ONLY the shortlist by exact cosine (AnnRecallSpec:
+    // raw ADC order 0.075 recall@10 → 0.43 after rerank). At 100 TB the
+    // ADC pass touches 4 ints/vector and the exact pass touches
+    // |shortlist| vectors per query — full vectors never stream through
+    // the scoring join.
+    Q("s12_pq_rerank_topk",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = vecs(s, d)
+        val cents = e.where(col("vec_id") < 4)
+          .select("vec_id", "v").collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+          .sortBy(_._1).toSeq
+        val enc = e.select(col("vec_id"),
+          VectorOps.pqEncodeUdf(cents, 4)(col("v")).as("codes"))
+        val qAdc = e.where(col("vec_id") < 2)
+          .select(col("vec_id").as("qid"), VectorOps.pqAdcUdf(cents, 4)(col("v")).as("adc"))
+        val wAdc = Window.partitionBy("qid").orderBy(col("dist").asc, col("vec_id"))
+        val shortlist = enc.crossJoin(broadcast(qAdc))
+          .where(col("vec_id") =!= col("qid"))
+          .withColumn("dist", round(
+            expr("adc[0][codes[0]] + adc[1][codes[1]] + adc[2][codes[2]] + adc[3][codes[3]]"), 6))
+          .withColumn("arank", row_number().over(wAdc))
+          .where(col("arank") <= 20)
+          .select("qid", "vec_id")
+        val qv = e.where(col("vec_id") < 2)
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("nn").as("qn"))
+        val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+        shortlist.join(e.select("vec_id", "v", "nn"), "vec_id")
+          .join(broadcast(qv), "qid")
+          .withColumn("cos", round(cosExpr, 6))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 5)
+          .select(col("qid"), col("rank").cast("bigint").as("rank"),
+            col("vec_id"), col("cos"))
+      },
+      Some(s"""WITH e AS ($duckVecs),
+              sub AS (SELECT unnest(range(4)) AS s),
+              cb AS (SELECT e.vec_id AS cid, sub.s,
+                       e.v[sub.s*16+1 : sub.s*16+16] AS cv
+                     FROM e CROSS JOIN sub WHERE e.vec_id < 4),
+              d AS (SELECT e.vec_id, cb.s, cb.cid,
+                      list_aggregate(list_transform(range(1, 17),
+                        i -> (e.v[cb.s*16 + i] - cb.cv[i]) * (e.v[cb.s*16 + i] - cb.cv[i])),
+                        'sum') AS d2
+                    FROM e CROSS JOIN cb),
+              enc AS (SELECT vec_id, s, cid FROM (
+                        SELECT vec_id, s, cid, row_number() OVER (
+                          PARTITION BY vec_id, s ORDER BY d2, cid) AS r FROM d)
+                      WHERE r = 1),
+              adc AS (SELECT vec_id AS qid, s, cid, d2 FROM d WHERE vec_id < 2),
+              pair AS (SELECT adc.qid, enc.vec_id,
+                         max(CASE WHEN enc.s = 0 THEN adc.d2 END) AS d0,
+                         max(CASE WHEN enc.s = 1 THEN adc.d2 END) AS d1,
+                         max(CASE WHEN enc.s = 2 THEN adc.d2 END) AS d2_,
+                         max(CASE WHEN enc.s = 3 THEN adc.d2 END) AS d3
+                       FROM enc JOIN adc ON enc.s = adc.s AND enc.cid = adc.cid
+                       WHERE enc.vec_id <> adc.qid
+                       GROUP BY 1, 2),
+              short AS (SELECT qid, vec_id FROM (
+                          SELECT qid, vec_id, round(d0 + d1 + d2_ + d3, 6) AS dist,
+                            row_number() OVER (PARTITION BY qid
+                              ORDER BY round(d0 + d1 + d2_ + d3, 6), vec_id) AS arank
+                          FROM pair) WHERE arank <= 20),
+              scored AS (SELECT short.qid, short.vec_id,
+                  round(list_aggregate(list_transform(range(1, len(eq.v) + 1),
+                    i -> eq.v[i] * ev.v[i]), 'sum') / (sqrt(eq.nn) * sqrt(ev.nn)), 6) AS cos
+                FROM short JOIN e ev ON short.vec_id = ev.vec_id
+                           JOIN e eq ON short.qid = eq.vec_id)
+              SELECT qid, cast(rank as bigint) AS rank, vec_id, cos FROM (
+                SELECT *, row_number() OVER (PARTITION BY qid
+                  ORDER BY cos DESC, vec_id) AS rank FROM scored) WHERE rank <= 5""")),
+
     // ---- IVF-ANN (the second scale path next to LSH s4): a small
     // data-sampled centroid codebook (vec_id < 8 — the cheap-index
     // variant; s9 runs the same machinery with TRAINED k-means cells),

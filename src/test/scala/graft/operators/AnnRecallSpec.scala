@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Recall evidence for the ANN tiers: each approximate path (LSH
+  * bucket, IVF nprobe=2, PQ ADC) measured against the exact brute-force
+  * top-10 on the same corpus. ANN correctness gates (s4/s6/s7…) pin the
+  * OUTPUT deterministically; this spec pins the QUALITY claim — that the
+  * approximations actually find most true neighbors — with printed
+  * per-tier recall feeding COVERAGE/PERF notes.
+  */
+class AnnRecallSpec extends SparkSpec {
+
+  private val K = 10
+  private val nQueries = 8
+
+  private lazy val e = {
+    graft.GraftExtensions.registerNative(spark)
+    VectorOps.vecs(graft.sources.Tables.embeddings(spark, sfDir))
+      .select("vec_id", "v", "nn").cache()
+  }
+
+  /** exact top-K neighbor ids per query id (cosine, brute force) */
+  private lazy val truth: Map[Long, Set[Long]] = {
+    val q = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nn").as("qn"))
+    e.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("cos", VectorOps.cosine("v", "qv", "nn", "qn"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+      .where(col("rank") <= K)
+      .select("qid", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (q2, rs) => q2 -> rs.map(_.getLong(1)).toSet }
+  }
+
+  private def recall(approx: Map[Long, Set[Long]]): Double = {
+    val hits = truth.map { case (q, t) => (approx.getOrElse(q, Set.empty) & t).size }
+    hits.sum.toDouble / (truth.size * K)
+  }
+
+  /** top-K via bucket-equality candidates over `b` (with bucket col) */
+  private def bucketTop(b: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] = {
+    val q = b.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nn").as("qn"), col("bucket"))
+    b.join(broadcast(q), "bucket")
+      .where(col("vec_id") =!= col("qid"))
+      .select("qid", "qv", "qn", "vec_id", "v", "nn").distinct() // union of tables
+      .withColumn("cos", VectorOps.cosine("v", "qv", "nn", "qn"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+      .where(col("rank") <= K)
+      .select("qid", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (q2, rs) => q2 -> rs.map(_.getLong(1)).toSet }
+  }
+
+  test("multi-table LSH compounds recall over the single-table index") {
+    val single = recall(bucketTop(e.withColumn("bucket", VectorOps.bucketBits(4))))
+    def multi(tables: Int): Double = {
+      // one row per (vector, table); bucket ids disambiguated per table
+      val b = e.withColumn("t", explode(expr(s"sequence(0, ${tables - 1})")))
+      val withBucket = (0 until tables).foldLeft(
+        b.withColumn("bucket", lit(-1)))( (acc, t) =>
+        acc.withColumn("bucket",
+          when(col("t") === t,
+            VectorOps.bucketTable(4, t) * tables + t).otherwise(col("bucket"))))
+      recall(bucketTop(withBucket))
+    }
+    val m2 = multi(2); val m4 = multi(4)
+    println(f"ANN-RECALL lsh single(4bit)=$single%.3f tables2=$m2%.3f tables4=$m4%.3f")
+    assert(m4 >= m2 - 1e-9, "more tables must not lose neighbors")
+    assert(m4 > single, "the multi-table index must beat one table")
+    assert(m4 >= 0.4, f"4-table LSH recall@$K collapsed: $m4%.3f")
+    // the ORACLE-portable arithmetic table family (the gated s11
+    // configuration) must compound the same way
+    val b = e.withColumn("t", explode(expr("sequence(0, 3)")))
+    val withBucket = (0 until 4).foldLeft(b.withColumn("bucket", lit(-1)))((acc, t) =>
+      acc.withColumn("bucket", when(col("t") === t,
+        VectorOps.bucketTableOracle(4, t) * 4 + t).otherwise(col("bucket"))))
+    val m4o = recall(bucketTop(withBucket))
+    println(f"ANN-RECALL lsh tables4-oracle-family=$m4o%.3f")
+    assert(m4o > single, "the arithmetic table family must also beat one table")
+  }
+
+  test("IVF nprobe=2 recall beats a single-cell probe") {
+    val cents = KMeansLite.fit(e, "vec_id", "v", 4, 1)
+    val ivf = cents.map { case (cid, cv) => (cid.toLong, cv, cv.map(x => x * x).sum) }
+    def ivfTop(nprobe: Int): Map[Long, Set[Long]] = {
+      val assigned = e.withColumn("cell", VectorOps.ivfAssignUdf(ivf)(col("v"), col("nn")))
+      val q = e.where(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nn").as("qn"),
+          explode(VectorOps.ivfProbeUdf(ivf, nprobe)(col("v"), col("nn"))).as("cell"))
+      assigned.join(broadcast(q), Seq("cell"))
+        .where(col("vec_id") =!= col("qid"))
+        .withColumn("cos", VectorOps.cosine("v", "qv", "nn", "qn"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+        .where(col("rank") <= K)
+        .select("qid", "vec_id").collect()
+        .groupBy(_.getLong(0)).map { case (q2, rs) => q2 -> rs.map(_.getLong(1)).toSet }
+    }
+    val r1 = recall(ivfTop(1))
+    val r2 = recall(ivfTop(2))
+    println(f"ANN-RECALL ivf nprobe=1: $r1%.3f  nprobe=2: $r2%.3f")
+    assert(r2 >= r1 - 1e-9, "probing more cells must not lose neighbors")
+    assert(r2 >= 0.5, f"IVF nprobe=2 recall@$K collapsed: $r2%.3f")
+  }
+
+  test("PQ ADC ranking preserves most true neighbors at 16x compression") {
+    val cents = KMeansLite.fit(e, "vec_id", "v", 4, 1)
+      .map { case (cid, cv) => (cid.toLong, cv) }
+    val enc = e.select(col("vec_id"), VectorOps.pqEncodeUdf(cents, 4)(col("v")).as("codes"))
+    val q = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), VectorOps.pqAdcUdf(cents, 4)(col("v")).as("adc"))
+    def adcShortlist(n: Int): Map[Long, Set[Long]] =
+      enc.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("qid"))
+        .withColumn("dist",
+          expr("adc[0][codes[0]] + adc[1][codes[1]] + adc[2][codes[2]] + adc[3][codes[3]]"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("qid").orderBy(col("dist").asc, col("vec_id"))))
+        .where(col("rank") <= n)
+        .select("qid", "vec_id").collect()
+        .groupBy(_.getLong(0)).map { case (q2, rs) => q2 -> rs.map(_.getLong(1)).toSet }
+    val raw = recall(adcShortlist(K))
+    // the production shape: ADC shortlist (cheap, compressed domain) →
+    // EXACT rerank of the shortlist with full vectors → top-K
+    def rerank(shortlist: Map[Long, Set[Long]]): Map[Long, Set[Long]] = {
+      import spark.implicits._
+      val cand = shortlist.toSeq.flatMap { case (q2, ids) => ids.map(q2 -> _) }
+        .toDF("qid", "vec_id")
+      val qv = e.where(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nn").as("qn"))
+      cand.join(e, "vec_id").join(broadcast(qv), "qid")
+        .withColumn("cos", VectorOps.cosine("v", "qv", "nn", "qn"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+        .where(col("rank") <= K)
+        .select("qid", "vec_id").collect()
+        .groupBy(_.getLong(0)).map { case (q2, rs) => q2 -> rs.map(_.getLong(1)).toSet }
+    }
+    val rr = recall(rerank(adcShortlist(K * 10)))
+    println(f"ANN-RECALL pq k=4 m=4 raw=$raw%.3f rerank(100)=$rr%.3f")
+    assert(rr > raw, "exact rerank of the ADC shortlist must beat raw ADC order")
+    assert(rr >= 0.4, f"PQ+rerank recall@$K collapsed: $rr%.3f")
+  }
+}

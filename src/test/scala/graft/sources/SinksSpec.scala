@@ -46,6 +46,24 @@ class SinksSpec extends SparkSpec {
     assert(after(6L) == "v6" && after(8L) == "v8")
   }
 
+  test("a reader that only calls registerNative resolves an .xz export (ADVICE r6)") {
+    import spark.implicits._
+    val path = tmp("xz_fresh")
+    Sinks.writeJsonl(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path)
+    // simulate a fresh JVM that never ran writeJsonl: strip the codec
+    // registration the write added to the shared hadoopConfiguration
+    spark.sparkContext.hadoopConfiguration.unset("io.compression.codecs")
+    // the reader-side contract: session construction (registerNative)
+    // re-registers, so .xz resolves by extension instead of parsing raw
+    // bytes into _corrupt_record
+    graft.GraftExtensions.registerNative(spark)
+    val back = spark.read.json(path)
+    assert(!back.columns.contains("_corrupt_record"),
+      "xz files must decode, not land in _corrupt_record")
+    assert(back.count() == 2)
+    assert(back.select("v").collect().map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
+  }
+
   test("compactUpserted merges small files, keeps rows AND the bucket layout") {
     import spark.implicits._
     val path = tmp("compact_up")
