@@ -220,6 +220,9 @@ object MinHashLSH {
       .join(r.select(col(idCol).as("__p"), col("rep").as("__prep")),
         col("a.rep") === col("__p"), "left")
       .select(col(s"a.$idCol"), coalesce(col("__prep"), col("a.rep")).as("rep"))
+    // (A window-based 2-hop seed was tried and measured SLOWER at sf0.1
+    // — the corpus has genuine chains, so the seed doesn't reach the
+    // fixpoint and its two window passes cost more than a loop round.)
     var reps = edges.select(col(idCol)).distinct()
       .withColumn("rep", col(idCol)).persist(lvl)
     var prevSum = repSum(reps)
