@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.{CosineSim, CounterMerge, MinHashSig, SimHashMd5, TextFunctions, Uuid3, WinnowFp, WordNgrams}
+import graft.functions.{CharNgrams, CosineSim, CounterMerge, MinHashSig, SimHashMd5, TextFunctions, Uuid3, WinnowFp, WordNgrams}
 
 /** Session extension point: registers graft's native functions so SQL
   * users get them without touching the Scala API.
@@ -28,6 +28,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       WinnowFp.info, WinnowFp.builder))
     ext.injectFunction((FunctionIdentifier("word_ngrams"),
       WordNgrams.info, WordNgrams.builder))
+    ext.injectFunction((FunctionIdentifier("char_ngrams"),
+      CharNgrams.info, CharNgrams.builder))
   }
 }
 
@@ -57,6 +59,8 @@ object GraftExtensions {
       WinnowFp.info, WinnowFp.builder)
     reg.registerFunction(FunctionIdentifier("word_ngrams"),
       WordNgrams.info, WordNgrams.builder)
+    reg.registerFunction(FunctionIdentifier("char_ngrams"),
+      CharNgrams.info, CharNgrams.builder)
   }
 
   /** UDF-backed helpers (no codegen need): RFC uuid5 decision ids,

@@ -387,6 +387,44 @@ object TextQueries extends QueryPack {
                      WHEN 2 THEN 'it' WHEN 3 THEN 'en' ELSE 'unk' END AS lang
               FROM documents""")),
 
+    // ---- LM-based quality scoring, CCNet-shaped: a char-trigram
+    // language model is TRAINED on a reference sample (every 10th doc),
+    // and each document is scored by the fraction of its trigram
+    // occurrences that are rare/unseen under that model — the quality
+    // signal CCNet gets from KenLM perplexity, carried in EXACT integer
+    // arithmetic (occurrence counts and a permille ratio) instead of
+    // float log-probs, so the oracle is bit-stable across engines. At
+    // scale: the LM is a broadcast dimension (distinct trigrams, tiny),
+    // the corpus pays one explode + broadcast probe + one doc-key agg.
+    Q("t22_lm_quality",
+      (s, d) => {
+        graft.GraftExtensions.registerNative(s)
+        val docs = Tables.documents(s, d)
+        val tri = docs.where(length(col("text")) >= 3)
+          .select(col("doc_id"), explode(expr("char_ngrams(text, 3)")).as("g"))
+        val lm = tri.where(col("doc_id") % 10 === 0)
+          .groupBy("g").agg(count(lit(1)).as("c"))
+        tri.join(broadcast(lm), Seq("g"), "left")
+          .groupBy("doc_id")
+          .agg(sum(when(col("c").isNull || col("c") < 5, 1L).otherwise(0L)).as("n_rare"),
+            count(lit(1)).as("n_total"))
+          .select(col("doc_id"), col("n_rare"), col("n_total"),
+            expr("1000 * n_rare div n_total").as("rare_permille"))
+      },
+      Some("""WITH tri AS (SELECT doc_id,
+                unnest(list_transform(range(1, length(text) - 1),
+                  i -> substr(text, i, 3))) AS g
+              FROM documents WHERE length(text) >= 3),
+              lm AS (SELECT g, count(*) AS c FROM tri
+                     WHERE doc_id % 10 = 0 GROUP BY 1),
+              j AS (SELECT tri.doc_id,
+                      CASE WHEN lm.c IS NULL OR lm.c < 5 THEN 1 ELSE 0 END AS rare
+                    FROM tri LEFT JOIN lm USING (g))
+              SELECT doc_id, cast(sum(rare) as bigint) AS n_rare,
+                cast(count(*) as bigint) AS n_total,
+                cast(1000 * sum(rare) // count(*) as bigint) AS rare_permille
+              FROM j GROUP BY 1""")),
+
     // ---- Repetition quality signals (the Gopher-filter family a
     // training-data pipeline runs at scale): top-token mass fraction
     // (explode + map-side-combined agg, one row per distinct token in

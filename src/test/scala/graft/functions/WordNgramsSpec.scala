@@ -39,4 +39,29 @@ class WordNgramsSpec extends SparkSpec {
   test("n = 1 returns the words themselves") {
     assert(grams(Seq("x", "y"), 1) == Seq("x", "y"))
   }
+
+  private def charGrams(text: String, n: Int): Seq[String] = {
+    graft.GraftExtensions.registerNative(spark)
+    import spark.implicits._
+    Seq(Tuple1(text)).toDF("t")
+      .select(expr(s"char_ngrams(t, $n)").as("g"))
+      .collect()(0).getSeq[String](0)
+  }
+
+  test("char_ngrams matches the lambda substring formulation, incl. multibyte") {
+    graft.GraftExtensions.registerNative(spark)
+    import spark.implicits._
+    for (t <- Seq("abcdef", "Gericht säumt ihre Begründung", "ÄÖÜ€ßé", "ab")) {
+      val df = Seq(Tuple1(t)).toDF("t")
+      val native = df.select(expr("char_ngrams(t, 3)")).collect()(0).getSeq[String](0)
+      val lambda = df.select(expr(
+        "CASE WHEN length(t) < 3 THEN array() ELSE transform(sequence(1, length(t) - 2), i -> substring(t, i, 3)) END"))
+        .collect()(0).getSeq[String](0)
+      assert(native == lambda, s"text=$t")
+    }
+    assert(charGrams("abc", 3) == Seq("abc"))
+    assert(charGrams("ab", 3).isEmpty)
+    assert(charGrams("abc", 0).isEmpty && charGrams("abc", -2).isEmpty)
+    assert(charGrams("é€ß", 1) == Seq("é", "€", "ß"), "code-point, not byte, semantics")
+  }
 }
