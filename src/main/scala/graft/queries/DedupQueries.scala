@@ -306,6 +306,47 @@ object DedupQueries extends QueryPack {
                 FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
               SELECT ia, ib, cos FROM p WHERE cos > 0.3""")),
 
+    // ---- EXACT-SUBSTRING duplicate spans (the Lee et al. training-data
+    // dedup class, k-gram-anchored): a character position is duplicated
+    // when its 32-char gram occurs in MORE THAN ONE document; per doc we
+    // count duplicated positions (the spans an ExactSubstr pass would
+    // trim). The full suffix-array build is replaced by the k-gram
+    // anchor join — one explode + one gram-key agg + one broadcast-able
+    // semi-join back; at 100 TB the gram key shuffles hashed, and
+    // positions stay doc-local so the trim itself is a per-row map.
+    Q("d12_exact_substring_spans",
+      (s, d) => {
+        graft.GraftExtensions.registerNative(s)
+        val k = 32
+        val docs = Tables.documents(s, d)
+        val grams = docs.where(length(col("text")) >= k)
+          .select(col("doc_id"),
+            posexplode(expr(s"char_ngrams(text, $k)")).as(Seq("pos", "g")))
+        val dup = grams.groupBy("g")
+          .agg(countDistinct("doc_id").as("nd"))
+          .where(col("nd") > 1)
+          .select("g")
+        grams.join(dup, Seq("g"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_dup_positions"))
+          .join(docs.select(col("doc_id"),
+            greatest(length(col("text")) - (k - 1), lit(0)).cast("bigint")
+              .as("n_positions")), Seq("doc_id"), "right")
+          .select(col("doc_id"),
+            coalesce(col("n_dup_positions"), lit(0L)).as("n_dup_positions"),
+            col("n_positions"))
+      },
+      Some("""WITH g AS (SELECT doc_id, unnest(list_transform(
+                  range(1, length(text) - 30), i -> substr(text, i, 32))) AS g
+              FROM documents WHERE length(text) >= 32),
+              dup AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd
+                      FROM g GROUP BY 1) WHERE nd > 1),
+              per AS (SELECT doc_id, count(*) AS ndp FROM g
+                      WHERE g IN (SELECT g FROM dup) GROUP BY 1)
+              SELECT d.doc_id,
+                cast(coalesce(per.ndp, 0) as bigint) AS n_dup_positions,
+                cast(greatest(length(d.text) - 31, 0) as bigint) AS n_positions
+              FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""")),
+
     // ---- Duplicate-LINE removal (the CCNet/boilerplate pass): a line
     // appearing in more than `maxDf` documents is boilerplate (headers,
     // footers, nav chrome) and is struck from every document; the doc
