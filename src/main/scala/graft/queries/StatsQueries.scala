@@ -494,6 +494,43 @@ object StatsQueries extends QueryPack {
 
     // ---- A3/A4 hierarchical counter rollup: distinct-token counts at
     // (lang, source), per-lang, and grand-total levels in one pass.
+    // ---- Citation-graph REACH (multi-hop network analysis — r5's
+    // criticality counts are 1-hop in-degree; precedent influence needs
+    // the transitive neighborhood): deterministic citation edges
+    // (doc i cites i/2 and i/3 — a DAG, like real citations pointing to
+    // older decisions), reach-within-2-hops = distinct targets over
+    // paths of length 1–2, computed with actual self-joins (the shape
+    // that scales: k-hop = k shuffle joins on doc keys, distinct per
+    // source bounds the blowup at each hop).
+    Q("r10_citation_reach",
+      (s, d) => {
+        val ids = Tables.documents(s, d).select("doc_id")
+        val e1 = ids.where(col("doc_id") >= 1)
+          .select(col("doc_id").as("src"), expr("doc_id div 2").as("dst"))
+        val e2 = ids.where(col("doc_id") >= 1)
+          .select(col("doc_id").as("src"), expr("doc_id div 3").as("dst"))
+        val edges = e1.union(e2).where(col("src") =!= col("dst")).distinct()
+        val hop2 = edges.as("a")
+          .join(edges.select(col("src").as("mid"), col("dst").as("dst2")),
+            col("a.dst") === col("mid"))
+          .select(col("a.src").as("src"), col("dst2").as("dst"))
+        val reach = edges.union(hop2).where(col("src") =!= col("dst")).distinct()
+        ids.join(reach.groupBy("src").agg(countDistinct("dst").as("n_reach")),
+            ids("doc_id") === col("src"), "left")
+          .select(col("doc_id"), coalesce(col("n_reach"), lit(0L)).as("n_reach"))
+      },
+      Some("""WITH ids AS (SELECT doc_id FROM documents),
+              e AS (SELECT doc_id AS src, doc_id // 2 AS dst FROM ids WHERE doc_id >= 1
+                    UNION
+                    SELECT doc_id AS src, doc_id // 3 AS dst FROM ids WHERE doc_id >= 1),
+              edges AS (SELECT src, dst FROM e WHERE src <> dst),
+              hop2 AS (SELECT a.src, b.dst FROM edges a JOIN edges b ON a.dst = b.src),
+              reach AS (SELECT src, dst FROM (SELECT * FROM edges UNION SELECT * FROM hop2)
+                        WHERE src <> dst),
+              n AS (SELECT src, count(DISTINCT dst) AS n_reach FROM reach GROUP BY 1)
+              SELECT ids.doc_id, cast(coalesce(n.n_reach, 0) as bigint) AS n_reach
+              FROM ids LEFT JOIN n ON ids.doc_id = n.src""")),
+
     Q("r6_counter_rollup",
       (s, d) => withConf(s, "spark.sql.analyzer.failAmbiguousSelfJoin", "false") {
         Tables.documents(s, d)
