@@ -350,6 +350,98 @@ object MediaPipeline {
       }
     } catch { case scala.util.control.NonFatal(_) => audioQuarantine(docId) }
 
+  case class AudioWindow(doc_id: Long, win_idx: Int, energy: Long)
+
+  /** Windowed ENERGY over the decoded PCM stream (256-sample windows,
+    * hop 128 — the framing stage of every audio front-end, MFCC
+    * included): one row per window with the exact integer sum of
+    * squared samples. Decodes the REAL payload bytes; quarantined
+    * payloads emit no windows.
+    */
+  def decodeAudioWindows(docId: Long, bytes: Array[Byte],
+                         win: Int = 256, hop: Int = 128): Seq[AudioWindow] =
+    try {
+      if (bytes == null || bytes.isEmpty) Nil
+      else {
+        val ais = wavReader.getAudioInputStream(new ByteArrayInputStream(bytes))
+        val data = try ais.readAllBytes() finally ais.close()
+        val n = data.length / 2
+        if (n < win) Nil
+        else (0 to (n - win) / hop).map { k =>
+          var e = 0L
+          var j = 0
+          while (j < win) {
+            val idx = k * hop + j
+            val v = ((data(2 * idx) & 0xff) | (data(2 * idx + 1) << 8)).toShort.toLong
+            e += v * v
+            j += 1
+          }
+          AudioWindow(docId, k, e)
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+
+  def audioWindows(withPayload: DataFrame): Dataset[AudioWindow] = {
+    import withPayload.sparkSession.implicits._
+    withPayload.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(batch => batch.flatMap { case (id, b) => decodeAudioWindows(id, b) })
+  }
+
+  case class ImageHash(doc_id: Long, ahash: Option[Long])
+
+  /** Perceptual AVERAGE HASH over the decoded raster (the pHash-family
+    * image near-dup fingerprint): 8×6 nearest-neighbor thumbnail of the
+    * red channel, bit i set when sample i exceeds the integer mean —
+    * a 48-bit fingerprint computed from REAL decoded pixels. Lossless
+    * formats only (same discipline as imageFeatures); undecodable or
+    * lossy rows → null.
+    */
+  def imageAHash(docId: Long, bytes: Array[Byte]): ImageHash =
+    try {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) ImageHash(docId, None)
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis, false, true)
+            val fmt = r.getFormatName.toLowerCase
+            if (fmt != "png" && fmt != "bmp") ImageHash(docId, None)
+            else {
+              val img = r.read(0)
+              val w = img.getWidth; val h = img.getHeight
+              val t = new Array[Long](48)
+              var sum = 0L
+              var ty = 0
+              while (ty < 6) {
+                var tx = 0
+                while (tx < 8) {
+                  val v = ((img.getRGB(tx * w / 8, ty * h / 6) >> 16) & 0xff).toLong
+                  t(ty * 8 + tx) = v; sum += v
+                  tx += 1
+                }
+                ty += 1
+              }
+              val mean = sum / 48 // integer mean — exact, oracle-restatable
+              var hash = 0L
+              var i = 0
+              while (i < 48) { if (t(i) > mean) hash |= (1L << i); i += 1 }
+              ImageHash(docId, Some(hash))
+            }
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => ImageHash(docId, None) }
+
+  def imageAHashes(withPayload: DataFrame): Dataset[ImageHash] = {
+    import withPayload.sparkSession.implicits._
+    withPayload.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(batch => batch.map { case (id, b) => imageAHash(id, b) })
+  }
+
   def withWavPayload(docs: DataFrame): DataFrame = {
     val mk = udf { id: Long => synthesizeWav(id) }
     byCores(docs).withColumn("payload", mk(col("doc_id")))

@@ -121,6 +121,49 @@ object MultimodalQueries extends QueryPack {
                      ELSE 1499 END AS int) AS peak
               FROM t""")),
 
+    // ---- Audio FRAMING + windowed energy (the MFCC-front-end shape):
+    // 256-sample windows, hop 128, over the REAL decoded PCM stream —
+    // one row per window with the exact integer sum of squares; the
+    // oracle recomputes every window sample-by-sample from the planted
+    // waveform.
+    Q("m10_audio_windows",
+      (s, d) => MediaPipeline.audioWindows(
+        MediaPipeline.withWavPayload(Tables.documents(s, d))).toDF(),
+      Some("""WITH t AS (SELECT doc_id,
+                (500 + doc_id % 1000) * (1 + doc_id % 2) AS n FROM documents),
+              w AS (SELECT doc_id, n, unnest(range((n - 256) // 128 + 1)) AS k FROM t),
+              g AS (SELECT doc_id, k, j FROM w, (SELECT unnest(range(256)) AS j))
+              SELECT doc_id, cast(k as int) AS win_idx,
+                cast(sum(((doc_id + k*128 + j) % 3000 - 1500)
+                       * ((doc_id + k*128 + j) % 3000 - 1500)) as bigint) AS energy
+              FROM g GROUP BY doc_id, k""")),
+
+    // ---- Perceptual AVERAGE-HASH (pHash family — image near-dup
+    // fingerprinting): 48-bit hash from the decoded 8×6 thumbnail, bit
+    // set when the sample beats the integer mean. Real pixels in, the
+    // oracle restates every bit from the closed-form raster; lossy
+    // formats null by discipline.
+    Q("m11_image_ahash",
+      (s, d) => MediaPipeline.imageAHashes(
+        MediaPipeline.withImagePayload(Tables.documents(s, d))).toDF(),
+      Some("""WITH dims AS (SELECT doc_id,
+                16 + doc_id % 48 AS w, 12 + doc_id % 36 AS h,
+                doc_id % 256 AS planted, doc_id % 4 IN (0, 3) AS lossless
+              FROM documents),
+              smp AS (SELECT doc_id, tx, ty,
+                       CASE WHEN tx * w // 8 = 0 AND ty * h // 6 = 0 THEN planted
+                       ELSE ((tx * w // 8) * 31 + (ty * h // 6) * 17) & 63 END AS v
+                     FROM (SELECT * FROM dims WHERE lossless),
+                          (SELECT unnest(range(8)) AS tx),
+                          (SELECT unnest(range(6)) AS ty)),
+              m AS (SELECT doc_id, sum(v) // 48 AS mean FROM smp GROUP BY 1),
+              hsh AS (SELECT smp.doc_id,
+                        sum(CASE WHEN v > mean
+                            THEN (CAST(1 AS BIGINT) << (ty * 8 + tx)) ELSE 0 END) AS ahash
+                      FROM smp JOIN m USING (doc_id) GROUP BY 1)
+              SELECT dims.doc_id, cast(hsh.ahash as bigint) AS ahash
+              FROM dims LEFT JOIN hsh ON dims.doc_id = hsh.doc_id""")),
+
     // ---- S3 PDF ingest round-trip: synthesize a real single-page PDF
     // per row cycling through every native decode path of
     // sources.PdfText — plain, FlateDecode (with a nested /DecodeParms
