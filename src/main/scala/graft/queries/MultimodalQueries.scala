@@ -270,6 +270,54 @@ object MultimodalQueries extends QueryPack {
                 'Urteil Nr. ' || doc_id || ' der II. Kammer: Beschwerde abgewiesen.' AS pdf_text
               FROM documents""")),
 
+    // ---- UNIFIED MEDIA CATALOG (the "opaque binary column with typed
+    // metadata" contract end-to-end, all three modalities in ONE table):
+    // each row carries a real payload of its modality (image / WAV /
+    // PDF by doc_id%3), the decode dispatches per modality inside the
+    // partition loop, and the catalog row unifies (modality, ok,
+    // modality-specific detail) — the shape a 100 TB media lake
+    // actually stores. Oracle restates every detail from the planted
+    // ground truth of the matching tier.
+    Q("x37_media_catalog",
+      (s, d) => {
+        val mk = udf { id: Long =>
+          (id % 3) match {
+            case 0 => MediaPipeline.synthesizeImage(id)
+            case 1 => MediaPipeline.synthesizeWav(id)
+            case _ => graft.sources.PdfText.synthesize(s"Dok $id", Seq("FlateDecode"))
+          }
+        }
+        val decode = udf { (id: Long, b: Array[Byte]) =>
+          (id % 3) match {
+            case 0 =>
+              val m = MediaPipeline.decodeImage(id, b)
+              ("image", !m.quarantined, m.width.map(_.toLong).getOrElse(-1L))
+            case 1 =>
+              val m = MediaPipeline.decodeWav(id, b)
+              ("audio", !m.quarantined, m.sample_rate.map(_.toLong).getOrElse(-1L))
+            case _ =>
+              val t = graft.sources.PdfText.extract(b)
+              ("pdf", t != null, if (t == null) -1L else t.length.toLong)
+          }
+        }
+        Tables.documents(s, d).select("doc_id")
+          .repartition(s.sparkContext.defaultParallelism)
+          .withColumn("payload", mk(col("doc_id")))
+          .withColumn("m", decode(col("doc_id"), col("payload")))
+          .select(col("doc_id"), col("m._1").as("modality"),
+            col("m._2").as("ok"), col("m._3").as("detail"))
+      },
+      Some("""SELECT doc_id,
+                CASE CAST(doc_id % 3 AS int) WHEN 0 THEN 'image'
+                     WHEN 1 THEN 'audio' ELSE 'pdf' END AS modality,
+                true AS ok,
+                CAST(CASE CAST(doc_id % 3 AS int)
+                  WHEN 0 THEN 16 + doc_id % 48
+                  WHEN 1 THEN CASE CAST(doc_id % 4 AS int) WHEN 0 THEN 8000
+                       WHEN 1 THEN 11025 WHEN 2 THEN 16000 ELSE 22050 END
+                  ELSE 4 + length(CAST(doc_id AS varchar)) END AS bigint) AS detail
+              FROM documents""")),
+
     // ---- Sliding 1-hour windows every 15 min (batch dual of
     // streaming.EventStreams.slidingCounts): each row lands in exactly 4
     // windows — explode the 4 offsets, then one hash agg.

@@ -66,6 +66,20 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r.getInt(1) == 3)
   }
 
+  test("ngram family is callable from SQL with safe edges") {
+    registerViews()
+    graft.GraftExtensions.registerNative(spark)
+    val r = spark.sql(
+      """SELECT word_ngrams(array('a','b','c'), 2) AS wg,
+        |       word_ngrams(array('a'), 0) AS w0,
+        |       char_ngrams('abcd', 3) AS cg,
+        |       char_ngrams('ab', 5) AS c0""".stripMargin).collect()(0)
+    assert(r.getSeq[String](0) == Seq("a b", "b c"))
+    assert(r.getSeq[String](1).isEmpty)
+    assert(r.getSeq[String](2) == Seq("abc", "bcd"))
+    assert(r.getSeq[String](3).isEmpty)
+  }
+
   test("minhash_sig and cosine_sim compose in plain SQL") {
     registerViews()
     graft.GraftExtensions.registerNative(spark)
