@@ -56,8 +56,13 @@ object EventQueries extends QueryPack {
     while (it.hasNext) {
       val f = it.next()
       val name = f.getFileName.toString
-      if (!name.startsWith("_") && !name.startsWith(".")) // skip _SUCCESS etc.
-        java.nio.file.Files.createLink(dir.resolve(name), f)
+      if (!name.startsWith("_") && !name.startsWith(".")) { // skip _SUCCESS etc.
+        try java.nio.file.Files.createLink(dir.resolve(name), f)
+        catch { // filesystems without hardlinks (or cross-device): copy
+          case _: UnsupportedOperationException | _: java.io.IOException =>
+            java.nio.file.Files.copy(f, dir.resolve(name))
+        }
+      }
     }
     dir.toString
   }

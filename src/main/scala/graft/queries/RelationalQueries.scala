@@ -181,6 +181,39 @@ object RelationalQueries extends QueryPack {
                      n_regionkey::BIGINT AS n_regionkey
               FROM nation WHERE n_regionkey = 2""")),
 
+    // ---- TYPE-2 history sink (k10): SCD2 over the bucketed upsert
+    // machinery — v1 loads the table, v2 changes three keys and adds
+    // one, the closed versions keep their payload with valid_to
+    // stamped, and REPLAYING v2 writes nothing (idempotence exercised
+    // inside the gate: the third call must leave the history
+    // row-identical for the oracle's hash to match).
+    Q("k10_scd2_history",
+      (s, d) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_k10_")
+          .resolve("t").toString
+        val nation = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+        graft.sources.Sinks.scd2Upsert(nation, out, "n_nationkey", 1L, numBuckets = 8)
+        val batch2 = nation.where(col("n_nationkey") < 3)
+          .withColumn("n_name", concat(col("n_name"), lit("_v2")))
+          .unionByName(nation.orderBy("n_nationkey").limit(1)
+            .select((col("n_nationkey") * 0 + 999).as("n_nationkey"),
+              lit("NEWLAND").as("n_name")))
+        graft.sources.Sinks.scd2Upsert(batch2, out, "n_nationkey", 2L, numBuckets = 8)
+        graft.sources.Sinks.scd2Upsert(batch2, out, "n_nationkey", 2L, numBuckets = 8)
+        graft.sources.Sinks.readUpserted(s, out)
+          .select(col("n_nationkey").cast("bigint").as("n_nationkey"),
+            col("n_name"), col("valid_from"), col("valid_to"))
+      },
+      Some("""SELECT n_nationkey::BIGINT AS n_nationkey, n_name,
+                     CAST(1 AS BIGINT) AS valid_from,
+                     CAST(CASE WHEN n_nationkey < 3 THEN 2 END AS BIGINT) AS valid_to
+              FROM nation
+              UNION ALL
+              SELECT n_nationkey::BIGINT, n_name || '_v2', 2, NULL
+              FROM nation WHERE n_nationkey < 3
+              UNION ALL
+              SELECT 999::BIGINT, 'NEWLAND', 2, NULL""")),
+
     // ---- §3.2 sub-dataset slices (k8): DatasetWriter.subDatasets —
     // one partitionBy(slice, split) pass per slice FAMILY (vs the
     // reference's loop of filtered writes, dataset_creator.py:941-1004)

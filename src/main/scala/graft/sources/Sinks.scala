@@ -85,6 +85,12 @@ object Sinks {
     * it mid-table would strand rows in partitions the new routing
     * never revisits. Re-bucketing = full rewrite through `compact`-
     * style read-all + fresh upsert.
+    *
+    * CONCURRENCY: one writer per TABLE at a time (concurrent calls on
+    * the same path race the read-merge-swap; the corpus stream runs
+    * its six tables' upserts concurrently because they are six
+    * DIFFERENT paths). Serialize same-table batches upstream — the
+    * micro-batch/foreachBatch model does this naturally.
     */
   def upsertBucketed(batch: DataFrame, path: String, keyCol: String,
                      numBuckets: Int = 64): Unit = {
@@ -158,6 +164,50 @@ object Sinks {
       fs.delete(old, true)
     }
     fs.delete(new org.apache.hadoop.fs.Path(path + "__upsert_tmp"), true)
+  }
+
+  /** TYPE-2 HISTORY upsert (SCD2): every key keeps its full version
+    * history — the live row has `valid_to = NULL`; a change closes the
+    * previous version (`valid_to = version`) and opens a new one.
+    * Versions are LOGICAL, caller-supplied batch numbers (never
+    * wall-clock), so replays are deterministic and IDEMPOTENT:
+    * re-applying batch v finds every key's live payload already equal
+    * and writes nothing. Unchanged keys are never rewritten (the delta
+    * is closes ∪ inserts only), and storage-wise each history row
+    * routes through [[upsertBucketed]] keyed on (key, valid_from) — so
+    * batch cost stays |changed keys| + touched buckets, independent of
+    * table or history size.
+    */
+  def scd2Upsert(batch: DataFrame, path: String, keyCol: String,
+                 version: Long, numBuckets: Int = 64): Unit = {
+    val payloadCols = batch.columns.filterNot(_ == keyCol).toSeq
+    def withSkey(df: DataFrame): DataFrame =
+      df.withColumn("__skey", concat_ws(":", col(keyCol), col("valid_from")))
+    if (!Files.exists(Paths.get(path))) {
+      val first = batch
+        .withColumn("valid_from", lit(version))
+        .withColumn("valid_to", lit(null).cast("long"))
+      upsertBucketed(withSkey(first), path, "__skey", numBuckets)
+      return
+    }
+    val live = readUpserted(batch.sparkSession, path)
+      .drop("__skey").where(col("valid_to").isNull)
+    val joined = batch.as("b")
+      .join(live.as("l"), col(s"b.$keyCol") === col(s"l.$keyCol"), "left")
+    val changedPayload = payloadCols.map(c => not(col(s"b.$c") <=> col(s"l.$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val changed = joined.where(col(s"l.$keyCol").isNull || changedPayload)
+    val closes = changed.where(col(s"l.$keyCol").isNotNull)
+      .select(col(s"l.$keyCol").as(keyCol) +:
+        (payloadCols.map(c => col(s"l.$c").as(c)) :+
+          col("l.valid_from").as("valid_from")): _*)
+      .withColumn("valid_to", lit(version))
+    val inserts = changed
+      .select(col(s"b.$keyCol").as(keyCol) +:
+        payloadCols.map(c => col(s"b.$c").as(c)): _*)
+      .withColumn("valid_from", lit(version))
+      .withColumn("valid_to", lit(null).cast("long"))
+    upsertBucketed(withSkey(closes.unionByName(inserts)), path, "__skey", numBuckets)
   }
 
   /** Read back an upsert table (drops the routing column). */

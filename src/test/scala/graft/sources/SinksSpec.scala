@@ -93,6 +93,29 @@ class SinksSpec extends SparkSpec {
     assert(post(7L) == "POST" && post.size == 20 && post(6L) == before(6L))
   }
 
+  test("scd2Upsert: change closes the old version, replay is a no-op") {
+    import spark.implicits._
+    val path = tmp("scd2")
+    Sinks.scd2Upsert(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path, "id", 1L, 4)
+    Sinks.scd2Upsert(Seq((1L, "A"), (3L, "c")).toDF("id", "v"), path, "id", 2L, 4)
+    def rows = Sinks.readUpserted(spark, path)
+      .select("id", "v", "valid_from", "valid_to").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    val expected = Set(
+      (1L, "a", 1L, 2L), (1L, "A", 2L, -1L), // closed + live
+      (2L, "b", 1L, -1L),                    // untouched key stays live
+      (3L, "c", 2L, -1L))                    // new key opens at v2
+    assert(rows == expected)
+    // replay of v2: byte-identical history (idempotent)
+    Sinks.scd2Upsert(Seq((1L, "A"), (3L, "c")).toDF("id", "v"), path, "id", 2L, 4)
+    assert(rows == expected)
+    // a same-payload batch at a NEW version also writes nothing — SCD2
+    // closes on CHANGE, not on every batch
+    Sinks.scd2Upsert(Seq((1L, "A"), (2L, "b")).toDF("id", "v"), path, "id", 3L, 4)
+    assert(rows == expected)
+  }
+
   test("upsertBucketed: an all-empty first batch does not poison the sink") {
     import spark.implicits._
     val path = tmp("upsert_empty")
