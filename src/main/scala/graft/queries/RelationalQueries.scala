@@ -214,6 +214,27 @@ object RelationalQueries extends QueryPack {
               UNION ALL
               SELECT 999::BIGINT, 'NEWLAND', 2, NULL""")),
 
+    // ---- TIME TRAVEL over the SCD2 history (k11): the same two-version
+    // table read AS OF v1 — interval predicates reconstruct the exact
+    // pre-update state (incl. the later-updated keys' ORIGINAL payloads,
+    // and without the v2-only key) from history alone, no rewrites.
+    Q("k11_scd2_asof",
+      (s, d) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_k11_")
+          .resolve("t").toString
+        val nation = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+        graft.sources.Sinks.scd2Upsert(nation, out, "n_nationkey", 1L, numBuckets = 8)
+        val batch2 = nation.where(col("n_nationkey") < 3)
+          .withColumn("n_name", concat(col("n_name"), lit("_v2")))
+          .unionByName(nation.orderBy("n_nationkey").limit(1)
+            .select((col("n_nationkey") * 0 + 999).as("n_nationkey"),
+              lit("NEWLAND").as("n_name")))
+        graft.sources.Sinks.scd2Upsert(batch2, out, "n_nationkey", 2L, numBuckets = 8)
+        graft.sources.Sinks.scd2AsOf(s, out, 1L)
+          .select(col("n_nationkey").cast("bigint").as("n_nationkey"), col("n_name"))
+      },
+      Some("SELECT n_nationkey::BIGINT AS n_nationkey, n_name FROM nation")),
+
     // ---- §3.2 sub-dataset slices (k8): DatasetWriter.subDatasets —
     // one partitionBy(slice, split) pass per slice FAMILY (vs the
     // reference's loop of filtered writes, dataset_creator.py:941-1004)

@@ -210,6 +210,16 @@ object Sinks {
     upsertBucketed(withSkey(closes.unionByName(inserts)), path, "__skey", numBuckets)
   }
 
+  /** TIME-TRAVEL read over an SCD2 history table: the table AS OF
+    * logical version `v` — rows whose interval [valid_from, valid_to)
+    * covers v. A partition/zone-map-friendly pair of range predicates;
+    * no history is ever rewritten to serve an old version.
+    */
+  def scd2AsOf(spark: SparkSession, path: String, v: Long): DataFrame =
+    readUpserted(spark, path).drop("__skey")
+      .where(col("valid_from") <= v &&
+        (col("valid_to").isNull || col("valid_to") > v))
+
   /** Read back an upsert table (drops the routing column). */
   def readUpserted(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop("__bucket")
