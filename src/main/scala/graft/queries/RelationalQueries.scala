@@ -181,6 +181,60 @@ object RelationalQueries extends QueryPack {
                      n_regionkey::BIGINT AS n_regionkey
               FROM nation WHERE n_regionkey = 2""")),
 
+    // ---- PERMISSIVE ingest of damaged JSONL (x38): a landing file
+    // where every 7th line is corrupt (truncated JSON) — the PERMISSIVE
+    // reader captures damage in _corrupt_record instead of failing the
+    // job or silently dropping rows; the gate states the good/quarantine
+    // split exactly (the reference's log-and-skip ingest contract as
+    // data).
+    Q("x38_permissive_json",
+      (s, d) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_x38_")
+        val lines = (0 until 100).map { i =>
+          if (i % 7 == 0) s"""{"id": $i, "v": "broken""" // truncated
+          else s"""{"id": $i, "v": "ok$i"}"""
+        }
+        java.nio.file.Files.write(out.resolve("part.jsonl"),
+          String.join("\n", lines: _*).getBytes("UTF-8"))
+        val schema = "id BIGINT, v STRING, _corrupt_record STRING"
+        val parsed = s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(out.toString).cache() // corrupt-record column needs the cache (SPARK-21610)
+        parsed.agg(
+          sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L)).as("n_good"),
+          sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+          sum(when(col("_corrupt_record").isNull, col("id"))).as("sum_good_ids"))
+      },
+      Some("""SELECT cast(sum(CASE WHEN i % 7 <> 0 THEN 1 ELSE 0 END) as bigint) AS n_good,
+                     cast(sum(CASE WHEN i % 7 = 0 THEN 1 ELSE 0 END) as bigint) AS n_corrupt,
+                     cast(sum(CASE WHEN i % 7 <> 0 THEN i END) as bigint) AS sum_good_ids
+              FROM (SELECT unnest(range(100)) AS i)""")),
+
+    // ---- SCHEMA EVOLUTION read (u7): a table whose later files carry
+    // an ADDED column (the lake reality — writers upgrade, history
+    // doesn't), read back with mergeSchema: old files' rows surface the
+    // new column as NULL, nothing is rewritten. Oracle restates the
+    // merged view.
+    Q("u7_schema_evolution",
+      (s, d) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_u7_")
+          .resolve("t").toString
+        val nation = Tables.nation(s, d)
+        nation.where(col("n_nationkey") >= 5)
+          .select(col("n_nationkey"), col("n_name"))
+          .write.parquet(out) // v1 writer: 2 columns
+        nation.where(col("n_nationkey") < 5)
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .write.mode("append").parquet(out) // v2 writer: +1 column
+        s.read.option("mergeSchema", "true").parquet(out)
+          .select(col("n_nationkey").cast("bigint").as("n_nationkey"),
+            col("n_name"), col("n_regionkey").cast("bigint").as("n_regionkey"))
+      },
+      Some("""SELECT n_nationkey::BIGINT AS n_nationkey, n_name,
+                     CASE WHEN n_nationkey < 5 THEN n_regionkey::BIGINT END AS n_regionkey
+              FROM nation""")),
+
     // ---- TYPE-2 history sink (k10): SCD2 over the bucketed upsert
     // machinery — v1 loads the table, v2 changes three keys and adds
     // one, the closed versions keep their payload with valid_to
