@@ -366,6 +366,57 @@ object EventQueries extends QueryPack {
       },
       Some("SELECT event_id, user_id, event_type FROM events")),
 
+    // ---- Streaming DOCUMENT dedup, gated (e13): documents land with a
+    // re-crawl duplicate each (same text, shifted doc_id, later
+    // doc_ts), flow through EventStreams.dedupDocs with the EXACT
+    // content fingerprint (md5 — first-wins within the watermark), and
+    // the surviving TEXT set equals the distinct corpus. Output
+    // projects text only — which doc_id survives a fingerprint class
+    // is scheduler-order dependent by design; the content is not. The
+    // default simhash64 NEAR-dup fingerprint runs the same machinery
+    // (EventStreamsSpec — its classes merge near-identical texts, so an
+    // exact-SQL oracle cannot state them).
+    Q("e13_stream_content_dedup",
+      (s, d) => {
+        val stage = Scratch.dir("graft_e13_").toString
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        docs.withColumn("doc_ts", expr("timestamp_micros(1700000000000000 + doc_id)"))
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+          .withColumn("doc_ts", expr("timestamp_micros(1700000001000000 + doc_id)"))
+          .coalesce(1).write.mode("append").parquet(stage) // the re-crawl
+        val stream = s.readStream
+          .schema("doc_id LONG, text STRING, doc_ts TIMESTAMP").parquet(stage)
+        val outDir = runGatedStream(s,
+          graft.streaming.EventStreams.dedupDocs(stream, md5(col("text"))))(
+          _.processAllAvailable())
+        s.read.parquet(outDir).select("text").distinct()
+      },
+      Some("SELECT DISTINCT text FROM documents")),
+
+    // ---- Stream ⋈ STATIC dimension join, gated (e14): the ubiquitous
+    // enrichment shape — a streaming fact joined to a broadcast static
+    // dimension (no state, no watermark needed on the dim side), then a
+    // keyed aggregate. Equals the batch dual exactly.
+    Q("e14_stream_static_join",
+      (s, d) => {
+        val stageDir = stageEvents(s, d)
+        val dim = Tables.nation(s, d)
+          .select(col("n_nationkey").cast("long").as("nk"), col("n_name"))
+        val joined = eventStream(s, stageDir)
+          .withColumn("nk", pmod(col("user_id"), lit(25L)))
+          .join(broadcast(dim), "nk")
+        val outDir = runGatedStream(s, joined)(_.processAllAvailable())
+        s.read.parquet(outDir)
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      },
+      Some("""SELECT n_name, count(*) AS n_events,
+                cast(sum(cast(value as decimal(18,6))) as double) AS sum_value
+              FROM events JOIN nation ON user_id % 25 = n_nationkey
+              GROUP BY 1""")),
+
     // ---- Streaming WINDOWED AGGREGATION, gated: tumblingCounts in
     // append mode emits each 1-hour window exactly once, when the
     // watermark passes its end. Flush micro-batches finalize every real

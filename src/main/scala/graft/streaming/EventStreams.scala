@@ -118,12 +118,14 @@ object EventStreams {
     * two-tier streaming/batch dedup split. State is bounded by the
     * watermark. Input needs (doc_ts timestamp, text string).
     */
-  def dedupDocs(docs: DataFrame): DataFrame = {
+  def dedupDocs(docs: DataFrame,
+                fingerprint: org.apache.spark.sql.Column = null): DataFrame = {
     val sim = udf { t: String =>
       graft.functions.TextFunctions.simhash64(
         if (t == null) Seq.empty else t.split("\\s+").toSeq) }
+    val fp = Option(fingerprint).getOrElse(sim(col("text")))
     docs
-      .withColumn("fp", sim(col("text")))
+      .withColumn("fp", fp)
       .withWatermark("doc_ts", "2 hours")
       .dropDuplicatesWithinWatermark("fp")
   }
