@@ -318,6 +318,45 @@ object MultimodalQueries extends QueryPack {
                   ELSE 4 + length(CAST(doc_id AS varchar)) END AS bigint) AS detail
               FROM documents""")),
 
+    // ---- HYBRID PDF: text layer + embedded image XObject (the scanned
+    // court-document shape — /DCTDecode stream IS a raw JPEG). The gate
+    // extracts the text through the normal tier AND the image through
+    // the XObject scan, then DECODES the embedded JPEG with the imageio
+    // tier and cross-checks raster dims against the declared /Width
+    // /Height — two independent decoders agreeing on the same planted
+    // fixture.
+    Q("m12_pdf_embedded_image",
+      (s, d) => {
+        val build = udf { id: Long =>
+          val imgId = 4 * id + 1 // % 4 == 1 → jpeg
+          graft.sources.PdfText.synthesizeWithImage(
+            s"Scan Nr. $id", MediaPipeline.synthesizeImage(imgId),
+            (16 + imgId % 48).toInt, (12 + imgId % 36).toInt)
+        }
+        val extract = udf { (id: Long, b: Array[Byte]) =>
+          val text = graft.sources.PdfText.extract(b)
+          graft.sources.PdfText.imageXObjects(b).headOption match {
+            case Some((w, h, payload)) =>
+              val dec = MediaPipeline.decodeImage(id, payload)
+              (text, w, h,
+                dec.width.contains(w) && dec.height.contains(h) &&
+                  dec.format.contains("jpeg"))
+            case None => (text, -1, -1, false)
+          }
+        }
+        Tables.documents(s, d).select("doc_id")
+          .repartition(s.sparkContext.defaultParallelism)
+          .withColumn("r", extract(col("doc_id"), build(col("doc_id"))))
+          .select(col("doc_id"), col("r._1").as("pdf_text"),
+            col("r._2").as("img_w"), col("r._3").as("img_h"),
+            col("r._4").as("dims_agree"))
+      },
+      Some("""SELECT doc_id, 'Scan Nr. ' || doc_id AS pdf_text,
+                CAST(16 + (4 * doc_id + 1) % 48 AS int) AS img_w,
+                CAST(12 + (4 * doc_id + 1) % 36 AS int) AS img_h,
+                true AS dims_agree
+              FROM documents""")),
+
     // ---- Sliding 1-hour windows every 15 min (batch dual of
     // streaming.EventStreams.slidingCounts): each row lands in exactly 4
     // windows — explode the 4 offsets, then one hash agg.

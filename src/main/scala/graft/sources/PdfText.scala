@@ -1458,4 +1458,65 @@ object PdfText {
       else texts.mkString("\n\n").replace("\u0000", "")
     } catch { case _: Throwable => null }
   }
+
+  /** Synthesize a PDF carrying an embedded IMAGE XObject with REAL
+    * encoded image bytes — /DCTDecode means the stream IS a raw JPEG
+    * (PDF 32000-1 §7.4.8): the standard hybrid shape of scanned court
+    * documents (text layer + page scans). The text page is unchanged;
+    * the image rides as its own object.
+    */
+  def synthesizeWithImage(text: String, image: Array[Byte], w: Int, h: Int,
+                          filter: String = "DCTDecode"): Array[Byte] = {
+    val base = synthesize(text, Seq("FlateDecode"))
+    val tail = "trailer << /Root 1 0 R >>\n%%EOF\n"
+    val s = new String(base, Latin1)
+    val idx = s.lastIndexOf(tail)
+    val head = s.substring(0, idx).getBytes(Latin1)
+    val obj = (s"5 0 obj << /Type /XObject /Subtype /Image /Width $w /Height $h " +
+      "/ColorSpace /DeviceRGB /BitsPerComponent 8 " +
+      s"/Filter /$filter /Length ${image.length} >>\nstream\n").getBytes(Latin1)
+    head ++ obj ++ image ++ "\nendstream\nendobj\n".getBytes(Latin1) ++
+      tail.getBytes(Latin1)
+  }
+
+  /** Scan a PDF for image XObjects: (declared width, declared height,
+    * raw stream payload — for /DCTDecode that payload is a decodable
+    * JPEG). Linear Latin-1 scan (byte-faithful, same discipline as the
+    * text extractor); malformed structures yield what parses, never a
+    * throw.
+    */
+  def imageXObjects(bytes: Array[Byte]): Seq[(Int, Int, Array[Byte])] =
+    try {
+      val s = new String(bytes, Latin1)
+      val out = Seq.newBuilder[(Int, Int, Array[Byte])]
+      val widthRe = "/Width\\s+(\\d+)".r
+      val heightRe = "/Height\\s+(\\d+)".r
+      val lenRe = "/Length\\s+(\\d+)".r
+      var from = 0
+      var at = s.indexOf("/Subtype /Image", from)
+      while (at >= 0) {
+        val dictStart = s.lastIndexOf("<<", at)
+        val dictEnd = s.indexOf(">>", at)
+        if (dictStart >= 0 && dictEnd > at) {
+          val dict = s.substring(dictStart, dictEnd)
+          for {
+            w <- widthRe.findFirstMatchIn(dict).map(_.group(1).toInt)
+            h <- heightRe.findFirstMatchIn(dict).map(_.group(1).toInt)
+            len <- lenRe.findFirstMatchIn(dict).map(_.group(1).toInt)
+          } {
+            val streamKw = s.indexOf("stream", dictEnd)
+            if (streamKw >= 0) {
+              var payloadStart = streamKw + "stream".length
+              if (payloadStart < s.length && s.charAt(payloadStart) == '\r') payloadStart += 1
+              if (payloadStart < s.length && s.charAt(payloadStart) == '\n') payloadStart += 1
+              if (payloadStart + len <= bytes.length)
+                out += ((w, h, java.util.Arrays.copyOfRange(bytes, payloadStart, payloadStart + len)))
+            }
+          }
+        }
+        from = at + 1
+        at = s.indexOf("/Subtype /Image", from)
+      }
+      out.result()
+    } catch { case scala.util.control.NonFatal(_) => Nil }
 }
