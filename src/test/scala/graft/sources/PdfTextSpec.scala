@@ -401,4 +401,22 @@ class PdfTextSpec extends AnyFunSuite {
     val hay2 = "7 0 obj\n% comment line\n<< /Length 4 >>"
     assert(PdfText.owningObject(hay2, hay2.indexOf("<<")) == (7, 0))
   }
+
+  test("image XObjects: embedded JPEG round-trips; hostile scans yield Nil") {
+    val jpeg = graft.multimodal.MediaPipeline.synthesizeImage(5L) // %4==1 -> jpeg
+    val w = (16 + 5 % 48); val h = (12 + 5 % 36)
+    val pdf = PdfText.synthesizeWithImage("Scan 5", jpeg, w, h)
+    // text layer untouched
+    assert(PdfText.extract(pdf) == "Scan 5")
+    val imgs = PdfText.imageXObjects(pdf)
+    assert(imgs.length == 1)
+    val (dw, dh, payload) = imgs.head
+    assert(dw == w && dh == h)
+    assert(payload.sameElements(jpeg), "the /DCTDecode stream is the raw JPEG bytes")
+    // hostile: no image, junk bytes, truncated payload
+    assert(PdfText.imageXObjects(PdfText.synthesize("kein Bild", Seq("FlateDecode"))).isEmpty)
+    assert(PdfText.imageXObjects(Array.tabulate(64)(i => (i * 37).toByte)).isEmpty)
+    val cut = java.util.Arrays.copyOf(pdf, pdf.length - jpeg.length / 2)
+    assert(PdfText.imageXObjects(cut).isEmpty, "amputated payload must not surface")
+  }
 }
