@@ -289,6 +289,45 @@ object RelationalQueries extends QueryPack {
       },
       Some("SELECT n_nationkey::BIGINT AS n_nationkey, n_name FROM nation")),
 
+    // ---- K12: BUCKETED tables + exchange-free co-located join — the
+    // brief's "co-locate joins via bucketing" as a gate. Both sides are
+    // written as Spark bucketed tables (8 buckets on the join key, the
+    // catalog carries HashPartitioning metadata), so the join compiles
+    // WITHOUT a shuffle on either side: at 100 TB this is the
+    // write-once/join-many contract — the big fact pays its shuffle at
+    // ingest, never again. Broadcast is disabled while the plan is
+    // built so the gate actually exercises the bucket-SMJ path (AQE
+    // would otherwise broadcast the small side at this SF);
+    // PlanShapeSpec pins zero ShuffleExchange in the executed plan.
+    // The oracle restates the join over the raw parquet — bucketing
+    // must be a pure physical property, invisible in the result.
+    Q("k12_bucketed_cojoin",
+      (s, d) => {
+        val wh = java.nio.file.Files.createTempDirectory("graft_k12_").toString
+        s.sql("DROP TABLE IF EXISTS graft_k12_orders")
+        s.sql("DROP TABLE IF EXISTS graft_k12_customer")
+        Tables.orders(s, d).write.bucketBy(8, "o_custkey")
+          .option("path", s"$wh/orders_b").mode("overwrite")
+          .saveAsTable("graft_k12_orders")
+        Tables.customer(s, d).write.bucketBy(8, "c_custkey")
+          .option("path", s"$wh/customer_b").mode("overwrite")
+          .saveAsTable("graft_k12_customer")
+        withConf(s, "spark.sql.autoBroadcastJoinThreshold", "-1") {
+          withConf(s, "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1") {
+            s.table("graft_k12_orders")
+              .join(s.table("graft_k12_customer"),
+                col("o_custkey") === col("c_custkey"))
+              .groupBy("c_mktsegment")
+              .agg(count(lit(1)).as("n_orders"),
+                sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+          }
+        }
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_orders,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY 1""")),
+
     // ---- §3.2 sub-dataset slices (k8): DatasetWriter.subDatasets —
     // one partitionBy(slice, split) pass per slice FAMILY (vs the
     // reference's loop of filtered writes, dataset_creator.py:941-1004)
@@ -517,6 +556,60 @@ object RelationalQueries extends QueryPack {
         .select("c_custkey", "c_mktsegment"),
       Some("""SELECT c_custkey, c_mktsegment FROM customer c
               WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""")),
+
+    // ---- J17: SALTED skew join — the explicit skew lever the brief
+    // names ("salting for skew") gated on result EQUALITY with the
+    // plain join: the fact side (lineitem) is spread over 8 artificial
+    // sub-keys, the mid-size build side (small parts) is replicated
+    // once per salt, and the oracle restates the unsalted join — so
+    // the gate pins that salting is a pure physical rewrite, invisible
+    // in the result. Use when a skewed build side is too big to
+    // broadcast and AQE's skew split can't engage (operators/Salting).
+    Q("j17_salted_skew_join",
+      (s, d) => {
+        val fact = Tables.lineitem(s, d).select(col("l_orderkey"),
+          col("l_linenumber").cast("bigint").as("l_linenumber"),
+          col("l_partkey").as("partkey"), col("l_quantity"))
+        val dim = Tables.part(s, d).where(col("p_size") <= 5)
+          .select(col("p_partkey").as("partkey"), col("p_name"))
+        graft.operators.Salting.saltedJoin(fact, dim, "partkey", nSalts = 8)
+          .select("l_orderkey", "l_linenumber", "partkey", "p_name", "l_quantity")
+      },
+      Some("""SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+                     l_partkey AS partkey, p_name, l_quantity
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_size <= 5""")),
+
+    // ---- J18: RANGE (band) join — clicks within the hour BEFORE each
+    // purchase by the same user, via the bucketized rewrite
+    // (operators/RangeJoin): intervals explode to ≤2 coarse time
+    // buckets, the join is a plain equi-join on (user, bucket) with
+    // the exact band as residual — no BNLJ, no per-user cartesian.
+    // Join logic on raw epoch nanos; output µs (DuckDB timestamps are
+    // µs — the j10 convention).
+    Q("j18_range_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts_ns").as("click_ns"))
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("ts_ns").as("purchase_ns"))
+        graft.operators.RangeJoin.bandJoin(clicks, purchases,
+            Seq("user_id"), ptCol = "click_ns", centerCol = "purchase_ns",
+            before = 3600L * 1000 * 1000 * 1000, after = 0L)
+          .select(col("purchase_id"), col("user_id"),
+            expr("purchase_ns div 1000").as("purchase_ts_us"),
+            col("click_id"), expr("click_ns div 1000").as("click_ts_us"))
+      },
+      Some("""SELECT p.event_id AS purchase_id, p.user_id,
+                     epoch_us(p.ts) AS purchase_ts_us,
+                     c.event_id AS click_id, epoch_us(c.ts) AS click_ts_us
+              FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+              JOIN (SELECT * FROM events WHERE event_type = 'click') c
+                ON c.user_id = p.user_id
+               AND epoch_ns(c.ts) BETWEEN epoch_ns(p.ts) - 3600000000000 AND epoch_ns(p.ts)""")),
 
     // ---- W1: latest-row-per-key via row_number (reference: nearest-page
     // pick). Deterministic tie-break on the unique key.

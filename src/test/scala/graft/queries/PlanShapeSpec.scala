@@ -170,4 +170,37 @@ class PlanShapeSpec extends SparkSpec {
       l.contains("Filter") && l.contains("dim"))
     assert(!filterAboveGenerate, "no post-explode dim filter may remain: " + p.take(1000))
   }
+
+  test("j18 range join buckets into an equi-join, never a nested loop") {
+    val p = plan("j18_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "range predicate must ride the bucket equi-join as a residual: " + p.take(1000))
+  }
+
+  test("k12 bucketed tables join WITHOUT a shuffle on either side") {
+    // replicate the gate's write (tiny sf0.001 tables), then assert the
+    // JOIN subtree alone: bucket metadata must satisfy the join's
+    // distribution requirement — sorts are fine, exchanges are not
+    val wh = java.nio.file.Files.createTempDirectory("graft_k12spec_").toString
+    spark.sql("DROP TABLE IF EXISTS graft_k12s_orders")
+    spark.sql("DROP TABLE IF EXISTS graft_k12s_customer")
+    graft.sources.Tables.orders(spark, sfDir).write.bucketBy(8, "o_custkey")
+      .option("path", s"$wh/o").mode("overwrite").saveAsTable("graft_k12s_orders")
+    graft.sources.Tables.customer(spark, sfDir).write.bucketBy(8, "c_custkey")
+      .option("path", s"$wh/c").mode("overwrite").saveAsTable("graft_k12s_customer")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("graft_k12s_orders")
+        .join(spark.table("graft_k12s_customer"),
+          org.apache.spark.sql.functions.col("o_custkey") ===
+            org.apache.spark.sql.functions.col("c_custkey"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        "bucketed-by-join-key scans must co-locate — a shuffle defeats the " +
+          "write-once/join-many contract: " + p.take(1200))
+      assert(p.contains("SortMergeJoin"), p.take(600))
+      assert(j.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
