@@ -203,13 +203,30 @@ object MinHashLSH {
     */
   def convergeKeepListWithStats(b0: DataFrame, idCol: String,
                                 maxHops: Int = 16): (DataFrame, Int) = {
+    val spark = b0.sparkSession
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // ADAPTIVE loop parallelism: cached iterative plans pin their
+    // shuffle partitioning (AQE's coalescing is disabled for cached
+    // plans — canChangeCachedPlanOutputPartitioning), so a small input
+    // would pay sessionP tasks × ~6 stages × rounds of pure scheduler
+    // overhead (measured 1.3–1.7 s/round on 20k band rows at 32
+    // partitions). Size the loop's shuffles from the MEASURED band-row
+    // count instead, clamped at the session setting — at cluster scale
+    // the clamp keeps full parallelism, the knob only ever shrinks
+    // small inputs (the ntile small-path precedent). The count also
+    // materializes the edge cache once, before the conf scope.
+    val sessionP = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val edges0 = b0.select(col(idCol), col("band"), col("h")).persist(lvl)
+    val nBand = edges0.count()
+    val loopP = math.max(1L, math.min(sessionP.toLong, nBand / 200000L + 1)).toInt
+    val prevP = spark.conf.getOption("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", loopP)
+    try {
     // edges pre-shuffled on the join key and CACHED WITH that
     // partitioning: InMemoryRelation preserves outputPartitioning, so
     // every round's edges⋈reps join exchanges only the small (id, rep)
     // side instead of re-shuffling the 4×|docs| band rows per round
-    val edges = b0.select(col(idCol), col("band"), col("h"))
-      .repartition(col(idCol)).persist(lvl)
+    val edges = edges0.repartition(loopP, col(idCol)).persist(lvl)
     def repSum(df: DataFrame): Option[java.math.BigDecimal] =
       Option(df.agg(sum(col("rep").cast("decimal(38,0)"))).collect()(0)
         .getDecimal(0))
@@ -263,7 +280,15 @@ object MinHashLSH {
       hop += 1
     }
     edges.unpersist()
+    edges0.unpersist()
+    // reps is already materialized (persisted + counted by the last
+    // repSum), so the final narrow select executes correctly after the
+    // conf restore below
     (reps.select(col(idCol), col("rep").as("keep_id")), hop)
+    } finally prevP match {
+      case Some(v) => spark.conf.set("spark.sql.shuffle.partitions", v)
+      case None    => spark.conf.unset("spark.sql.shuffle.partitions")
+    }
   }
 
   /** Distinct candidate pairs (ia < ib) sharing any band bucket.
