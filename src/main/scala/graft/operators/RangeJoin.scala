@@ -30,6 +30,19 @@ import org.apache.spark.sql.functions._
   * generalized to any integral ordinal (epoch nanos/micros/days).
   * Intervals are inclusive on both ends.
   *
+  * WHEN TO USE (probe-measured, tools/RangeJoinProbe):
+  *  - NO equi key (`equiKeys = Seq.empty`): Spark has nothing to hash
+  *    on and plans BroadcastNestedLoopJoin — |P|·|I| comparisons. The
+  *    bucket column MANUFACTURES the equi key: flat ~0.4 s across a
+  *    50× point scale-up where BNLJ grows linearly in |P|·|I|
+  *    (~100× at 5M points × 2k intervals).
+  *  - HOT equi keys: SMJ evaluates the per-key-group cross product in
+  *    ONE task (quadratic, unsplittable — AQE can't divide a single
+  *    key group); the bucket sub-key splits the group by ordinal range.
+  *  - Selective equi key with BOUNDED groups: prefer the plain
+  *    equi-join with the range as a residual condition — Spark's SMJ
+  *    handles it well and the bucket explode only adds overhead.
+  *
   * Bucketing uses EXACT integer floor division: epoch nanos exceed
   * 2^53, so a double-division `floor(x / w)` can misbucket a point
   * near a boundary (double rounds the dividend by up to ~256 ns) —

@@ -611,6 +611,37 @@ object RelationalQueries extends QueryPack {
                 ON c.user_id = p.user_id
                AND epoch_ns(c.ts) BETWEEN epoch_ns(p.ts) - 3600000000000 AND epoch_ns(p.ts)""")),
 
+    // ---- J19: KEYLESS interval lookup — every event against a derived
+    // table of 200 one-hour windows, NO equi key anywhere: the naive
+    // plan is BroadcastNestedLoopJoin (|P|·|I| comparisons — the actual
+    // 100 TB hazard); RangeJoin's bucket column manufactures an equi
+    // key, so the plan is a hash join + residual (PlanShapeSpec pins
+    // no BNLJ). Probe: flat ~0.4 s across a 50× point scale-up where
+    // BNLJ grows as |P|·|I|. Oracle generates the identical window
+    // table with range().
+    Q("j19_window_lookup",
+      (s, d) => {
+        val hourNs = 3600L * 1000 * 1000 * 1000
+        val base = 1704067200000000000L // 2024-01-01, the events epoch
+        val stride = 2592000000000000L / 200L // 30 days / 200 windows
+        val windows = s.range(200).select(
+          col("id").as("win_id"),
+          (lit(base) + col("id") * stride).as("win_lo"),
+          (lit(base) + col("id") * stride + hourNs).as("win_hi"))
+        val pts = Tables.events(s, d).select(col("event_id"), col("ts_ns"))
+        graft.operators.RangeJoin.pointInInterval(pts, windows,
+            Seq.empty, "ts_ns", "win_lo", "win_hi", width = hourNs)
+          .select(col("win_id"), col("event_id"),
+            expr("ts_ns div 1000").as("ts_us"))
+      },
+      Some("""SELECT w.win_id, e.event_id, epoch_us(e.ts) AS ts_us
+              FROM events e
+              JOIN (SELECT range AS win_id,
+                           1704067200000000000 + range * 12960000000000 AS win_lo,
+                           1704067200000000000 + range * 12960000000000 + 3600000000000 AS win_hi
+                    FROM range(200)) w
+                ON epoch_ns(e.ts) BETWEEN w.win_lo AND w.win_hi""")),
+
     // ---- W1: latest-row-per-key via row_number (reference: nearest-page
     // pick). Deterministic tie-break on the unique key.
     Q("w1_latest_order_per_customer",

@@ -53,19 +53,73 @@ object RangeJoinProbe {
       }
       println(f"n=$n%3d events=$total%9d bucketized: $t%6.2fs matches=$m")
 
-      // naive theta-join comparison only at the small scales (it is the
-      // thing being avoided; at 50× it would dominate the probe)
+      // equi+range with bounded per-key groups: Spark's SMJ on the equi
+      // key with the range as residual is already fine — the rewrite is
+      // not needed here and the probe records that honestly
       if (n <= 10) {
         val (m2, t2) = time {
           clicks.join(purchases, clicks("user_id") === purchases("user_id") &&
             col("click_ns") >= col("purchase_ns") - hourNs &&
             col("click_ns") <= col("purchase_ns")).count()
         }
-        println(f"n=$n%3d events=$total%9d naive:      $t2%6.2fs matches=$m2" +
+        println(f"n=$n%3d events=$total%9d naive-SMJ:  $t2%6.2fs matches=$m2" +
           (if (m != m2) "  *** MISMATCH ***" else ""))
       }
+
+      // ---- the shapes the rewrite EXISTS for ----
+      // (B) NO equi key: global time-window lookup (points × 2000
+      // windows). Spark has no equi component to hash on → BNLJ,
+      // |P|·|I| comparisons; the bucket column MANUFACTURES an equi key.
+      // 2000 one-hour windows tiling the events' 30-day span (stride
+      // ~21.6 min → each point matches ~2.8 windows)
+      val base = 1704067200000000000L
+      val stride = 2592000000000000L / 2000L
+      val windows = spark.range(2000).select(
+        col("id").as("win_id"),
+        (lit(base) + col("id") * stride).as("win_lo"),
+        (lit(base) + col("id") * stride + hourNs).as("win_hi"))
+      val pts = ev.select(col("event_id"), col("ts_ns"))
+      val (mb, tb) = time {
+        RangeJoin.pointInInterval(pts, windows, Seq.empty, "ts_ns",
+          "win_lo", "win_hi", width = hourNs).count()
+      }
+      println(f"n=$n%3d events=$total%9d no-key bucketized: $tb%6.2fs matches=$mb")
+      if (n <= 10) {
+        val (mb2, tb2) = time {
+          pts.join(windows, col("ts_ns") >= col("win_lo") &&
+            col("ts_ns") <= col("win_hi")).count()
+        }
+        println(f"n=$n%3d events=$total%9d no-key BNLJ:       $tb2%6.2fs matches=$mb2" +
+          (if (mb != mb2) "  *** MISMATCH ***" else ""))
+      }
+
       ev.unpersist()
     }
+
+    // (C) HOT key, run once at base scale: every event on ONE user —
+    // SMJ's per-group cross product runs |clicks|·|purchases| (~4·10⁸)
+    // comparisons in a single task; the bucket key splits the group by
+    // time so tasks stay bounded and parallel.
+    val ev1 = graft.sources.Tables.events(spark, "/root/testdata/sf0.1")
+      .select("event_id", "event_type", "ts_ns").persist()
+    val hotC = ev1.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), lit(7L).as("user_id"),
+        col("ts_ns").as("click_ns"))
+    val hotP = ev1.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), lit(7L).as("user_id"),
+        col("ts_ns").as("purchase_ns"))
+    val (mh, th) = time {
+      RangeJoin.bandJoin(hotC, hotP, Seq("user_id"),
+        "click_ns", "purchase_ns", before = hourNs, after = 0L).count()
+    }
+    println(f"hot-key bucketized: $th%6.2fs matches=$mh")
+    val (mh2, th2) = time {
+      hotC.join(hotP, hotC("user_id") === hotP("user_id") &&
+        col("click_ns") >= col("purchase_ns") - hourNs &&
+        col("click_ns") <= col("purchase_ns")).count()
+    }
+    println(f"hot-key SMJ:        $th2%6.2fs matches=$mh2" +
+      (if (mh != mh2) "  *** MISMATCH ***" else ""))
     spark.stop()
   }
 }

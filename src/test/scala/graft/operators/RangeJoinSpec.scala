@@ -75,6 +75,15 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == Set(90L, 100L, 110L))
   }
 
+  test("keyless join (equiKeys = empty) matches on the interval alone") {
+    val points = Seq((1L, 5L), (2L, 50L), (3L, 500L)).toDF("pid", "pt")
+    val ivs = Seq((10L, 0L, 10L), (20L, 40L, 60L)).toDF("iv_id", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, ivs, Seq.empty,
+        "pt", "lo", "hi", 16L)
+      .select("pid", "iv_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (2L, 20L)))
+  }
+
   test("empty sides yield empty results, not errors") {
     val empty = Seq.empty[(Long, Long)].toDF("k", "pt")
     val ivs = Seq((1L, 1L, 0L, 10L)).toDF("k", "iv_id", "lo", "hi")

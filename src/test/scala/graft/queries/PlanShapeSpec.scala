@@ -171,10 +171,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!filterAboveGenerate, "no post-explode dim filter may remain: " + p.take(1000))
   }
 
-  test("j18 range join buckets into an equi-join, never a nested loop") {
-    val p = plan("j18_range_join")
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
-      "range predicate must ride the bucket equi-join as a residual: " + p.take(1000))
+  test("j18/j19 range joins bucket into an equi-join, never a nested loop") {
+    for (name <- Seq("j18_range_join", "j19_window_lookup")) {
+      val p = plan(name)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$name: range predicate must ride the bucket equi-join as a residual: " + p.take(1000))
+    }
   }
 
   test("k12 bucketed tables join WITHOUT a shuffle on either side") {
