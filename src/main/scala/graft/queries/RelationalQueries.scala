@@ -295,12 +295,14 @@ object RelationalQueries extends QueryPack {
     // catalog carries HashPartitioning metadata), so the join compiles
     // WITHOUT a shuffle on either side: at 100 TB this is the
     // write-once/join-many contract — the big fact pays its shuffle at
-    // ingest, never again. Broadcast is disabled while the plan is
-    // built so the gate actually exercises the bucket-SMJ path (AQE
-    // would otherwise broadcast the small side at this SF);
-    // PlanShapeSpec pins zero ShuffleExchange in the executed plan.
-    // The oracle restates the join over the raw parquet — bucketing
-    // must be a pure physical property, invisible in the result.
+    // ingest, never again. (At gate SF the small side may still
+    // broadcast — broadcast thresholds are PLANNING-time confs, so a
+    // construction-scoped withConf can't pin them for the driver's
+    // later execution; the zero-Exchange bucket-SMJ plan is
+    // machine-checked in PlanShapeSpec, which holds the conf across
+    // execution.) The oracle restates the join over the raw parquet —
+    // bucketing must be a pure physical property, invisible in the
+    // result.
     Q("k12_bucketed_cojoin",
       (s, d) => {
         val wh = java.nio.file.Files.createTempDirectory("graft_k12_").toString
@@ -312,16 +314,12 @@ object RelationalQueries extends QueryPack {
         Tables.customer(s, d).write.bucketBy(8, "c_custkey")
           .option("path", s"$wh/customer_b").mode("overwrite")
           .saveAsTable("graft_k12_customer")
-        withConf(s, "spark.sql.autoBroadcastJoinThreshold", "-1") {
-          withConf(s, "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1") {
-            s.table("graft_k12_orders")
-              .join(s.table("graft_k12_customer"),
-                col("o_custkey") === col("c_custkey"))
-              .groupBy("c_mktsegment")
-              .agg(count(lit(1)).as("n_orders"),
-                sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
-          }
-        }
+        s.table("graft_k12_orders")
+          .join(s.table("graft_k12_customer"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
       },
       Some("""SELECT c_mktsegment, count(*) AS n_orders,
                      CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
