@@ -289,6 +289,48 @@ object RelationalQueries extends QueryPack {
       },
       Some("SELECT n_nationkey::BIGINT AS n_nationkey, n_name FROM nation")),
 
+    // ---- K13: SCD2 RETENTION (vacuum) — histories grow forever at
+    // 100 TB; scd2Retention drops closed versions whose interval ended
+    // at or before the horizon via the layout-preserving bucket
+    // rewrite. Three versions built (v1 all / v2 keys<3 / v3 key 0),
+    // horizon=2 applied TWICE (idempotence under the oracle): the
+    // three v1 rows closed at 2 vanish, key 0's v2 row (closed at 3)
+    // and every live row survive — so as-of any v >= horizon is
+    // unchanged while pre-horizon reads lose rows by design. The gate
+    // states the complete post-retention history literally.
+    Q("k13_scd2_retention",
+      (s, d) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_k13_")
+          .resolve("t").toString
+        val nation = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+        graft.sources.Sinks.scd2Upsert(nation, out, "n_nationkey", 1L, numBuckets = 8)
+        graft.sources.Sinks.scd2Upsert(
+          nation.where(col("n_nationkey") < 3)
+            .withColumn("n_name", concat(col("n_name"), lit("_v2"))),
+          out, "n_nationkey", 2L, numBuckets = 8)
+        graft.sources.Sinks.scd2Upsert(
+          nation.where(col("n_nationkey") === 0)
+            .withColumn("n_name", concat(col("n_name"), lit("_v3"))),
+          out, "n_nationkey", 3L, numBuckets = 8)
+        graft.sources.Sinks.scd2Retention(s, out, horizon = 2L)
+        graft.sources.Sinks.scd2Retention(s, out, horizon = 2L)
+        graft.sources.Sinks.readUpserted(s, out).drop("__skey")
+          .select(col("n_nationkey").cast("bigint").as("n_nationkey"),
+            col("n_name"), col("valid_from"), col("valid_to"))
+      },
+      Some("""SELECT n_nationkey::BIGINT AS n_nationkey, n_name,
+                     1::BIGINT AS valid_from, NULL::BIGINT AS valid_to
+              FROM nation WHERE n_nationkey >= 3
+              UNION ALL
+              SELECT n_nationkey::BIGINT, n_name || '_v2', 2::BIGINT, NULL::BIGINT
+              FROM nation WHERE n_nationkey IN (1, 2)
+              UNION ALL
+              SELECT n_nationkey::BIGINT, n_name || '_v2', 2::BIGINT, 3::BIGINT
+              FROM nation WHERE n_nationkey = 0
+              UNION ALL
+              SELECT n_nationkey::BIGINT, n_name || '_v3', 3::BIGINT, NULL::BIGINT
+              FROM nation WHERE n_nationkey = 0""")),
+
     // ---- K12: BUCKETED tables + exchange-free co-located join — the
     // brief's "co-locate joins via bucketing" as a gate. Both sides are
     // written as Spark bucketed tables (8 buckets on the join key, the

@@ -531,6 +531,61 @@ object StatsQueries extends QueryPack {
               SELECT ids.doc_id, cast(coalesce(n.n_reach, 0) as bigint) AS n_reach
               FROM ids LEFT JOIN n ON ids.doc_id = n.src""")),
 
+    // ---- (beyond ref) PAGERANK-LITE over the same citation DAG — the
+    // importance score criticality approximates with raw counts, as 2
+    // unrolled power iterations in EXACT INTEGER arithmetic: ranks
+    // scaled ×10⁶, per-edge share = pr div outdeg, damping as
+    // (85·Σshare) div 100 — floor division everywhere, so both engines
+    // produce identical bigints (double PageRank would drift in the
+    // sum order). Each iteration is one edges⋈ranks shuffle + one
+    // in-edge aggregate — the per-hop cost of r10; a k-iteration
+    // version at scale would reuse the keep-list loop's
+    // LogicalRDD-rewrap discipline, here 2 iterations compose as one
+    // plan. Dangling mass is dropped (not redistributed) by design and
+    // the oracle restates that exactly.
+    Q("r11_pagerank_lite",
+      (s, d) => {
+        val ids = Tables.documents(s, d).select("doc_id")
+        val e1 = ids.where(col("doc_id") >= 1)
+          .select(col("doc_id").as("src"), expr("doc_id div 2").as("dst"))
+        val e2 = ids.where(col("doc_id") >= 1)
+          .select(col("doc_id").as("src"), expr("doc_id div 3").as("dst"))
+        val edges = e1.union(e2).where(col("src") =!= col("dst")).distinct()
+        val outdeg = edges.groupBy("src").agg(count(lit(1)).as("od"))
+        var ranks = ids.select(col("doc_id").as("node"), lit(1000000L).as("pr"))
+        for (_ <- 1 to 2) {
+          val contrib = edges.join(ranks, col("src") === col("node"))
+            .join(outdeg, "src")
+            .select(col("dst"), expr("pr div od").as("share"))
+            .groupBy("dst").agg(sum("share").as("s"))
+          ranks = ids.select(col("doc_id").as("node"))
+            .join(contrib, col("node") === col("dst"), "left")
+            .select(col("node"),
+              expr("CAST(150000 AS BIGINT) + (85 * coalesce(s, CAST(0 AS BIGINT))) div 100").as("pr"))
+        }
+        ranks.select(col("node").as("doc_id"), col("pr").as("pagerank"))
+      },
+      Some("""WITH ids AS (SELECT doc_id FROM documents),
+              e AS (SELECT doc_id AS src, doc_id // 2 AS dst FROM ids WHERE doc_id >= 1
+                    UNION
+                    SELECT doc_id AS src, doc_id // 3 AS dst FROM ids WHERE doc_id >= 1),
+              edges AS (SELECT src, dst FROM e WHERE src <> dst),
+              outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY 1),
+              r0 AS (SELECT doc_id AS node, 1000000::BIGINT AS pr FROM ids),
+              c1 AS (SELECT e.dst, sum(r0.pr // o.od) AS s
+                     FROM edges e JOIN r0 ON e.src = r0.node
+                     JOIN outdeg o ON e.src = o.src GROUP BY e.dst),
+              r1 AS (SELECT i.doc_id AS node,
+                            CAST(150000 + (85 * coalesce(c1.s, 0)) // 100 AS BIGINT) AS pr
+                     FROM ids i LEFT JOIN c1 ON i.doc_id = c1.dst),
+              c2 AS (SELECT e.dst, sum(r1.pr // o.od) AS s
+                     FROM edges e JOIN r1 ON e.src = r1.node
+                     JOIN outdeg o ON e.src = o.src GROUP BY e.dst),
+              r2 AS (SELECT i.doc_id AS node,
+                            CAST(150000 + (85 * coalesce(c2.s, 0)) // 100 AS BIGINT) AS pr
+                     FROM ids i LEFT JOIN c2 ON i.doc_id = c2.dst)
+              SELECT node AS doc_id, pr AS pagerank FROM r2""")),
+
     Q("r6_counter_rollup",
       (s, d) => withConf(s, "spark.sql.analyzer.failAmbiguousSelfJoin", "false") {
         Tables.documents(s, d)

@@ -281,7 +281,28 @@ object Sinks {
     * One shuffle on the bucket id → one file per bucket; the swap reuses
     * compact's rename-aside discipline via the same dir-level recovery.
     */
-  def compactUpserted(spark: SparkSession, path: String): Unit = {
+  def compactUpserted(spark: SparkSession, path: String): Unit =
+    rewriteUpserted(spark, path, identity)
+
+  /** RETENTION for an SCD2 history table (scd2Upsert layout): drop
+    * closed versions whose interval ended at or before `horizon` —
+    * the storage lever for histories that otherwise grow forever at
+    * 100 TB. Live rows and intervals still open at the horizon always
+    * survive, so `scd2AsOf(v)` for any v >= horizon is UNCHANGED
+    * (gated k13); reads below the horizon lose rows by design (that
+    * is what retention means). Same full-bucket rewrite + rename-swap
+    * discipline as compaction, so the table also comes out compacted.
+    */
+  def scd2Retention(spark: SparkSession, path: String, horizon: Long): Unit =
+    rewriteUpserted(spark, path,
+      _.where(col("valid_to").isNull || col("valid_to") > horizon))
+
+  /** Shared bucket-layout-preserving rewrite: read the table, apply a
+    * row-level `transform` (identity = pure compaction), write one file
+    * per bucket, swap dirs with compact's rename-aside crash recovery.
+    */
+  private def rewriteUpserted(spark: SparkSession, path: String,
+                              transform: DataFrame => DataFrame): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
@@ -294,7 +315,7 @@ object Sinks {
       // upsertBucketed writes nothing then, by design): nothing to compact
       else return
     }
-    val df = spark.read.parquet(path)
+    val df = transform(spark.read.parquet(path))
     df.repartition(col("__bucket"))
       .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
       .parquet(path + "__compact_tmp")
