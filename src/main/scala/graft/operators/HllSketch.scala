@@ -87,7 +87,19 @@ object HllSketch {
     *  - est_raw: α·m²·2^61 / zsum, one double division
     */
   def summary(df: DataFrame, key: Column, groupCols: Seq[String]): DataFrame =
-    registers(df, key, groupCols)
+    summarize(registers(df, key, groupCols), groupCols)
+
+  /** Summary from an EXISTING register frame — possibly a LOG of
+    * partial sketches (several register rows per bucket, e.g. one per
+    * micro-batch): rows merge by max first, so appending partial
+    * sketches and summarizing later is exactly sketch merge. Duplicate
+    * or re-delivered inputs cannot perturb the result (max is
+    * idempotent) — HLL under at-least-once delivery needs no dedup.
+    */
+  def summarize(regs: DataFrame, groupCols: Seq[String]): DataFrame =
+    regs
+      .groupBy((groupCols :+ "__bucket").map(col): _*)
+      .agg(max("register").as("register"))
       .groupBy(groupCols.map(col): _*)
       .agg(
         count(lit(1)).as("n_nonempty"),

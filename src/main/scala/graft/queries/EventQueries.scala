@@ -417,6 +417,27 @@ object EventQueries extends QueryPack {
               FROM events JOIN nation ON user_id % 25 = n_nationkey
               GROUP BY 1""")),
 
+    // ---- Streaming DISTINCT-COUNT sketch (e15): the engine-neutral
+    // HLL (operators/HllSketch) accumulated continuously. The register
+    // derivation is a STATELESS per-row map — streaming-safe in append
+    // mode with no state store — so each micro-batch appends PARTIAL
+    // register rows (a log of mergeable sketches) and the read-side
+    // max-merge IS sketch merge. Events are staged with copies=2 (full
+    // redelivery): max is idempotent, so at-least-once delivery needs
+    // no dedup — the summary equals the batch sketch over ONE copy,
+    // which is exactly what the oracle restates.
+    Q("e15_stream_hll",
+      (s, d) => {
+        val stageDir = stageEvents(s, d, copies = 2)
+        val regs = graft.operators.HllSketch.withRegister(
+            eventStream(s, stageDir), col("user_id"))
+          .select(col("event_type"), col("__bucket"), col("__rho").as("register"))
+        val outDir = runGatedStream(s, regs)(_.processAllAvailable())
+        graft.operators.HllSketch.summarize(
+          s.read.parquet(outDir), Seq("event_type"))
+      },
+      Some(Oracles.hllSummary("events", "CAST(user_id AS VARCHAR)", "event_type"))),
+
     // ---- Streaming WINDOWED AGGREGATION, gated: tumblingCounts in
     // append mode emits each 1-hour window exactly once, when the
     // watermark passes its end. Flush micro-batches finalize every real

@@ -666,34 +666,13 @@ object StatsQueries extends QueryPack {
             .agg(count_distinct(col("l_orderkey")).as("exact_distinct")),
             Seq("l_returnflag"))
       },
-      Some("""WITH reg AS (
-                SELECT l_returnflag,
-                       16 * (strpos('0123456789abcdef', substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 1)) - 1)
-                         + (strpos('0123456789abcdef', substr(md5(CAST(l_orderkey AS VARCHAR)), 2, 1)) - 1) AS bucket,
-                       CASE WHEN length(regexp_extract(substr(md5(CAST(l_orderkey AS VARCHAR)), 3, 15), '^0*')) >= 15 THEN 61
-                       ELSE 4 * length(regexp_extract(substr(md5(CAST(l_orderkey AS VARCHAR)), 3, 15), '^0*'))
-                         + (CASE
-                             WHEN strpos('0123456789abcdef', substr(substr(md5(CAST(l_orderkey AS VARCHAR)), 3, 15), length(regexp_extract(substr(md5(CAST(l_orderkey AS VARCHAR)), 3, 15), '^0*')) + 1, 1)) - 1 >= 8 THEN 0
-                             WHEN strpos('0123456789abcdef', substr(substr(md5(CAST(l_orderkey AS VARCHAR)), 3, 15), length(regexp_extract(substr(md5(CAST(l_orderkey AS VARCHAR)), 3, 15), '^0*')) + 1, 1)) - 1 >= 4 THEN 1
-                             WHEN strpos('0123456789abcdef', substr(substr(md5(CAST(l_orderkey AS VARCHAR)), 3, 15), length(regexp_extract(substr(md5(CAST(l_orderkey AS VARCHAR)), 3, 15), '^0*')) + 1, 1)) - 1 >= 2 THEN 2
-                             ELSE 3 END) + 1 END AS rho
-                FROM lineitem),
-              regs AS (
-                SELECT l_returnflag, bucket, max(rho) AS register
-                FROM reg GROUP BY 1, 2),
-              summ AS (
-                SELECT l_returnflag,
-                       count(*) AS n_nonempty,
-                       CAST(sum((1::BIGINT << (61 - register))::HUGEINT)
-                            + (256 - count(*)) * 2305843009213693952::HUGEINT AS DOUBLE) AS zsum
-                FROM regs GROUP BY 1),
+      Some(s"""WITH s AS (${Oracles.hllSummary("lineitem", "CAST(l_orderkey AS VARCHAR)", "l_returnflag")}),
               ex AS (
                 SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_distinct
                 FROM lineitem GROUP BY 1)
-              SELECT s.l_returnflag, s.n_nonempty, s.zsum,
-                     1.0854228543761655e+23 / s.zsum AS est_raw,
+              SELECT s.l_returnflag, s.n_nonempty, s.zsum, s.est_raw,
                      ex.exact_distinct
-              FROM summ s JOIN ex USING (l_returnflag)""")),
+              FROM s JOIN ex USING (l_returnflag)""")),
 
     // ---- F27/J8: canton→region case mapping via a broadcast config
     // table (the reference hard-codes 7 regions + 6 legal areas as
