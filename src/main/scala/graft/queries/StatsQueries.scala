@@ -674,6 +674,47 @@ object StatsQueries extends QueryPack {
                      ex.exact_distinct
               FROM s JOIN ex USING (l_returnflag)""")),
 
+    // ---- A19: engine-neutral COUNT-MIN sketch (operators/
+    // CountMinSketch) — heavy-hitter token frequencies from a 4×1024
+    // counter table that stays 4096 rows at ANY corpus size, probed
+    // for the exact top-20 tokens. All integers (md5-hex cells, bigint
+    // sums, min over 4 counters), so the oracle restates the whole
+    // sketch; cms_est ≥ exact_cnt by construction (CMS never
+    // underestimates — spec pins it), equality on this fixture because
+    // 4096 cells dwarf the vocabulary.
+    Q("a19_cms_heavy_hitters",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("cnt"))
+        val counters = graft.operators.CountMinSketch.counters(toks, "token")
+        val top20 = toks.orderBy(col("cnt").desc, col("token")).limit(20)
+        graft.operators.CountMinSketch.estimates(
+            top20.select("token"), counters, "token")
+          .join(top20.withColumnRenamed("cnt", "exact_cnt"), Seq("token"))
+          .select("token", "exact_cnt", "cms_est")
+      },
+      Some("""WITH toks AS (
+                SELECT token, count(*) AS cnt
+                FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+                GROUP BY 1),
+              cells AS (
+                SELECT token, cnt, j,
+                       (256 * (strpos('0123456789abcdef', substr(md5(CAST(j AS VARCHAR) || ':' || token), 1, 1)) - 1)
+                        + 16 * (strpos('0123456789abcdef', substr(md5(CAST(j AS VARCHAR) || ':' || token), 2, 1)) - 1)
+                        + (strpos('0123456789abcdef', substr(md5(CAST(j AS VARCHAR) || ':' || token), 3, 1)) - 1)) % 1024 AS c
+                FROM toks CROSS JOIN (SELECT unnest(range(4)) AS j)),
+              counters AS (
+                SELECT j, c, sum(cnt) AS counter FROM cells GROUP BY 1, 2),
+              top20 AS (
+                SELECT token, cnt FROM toks ORDER BY cnt DESC, token LIMIT 20)
+              SELECT t.token, t.cnt AS exact_cnt,
+                     CAST(min(co.counter) AS BIGINT) AS cms_est
+              FROM top20 t
+              JOIN cells pc ON pc.token = t.token
+              JOIN counters co ON co.j = pc.j AND co.c = pc.c
+              GROUP BY 1, 2""")),
+
     // ---- F27/J8: canton→region case mapping via a broadcast config
     // table (the reference hard-codes 7 regions + 6 legal areas as
     // Python dicts; here the mapping is a joined dimension).
