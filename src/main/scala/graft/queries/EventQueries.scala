@@ -438,6 +438,38 @@ object EventQueries extends QueryPack {
       },
       Some(Oracles.hllSummary("events", "CAST(user_id AS VARCHAR)", "event_type"))),
 
+    // ---- (beyond ref) SEQUENTIAL FUNNEL (e16): view → click →
+    // purchase, strictly ordered per user — each stage is a keyed
+    // conditional-min over the previous stage's users (3 aggregates +
+    // 2 equi-joins on user, no window, no per-user sort). Event-time
+    // comparisons on raw epoch nanos (the j10 convention).
+    Q("e16_funnel",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val v = ev.where(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts_ns").as("t1"))
+        val c = ev.where(col("event_type") === "click").join(v, "user_id")
+          .where(col("ts_ns") > col("t1"))
+          .groupBy("user_id").agg(min("ts_ns").as("t2"))
+        val p = ev.where(col("event_type") === "purchase").join(c, "user_id")
+          .where(col("ts_ns") > col("t2"))
+          .groupBy("user_id").agg(min("ts_ns").as("t3"))
+        v.agg(count(lit(1)).as("n_view"))
+          .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+          .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
+      },
+      Some("""WITH v AS (SELECT user_id, min(epoch_ns(ts)) AS t1 FROM events
+                         WHERE event_type = 'view' GROUP BY 1),
+              c AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t2 FROM events e
+                    JOIN v ON e.user_id = v.user_id
+                    WHERE e.event_type = 'click' AND epoch_ns(e.ts) > v.t1 GROUP BY 1),
+              p AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t3 FROM events e
+                    JOIN c ON e.user_id = c.user_id
+                    WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > c.t2 GROUP BY 1)
+              SELECT (SELECT count(*) FROM v) AS n_view,
+                     (SELECT count(*) FROM c) AS n_view_click,
+                     (SELECT count(*) FROM p) AS n_view_click_purchase""")),
+
     // ---- Streaming WINDOWED AGGREGATION, gated: tumblingCounts in
     // append mode emits each 1-hour window exactly once, when the
     // watermark passes its end. Flush micro-batches finalize every real

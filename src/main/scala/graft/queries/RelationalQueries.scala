@@ -796,6 +796,55 @@ object RelationalQueries extends QueryPack {
               JOIN region ON n_regionkey = r_regionkey
               GROUP BY ROLLUP(r_name, n_name)""")),
 
+    // ---- (beyond ref) PIVOT: wide per-(source, lang) counts — the
+    // report-table shape. The pivot column set is FIXED (the 5 corpus
+    // languages) so the schema is static at plan time — at 100 TB an
+    // inferred pivot would pay a distinct scan AND produce an unstable
+    // schema; missing cells filled to 0 to match the oracle's
+    // conditional counts.
+    Q("a20_pivot_lang_counts",
+      (s, d) => Tables.documents(s, d)
+        .groupBy("source").pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("de", "en", "es", "fr", "zh")),
+      Some("""SELECT source,
+                     count(CASE WHEN lang = 'de' THEN 1 END) AS de,
+                     count(CASE WHEN lang = 'en' THEN 1 END) AS en,
+                     count(CASE WHEN lang = 'es' THEN 1 END) AS es,
+                     count(CASE WHEN lang = 'fr' THEN 1 END) AS fr,
+                     count(CASE WHEN lang = 'zh' THEN 1 END) AS zh
+              FROM documents GROUP BY source""")),
+
+    // ---- (beyond ref) UNPIVOT/melt: the inverse — the wide pivot
+    // table back to (source, lang, n) rows, INCLUDING the 0 cells the
+    // fill created (the oracle restates them via the source×lang
+    // cross join). Round-trips the a20 shape.
+    Q("a21_unpivot_lang_counts",
+      (s, d) => Tables.documents(s, d)
+        .groupBy("source").pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("de", "en", "es", "fr", "zh"))
+        .unpivot(Array(col("source")),
+          Array(col("de"), col("en"), col("es"), col("fr"), col("zh")),
+          "lang", "n_docs"),
+      Some("""SELECT s.source, l.lang, count(d.doc_id) AS n_docs
+              FROM (SELECT DISTINCT source FROM documents) s
+              CROSS JOIN (SELECT unnest(['de','en','es','fr','zh']) AS lang) l
+              LEFT JOIN documents d ON d.source = s.source AND d.lang = l.lang
+              GROUP BY 1, 2""")),
+
+    // ---- (beyond ref) CUBE: all grouping-set combinations of
+    // (lang, source) in one pass — rollup's sibling (a4), 4 grouping
+    // sets from one shuffle via the grouping-id expansion.
+    Q("a22_cube_lang_source",
+      (s, d) => Tables.documents(s, d)
+        .cube("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars")),
+      Some("""SELECT lang, source, count(*) AS n_docs,
+                     CAST(sum(n_chars) AS BIGINT) AS sum_chars
+              FROM documents GROUP BY CUBE(lang, source)""")),
+
     // ---- A13: histogram binning.
     Q("a13_price_histogram",
       (s, d) => Tables.orders(s, d)

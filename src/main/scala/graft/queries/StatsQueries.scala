@@ -586,6 +586,38 @@ object StatsQueries extends QueryPack {
                      FROM ids i LEFT JOIN c2 ON i.doc_id = c2.dst)
               SELECT node AS doc_id, pr AS pagerank FROM r2""")),
 
+    // ---- (beyond ref) DIRECTED TRIANGLE COUNT over the citation DAG
+    // (a→b, b→c, a→c — the co-citation density signal): two self-joins
+    // + a distinct, all exact integers. Per-hop fan-out is bounded by
+    // outdegree (≤2 here); at corpus scale the standard move is
+    // degree-ordered edge orientation before the join, noted in the
+    // comment because this DAG is already acyclic.
+    Q("r12_triangle_count",
+      (s, d) => {
+        val ids = Tables.documents(s, d).select("doc_id")
+        val e1 = ids.where(col("doc_id") >= 1)
+          .select(col("doc_id").as("src"), expr("doc_id div 2").as("dst"))
+        val e2 = ids.where(col("doc_id") >= 1)
+          .select(col("doc_id").as("src"), expr("doc_id div 3").as("dst"))
+        val edges = e1.union(e2).where(col("src") =!= col("dst")).distinct()
+        val ab = edges.select(col("src").as("a"), col("dst").as("b"))
+        val bc = edges.select(col("src").as("b"), col("dst").as("c"))
+        val ac = edges.select(col("src").as("a"), col("dst").as("c"))
+        ab.join(bc, "b").join(ac, Seq("a", "c"))
+          .select("a", "b", "c").distinct()
+          .agg(count(lit(1)).as("n_triangles"))
+      },
+      Some("""WITH ids AS (SELECT doc_id FROM documents),
+              e AS (SELECT doc_id AS src, doc_id // 2 AS dst FROM ids WHERE doc_id >= 1
+                    UNION
+                    SELECT doc_id AS src, doc_id // 3 AS dst FROM ids WHERE doc_id >= 1),
+              edges AS (SELECT src, dst FROM e WHERE src <> dst),
+              tri AS (SELECT DISTINCT ab.src AS a, ab.dst AS b, bc.dst AS c
+                      FROM edges ab
+                      JOIN edges bc ON ab.dst = bc.src
+                      JOIN edges ac ON ac.src = ab.src AND ac.dst = bc.dst)
+              SELECT count(*) AS n_triangles FROM tri""")),
+
     Q("r6_counter_rollup",
       (s, d) => withConf(s, "spark.sql.analyzer.failAmbiguousSelfJoin", "false") {
         Tables.documents(s, d)
