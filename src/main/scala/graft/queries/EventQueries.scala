@@ -470,6 +470,26 @@ object EventQueries extends QueryPack {
                      (SELECT count(*) FROM c) AS n_view_click,
                      (SELECT count(*) FROM p) AS n_view_click_purchase""")),
 
+    // ---- (beyond ref) SEMI-STRUCTURED column (e17): the events table
+    // carries a JSON `props` string — extract a field with the native
+    // JSON path expression and aggregate it. At 100 TB the lesson is
+    // the plan shape: get_json_object is a codegen'd per-row scalar
+    // (one pass, no UDF, no schema inference job); a full from_json
+    // with explicit schema is the move when many fields are needed.
+    Q("e17_json_props",
+      (s, d) => Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum("k").as("sum_k"),
+          min("k").as("min_k"),
+          max("k").as("max_k")),
+      Some("""SELECT event_type, count(*) AS n,
+                     CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                     min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+                     max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+              FROM events GROUP BY 1""")),
+
     // ---- Streaming WINDOWED AGGREGATION, gated: tumblingCounts in
     // append mode emits each 1-hour window exactly once, when the
     // watermark passes its end. Flush micro-batches finalize every real

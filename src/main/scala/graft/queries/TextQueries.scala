@@ -686,5 +686,46 @@ object TextQueries extends QueryPack {
                 cast(least(64, n - i * 48) as bigint) AS n_chunk_tokens,
                 w[cast(i * 48 + 1 as int)] AS head_token
               FROM (SELECT doc_id, w, n, unnest(range(n_chunks)) AS i FROM c)""")),
+
+    // ---- (beyond ref) FUZZY citation resolution (t23): OCR'd /
+    // mistyped citations matched to the canonical registry by edit
+    // distance — the approximate tier of r7's exact resolution. The
+    // scale shape is BLOCK-then-verify: candidates come from an
+    // equi-join on the parsed volume token (each query meets ~10
+    // registry rows, never the registry), levenshtein runs per
+    // candidate, the winner is the (distance, id)-minimal row via a
+    // per-query window over the bounded candidate set. Levenshtein is
+    // the exact unit-cost DP in both engines, so the whole resolver
+    // restates in the oracle.
+    Q("t23_fuzzy_citation",
+      (s, d) => {
+        val canon = Tables.documents(s, d).select(col("doc_id"),
+          expr("concat('BGE ', CAST(doc_id div 10 AS STRING), ' II ', CAST(doc_id % 97 AS STRING))")
+            .as("cite"))
+        val corrupt = canon.where(col("doc_id") % 5 === 0)
+          .select(expr("replace(cite, 'II', 'I1')").as("q"),
+            col("doc_id").as("true_id"))
+        val cand = corrupt.join(canon,
+            expr("split(q, ' ')[1]") === expr("CAST(doc_id div 10 AS STRING)"))
+          .withColumn("dist", levenshtein(col("q"), col("cite")))
+        val w = Window.partitionBy("q").orderBy(col("dist"), col("doc_id"))
+        cand.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+          .select(col("q"), col("true_id"),
+            col("doc_id").as("matched_id"), col("dist").cast("bigint").as("dist"))
+      },
+      Some("""WITH canon AS (SELECT doc_id,
+                     'BGE ' || (doc_id // 10) || ' II ' || (doc_id % 97) AS cite
+                   FROM documents),
+              corrupt AS (SELECT replace(cite, 'II', 'I1') AS q, doc_id AS true_id
+                          FROM canon WHERE doc_id % 5 = 0),
+              cand AS (SELECT c.q, c.true_id, k.doc_id,
+                              levenshtein(c.q, k.cite) AS dist
+                       FROM corrupt c JOIN canon k
+                         ON string_split(c.q, ' ')[2] = CAST(k.doc_id // 10 AS VARCHAR)),
+              best AS (SELECT q, true_id, doc_id, dist,
+                              row_number() OVER (PARTITION BY q ORDER BY dist, doc_id) AS rn
+                       FROM cand)
+              SELECT q, true_id, doc_id AS matched_id, CAST(dist AS BIGINT) AS dist
+              FROM best WHERE rn = 1""")),
   )
 }
