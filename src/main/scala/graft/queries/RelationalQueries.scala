@@ -331,6 +331,44 @@ object RelationalQueries extends QueryPack {
               SELECT n_nationkey::BIGINT, n_name || '_v3', 3::BIGINT, NULL::BIGINT
               FROM nation WHERE n_nationkey = 0""")),
 
+    // ---- K14: keyed TABLE DIFF (migration audit) — two logical
+    // versions of a keyed table compared with one full-outer join:
+    // added / removed / changed / unchanged per key, old and new
+    // payloads side by side. The 100 TB shape: one co-partitioned
+    // shuffle join on the key (bucketed tables make it exchange-free
+    // per k12), output one row per key regardless of change density.
+    // v2 deletes key 3, changes keys 0-1, inserts key 99.
+    Q("k14_table_diff",
+      (s, d) => {
+        val v1 = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+        val v2 = v1.where(col("n_nationkey") =!= 3)
+          .select(col("n_nationkey"),
+            when(col("n_nationkey") < 2, concat(col("n_name"), lit("_v2")))
+              .otherwise(col("n_name")).as("n_name"))
+          .unionByName(s.range(1).select(
+            lit(99).cast("int").as("n_nationkey"), lit("NEWLAND").as("n_name")))
+        v1.select(col("n_nationkey"), col("n_name").as("old_name"))
+          .join(v2.select(col("n_nationkey"), col("n_name").as("new_name")),
+            Seq("n_nationkey"), "full_outer")
+          .select(col("n_nationkey").cast("bigint").as("n_nationkey"),
+            col("old_name"), col("new_name"),
+            when(col("old_name").isNull, "added")
+              .when(col("new_name").isNull, "removed")
+              .when(col("old_name") =!= col("new_name"), "changed")
+              .otherwise("unchanged").as("change_type"))
+      },
+      Some("""SELECT n_nationkey::BIGINT AS n_nationkey,
+                     n_name AS old_name,
+                     CASE WHEN n_nationkey = 3 THEN NULL
+                          WHEN n_nationkey < 2 THEN n_name || '_v2'
+                          ELSE n_name END AS new_name,
+                     CASE WHEN n_nationkey = 3 THEN 'removed'
+                          WHEN n_nationkey < 2 THEN 'changed'
+                          ELSE 'unchanged' END AS change_type
+              FROM nation
+              UNION ALL
+              SELECT 99::BIGINT, NULL, 'NEWLAND', 'added'""")),
+
     // ---- K12: BUCKETED tables + exchange-free co-located join — the
     // brief's "co-locate joins via bucketing" as a gate. Both sides are
     // written as Spark bucketed tables (8 buckets on the join key, the

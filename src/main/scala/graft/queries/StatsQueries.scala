@@ -618,6 +618,68 @@ object StatsQueries extends QueryPack {
                       JOIN edges ac ON ac.src = ab.src AND ac.dst = bc.dst)
               SELECT count(*) AS n_triangles FROM tri""")),
 
+    // ---- (beyond ref) DATA-QUALITY constraint report (a23): the
+    // Deequ-shaped ingest guard — null/range/uniqueness constraints
+    // FUSED into one aggregation pass per table (a per-constraint loop
+    // would rescan the 100 TB fact once per check), plus one
+    // referential anti-join probe. The 0.05-discount bound is
+    // deliberately tighter than the data so the report carries REAL
+    // violations, not just zeros; exact integers throughout.
+    Q("a23_quality_report",
+      (s, d) => {
+        import graft.analyses.QualityChecks._
+        val li = Tables.lineitem(s, d)
+        val orders = Tables.orders(s, d)
+        report(li, Seq(
+            notNull("l_orderkey"),
+            inRange("l_quantity", 1.0, 50.0),
+            inRange("l_discount", 0.0, 0.05),
+            unique(Seq("l_orderkey", "l_linenumber"))))
+          .unionByName(report(orders, Seq(
+            notNull("o_orderkey"),
+            unique(Seq("o_orderkey")))))
+          .unionByName(refCheck("orders.o_custkey ref customer",
+            orders, "o_custkey", Tables.customer(s, d), "c_custkey"))
+          .withColumnRenamed("check", "check_name")
+      },
+      Some("""SELECT 'l_orderkey not_null' AS check_name,
+                     CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+                     sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) = 0 AS ok
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_quantity in_range[1.0,50.0]',
+                     CAST(sum(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0 THEN 1 ELSE 0 END) AS BIGINT),
+                     sum(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0 THEN 1 ELSE 0 END) = 0
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_discount in_range[0.0,0.05]',
+                     CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT),
+                     sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.05 THEN 1 ELSE 0 END) = 0
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_orderkey+l_linenumber unique',
+                     CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT),
+                     count(*) = count(DISTINCT (l_orderkey, l_linenumber))
+              FROM lineitem
+              UNION ALL
+              SELECT 'o_orderkey not_null',
+                     CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                     sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) = 0
+              FROM orders
+              UNION ALL
+              SELECT 'o_orderkey unique',
+                     CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+                     count(*) = count(DISTINCT o_orderkey)
+              FROM orders
+              UNION ALL
+              SELECT 'orders.o_custkey ref customer',
+                     CAST((SELECT count(*) FROM orders o
+                           WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                             WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+                     (SELECT count(*) FROM orders o
+                      WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                        WHERE c.c_custkey = o.o_custkey)) = 0""")),
+
     Q("r6_counter_rollup",
       (s, d) => withConf(s, "spark.sql.analyzer.failAmbiguousSelfJoin", "false") {
         Tables.documents(s, d)
