@@ -31,6 +31,10 @@ object QualityChecks {
     Check(s"$c in_range[$lo,$hi]",
       sum(when(col(c) < lo || col(c) > hi, 1L).otherwise(0L)))
 
+  /** count − countDistinct: NULL keys count as violations
+    * (countDistinct ignores them), matching the intuition that a null
+    * key is not a unique identifier.
+    */
   def unique(cols: Seq[String]): Check =
     Check(s"${cols.mkString("+")} unique",
       count(lit(1)) - countDistinct(col(cols.head), cols.tail.map(col): _*))
