@@ -291,6 +291,58 @@ object MinHashLSH {
     }
   }
 
+  /** INCREMENTAL dedup of a new batch against a PERSISTED band index —
+    * the shape a 100 TB deployment actually runs: the corpus was
+    * fingerprinted ONCE (its (id, band, h) rows live as a parquet
+    * index), and when a new crawl batch lands only the BATCH is hashed.
+    * The index is probed with an equi-join on (band, h) where the batch
+    * side is broadcast — one map-side pass over the index scan, no
+    * corpus shuffle, no corpus re-hash. Within-batch duplicates use the
+    * keep-first rule (a batch doc is a dup of any smaller-id batch doc
+    * sharing a bucket).
+    *
+    * Returns one row per batch document:
+    *   (idCol, dup_of_corpus, dup_in_batch, admitted)
+    * and, when `appendAdmitted`, APPENDS the admitted documents' band
+    * rows to the index — the maintenance step that makes the next
+    * batch's probe see this batch's survivors. Re-running the same
+    * batch after the append therefore reports every doc as
+    * dup_of_corpus (replay detection; IncrementalDedupSpec pins it).
+    *
+    * At scale the index would additionally be bucketed by `h` so the
+    * probe prunes to matching buckets; the append-only layout means
+    * maintenance cost tracks |batch|, never |corpus|.
+    */
+  def incrementalDedup(batchBands: DataFrame, idCol: String,
+                       indexDir: String,
+                       appendAdmitted: Boolean = true): DataFrame = {
+    val spark = batchBands.sparkSession
+    val bb = batchBands.select(col(idCol), col("band"), col("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // capture the index listing BEFORE any append so the result is
+    // stable however late the plan executes
+    val idx = spark.read.parquet(indexDir)
+    val bbKeys = bb.select(col("band"), col("h"), col(idCol).as("__bid"))
+    val hitCorpus = idx.join(broadcast(bbKeys), Seq("band", "h"))
+      .select(col("__bid").as(idCol)).distinct()
+    val aSide = bb.select(col("band"), col("h"), col(idCol).as("__a"))
+    val bSide = bb.select(col("band"), col("h"), col(idCol).as("__b"))
+    val hitBatch = aSide.join(bSide, Seq("band", "h"))
+      .where(col("__a") < col("__b"))
+      .select(col("__b").as(idCol)).distinct()
+    val res = bb.select(idCol).distinct()
+      .join(hitCorpus.withColumn("__dc", lit(true)), Seq(idCol), "left")
+      .join(hitBatch.withColumn("__db", lit(true)), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__dc"), lit(false)).as("dup_of_corpus"),
+        coalesce(col("__db"), lit(false)).as("dup_in_batch"))
+      .withColumn("admitted", !col("dup_of_corpus") && !col("dup_in_batch"))
+    if (appendAdmitted)
+      bb.join(res.where(col("admitted")).select(idCol), Seq(idCol), "left_semi")
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(indexDir)
+    res
+  }
+
   /** Distinct candidate pairs (ia < ib) sharing any band bucket.
     * One signature computation, one shuffle (the groupBy), pair
     * expansion per bucket via index-aware transform + slice.

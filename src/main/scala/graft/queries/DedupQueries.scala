@@ -123,6 +123,45 @@ object DedupQueries extends QueryPack {
                 SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.doc_id)
               SELECT doc_id, min(r) AS keep_id FROM reach GROUP BY doc_id""")),
 
+    // ---- INCREMENTAL dedup against a PERSISTED fingerprint index (the
+    // shape a 100 TB deployment actually runs): the corpus (doc_id % 5
+    // != 0) is fingerprinted ONCE into a parquet band index; when the
+    // new batch (doc_id % 5 == 0) lands, ONLY the batch is hashed — the
+    // corpus is never re-scanned. The index probe is an equi-join on
+    // (band, h) with the small batch side broadcast (one map-side pass
+    // over the index), within-batch dups use keep-first, and admitted
+    // docs' bands are APPENDED to the index so the next batch sees this
+    // batch's survivors (maintenance cost tracks |batch|, never
+    // |corpus|). Oracle restates both sides' bands and both collision
+    // tests from scratch.
+    Q("d13_incremental_index_dedup",
+      (s, d) => {
+        val docs = withWords(Tables.documents(s, d))
+        val corpus = docs.where(col("doc_id") % 5 =!= 0)
+        val batch = docs.where(col("doc_id") % 5 === 0)
+        val idxDir = Scratch.dir("graft_d13_").resolve("bands").toString
+        // one-time backfill (at scale this already exists on disk)
+        MinHashLSH.bands(corpus, "doc_id", col("w"), 4)
+          .write.parquet(idxDir)
+        MinHashLSH.incrementalDedup(
+          MinHashLSH.bands(batch, "doc_id", col("w"), 4), "doc_id", idxDir)
+      },
+      Some(s"""$duckBands,
+              corpus AS (SELECT * FROM bands WHERE doc_id % 5 <> 0 AND h IS NOT NULL),
+              batch AS (SELECT * FROM bands WHERE doc_id % 5 = 0 AND h IS NOT NULL),
+              hitc AS (SELECT DISTINCT b.doc_id FROM batch b
+                       JOIN corpus c ON b.band = c.band AND b.h = c.h),
+              hitb AS (SELECT DISTINCT b.doc_id FROM batch b
+                       JOIN batch a ON b.band = a.band AND b.h = a.h
+                        AND a.doc_id < b.doc_id)
+              SELECT i.doc_id,
+                (hc.doc_id IS NOT NULL) AS dup_of_corpus,
+                (hb.doc_id IS NOT NULL) AS dup_in_batch,
+                (hc.doc_id IS NULL AND hb.doc_id IS NULL) AS admitted
+              FROM (SELECT DISTINCT doc_id FROM batch) i
+              LEFT JOIN hitc hc ON i.doc_id = hc.doc_id
+              LEFT JOIN hitb hb ON i.doc_id = hb.doc_id""")),
+
     // ---- Candidate verification: exact n-gram Jaccard on LSH pairs only.
     Q("d3_lsh_jaccard",
       (s, d) => {

@@ -92,6 +92,38 @@ object SimilarityQueries extends QueryPack {
       graft.operators.KMeansLite.fit(vecs(s, d), "vec_id", "v", 4, 1)
     })
 
+  /** Full trained-IVF top-k restatement (codebook training → cell
+    * assignment → nprobe=2 probing → in-cell cosine top-5) — shared by
+    * s9 (in-memory serve) and s13 (serve from the PERSISTED cell-
+    * partitioned index): the two gates differ only in where the index
+    * rows come from, so they share one oracle.
+    */
+  private val duckIvfTrainedTopk =
+    s"""WITH $duckKmeans,
+        c AS (SELECT cid, cv,
+                list_aggregate(list_transform(cv, x -> x * x), 'sum') AS cn
+              FROM c1),
+        sim AS (SELECT e.vec_id, e.v, e.nn, c.cid,
+                  list_aggregate(list_transform(range(1, len(c.cv) + 1),
+                    i -> c.cv[i] * e.v[i]), 'sum') / (sqrt(c.cn) * sqrt(e.nn)) AS cs
+                FROM e CROSS JOIN c),
+        asg AS (SELECT vec_id, v, nn, cid AS cell FROM (
+                  SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cs DESC, cid) AS r FROM sim) WHERE r = 1),
+        probe AS (SELECT vec_id AS qid, v AS qv, nn AS qn, cid AS cell FROM (
+                  SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cs DESC, cid) AS r FROM sim WHERE vec_id < 3)
+                  WHERE r <= 2),
+        p AS (SELECT probe.qid, asg.vec_id,
+                round(list_aggregate(list_transform(range(1, len(probe.qv) + 1),
+                  i -> probe.qv[i] * asg.v[i]), 'sum')
+                  / (sqrt(probe.qn) * sqrt(asg.nn)), 6) AS cos
+              FROM asg JOIN probe ON asg.cell = probe.cell
+              WHERE asg.vec_id <> probe.qid)
+        SELECT qid, cast(rank as bigint) AS rank, vec_id, cos FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY cos DESC, vec_id) AS rank FROM p) WHERE rank <= 5"""
+
   def all: Seq[Q] = Seq(
 
     // ---- Brute-force cosine top-k for one query vector (vec_id 0).
@@ -472,30 +504,51 @@ object SimilarityQueries extends QueryPack {
           .select(col("qid"), col("rank").cast("bigint").as("rank"),
             col("vec_id"), col("cos"))
       },
-      Some(s"""WITH $duckKmeans,
-              c AS (SELECT cid, cv,
-                      list_aggregate(list_transform(cv, x -> x * x), 'sum') AS cn
-                    FROM c1),
-              sim AS (SELECT e.vec_id, e.v, e.nn, c.cid,
-                        list_aggregate(list_transform(range(1, len(c.cv) + 1),
-                          i -> c.cv[i] * e.v[i]), 'sum') / (sqrt(c.cn) * sqrt(e.nn)) AS cs
-                      FROM e CROSS JOIN c),
-              asg AS (SELECT vec_id, v, nn, cid AS cell FROM (
-                        SELECT *, row_number() OVER (PARTITION BY vec_id
-                          ORDER BY cs DESC, cid) AS r FROM sim) WHERE r = 1),
-              probe AS (SELECT vec_id AS qid, v AS qv, nn AS qn, cid AS cell FROM (
-                        SELECT *, row_number() OVER (PARTITION BY vec_id
-                          ORDER BY cs DESC, cid) AS r FROM sim WHERE vec_id < 3)
-                        WHERE r <= 2),
-              p AS (SELECT probe.qid, asg.vec_id,
-                      round(list_aggregate(list_transform(range(1, len(probe.qv) + 1),
-                        i -> probe.qv[i] * asg.v[i]), 'sum')
-                        / (sqrt(probe.qn) * sqrt(asg.nn)), 6) AS cos
-                    FROM asg JOIN probe ON asg.cell = probe.cell
-                    WHERE asg.vec_id <> probe.qid)
-              SELECT qid, cast(rank as bigint) AS rank, vec_id, cos FROM (
-                SELECT *, row_number() OVER (PARTITION BY qid
-                  ORDER BY cos DESC, vec_id) AS rank FROM p) WHERE rank <= 5""")),
+      Some(duckIvfTrainedTopk)),
+
+    // ---- IVF served from a PERSISTED index (the deployment shape of
+    // s9): the trained-codebook assignment is written ONCE as parquet
+    // `partitionBy(cell)` — the directory layout IS the inverted file,
+    // one directory per cell. The query path is a FRESH read of that
+    // index filtered to the probed cells (probe list = nqueries×nprobe
+    // ids, collected — bounded driver state), so the scan partition-
+    // prunes to the probed directories and the unprobed corpus is never
+    // listed, read, or decoded (IvfIndexSpec pins the PartitionFilters
+    // in the plan). Same top-k as s9 — build once, serve many; oracle
+    // shared with s9 since only the serving path differs.
+    Q("s13_ivf_index_served",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = vecs(s, d)
+        val cents = trainedCodebook(s, d).map { case (cid, cv) =>
+          var nn = 0.0
+          var i = 0
+          while (i < cv.length) { nn += cv(i) * cv(i); i += 1 }
+          (cid.toLong, cv, nn)
+        }
+        val idxDir = Scratch.dir("graft_s13_").resolve("ivf").toString
+        e.withColumn("cell", VectorOps.ivfAssignUdf(cents)(col("v"), col("nn")))
+          .write.partitionBy("cell").parquet(idxDir)
+        val q = e.where(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("nn").as("qn"),
+            explode(VectorOps.ivfProbeUdf(cents, 2)(col("v"), col("nn"))).as("cell"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val probed = q.select("cell").distinct().collect()
+          .map(_.getLong(0).toInt).sorted
+        val index = s.read.parquet(idxDir)
+          // partition-column values are inferred as int; matching-type
+          // literals keep the filter a pure partition prune (no cast)
+          .where(col("cell").isin(probed: _*))
+        val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+        index.join(broadcast(q.withColumn("cell", col("cell").cast("int"))), Seq("cell"))
+          .where(col("vec_id") =!= col("qid"))
+          .withColumn("cos", round(cosExpr, 6))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 5)
+          .select(col("qid"), col("rank").cast("bigint").as("rank"),
+            col("vec_id"), col("cos"))
+      },
+      Some(duckIvfTrainedTopk)),
 
     // ---- PQ with the TRAINED codebook: the k-means centroids sliced
     // per subspace become the sub-codebooks (cids stay the contiguous

@@ -809,6 +809,60 @@ object StatsQueries extends QueryPack {
               JOIN counters co ON co.j = pc.j AND co.c = pc.c
               GROUP BY 1, 2""")),
 
+    // ---- A24: MERGEABLE-HISTOGRAM quantiles — the third engine-neutral
+    // sketch next to HLL (a18) and Count-Min (a19), and the scalable
+    // sibling of the exact a7 percentiles: fixed-width bins (width 100)
+    // make the sketch a per-bin counter table that map-side combines and
+    // merges by addition — at 100 TB the full pass is one partial-agg
+    // shuffle of ~1k bin rows, where exact percentile must shuffle or
+    // sort the raw column. Quantile targets use exact integer ceil
+    // arithmetic ((n·qm + 999) div 1000, qm in permille) and the
+    // estimate interpolates inside the selected bin — every step integer
+    // or IEEE-deterministic, so the oracle restates the whole sketch.
+    // HistogramQuantileSpec pins the ±binwidth error bound vs exact and
+    // the merge-by-addition property.
+    Q("a24_histogram_quantiles",
+      (s, d) => {
+        import s.implicits._
+        val binned = Tables.lineitem(s, d)
+          .groupBy(floor(col("l_extendedprice") / 100).cast("bigint").as("bin"))
+          .agg(count(lit(1)).as("cnt"))
+        // cumulate over the bin table (~1k rows at any corpus size —
+        // the single-task window runs over sketch state, not data)
+        val cum = binned.withColumn("cum",
+          sum("cnt").over(Window.orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val total = binned.agg(sum("cnt").as("total"))
+        val quant = Seq(500L, 900L, 990L).toDF("qm")
+        cum.crossJoin(broadcast(total)).crossJoin(broadcast(quant))
+          .withColumn("target", expr("(total * qm + 999) DIV 1000"))
+          .where(col("cum") >= col("target"))
+          .groupBy("qm")
+          .agg(min(struct(col("bin"), col("cum"), col("cnt"), col("target"))).as("sel"))
+          .select(col("qm"),
+            col("sel.target").as("target_rank"),
+            round(col("sel.bin") * 100 +
+              lit(100) * (col("sel.target") - (col("sel.cum") - col("sel.cnt")))
+                .cast("double") / col("sel.cnt"), 6).as("est"))
+      },
+      Some("""WITH b AS (SELECT CAST(floor(l_extendedprice / 100) AS BIGINT) AS bin,
+                       count(*) AS cnt
+                     FROM lineitem GROUP BY 1),
+              c AS (SELECT bin, cnt,
+                      sum(cnt) OVER (ORDER BY bin) AS cum,
+                      sum(cnt) OVER () AS total
+                    FROM b),
+              t AS (SELECT c.*, q.qm,
+                      CAST((total * qm + 999) // 1000 AS BIGINT) AS target
+                    FROM c CROSS JOIN (SELECT unnest([500, 900, 990]) AS qm) q),
+              sel AS (SELECT qm, target, bin, cum, cnt,
+                        row_number() OVER (PARTITION BY qm ORDER BY bin) AS r
+                      FROM t WHERE cum >= target)
+              SELECT CAST(qm AS BIGINT) AS qm, target AS target_rank,
+                round(bin * 100 +
+                  100 * CAST(target - (cum - cnt) AS DOUBLE) / cnt, 6) AS est
+              FROM sel WHERE r = 1""")),
+
     // ---- F27/J8: canton→region case mapping via a broadcast config
     // table (the reference hard-codes 7 regions + 6 legal areas as
     // Python dicts; here the mapping is a joined dimension).

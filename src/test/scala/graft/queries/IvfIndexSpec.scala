@@ -1,0 +1,40 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** s13's persisted IVF index: the cell-partitioned parquet layout must
+  * partition-prune to the probed cells (the inverted-file contract —
+  * unprobed corpus is never listed or read), and serving from the
+  * persisted index must reproduce the in-memory s9 serve exactly.
+  */
+class IvfIndexSpec extends SparkSpec {
+
+  test("probe read partition-prunes to the probed cell directories") {
+    import spark.implicits._
+    val dir = Scratch.dir("ivf_idx_").resolve("ivf").toString
+    (0L until 40L).map(i => (i, (i % 4).toInt)).toDF("vec_id", "cell")
+      .write.partitionBy("cell").parquet(dir)
+    val probed = spark.read.parquet(dir).where(col("cell").isin(0, 2))
+    val p = probed.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") && p.contains("cell"),
+      s"expected a partition filter on cell, got:\n$p")
+    // rows can only come from the two probed directories
+    val files = probed.select(input_file_name().as("f")).distinct()
+      .as[String].collect()
+    assert(files.nonEmpty &&
+      files.forall(f => f.contains("cell=0") || f.contains("cell=2")))
+    // and the full index genuinely has more partitions than the probe
+    assert(spark.read.parquet(dir).inputFiles
+      .exists(f => f.contains("cell=1") || f.contains("cell=3")))
+  }
+
+  test("serving from the persisted index equals the in-memory serve (s13 == s9)") {
+    val fromIndex = graft.SparkEntry.queries("s13_ivf_index_served")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val inMemory = graft.SparkEntry.queries("s9_ivf_kmeans")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(fromIndex === inMemory)
+    assert(fromIndex.nonEmpty)
+  }
+}
