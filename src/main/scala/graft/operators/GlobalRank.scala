@@ -149,4 +149,46 @@ object GlobalRank {
       (out, release)
     }
   }
+
+  /** Append `outCol` = GLOBAL running total of `valueCol` in `sortCols`
+    * order — the distributed prefix sum behind budget-capped selection
+    * ("take the best documents until the token budget is spent").
+    * `Window.orderBy(...).rowsBetween(unboundedPreceding, current)`
+    * with no partition key would funnel the whole table through one
+    * task; here the same three-step trick as withGlobalRank applies:
+    * range-partition + local sort, then per-PARTITION sums collapse to
+    * a ≤numPartitions-row offset table (the only single-partition
+    * window), and the within-partition running sum is a window
+    * partitioned by __pid — fully parallel. Sort columns must define a
+    * total order (include a tiebreaker) for determinism.
+    */
+  def withGlobalPrefixSumReleasable(df: DataFrame, sortCols: Seq[Column],
+                                    valueCol: Column, outCol: String)
+      : (DataFrame, () => Unit) = {
+    val parted = df
+      .withColumn("__val", valueCol)
+      .repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", shiftRight(col("__mid"), LocalBits))
+      .withColumn("__local", col("__mid").bitwiseAND(lit(LocalMask)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val offsets = parted.groupBy("__pid").agg(sum("__val").as("__psum"))
+      .withColumn("__offset",
+        coalesce(sum("__psum").over(
+          Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("__pid", "__offset")
+    val w = Window.partitionBy("__pid").orderBy("__local")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = parted.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(outCol, col("__offset") + sum(col("__val")).over(w))
+      .drop("__mid", "__pid", "__local", "__offset", "__val")
+    (out, () => { parted.unpersist(); () })
+  }
+
+  /** Append `outCol` (global running total of `valueCol` by `sortCols`). */
+  def withGlobalPrefixSum(df: DataFrame, sortCols: Seq[Column],
+                          valueCol: Column, outCol: String): DataFrame =
+    withGlobalPrefixSumReleasable(df, sortCols, valueCol, outCol)._1
 }

@@ -1012,6 +1012,44 @@ object RelationalQueries extends QueryPack {
                           WHEN 'it' THEN '4' ELSE 'g' END
               GROUP BY 1""")),
 
+    // ---- TEMPERATURE-weighted source mixing (the data-mixing step a
+    // multilingual/multi-domain pretraining run computes, not hand-
+    // tunes): per-source keep rates DERIVE from corpus counts via the
+    // exponential-smoothing rule rate_l = (n_min/n_l)^(1/2) (α = 0.5 —
+    // the smallest source keeps everything, larger sources are
+    // downsampled toward balance). The count pass is a tiny aggregate
+    // (one row per source, broadcast back); the sampling decision is
+    // the same engine-neutral md5-uniform threshold as o8 — u =
+    // int(md5[0:8])/2^32 < rate — so runs are reproducible across
+    // engines and restarts, and the corpus pays one scan-level filter.
+    Q("o10_temperature_mix",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
+        val nmin = counts.agg(min("n_total").as("n_min"))
+        val rates = counts.crossJoin(broadcast(nmin))
+          .withColumn("rate", sqrt(col("n_min").cast("double") / col("n_total")))
+          .select("lang", "n_total", "rate")
+        docs.join(broadcast(rates), "lang")
+          .where(expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)")
+            / lit(4294967296.0) < col("rate"))
+          .groupBy("lang")
+          .agg(max("n_total").as("n_total"),
+            round(max("rate"), 6).as("rate"),
+            count(lit(1)).as("n_sampled"))
+      },
+      Some("""WITH c AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY 1),
+              r AS (SELECT lang, n_total,
+                      sqrt(CAST((SELECT min(n_total) FROM c) AS DOUBLE) / n_total) AS rate
+                    FROM c),
+              kept AS (SELECT d.lang FROM documents d JOIN r USING (lang)
+                       WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                             / 4294967296.0 < r.rate)
+              SELECT r.lang, r.n_total, round(r.rate, 6) AS rate,
+                     count(*) AS n_sampled
+              FROM kept JOIN r USING (lang)
+              GROUP BY r.lang, r.n_total, r.rate""")),
+
     // ---- O4: random-label sample submission (kaggle variant in the
     // reference) — deterministic label pick via md5-hash bucketing.
     Q("o4_sample_submission",

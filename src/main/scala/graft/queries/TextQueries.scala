@@ -339,6 +339,48 @@ object TextQueries extends QueryPack {
                       round(cast(len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) as double) / n_chars, 6) AS punct_ratio
                     FROM (SELECT doc_id, n_chars, text, string_split(text, ' ') AS w FROM documents))""")),
 
+    // ---- TOKEN-BUDGET corpus selection (the final assembly step of a
+    // training-data pipeline): rank documents by a quality key
+    // (cleanest first — punct_ratio asc, doc_id tiebreak) and keep them
+    // until the token budget (40% of corpus tokens, computed exactly in
+    // integer arithmetic) is spent. The running total comes from
+    // GlobalRank.withGlobalPrefixSum — range-partition + local sort,
+    // per-partition sums collapsed to a broadcast offset table, within-
+    // partition running sums partition-parallel — NEVER a global
+    // single-task window; at 100 TB the only single-partition state is
+    // one row per range partition. Oracle restates the same order,
+    // running sum, and integer budget.
+    Q("t24_token_budget_select",
+      (s, d) => {
+        val punct = "[!-/:-@\\[-`{-~]"
+        val docs = Tables.documents(s, d)
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+          .withColumn("punct_ratio", round(
+            size(regexp_extract_all(col("text"), lit(punct), lit(0))).cast("double") /
+              col("n_chars"), 6))
+          .select("doc_id", "n_tokens", "punct_ratio")
+        val budget = docs.agg(expr("(sum(n_tokens) * 2) DIV 5").as("budget"))
+        graft.operators.GlobalRank.withGlobalPrefixSum(
+            docs, Seq(col("punct_ratio"), col("doc_id")),
+            col("n_tokens"), "cum_tokens")
+          .crossJoin(broadcast(budget))
+          .where(col("cum_tokens") <= col("budget"))
+          .select(col("doc_id"), col("n_tokens"), col("punct_ratio"),
+            col("cum_tokens"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                cast(len(string_split(text, ' ')) as bigint) AS n_tokens,
+                round(cast(len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) as double)
+                  / n_chars, 6) AS punct_ratio
+              FROM documents),
+              c AS (SELECT *,
+                      sum(n_tokens) OVER (ORDER BY punct_ratio, doc_id) AS cum_tokens,
+                      (sum(n_tokens) OVER () * 2) // 5 AS budget
+                    FROM t)
+              SELECT doc_id, n_tokens, punct_ratio,
+                cast(cum_tokens as bigint) AS cum_tokens
+              FROM c WHERE cum_tokens <= budget""")),
+
     // ---- Language-ID (F35 analog): stopword-hit n-gram heuristic,
     // argmax across language marker lists, tie → 'unk'.
     Q("t3_lang_guess",

@@ -82,6 +82,47 @@ class GlobalRankSpec extends SparkSpec {
     val df = Seq.empty[(Int, Int)].toDF("v", "id")
     assert(GlobalRank.ntileGlobal(df, 4, Seq(col("v")), "q").count() == 0)
   }
+
+  test("global prefix sum equals the unpartitioned running-total window") {
+    import spark.implicits._
+    val df = (1 to 997).map(i => ((i * 7919) % 1000, i, (i % 13) + 1L))
+      .toDF("v", "id", "toks").repartition(13)
+    val got = GlobalRank.withGlobalPrefixSum(
+      df, Seq(col("v"), col("id")), col("toks"), "cum")
+    val want = df.withColumn("cum",
+      sum("toks").over(Window.orderBy("v", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    assert(got.select("id", "cum").except(want.select("id", "cum")).isEmpty)
+    assert(want.select("id", "cum").except(got.select("id", "cum")).isEmpty)
+  }
+
+  test("prefix-sum plan range-partitions; running sums stay partition-parallel") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i % 10, i, 1L)).toDF("v", "id", "toks")
+    val plan = GlobalRank.withGlobalPrefixSum(
+        df, Seq(col("v"), col("id")), col("toks"), "cum")
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("rangepartitioning"))
+    // every window in the plan is keyed on __pid: the running sum is
+    // PARTITIONED by it (parallel), and the only unpartitioned window
+    // orders the ≤numPartitions-row offset table by it — no window
+    // ever runs unpartitioned over the data itself
+    val windowLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windowLines.nonEmpty && windowLines.forall(_.contains("__pid")), plan)
+  }
+
+  test("prefix sum with a descending sort key (best-first budget order)") {
+    import spark.implicits._
+    val df = (1 to 200).map(i => (i % 7, i, i.toLong)).toDF("q", "id", "toks")
+      .repartition(5)
+    val got = GlobalRank.withGlobalPrefixSum(
+      df, Seq(col("q").desc, col("id")), col("toks"), "cum")
+    val want = df.withColumn("cum",
+      sum("toks").over(Window.orderBy(col("q").desc, col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    assert(got.select("id", "cum").except(want.select("id", "cum")).isEmpty)
+    assert(want.select("id", "cum").except(got.select("id", "cum")).isEmpty)
+  }
   test("bytes-only estimates assume 1 compressed byte per row (ADVICE r3)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("grank").toString
