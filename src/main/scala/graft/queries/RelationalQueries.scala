@@ -1012,6 +1012,33 @@ object RelationalQueries extends QueryPack {
                           WHEN 'it' THEN '4' ELSE 'g' END
               GROUP BY 1""")),
 
+    // ---- Schema-reconciling multi-source union (the ingestion-side
+    // dual of u7's on-disk evolution): two sources disagree on columns
+    // — one carries n_chars, the other a crawl_batch tag the first
+    // lacks. `unionByName(allowMissingColumns = true)` aligns by NAME
+    // (never position) and null-fills both directions; a positional
+    // UNION would silently misalign or reject. Pure map-side concat —
+    // no shuffle.
+    Q("u8_union_by_name",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val a = docs.where(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("lang"),
+            col("n_chars").cast("bigint").as("n_chars"),
+            lit("archive").as("origin"))
+        val b = docs.where(col("doc_id") % 2 =!= 0)
+          .select(col("doc_id"), col("lang"), lit("crawl").as("origin"),
+            (col("doc_id") % 7).as("crawl_batch"))
+        a.unionByName(b, allowMissingColumns = true)
+          .select("doc_id", "lang", "n_chars", "origin", "crawl_batch")
+      },
+      Some("""SELECT doc_id, lang, n_chars::BIGINT AS n_chars,
+                'archive' AS origin, NULL::BIGINT AS crawl_batch
+              FROM documents WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT doc_id, lang, NULL, 'crawl', doc_id % 7
+              FROM documents WHERE doc_id % 2 <> 0""")),
+
     // ---- TEMPERATURE-weighted source mixing (the data-mixing step a
     // multilingual/multi-domain pretraining run computes, not hand-
     // tunes): per-source keep rates DERIVE from corpus counts via the

@@ -550,6 +550,52 @@ object SimilarityQueries extends QueryPack {
       },
       Some(duckIvfTrainedTopk)),
 
+    // ---- IVF index MAINTENANCE (the d13 story for vectors): new
+    // embeddings land AFTER the index was built — they are assigned
+    // under the FROZEN codebook (no retrain, no corpus re-encode) and
+    // APPENDED to the cell-partitioned index, landing inside the
+    // existing cell directories. The serve path is byte-identical to
+    // s13 and must see both generations — the oracle is the full-corpus
+    // restatement, so any append loss, layout drift, or double-write
+    // fails the hash. Maintenance cost tracks |batch|: one zero-shuffle
+    // assignment pass plus a partitioned append.
+    Q("s14_ivf_index_append",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = vecs(s, d)
+        val cents = trainedCodebook(s, d).map { case (cid, cv) =>
+          var nn = 0.0
+          var i = 0
+          while (i < cv.length) { nn += cv(i) * cv(i); i += 1 }
+          (cid.toLong, cv, nn)
+        }
+        def assigned(df: org.apache.spark.sql.DataFrame) =
+          df.withColumn("cell", VectorOps.ivfAssignUdf(cents)(col("v"), col("nn")))
+        val idxDir = Scratch.dir("graft_s14_").resolve("ivf").toString
+        // generation 1: the historical corpus
+        assigned(e.where(col("vec_id") % 4 =!= 3))
+          .write.partitionBy("cell").parquet(idxDir)
+        // generation 2: the landing batch, frozen-codebook assign + append
+        assigned(e.where(col("vec_id") % 4 === 3))
+          .write.mode("append").partitionBy("cell").parquet(idxDir)
+        val q = e.where(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("nn").as("qn"),
+            explode(VectorOps.ivfProbeUdf(cents, 2)(col("v"), col("nn"))).as("cell"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val probed = q.select("cell").distinct().collect()
+          .map(_.getLong(0).toInt).sorted
+        val index = s.read.parquet(idxDir).where(col("cell").isin(probed: _*))
+        val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+        index.join(broadcast(q.withColumn("cell", col("cell").cast("int"))), Seq("cell"))
+          .where(col("vec_id") =!= col("qid"))
+          .withColumn("cos", round(cosExpr, 6))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 5)
+          .select(col("qid"), col("rank").cast("bigint").as("rank"),
+            col("vec_id"), col("cos"))
+      },
+      Some(duckIvfTrainedTopk)),
+
     // ---- PQ with the TRAINED codebook: the k-means centroids sliced
     // per subspace become the sub-codebooks (cids stay the contiguous
     // 0..3 the ADC table indexes by), corpus encoded to 4 small ints,

@@ -69,7 +69,19 @@ object PlanDump {
       // conditional-min aggregates, no window), t23 fuzzy matching
       // (block equi-join before levenshtein, bounded per-query window)
       "a19_cms_heavy_hitters", "a20_pivot_lang_counts",
-      "r11_pagerank_lite", "e16_funnel", "t23_fuzzy_citation")
+      "r11_pagerank_lite", "e16_funnel", "t23_fuzzy_citation",
+      // round-7 continued: d13 incremental dedup (the persisted index
+      // scan is probed by a BROADCAST batch side — no corpus shuffle),
+      // s13 persisted-IVF serve (the index scan must carry
+      // PartitionFilters on cell — only probed directories read), t24
+      // budget selection (every Window keyed on __pid — the prefix sum
+      // never funnels data through one task), a24 mergeable-histogram
+      // quantiles (partial-agg bin counters; windows only over the
+      // ~1k-row sketch state), o10 temperature mix (tiny count agg
+      // broadcast back, scan-level md5 filter).
+      "d13_incremental_index_dedup", "s13_ivf_index_served",
+      "t24_token_budget_select", "a24_histogram_quantiles",
+      "o10_temperature_mix")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries (sf0.001)\n\n")
     sb.append("Generated by `graft.tools.PlanDump`. What to look for per plan is\n")

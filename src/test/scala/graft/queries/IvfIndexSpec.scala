@@ -29,6 +29,23 @@ class IvfIndexSpec extends SparkSpec {
       .exists(f => f.contains("cell=1") || f.contains("cell=3")))
   }
 
+  test("append lands inside the existing cell directories and is immediately visible") {
+    import spark.implicits._
+    val dir = Scratch.dir("ivf_app_").resolve("ivf").toString
+    (0L until 20L).map(i => (i, (i % 2).toInt)).toDF("vec_id", "cell")
+      .write.partitionBy("cell").parquet(dir)
+    (100L until 110L).map(i => (i, (i % 2).toInt)).toDF("vec_id", "cell")
+      .write.mode("append").partitionBy("cell").parquet(dir)
+    val back = spark.read.parquet(dir)
+    // both generations readable, cells preserved
+    assert(back.count() === 30)
+    assert(back.where(col("vec_id") >= 100L && col("cell") === 1).count() === 5)
+    // the append created no new top-level partition directories
+    val cells = new java.io.File(dir).listFiles
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(cells === Set("cell=0", "cell=1"))
+  }
+
   test("serving from the persisted index equals the in-memory serve (s13 == s9)") {
     val fromIndex = graft.SparkEntry.queries("s13_ivf_index_served")(spark, sfDir)
       .collect().map(_.toSeq).toSet
