@@ -60,6 +60,32 @@ object RelationalQueries extends QueryPack {
       },
       Some("SELECT n_nationkey, n_name, 2::BIGINT AS n_cols FROM nation")),
 
+    // ---- ORC round-trip (k15): the second columnar format next to
+    // parquet — an engine swap a downstream consumer may force. Write
+    // sorted ORC (zlib), read back through the built-in reader with a
+    // selective filter: ORC carries row-group min/max stats like
+    // parquet, and the sorted layout makes them selective; the filter
+    // must reach the scan as a pushed search argument (PlanShapeSpec
+    // family assertion lives in the oracle equality here — a reader
+    // bug or pushdown loss changes rows).
+    Q("k15_orc_roundtrip",
+      (s, d) => {
+        val out = Scratch.dir("graft_k15_").resolve("orc").toString
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderpriority"))
+          .sortWithinPartitions("o_orderkey")
+          .write.option("compression", "zlib").orc(out)
+        s.read.orc(out)
+          .where(col("o_orderpriority") === "1-URGENT" &&
+            col("o_totalprice") > lit(new java.math.BigDecimal("200000.00")))
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice").cast("double").as("o_totalprice"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice::DOUBLE AS o_totalprice
+              FROM orders
+              WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 200000.00""")),
+
     // ---- K7 labels-JSON round-trip (k3): writeLabels emits the
     // id2label/label2id file the dataset creators ship
     // (dataset_creator.py label maps); read back as JSON and exploded

@@ -205,4 +205,23 @@ class PlanShapeSpec extends SparkSpec {
       assert(j.count() > 0)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("k15 ORC read pushes both predicates into the scan") {
+    import org.apache.spark.sql.functions._
+    val out = Scratch.dir("orc_push_").resolve("orc").toString
+    graft.sources.Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      .sortWithinPartitions("o_orderkey")
+      .write.option("compression", "zlib").orc(out)
+    val df = spark.read.orc(out)
+      .where(col("o_orderpriority") === "1-URGENT" &&
+        col("o_totalprice") > lit(new java.math.BigDecimal("200000.00")))
+    // FormattedMode: the plain toString truncates long PushedFilters lists
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PushedFilters: [") &&
+      p.contains("EqualTo(o_orderpriority,1-URGENT)") &&
+      p.contains("GreaterThan(o_totalprice"),
+      "ORC min/max skipping needs both predicates at the scan: " + p.take(1500))
+  }
 }
