@@ -45,6 +45,7 @@ object GraftExtensions {
     // reading an exported .xz JSONL would otherwise parse raw bytes into
     // _corrupt_record (ADVICE r6)
     graft.sources.XzCodec.register(spark)
+    graft.sources.ZstdCodec.register(spark)
     val reg = spark.sessionState.functionRegistry
     reg.registerFunction(FunctionIdentifier("uuid3"), Uuid3.info, Uuid3.builder)
     reg.registerFunction(FunctionIdentifier("counter_merge"),

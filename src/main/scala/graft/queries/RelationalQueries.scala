@@ -47,6 +47,26 @@ object RelationalQueries extends QueryPack {
       },
       Some("SELECT n_nationkey, n_name FROM nation")),
 
+    // ---- zstd JSONL round-trip (k16): the interchange format large
+    // text corpora actually ship (`.jsonl.zst` shards — RedPajama/
+    // SlimPajama/Pile layout). Hadoop's own ZStandardCodec needs
+    // libhadoop (not loaded in pure-JVM deployments); sources.ZstdCodec
+    // rides the zstd-jni binding Spark already bundles for parquet, so
+    // the export works on any Spark image. Same write → fresh-reader
+    // shape as k1.
+    Q("k16_jsonl_zstd",
+      (s, d) => {
+        val out = Scratch.dir("graft_k16_").resolve("j").toString
+        graft.sources.Sinks.writeJsonl(
+          Tables.nation(s, d).select(col("n_nationkey"), col("n_name")),
+          out, codec = "zstd")
+        graft.sources.ZstdCodec.register(s)
+        s.read.json(out)
+          .select(col("n_nationkey").cast("bigint").as("n_nationkey"),
+            col("n_name"))
+      },
+      Some("SELECT n_nationkey, n_name FROM nation")),
+
     Q("k2_csv_drops_text",
       (s, d) => {
         val out = java.nio.file.Files.createTempDirectory("graft_k2_").toString

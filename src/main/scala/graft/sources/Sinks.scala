@@ -46,6 +46,9 @@ object Sinks {
     val codecName = if (codec == "xz") {
       XzCodec.register(df.sparkSession)
       classOf[XzCodec].getName
+    } else if (codec == "zstd") {
+      ZstdCodec.register(df.sparkSession)
+      classOf[ZstdCodec].getName
     } else codec
     df.write.mode(SaveMode.Overwrite)
       .option("compression", codecName).json(path)

@@ -253,6 +253,25 @@ class SinksSpec extends SparkSpec {
     assert(back.where(col("id") === 1L).select("text").head().getString(0) == "ein Urteil")
   }
 
+  test("jsonl zstd codec is real zstd (frame magic + extension + read-back)") {
+    import spark.implicits._
+    val df = Seq((1L, "ein Urteil"), (2L, "zwei Urteile")).toDF("id", "text")
+    val out = tmp("jsonl_zst")
+    Sinks.writeJsonl(df, out, codec = "zstd")
+    val parts = Files.list(java.nio.file.Paths.get(out)).toArray.map(_.toString)
+      .filter(p => !new java.io.File(p).getName.startsWith("_")
+        && !new java.io.File(p).getName.startsWith("."))
+    assert(parts.nonEmpty && parts.forall(_.endsWith(".json.zst")), parts.toSeq.toString)
+    // the 4-byte zstd frame magic: 28 B5 2F FD — a real zstd frame,
+    // not a renamed gzip
+    val magic = Files.readAllBytes(java.nio.file.Paths.get(parts.head)).take(4)
+    assert(magic.sameElements(Array(0x28, 0xB5, 0x2F, 0xFD).map(_.toByte)),
+      magic.map(b => f"$b%02x").mkString(" "))
+    val back = spark.read.json(out)
+    assert(back.count() == 2)
+    assert(back.where(col("id") === 2L).select("text").head().getString(0) == "zwei Urteile")
+  }
+
   test("compact merges small files without changing rows") {
     import spark.implicits._
     val path = tmp("compact")
