@@ -185,6 +185,52 @@ object DedupQueries extends QueryPack {
               FROM cand JOIN sh sa ON cand.ia = sa.doc_id
                         JOIN sh sb ON cand.ib = sb.doc_id""")),
 
+    // ---- TRAIN/TEST near-dup LEAKAGE report (the eval-hygiene pass
+    // GPT-3/Pile-style papers publish): LSH candidate pairs joined to
+    // the o12 content-hash split assignment; a pair whose ends sit in
+    // DIFFERENT splits is evaluation leakage the content-hash rule
+    // cannot catch (exact dups share a split by construction — only
+    // NEAR-dups straddle). Output: straddling pair counts per
+    // (ordered) split pair. The pair side reuses d2's bucket-capped
+    // machinery; the split join is one broadcast-able id→split map.
+    Q("d14_split_leakage",
+      (s, d) => {
+        val docs = withWords(Tables.documents(s, d))
+        val splits = Tables.documents(s, d)
+          .withColumn("bucket", expr(
+            "cast(conv(substring(md5(text), 1, 4), 16, 10) as bigint)"))
+          .select(col("doc_id"),
+            when(col("bucket") % 10 < 8, "train")
+              .when(col("bucket") % 10 === 8, "valid")
+              .otherwise("test").as("split"))
+        MinHashLSH.candidatePairs(docs, "doc_id", col("w"))
+          .join(splits.toDF("ia", "split_a"), "ia")
+          .join(splits.toDF("ib", "split_b"), "ib")
+          .where(col("split_a") =!= col("split_b"))
+          .select(least(col("split_a"), col("split_b")).as("split_lo"),
+            greatest(col("split_a"), col("split_b")).as("split_hi"))
+          .groupBy("split_lo", "split_hi")
+          .agg(count(lit(1)).as("n_leaking_pairs"))
+      },
+      Some(s"""$duckBands,
+              cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+                       FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h
+                       WHERE a.doc_id < b.doc_id),
+              sp AS (SELECT doc_id,
+                       CASE WHEN CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 10 < 8
+                              THEN 'train'
+                            WHEN CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 10 = 8
+                              THEN 'valid'
+                            ELSE 'test' END AS split
+                     FROM documents)
+              SELECT least(sa.split, sb.split) AS split_lo,
+                     greatest(sa.split, sb.split) AS split_hi,
+                     count(*) AS n_leaking_pairs
+              FROM cand JOIN sp sa ON cand.ia = sa.doc_id
+                        JOIN sp sb ON cand.ib = sb.doc_id
+              WHERE sa.split <> sb.split
+              GROUP BY 1, 2""")),
+
     // ---- SimHash (32-bit, token-multiset weighted): per-row, no
     // shuffle at all. Computed by the native codegen'd
     // `simhash_md5` expression (functions.SimHashMd5) — one digest per

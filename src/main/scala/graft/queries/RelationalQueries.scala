@@ -1085,6 +1085,45 @@ object RelationalQueries extends QueryPack {
               SELECT doc_id, lang, NULL, 'crawl', doc_id % 7
               FROM documents WHERE doc_id % 2 <> 0""")),
 
+    // ---- CONTENT-HASH split assignment (the split rule that survives
+    // re-crawls): membership derives from md5 of the CONTENT, not the
+    // doc id — when a later snapshot re-ingests the same text under a
+    // new id, it lands in the SAME split, and exact duplicates can
+    // never straddle train/test (the gate computes that straddle count
+    // and states it: 0 by construction). 80/10/10 via hash-bucket
+    // modulo; one scan + one tiny fingerprint-level aggregate.
+    Q("o12_content_hash_split",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("fp", md5(col("text")))
+          .withColumn("bucket",
+            expr("cast(conv(substring(fp, 1, 4), 16, 10) as bigint)"))
+          .withColumn("split",
+            when(col("bucket") % 10 < 8, "train")
+              .when(col("bucket") % 10 === 8, "valid")
+              .otherwise("test"))
+        val leaked = docs.groupBy("fp")
+          .agg(countDistinct("split").as("ns")).where(col("ns") > 1)
+          .agg(count(lit(1)).as("n_leaked_fingerprints"))
+        docs.groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct("fp").as("n_distinct_texts"))
+          .crossJoin(broadcast(leaked))
+      },
+      Some("""WITH t AS (SELECT md5(text) AS fp,
+                CASE WHEN CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 10 < 8
+                       THEN 'train'
+                     WHEN CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 10 = 8
+                       THEN 'valid'
+                     ELSE 'test' END AS split
+              FROM documents),
+              leaked AS (SELECT count(*) AS n_leaked_fingerprints FROM (
+                SELECT fp FROM t GROUP BY fp HAVING count(DISTINCT split) > 1))
+              SELECT split, count(*) AS n_docs,
+                count(DISTINCT fp) AS n_distinct_texts,
+                (SELECT n_leaked_fingerprints FROM leaked) AS n_leaked_fingerprints
+              FROM t GROUP BY 1""")),
+
     // ---- TEMPERATURE-weighted source mixing (the data-mixing step a
     // multilingual/multi-domain pretraining run computes, not hand-
     // tunes): per-source keep rates DERIVE from corpus counts via the

@@ -381,6 +381,36 @@ object TextQueries extends QueryPack {
                 cast(cum_tokens as bigint) AS cum_tokens
               FROM c WHERE cum_tokens <= budget""")),
 
+    // ---- FILL-IN-MIDDLE transform (the FIM pretraining op code models
+    // run over half their corpus): even doc_ids are rewritten
+    // prefix/suffix/middle in PSM order with sentinel tokens, odd ones
+    // pass through — the causal-LM dual. Pivots are the deterministic
+    // thirds of the text (integer division, same 1-based substr
+    // semantics both engines); a pure per-row map, zero shuffle.
+    Q("t25_fim_transform",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("l", length(col("text")))
+        .withColumn("a", expr("l DIV 3"))
+        .withColumn("b", expr("(l * 2) DIV 3"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 2 === 0, lit("fim_psm")).otherwise(lit("causal"))
+            .as("mode"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit("<PRE>"), expr("substring(text, 1, a)"),
+              lit("<SUF>"), expr("substring(text, b + 1, l - b)"),
+              lit("<MID>"), expr("substring(text, a + 1, b - a)")))
+            .otherwise(col("text")).as("out_text")),
+      Some("""SELECT doc_id,
+                CASE WHEN doc_id % 2 = 0 THEN 'fim_psm' ELSE 'causal' END AS mode,
+                CASE WHEN doc_id % 2 = 0 THEN
+                  '<PRE>' || substr(text, 1, CAST(length(text) // 3 AS INT))
+                  || '<SUF>' || substr(text, CAST(length(text) * 2 // 3 AS INT) + 1,
+                       length(text) - CAST(length(text) * 2 // 3 AS INT))
+                  || '<MID>' || substr(text, CAST(length(text) // 3 AS INT) + 1,
+                       CAST(length(text) * 2 // 3 AS INT) - CAST(length(text) // 3 AS INT))
+                ELSE text END AS out_text
+              FROM documents""")),
+
     // ---- Language-ID (F35 analog): stopword-hit n-gram heuristic,
     // argmax across language marker lists, tie → 'unk'.
     Q("t3_lang_guess",
