@@ -44,6 +44,9 @@ object DedupQueries extends QueryPack {
        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)"""
 
+  /** shared with EventQueries' e18 (the streaming face of d13) */
+  private[queries] def duckBandsSql: String = duckBands
+
   private val duckBands =
     s"""WITH sh AS ($duckShingles),
         mh AS (SELECT doc_id,

@@ -476,6 +476,110 @@ object EventQueries extends QueryPack {
     // the plan shape: get_json_object is a codegen'd per-row scalar
     // (one pass, no UDF, no schema inference job); a full from_json
     // with explicit schema is the move when many fields are needed.
+    // ---- Streaming dedup against the PERSISTED index (e18): the
+    // DURABLE sibling of e13 — e13's dropDuplicates state lives in the
+    // state store and dies with the checkpoint; here every micro-batch
+    // runs d13's incrementalDedup against the on-disk band index, so
+    // the dedup memory survives restarts, is shared with the batch
+    // pipeline, and admitted fingerprints append as part of the batch.
+    // Two landings are driven explicitly: batch 1 is fresh docs, batch
+    // 2 adds new docs PLUS A FULL REPLAY of batch 1 (at-least-once
+    // delivery) — every replayed doc must come back dup_of_corpus
+    // (its own appended bands, or the corpus rows that rejected it the
+    // first time), so redelivery can never double-ingest. The oracle
+    // restates both sequential batches, including the index state
+    // between them.
+    Q("e18_stream_index_dedup",
+      (s, d) => {
+        import graft.operators.MinHashLSH
+        def withW(df: org.apache.spark.sql.DataFrame) =
+          df.withColumn("w", split(col("text"), " "))
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val idxDir = Scratch.dir("graft_e18_idx_").resolve("bands").toString
+        MinHashLSH.bands(withW(docs.where(col("doc_id") % 5 =!= 0)),
+          "doc_id", col("w"), 4).write.parquet(idxDir)
+        val stage = Scratch.dir("graft_e18_stage_").toString
+        val outDir = Scratch.dir("graft_e18_out_").toString
+        val fileA = docs.where(col("doc_id") % 10 === 0)
+        fileA.coalesce(1).write.mode("append").parquet(stage)
+        val stream = s.readStream.schema("doc_id LONG, text STRING").parquet(stage)
+        val nb = new java.util.concurrent.atomic.AtomicInteger(0)
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        val prevNoData = s.conf.get(
+          "spark.sql.streaming.noDataMicroBatches.enabled", "true")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+        var started = false
+        try {
+          val q = stream.writeStream.outputMode("append")
+            .option("checkpointLocation", Scratch.dir("graft_e18_ck_").toString)
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              if (!batch.isEmpty) {
+                val b = nb.incrementAndGet()
+                MinHashLSH.incrementalDedup(
+                    MinHashLSH.bands(withW(batch), "doc_id", col("w"), 4),
+                    "doc_id", idxDir)
+                  .withColumn("batch", lit(b.toLong))
+                  .write.mode("append").parquet(outDir)
+              }
+            }
+            .start()
+          started = true
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          try {
+            q.processAllAvailable()
+            // landing 2: new docs + full redelivery of landing 1
+            docs.where(col("doc_id") % 10 === 5).unionByName(fileA)
+              .coalesce(1).write.mode("append").parquet(stage)
+            q.processAllAvailable()
+          } finally {
+            q.stop()
+            s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+          }
+        } finally if (!started) {
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+        }
+        s.read.parquet(outDir).select(col("batch"), col("doc_id"),
+          col("dup_of_corpus"), col("dup_in_batch"), col("admitted"))
+      },
+      Some(s"""${graft.queries.DedupQueries.duckBandsSql},
+              corpus AS (SELECT * FROM bands WHERE doc_id % 5 <> 0 AND h IS NOT NULL),
+              a AS (SELECT * FROM bands WHERE doc_id % 10 = 0 AND h IS NOT NULL),
+              bset AS (SELECT * FROM bands WHERE doc_id % 10 = 5 AND h IS NOT NULL),
+              hc1 AS (SELECT DISTINCT x.doc_id FROM a x
+                      JOIN corpus c ON x.band = c.band AND x.h = c.h),
+              hb1 AS (SELECT DISTINCT x.doc_id FROM a x
+                      JOIN a y ON x.band = y.band AND x.h = y.h
+                       AND y.doc_id < x.doc_id),
+              r1 AS (SELECT i.doc_id,
+                       (hc1.doc_id IS NOT NULL) AS dup_of_corpus,
+                       (hb1.doc_id IS NOT NULL) AS dup_in_batch,
+                       (hc1.doc_id IS NULL AND hb1.doc_id IS NULL) AS admitted
+                     FROM (SELECT DISTINCT doc_id FROM a) i
+                     LEFT JOIN hc1 ON i.doc_id = hc1.doc_id
+                     LEFT JOIN hb1 ON i.doc_id = hb1.doc_id),
+              idx2 AS (SELECT * FROM corpus
+                       UNION ALL
+                       SELECT a.* FROM a JOIN r1 ON a.doc_id = r1.doc_id
+                       WHERE r1.admitted),
+              u2 AS (SELECT * FROM a UNION ALL SELECT * FROM bset),
+              hc2 AS (SELECT DISTINCT x.doc_id FROM u2 x
+                      JOIN idx2 c ON x.band = c.band AND x.h = c.h),
+              hb2 AS (SELECT DISTINCT x.doc_id FROM u2 x
+                      JOIN u2 y ON x.band = y.band AND x.h = y.h
+                       AND y.doc_id < x.doc_id),
+              r2 AS (SELECT i.doc_id,
+                       (hc2.doc_id IS NOT NULL) AS dup_of_corpus,
+                       (hb2.doc_id IS NOT NULL) AS dup_in_batch,
+                       (hc2.doc_id IS NULL AND hb2.doc_id IS NULL) AS admitted
+                     FROM (SELECT DISTINCT doc_id FROM u2) i
+                     LEFT JOIN hc2 ON i.doc_id = hc2.doc_id
+                     LEFT JOIN hb2 ON i.doc_id = hb2.doc_id)
+              SELECT CAST(1 AS BIGINT) AS batch, * FROM r1
+              UNION ALL
+              SELECT CAST(2 AS BIGINT) AS batch, * FROM r2""")),
+
     Q("e17_json_props",
       (s, d) => Tables.events(s, d)
         .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
