@@ -305,9 +305,15 @@ object MinHashLSH {
     *   (idCol, dup_of_corpus, dup_in_batch, admitted)
     * and, when `appendAdmitted`, APPENDS the admitted documents' band
     * rows to the index — the maintenance step that makes the next
-    * batch's probe see this batch's survivors. Re-running the same
-    * batch after the append therefore reports every doc as
-    * dup_of_corpus (replay detection; IncrementalDedupSpec pins it).
+    * batch's probe see this batch's survivors. The replay invariant is
+    * that re-running the same batch after the append ADMITS NOTHING
+    * (at-least-once delivery cannot double-ingest): admitted docs now
+    * hit their own appended bands (dup_of_corpus), and rejected docs
+    * are rejected again — though a doc whose only collision partner
+    * was itself rejected comes back as dup_in_batch, not
+    * dup_of_corpus, so `admitted`, not `dup_of_corpus`, is the replay
+    * signal (IncrementalDedupSpec pins both the invariant and that
+    * counterexample).
     *
     * At scale the index would additionally be bucketed by `h` so the
     * probe prunes to matching buckets; the append-only layout means
@@ -322,6 +328,34 @@ object MinHashLSH {
     // capture the index listing BEFORE any append so the result is
     // stable however late the plan executes
     val idx = spark.read.parquet(indexDir)
+    val resPlan = incrementalVerdictPlan(bb, idCol, idx)
+    // materialize the (one-row-per-batch-doc) verdicts so the big band
+    // cache can be dropped NOW — a long-running stream calling this per
+    // micro-batch (e18) must not accumulate pinned band frames until
+    // the ContextCleaner gets around to them. The LogicalRDD re-wrap
+    // (convergeKeepList's discipline) is LOAD-BEARING here, not just
+    // lineage hygiene: a directly-persisted verdict plan would be
+    // registered in the CacheManager keyed on the index path, and the
+    // append's refreshByPath would RECOMPUTE that cache against the
+    // post-append listing — the verdicts would silently flip to "all
+    // dup_of_corpus". The RDD wrapper pins the pre-append listing.
+    val res = spark.createDataFrame(resPlan.rdd, resPlan.schema)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    res.count()
+    if (appendAdmitted)
+      bb.join(res.where(col("admitted")).select(idCol), Seq(idCol), "left_semi")
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(indexDir)
+    bb.unpersist()
+    res
+  }
+
+  /** The LAZY verdict plan behind incrementalDedup — exposed so plan-
+    * shape specs can assert the probe stays a broadcast of the batch
+    * side (the executed gate result is a LogicalRDD wrapper whose plan
+    * string hides the upstream joins).
+    */
+  private[graft] def incrementalVerdictPlan(bb: DataFrame, idCol: String,
+                                            idx: DataFrame): DataFrame = {
     val bbKeys = bb.select(col("band"), col("h"), col(idCol).as("__bid"))
     val hitCorpus = idx.join(broadcast(bbKeys), Seq("band", "h"))
       .select(col("__bid").as(idCol)).distinct()
@@ -330,17 +364,13 @@ object MinHashLSH {
     val hitBatch = aSide.join(bSide, Seq("band", "h"))
       .where(col("__a") < col("__b"))
       .select(col("__b").as(idCol)).distinct()
-    val res = bb.select(idCol).distinct()
+    bb.select(idCol).distinct()
       .join(hitCorpus.withColumn("__dc", lit(true)), Seq(idCol), "left")
       .join(hitBatch.withColumn("__db", lit(true)), Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("__dc"), lit(false)).as("dup_of_corpus"),
         coalesce(col("__db"), lit(false)).as("dup_in_batch"))
       .withColumn("admitted", !col("dup_of_corpus") && !col("dup_in_batch"))
-    if (appendAdmitted)
-      bb.join(res.where(col("admitted")).select(idCol), Seq(idCol), "left_semi")
-        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(indexDir)
-    res
   }
 
   /** Distinct candidate pairs (ia < ib) sharing any band bucket.

@@ -200,12 +200,7 @@ object DedupQueries extends QueryPack {
       (s, d) => {
         val docs = withWords(Tables.documents(s, d))
         val splits = Tables.documents(s, d)
-          .withColumn("bucket", expr(
-            "cast(conv(substring(md5(text), 1, 4), 16, 10) as bigint)"))
-          .select(col("doc_id"),
-            when(col("bucket") % 10 < 8, "train")
-              .when(col("bucket") % 10 === 8, "valid")
-              .otherwise("test").as("split"))
+          .select(col("doc_id"), ContentSplits.splitCol(col("text")).as("split"))
         MinHashLSH.candidatePairs(docs, "doc_id", col("w"))
           .join(splits.toDF("ia", "split_a"), "ia")
           .join(splits.toDF("ib", "split_b"), "ib")
@@ -219,12 +214,7 @@ object DedupQueries extends QueryPack {
               cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
                        FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h
                        WHERE a.doc_id < b.doc_id),
-              sp AS (SELECT doc_id,
-                       CASE WHEN CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 10 < 8
-                              THEN 'train'
-                            WHEN CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 10 = 8
-                              THEN 'valid'
-                            ELSE 'test' END AS split
+              sp AS (SELECT doc_id, ${ContentSplits.duckSplit("text")} AS split
                      FROM documents)
               SELECT least(sa.split, sb.split) AS split_lo,
                      greatest(sa.split, sb.split) AS split_hi,

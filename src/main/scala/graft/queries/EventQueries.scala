@@ -111,6 +111,16 @@ object EventQueries extends QueryPack {
     */
   private def runGatedStream(s: org.apache.spark.sql.SparkSession,
                              out: org.apache.spark.sql.DataFrame)
+      (drive: org.apache.spark.sql.streaming.StreamingQuery => Unit): String =
+    runGatedStreamWith(s, out, null)(drive)
+
+  /** runGatedStream with a custom foreachBatch body (null = the default
+    * append-to-outDir). One home for the conf save/restore discipline —
+    * e18's index-dedup micro-batches run through here too.
+    */
+  private def runGatedStreamWith(s: org.apache.spark.sql.SparkSession,
+                                 out: org.apache.spark.sql.DataFrame,
+                                 body: (org.apache.spark.sql.DataFrame, String) => Unit)
       (drive: org.apache.spark.sql.streaming.StreamingQuery => Unit): String = {
     val ckptDir = Scratch.dir("graft_stream_ck_").toString
     val outDir = Scratch.dir("graft_stream_out_").toString
@@ -129,7 +139,8 @@ object EventQueries extends QueryPack {
         .outputMode("append")
         .option("checkpointLocation", ckptDir)
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          batch.write.mode("append").parquet(outDir)
+          if (body == null) batch.write.mode("append").parquet(outDir)
+          else body(batch, outDir)
         }
         .start()
       started = true
@@ -484,9 +495,9 @@ object EventQueries extends QueryPack {
     // pipeline, and admitted fingerprints append as part of the batch.
     // Two landings are driven explicitly: batch 1 is fresh docs, batch
     // 2 adds new docs PLUS A FULL REPLAY of batch 1 (at-least-once
-    // delivery) — every replayed doc must come back dup_of_corpus
-    // (its own appended bands, or the corpus rows that rejected it the
-    // first time), so redelivery can never double-ingest. The oracle
+    // delivery) — no replayed doc can be ADMITTED again (each hits its
+    // own appended bands or whatever rejected it the first time), so
+    // redelivery can never double-ingest. The oracle
     // restates both sequential batches, including the index state
     // between them.
     Q("e18_stream_index_dedup",
@@ -499,48 +510,26 @@ object EventQueries extends QueryPack {
         MinHashLSH.bands(withW(docs.where(col("doc_id") % 5 =!= 0)),
           "doc_id", col("w"), 4).write.parquet(idxDir)
         val stage = Scratch.dir("graft_e18_stage_").toString
-        val outDir = Scratch.dir("graft_e18_out_").toString
         val fileA = docs.where(col("doc_id") % 10 === 0)
         fileA.coalesce(1).write.mode("append").parquet(stage)
         val stream = s.readStream.schema("doc_id LONG, text STRING").parquet(stage)
         val nb = new java.util.concurrent.atomic.AtomicInteger(0)
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        val prevNoData = s.conf.get(
-          "spark.sql.streaming.noDataMicroBatches.enabled", "true")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-        var started = false
-        try {
-          val q = stream.writeStream.outputMode("append")
-            .option("checkpointLocation", Scratch.dir("graft_e18_ck_").toString)
-            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-              if (!batch.isEmpty) {
-                val b = nb.incrementAndGet()
-                MinHashLSH.incrementalDedup(
-                    MinHashLSH.bands(withW(batch), "doc_id", col("w"), 4),
-                    "doc_id", idxDir)
-                  .withColumn("batch", lit(b.toLong))
-                  .write.mode("append").parquet(outDir)
-              }
-            }
-            .start()
-          started = true
-          s.conf.set("spark.sql.shuffle.partitions", prevParts)
-          try {
-            q.processAllAvailable()
-            // landing 2: new docs + full redelivery of landing 1
-            docs.where(col("doc_id") % 10 === 5).unionByName(fileA)
-              .coalesce(1).write.mode("append").parquet(stage)
-            q.processAllAvailable()
-          } finally {
-            q.stop()
-            s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
-          }
-        } finally if (!started) {
-          s.conf.set("spark.sql.shuffle.partitions", prevParts)
-          s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+        val resultDir = runGatedStreamWith(s, stream,
+          (batch, oDir) => if (!batch.isEmpty) {
+            val b = nb.incrementAndGet()
+            MinHashLSH.incrementalDedup(
+                MinHashLSH.bands(withW(batch), "doc_id", col("w"), 4),
+                "doc_id", idxDir)
+              .withColumn("batch", lit(b.toLong))
+              .write.mode("append").parquet(oDir)
+          }) { q =>
+          q.processAllAvailable()
+          // landing 2: new docs + full redelivery of landing 1
+          docs.where(col("doc_id") % 10 === 5).unionByName(fileA)
+            .coalesce(1).write.mode("append").parquet(stage)
+          q.processAllAvailable()
         }
-        s.read.parquet(outDir).select(col("batch"), col("doc_id"),
+        s.read.parquet(resultDir).select(col("batch"), col("doc_id"),
           col("dup_of_corpus"), col("dup_in_batch"), col("admitted"))
       },
       Some(s"""${graft.queries.DedupQueries.duckBandsSql},

@@ -1096,12 +1096,7 @@ object RelationalQueries extends QueryPack {
       (s, d) => {
         val docs = Tables.documents(s, d)
           .withColumn("fp", md5(col("text")))
-          .withColumn("bucket",
-            expr("cast(conv(substring(fp, 1, 4), 16, 10) as bigint)"))
-          .withColumn("split",
-            when(col("bucket") % 10 < 8, "train")
-              .when(col("bucket") % 10 === 8, "valid")
-              .otherwise("test"))
+          .withColumn("split", ContentSplits.splitCol(col("text")))
         val leaked = docs.groupBy("fp")
           .agg(countDistinct("split").as("ns")).where(col("ns") > 1)
           .agg(count(lit(1)).as("n_leaked_fingerprints"))
@@ -1110,12 +1105,8 @@ object RelationalQueries extends QueryPack {
             countDistinct("fp").as("n_distinct_texts"))
           .crossJoin(broadcast(leaked))
       },
-      Some("""WITH t AS (SELECT md5(text) AS fp,
-                CASE WHEN CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 10 < 8
-                       THEN 'train'
-                     WHEN CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 10 = 8
-                       THEN 'valid'
-                     ELSE 'test' END AS split
+      Some(s"""WITH t AS (SELECT md5(text) AS fp,
+                ${ContentSplits.duckSplit("text")} AS split
               FROM documents),
               leaked AS (SELECT count(*) AS n_leaked_fingerprints FROM (
                 SELECT fp FROM t GROUP BY fp HAVING count(DISTINCT split) > 1))

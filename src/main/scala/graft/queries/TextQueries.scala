@@ -359,10 +359,15 @@ object TextQueries extends QueryPack {
             size(regexp_extract_all(col("text"), lit(punct), lit(0))).cast("double") /
               col("n_chars"), 6))
           .select("doc_id", "n_tokens", "punct_ratio")
-        val budget = docs.agg(expr("(sum(n_tokens) * 2) DIV 5").as("budget"))
-        graft.operators.GlobalRank.withGlobalPrefixSum(
-            docs, Seq(col("punct_ratio"), col("doc_id")),
-            col("n_tokens"), "cum_tokens")
+        val withCum = graft.operators.GlobalRank.withGlobalPrefixSum(
+          docs, Seq(col("punct_ratio"), col("doc_id")),
+          col("n_tokens"), "cum_tokens")
+        // the corpus total IS the final running total — deriving the
+        // budget from the prefix-summed frame reuses the cached
+        // range-partitioned pass instead of paying a second full
+        // tokenize scan just for one scalar
+        val budget = withCum.agg(expr("(max(cum_tokens) * 2) DIV 5").as("budget"))
+        withCum
           .crossJoin(broadcast(budget))
           .where(col("cum_tokens") <= col("budget"))
           .select(col("doc_id"), col("n_tokens"), col("punct_ratio"),

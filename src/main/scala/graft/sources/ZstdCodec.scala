@@ -24,7 +24,14 @@ class ZstdCodec extends CompressionCodec {
 
   override def createOutputStream(out: OutputStream): CompressionOutputStream =
     new CompressionOutputStream(out) {
+      // closeFrameOnFlush: finish() must TERMINATE the frame per the
+      // CompressionOutputStream contract (a flush that leaves the frame
+      // open would hand Hadoop-API consumers a payload zstd decoders
+      // reject as truncated); with it, flush writes the frame epilogue
+      // — concatenated frames are valid zstd, and close() tolerates an
+      // already-closed frame
       private val zs = new ZstdOutputStream(out, ZstdCodec.Level)
+        .setCloseFrameOnFlush(true)
       private var done = false
       override def write(b: Int): Unit = zs.write(b)
       override def write(b: Array[Byte], off: Int, len: Int): Unit =

@@ -46,8 +46,18 @@ object IncDedupProbe {
 
     for (n <- Seq(1, 10, 50)) {
       val docsPath = s"/tmp/scale_docs_$n"
-      if (!new java.io.File(docsPath).exists())
+      // provenance marker: only reuse a cached replica that was built
+      // from THIS source dir with THIS replication scheme — a stale
+      // directory from another probe run would silently skew the curve
+      val marker = java.nio.file.Paths.get(s"${docsPath}_src.txt")
+      val tag = s"$d n=$n replicateDocs-v1"
+      val fresh = new java.io.File(docsPath).exists() &&
+        java.nio.file.Files.exists(marker) &&
+        java.nio.file.Files.readString(marker) == tag
+      if (!fresh) {
         ScaleProbe.replicateDocs(spark, d, n).write.mode("overwrite").parquet(docsPath)
+        java.nio.file.Files.writeString(marker, tag)
+      }
       val corpus = spark.read.parquet(docsPath)
         .withColumn("w", split(col("text"), " "))
       val nCorpus = corpus.count()

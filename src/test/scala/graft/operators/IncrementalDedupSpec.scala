@@ -53,15 +53,35 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(after === Set(1L, 2L, 11L, 13L))
   }
 
-  test("replaying the same batch after the append reports every doc as a corpus dup") {
+  test("replaying the same batch after the append admits nothing") {
     val idx = freshIndex()
     MinHashLSH.incrementalDedup(batchBands, "doc_id", idx).collect()
     val v = verdicts(MinHashLSH.incrementalDedup(batchBands, "doc_id", idx))
-    // 11/13 hit their own appended bands; 12 hits 11's bucket C; 10
-    // still hits A — nothing is admitted twice (at-least-once replay
-    // of a batch cannot double-ingest)
-    assert(v.values.forall(_._1 === true))
+    // THE replay invariant: at-least-once redelivery cannot
+    // double-ingest — nothing is admitted on the second pass
     assert(v.values.forall(_._3 === false))
+    // on THIS topology every doc also reads dup_of_corpus (11/13 hit
+    // their own appended bands, 12 hits 11's bucket C, 10 still hits
+    // A) — fixture-specific, NOT the general invariant (see below)
+    assert(v.values.forall(_._1 === true))
+  }
+
+  test("replay counterexample: a doc whose only partner was rejected replays as dup_in_batch") {
+    // corpus owns A; batch doc 10 = {A, C} (corpus dup), doc 11 = {C}
+    // (within-batch dup of the REJECTED 10). Nothing is admitted, so
+    // nothing appends — on replay 11 is still dup_in_batch, NOT
+    // dup_of_corpus. `admitted`, not `dup_of_corpus`, is the replay
+    // signal a consumer must key on.
+    val idx = graft.queries.Scratch.dir("inc_dedup_cx_").resolve("idx").toString
+    Seq((1L, 0, "A")).toDF("doc_id", "band", "h").write.parquet(idx)
+    val batch = Seq((10L, 0, "A"), (10L, 0, "C"), (11L, 0, "C"))
+      .toDF("doc_id", "band", "h")
+    val first = verdicts(MinHashLSH.incrementalDedup(batch, "doc_id", idx))
+    assert(first(10L) === ((true, false, false)))
+    assert(first(11L) === ((false, true, false)))
+    val replay = verdicts(MinHashLSH.incrementalDedup(batch, "doc_id", idx))
+    assert(replay === first)
+    assert(replay.values.forall(_._3 === false))
   }
 
   test("appendAdmitted=false probes without mutating the index") {
@@ -77,8 +97,10 @@ class IncrementalDedupSpec extends SparkSpec {
     // may not shuffle the index scan (exchange on the big side would
     // be the 100 TB killer)
     val idx = freshIndex()
-    val res = MinHashLSH.incrementalDedup(batchBands, "doc_id", idx,
-      appendAdmitted = false)
+    // the gate result is a LogicalRDD wrapper (cache-decoupling, see
+    // incrementalDedup), so assert on the LAZY verdict plan behind it
+    val res = MinHashLSH.incrementalVerdictPlan(
+      batchBands, "doc_id", spark.read.parquet(idx))
     val p = res.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
       s"expected a broadcast probe of the persisted index, got:\n$p")
