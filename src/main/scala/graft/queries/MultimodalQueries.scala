@@ -164,6 +164,42 @@ object MultimodalQueries extends QueryPack {
               SELECT dims.doc_id, cast(hsh.ahash as bigint) AS ahash
               FROM dims LEFT JOIN hsh ON dims.doc_id = hsh.doc_id""")),
 
+    // ---- Image NEAR-DUP pairs (the multimodal dedup tier): banded
+    // hamming-LSH over the 48-bit aHash (operators.HammingLSH). 4
+    // bands × 12 bits; by pigeonhole any pair at hamming ≤ 3 keeps at
+    // least one band intact, so the banded equi-join + exact popcount
+    // filter IS all-pairs hamming ≤ 3 — the oracle restates the
+    // brute-force form while Spark only compares bucket-mates.
+    Q("m13_image_neardup",
+      (s, d) => {
+        val hashes = MediaPipeline.imageAHashes(
+          MediaPipeline.withImagePayload(Tables.documents(s, d))).toDF()
+          .where(col("ahash").isNotNull)
+        graft.operators.HammingLSH
+          .nearDupPairs(hashes, "doc_id", "ahash", bits = 48, bands = 4)
+          .withColumnRenamed("id_a", "doc_a")
+          .withColumnRenamed("id_b", "doc_b")
+      },
+      Some("""WITH dims AS (SELECT doc_id,
+                16 + doc_id % 48 AS w, 12 + doc_id % 36 AS h,
+                doc_id % 256 AS planted
+              FROM documents WHERE doc_id % 4 IN (0, 3)),
+              smp AS (SELECT doc_id, tx, ty,
+                       CASE WHEN tx * w // 8 = 0 AND ty * h // 6 = 0 THEN planted
+                       ELSE ((tx * w // 8) * 31 + (ty * h // 6) * 17) & 63 END AS v
+                     FROM dims,
+                          (SELECT unnest(range(8)) AS tx),
+                          (SELECT unnest(range(6)) AS ty)),
+              m AS (SELECT doc_id, sum(v) // 48 AS mean FROM smp GROUP BY 1),
+              hsh AS (SELECT smp.doc_id,
+                        CAST(sum(CASE WHEN v > mean
+                            THEN (CAST(1 AS BIGINT) << (ty * 8 + tx)) ELSE 0 END) AS BIGINT) AS ahash
+                      FROM smp JOIN m USING (doc_id) GROUP BY 1)
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(bit_count(xor(a.ahash, b.ahash)) AS int) AS hamming
+              FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.ahash, b.ahash)) <= 3""")),
+
     // ---- S3 PDF ingest round-trip: synthesize a real single-page PDF
     // per row cycling through every native decode path of
     // sources.PdfText — plain, FlateDecode (with a nested /DecodeParms
