@@ -116,11 +116,13 @@ object EventQueries extends QueryPack {
 
   /** runGatedStream with a custom foreachBatch body (null = the default
     * append-to-outDir). One home for the conf save/restore discipline —
-    * e18's index-dedup micro-batches run through here too.
+    * e18's index-dedup micro-batches run through here too. The body
+    * receives Structured Streaming's REAL batchId (the replay-stable
+    * key an idempotent sink must commit under), not a side counter.
     */
   private def runGatedStreamWith(s: org.apache.spark.sql.SparkSession,
                                  out: org.apache.spark.sql.DataFrame,
-                                 body: (org.apache.spark.sql.DataFrame, String) => Unit)
+                                 body: (org.apache.spark.sql.DataFrame, String, Long) => Unit)
       (drive: org.apache.spark.sql.streaming.StreamingQuery => Unit): String = {
     val ckptDir = Scratch.dir("graft_stream_ck_").toString
     val outDir = Scratch.dir("graft_stream_out_").toString
@@ -138,9 +140,9 @@ object EventQueries extends QueryPack {
       val q = out.writeStream
         .outputMode("append")
         .option("checkpointLocation", ckptDir)
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
           if (body == null) batch.write.mode("append").parquet(outDir)
-          else body(batch, outDir)
+          else body(batch, outDir, bid)
         }
         .start()
       started = true
@@ -490,16 +492,20 @@ object EventQueries extends QueryPack {
     // ---- Streaming dedup against the PERSISTED index (e18): the
     // DURABLE sibling of e13 — e13's dropDuplicates state lives in the
     // state store and dies with the checkpoint; here every micro-batch
-    // runs d13's incrementalDedup against the on-disk band index, so
-    // the dedup memory survives restarts, is shared with the batch
-    // pipeline, and admitted fingerprints append as part of the batch.
-    // Two landings are driven explicitly: batch 1 is fresh docs, batch
-    // 2 adds new docs PLUS A FULL REPLAY of batch 1 (at-least-once
-    // delivery) — no replayed doc can be ADMITTED again (each hits its
-    // own appended bands or whatever rejected it the first time), so
-    // redelivery can never double-ingest. The oracle
-    // restates both sequential batches, including the index state
-    // between them.
+    // runs the CRASH-ATOMIC face of d13's incremental dedup
+    // (MinHashLSH.committedIncrementalDedup) against the on-disk band
+    // index, keyed by foreachBatch's REAL batchId: verdicts commit
+    // atomically under batch=<id> BEFORE the admitted bands append, so
+    // a crash between the two writes followed by Spark's batch replay
+    // can neither lose an admitted doc nor double-ingest it
+    // (IncrementalDedupCrashSpec drives each window). The dedup memory
+    // survives restarts and is shared with the batch pipeline.
+    // Two landings are driven explicitly: batch 0 is fresh docs, batch
+    // 1 adds new docs PLUS A FULL REPLAY of landing 1's DATA
+    // (at-least-once delivery upstream of the stream) — no redelivered
+    // doc can be ADMITTED again (each hits its own appended bands or
+    // whatever rejected it the first time). The oracle restates both
+    // sequential batches, including the index state between them.
     Q("e18_stream_index_dedup",
       (s, d) => {
         import graft.operators.MinHashLSH
@@ -513,15 +519,12 @@ object EventQueries extends QueryPack {
         val fileA = docs.where(col("doc_id") % 10 === 0)
         fileA.coalesce(1).write.mode("append").parquet(stage)
         val stream = s.readStream.schema("doc_id LONG, text STRING").parquet(stage)
-        val nb = new java.util.concurrent.atomic.AtomicInteger(0)
         val resultDir = runGatedStreamWith(s, stream,
-          (batch, oDir) => if (!batch.isEmpty) {
-            val b = nb.incrementAndGet()
-            MinHashLSH.incrementalDedup(
-                MinHashLSH.bands(withW(batch), "doc_id", col("w"), 4),
-                "doc_id", idxDir)
-              .withColumn("batch", lit(b.toLong))
-              .write.mode("append").parquet(oDir)
+          (batch, oDir, bid) => if (!batch.isEmpty) {
+            MinHashLSH.committedIncrementalDedup(
+              MinHashLSH.bands(withW(batch), "doc_id", col("w"), 4),
+              "doc_id", idxDir, oDir, bid)
+            ()
           }) { q =>
           q.processAllAvailable()
           // landing 2: new docs + full redelivery of landing 1
@@ -529,8 +532,12 @@ object EventQueries extends QueryPack {
             .coalesce(1).write.mode("append").parquet(stage)
           q.processAllAvailable()
         }
-        s.read.parquet(resultDir).select(col("batch"), col("doc_id"),
-          col("dup_of_corpus"), col("dup_in_batch"), col("admitted"))
+        // verdicts live under batch=<id> partition dirs; the partition
+        // column comes back as int — renumber to the oracle's 1-based
+        // batch and widen
+        s.read.parquet(resultDir)
+          .select((col("batch") + 1).cast("long").as("batch"), col("doc_id"),
+            col("dup_of_corpus"), col("dup_in_batch"), col("admitted"))
       },
       Some(s"""${graft.queries.DedupQueries.duckBandsSql},
               corpus AS (SELECT * FROM bands WHERE doc_id % 5 <> 0 AND h IS NOT NULL),

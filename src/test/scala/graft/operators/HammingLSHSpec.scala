@@ -56,6 +56,18 @@ class HammingLSHSpec extends SparkSpec {
     assert(banded(rows, 64, 8) == brute(rows, 7))
   }
 
+  test("stray bits above `bits` are masked off (contract enforced, not just documented)") {
+    import spark.implicits._
+    // ids 1/2 agree on the low 48 bits; id 2 carries garbage above bit
+    // 47. Without the defensive mask the banding would pair them while
+    // the popcount counted the high-bit difference — a silently missed
+    // pair. With the mask both see only the low 48 bits: exact match.
+    val rows = Seq(1L -> 0x0000ABCD1234L, 2L -> (0x0000ABCD1234L | (0xFFL << 48)))
+    val out = HammingLSH.nearDupPairs(rows.toDF("doc_id", "h"), "doc_id", "h",
+      bits = 48, bands = 4).as[(Long, Long, Int)].collect().toSet
+    assert(out == Set((1L, 2L, 0)))
+  }
+
   test("multi-band matches collapse to one pair row") {
     import spark.implicits._
     val rows = Seq(1L -> 7L, 2L -> 7L) // identical → all 4 bands match

@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Crash-atomicity of MinHashLSH.committedIncrementalDedup (the e18
+  * sink protocol): simulate dying in each window between the verdict
+  * commit, the index append, and the marker, then replay — an admitted
+  * doc must never be lost (verdict flipped to dup_of_corpus by its own
+  * appended bands) and never double-ingested (duplicate bands in the
+  * index). SinksCrashSpec discipline: each window's on-disk state is
+  * constructed exactly, then the real entry point is re-invoked as a
+  * restarted stream would.
+  */
+class IncrementalDedupCrashSpec extends SparkSpec {
+
+  private def fs = org.apache.hadoop.fs.FileSystem.get(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def p(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  /** fixture: corpus docs 1..6, batch = {3 (dup of corpus), 7, 8 (dup
+    * of 7 in-batch), 9} — every verdict class represented. Bands are
+    * handwritten (band 0, h = content key) so collisions are exact by
+    * construction, no MinHash reverse-engineering.
+    */
+  private def bandRow(id: Long, h: Long) = (id, 0, s"c$h")
+
+  private def corpusBands: DataFrame = {
+    import spark.implicits._
+    (1L to 6L).map(i => bandRow(i, i)).toDF("doc_id", "band", "h")
+  }
+
+  private def batchBands: DataFrame = {
+    import spark.implicits._
+    Seq(bandRow(3L, 3L), bandRow(7L, 70L), bandRow(8L, 70L), bandRow(9L, 90L))
+      .toDF("doc_id", "band", "h")
+  }
+
+  private def verdictMap(df: DataFrame): Map[Long, (Boolean, Boolean, Boolean)] =
+    df.collect().map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Boolean]("dup_of_corpus"), r.getAs[Boolean]("dup_in_batch"),
+        r.getAs[Boolean]("admitted")))).toMap
+
+  private val expected = Map(
+    3L -> ((true, false, false)),   // collides with corpus doc 3
+    7L -> ((false, false, true)),   // fresh → admitted
+    8L -> ((false, true, false)),   // in-batch dup of 7 (keep-first)
+    9L -> ((false, false, true)))   // fresh → admitted
+
+  private def freshDirs(): (String, String) = {
+    val base = java.nio.file.Files.createTempDirectory("inc_crash_")
+    val idx = base.resolve("idx").toString
+    corpusBands.write.parquet(idx)
+    (idx, base.resolve("verdicts").toString)
+  }
+
+  private def indexBands(idx: String): Seq[(Long, Int, String)] =
+    spark.read.parquet(idx).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("band"), r.getAs[String]("h")))
+      .toSeq.sorted
+
+  private val appendedIndex =
+    ((1L to 6L).map(i => (i, 0, s"c$i")) ++
+      Seq((7L, 0, "c70"), (9L, 0, "c90"))).sorted
+
+  test("happy path: verdict committed, delta appended once, marker written; full replay is a pure skip") {
+    val (idx, vd) = freshDirs()
+    val v1 = MinHashLSH.committedIncrementalDedup(batchBands, "doc_id", idx, vd, 0L)
+    assert(verdictMap(v1) == expected)
+    assert(indexBands(idx) == appendedIndex, "admitted bands (7, 9) appended exactly once")
+    assert(fs.exists(p(s"${idx}__commits/batch_0")))
+    val filesBefore = fs.listStatus(p(idx)).length
+
+    // full replay (restart after everything committed): verdicts stable,
+    // index untouched — no re-judging against the appended bands
+    val v2 = MinHashLSH.committedIncrementalDedup(batchBands, "doc_id", idx, vd, 0L)
+    assert(verdictMap(v2) == expected, "replay must return the stored verdicts unchanged")
+    assert(indexBands(idx) == appendedIndex, "replay must not double-append")
+    assert(fs.listStatus(p(idx)).length == filesBefore)
+  }
+
+  test("crash BETWEEN verdict commit and index append: replay keeps the admitted verdict and appends exactly once") {
+    val (idx, vd) = freshDirs()
+    // reproduce the window: verdicts computed against the pre-append
+    // index and committed under batch=0; the process dies before any
+    // band append (no delta file, no marker)
+    MinHashLSH.incrementalDedup(batchBands, "doc_id", idx, appendAdmitted = false)
+      .write.parquet(s"$vd/batch=0")
+    assert(indexBands(idx) == (1L to 6L).map(i => (i, 0, s"c$i")).sorted)
+
+    val v = MinHashLSH.committedIncrementalDedup(batchBands, "doc_id", idx, vd, 0L)
+    // the decisive assertion: docs 7/9 were admitted pre-crash; the
+    // replay must NOT flip them to dup_of_corpus via their own bands
+    assert(verdictMap(v) == expected,
+      "replay after the verdict-commit window must trust the stored verdict")
+    assert(indexBands(idx) == appendedIndex, "append happens exactly once")
+    assert(fs.exists(p(s"${idx}__commits/batch_0")))
+  }
+
+  test("crash BETWEEN index append and marker: replay does not double-append") {
+    val (idx, vd) = freshDirs()
+    MinHashLSH.incrementalDedup(batchBands, "doc_id", idx, appendAdmitted = false)
+      .write.parquet(s"$vd/batch=0")
+    // the delta landed (single deterministic file) but the marker never
+    // got written
+    import spark.implicits._
+    val tmpDelta = s"$idx/.tmp_crash"
+    Seq(bandRow(7L, 70L), bandRow(9L, 90L)).toDF("doc_id", "band", "h")
+      .coalesce(1).write.parquet(tmpDelta)
+    val part = fs.listStatus(p(tmpDelta)).map(_.getPath)
+      .find(_.getName.startsWith("part-")).get
+    assert(fs.rename(part, p(s"$idx/delta_batch_0.parquet")))
+    fs.delete(p(tmpDelta), true)
+
+    val v = MinHashLSH.committedIncrementalDedup(batchBands, "doc_id", idx, vd, 0L)
+    assert(verdictMap(v) == expected)
+    assert(indexBands(idx) == appendedIndex,
+      "replay in the append→marker window must not duplicate the delta")
+    assert(fs.exists(p(s"${idx}__commits/batch_0")))
+  }
+
+  test("sequential batches chain through the committed index; a later batch sees earlier admits") {
+    import spark.implicits._
+    val (idx, vd) = freshDirs()
+    MinHashLSH.committedIncrementalDedup(batchBands, "doc_id", idx, vd, 0L)
+    // batch 1: doc 11 collides with batch 0's ADMITTED doc 7 → must be
+    // dup_of_corpus now; doc 12 fresh
+    val b1 = Seq(bandRow(11L, 70L), bandRow(12L, 120L)).toDF("doc_id", "band", "h")
+    val v1 = MinHashLSH.committedIncrementalDedup(b1, "doc_id", idx, vd, 1L)
+    assert(verdictMap(v1) == Map(
+      11L -> ((true, false, false)), 12L -> ((false, false, true))))
+    // reading the verdict ROOT yields both batches with the partition col
+    val all = spark.read.parquet(vd)
+    assert(all.select("batch").distinct().collect().map(_.getInt(0)).toSet == Set(0, 1))
+    assert(all.count() == 6)
+  }
+
+  test("committed verdicts equal the raw incrementalDedup verdicts (same batch, same index)") {
+    val (idxA, vdA) = freshDirs()
+    val (idxB, _) = freshDirs()
+    val committed = verdictMap(
+      MinHashLSH.committedIncrementalDedup(batchBands, "doc_id", idxA, vdA, 5L))
+    val raw = verdictMap(
+      MinHashLSH.incrementalDedup(batchBands, "doc_id", idxB, appendAdmitted = false))
+    assert(committed == raw)
+  }
+}
