@@ -47,6 +47,21 @@ object DedupQueries extends QueryPack {
   /** shared with EventQueries' e18 (the streaming face of d13) */
   private[queries] def duckBandsSql: String = duckBands
 
+  /** the shingle→minhash→band chain over an arbitrary (doc_id, text)
+    * relation, CTE names prefixed — d15 needs the SAME fingerprint
+    * pipeline restated over its synthetic probe batch next to the
+    * documents-table chain
+    */
+  private def duckBandsChain(src: String, p: String): String =
+    s"""${p}sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM $src)),
+        ${p}mh AS (SELECT doc_id,
+                 [list_aggregate(list_transform(sh, x -> md5(j::VARCHAR || x)), 'min')
+                  FOR j IN range(4)] AS sig FROM ${p}sh),
+        ${p}bands AS (SELECT doc_id, unnest(range(4)) AS band,
+                    sig[unnest(range(4)) + 1] AS h FROM ${p}mh)"""
+
   private val duckBands =
     s"""WITH sh AS ($duckShingles),
         mh AS (SELECT doc_id,
@@ -164,6 +179,103 @@ object DedupQueries extends QueryPack {
               FROM (SELECT DISTINCT doc_id FROM batch) i
               LEFT JOIN hitc hc ON i.doc_id = hc.doc_id
               LEFT JOIN hitb hb ON i.doc_id = hb.doc_id""")),
+
+    // ---- Band-index COMPACTION round-trip (the x36 discipline for the
+    // d13/e18 persisted index): every committed micro-batch appends one
+    // delta file, so at streaming cadence the index accumulates
+    // thousands of small files — a listing-time kill at 100 TB. The
+    // gate drives the full lifecycle: backfill → two committed batches
+    // (each landing a delta) → Sinks.compact (atomic rename-swap, same
+    // crash discipline as x36) → a PROBE batch judged against the
+    // compacted index. The probe mixes replayed texts under fresh ids
+    // (must hit the corpus/admitted fingerprints — any compaction loss
+    // flips them to admitted) with genuinely novel docs (must be
+    // admitted — any compaction duplication cannot create collisions,
+    // but a corrupted swap would); the `compacted` column carries the
+    // file-count assertion (strictly fewer index files after). Commit
+    // markers live in a sibling dir, so batch replay after compaction
+    // stays a pure skip (IncrementalDedupCrashSpec pins that).
+    Q("d15_index_compaction",
+      (s, d) => {
+        import graft.operators.MinHashLSH
+        val docs = withWords(Tables.documents(s, d)).select("doc_id", "text", "w")
+        val base = Scratch.dir("graft_d15_")
+        val idxDir = base.resolve("bands").toString
+        val vDir = base.resolve("verdicts").toString
+        MinHashLSH.bands(docs.where(col("doc_id") % 5 =!= 0),
+          "doc_id", col("w"), 4).write.parquet(idxDir)
+        MinHashLSH.committedIncrementalDedup(
+          MinHashLSH.bands(docs.where(col("doc_id") % 10 === 0),
+            "doc_id", col("w"), 4), "doc_id", idxDir, vDir, 0L)
+        MinHashLSH.committedIncrementalDedup(
+          MinHashLSH.bands(docs.where(col("doc_id") % 10 === 5),
+            "doc_id", col("w"), 4), "doc_id", idxDir, vDir, 1L)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          s.sparkContext.hadoopConfiguration)
+        def nFiles = fs.listStatus(new org.apache.hadoop.fs.Path(idxDir))
+          .count(_.getPath.getName.endsWith(".parquet"))
+        val before = nFiles
+        graft.sources.Sinks.compact(s, idxDir)
+        val after = nFiles
+        val replayProbe = docs.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        val novelProbe = docs.where(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat_ws(" ", (0 to 7).map(i =>
+              concat(lit("u"), col("doc_id"), lit(s"x$i"))): _*).as("text"))
+        val probe = withWords(replayProbe.unionByName(novelProbe))
+        MinHashLSH.incrementalDedup(
+          MinHashLSH.bands(probe, "doc_id", col("w"), 4),
+          "doc_id", idxDir, appendAdmitted = false)
+          .withColumn("compacted", lit(after < before))
+      },
+      Some(s"""$duckBands,
+              corpus AS (SELECT * FROM bands WHERE doc_id % 5 <> 0 AND h IS NOT NULL),
+              a AS (SELECT * FROM bands WHERE doc_id % 10 = 0 AND h IS NOT NULL),
+              b AS (SELECT * FROM bands WHERE doc_id % 10 = 5 AND h IS NOT NULL),
+              hc1 AS (SELECT DISTINCT x.doc_id FROM a x
+                      JOIN corpus c ON x.band = c.band AND x.h = c.h),
+              hb1 AS (SELECT DISTINCT x.doc_id FROM a x
+                      JOIN a y ON x.band = y.band AND x.h = y.h
+                       AND y.doc_id < x.doc_id),
+              adm1 AS (SELECT DISTINCT doc_id FROM a
+                       WHERE doc_id NOT IN (SELECT doc_id FROM hc1)
+                         AND doc_id NOT IN (SELECT doc_id FROM hb1)),
+              idx2 AS (SELECT * FROM corpus
+                       UNION ALL SELECT a.* FROM a JOIN adm1 USING (doc_id)),
+              hc2 AS (SELECT DISTINCT x.doc_id FROM b x
+                      JOIN idx2 c ON x.band = c.band AND x.h = c.h),
+              hb2 AS (SELECT DISTINCT x.doc_id FROM b x
+                      JOIN b y ON x.band = y.band AND x.h = y.h
+                       AND y.doc_id < x.doc_id),
+              adm2 AS (SELECT DISTINCT doc_id FROM b
+                       WHERE doc_id NOT IN (SELECT doc_id FROM hc2)
+                         AND doc_id NOT IN (SELECT doc_id FROM hb2)),
+              idx3 AS (SELECT * FROM idx2
+                       UNION ALL SELECT b.* FROM b JOIN adm2 USING (doc_id)),
+              probe_docs AS (
+                SELECT doc_id + 1000000 AS doc_id, text
+                FROM documents WHERE doc_id % 7 = 0
+                UNION ALL
+                SELECT doc_id + 2000000 AS doc_id,
+                  'u'||doc_id||'x0 u'||doc_id||'x1 u'||doc_id||'x2 u'||doc_id||
+                  'x3 u'||doc_id||'x4 u'||doc_id||'x5 u'||doc_id||'x6 u'||doc_id||'x7' AS text
+                FROM documents WHERE doc_id % 11 = 0),
+              ${duckBandsChain("probe_docs", "p")},
+              pb AS (SELECT * FROM pbands WHERE h IS NOT NULL),
+              hcp AS (SELECT DISTINCT x.doc_id FROM pb x
+                      JOIN idx3 c ON x.band = c.band AND x.h = c.h),
+              hbp AS (SELECT DISTINCT x.doc_id FROM pb x
+                      JOIN pb y ON x.band = y.band AND x.h = y.h
+                       AND y.doc_id < x.doc_id)
+              SELECT i.doc_id,
+                (hcp.doc_id IS NOT NULL) AS dup_of_corpus,
+                (hbp.doc_id IS NOT NULL) AS dup_in_batch,
+                (hcp.doc_id IS NULL AND hbp.doc_id IS NULL) AS admitted,
+                true AS compacted
+              FROM (SELECT DISTINCT doc_id FROM pb) i
+              LEFT JOIN hcp ON i.doc_id = hcp.doc_id
+              LEFT JOIN hbp ON i.doc_id = hbp.doc_id""")),
 
     // ---- Candidate verification: exact n-gram Jaccard on LSH pairs only.
     Q("d3_lsh_jaccard",

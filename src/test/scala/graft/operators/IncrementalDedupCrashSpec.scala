@@ -137,6 +137,38 @@ class IncrementalDedupCrashSpec extends SparkSpec {
     assert(all.count() == 6)
   }
 
+  test("compaction folds deltas without changing verdicts; markers survive the swap") {
+    import spark.implicits._
+    val (idx, vd) = freshDirs()
+    MinHashLSH.committedIncrementalDedup(batchBands, "doc_id", idx, vd, 0L)
+    val b1 = Seq(bandRow(11L, 70L), bandRow(12L, 120L)).toDF("doc_id", "band", "h")
+    MinHashLSH.committedIncrementalDedup(b1, "doc_id", idx, vd, 1L)
+    def parquetFiles = fs.listStatus(p(idx))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    val before = parquetFiles
+    assert(before >= 3, "backfill + two deltas expected before compaction")
+    val contentBefore = indexBands(idx)
+    // probe verdicts against the uncompacted index (no append)
+    val probe = Seq(bandRow(21L, 70L), bandRow(22L, 999L)).toDF("doc_id", "band", "h")
+    val vBefore = verdictMap(
+      MinHashLSH.incrementalDedup(probe, "doc_id", idx, appendAdmitted = false))
+
+    graft.sources.Sinks.compact(spark, idx)
+    assert(parquetFiles < before, "compaction must strictly reduce the file count")
+    assert(indexBands(idx) == contentBefore, "compaction must preserve every band row")
+    val vAfter = verdictMap(
+      MinHashLSH.incrementalDedup(probe, "doc_id", idx, appendAdmitted = false))
+    assert(vAfter == vBefore, "verdicts against the compacted index must be identical")
+
+    // commit markers live in a SIBLING dir — the dir swap cannot erase
+    // them, so a replayed batch after compaction is still a pure skip
+    assert(fs.exists(p(s"${idx}__commits/batch_0")))
+    val replay = verdictMap(
+      MinHashLSH.committedIncrementalDedup(batchBands, "doc_id", idx, vd, 0L))
+    assert(replay == expected)
+    assert(indexBands(idx) == contentBefore, "post-compaction replay must not re-append")
+  }
+
   test("committed verdicts equal the raw incrementalDedup verdicts (same batch, same index)") {
     val (idxA, vdA) = freshDirs()
     val (idxB, _) = freshDirs()
