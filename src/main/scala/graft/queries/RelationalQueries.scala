@@ -377,6 +377,58 @@ object RelationalQueries extends QueryPack {
               SELECT n_nationkey::BIGINT, n_name || '_v3', 3::BIGINT, NULL::BIGINT
               FROM nation WHERE n_nationkey = 0""")),
 
+    // ---- K17: the PRE-HORIZON read contract (the k13 comment, now
+    // enforced and gated): after retention at horizon 2, scd2AsOf(3)
+    // and scd2AsOf(2) reconstruct their exact full states (restated
+    // literally), while scd2AsOf(1) — whose closed v1 rows were
+    // vacuumed — FAILS LOUDLY instead of silently returning partial
+    // history. The gate catches the contract exception and emits a
+    // marker row; an implementation that silently served the partial
+    // v1 would emit pre_horizon=false (or v1 content rows) and fail
+    // the hash. The horizon marker lives in a sibling file so the
+    // retention/compaction dir swaps cannot erase it.
+    Q("k17_scd2_horizon_guard",
+      (s, d) => {
+        import s.implicits._
+        val out = java.nio.file.Files.createTempDirectory("graft_k17_")
+          .resolve("t").toString
+        val nation = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+        graft.sources.Sinks.scd2Upsert(nation, out, "n_nationkey", 1L, numBuckets = 8)
+        graft.sources.Sinks.scd2Upsert(
+          nation.where(col("n_nationkey") < 3)
+            .withColumn("n_name", concat(col("n_name"), lit("_v2"))),
+          out, "n_nationkey", 2L, numBuckets = 8)
+        graft.sources.Sinks.scd2Upsert(
+          nation.where(col("n_nationkey") === 0)
+            .withColumn("n_name", concat(col("n_name"), lit("_v3"))),
+          out, "n_nationkey", 3L, numBuckets = 8)
+        graft.sources.Sinks.scd2Retention(s, out, horizon = 2L)
+        def asOfRows(v: Long): org.apache.spark.sql.DataFrame =
+          try graft.sources.Sinks.scd2AsOf(s, out, v)
+            .select(lit(v).as("asof_version"),
+              col("n_nationkey").cast("bigint").as("n_nationkey"),
+              col("n_name"), lit(false).as("pre_horizon"))
+          catch {
+            case _: IllegalStateException =>
+              Seq((v, null.asInstanceOf[java.lang.Long], null.asInstanceOf[String], true))
+                .toDF("asof_version", "n_nationkey", "n_name", "pre_horizon")
+          }
+        asOfRows(3L).unionByName(asOfRows(2L)).unionByName(asOfRows(1L))
+      },
+      Some("""SELECT 3::BIGINT AS asof_version, n_nationkey::BIGINT AS n_nationkey,
+                     CASE WHEN n_nationkey = 0 THEN n_name || '_v3'
+                          WHEN n_nationkey < 3 THEN n_name || '_v2'
+                          ELSE n_name END AS n_name,
+                     false AS pre_horizon
+              FROM nation
+              UNION ALL
+              SELECT 2::BIGINT, n_nationkey::BIGINT,
+                     CASE WHEN n_nationkey < 3 THEN n_name || '_v2' ELSE n_name END,
+                     false
+              FROM nation
+              UNION ALL
+              SELECT 1::BIGINT, NULL::BIGINT, NULL, true""")),
+
     // ---- K14: keyed TABLE DIFF (migration audit) — two logical
     // versions of a keyed table compared with one full-outer join:
     // added / removed / changed / unchanged per key, old and new

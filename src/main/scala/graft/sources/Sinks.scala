@@ -217,11 +217,71 @@ object Sinks {
     * logical version `v` — rows whose interval [valid_from, valid_to)
     * covers v. A partition/zone-map-friendly pair of range predicates;
     * no history is ever rewritten to serve an old version.
+    *
+    * PRE-HORIZON CONTRACT: once [[scd2Retention]] has run, versions
+    * below the retention horizon are not fully reconstructible (their
+    * closed rows were vacuumed). Such a read FAILS LOUDLY here — a
+    * silent partial history masquerading as the real v would be a
+    * correctness bug in every downstream consumer. `scd2AsOf(v)` for
+    * any v >= horizon is exactly the pre-retention result (gated k13);
+    * pre-horizon history that must stay queryable belongs in an export
+    * taken before the retention run.
     */
-  def scd2AsOf(spark: SparkSession, path: String, v: Long): DataFrame =
+  def scd2AsOf(spark: SparkSession, path: String, v: Long): DataFrame = {
+    retentionHorizon(spark, path).filter(v < _).foreach { h =>
+      throw new IllegalStateException(
+        s"scd2AsOf($v) on $path: version $v predates the retention horizon $h — " +
+          "closed rows at or before the horizon were vacuumed, so this read " +
+          "would silently return partial history. Query a version >= " +
+          s"$h, or restore from a pre-retention export.")
+    }
     readUpserted(spark, path).drop("__skey")
       .where(col("valid_from") <= v &&
         (col("valid_to").isNull || col("valid_to") > v))
+  }
+
+  /** The retention horizon recorded for an SCD2 table, if any. Stored
+    * in a SIBLING file (`<path>__retention`) so the bucket-rewrite dir
+    * swaps of retention/compaction cannot erase it; the reader also
+    * consults the tmp sibling so the marker-write crash window
+    * (tmp written, final rename pending) still reports the strictest
+    * horizon seen. Horizons only ever grow.
+    */
+  def retentionHorizon(spark: SparkSession, path: String): Option[Long] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def readLong(p: org.apache.hadoop.fs.Path): Option[Long] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try {
+          val buf = new Array[Byte](64) // a stringified long
+          val n = in.read(buf)
+          Some(new String(buf, 0, math.max(n, 0), StandardCharsets.UTF_8).trim.toLong)
+        } finally in.close()
+      }
+    val vals = Seq(path + "__retention", path + "__retention.tmp")
+      .flatMap(s => readLong(new org.apache.hadoop.fs.Path(s)))
+    if (vals.isEmpty) None else Some(vals.max)
+  }
+
+  /** Record `horizon` (monotone max with any prior marker) — called by
+    * scd2Retention BEFORE the vacuum rewrite, so a crash between marker
+    * and rewrite errs toward refusing reads that would still have been
+    * complete (never the reverse).
+    */
+  private def recordHorizon(spark: SparkSession, path: String, horizon: Long): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val h = math.max(horizon, retentionHorizon(spark, path).getOrElse(Long.MinValue))
+    val tmp = new org.apache.hadoop.fs.Path(path + "__retention.tmp")
+    val dst = new org.apache.hadoop.fs.Path(path + "__retention")
+    val out = fs.create(tmp, true)
+    try out.write(h.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(dst, false)
+    renameOrThrow(fs, tmp, dst)
+  }
 
   /** Read back an upsert table (drops the routing column). */
   def readUpserted(spark: SparkSession, path: String): DataFrame =
@@ -292,13 +352,16 @@ object Sinks {
     * the storage lever for histories that otherwise grow forever at
     * 100 TB. Live rows and intervals still open at the horizon always
     * survive, so `scd2AsOf(v)` for any v >= horizon is UNCHANGED
-    * (gated k13); reads below the horizon lose rows by design (that
-    * is what retention means). Same full-bucket rewrite + rename-swap
+    * (gated k13); reads below the horizon now FAIL LOUDLY in scd2AsOf
+    * via the recorded horizon marker (gated k17) instead of silently
+    * returning partial history. Same full-bucket rewrite + rename-swap
     * discipline as compaction, so the table also comes out compacted.
     */
-  def scd2Retention(spark: SparkSession, path: String, horizon: Long): Unit =
+  def scd2Retention(spark: SparkSession, path: String, horizon: Long): Unit = {
+    recordHorizon(spark, path, horizon)
     rewriteUpserted(spark, path,
       _.where(col("valid_to").isNull || col("valid_to") > horizon))
+  }
 
   /** Shared bucket-layout-preserving rewrite: read the table, apply a
     * row-level `transform` (identity = pure compaction), write one file
