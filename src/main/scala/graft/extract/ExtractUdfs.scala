@@ -160,12 +160,10 @@ object ExtractUdfs {
       ParticipationExtractors.parseParticipationFor(spider, lang, header).orNull }
 
   /** Split a frame carrying a `<col>.error` field into (clean rows,
-    * quarantine rows).
+    * quarantine rows) — delegates to the unified channel
+    * ([[graft.sources.Quarantine]]); kept as the extractor-tier alias.
     */
   def quarantine(df: org.apache.spark.sql.DataFrame, structCol: String)
-      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    import org.apache.spark.sql.functions.col
-    (df.where(col(s"$structCol.error").isNull),
-      df.where(col(s"$structCol.error").isNotNull))
-  }
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    graft.sources.Quarantine.split(df, structCol)
 }

@@ -393,6 +393,74 @@ object MultimodalQueries extends QueryPack {
                 true AS dims_agree
               FROM documents""")),
 
+    // ---- UNIFIED QUARANTINE CHANNEL (x39): the PDF (m5), media (m7),
+    // and extractor (x15) hostile tiers all route their failures
+    // through ONE envelope — struct<result, error> with error null ⟺
+    // clean (sources.Quarantine) — and ONE shared sink storing the
+    // normalized (tier, doc_id, error) rows. Previously each tier had
+    // its own convention (null text / quarantined flag / per-UDF error
+    // struct); the envelope unifies routing while result types stay
+    // tier-specific. The gate drives all three hostile fixtures
+    // through the shared sink and counts quarantines per tier;
+    // n_with_error = n_quarantined proves every quarantined row
+    // carries a reason. Oracle restates the planted failure rates.
+    Q("x39_quarantine_unified",
+      (s, d) => {
+        import graft.sources.Quarantine
+        val sinkPath = graft.queries.Scratch.dir("graft_x39_")
+          .resolve("quarantine").toString
+        val docs = Tables.documents(s, d)
+        // PDF tier (m5 fixture): null extracted text ⇒ quarantined
+        val mkPdf = udf { id: Long =>
+          val kind = (id % 5) match {
+            case 0 => "wrong-length"
+            case 1 => "bogus-filter"
+            case 2 => "truncated"
+            case 3 => "corrupt-flate"
+            case _ => "identity-h-no-tounicode"
+          }
+          graft.sources.PdfText.synthesizeHostile(kind, s"Urteil Nr. $id bleibt lesbar")
+        }
+        val pdf = docs.withColumn("q", Quarantine.envelopeNullable(
+          graft.sources.Ingest.pdfTextUdf(mkPdf(col("doc_id"))),
+          "PdfQuarantined: no recoverable text"))
+        Quarantine.appendQuarantined(pdf, "q", "pdf", "doc_id", sinkPath)
+        // media tier (m7 fixture): quarantined flag ⇒ envelope error
+        val media = MediaPipeline.decodeMeta(
+          MediaPipeline.withHostilePayload(docs)).toDF()
+          .withColumn("q", Quarantine.envelope(
+            struct(col("format"), col("width"), col("height")),
+            when(col("quarantined"), lit("MediaQuarantined: undecodable payload"))))
+        Quarantine.appendQuarantined(media, "q", "media", "doc_id", sinkPath)
+        // extractor tier (x15 fixture): strict validation raises real
+        // error strings inside the safe UDF
+        val rulings = expr(
+          """CASE CAST(doc_id % 4 AS INT)
+             WHEN 0 THEN 'In concreto Gutheissung der Beschwerde.'
+             WHEN 1 THEN 'Abweisung der verwaltungsrechtlichen Klage.'
+             WHEN 2 THEN 'Die Kosten trägt der Staat.'
+             ELSE 'Teilweise Gutheissung der Beschwerde.' END""")
+        val ext = docs.withColumn("ext",
+          graft.extract.ExtractUdfs.judgmentsSpiderSafe(
+            lit("UR_Gerichte"), rulings, lit("de")))
+          .withColumn("q", Quarantine.envelope(col("ext.outcomes"), col("ext.error")))
+        Quarantine.appendQuarantined(ext, "q", "extract", "doc_id", sinkPath)
+        s.read.parquet(sinkPath)
+          .groupBy("tier")
+          .agg(count(lit(1)).as("n_quarantined"),
+            countDistinct("doc_id").as("n_docs"),
+            sum(col("error").isNotNull.cast("long")).as("n_with_error"))
+      },
+      Some("""SELECT 'pdf' AS tier, count(*) AS n_quarantined,
+                     count(*) AS n_docs, count(*) AS n_with_error
+              FROM documents WHERE doc_id % 5 <> 0
+              UNION ALL
+              SELECT 'media', count(*), count(*), count(*)
+              FROM documents WHERE doc_id % 4 <> 0
+              UNION ALL
+              SELECT 'extract', count(*), count(*), count(*)
+              FROM documents WHERE doc_id % 4 IN (2, 3)""")),
+
     // ---- Sliding 1-hour windows every 15 min (batch dual of
     // streaming.EventStreams.slidingCounts): each row lands in exactly 4
     // windows — explode the 4 offsets, then one hash agg.
