@@ -200,6 +200,61 @@ object MultimodalQueries extends QueryPack {
               FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
               WHERE bit_count(xor(a.ahash, b.ahash)) <= 3""")),
 
+    // ---- Image KEEP-LIST (m14): the product shape of multimodal
+    // dedup at scale — m13's near-dup PAIRS are output-quadratic in
+    // duplicate density (the d6 argument), so the pipeline output is
+    // one row per image mapping to the smallest doc_id in its
+    // CONNECTED COMPONENT of the verified-pair graph. Edges are m13's
+    // EXACT hamming≤3 pairs (banded candidates + popcount verify —
+    // bucket-graph components alone would over-merge through false
+    // candidates); the closure runs through the same pointer-jumping
+    // fixpoint as the text tier (MinHashLSH.convergeKeepList), each
+    // verified pair encoded as a two-member bucket plus a singleton
+    // self-bucket per image. Oracle = the d10 discipline: an
+    // INDEPENDENT recursive-CTE transitive closure over the
+    // brute-force hamming pair graph.
+    Q("m14_image_keeplist",
+      (s, d) => {
+        val hashes = MediaPipeline.imageAHashes(
+          MediaPipeline.withImagePayload(Tables.documents(s, d))).toDF()
+          .where(col("ahash").isNotNull)
+        val pairs = graft.operators.HammingLSH
+          .nearDupPairs(hashes, "doc_id", "ahash", bits = 48, bands = 4)
+        val pairKey = concat(col("id_a"), lit("_"), col("id_b"))
+        val edges = pairs.select(col("id_a").as("doc_id"),
+            lit(0).as("band"), pairKey.as("h"))
+          .union(pairs.select(col("id_b").as("doc_id"),
+            lit(0).as("band"), pairKey.as("h")))
+        val own = hashes.select(col("doc_id"), lit(1).as("band"),
+          col("doc_id").cast("string").as("h"))
+        graft.operators.MinHashLSH.convergeKeepList(own.union(edges), "doc_id")
+      },
+      Some("""WITH RECURSIVE dims AS (SELECT doc_id,
+                16 + doc_id % 48 AS w, 12 + doc_id % 36 AS h,
+                doc_id % 256 AS planted
+              FROM documents WHERE doc_id % 4 IN (0, 3)),
+              smp AS (SELECT doc_id, tx, ty,
+                       CASE WHEN tx * w // 8 = 0 AND ty * h // 6 = 0 THEN planted
+                       ELSE ((tx * w // 8) * 31 + (ty * h // 6) * 17) & 63 END AS v
+                     FROM dims,
+                          (SELECT unnest(range(8)) AS tx),
+                          (SELECT unnest(range(6)) AS ty)),
+              m AS (SELECT doc_id, sum(v) // 48 AS mean FROM smp GROUP BY 1),
+              hsh AS (SELECT smp.doc_id,
+                        CAST(sum(CASE WHEN v > mean
+                            THEN (CAST(1 AS BIGINT) << (ty * 8 + tx)) ELSE 0 END) AS BIGINT) AS ahash
+                      FROM smp JOIN m USING (doc_id) GROUP BY 1),
+              edges AS (SELECT a.doc_id AS src, b.doc_id AS dst
+                        FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+                        WHERE bit_count(xor(a.ahash, b.ahash)) <= 3),
+              sym AS (SELECT src, dst FROM edges
+                      UNION ALL SELECT dst, src FROM edges),
+              reach(doc_id, r) AS (
+                SELECT doc_id, doc_id FROM hsh
+                UNION
+                SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.doc_id)
+              SELECT doc_id, min(r) AS keep_id FROM reach GROUP BY doc_id""")),
+
     // ---- S3 PDF ingest round-trip: synthesize a real single-page PDF
     // per row cycling through every native decode path of
     // sources.PdfText — plain, FlateDecode (with a nested /DecodeParms
