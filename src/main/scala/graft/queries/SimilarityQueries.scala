@@ -92,6 +92,46 @@ object SimilarityQueries extends QueryPack {
       graft.operators.KMeansLite.fit(vecs(s, d), "vec_id", "v", 4, 1)
     })
 
+  /** s15's STALE codebook: trained on the original population only
+    * (vec_id % 4 != 3 — s14's split), then frozen while the appended
+    * quarter lands. Memoized like trainedCodebook.
+    */
+  private val staleCodebookCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[(Int, Array[Double])]]()
+
+  private def staleCodebook(s: SparkSession, d: String): Seq[(Int, Array[Double])] =
+    staleCodebookCache.computeIfAbsent((s, d), { _ =>
+      graft.operators.KMeansLite.fit(
+        vecs(s, d).where(col("vec_id") % 4 =!= 3), "vec_id", "v", 4, 1)
+    })
+
+  /** duckKmeans trained on a FILTERED population (`te`) while `e` stays
+    * the full corpus — the s15 oracle's frozen-codebook restatement.
+    */
+  private def duckKmeansOn(trainWhere: String) =
+    s"""e AS ($duckVecs),
+        te AS (SELECT * FROM e WHERE $trainWhere),
+        c0 AS (SELECT cast(r - 1 as int) AS cid, v AS cv FROM (
+                 SELECT *, row_number() OVER (
+                   ORDER BY md5(cast(vec_id as varchar)), vec_id) AS r FROM te)
+               WHERE r <= 4),
+        d1 AS (SELECT te.vec_id, te.v, c.cid,
+                 list_aggregate(list_transform(range(1, len(te.v) + 1),
+                   i -> (te.v[i] - c.cv[i]) * (te.v[i] - c.cv[i])), 'sum') AS dd
+               FROM te CROSS JOIN c0 c),
+        a1 AS (SELECT vec_id, v, cid FROM (
+                 SELECT vec_id, v, cid, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY dd, cid) AS r FROM d1)
+               WHERE r = 1),
+        c1 AS (SELECT cid, list(m ORDER BY dim) AS cv FROM (
+                 SELECT cid, dim,
+                   round(cast(sum(x) / count(*) as double), 6) AS m
+                 FROM (SELECT cid,
+                         unnest(list_transform(v, x -> cast(x as decimal(25,10)))) AS x,
+                         generate_subscripts(v, 1) AS dim
+                       FROM a1)
+                 GROUP BY cid, dim) GROUP BY cid)"""
+
   /** Full trained-IVF top-k restatement (codebook training → cell
     * assignment → nprobe=2 probing → in-cell cosine top-5) — shared by
     * s9 (in-memory serve) and s13 (serve from the PERSISTED cell-
@@ -595,6 +635,117 @@ object SimilarityQueries extends QueryPack {
             col("vec_id"), col("cos"))
       },
       Some(duckIvfTrainedTopk)),
+
+    // ---- IVF STALENESS under the frozen codebook (the s14 risk,
+    // measured and gated): appends under a codebook trained BEFORE the
+    // appended population arrived degrade recall as the distribution
+    // drifts — the appended vectors land in cells whose centroids never
+    // saw them, so nprobe misses their true neighborhoods. The gate
+    // trains on the original 3/4 (s14's split), freezes, assigns the
+    // FULL corpus, and measures recall@5 of the nprobe=2 IVF search
+    // against the exact brute-force top-5 for queries from BOTH
+    // populations. `retrain` is the re-train trigger: mean appended
+    // recall below the 0.8 threshold. The oracle restates the whole
+    // thing — subset training, frozen assignment, both searches, the
+    // per-query recall, and the trigger comparison — so the drift
+    // measurement itself is hash-checked, at every SF. (Re-train cost
+    // curve: tools.RetrainProbe → PERF.md.)
+    Q("s15_ivf_staleness",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = vecs(s, d)
+        val cents = staleCodebook(s, d).map { case (cid, cv) =>
+          var nn = 0.0
+          var i = 0
+          while (i < cv.length) { nn += cv(i) * cv(i); i += 1 }
+          (cid.toLong, cv, nn)
+        }
+        val qids = Seq(0L, 1L, 2L, 3L, 7L, 11L)
+        val assigned = e
+          .withColumn("cell", VectorOps.ivfAssignUdf(cents)(col("v"), col("nn")))
+        val qframe = e.where(col("vec_id").isin(qids: _*))
+        val q = qframe
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("nn").as("qn"),
+            explode(VectorOps.ivfProbeUdf(cents, 2)(col("v"), col("nn"))).as("cell"))
+        val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+        val ivf5 = assigned.join(broadcast(q), Seq("cell"))
+          .where(col("vec_id") =!= col("qid"))
+          .withColumn("cos", round(cosExpr, 6))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 5)
+          .select("qid", "vec_id")
+        val qv = qframe
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("nn").as("qn"))
+        val ex5 = e.crossJoin(broadcast(qv))
+          .where(col("vec_id") =!= col("qid"))
+          .withColumn("cos", round(cosExpr, 6))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 5)
+          .select("qid", "vec_id")
+        val rec = ex5
+          .join(ivf5.withColumn("hit", lit(1L)), Seq("qid", "vec_id"), "left")
+          .groupBy("qid")
+          .agg((sum(coalesce(col("hit"), lit(0L))) / 5.0).as("recall"))
+          .withColumn("population",
+            when(col("qid") % 4 === 3, "appended").otherwise("original"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val appendedMean = rec.where(col("population") === "appended")
+          .agg(avg("recall")).first().getDouble(0)
+        rec.select(col("qid"), col("population"),
+          round(col("recall"), 6).as("recall"),
+          lit(appendedMean < 0.8).as("retrain"))
+      },
+      Some(s"""WITH ${duckKmeansOn("vec_id % 4 <> 3")},
+              c AS (SELECT cid, cv,
+                      list_aggregate(list_transform(cv, x -> x * x), 'sum') AS cn
+                    FROM c1),
+              sim AS (SELECT e.vec_id, e.v, e.nn, c.cid,
+                        list_aggregate(list_transform(range(1, len(c.cv) + 1),
+                          i -> c.cv[i] * e.v[i]), 'sum') / (sqrt(c.cn) * sqrt(e.nn)) AS cs
+                      FROM e CROSS JOIN c),
+              asg AS (SELECT vec_id, v, nn, cid AS cell FROM (
+                        SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY cs DESC, cid) AS r FROM sim) WHERE r = 1),
+              qids AS (SELECT * FROM (VALUES (0, 'original'), (1, 'original'),
+                         (2, 'original'), (3, 'appended'), (7, 'appended'),
+                         (11, 'appended')) AS t(qid, pop)),
+              probe AS (SELECT vec_id AS qid, cid AS cell FROM (
+                        SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY cs DESC, cid) AS r FROM sim
+                        WHERE vec_id IN (SELECT qid FROM qids))
+                        WHERE r <= 2),
+              qv AS (SELECT vec_id AS qid, v AS qv, nn AS qn FROM e
+                     WHERE vec_id IN (SELECT qid FROM qids)),
+              ivf AS (SELECT probe.qid, asg.vec_id,
+                        round(list_aggregate(list_transform(range(1, len(qv.qv) + 1),
+                          i -> qv.qv[i] * asg.v[i]), 'sum')
+                          / (sqrt(qv.qn) * sqrt(asg.nn)), 6) AS cos
+                      FROM asg JOIN probe ON asg.cell = probe.cell
+                                JOIN qv ON qv.qid = probe.qid
+                      WHERE asg.vec_id <> probe.qid),
+              ivf5 AS (SELECT qid, vec_id FROM (
+                        SELECT *, row_number() OVER (PARTITION BY qid
+                          ORDER BY cos DESC, vec_id) AS rank FROM ivf)
+                       WHERE rank <= 5),
+              ex AS (SELECT qv.qid, e.vec_id,
+                       round(list_aggregate(list_transform(range(1, len(qv.qv) + 1),
+                         i -> qv.qv[i] * e.v[i]), 'sum')
+                         / (sqrt(qv.qn) * sqrt(e.nn)), 6) AS cos
+                     FROM e CROSS JOIN qv WHERE e.vec_id <> qv.qid),
+              ex5 AS (SELECT qid, vec_id FROM (
+                        SELECT *, row_number() OVER (PARTITION BY qid
+                          ORDER BY cos DESC, vec_id) AS rank FROM ex)
+                      WHERE rank <= 5),
+              rec AS (SELECT ex5.qid,
+                        count(ivf5.vec_id) / 5.0 AS recall
+                      FROM ex5 LEFT JOIN ivf5
+                        ON ex5.qid = ivf5.qid AND ex5.vec_id = ivf5.vec_id
+                      GROUP BY ex5.qid)
+              SELECT rec.qid, qids.pop AS population,
+                round(recall, 6) AS recall,
+                (SELECT avg(recall) FROM rec r2 JOIN qids q2 ON r2.qid = q2.qid
+                 WHERE q2.pop = 'appended') < 0.8 AS retrain
+              FROM rec JOIN qids ON rec.qid = qids.qid""")),
 
     // ---- PQ with the TRAINED codebook: the k-means centroids sliced
     // per subspace become the sub-codebooks (cids stay the contiguous

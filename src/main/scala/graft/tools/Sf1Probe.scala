@@ -1,0 +1,77 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The 10× SCALING GATE promoted from advisory to enforced (VERDICT r7
+  * directive 6): build an sf1-scale dir (sf0.1 documents/embeddings
+  * replicated 10× with fresh ids and rotated/shifted content — the
+  * ScaleProbe replication scheme), run the dedup/ANN/streaming tier
+  * gates at sf0.1 AND sf1 through the REAL SparkEntry entry points, and
+  * enforce the scaling_audit threshold per query: an sf1 time more than
+  * 12× its sf0.1 time (with the same >0.35 s floor) flags. Two timed
+  * iterations per (gate, dir), min taken — box noise is 1.5–6× on this
+  * hardware (PERF.md) and a scaling flag must not be a noise artifact.
+  * x35 is a fixed-size stream fixture (cost = micro-batch overhead, by
+  * design SF-independent) — included to pin exactly that. Results feed
+  * the PERF.md sf1 table.
+  */
+object Sf1Probe {
+
+  def time[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime(); val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  val gates = Seq(
+    "d2_minhash_lsh_pairs", "d6_dedup_keeplist", "d13_incremental_index_dedup",
+    "s4_lsh_ann_topk", "s9_ivf_kmeans", "s13_ivf_index_served",
+    "e18_stream_index_dedup", "x35_corpus_stream")
+
+  def buildSf1(spark: SparkSession, src: String, dst: String): Unit = {
+    val marker = java.nio.file.Paths.get(s"${dst}_src.txt")
+    val tag = s"$src n=10 replicate-v1"
+    val fresh = new java.io.File(dst).exists() &&
+      java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker) == tag
+    if (fresh) return
+    ScaleProbe.replicateDocs(spark, src, 10)
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    ScaleProbe.replicateVecs(spark, src, 10)
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    java.nio.file.Files.writeString(marker, tag)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.GraftExtensions.registerNative(spark)
+    val sf01 = "/root/testdata/sf0.1"
+    val sf1 = "/tmp/graft_sf1"
+    buildSf1(spark, sf01, sf1)
+    println(f"docs sf1=${spark.read.parquet(s"$sf1/documents.parquet").count()}%d " +
+      f"vecs sf1=${spark.read.parquet(s"$sf1/embeddings.parquet").count()}%d")
+
+    def run(name: String, dir: String): Double =
+      (1 to 2).map { _ =>
+        val (_, t) = time(graft.SparkEntry.queries(name)(spark, dir).count())
+        t
+      }.min
+
+    var flags = 0
+    for (g <- gates) {
+      val t01 = run(g, sf01)
+      val t1 = run(g, sf1)
+      val ratio = t1 / t01
+      val flagged = t1 > 0.35 && ratio > 12.0
+      if (flagged) flags += 1
+      println(f"SF1 $g%-28s sf0.1=$t01%6.2fs sf1=$t1%7.2fs ratio=$ratio%5.2fx" +
+        (if (flagged) "  FLAG" else ""))
+    }
+    println(s"SF1AUDIT flags=$flags of ${gates.length}")
+    spark.stop()
+  }
+}
