@@ -81,7 +81,17 @@ object PlanDump {
       // broadcast back, scan-level md5 filter).
       "d13_incremental_index_dedup", "s13_ivf_index_served",
       "t24_token_budget_select", "a24_histogram_quantiles",
-      "o10_temperature_mix")
+      "o10_temperature_mix",
+      // round-8 additions: m14 image keep-list (verified-pair edges =
+      // banded equi-join + popcount filter BEFORE the distinct; the
+      // closure itself is the iterative fixpoint, spec-pinned), s15
+      // staleness probe (exact side one broadcast cross of 6 query
+      // rows; IVF side a broadcast cell equi-join — no corpus×corpus
+      // pair ever forms). d15/e18/k17/x39 are side-effecting lifecycle
+      // gates (write/compact/replay); their plan-level checks live in
+      // IncrementalDedupCrashSpec / Scd2HorizonSpec / the d13 plan
+      // above (the probe shape is shared).
+      "m14_image_keeplist", "s15_ivf_staleness")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries (sf0.001)\n\n")
     sb.append("Generated by `graft.tools.PlanDump`. What to look for per plan is\n")
