@@ -215,9 +215,15 @@ object MultimodalQueries extends QueryPack {
     // brute-force hamming pair graph.
     Q("m14_image_keeplist",
       (s, d) => {
+        // persist the decoded hashes: the composition consumes them on
+        // BOTH sides of the banded self-join plus the singleton frame —
+        // without the cache the imageio decode pipeline runs 3×
+        // (ContextCleaner reclaims the blocks once the gate result is
+        // collected and dropped)
         val hashes = MediaPipeline.imageAHashes(
           MediaPipeline.withImagePayload(Tables.documents(s, d))).toDF()
           .where(col("ahash").isNotNull)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val pairs = graft.operators.HammingLSH
           .nearDupPairs(hashes, "doc_id", "ahash", bits = 48, bands = 4)
         val pairKey = concat(col("id_a"), lit("_"), col("id_b"))
@@ -225,9 +231,16 @@ object MultimodalQueries extends QueryPack {
             lit(0).as("band"), pairKey.as("h"))
           .union(pairs.select(col("id_b").as("doc_id"),
             lit(0).as("band"), pairKey.as("h")))
-        val own = hashes.select(col("doc_id"), lit(1).as("band"),
-          col("doc_id").cast("string").as("h"))
-        graft.operators.MinHashLSH.convergeKeepList(own.union(edges), "doc_id")
+        // the fixpoint loops ONLY over pair-graph members (edges are
+        // explicit here, unlike the text tier's content buckets) —
+        // singletons can never merge, so they skip the iterative rounds
+        // entirely and map to themselves in one left join. At 100 TB
+        // that means the loop's working set tracks the duplicate-graph
+        // size, not the corpus.
+        val closed = graft.operators.MinHashLSH.convergeKeepList(edges, "doc_id")
+        hashes.select("doc_id").join(closed, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("keep_id"), col("doc_id")).as("keep_id"))
       },
       Some("""WITH RECURSIVE dims AS (SELECT doc_id,
                 16 + doc_id % 48 AS w, 12 + doc_id % 36 AS h,

@@ -683,7 +683,8 @@ object SimilarityQueries extends QueryPack {
           .where(col("rank") <= 5)
           .select("qid", "vec_id")
         val rec = ex5
-          .join(ivf5.withColumn("hit", lit(1L)), Seq("qid", "vec_id"), "left")
+          // ivf5 is ≤ queries×k rows — broadcast, never a 30-row shuffle
+          .join(broadcast(ivf5.withColumn("hit", lit(1L))), Seq("qid", "vec_id"), "left")
           .groupBy("qid")
           .agg((sum(coalesce(col("hit"), lit(0L))) / 5.0).as("recall"))
           .withColumn("population",

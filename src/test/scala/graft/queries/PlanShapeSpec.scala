@@ -224,4 +224,28 @@ class PlanShapeSpec extends SparkSpec {
       p.contains("GreaterThan(o_totalprice"),
       "ORC min/max skipping needs both predicates at the scan: " + p.take(1500))
   }
+
+  test("hamming near-dup pairs: banded equi-join, never a nested loop or cartesian") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val hashes = (1L to 200L).map(i => (i, (i * 2654435761L) & 0xFFFFFFFFFFFFL))
+      .toDF("doc_id", "h")
+    val p = graft.operators.HammingLSH
+      .nearDupPairs(hashes, "doc_id", "h", bits = 48, bands = 4)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the pair source must stay the (band, band_val) equi-join: " + p.take(800))
+    // the exact popcount filter must run BEFORE the pair distinct (the
+    // r7 ADVICE item): false candidates drop pre-shuffle
+    val below = p.substring(p.indexOf("HashAggregate")) // distinct's agg
+    assert(below.contains("bit_count"),
+      "popcount must sit below the distinct aggregate: " + p.take(1200))
+  }
+
+  test("s15 staleness: IVF side joins broadcast on cell; only the 6-query side crosses") {
+    val p = plan("s15_ivf_staleness")
+    assert(p.contains("BroadcastHashJoin"), "cell probe must broadcast: " + p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      "neither search path may shuffle the corpus for 6 queries: " + p.take(800))
+  }
 }
