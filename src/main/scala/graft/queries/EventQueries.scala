@@ -123,9 +123,19 @@ object EventQueries extends QueryPack {
   private def runGatedStreamWith(s: org.apache.spark.sql.SparkSession,
                                  out: org.apache.spark.sql.DataFrame,
                                  body: (org.apache.spark.sql.DataFrame, String, Long) => Unit)
+      (drive: org.apache.spark.sql.streaming.StreamingQuery => Unit): String =
+    runGatedStreamAt(s, out, Scratch.dir("graft_stream_ck_").toString,
+      Scratch.dir("graft_stream_out_").toString, body)(drive)
+
+  /** runGatedStreamWith with CALLER-OWNED checkpoint/output dirs — the
+    * restart gates (e19) stop a query and start a new incarnation from
+    * the same checkpoint, so the dirs must outlive one run.
+    */
+  private def runGatedStreamAt(s: org.apache.spark.sql.SparkSession,
+                               out: org.apache.spark.sql.DataFrame,
+                               ckptDir: String, outDir: String,
+                               body: (org.apache.spark.sql.DataFrame, String, Long) => Unit)
       (drive: org.apache.spark.sql.streaming.StreamingQuery => Unit): String = {
-    val ckptDir = Scratch.dir("graft_stream_ck_").toString
-    val outDir = Scratch.dir("graft_stream_out_").toString
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     val prevNoData = s.conf.get(
       "spark.sql.streaming.noDataMicroBatches.enabled", "true")
@@ -509,36 +519,93 @@ object EventQueries extends QueryPack {
     Q("e18_stream_index_dedup",
       (s, d) => {
         import graft.operators.MinHashLSH
-        def withW(df: org.apache.spark.sql.DataFrame) =
-          df.withColumn("w", split(col("text"), " "))
-        val docs = Tables.documents(s, d).select("doc_id", "text")
-        val idxDir = Scratch.dir("graft_e18_idx_").resolve("bands").toString
-        MinHashLSH.bands(withW(docs.where(col("doc_id") % 5 =!= 0)),
-          "doc_id", col("w"), 4).write.parquet(idxDir)
-        val stage = Scratch.dir("graft_e18_stage_").toString
-        val fileA = docs.where(col("doc_id") % 10 === 0)
-        fileA.coalesce(1).write.mode("append").parquet(stage)
+        val (docs, fileA, idxDir, stage) = indexDedupFixture(s, d, "e18")
         val stream = s.readStream.schema("doc_id LONG, text STRING").parquet(stage)
         val resultDir = runGatedStreamWith(s, stream,
-          (batch, oDir, bid) => if (!batch.isEmpty) {
-            MinHashLSH.committedIncrementalDedup(
-              MinHashLSH.bands(withW(batch), "doc_id", col("w"), 4),
-              "doc_id", idxDir, oDir, bid)
-            ()
-          }) { q =>
+          indexDedupBody(idxDir)) { q =>
           q.processAllAvailable()
           // landing 2: new docs + full redelivery of landing 1
           docs.where(col("doc_id") % 10 === 5).unionByName(fileA)
             .coalesce(1).write.mode("append").parquet(stage)
           q.processAllAvailable()
         }
-        // verdicts live under batch=<id> partition dirs; the partition
-        // column comes back as int — renumber to the oracle's 1-based
-        // batch and widen
-        s.read.parquet(resultDir)
-          .select((col("batch") + 1).cast("long").as("batch"), col("doc_id"),
-            col("dup_of_corpus"), col("dup_in_batch"), col("admitted"))
+        readIndexDedupVerdicts(s, resultDir)
       },
+      indexDedupOracle),
+
+    // ---- Stream RESTART from checkpoint (e19): the crash-recovery
+    // story of e18 driven END-TO-END through an actual stop/restart
+    // cycle — batch 0 runs in one query incarnation, the query STOPS
+    // (planned shutdown or crash), landing 2 (new docs + a full
+    // redelivery of landing 1's data) arrives while nothing is running,
+    // and a NEW incarnation started from the SAME checkpoint processes
+    // it as batch 1. The committed-verdict protocol makes the two
+    // incarnations' outputs splice seamlessly: batchIds continue across
+    // the restart, the persisted band index carries the dedup memory,
+    // and the final verdicts are IDENTICAL to e18's single-incarnation
+    // run — one oracle serves both gates. (The unplanned-kill windows
+    // within a batch are IncrementalDedupCrashSpec's territory.)
+    Q("e19_stream_restart_dedup",
+      (s, d) => {
+        val (docs, fileA, idxDir, stage) = indexDedupFixture(s, d, "e19")
+        val ckpt = Scratch.dir("graft_e19_ck_").toString
+        val outDir = Scratch.dir("graft_e19_out_").toString
+        def stream() = s.readStream.schema("doc_id LONG, text STRING").parquet(stage)
+        // incarnation 1: processes landing 1, then stops cleanly
+        runGatedStreamAt(s, stream(), ckpt, outDir, indexDedupBody(idxDir))(
+          _.processAllAvailable())
+        // the world moves while the stream is DOWN
+        docs.where(col("doc_id") % 10 === 5).unionByName(fileA)
+          .coalesce(1).write.mode("append").parquet(stage)
+        // incarnation 2: same checkpoint — resumes at batch 1
+        runGatedStreamAt(s, stream(), ckpt, outDir, indexDedupBody(idxDir))(
+          _.processAllAvailable())
+        readIndexDedupVerdicts(s, outDir)
+      },
+      indexDedupOracle),
+  ) ++ lateGates
+
+  /** shared e18/e19 fixture: corpus band index + staged landing 1 */
+  private def indexDedupFixture(s: org.apache.spark.sql.SparkSession, d: String,
+                                tag: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, String, String) = {
+    import graft.operators.MinHashLSH
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val idxDir = Scratch.dir(s"graft_${tag}_idx_").resolve("bands").toString
+    MinHashLSH.bands(docs.where(col("doc_id") % 5 =!= 0)
+        .withColumn("w", split(col("text"), " ")),
+      "doc_id", col("w"), 4).write.parquet(idxDir)
+    val stage = Scratch.dir(s"graft_${tag}_stage_").toString
+    val fileA = docs.where(col("doc_id") % 10 === 0)
+    fileA.coalesce(1).write.mode("append").parquet(stage)
+    (docs, fileA, idxDir, stage)
+  }
+
+  /** shared e18/e19 foreachBatch body: the crash-atomic committed
+    * protocol keyed by the real batchId
+    */
+  private def indexDedupBody(idxDir: String)
+      : (org.apache.spark.sql.DataFrame, String, Long) => Unit =
+    (batch, oDir, bid) => if (!batch.isEmpty) {
+      import graft.operators.MinHashLSH
+      MinHashLSH.committedIncrementalDedup(
+        MinHashLSH.bands(batch.withColumn("w", split(col("text"), " ")),
+          "doc_id", col("w"), 4),
+        "doc_id", idxDir, oDir, bid)
+      ()
+    }
+
+  /** verdicts live under batch=<id> partition dirs; the partition
+    * column comes back as int — renumber to the oracle's 1-based batch
+    * and widen
+    */
+  private def readIndexDedupVerdicts(s: org.apache.spark.sql.SparkSession,
+                                     dir: String): org.apache.spark.sql.DataFrame =
+    s.read.parquet(dir)
+      .select((col("batch") + 1).cast("long").as("batch"), col("doc_id"),
+        col("dup_of_corpus"), col("dup_in_batch"), col("admitted"))
+
+  private val indexDedupOracle: Option[String] =
       Some(s"""${graft.queries.DedupQueries.duckBandsSql},
               corpus AS (SELECT * FROM bands WHERE doc_id % 5 <> 0 AND h IS NOT NULL),
               a AS (SELECT * FROM bands WHERE doc_id % 10 = 0 AND h IS NOT NULL),
@@ -574,7 +641,9 @@ object EventQueries extends QueryPack {
                      LEFT JOIN hb2 ON i.doc_id = hb2.doc_id)
               SELECT CAST(1 AS BIGINT) AS batch, * FROM r1
               UNION ALL
-              SELECT CAST(2 AS BIGINT) AS batch, * FROM r2""")),
+              SELECT CAST(2 AS BIGINT) AS batch, * FROM r2""")
+
+  private def lateGates: Seq[Q] = Seq(
 
     Q("e17_json_props",
       (s, d) => Tables.events(s, d)
