@@ -52,4 +52,51 @@ class IncrementalDedupRandomSpec extends SparkSpec {
       }
     }
   }
+
+  test("committed protocol: random batch sequences with random replays match the sequential model") {
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(0xC0117ED + seed)
+      val base = java.nio.file.Files.createTempDirectory(s"inc_seq_$seed")
+      val idx = base.resolve("idx").toString
+      val vd = base.resolve("verdicts").toString
+      val nBuckets = 4 + rnd.nextInt(8)
+      // seed corpus
+      val corpus = (0L until 10L).flatMap { id =>
+        (0 to rnd.nextInt(2)).map(_ => (id, 0, s"h${rnd.nextInt(nBuckets)}")) }.distinct
+      corpus.toDF("doc_id", "band", "h").write.parquet(idx)
+      // model state: the set of (band, h) keys the index holds
+      var indexKeys = corpus.map(r => (r._2, r._3)).toSet
+      var nextId = 100L
+      for (bid <- 0L until 5L) {
+        val ids = (0 until 1 + rnd.nextInt(4)).map(_ => { nextId += 1; nextId })
+        val batch = ids.flatMap { id =>
+          (0 to rnd.nextInt(2)).map(_ => (id, 0, s"h${rnd.nextInt(nBuckets)}")) }.distinct
+        val keysOf = batch.groupBy(_._1).map { case (id, rs) =>
+          id -> rs.map(r => (r._2, r._3)).toSet }
+        val want = ids.sorted.map { id =>
+          val dupC = keysOf(id).exists(indexKeys.contains)
+          val dupB = ids.exists(o => o < id && keysOf(o).exists(keysOf(id).contains))
+          id -> ((dupC, dupB, !dupC && !dupB))
+        }.toMap
+        def run() = MinHashLSH.committedIncrementalDedup(
+            batch.toDF("doc_id", "band", "h"), "doc_id", idx, vd, bid)
+          .collect()
+          .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))))
+          .toMap
+        val got = run()
+        assert(got === want, s"seed=$seed bid=$bid")
+        // model append: admitted docs' keys enter the index
+        indexKeys ++= want.collect { case (id, (_, _, true)) => keysOf(id) }.flatten
+        // random at-least-once replay of THIS batch (sometimes twice):
+        // must return the stored verdicts and leave the index unchanged
+        for (_ <- 0 until rnd.nextInt(3))
+          assert(run() === want, s"seed=$seed bid=$bid replay")
+      }
+      // final invariant: the on-disk index equals the model's key
+      // multiset-collapsed view (no double-appends anywhere)
+      val diskKeys = spark.read.parquet(idx).collect()
+        .map(r => (r.getAs[Int]("band"), r.getAs[String]("h"))).toSet
+      assert(diskKeys === indexKeys, s"seed=$seed final index drift")
+    }
+  }
 }
