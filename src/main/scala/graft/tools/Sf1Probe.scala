@@ -26,7 +26,11 @@ object Sf1Probe {
   val gates = Seq(
     "d2_minhash_lsh_pairs", "d6_dedup_keeplist", "d13_incremental_index_dedup",
     "s4_lsh_ann_topk", "s9_ivf_kmeans", "s13_ivf_index_served",
-    "e18_stream_index_dedup", "x35_corpus_stream")
+    "e18_stream_index_dedup", "x35_corpus_stream",
+    // round-8 additions: the committed-protocol lifecycle gates and
+    // the new dedup/ANN tiers
+    "d15_index_compaction", "e19_stream_restart_dedup",
+    "m14_image_keeplist", "s15_ivf_staleness")
 
   def buildSf1(spark: SparkSession, src: String, dst: String): Unit = {
     val marker = java.nio.file.Paths.get(s"${dst}_src.txt")
