@@ -431,11 +431,23 @@ object MinHashLSH {
       }
       if (!fs.exists(deltaFile)) {
         // admitted set comes from the COMMITTED verdict — a replay in
-        // this window must not re-judge against the live index
+        // this window must not re-judge against the live index. The
+        // append is additionally made CONTENT-idempotent with an
+        // anti-join against the current index: on the first append it
+        // drops nothing (an admitted doc, by definition, shares no
+        // (band, h) bucket with the index, and its id is new), but a
+        // replay whose delta file was already folded away by a
+        // Sinks.compact run in the append→marker crash window would
+        // otherwise re-append the same rows — the anti-join turns that
+        // re-append into a no-op instead of a duplicate
+        // (IncrementalDedupCrashSpec pins the window).
         val admitted = readVerdict().where(col("admitted")).select(idCol)
         val tmpDir = path(s"$indexDir/.tmp_delta_$batchId")
         fs.delete(tmpDir, true)
-        bb.join(admitted, Seq(idCol), "left_semi").coalesce(1)
+        bb.join(admitted, Seq(idCol), "left_semi")
+          .join(spark.read.parquet(indexDir),
+            Seq(idCol, "band", "h"), "left_anti")
+          .coalesce(1)
           .write.parquet(tmpDir.toString)
         val part = fs.listStatus(tmpDir).map(_.getPath)
           .find(_.getName.startsWith("part-"))

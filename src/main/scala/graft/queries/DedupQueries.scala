@@ -39,18 +39,14 @@ object DedupQueries extends QueryPack {
     withWords(df).withColumn("sh", expr("array_distinct(word_ngrams(w, 3))"))
   }
 
-  private val duckShingles =
-    """SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
-       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)"""
-
   /** shared with EventQueries' e18 (the streaming face of d13) */
   private[queries] def duckBandsSql: String = duckBands
 
   /** the shingle→minhash→band chain over an arbitrary (doc_id, text)
-    * relation, CTE names prefixed — d15 needs the SAME fingerprint
-    * pipeline restated over its synthetic probe batch next to the
-    * documents-table chain
+    * relation, CTE names prefixed — ONE copy of the fingerprint SQL:
+    * `duckBands` is the empty-prefix instantiation over `documents`,
+    * and d15 restates the SAME pipeline over its synthetic probe batch
+    * with prefix "p"
     */
   private def duckBandsChain(src: String, p: String): String =
     s"""${p}sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
@@ -62,13 +58,7 @@ object DedupQueries extends QueryPack {
         ${p}bands AS (SELECT doc_id, unnest(range(4)) AS band,
                     sig[unnest(range(4)) + 1] AS h FROM ${p}mh)"""
 
-  private val duckBands =
-    s"""WITH sh AS ($duckShingles),
-        mh AS (SELECT doc_id,
-                 [list_aggregate(list_transform(sh, x -> md5(j::VARCHAR || x)), 'min')
-                  FOR j IN range(4)] AS sig FROM sh),
-        bands AS (SELECT doc_id, unnest(range(4)) AS band,
-                    sig[unnest(range(4)) + 1] AS h FROM mh)"""
+  private val duckBands = s"WITH ${duckBandsChain("documents", "")}"
 
   def all: Seq[Q] = Seq(
 

@@ -21,6 +21,17 @@ import graft.sources.Tables
   */
 object ExtractQueries extends QueryPack {
 
+  /** ONE copy of the x15/x39 UR_Gerichte strict-validation fixture:
+    * cases 0/1 extract cleanly, cases 2/3 raise (no marker / two
+    * markers via the partial-approval substring quirk).
+    */
+  private[queries] val urRulingsCase: String =
+    """CASE CAST(doc_id % 4 AS INT)
+       WHEN 0 THEN 'In concreto Gutheissung der Beschwerde.'
+       WHEN 1 THEN 'Abweisung der verwaltungsrechtlichen Klage.'
+       WHEN 2 THEN 'Die Kosten trägt der Staat.'
+       ELSE 'Teilweise Gutheissung der Beschwerde.' END"""
+
   /** deterministic synthetic ruling document: paragraphs with section
     * markers + an outcome sentence + a BGE citation
     */
@@ -385,12 +396,7 @@ object ExtractQueries extends QueryPack {
     // exactly-one validation fails and the row becomes an error row.
     Q("x15_spider_judgment",
       (s, d) => {
-        val rulings = expr(
-          """CASE CAST(doc_id % 4 AS INT)
-             WHEN 0 THEN 'In concreto Gutheissung der Beschwerde.'
-             WHEN 1 THEN 'Abweisung der verwaltungsrechtlichen Klage.'
-             WHEN 2 THEN 'Die Kosten trägt der Staat.'
-             ELSE 'Teilweise Gutheissung der Beschwerde.' END""")
+        val rulings = expr(urRulingsCase)
         Tables.documents(s, d)
           .withColumn("ext", ExtractUdfs.judgmentsSpiderSafe(
             lit("UR_Gerichte"), rulings, lit("de")))

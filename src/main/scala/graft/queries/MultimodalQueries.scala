@@ -18,6 +18,40 @@ import graft.sources.Tables
   */
 object MultimodalQueries extends QueryPack {
 
+  /** ONE copy of the m13/m14 oracle aHash restatement: planted raster →
+    * 8×6 thumbnail → 48-bit average hash for the lossless images.
+    */
+  private val duckAHashCtes =
+    """dims AS (SELECT doc_id,
+                16 + doc_id % 48 AS w, 12 + doc_id % 36 AS h,
+                doc_id % 256 AS planted
+              FROM documents WHERE doc_id % 4 IN (0, 3)),
+              smp AS (SELECT doc_id, tx, ty,
+                       CASE WHEN tx * w // 8 = 0 AND ty * h // 6 = 0 THEN planted
+                       ELSE ((tx * w // 8) * 31 + (ty * h // 6) * 17) & 63 END AS v
+                     FROM dims,
+                          (SELECT unnest(range(8)) AS tx),
+                          (SELECT unnest(range(6)) AS ty)),
+              m AS (SELECT doc_id, sum(v) // 48 AS mean FROM smp GROUP BY 1),
+              hsh AS (SELECT smp.doc_id,
+                        CAST(sum(CASE WHEN v > mean
+                            THEN (CAST(1 AS BIGINT) << (ty * 8 + tx)) ELSE 0 END) AS BIGINT) AS ahash
+                      FROM smp JOIN m USING (doc_id) GROUP BY 1)"""
+
+  /** ONE copy of the m5/x39 hostile-PDF fixture (the damage classes +
+    * planted recoverable text); quarantine rule: only kind 0 recovers.
+    */
+  private def hostilePdfUdf = udf { id: Long =>
+    val kind = (id % 5) match {
+      case 0 => "wrong-length"
+      case 1 => "bogus-filter"
+      case 2 => "truncated"
+      case 3 => "corrupt-flate"
+      case _ => "identity-h-no-tounicode"
+    }
+    graft.sources.PdfText.synthesizeHostile(kind, s"Urteil Nr. $id bleibt lesbar")
+  }
+
   def all: Seq[Q] = Seq(
 
     // ---- Binary payload → typed metadata via mapPartitions over a REAL
@@ -180,21 +214,7 @@ object MultimodalQueries extends QueryPack {
           .withColumnRenamed("id_a", "doc_a")
           .withColumnRenamed("id_b", "doc_b")
       },
-      Some("""WITH dims AS (SELECT doc_id,
-                16 + doc_id % 48 AS w, 12 + doc_id % 36 AS h,
-                doc_id % 256 AS planted
-              FROM documents WHERE doc_id % 4 IN (0, 3)),
-              smp AS (SELECT doc_id, tx, ty,
-                       CASE WHEN tx * w // 8 = 0 AND ty * h // 6 = 0 THEN planted
-                       ELSE ((tx * w // 8) * 31 + (ty * h // 6) * 17) & 63 END AS v
-                     FROM dims,
-                          (SELECT unnest(range(8)) AS tx),
-                          (SELECT unnest(range(6)) AS ty)),
-              m AS (SELECT doc_id, sum(v) // 48 AS mean FROM smp GROUP BY 1),
-              hsh AS (SELECT smp.doc_id,
-                        CAST(sum(CASE WHEN v > mean
-                            THEN (CAST(1 AS BIGINT) << (ty * 8 + tx)) ELSE 0 END) AS BIGINT) AS ahash
-                      FROM smp JOIN m USING (doc_id) GROUP BY 1)
+      Some(s"""WITH $duckAHashCtes
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                      CAST(bit_count(xor(a.ahash, b.ahash)) AS int) AS hamming
               FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
@@ -209,8 +229,9 @@ object MultimodalQueries extends QueryPack {
     // bucket-graph components alone would over-merge through false
     // candidates); the closure runs through the same pointer-jumping
     // fixpoint as the text tier (MinHashLSH.convergeKeepList), each
-    // verified pair encoded as a two-member bucket plus a singleton
-    // self-bucket per image. Oracle = the d10 discipline: an
+    // verified pair encoded as a two-member bucket — singletons never
+    // enter the loop (they map to themselves in one post-closure left
+    // join). Oracle = the d10 discipline: an
     // INDEPENDENT recursive-CTE transitive closure over the
     // brute-force hamming pair graph.
     Q("m14_image_keeplist",
@@ -242,21 +263,7 @@ object MultimodalQueries extends QueryPack {
           .select(col("doc_id"),
             coalesce(col("keep_id"), col("doc_id")).as("keep_id"))
       },
-      Some("""WITH RECURSIVE dims AS (SELECT doc_id,
-                16 + doc_id % 48 AS w, 12 + doc_id % 36 AS h,
-                doc_id % 256 AS planted
-              FROM documents WHERE doc_id % 4 IN (0, 3)),
-              smp AS (SELECT doc_id, tx, ty,
-                       CASE WHEN tx * w // 8 = 0 AND ty * h // 6 = 0 THEN planted
-                       ELSE ((tx * w // 8) * 31 + (ty * h // 6) * 17) & 63 END AS v
-                     FROM dims,
-                          (SELECT unnest(range(8)) AS tx),
-                          (SELECT unnest(range(6)) AS ty)),
-              m AS (SELECT doc_id, sum(v) // 48 AS mean FROM smp GROUP BY 1),
-              hsh AS (SELECT smp.doc_id,
-                        CAST(sum(CASE WHEN v > mean
-                            THEN (CAST(1 AS BIGINT) << (ty * 8 + tx)) ELSE 0 END) AS BIGINT) AS ahash
-                      FROM smp JOIN m USING (doc_id) GROUP BY 1),
+      Some(s"""WITH RECURSIVE $duckAHashCtes,
               edges AS (SELECT a.doc_id AS src, b.doc_id AS dst
                         FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
                         WHERE bit_count(xor(a.ahash, b.ahash)) <= 3),
@@ -330,18 +337,8 @@ object MultimodalQueries extends QueryPack {
     // recovers → quarantine rate 80% on this fixture corpus.
     Q("m5_pdf_hostile",
       (s, d) => {
-        val mkPdf = udf { id: Long =>
-          val kind = (id % 5) match {
-            case 0 => "wrong-length"
-            case 1 => "bogus-filter"
-            case 2 => "truncated"
-            case 3 => "corrupt-flate"
-            case _ => "identity-h-no-tounicode"
-          }
-          graft.sources.PdfText.synthesizeHostile(kind, s"Urteil Nr. $id bleibt lesbar")
-        }
         Tables.documents(s, d)
-          .withColumn("pdf_raw", mkPdf(col("doc_id")))
+          .withColumn("pdf_raw", hostilePdfUdf(col("doc_id")))
           .withColumn("pdf_text", graft.sources.Ingest.pdfTextUdf(col("pdf_raw")))
           .select(col("doc_id"), col("pdf_text"),
             col("pdf_text").isNull.as("quarantined"))
@@ -478,19 +475,9 @@ object MultimodalQueries extends QueryPack {
         val sinkPath = graft.queries.Scratch.dir("graft_x39_")
           .resolve("quarantine").toString
         val docs = Tables.documents(s, d)
-        // PDF tier (m5 fixture): null extracted text ⇒ quarantined
-        val mkPdf = udf { id: Long =>
-          val kind = (id % 5) match {
-            case 0 => "wrong-length"
-            case 1 => "bogus-filter"
-            case 2 => "truncated"
-            case 3 => "corrupt-flate"
-            case _ => "identity-h-no-tounicode"
-          }
-          graft.sources.PdfText.synthesizeHostile(kind, s"Urteil Nr. $id bleibt lesbar")
-        }
+        // PDF tier (the SHARED m5 fixture): null extracted text ⇒ quarantined
         val pdf = docs.withColumn("q", Quarantine.envelopeNullable(
-          graft.sources.Ingest.pdfTextUdf(mkPdf(col("doc_id"))),
+          graft.sources.Ingest.pdfTextUdf(hostilePdfUdf(col("doc_id"))),
           "PdfQuarantined: no recoverable text"))
         Quarantine.appendQuarantined(pdf, "q", "pdf", "doc_id", sinkPath)
         // media tier (m7 fixture): quarantined flag ⇒ envelope error
@@ -500,17 +487,11 @@ object MultimodalQueries extends QueryPack {
             struct(col("format"), col("width"), col("height")),
             when(col("quarantined"), lit("MediaQuarantined: undecodable payload"))))
         Quarantine.appendQuarantined(media, "q", "media", "doc_id", sinkPath)
-        // extractor tier (x15 fixture): strict validation raises real
-        // error strings inside the safe UDF
-        val rulings = expr(
-          """CASE CAST(doc_id % 4 AS INT)
-             WHEN 0 THEN 'In concreto Gutheissung der Beschwerde.'
-             WHEN 1 THEN 'Abweisung der verwaltungsrechtlichen Klage.'
-             WHEN 2 THEN 'Die Kosten trägt der Staat.'
-             ELSE 'Teilweise Gutheissung der Beschwerde.' END""")
+        // extractor tier (the SHARED x15 fixture): strict validation
+        // raises real error strings inside the safe UDF
         val ext = docs.withColumn("ext",
           graft.extract.ExtractUdfs.judgmentsSpiderSafe(
-            lit("UR_Gerichte"), rulings, lit("de")))
+            lit("UR_Gerichte"), expr(ExtractQueries.urRulingsCase), lit("de")))
           .withColumn("q", Quarantine.envelope(col("ext.outcomes"), col("ext.error")))
         Quarantine.appendQuarantined(ext, "q", "extract", "doc_id", sinkPath)
         s.read.parquet(sinkPath)

@@ -47,30 +47,12 @@ object SimilarityQueries extends QueryPack {
   /** DuckDB restatement of `KMeansLite.fit(k=4, iters=1)`: hash-ordered
     * deterministic init (k smallest by (md5(id), id)) → compiled argmin
     * assignment → decimal-exact per-dim means finalized round-6. Yields
-    * `c1(cid, cv)` — the trained codebook the s8/s9/s10 oracles consume.
+    * `c1(cid, cv)` — the trained codebook the s8/s9/s10 oracles
+    * consume. ONE copy of the trainer SQL: this is `duckKmeansOn` with
+    * a vacuous training filter (te = e); s15 instantiates the same
+    * chain over the original-population subset.
     */
-  private val duckKmeans =
-    s"""e AS ($duckVecs),
-        c0 AS (SELECT cast(r - 1 as int) AS cid, v AS cv FROM (
-                 SELECT *, row_number() OVER (
-                   ORDER BY md5(cast(vec_id as varchar)), vec_id) AS r FROM e)
-               WHERE r <= 4),
-        d1 AS (SELECT e.vec_id, e.v, c.cid,
-                 list_aggregate(list_transform(range(1, len(e.v) + 1),
-                   i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])), 'sum') AS dd
-               FROM e CROSS JOIN c0 c),
-        a1 AS (SELECT vec_id, v, cid FROM (
-                 SELECT vec_id, v, cid, row_number() OVER (
-                   PARTITION BY vec_id ORDER BY dd, cid) AS r FROM d1)
-               WHERE r = 1),
-        c1 AS (SELECT cid, list(m ORDER BY dim) AS cv FROM (
-                 SELECT cid, dim,
-                   round(cast(sum(x) / count(*) as double), 6) AS m
-                 FROM (SELECT cid,
-                         unnest(list_transform(v, x -> cast(x as decimal(25,10)))) AS x,
-                         generate_subscripts(v, 1) AS dim
-                       FROM a1)
-                 GROUP BY cid, dim) GROUP BY cid)"""
+  private lazy val duckKmeans = duckKmeansOn("1 = 1")
 
   /** trained 4-centroid codebook shared by s8/s9/s10 (deterministic;
     * one Lloyd iteration keeps the oracle restatement tractable).

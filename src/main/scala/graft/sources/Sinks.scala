@@ -250,18 +250,32 @@ object Sinks {
   def retentionHorizon(spark: SparkSession, path: String): Option[Long] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    def readLong(p: org.apache.hadoop.fs.Path): Option[Long] =
+    def readMarker(p: org.apache.hadoop.fs.Path): Option[String] =
       if (!fs.exists(p)) None
       else {
         val in = fs.open(p)
         try {
-          val buf = new Array[Byte](64) // a stringified long
-          val n = in.read(buf)
-          Some(new String(buf, 0, math.max(n, 0), StandardCharsets.UTF_8).trim.toLong)
+          // read FULLY (a single read() may legally return short on a
+          // remote fs) — the payload is one stringified long
+          val out = new java.io.ByteArrayOutputStream(64)
+          val buf = new Array[Byte](64)
+          var n = in.read(buf)
+          while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+          Some(out.toString(StandardCharsets.UTF_8).trim)
         } finally in.close()
       }
-    val vals = Seq(path + "__retention", path + "__retention.tmp")
-      .flatMap(s => readLong(new org.apache.hadoop.fs.Path(s)))
+    // the FINAL marker is placed only by atomic rename of a fully-
+    // written tmp, so an unparseable final marker is real corruption —
+    // fail loudly rather than silently dropping the guard. The TMP
+    // sibling, by contrast, can legitimately be a zero-byte husk of a
+    // crashed recordHorizon (create() succeeded, write never flushed):
+    // an unparseable tmp is ignored, a parseable one still counts.
+    val fin = readMarker(new org.apache.hadoop.fs.Path(path + "__retention"))
+      .map(s => s.toLongOption.getOrElse(throw new IllegalStateException(
+        s"corrupt retention marker ${path}__retention: '$s'")))
+    val tmp = readMarker(new org.apache.hadoop.fs.Path(path + "__retention.tmp"))
+      .flatMap(_.toLongOption)
+    val vals = fin.toSeq ++ tmp.toSeq
     if (vals.isEmpty) None else Some(vals.max)
   }
 

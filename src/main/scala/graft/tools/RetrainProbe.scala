@@ -41,15 +41,14 @@ object RetrainProbe {
       val vecs = graft.operators.VectorOps.vecs(
         spark.read.parquet(path)).select("vec_id", "v", "nn")
       val nv = vecs.count()
-      val (_, tFit) = time {
+      val (fitted, tFit) = time {
         graft.operators.KMeansLite.fit(vecs, "vec_id", "v", 4, 1)
       }
       // the post-retrain maintenance pass: re-assign every vector under
       // the new codebook (zero-shuffle map)
-      val cents = graft.operators.KMeansLite.fit(vecs, "vec_id", "v", 4, 1)
-        .map { case (cid, cv) =>
-          (cid.toLong, cv, cv.map(x => x * x).sum)
-        }
+      val cents = fitted.map { case (cid, cv) =>
+        (cid.toLong, cv, cv.map(x => x * x).sum)
+      }
       val (_, tAssign) = time {
         vecs.withColumn("cell",
           graft.operators.VectorOps.ivfAssignUdf(cents)(col("v"), col("nn")))

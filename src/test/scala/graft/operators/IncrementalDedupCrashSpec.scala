@@ -169,6 +169,35 @@ class IncrementalDedupCrashSpec extends SparkSpec {
     assert(indexBands(idx) == contentBefore, "post-compaction replay must not re-append")
   }
 
+  test("append→marker crash window + compaction folding the delta: replay still appends exactly once") {
+    val (idx, vd) = freshDirs()
+    // reproduce the WORST ordering: verdict committed, delta file
+    // landed, marker never written — then a maintenance compact runs
+    // BEFORE the stream restarts, folding the delta into anonymous
+    // parts (so the replay can't see the delta by name)
+    MinHashLSH.incrementalDedup(batchBands, "doc_id", idx, appendAdmitted = false)
+      .write.parquet(s"$vd/batch=0")
+    import spark.implicits._
+    val tmpDelta = s"$idx/.tmp_crash"
+    Seq(bandRow(7L, 70L), bandRow(9L, 90L)).toDF("doc_id", "band", "h")
+      .coalesce(1).write.parquet(tmpDelta)
+    val part = fs.listStatus(p(tmpDelta)).map(_.getPath)
+      .find(_.getName.startsWith("part-")).get
+    assert(fs.rename(part, p(s"$idx/delta_batch_0.parquet")))
+    fs.delete(p(tmpDelta), true)
+    graft.sources.Sinks.compact(spark, idx)
+    assert(!fs.exists(p(s"$idx/delta_batch_0.parquet")), "compact folded the delta")
+
+    val v = MinHashLSH.committedIncrementalDedup(batchBands, "doc_id", idx, vd, 0L)
+    assert(verdictMap(v) == expected)
+    // the anti-join makes the re-append a content no-op: total ROW
+    // count unchanged (a set compare would hide duplicates)
+    assert(spark.read.parquet(idx).count() == appendedIndex.length,
+      "replay after compaction folded the delta must not duplicate band rows")
+    assert(indexBands(idx) == appendedIndex)
+    assert(fs.exists(p(s"${idx}__commits/batch_0")))
+  }
+
   test("committed verdicts equal the raw incrementalDedup verdicts (same batch, same index)") {
     val (idxA, vdA) = freshDirs()
     val (idxB, _) = freshDirs()

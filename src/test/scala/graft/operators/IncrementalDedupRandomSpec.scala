@@ -64,12 +64,15 @@ class IncrementalDedupRandomSpec extends SparkSpec {
       val corpus = (0L until 10L).flatMap { id =>
         (0 to rnd.nextInt(2)).map(_ => (id, 0, s"h${rnd.nextInt(nBuckets)}")) }.distinct
       corpus.toDF("doc_id", "band", "h").write.parquet(idx)
-      // model state: the set of (band, h) keys the index holds
+      // model state: the set of (band, h) keys the index holds, plus
+      // the exact ROW set (doc_id distinct per batch, so row counts
+      // expose double-appends a set compare would hide)
       var indexKeys = corpus.map(r => (r._2, r._3)).toSet
+      var indexRows = corpus.toSet
       var nextId = 100L
       for (bid <- 0L until 5L) {
         val ids = (0 until 1 + rnd.nextInt(4)).map(_ => { nextId += 1; nextId })
-        val batch = ids.flatMap { id =>
+        val batch: Seq[(Long, Int, String)] = ids.flatMap { id =>
           (0 to rnd.nextInt(2)).map(_ => (id, 0, s"h${rnd.nextInt(nBuckets)}")) }.distinct
         val keysOf = batch.groupBy(_._1).map { case (id, rs) =>
           id -> rs.map(r => (r._2, r._3)).toSet }
@@ -85,18 +88,21 @@ class IncrementalDedupRandomSpec extends SparkSpec {
           .toMap
         val got = run()
         assert(got === want, s"seed=$seed bid=$bid")
-        // model append: admitted docs' keys enter the index
+        // model append: admitted docs' keys + rows enter the index
         indexKeys ++= want.collect { case (id, (_, _, true)) => keysOf(id) }.flatten
+        indexRows ++= batch.filter(r => want(r._1)._3)
         // random at-least-once replay of THIS batch (sometimes twice):
         // must return the stored verdicts and leave the index unchanged
         for (_ <- 0 until rnd.nextInt(3))
           assert(run() === want, s"seed=$seed bid=$bid replay")
       }
-      // final invariant: the on-disk index equals the model's key
-      // multiset-collapsed view (no double-appends anywhere)
-      val diskKeys = spark.read.parquet(idx).collect()
-        .map(r => (r.getAs[Int]("band"), r.getAs[String]("h"))).toSet
-      assert(diskKeys === indexKeys, s"seed=$seed final index drift")
+      // final invariant: the on-disk index equals the model EXACTLY —
+      // row-for-row AND in count, so a double-append cannot hide
+      val disk = spark.read.parquet(idx).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("band"), r.getAs[String]("h")))
+      assert(disk.length === indexRows.size, s"seed=$seed duplicate rows on disk")
+      assert(disk.toSet === indexRows, s"seed=$seed final index drift")
+      assert(disk.map(r => (r._2, r._3)).toSet === indexKeys, s"seed=$seed key drift")
     }
   }
 }

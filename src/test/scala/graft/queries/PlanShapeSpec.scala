@@ -237,6 +237,8 @@ class PlanShapeSpec extends SparkSpec {
       "the pair source must stay the (band, band_val) equi-join: " + p.take(800))
     // the exact popcount filter must run BEFORE the pair distinct (the
     // r7 ADVICE item): false candidates drop pre-shuffle
+    assert(p.contains("HashAggregate"),
+      "pair distinct expected to lower to HashAggregate: " + p.take(1200))
     val below = p.substring(p.indexOf("HashAggregate")) // distinct's agg
     assert(below.contains("bit_count"),
       "popcount must sit below the distinct aggregate: " + p.take(1200))
