@@ -280,6 +280,34 @@ object VectorOps {
     }
   }
 
+  /** EXACTLY-ONCE per-batch append into a cell-partitioned IVF index
+    * (the e18 commit discipline for vectors, used by the s16 streaming
+    * face): each micro-batch's assigned rows land under their own
+    * generation directory `gen=<batchId>/cell=.../` — written to a
+    * hidden tmp sibling first, then published with ONE atomic dir
+    * rename, so a replayed batchId is a pure skip (the gen dir already
+    * exists) and a crashed half-write is invisible (hidden tmp). The
+    * serve path reads the index root: partition discovery surfaces
+    * (gen, cell) and cell pruning still prunes inside every
+    * generation; `gen` is dropped before scoring. A plain
+    * `SaveMode.Append` here would double-ingest vectors on
+    * at-least-once replay — duplicate index rows change top-k results,
+    * unlike the band index where dup_of_corpus is an EXISTS.
+    */
+  def committedCellAppend(assigned: DataFrame, indexDir: String,
+                          batchId: Long): Unit = {
+    val spark = assigned.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val genDir = new org.apache.hadoop.fs.Path(s"$indexDir/gen=$batchId")
+    if (fs.exists(genDir)) return // replayed batch: already committed
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/.tmp_gen_$batchId")
+    fs.delete(tmp, true)
+    assigned.write.partitionBy("cell").parquet(tmp.toString)
+    if (!fs.rename(tmp, genDir))
+      throw new java.io.IOException(s"rename failed: $tmp -> $genDir")
+  }
+
   /** DuckDB restatements (for oracle SQL) */
   val duckVecs: String =
     """SELECT vec_id, label, embedding::DOUBLE[] AS v,

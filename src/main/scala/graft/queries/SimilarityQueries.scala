@@ -730,6 +730,82 @@ object SimilarityQueries extends QueryPack {
                  WHERE q2.pop = 'appended') < 0.8 AS retrain
               FROM rec JOIN qids ON rec.qid = qids.qid""")),
 
+    // ---- STREAMING IVF index maintenance (s16): the e18 story for
+    // vectors — embeddings ARRIVE AS A STREAM and the cell-partitioned
+    // index is maintained per micro-batch under the frozen trained
+    // codebook (assign is a zero-shuffle map over the batch; the
+    // corpus is never re-encoded). Appends are EXACTLY-ONCE per
+    // batchId: each batch publishes its own gen=<id> directory with
+    // one atomic rename (VectorOps.committedCellAppend), so
+    // at-least-once replay is a pure skip — a plain append would
+    // double-ingest vectors, and duplicate index rows change top-k
+    // (unlike the band index's EXISTS semantics). Two landings are
+    // driven; the serve path afterwards is byte-identical to s13/s14
+    // (partition-pruned read over (gen, cell)) and must see the
+    // backfill plus both streamed generations — the oracle is the
+    // full-corpus restatement shared with s9/s13/s14, so any append
+    // loss, duplication, or layout drift fails the hash.
+    Q("s16_stream_ivf_append",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = vecs(s, d)
+        val cents = trainedCodebook(s, d).map { case (cid, cv) =>
+          var nn = 0.0
+          var i = 0
+          while (i < cv.length) { nn += cv(i) * cv(i); i += 1 }
+          (cid.toLong, cv, nn)
+        }
+        def assigned(df: org.apache.spark.sql.DataFrame) =
+          df.withColumn("cell", VectorOps.ivfAssignUdf(cents)(col("v"), col("nn")))
+        val idxDir = Scratch.dir("graft_s16_").resolve("ivf").toString
+        // backfill generation (gen=-1): the historical corpus
+        VectorOps.committedCellAppend(
+          assigned(e.where(col("vec_id") % 4 =!= 3)), idxDir, -1L)
+        // the appended quarter arrives as a STREAM in two landings
+        val raw = Tables.embeddings(s, d)
+        val stage = Scratch.dir("graft_s16_stage_").toString
+        raw.where(col("vec_id") % 8 === 3)
+          .coalesce(1).write.mode("append").parquet(stage)
+        val ckpt = Scratch.dir("graft_s16_ck_").toString
+        val q = s.readStream.schema(raw.schema).parquet(stage)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+            if (!batch.isEmpty) {
+              graft.GraftExtensions.registerNative(s)
+              VectorOps.committedCellAppend(
+                assigned(VectorOps.vecs(batch)
+                  .select("vec_id", "label", "v", "nn")), idxDir, bid)
+            }
+          }
+          .start()
+        try {
+          q.processAllAvailable()
+          raw.where(col("vec_id") % 8 === 7)
+            .coalesce(1).write.mode("append").parquet(stage)
+          q.processAllAvailable()
+        } finally q.stop()
+        // serve exactly like s13/s14: partition-pruned read of the
+        // probed cells across every generation
+        val qs = e.where(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("nn").as("qn"),
+            explode(VectorOps.ivfProbeUdf(cents, 2)(col("v"), col("nn"))).as("cell"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val probed = qs.select("cell").distinct().collect()
+          .map(_.getLong(0).toInt).sorted
+        val index = s.read.parquet(idxDir)
+          .where(col("cell").isin(probed: _*)).drop("gen")
+        val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+        index.join(broadcast(qs.withColumn("cell", col("cell").cast("int"))), Seq("cell"))
+          .where(col("vec_id") =!= col("qid"))
+          .withColumn("cos", round(cosExpr, 6))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 5)
+          .select(col("qid"), col("rank").cast("bigint").as("rank"),
+            col("vec_id"), col("cos"))
+      },
+      Some(duckIvfTrainedTopk)),
+
     // ---- PQ with the TRAINED codebook: the k-means centroids sliced
     // per subspace become the sub-codebooks (cids stay the contiguous
     // 0..3 the ADC table indexes by), corpus encoded to 4 small ints,

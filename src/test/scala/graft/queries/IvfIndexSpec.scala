@@ -46,6 +46,33 @@ class IvfIndexSpec extends SparkSpec {
     assert(cells === Set("cell=0", "cell=1"))
   }
 
+  test("committedCellAppend: replayed batchIds are pure skips; crashed tmp is invisible") {
+    import spark.implicits._
+    import graft.operators.VectorOps
+    val dir = Scratch.dir("ivf_gen_").resolve("ivf").toString
+    def gen(ids: Range) = ids.map(i => (i.toLong, (i % 3))).toDF("vec_id", "cell")
+    VectorOps.committedCellAppend(gen(0 until 12), dir, -1L)
+    VectorOps.committedCellAppend(gen(100 until 106), dir, 0L)
+    assert(spark.read.parquet(dir).count() === 18)
+    // at-least-once REPLAY of batch 0 (different rows — must be ignored,
+    // the generation is already committed)
+    VectorOps.committedCellAppend(gen(200 until 220), dir, 0L)
+    assert(spark.read.parquet(dir).count() === 18,
+      "a replayed batchId must not double-ingest")
+    // a crashed half-write (hidden tmp left behind) is invisible to
+    // readers and to partition discovery
+    gen(900 until 910).write.partitionBy("cell").parquet(s"$dir/.tmp_gen_7")
+    assert(spark.read.parquet(dir).count() === 18)
+    // cell pruning still prunes across generations (input_file_name is
+    // execution-time truth; inputFiles is the pre-pruning listing)
+    val prunedFiles = spark.read.parquet(dir).where(col("cell") === 1)
+      .select(input_file_name().as("f")).distinct().as[String].collect()
+    assert(prunedFiles.nonEmpty && prunedFiles.forall(_.contains("cell=1")))
+    // and the next real batch commits normally
+    VectorOps.committedCellAppend(gen(300 until 303), dir, 1L)
+    assert(spark.read.parquet(dir).count() === 21)
+  }
+
   test("serving from the persisted index equals the in-memory serve (s13 == s9)") {
     val fromIndex = graft.SparkEntry.queries("s13_ivf_index_served")(spark, sfDir)
       .collect().map(_.toSeq).toSet
