@@ -356,6 +356,53 @@ object MinHashLSH {
     res
   }
 
+  /** BUCKETED band-index layout — the 100 TB serving shape the flat
+    * index's doc promises ("at scale the index would additionally be
+    * bucketed by `h` so the probe prunes to matching buckets"), now
+    * real: band rows carry `hb = pmod(xxhash64(h), numBuckets)` and the
+    * index is laid out `gen=<batch>/hb=<n>/` (generations via
+    * [[graft.sources.Sinks.committedPartitionedAppend]] — exactly-once
+    * appends, backfill at gen=-1). A batch's probe touches at most
+    * |batch|·k DISTINCT hb values, so the index scan PARTITION-PRUNES
+    * to those directories — probe I/O tracks |batch|, never |corpus|,
+    * where the flat layout pays a full map-only index scan per batch.
+    * Verdicts are unchanged (hb is a pure function of h: pruned rows
+    * cannot collide with the batch), so d16 shares d13's oracle.
+    */
+  def withHashBucket(bands: DataFrame, numBuckets: Int = 64): DataFrame =
+    bands.withColumn("hb", pmod(xxhash64(col("h")), lit(numBuckets)).cast("int"))
+
+  /** Incremental dedup against the BUCKETED index: collect the batch's
+    * distinct hb set (bounded by |batch|·k), prune the index scan to
+    * those partitions, and run the same verdict plan. `appendAdmitted`
+    * lands the admitted bands as this batch's generation.
+    */
+  def incrementalDedupBucketed(batchBands: DataFrame, idCol: String,
+                               indexDir: String, numBuckets: Int = 64,
+                               batchId: Long = 0L,
+                               appendAdmitted: Boolean = true): DataFrame = {
+    val spark = batchBands.sparkSession
+    val bb = withHashBucket(
+        batchBands.select(col(idCol), col("band"), col("h")), numBuckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probedHb = bb.select("hb").distinct().collect().map(_.getInt(0)).sorted
+    // partition prune: only the batch's hash buckets are listed/read
+    val idx = spark.read.parquet(indexDir)
+      .where(col("hb").isin(probedHb.map(Integer.valueOf).toSeq: _*))
+      .select(col(idCol), col("band"), col("h"))
+    val resPlan = incrementalVerdictPlan(
+      bb.select(col(idCol), col("band"), col("h")), idCol, idx)
+    val res = spark.createDataFrame(resPlan.rdd, resPlan.schema)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    res.count()
+    if (appendAdmitted)
+      graft.sources.Sinks.committedPartitionedAppend(
+        bb.join(res.where(col("admitted")).select(idCol), Seq(idCol), "left_semi"),
+        indexDir, batchId, "hb")
+    bb.unpersist()
+    res
+  }
+
   /** CRASH-ATOMIC face of [[incrementalDedup]] for at-least-once
     * callers (Structured Streaming foreachBatch): the verdict output is
     * committed idempotently KEYED BY `batchId` BEFORE the admitted-bands

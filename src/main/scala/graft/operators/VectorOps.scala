@@ -295,18 +295,8 @@ object VectorOps {
     * unlike the band index where dup_of_corpus is an EXISTS.
     */
   def committedCellAppend(assigned: DataFrame, indexDir: String,
-                          batchId: Long): Unit = {
-    val spark = assigned.sparkSession
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val genDir = new org.apache.hadoop.fs.Path(s"$indexDir/gen=$batchId")
-    if (fs.exists(genDir)) return // replayed batch: already committed
-    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/.tmp_gen_$batchId")
-    fs.delete(tmp, true)
-    assigned.write.partitionBy("cell").parquet(tmp.toString)
-    if (!fs.rename(tmp, genDir))
-      throw new java.io.IOException(s"rename failed: $tmp -> $genDir")
-  }
+                          batchId: Long): Unit =
+    graft.sources.Sinks.committedPartitionedAppend(assigned, indexDir, batchId, "cell")
 
   /** DuckDB restatements (for oracle SQL) */
   val duckVecs: String =

@@ -60,6 +60,26 @@ object DedupQueries extends QueryPack {
 
   private val duckBands = s"WITH ${duckBandsChain("documents", "")}"
 
+  /** d13/d16 shared verdict restatement (the two gates differ only in
+    * index LAYOUT — flat scan vs hash-bucket-pruned — never in result)
+    */
+  private val duckIncrementalVerdicts =
+    s"""$duckBands,
+        corpus AS (SELECT * FROM bands WHERE doc_id % 5 <> 0 AND h IS NOT NULL),
+        batch AS (SELECT * FROM bands WHERE doc_id % 5 = 0 AND h IS NOT NULL),
+        hitc AS (SELECT DISTINCT b.doc_id FROM batch b
+                 JOIN corpus c ON b.band = c.band AND b.h = c.h),
+        hitb AS (SELECT DISTINCT b.doc_id FROM batch b
+                 JOIN batch a ON b.band = a.band AND b.h = a.h
+                  AND a.doc_id < b.doc_id)
+        SELECT i.doc_id,
+          (hc.doc_id IS NOT NULL) AS dup_of_corpus,
+          (hb.doc_id IS NOT NULL) AS dup_in_batch,
+          (hc.doc_id IS NULL AND hb.doc_id IS NULL) AS admitted
+        FROM (SELECT DISTINCT doc_id FROM batch) i
+        LEFT JOIN hitc hc ON i.doc_id = hc.doc_id
+        LEFT JOIN hitb hb ON i.doc_id = hb.doc_id"""
+
   def all: Seq[Q] = Seq(
 
     // ---- Exact dedup: md5 fingerprint groupBy; keeper = min doc_id.
@@ -154,21 +174,33 @@ object DedupQueries extends QueryPack {
         MinHashLSH.incrementalDedup(
           MinHashLSH.bands(batch, "doc_id", col("w"), 4), "doc_id", idxDir)
       },
-      Some(s"""$duckBands,
-              corpus AS (SELECT * FROM bands WHERE doc_id % 5 <> 0 AND h IS NOT NULL),
-              batch AS (SELECT * FROM bands WHERE doc_id % 5 = 0 AND h IS NOT NULL),
-              hitc AS (SELECT DISTINCT b.doc_id FROM batch b
-                       JOIN corpus c ON b.band = c.band AND b.h = c.h),
-              hitb AS (SELECT DISTINCT b.doc_id FROM batch b
-                       JOIN batch a ON b.band = a.band AND b.h = a.h
-                        AND a.doc_id < b.doc_id)
-              SELECT i.doc_id,
-                (hc.doc_id IS NOT NULL) AS dup_of_corpus,
-                (hb.doc_id IS NOT NULL) AS dup_in_batch,
-                (hc.doc_id IS NULL AND hb.doc_id IS NULL) AS admitted
-              FROM (SELECT DISTINCT doc_id FROM batch) i
-              LEFT JOIN hitc hc ON i.doc_id = hc.doc_id
-              LEFT JOIN hitb hb ON i.doc_id = hb.doc_id""")),
+      Some(duckIncrementalVerdicts)),
+
+    // ---- BUCKETED band index (d16): the 100 TB serving layout of d13
+    // — the flat index pays a full (map-only) index scan per batch; at
+    // real scale that is |corpus| I/O every batch. Here band rows carry
+    // hb = pmod(xxhash64(h), 64), the index lives under gen=<batch>/
+    // hb=<n>/ partition dirs (exactly-once generational appends), and
+    // the batch probe PRUNES the scan to its own hash buckets — at
+    // most |batch|·k of them — so probe I/O tracks |batch|, never
+    // |corpus|. hb is a pure function of h (pruned rows cannot
+    // collide), so the verdicts are byte-identical to d13's and the
+    // gate shares its oracle; ScaleSpec pins the PartitionFilters.
+    Q("d16_bucketed_index_dedup",
+      (s, d) => {
+        val docs = withWords(Tables.documents(s, d))
+        val idxDir = Scratch.dir("graft_d16_").resolve("bands").toString
+        graft.sources.Sinks.committedPartitionedAppend(
+          MinHashLSH.withHashBucket(
+            MinHashLSH.bands(docs.where(col("doc_id") % 5 =!= 0),
+              "doc_id", col("w"), 4)),
+          idxDir, -1L, "hb")
+        MinHashLSH.incrementalDedupBucketed(
+          MinHashLSH.bands(docs.where(col("doc_id") % 5 === 0),
+            "doc_id", col("w"), 4),
+          "doc_id", idxDir, batchId = 0L)
+      },
+      Some(duckIncrementalVerdicts)),
 
     // ---- Band-index COMPACTION round-trip (the x36 discipline for the
     // d13/e18 persisted index): every committed micro-batch appends one

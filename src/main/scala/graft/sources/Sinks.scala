@@ -405,6 +405,30 @@ object Sinks {
     fs.delete(old, true)
   }
 
+  /** EXACTLY-ONCE per-batch append into a partition-pruned index
+    * layout: each batch's rows land under their own `gen=<batchId>/
+    * <partitionCol>=.../` generation — written to a hidden tmp sibling
+    * first, then published with ONE atomic dir rename. A replayed
+    * batchId is a pure skip (its gen dir exists) and a crashed
+    * half-write is invisible (hidden tmp). Readers list the index root:
+    * partition discovery surfaces (gen, partitionCol), pruning on the
+    * partition column prunes inside every generation, and `gen` is
+    * dropped before use. The commit discipline behind the streaming
+    * IVF maintenance (s16, via VectorOps.committedCellAppend) and the
+    * bucketed band index (d16).
+    */
+  def committedPartitionedAppend(df: DataFrame, indexDir: String,
+                                 batchId: Long, partitionCol: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val genDir = new org.apache.hadoop.fs.Path(s"$indexDir/gen=$batchId")
+    if (fs.exists(genDir)) return // replayed batch: already committed
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/.tmp_gen_$batchId")
+    fs.delete(tmp, true)
+    df.write.partitionBy(partitionCol).parquet(tmp.toString)
+    renameOrThrow(fs, tmp, genDir)
+  }
+
   /** Write a table partitioned by a low-cardinality column (court/lang/
     * year in the reference's layout) so scans with a partition predicate
     * prune at planning time.

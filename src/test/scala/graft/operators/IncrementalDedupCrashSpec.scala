@@ -198,6 +198,47 @@ class IncrementalDedupCrashSpec extends SparkSpec {
     assert(fs.exists(p(s"${idx}__commits/batch_0")))
   }
 
+  test("bucketed index (d16): verdicts equal the flat layout, probe partition-prunes to the batch's hash buckets") {
+    import org.apache.spark.sql.functions.{input_file_name, pmod, xxhash64, lit}
+    val base = java.nio.file.Files.createTempDirectory("inc_hb_")
+    val flat = base.resolve("flat").toString
+    val bucketed = base.resolve("hb").toString
+    corpusBands.write.parquet(flat)
+    graft.sources.Sinks.committedPartitionedAppend(
+      MinHashLSH.withHashBucket(corpusBands), bucketed, -1L, "hb")
+
+    val vFlat = verdictMap(MinHashLSH.incrementalDedup(
+      batchBands, "doc_id", flat, appendAdmitted = false))
+    val vBucketed = verdictMap(MinHashLSH.incrementalDedupBucketed(
+      batchBands, "doc_id", bucketed, appendAdmitted = false))
+    assert(vBucketed == vFlat && vBucketed == expected,
+      "layout must never change verdicts")
+
+    // the probe's index scan reads ONLY the batch's hash buckets
+    import spark.implicits._
+    val probedHb = MinHashLSH.withHashBucket(batchBands)
+      .select("hb").distinct().as[Int].collect().toSet
+    val readFiles = spark.read.parquet(bucketed)
+      .where(col("hb").isin(probedHb.toSeq.map(Integer.valueOf): _*))
+      .select(input_file_name().as("f")).distinct().as[String].collect()
+    assert(readFiles.nonEmpty &&
+      readFiles.forall(f => probedHb.exists(b => f.contains(s"hb=$b/"))),
+      s"probe must touch only buckets $probedHb, read: ${readFiles.mkString(", ")}")
+    // and the index genuinely holds buckets the probe never read
+    val allHb = spark.read.parquet(bucketed)
+      .select("hb").distinct().as[Int].collect().toSet
+    assert((allHb -- probedHb).nonEmpty, "fixture must have unprobed buckets")
+
+    // generational append under the bucketed layout: admitted bands
+    // land as gen=0 and a second probe of the same batch sees them
+    val v2 = MinHashLSH.incrementalDedupBucketed(
+      batchBands, "doc_id", bucketed, batchId = 0L, appendAdmitted = true)
+    assert(verdictMap(v2) == expected)
+    val v3 = verdictMap(MinHashLSH.incrementalDedupBucketed(
+      batchBands, "doc_id", bucketed, appendAdmitted = false))
+    assert(v3.values.forall(v => !v._3), "replayed batch docs all hit the appended bands")
+  }
+
   test("committed verdicts equal the raw incrementalDedup verdicts (same batch, same index)") {
     val (idxA, vdA) = freshDirs()
     val (idxB, _) = freshDirs()
