@@ -30,7 +30,8 @@ object Sf1Probe {
     // round-8 additions: the committed-protocol lifecycle gates and
     // the new dedup/ANN tiers
     "d15_index_compaction", "e19_stream_restart_dedup",
-    "m14_image_keeplist", "s15_ivf_staleness")
+    "m14_image_keeplist", "s15_ivf_staleness",
+    "d16_bucketed_index_dedup", "s16_stream_ivf_append")
 
   def buildSf1(spark: SparkSession, src: String, dst: String): Unit = {
     val marker = java.nio.file.Paths.get(s"${dst}_src.txt")
