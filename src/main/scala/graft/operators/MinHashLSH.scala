@@ -333,24 +333,19 @@ object MinHashLSH {
     val bb = batchBands.select(col(idCol), col("band"), col("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // capture the index listing BEFORE any append so the result is
-    // stable however late the plan executes
-    val idx = spark.read.parquet(indexDir)
-    val resPlan = incrementalVerdictPlan(bb, idCol, idx)
-    // materialize the (one-row-per-batch-doc) verdicts so the big band
-    // cache can be dropped NOW — a long-running stream calling this per
-    // micro-batch (e18) must not accumulate pinned band frames until
-    // the ContextCleaner gets around to them. The LogicalRDD re-wrap
-    // (convergeKeepList's discipline) is LOAD-BEARING here, not just
-    // lineage hygiene: a directly-persisted verdict plan would be
-    // registered in the CacheManager keyed on the index path, and the
-    // append's refreshByPath would RECOMPUTE that cache against the
-    // post-append listing — the verdicts would silently flip to "all
-    // dup_of_corpus". The RDD wrapper pins the pre-append listing.
-    val res = spark.createDataFrame(resPlan.rdd, resPlan.schema)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    res.count()
+    // stable however late the plan executes. materializeVerdicts
+    // eagerly counts a LogicalRDD re-wrap (convergeKeepList's
+    // discipline) — LOAD-BEARING here, not just lineage hygiene: a
+    // directly-persisted verdict plan would be registered in the
+    // CacheManager keyed on the index path, and the append's
+    // refreshByPath would RECOMPUTE that cache against the post-append
+    // listing — the verdicts would silently flip to "all
+    // dup_of_corpus". The RDD wrapper pins the pre-append listing, and
+    // the eager count lets the big band cache drop NOW (a long-running
+    // stream must not accumulate pinned band frames).
+    val res = materializeVerdicts(bb, idCol, spark.read.parquet(indexDir))
     if (appendAdmitted)
-      bb.join(res.where(col("admitted")).select(idCol), Seq(idCol), "left_semi")
+      admittedBands(bb, res, idCol)
         .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(indexDir)
     bb.unpersist()
     res
@@ -368,40 +363,163 @@ object MinHashLSH {
     * where the flat layout pays a full map-only index scan per batch.
     * Verdicts are unchanged (hb is a pure function of h: pruned rows
     * cannot collide with the batch), so d16 shares d13's oracle.
+    *
+    * `numBuckets` is part of the index's LAYOUT CONTRACT (the
+    * upsertBucketed precedent): it is chosen once at [[buildBucketedIndex]]
+    * time, recorded in a sibling marker, and every probe DERIVES it
+    * from the marker — a probe bucketing differently than the build
+    * would silently prune away true collisions, so the knob simply
+    * does not exist on the probe side.
     */
   def withHashBucket(bands: DataFrame, numBuckets: Int = 64): DataFrame =
     bands.withColumn("hb", pmod(xxhash64(col("h")), lit(numBuckets)).cast("int"))
 
+  /** One-time backfill of a bucketed index: records the bucket-count
+    * layout marker (sibling file, tmp+rename — same discipline as the
+    * SCD2 retention marker), then lands the corpus bands as gen=-1.
+    */
+  def buildBucketedIndex(bands: DataFrame, indexDir: String,
+                         numBuckets: Int = 64): Unit = {
+    val spark = bands.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(indexDir + "__layout.tmp")
+    val dst = new org.apache.hadoop.fs.Path(indexDir + "__layout")
+    val out = fs.create(tmp, true)
+    try out.write(numBuckets.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"rename failed: $tmp -> $dst")
+    graft.sources.Sinks.committedPartitionedAppend(
+      withHashBucket(bands, numBuckets), indexDir, -1L, "hb")
+  }
+
+  /** The recorded bucket count of a bucketed index — loud when absent
+    * (probing an index without its layout contract is exactly the
+    * silent-wrong-prune class the marker exists to prevent).
+    */
+  private def bucketCount(spark: org.apache.spark.sql.SparkSession,
+                          indexDir: String): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(indexDir + "__layout")
+    if (!fs.exists(p))
+      throw new IllegalStateException(
+        s"no layout marker at ${indexDir}__layout — build the index with " +
+          "buildBucketedIndex (probing with a guessed bucket count would " +
+          "silently prune true collisions)")
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](32)
+      val out = new java.io.ByteArrayOutputStream(32)
+      var n = in.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toString(java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+    } finally in.close()
+  }
+
+  /** The pruned index read the bucketed probe runs — exposed so specs
+    * can pin the PartitionFilters on the very plan the operator
+    * executes (the executed gate result is a LogicalRDD wrapper).
+    */
+  private[graft] def prunedBucketedIndex(spark: org.apache.spark.sql.SparkSession,
+                                         indexDir: String,
+                                         probedHb: Seq[Int]): DataFrame =
+    spark.read.parquet(indexDir)
+      .where(col("hb").isin(probedHb.map(Integer.valueOf): _*))
+
   /** Incremental dedup against the BUCKETED index: collect the batch's
-    * distinct hb set (bounded by |batch|·k), prune the index scan to
-    * those partitions, and run the same verdict plan. `appendAdmitted`
-    * lands the admitted bands as this batch's generation.
+    * distinct hb set (bounded by |batch|·k) under the index's recorded
+    * bucket count, prune the index scan to those partitions, and run
+    * the same verdict plan as the flat layout. `appendAdmitted` lands
+    * the admitted bands as this batch's generation — idempotent per
+    * batchId (a replayed id is a pure skip), but NOTE the same
+    * caller-side crash window as the flat [[incrementalDedup]]: the
+    * append lands before the caller can persist the verdicts, so an
+    * at-least-once caller must use [[committedIncrementalDedupBucketed]],
+    * which commits the verdicts first.
     */
   def incrementalDedupBucketed(batchBands: DataFrame, idCol: String,
-                               indexDir: String, numBuckets: Int = 64,
-                               batchId: Long = 0L,
+                               indexDir: String, batchId: Long,
                                appendAdmitted: Boolean = true): DataFrame = {
     val spark = batchBands.sparkSession
+    val nb = bucketCount(spark, indexDir)
     val bb = withHashBucket(
-        batchBands.select(col(idCol), col("band"), col("h")), numBuckets)
+        batchBands.select(col(idCol), col("band"), col("h")), nb)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probedHb = bb.select("hb").distinct().collect().map(_.getInt(0)).sorted
-    // partition prune: only the batch's hash buckets are listed/read
-    val idx = spark.read.parquet(indexDir)
-      .where(col("hb").isin(probedHb.map(Integer.valueOf).toSeq: _*))
+    val idx = prunedBucketedIndex(spark, indexDir, probedHb.toSeq)
       .select(col(idCol), col("band"), col("h"))
-    val resPlan = incrementalVerdictPlan(
-      bb.select(col(idCol), col("band"), col("h")), idCol, idx)
-    val res = spark.createDataFrame(resPlan.rdd, resPlan.schema)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    res.count()
+    val res = materializeVerdicts(bb.select(col(idCol), col("band"), col("h")),
+      idCol, idx)
     if (appendAdmitted)
       graft.sources.Sinks.committedPartitionedAppend(
-        bb.join(res.where(col("admitted")).select(idCol), Seq(idCol), "left_semi"),
-        indexDir, batchId, "hb")
+        admittedBands(bb, res, idCol), indexDir, batchId, "hb")
     bb.unpersist()
     res
   }
+
+  /** Crash-atomic face of the bucketed layout (the e18 protocol, one
+    * step simpler): verdicts commit atomically under
+    * `verdictDir/batch=<batchId>` FIRST, then the admitted bands land
+    * as the batch's generation — and the gen dir itself is the
+    * completion marker (its rename is atomic and keyed by batchId, so
+    * no sibling marker or delta file is needed). Replay matrix: before
+    * the verdict commit → recompute against the untouched index;
+    * between the two renames → trust the stored verdict, redo the
+    * append (pure skip if the gen landed); after both → pure skip.
+    */
+  def committedIncrementalDedupBucketed(batchBands: DataFrame, idCol: String,
+                                        indexDir: String, verdictDir: String,
+                                        batchId: Long): DataFrame = {
+    val spark = batchBands.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val verdictPath = new org.apache.hadoop.fs.Path(s"$verdictDir/batch=$batchId")
+    def readVerdict(): DataFrame = spark.read.parquet(verdictPath.toString)
+    val nb = bucketCount(spark, indexDir)
+    val bb = withHashBucket(
+        batchBands.select(col(idCol), col("band"), col("h")), nb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (!fs.exists(verdictPath)) {
+        val probedHb = bb.select("hb").distinct().collect().map(_.getInt(0)).sorted
+        val idx = prunedBucketedIndex(spark, indexDir, probedHb.toSeq)
+          .select(col(idCol), col("band"), col("h"))
+        val resPlan = incrementalVerdictPlan(
+          bb.select(col(idCol), col("band"), col("h")), idCol, idx)
+        val tmp = new org.apache.hadoop.fs.Path(s"$verdictDir/.tmp_batch_$batchId")
+        fs.delete(tmp, true)
+        resPlan.write.parquet(tmp.toString)
+        if (!fs.rename(tmp, verdictPath))
+          throw new java.io.IOException(s"rename failed: $tmp -> $verdictPath")
+      }
+      // admitted set from the COMMITTED verdict; the generational
+      // append is itself idempotent per batchId
+      graft.sources.Sinks.committedPartitionedAppend(
+        admittedBands(bb, readVerdict(), idCol), indexDir, batchId, "hb")
+      readVerdict()
+    } finally bb.unpersist()
+  }
+
+  /** shared verdict materialization: LogicalRDD re-wrap (pins the
+    * pre-append index listing — see incrementalDedup's cache note) +
+    * eager count so the caller can drop the band cache immediately
+    */
+  private def materializeVerdicts(bb: DataFrame, idCol: String,
+                                  idx: DataFrame): DataFrame = {
+    val spark = bb.sparkSession
+    val resPlan = incrementalVerdictPlan(bb, idCol, idx)
+    val res = spark.createDataFrame(resPlan.rdd, resPlan.schema)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    res.count()
+    res
+  }
+
+  /** the admitted docs' band rows (append payload) */
+  private def admittedBands(bb: DataFrame, res: DataFrame, idCol: String): DataFrame =
+    bb.join(res.where(col("admitted")).select(idCol), Seq(idCol), "left_semi")
 
   /** CRASH-ATOMIC face of [[incrementalDedup]] for at-least-once
     * callers (Structured Streaming foreachBatch): the verdict output is

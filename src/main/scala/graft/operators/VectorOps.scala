@@ -295,7 +295,7 @@ object VectorOps {
     * unlike the band index where dup_of_corpus is an EXISTS.
     */
   def committedCellAppend(assigned: DataFrame, indexDir: String,
-                          batchId: Long): Unit =
+                          batchId: Long): Boolean =
     graft.sources.Sinks.committedPartitionedAppend(assigned, indexDir, batchId, "cell")
 
   /** DuckDB restatements (for oracle SQL) */

@@ -183,18 +183,21 @@ object DedupQueries extends QueryPack {
     // hb=<n>/ partition dirs (exactly-once generational appends), and
     // the batch probe PRUNES the scan to its own hash buckets — at
     // most |batch|·k of them — so probe I/O tracks |batch|, never
-    // |corpus|. hb is a pure function of h (pruned rows cannot
+    // |corpus|. The bucket count is a recorded layout contract
+    // (probing derives it from the index's marker — a mismatched guess
+    // would silently prune true collisions, so the knob only exists at
+    // build time). hb is a pure function of h (pruned rows cannot
     // collide), so the verdicts are byte-identical to d13's and the
-    // gate shares its oracle; ScaleSpec pins the PartitionFilters.
+    // gate shares its oracle; IncrementalDedupCrashSpec pins
+    // layout-equality and the partition prune on the operator's own
+    // pruned read.
     Q("d16_bucketed_index_dedup",
       (s, d) => {
         val docs = withWords(Tables.documents(s, d))
         val idxDir = Scratch.dir("graft_d16_").resolve("bands").toString
-        graft.sources.Sinks.committedPartitionedAppend(
-          MinHashLSH.withHashBucket(
-            MinHashLSH.bands(docs.where(col("doc_id") % 5 =!= 0),
-              "doc_id", col("w"), 4)),
-          idxDir, -1L, "hb")
+        MinHashLSH.buildBucketedIndex(
+          MinHashLSH.bands(docs.where(col("doc_id") % 5 =!= 0),
+            "doc_id", col("w"), 4), idxDir)
         MinHashLSH.incrementalDedupBucketed(
           MinHashLSH.bands(docs.where(col("doc_id") % 5 === 0),
             "doc_id", col("w"), 4),

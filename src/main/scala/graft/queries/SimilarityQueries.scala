@@ -87,6 +87,50 @@ object SimilarityQueries extends QueryPack {
         vecs(s, d).where(col("vec_id") % 4 =!= 3), "vec_id", "v", 4, 1)
     })
 
+  /** codebook entries with their squared norms — the (cid, cv, ‖cv‖²)
+    * shape ivfAssignUdf/ivfProbeUdf consume (one copy; previously
+    * pasted per gate)
+    */
+  private def withNorms(cb: Seq[(Int, Array[Double])]): Seq[(Long, Array[Double], Double)] =
+    cb.map { case (cid, cv) =>
+      var nn = 0.0
+      var i = 0
+      while (i < cv.length) { nn += cv(i) * cv(i); i += 1 }
+      (cid.toLong, cv, nn)
+    }
+
+  /** The SHARED s13/s14/s16 serve path over a persisted cell-
+    * partitioned index: nprobe=2 probes for queries vec_id < 3
+    * (collected — bounded driver state), a PARTITION-PRUNED read of the
+    * probed cell directories (a `gen` partition level, if present, is
+    * pruned through and dropped), broadcast cell equi-join, exact
+    * cosine top-5. One copy — the three gates differ only in how the
+    * index got onto disk.
+    */
+  private def serveTopkFromIndex(s: SparkSession, idxDir: String,
+                                 cents: Seq[(Long, Array[Double], Double)],
+                                 e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = e.where(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nn").as("qn"),
+        explode(VectorOps.ivfProbeUdf(cents, 2)(col("v"), col("nn"))).as("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probed = q.select("cell").distinct().collect()
+      .map(_.getLong(0).toInt).sorted
+    // partition-column values are inferred as int; matching-type
+    // literals keep the filter a pure partition prune (no cast)
+    val index = s.read.parquet(idxDir)
+      .where(col("cell").isin(probed: _*)).drop("gen")
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    index.join(broadcast(q.withColumn("cell", col("cell").cast("int"))), Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(cosExpr, 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("qid"), col("rank").cast("bigint").as("rank"),
+        col("vec_id"), col("cos"))
+  }
+
   /** duckKmeans trained on a FILTERED population (`te`) while `e` stays
     * the full corpus — the s15 oracle's frozen-codebook restatement.
     */
@@ -540,35 +584,12 @@ object SimilarityQueries extends QueryPack {
     // shared with s9 since only the serving path differs.
     Q("s13_ivf_index_served",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val e = vecs(s, d)
-        val cents = trainedCodebook(s, d).map { case (cid, cv) =>
-          var nn = 0.0
-          var i = 0
-          while (i < cv.length) { nn += cv(i) * cv(i); i += 1 }
-          (cid.toLong, cv, nn)
-        }
+        val cents = withNorms(trainedCodebook(s, d))
         val idxDir = Scratch.dir("graft_s13_").resolve("ivf").toString
         e.withColumn("cell", VectorOps.ivfAssignUdf(cents)(col("v"), col("nn")))
           .write.partitionBy("cell").parquet(idxDir)
-        val q = e.where(col("vec_id") < 3)
-          .select(col("vec_id").as("qid"), col("v").as("qv"), col("nn").as("qn"),
-            explode(VectorOps.ivfProbeUdf(cents, 2)(col("v"), col("nn"))).as("cell"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val probed = q.select("cell").distinct().collect()
-          .map(_.getLong(0).toInt).sorted
-        val index = s.read.parquet(idxDir)
-          // partition-column values are inferred as int; matching-type
-          // literals keep the filter a pure partition prune (no cast)
-          .where(col("cell").isin(probed: _*))
-        val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
-        index.join(broadcast(q.withColumn("cell", col("cell").cast("int"))), Seq("cell"))
-          .where(col("vec_id") =!= col("qid"))
-          .withColumn("cos", round(cosExpr, 6))
-          .withColumn("rank", row_number().over(w))
-          .where(col("rank") <= 5)
-          .select(col("qid"), col("rank").cast("bigint").as("rank"),
-            col("vec_id"), col("cos"))
+        serveTopkFromIndex(s, idxDir, cents, e)
       },
       Some(duckIvfTrainedTopk)),
 
@@ -583,14 +604,8 @@ object SimilarityQueries extends QueryPack {
     // assignment pass plus a partitioned append.
     Q("s14_ivf_index_append",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val e = vecs(s, d)
-        val cents = trainedCodebook(s, d).map { case (cid, cv) =>
-          var nn = 0.0
-          var i = 0
-          while (i < cv.length) { nn += cv(i) * cv(i); i += 1 }
-          (cid.toLong, cv, nn)
-        }
+        val cents = withNorms(trainedCodebook(s, d))
         def assigned(df: org.apache.spark.sql.DataFrame) =
           df.withColumn("cell", VectorOps.ivfAssignUdf(cents)(col("v"), col("nn")))
         val idxDir = Scratch.dir("graft_s14_").resolve("ivf").toString
@@ -600,21 +615,7 @@ object SimilarityQueries extends QueryPack {
         // generation 2: the landing batch, frozen-codebook assign + append
         assigned(e.where(col("vec_id") % 4 === 3))
           .write.mode("append").partitionBy("cell").parquet(idxDir)
-        val q = e.where(col("vec_id") < 3)
-          .select(col("vec_id").as("qid"), col("v").as("qv"), col("nn").as("qn"),
-            explode(VectorOps.ivfProbeUdf(cents, 2)(col("v"), col("nn"))).as("cell"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val probed = q.select("cell").distinct().collect()
-          .map(_.getLong(0).toInt).sorted
-        val index = s.read.parquet(idxDir).where(col("cell").isin(probed: _*))
-        val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
-        index.join(broadcast(q.withColumn("cell", col("cell").cast("int"))), Seq("cell"))
-          .where(col("vec_id") =!= col("qid"))
-          .withColumn("cos", round(cosExpr, 6))
-          .withColumn("rank", row_number().over(w))
-          .where(col("rank") <= 5)
-          .select(col("qid"), col("rank").cast("bigint").as("rank"),
-            col("vec_id"), col("cos"))
+        serveTopkFromIndex(s, idxDir, cents, e)
       },
       Some(duckIvfTrainedTopk)),
 
@@ -636,12 +637,7 @@ object SimilarityQueries extends QueryPack {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val e = vecs(s, d)
-        val cents = staleCodebook(s, d).map { case (cid, cv) =>
-          var nn = 0.0
-          var i = 0
-          while (i < cv.length) { nn += cv(i) * cv(i); i += 1 }
-          (cid.toLong, cv, nn)
-        }
+        val cents = withNorms(staleCodebook(s, d))
         val qids = Seq(0L, 1L, 2L, 3L, 7L, 11L)
         val assigned = e
           .withColumn("cell", VectorOps.ivfAssignUdf(cents)(col("v"), col("nn")))
@@ -747,14 +743,8 @@ object SimilarityQueries extends QueryPack {
     // loss, duplication, or layout drift fails the hash.
     Q("s16_stream_ivf_append",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val e = vecs(s, d)
-        val cents = trainedCodebook(s, d).map { case (cid, cv) =>
-          var nn = 0.0
-          var i = 0
-          while (i < cv.length) { nn += cv(i) * cv(i); i += 1 }
-          (cid.toLong, cv, nn)
-        }
+        val cents = withNorms(trainedCodebook(s, d))
         def assigned(df: org.apache.spark.sql.DataFrame) =
           df.withColumn("cell", VectorOps.ivfAssignUdf(cents)(col("v"), col("nn")))
         val idxDir = Scratch.dir("graft_s16_").resolve("ivf").toString
@@ -776,6 +766,7 @@ object SimilarityQueries extends QueryPack {
               VectorOps.committedCellAppend(
                 assigned(VectorOps.vecs(batch)
                   .select("vec_id", "label", "v", "nn")), idxDir, bid)
+              ()
             }
           }
           .start()
@@ -787,22 +778,7 @@ object SimilarityQueries extends QueryPack {
         } finally q.stop()
         // serve exactly like s13/s14: partition-pruned read of the
         // probed cells across every generation
-        val qs = e.where(col("vec_id") < 3)
-          .select(col("vec_id").as("qid"), col("v").as("qv"), col("nn").as("qn"),
-            explode(VectorOps.ivfProbeUdf(cents, 2)(col("v"), col("nn"))).as("cell"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val probed = qs.select("cell").distinct().collect()
-          .map(_.getLong(0).toInt).sorted
-        val index = s.read.parquet(idxDir)
-          .where(col("cell").isin(probed: _*)).drop("gen")
-        val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
-        index.join(broadcast(qs.withColumn("cell", col("cell").cast("int"))), Seq("cell"))
-          .where(col("vec_id") =!= col("qid"))
-          .withColumn("cos", round(cosExpr, 6))
-          .withColumn("rank", row_number().over(w))
-          .where(col("rank") <= 5)
-          .select(col("qid"), col("rank").cast("bigint").as("rank"),
-            col("vec_id"), col("cos"))
+        serveTopkFromIndex(s, idxDir, cents, e)
       },
       Some(duckIvfTrainedTopk)),
 

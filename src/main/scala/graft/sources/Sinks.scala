@@ -416,17 +416,33 @@ object Sinks {
     * dropped before use. The commit discipline behind the streaming
     * IVF maintenance (s16, via VectorOps.committedCellAppend) and the
     * bucketed band index (d16).
+    *
+    * Returns true when this call published the generation, false when
+    * `batchId` was already committed (the replay skip) — callers
+    * managing their own ids can detect an id-reuse mistake instead of
+    * silently losing a batch. CONCURRENCY: one writer per index at a
+    * time (the upsertBucketed discipline — foreachBatch serializes
+    * naturally); under that contract any `.tmp_gen_*` dir found on
+    * entry is a dead half-write from a crashed predecessor (its batch
+    * either replays through here or was abandoned with the
+    * checkpoint), so stale tmps are swept rather than left to
+    * accumulate invisible disk forever.
     */
   def committedPartitionedAppend(df: DataFrame, indexDir: String,
-                                 batchId: Long, partitionCol: String): Unit = {
+                                 batchId: Long, partitionCol: String): Boolean = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       df.sparkSession.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    if (fs.exists(root))
+      for (st <- fs.listStatus(root)
+           if st.getPath.getName.startsWith(".tmp_gen_"))
+        fs.delete(st.getPath, true)
     val genDir = new org.apache.hadoop.fs.Path(s"$indexDir/gen=$batchId")
-    if (fs.exists(genDir)) return // replayed batch: already committed
+    if (fs.exists(genDir)) return false // replayed batch: already committed
     val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/.tmp_gen_$batchId")
-    fs.delete(tmp, true)
     df.write.partitionBy(partitionCol).parquet(tmp.toString)
     renameOrThrow(fs, tmp, genDir)
+    true
   }
 
   /** Write a table partitioned by a low-cardinality column (court/lang/

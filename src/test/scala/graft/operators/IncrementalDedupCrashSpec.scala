@@ -199,27 +199,29 @@ class IncrementalDedupCrashSpec extends SparkSpec {
   }
 
   test("bucketed index (d16): verdicts equal the flat layout, probe partition-prunes to the batch's hash buckets") {
-    import org.apache.spark.sql.functions.{input_file_name, pmod, xxhash64, lit}
+    import org.apache.spark.sql.functions.input_file_name
     val base = java.nio.file.Files.createTempDirectory("inc_hb_")
     val flat = base.resolve("flat").toString
     val bucketed = base.resolve("hb").toString
     corpusBands.write.parquet(flat)
-    graft.sources.Sinks.committedPartitionedAppend(
-      MinHashLSH.withHashBucket(corpusBands), bucketed, -1L, "hb")
+    MinHashLSH.buildBucketedIndex(corpusBands, bucketed)
 
     val vFlat = verdictMap(MinHashLSH.incrementalDedup(
       batchBands, "doc_id", flat, appendAdmitted = false))
     val vBucketed = verdictMap(MinHashLSH.incrementalDedupBucketed(
-      batchBands, "doc_id", bucketed, appendAdmitted = false))
+      batchBands, "doc_id", bucketed, batchId = 0L, appendAdmitted = false))
     assert(vBucketed == vFlat && vBucketed == expected,
       "layout must never change verdicts")
 
-    // the probe's index scan reads ONLY the batch's hash buckets
+    // the probe's index scan — THE read the operator itself runs
+    // (prunedBucketedIndex) — touches ONLY the batch's hash buckets
     import spark.implicits._
     val probedHb = MinHashLSH.withHashBucket(batchBands)
       .select("hb").distinct().as[Int].collect().toSet
-    val readFiles = spark.read.parquet(bucketed)
-      .where(col("hb").isin(probedHb.toSeq.map(Integer.valueOf): _*))
+    val pruned = MinHashLSH.prunedBucketedIndex(spark, bucketed, probedHb.toSeq.sorted)
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters: ["),
+      "the hb filter must reach the scan as a partition filter")
+    val readFiles = pruned
       .select(input_file_name().as("f")).distinct().as[String].collect()
     assert(readFiles.nonEmpty &&
       readFiles.forall(f => probedHb.exists(b => f.contains(s"hb=$b/"))),
@@ -235,8 +237,57 @@ class IncrementalDedupCrashSpec extends SparkSpec {
       batchBands, "doc_id", bucketed, batchId = 0L, appendAdmitted = true)
     assert(verdictMap(v2) == expected)
     val v3 = verdictMap(MinHashLSH.incrementalDedupBucketed(
-      batchBands, "doc_id", bucketed, appendAdmitted = false))
+      batchBands, "doc_id", bucketed, batchId = 99L, appendAdmitted = false))
     assert(v3.values.forall(v => !v._3), "replayed batch docs all hit the appended bands")
+  }
+
+  test("bucketed index: probing without the layout marker fails loudly, never prunes wrong") {
+    val dir = java.nio.file.Files.createTempDirectory("inc_nohb_")
+      .resolve("hb").toString
+    // an index laid down WITHOUT buildBucketedIndex (no layout marker)
+    graft.sources.Sinks.committedPartitionedAppend(
+      MinHashLSH.withHashBucket(corpusBands, 32), dir, -1L, "hb")
+    val e = intercept[IllegalStateException](
+      MinHashLSH.incrementalDedupBucketed(batchBands, "doc_id", dir, 0L))
+    assert(e.getMessage.contains("layout marker"))
+  }
+
+  test("committed bucketed face: crash between verdict commit and gen append heals like the flat protocol") {
+    val base = java.nio.file.Files.createTempDirectory("inc_hbc_")
+    val idx = base.resolve("hb").toString
+    val vd = base.resolve("verdicts").toString
+    MinHashLSH.buildBucketedIndex(corpusBands, idx)
+    // window: verdicts committed (computed pre-append), process died
+    // before the generational append
+    MinHashLSH.incrementalDedupBucketed(batchBands, "doc_id", idx,
+      batchId = 0L, appendAdmitted = false).write.parquet(s"$vd/batch=0")
+
+    val v = MinHashLSH.committedIncrementalDedupBucketed(
+      batchBands, "doc_id", idx, vd, 0L)
+    assert(verdictMap(v) == expected,
+      "replay must trust the stored verdict, not re-judge")
+    val gen0 = spark.read.parquet(idx).where(col("gen") === 0)
+    assert(gen0.count() == 2, "admitted bands (7, 9) landed as gen=0")
+    // full replay: pure skip, nothing double-appends
+    val v2 = MinHashLSH.committedIncrementalDedupBucketed(
+      batchBands, "doc_id", idx, vd, 0L)
+    assert(verdictMap(v2) == expected)
+    assert(spark.read.parquet(idx).where(col("gen") === 0).count() == 2)
+  }
+
+  test("committedPartitionedAppend reports id reuse and sweeps stale tmp dirs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("gen_reuse_")
+      .resolve("idx").toString
+    def gen(ids: Range) = ids.map(i => (i.toLong, i % 2)).toDF("id", "part")
+    assert(graft.sources.Sinks.committedPartitionedAppend(gen(0 until 4), dir, 0L, "part"))
+    // id REUSE for a different batch: reported, not silently dropped
+    assert(!graft.sources.Sinks.committedPartitionedAppend(gen(10 until 14), dir, 0L, "part"))
+    // a dead half-write from a crashed writer is swept on the next call
+    gen(90 until 94).write.partitionBy("part").parquet(s"$dir/.tmp_gen_7")
+    assert(graft.sources.Sinks.committedPartitionedAppend(gen(20 until 22), dir, 1L, "part"))
+    assert(!fs.exists(p(s"$dir/.tmp_gen_7")), "stale tmp must be swept")
+    assert(spark.read.parquet(dir).count() == 6)
   }
 
   test("committed verdicts equal the raw incrementalDedup verdicts (same batch, same index)") {
