@@ -563,6 +563,45 @@ object EventQueries extends QueryPack {
         readIndexDedupVerdicts(s, outDir)
       },
       indexDedupOracle),
+
+    // ---- Streaming dedup against the BUCKETED index (e20): e18's
+    // protocol on d16's partition-pruned layout — every micro-batch
+    // probes ONLY its own hash buckets (probe I/O tracks |batch|,
+    // never |corpus|) through the committed bucketed face: verdicts
+    // commit under batch=<id> first, admitted bands land as the
+    // batch's generation, and the gen dir doubles as the completion
+    // marker (no delta file, no sibling marker — two atomic renames).
+    // Same landings, same redelivery, same oracle as e18/e19: layout
+    // can never change verdicts.
+    Q("e20_stream_bucketed_dedup",
+      (s, d) => {
+        import graft.operators.MinHashLSH
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val idxDir = Scratch.dir("graft_e20_idx_").resolve("bands").toString
+        MinHashLSH.buildBucketedIndex(
+          MinHashLSH.bands(docs.where(col("doc_id") % 5 =!= 0)
+              .withColumn("w", split(col("text"), " ")),
+            "doc_id", col("w"), 4), idxDir)
+        val stage = Scratch.dir("graft_e20_stage_").toString
+        val fileA = docs.where(col("doc_id") % 10 === 0)
+        fileA.coalesce(1).write.mode("append").parquet(stage)
+        val stream = s.readStream.schema("doc_id LONG, text STRING").parquet(stage)
+        val resultDir = runGatedStreamWith(s, stream,
+          (batch, oDir, bid) => if (!batch.isEmpty) {
+            MinHashLSH.committedIncrementalDedupBucketed(
+              MinHashLSH.bands(batch.withColumn("w", split(col("text"), " ")),
+                "doc_id", col("w"), 4),
+              "doc_id", idxDir, oDir, bid)
+            ()
+          }) { q =>
+          q.processAllAvailable()
+          docs.where(col("doc_id") % 10 === 5).unionByName(fileA)
+            .coalesce(1).write.mode("append").parquet(stage)
+          q.processAllAvailable()
+        }
+        readIndexDedupVerdicts(s, resultDir)
+      },
+      indexDedupOracle),
   ) ++ lateGates
 
   /** shared e18/e19 fixture: corpus band index + staged landing 1 */
