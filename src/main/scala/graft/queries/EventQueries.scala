@@ -573,6 +573,79 @@ object EventQueries extends QueryPack {
     // marker (no delta file, no sibling marker — two atomic renames).
     // Same landings, same redelivery, same oracle as e18/e19: layout
     // can never change verdicts.
+    // ---- Streaming Count-Min heavy hitters (e21): the CMS counter
+    // table accumulated continuously — the ADD-merged dual of e15's
+    // max-merged HLL. The contrast is the point: HLL registers are
+    // idempotent under redelivery (max), but CMS cells merge by SUM, so
+    // at-least-once delivery WOULD double-count — every micro-batch's
+    // partial counter table therefore lands EXACTLY-ONCE keyed by
+    // batchId (Sinks.committedPartitionedAppend, partitioned by the
+    // sketch row j), and the gate drives an explicit batch-0 REPLAY
+    // whose skip is load-bearing: had it landed, every batch-0 count
+    // would double and the oracle hash would fail. Events split across
+    // the two landings by event_id parity, so the same user's counts
+    // genuinely merge ACROSS batches (sum associativity = the sketch's
+    // mergeability); the read side sums cells over all generations and
+    // probes the exact top-20 users, a19-style.
+    Q("e21_stream_cms",
+      (s, d) => {
+        import graft.operators.CountMinSketch
+        val dir = Scratch.dir("graft_e21_cms_").toString + "/sk"
+        val stage = Scratch.dir("graft_e21_stage_").toString
+        val ev = Tables.events(s, d).select("event_id", "user_id")
+        def tokenCounts(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy(col("user_id").cast("string").as("token"))
+            .agg(count(lit(1)).as("cnt"))
+        ev.where(col("event_id") % 2 === 0)
+          .coalesce(1).write.mode("append").parquet(stage)
+        val stream = s.readStream
+          .schema("event_id LONG, user_id LONG").parquet(stage)
+        runGatedStreamWith(s, stream,
+          (batch, _, bid) => if (!batch.isEmpty) {
+            graft.sources.Sinks.committedPartitionedAppend(
+              CountMinSketch.counters(tokenCounts(batch), "token"),
+              dir, bid, "j")
+            ()
+          }) { q =>
+          q.processAllAvailable()
+          ev.where(col("event_id") % 2 === 1)
+            .coalesce(1).write.mode("append").parquet(stage)
+          q.processAllAvailable()
+        }
+        // at-least-once REPLAY of batch 0's landing: the duplicate gen
+        // id must be a pure skip or the sums double
+        graft.sources.Sinks.committedPartitionedAppend(
+          CountMinSketch.counters(
+            tokenCounts(ev.where(col("event_id") % 2 === 0)), "token"),
+          dir, 0L, "j")
+        val merged = s.read.parquet(dir)
+          .groupBy("j", "c").agg(sum("counter").as("counter"))
+        val exact = tokenCounts(Tables.events(s, d))
+        val top20 = exact.orderBy(col("cnt").desc, col("token")).limit(20)
+        CountMinSketch.estimates(top20.select("token"), merged, "token")
+          .join(top20.withColumnRenamed("cnt", "exact_cnt"), Seq("token"))
+          .select("token", "exact_cnt", "cms_est")
+      },
+      Some("""WITH toks AS (
+                SELECT CAST(user_id AS VARCHAR) AS token, count(*) AS cnt
+                FROM events GROUP BY 1),
+              cells AS (
+                SELECT token, cnt, j,
+                       (256 * (strpos('0123456789abcdef', substr(md5(CAST(j AS VARCHAR) || ':' || token), 1, 1)) - 1)
+                        + 16 * (strpos('0123456789abcdef', substr(md5(CAST(j AS VARCHAR) || ':' || token), 2, 1)) - 1)
+                        + (strpos('0123456789abcdef', substr(md5(CAST(j AS VARCHAR) || ':' || token), 3, 1)) - 1)) % 1024 AS c
+                FROM toks CROSS JOIN (SELECT unnest(range(4)) AS j)),
+              counters AS (
+                SELECT j, c, sum(cnt) AS counter FROM cells GROUP BY 1, 2),
+              top20 AS (
+                SELECT token, cnt FROM toks ORDER BY cnt DESC, token LIMIT 20)
+              SELECT t.token, t.cnt AS exact_cnt,
+                     CAST(min(co.counter) AS BIGINT) AS cms_est
+              FROM top20 t
+              JOIN cells pc ON pc.token = t.token
+              JOIN counters co ON co.j = pc.j AND co.c = pc.c
+              GROUP BY 1, 2""")),
+
     Q("e20_stream_bucketed_dedup",
       (s, d) => {
         import graft.operators.MinHashLSH
