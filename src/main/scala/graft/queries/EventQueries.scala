@@ -646,6 +646,80 @@ object EventQueries extends QueryPack {
               JOIN counters co ON co.j = pc.j AND co.c = pc.c
               GROUP BY 1, 2""")),
 
+    // ---- Streaming HISTOGRAM QUANTILES (e22): the third sketch's
+    // streaming face, completing the trio — HLL max-merges (e15,
+    // redelivery-idempotent), CMS sum-merges behind exactly-once
+    // landings (e21), and the mergeable histogram (a24) sum-merges the
+    // same way: per-batch bin counters land exactly-once keyed by
+    // batchId (Sinks.committedAppend — no inner partitioning, the
+    // sketch is ~50 rows), a batch-0 replay is driven and must skip,
+    // and the read side sum-merges bins across generations before the
+    // a24 quantile selection (integer ceil targets, in-bin
+    // interpolation). Oracle restates the whole sketch over events.
+    Q("e22_stream_histogram",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val dir = Scratch.dir("graft_e22_hist_").toString + "/sk"
+        val stage = Scratch.dir("graft_e22_stage_").toString
+        val ev = Tables.events(s, d).select("event_id", "value")
+        def bins(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy(floor(col("value") / 10).cast("bigint").as("bin"))
+            .agg(count(lit(1)).as("cnt"))
+        ev.where(col("event_id") % 2 === 0)
+          .coalesce(1).write.mode("append").parquet(stage)
+        val stream = s.readStream
+          .schema("event_id LONG, value DOUBLE").parquet(stage)
+        runGatedStreamWith(s, stream,
+          (batch, _, bid) => if (!batch.isEmpty) {
+            graft.sources.Sinks.committedAppend(bins(batch), dir, bid)
+            ()
+          }) { q =>
+          q.processAllAvailable()
+          ev.where(col("event_id") % 2 === 1)
+            .coalesce(1).write.mode("append").parquet(stage)
+          q.processAllAvailable()
+        }
+        // replayed batch 0: must be a pure skip or every even-event
+        // bin count doubles
+        graft.sources.Sinks.committedAppend(
+          bins(ev.where(col("event_id") % 2 === 0)), dir, 0L)
+        val merged = s.read.parquet(dir)
+          .groupBy("bin").agg(sum("cnt").as("cnt"))
+        val cum = merged.withColumn("cum",
+          sum("cnt").over(Window.orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val total = merged.agg(sum("cnt").as("total"))
+        val quant = Seq(500L, 900L, 990L).toDF("qm")
+        cum.crossJoin(broadcast(total)).crossJoin(broadcast(quant))
+          .withColumn("target", expr("(total * qm + 999) DIV 1000"))
+          .where(col("cum") >= col("target"))
+          .groupBy("qm")
+          .agg(min(struct(col("bin"), col("cum"), col("cnt"), col("target"))).as("sel"))
+          .select(col("qm"),
+            col("sel.target").as("target_rank"),
+            round(col("sel.bin") * 10 +
+              lit(10) * (col("sel.target") - (col("sel.cum") - col("sel.cnt")))
+                .cast("double") / col("sel.cnt"), 6).as("est"))
+      },
+      Some("""WITH b AS (SELECT CAST(floor(value / 10) AS BIGINT) AS bin,
+                       count(*) AS cnt
+                     FROM events GROUP BY 1),
+              c AS (SELECT bin, cnt,
+                      sum(cnt) OVER (ORDER BY bin) AS cum,
+                      sum(cnt) OVER () AS total
+                    FROM b),
+              t AS (SELECT c.*, q.qm,
+                      CAST((total * qm + 999) // 1000 AS BIGINT) AS target
+                    FROM c CROSS JOIN (SELECT unnest([500, 900, 990]) AS qm) q),
+              sel AS (SELECT qm, target, bin, cum, cnt,
+                        row_number() OVER (PARTITION BY qm ORDER BY bin) AS r
+                      FROM t WHERE cum >= target)
+              SELECT CAST(qm AS BIGINT) AS qm, target AS target_rank,
+                round(bin * 10 +
+                  10 * CAST(target - (cum - cnt) AS DOUBLE) / cnt, 6) AS est
+              FROM sel WHERE r = 1""")),
+
     Q("e20_stream_bucketed_dedup",
       (s, d) => {
         import graft.operators.MinHashLSH

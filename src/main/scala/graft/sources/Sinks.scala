@@ -429,7 +429,19 @@ object Sinks {
     * accumulate invisible disk forever.
     */
   def committedPartitionedAppend(df: DataFrame, indexDir: String,
-                                 batchId: Long, partitionCol: String): Boolean = {
+                                 batchId: Long, partitionCol: String): Boolean =
+    committedGenWrite(df, indexDir, batchId, Some(partitionCol))
+
+  /** [[committedPartitionedAppend]] without an inner partition level —
+    * for small mergeable state (sketch partials) where per-gen
+    * subdirectories would be pure overhead.
+    */
+  def committedAppend(df: DataFrame, indexDir: String, batchId: Long): Boolean =
+    committedGenWrite(df, indexDir, batchId, None)
+
+  private def committedGenWrite(df: DataFrame, indexDir: String,
+                                batchId: Long,
+                                partitionCol: Option[String]): Boolean = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       df.sparkSession.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(indexDir)
@@ -440,7 +452,8 @@ object Sinks {
     val genDir = new org.apache.hadoop.fs.Path(s"$indexDir/gen=$batchId")
     if (fs.exists(genDir)) return false // replayed batch: already committed
     val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/.tmp_gen_$batchId")
-    df.write.partitionBy(partitionCol).parquet(tmp.toString)
+    val w = df.write
+    partitionCol.fold(w)(c => w.partitionBy(c)).parquet(tmp.toString)
     renameOrThrow(fs, tmp, genDir)
     true
   }
