@@ -377,22 +377,39 @@ object MinHashLSH {
   /** One-time backfill of a bucketed index: records the bucket-count
     * layout marker (sibling file, tmp+rename — same discipline as the
     * SCD2 retention marker), then lands the corpus bands as gen=-1.
+    *
+    * Re-runs are guarded, not silent: a marker with a DIFFERENT bucket
+    * count refuses loudly (rewriting it would strand the existing
+    * partitions under a layout probes no longer match — the
+    * silent-wrong-prune class), and a re-run whose gen=-1 already
+    * exists refuses too (the new bands would be silently dropped by
+    * the replay skip; re-backfilling means a fresh index dir).
     */
   def buildBucketedIndex(bands: DataFrame, indexDir: String,
                          numBuckets: Int = 64): Unit = {
     val spark = bands.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(indexDir + "__layout.tmp")
     val dst = new org.apache.hadoop.fs.Path(indexDir + "__layout")
-    val out = fs.create(tmp, true)
-    try out.write(numBuckets.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    fs.delete(dst, false)
-    if (!fs.rename(tmp, dst))
-      throw new java.io.IOException(s"rename failed: $tmp -> $dst")
-    graft.sources.Sinks.committedPartitionedAppend(
-      withHashBucket(bands, numBuckets), indexDir, -1L, "hb")
+    if (fs.exists(dst)) {
+      val existing = bucketCount(spark, indexDir)
+      if (existing != numBuckets)
+        throw new IllegalStateException(
+          s"$indexDir is already built with numBuckets=$existing; " +
+            s"rebuilding with $numBuckets would strand its partitions — " +
+            "use a fresh index dir")
+    } else {
+      val tmp = new org.apache.hadoop.fs.Path(indexDir + "__layout.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(numBuckets.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      graft.sources.Sinks.renameOrThrow(fs, tmp, dst)
+    }
+    if (!graft.sources.Sinks.committedPartitionedAppend(
+        withHashBucket(bands, numBuckets), indexDir, -1L, "hb"))
+      throw new IllegalStateException(
+        s"$indexDir already holds a gen=-1 backfill — the new bands would " +
+          "be silently dropped; re-backfill into a fresh index dir")
   }
 
   /** The recorded bucket count of a bucketed index — loud when absent
@@ -477,7 +494,6 @@ object MinHashLSH {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val verdictPath = new org.apache.hadoop.fs.Path(s"$verdictDir/batch=$batchId")
-    def readVerdict(): DataFrame = spark.read.parquet(verdictPath.toString)
     val nb = bucketCount(spark, indexDir)
     val bb = withHashBucket(
         batchBands.select(col(idCol), col("band"), col("h")), nb)
@@ -487,19 +503,18 @@ object MinHashLSH {
         val probedHb = bb.select("hb").distinct().collect().map(_.getInt(0)).sorted
         val idx = prunedBucketedIndex(spark, indexDir, probedHb.toSeq)
           .select(col(idCol), col("band"), col("h"))
-        val resPlan = incrementalVerdictPlan(
-          bb.select(col(idCol), col("band"), col("h")), idCol, idx)
-        val tmp = new org.apache.hadoop.fs.Path(s"$verdictDir/.tmp_batch_$batchId")
-        fs.delete(tmp, true)
-        resPlan.write.parquet(tmp.toString)
-        if (!fs.rename(tmp, verdictPath))
-          throw new java.io.IOException(s"rename failed: $tmp -> $verdictPath")
+        graft.sources.Sinks.atomicParquetCommit(
+          incrementalVerdictPlan(
+            bb.select(col(idCol), col("band"), col("h")), idCol, idx),
+          new org.apache.hadoop.fs.Path(s"$verdictDir/.tmp_batch_$batchId"),
+          verdictPath)
       }
-      // admitted set from the COMMITTED verdict; the generational
-      // append is itself idempotent per batchId
+      // admitted set from the COMMITTED verdict (read once); the
+      // generational append is itself idempotent per batchId
+      val verdict = spark.read.parquet(verdictPath.toString)
       graft.sources.Sinks.committedPartitionedAppend(
-        admittedBands(bb, readVerdict(), idCol), indexDir, batchId, "hb")
-      readVerdict()
+        admittedBands(bb, verdict, idCol), indexDir, batchId, "hb")
+      verdict
     } finally bb.unpersist()
   }
 
@@ -568,10 +583,6 @@ object MinHashLSH {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     def path(s: String) = new org.apache.hadoop.fs.Path(s)
-    def renameOrThrow(src: org.apache.hadoop.fs.Path,
-                      dst: org.apache.hadoop.fs.Path): Unit =
-      if (!fs.rename(src, dst))
-        throw new java.io.IOException(s"rename failed: $src -> $dst")
     val verdictPath = path(s"$verdictDir/batch=$batchId")
     val marker = path(s"${indexDir}__commits/batch_$batchId")
     val deltaFile = path(s"$indexDir/delta_batch_$batchId.parquet")
@@ -587,12 +598,9 @@ object MinHashLSH {
         // commit): the index is untouched by this batch, so computing
         // against the current listing is computing against the
         // pre-append index — then commit via hidden tmp + atomic rename
-        val resPlan = incrementalVerdictPlan(bb, idCol,
-          spark.read.parquet(indexDir))
-        val tmp = path(s"$verdictDir/.tmp_batch_$batchId")
-        fs.delete(tmp, true)
-        resPlan.write.parquet(tmp.toString)
-        renameOrThrow(tmp, verdictPath)
+        graft.sources.Sinks.atomicParquetCommit(
+          incrementalVerdictPlan(bb, idCol, spark.read.parquet(indexDir)),
+          path(s"$verdictDir/.tmp_batch_$batchId"), verdictPath)
       }
       if (!fs.exists(deltaFile)) {
         // admitted set comes from the COMMITTED verdict — a replay in
@@ -617,7 +625,7 @@ object MinHashLSH {
         val part = fs.listStatus(tmpDir).map(_.getPath)
           .find(_.getName.startsWith("part-"))
           .getOrElse(throw new java.io.IOException(s"no part file in $tmpDir"))
-        renameOrThrow(part, deltaFile)
+        graft.sources.Sinks.renameOrThrow(fs, part, deltaFile)
         fs.delete(tmpDir, true)
       }
       fs.mkdirs(marker.getParent)

@@ -564,15 +564,6 @@ object EventQueries extends QueryPack {
       },
       indexDedupOracle),
 
-    // ---- Streaming dedup against the BUCKETED index (e20): e18's
-    // protocol on d16's partition-pruned layout — every micro-batch
-    // probes ONLY its own hash buckets (probe I/O tracks |batch|,
-    // never |corpus|) through the committed bucketed face: verdicts
-    // commit under batch=<id> first, admitted bands land as the
-    // batch's generation, and the gen dir doubles as the completion
-    // marker (no delta file, no sibling marker — two atomic renames).
-    // Same landings, same redelivery, same oracle as e18/e19: layout
-    // can never change verdicts.
     // ---- Streaming Count-Min heavy hitters (e21): the CMS counter
     // table accumulated continuously — the ADD-merged dual of e15's
     // max-merged HLL. The contrast is the point: HLL registers are
@@ -720,6 +711,15 @@ object EventQueries extends QueryPack {
                   10 * CAST(target - (cum - cnt) AS DOUBLE) / cnt, 6) AS est
               FROM sel WHERE r = 1""")),
 
+    // ---- Streaming dedup against the BUCKETED index (e20): e18's
+    // protocol on d16's partition-pruned layout — every micro-batch
+    // probes ONLY its own hash buckets (probe I/O tracks |batch|,
+    // never |corpus|) through the committed bucketed face: verdicts
+    // commit under batch=<id> first, admitted bands land as the
+    // batch's generation, and the gen dir doubles as the completion
+    // marker (no delta file, no sibling marker — two atomic renames).
+    // Same landings, same redelivery, same oracle as e18/e19: layout
+    // can never change verdicts.
     Q("e20_stream_bucketed_dedup",
       (s, d) => {
         import graft.operators.MinHashLSH

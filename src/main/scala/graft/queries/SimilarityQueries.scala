@@ -122,13 +122,20 @@ object SimilarityQueries extends QueryPack {
     val index = s.read.parquet(idxDir)
       .where(col("cell").isin(probed: _*)).drop("gen")
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
-    index.join(broadcast(q.withColumn("cell", col("cell").cast("int"))), Seq("cell"))
+    val topk = index
+      .join(broadcast(q.withColumn("cell", col("cell").cast("int"))), Seq("cell"))
       .where(col("vec_id") =!= col("qid"))
       .withColumn("cos", round(cosExpr, 6))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= 5)
       .select(col("qid"), col("rank").cast("bigint").as("rank"),
         col("vec_id"), col("cos"))
+    // materialize the (queries×k row) result so the probe cache can be
+    // released deterministically NOW — three gates run through here per
+    // session/bench pass and must not pin probe frames until GC
+    val res = s.createDataFrame(topk.rdd, topk.schema)
+    q.unpersist()
+    res
   }
 
   /** duckKmeans trained on a FILTERED population (`te`) while `e` stays

@@ -30,11 +30,28 @@ object Sinks {
     * swap/heal rename goes through here so a failed rename surfaces as a
     * job failure.
     */
-  private def renameOrThrow(fs: org.apache.hadoop.fs.FileSystem,
-                            src: org.apache.hadoop.fs.Path,
-                            dst: org.apache.hadoop.fs.Path): Unit =
+  private[graft] def renameOrThrow(fs: org.apache.hadoop.fs.FileSystem,
+                                   src: org.apache.hadoop.fs.Path,
+                                   dst: org.apache.hadoop.fs.Path): Unit =
     if (!fs.rename(src, dst))
       throw new java.io.IOException(s"rename failed: $src -> $dst")
+
+  /** ONE copy of the write-tmp-then-rename parquet commit (the
+    * committed-verdict faces of the incremental dedup tier): the frame
+    * is fully written to the hidden `tmp` path, then published at `dst`
+    * with a single atomic rename — a crash mid-write is invisible, a
+    * crash between write and rename is retried from scratch by the
+    * caller's exists-check on `dst`.
+    */
+  private[graft] def atomicParquetCommit(df: DataFrame,
+                                         tmp: org.apache.hadoop.fs.Path,
+                                         dst: org.apache.hadoop.fs.Path): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    fs.delete(tmp, true)
+    df.write.parquet(tmp.toString)
+    renameOrThrow(fs, tmp, dst)
+  }
 
   /** K5: JSONL export. Default codec is xz for parity with the
     * reference's `xz -T0` pipe (`dataset_creator.py:482-489`), via the
@@ -444,13 +461,19 @@ object Sinks {
                                 partitionCol: Option[String]): Boolean = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       df.sparkSession.sparkContext.hadoopConfiguration)
+    val genDir = new org.apache.hadoop.fs.Path(s"$indexDir/gen=$batchId")
+    // fast path FIRST: a replay skip costs one getFileStatus, not a
+    // root listing — at streaming cadence the root holds one gen dir
+    // per micro-batch and listing it per append would make every
+    // append O(#generations)
+    if (fs.exists(genDir)) return false // replayed batch: already committed
+    // about to write: sweep dead half-writes (single-writer contract —
+    // any tmp found here is a crashed predecessor's)
     val root = new org.apache.hadoop.fs.Path(indexDir)
     if (fs.exists(root))
       for (st <- fs.listStatus(root)
            if st.getPath.getName.startsWith(".tmp_gen_"))
         fs.delete(st.getPath, true)
-    val genDir = new org.apache.hadoop.fs.Path(s"$indexDir/gen=$batchId")
-    if (fs.exists(genDir)) return false // replayed batch: already committed
     val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/.tmp_gen_$batchId")
     val w = df.write
     partitionCol.fold(w)(c => w.partitionBy(c)).parquet(tmp.toString)

@@ -219,8 +219,12 @@ class IncrementalDedupCrashSpec extends SparkSpec {
     val probedHb = MinHashLSH.withHashBucket(batchBands)
       .select("hb").distinct().as[Int].collect().toSet
     val pruned = MinHashLSH.prunedBucketedIndex(spark, bucketed, probedHb.toSeq.sorted)
-    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters: ["),
-      "the hb filter must reach the scan as a partition filter")
+    // non-EMPTY partition filters: "PartitionFilters: []" would mean
+    // the isin degraded to a post-scan data filter (no pruning)
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]".r.findFirstIn(planStr).isDefined,
+      "the hb filter must reach the scan as a NON-EMPTY partition filter: " +
+        planStr.take(800))
     val readFiles = pruned
       .select(input_file_name().as("f")).distinct().as[String].collect()
     assert(readFiles.nonEmpty &&
