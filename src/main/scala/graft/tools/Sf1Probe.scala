@@ -31,11 +31,12 @@ object Sf1Probe {
     // the new dedup/ANN tiers
     "d15_index_compaction", "e19_stream_restart_dedup",
     "m14_image_keeplist", "s15_ivf_staleness",
-    "d16_bucketed_index_dedup", "s16_stream_ivf_append")
+    "d16_bucketed_index_dedup", "s16_stream_ivf_append",
+    "e20_stream_bucketed_dedup", "e21_stream_cms", "e22_stream_histogram")
 
   def buildSf1(spark: SparkSession, src: String, dst: String): Unit = {
     val marker = java.nio.file.Paths.get(s"${dst}_src.txt")
-    val tag = s"$src n=10 replicate-v1"
+    val tag = s"$src n=10 replicate-v2" // v2: + events
     val fresh = new java.io.File(dst).exists() &&
       java.nio.file.Files.exists(marker) &&
       java.nio.file.Files.readString(marker) == tag
@@ -44,6 +45,17 @@ object Sf1Probe {
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
     ScaleProbe.replicateVecs(spark, src, 10)
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    // events 10×: fresh event ids, 10× the user population, values
+    // perturbed per replica — the raw-schema layout Tables.events reads
+    spark.read.parquet(s"$src/events.parquet")
+      .crossJoin(spark.range(10).toDF("rep"))
+      .select((col("event_id") * 10 + col("rep")).as("event_id"),
+        col("ts"),
+        (col("user_id") * 10 + col("rep")).as("user_id"),
+        col("event_type"),
+        (col("value") + col("rep") * 0.001).as("value"),
+        col("props"))
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
     java.nio.file.Files.writeString(marker, tag)
   }
 
