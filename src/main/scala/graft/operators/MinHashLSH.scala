@@ -518,6 +518,48 @@ object MinHashLSH {
     } finally bb.unpersist()
   }
 
+  /** INCREMENTAL keep-list (the d6 product made incremental — the last
+    * batch-global recomputation in the dedup tier): the corpus's
+    * connected-components assignment was computed ONCE; when a batch
+    * lands, only the AFFECTED SUBGRAPH is re-solved. The key collapse:
+    * every existing component is represented by its rep alone (one
+    * node), because min-propagation within an already-collapsed
+    * component is the identity — so the fixpoint graph is batch rows
+    * plus one pseudo-node per TOUCHED component, never the corpus.
+    * Returns
+    *   (assignments for the batch docs,
+    *    non-identity remap (old_rep → keep_id) for touched components).
+    * A batch doc BRIDGING two existing components surfaces as both
+    * their reps remapping to the common minimum.
+    *
+    * The remap is the scale answer to "merging may repoint millions of
+    * member rows": it is O(touched components) — a tiny broadcastable
+    * dimension applied at READ time (coalesce over one join), folded
+    * into the stored assignment at compaction cadence like every other
+    * delta in this tier; storage is never rewritten per batch.
+    */
+  def incrementalKeepList(batchRows: DataFrame, idCol: String,
+                          corpusBands: DataFrame, corpusState: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val bb = batchRows.select(col(idCol), col("band"), col("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // buckets shared with the corpus → the touched components' reps,
+    // attached to the shared bucket so the fixpoint sees the edge
+    val touched = corpusBands
+      .join(broadcast(bb.select("band", "h").distinct()), Seq("band", "h"))
+      .join(corpusState.withColumnRenamed("keep_id", "__rep"), idCol)
+      .select(col("__rep").as(idCol), col("band"), col("h"))
+      .distinct()
+    val solved = convergeKeepList(bb.unionByName(touched), idCol)
+    val batchAssign = solved.join(bb.select(idCol).distinct(), Seq(idCol), "left_semi")
+    val remap = solved
+      .join(touched.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+      .where(col("keep_id") =!= col(idCol))
+      .select(col(idCol).as("old_rep"), col("keep_id"))
+    bb.unpersist()
+    (batchAssign, remap)
+  }
+
   /** shared verdict materialization: LogicalRDD re-wrap (pins the
     * pre-append index listing — see incrementalDedup's cache note) +
     * eager count so the caller can drop the band cache immediately

@@ -151,6 +151,53 @@ object DedupQueries extends QueryPack {
                 SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.doc_id)
               SELECT doc_id, min(r) AS keep_id FROM reach GROUP BY doc_id""")),
 
+    // ---- INCREMENTAL KEEP-LIST (d17): the d6 product made
+    // incremental — the corpus's connected-components assignment is
+    // computed ONCE; the landing batch re-solves only the AFFECTED
+    // SUBGRAPH (batch docs + one rep pseudo-node per touched
+    // component: min-propagation inside an already-collapsed component
+    // is the identity, so each old component is one node). Merges
+    // surface as a tiny (old_rep → keep_id) REMAP applied at read time
+    // — storage is never rewritten per batch. The chain topology makes
+    // BRIDGING guaranteed: corpus fragments break exactly at the batch
+    // positions (every 5th id missing) and each batch doc reconnects
+    // its neighbors' fragments, so most touched components must remap.
+    // The oracle is the INDEPENDENT full recursive closure over all
+    // docs (d10's), so any under-merge, over-merge, or stale-remap bug
+    // in the incremental path fails the hash.
+    Q("d17_incremental_keeplist",
+      (s, d) => {
+        val ids = Tables.documents(s, d).select("doc_id")
+        def rows(df: DataFrame): DataFrame =
+          df.select(col("doc_id"), lit(0).as("band"), col("doc_id").as("h"))
+            .union(df.where(col("doc_id") % 8 =!= 0)
+              .select(col("doc_id"), lit(0).as("band"), (col("doc_id") - 1).as("h")))
+        val corpusBands = rows(ids.where(col("doc_id") % 5 =!= 0))
+        // built once (at scale this assignment lives on disk)
+        val corpusState = MinHashLSH.convergeKeepList(corpusBands, "doc_id")
+        val (batchAssign, remap) = MinHashLSH.incrementalKeepList(
+          rows(ids.where(col("doc_id") % 5 === 0)), "doc_id",
+          corpusBands, corpusState)
+        // read-time application: one broadcast join over the remap
+        corpusState.as("c")
+          .join(broadcast(remap.withColumnRenamed("keep_id", "__new")),
+            col("c.keep_id") === col("old_rep"), "left")
+          .select(col("c.doc_id"),
+            coalesce(col("__new"), col("c.keep_id")).as("keep_id"))
+          .unionByName(batchAssign)
+      },
+      Some("""WITH RECURSIVE
+              edges AS (SELECT a.doc_id AS src, b.doc_id AS dst
+                        FROM documents a JOIN documents b
+                          ON b.doc_id = a.doc_id + 1 AND b.doc_id % 8 <> 0),
+              sym AS (SELECT src, dst FROM edges
+                      UNION ALL SELECT dst, src FROM edges),
+              reach(doc_id, r) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.doc_id)
+              SELECT doc_id, min(r) AS keep_id FROM reach GROUP BY doc_id""")),
+
     // ---- INCREMENTAL dedup against a PERSISTED fingerprint index (the
     // shape a 100 TB deployment actually runs): the corpus (doc_id % 5
     // != 0) is fingerprinted ONCE into a parquet band index; when the

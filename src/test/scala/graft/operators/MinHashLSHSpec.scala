@@ -122,4 +122,27 @@ class MinHashLSHSpec extends SparkSpec {
     val bands = MinHashLSH.bands(docs, "doc_id", col("w"), 4)
     assert(bands.where(col("doc_id") === 2L).count() == 0)
   }
+
+  test("incremental keep-list: a bridging batch doc merges two components via the remap; fresh docs open new ones") {
+    import spark.implicits._
+    // corpus: {1,2} share bucket a, {5,6} share bucket b, 9 isolated
+    val corpusBands = Seq(
+      (1L, 0, "a"), (2L, 0, "a"),
+      (5L, 0, "b"), (6L, 0, "b"),
+      (9L, 0, "own9")).toDF("doc_id", "band", "h")
+    val state = MinHashLSH.convergeKeepList(corpusBands, "doc_id")
+    assert(state.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L))
+    // batch: 3 BRIDGES both components (buckets a AND b); 20 is fresh
+    val batch = Seq((3L, 0, "a"), (3L, 0, "b"), (20L, 0, "own20"))
+      .toDF("doc_id", "band", "h")
+    val (assign, remap) = MinHashLSH.incrementalKeepList(
+      batch, "doc_id", corpusBands, state)
+    assert(assign.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(3L -> 1L, 20L -> 20L))
+    // only the LOSING component remaps; the winner and the untouched
+    // component never appear in the delta
+    assert(remap.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(5L -> 1L))
+  }
 }
