@@ -1,0 +1,227 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Sinks
+
+/** PERSISTED keep-list lifecycle — the storage face of
+  * [[MinHashLSH.incrementalKeepList]] (which solves the affected
+  * subgraph but leaves "where does the state live" to the caller).
+  * This is the last piece of the incremental dedup tier: d13/d16 gave
+  * the fingerprint index a disk lifecycle (backfill → committed
+  * appends → compaction); this gives the connected-components
+  * assignment the same one.
+  *
+  * Layout under `dir`:
+  * {{{
+  *   base/                  folded (id, keep_id) assignment — backfill
+  *                          writes it, fold() rewrites it atomically
+  *   bands_base/            backfill band rows (id, band, h)
+  *   bands/gen=<batchId>/   per-batch band appends (exactly-once via
+  *                          Sinks.committedAppend — the gen dir is the
+  *                          completion marker)
+  *   state/batch=<batchId>/assign/   batch docs' assignments
+  *                         /remap/   non-identity (old_rep → keep_id)
+  * }}}
+  *
+  * CRASH DISCIPLINE (single writer, the foreachBatch contract): per
+  * batch there are two state writes. The (assign, remap) pair commits
+  * FIRST as ONE atomic dir rename (`state/batch=<id>` — both tables
+  * under one tmp, one rename, so a reader never sees an assignment
+  * without its remap or vice versa), the bands append second. Replay
+  * matrix: crash before the state commit → recompute against the
+  * untouched stores; between the two → skip the recompute, redo the
+  * idempotent bands append; after both → pure skip. The order is
+  * load-bearing: if bands could land before state, the NEXT batch's
+  * `touched` probe would see band rows whose ids have no assignment
+  * and silently drop the edge (the inner join on corpus state) —
+  * state-first makes bands only ever lag, and the lag heals on replay
+  * before the next batch runs (foreachBatch serializes).
+  *
+  * REMAP COMPOSITION: remaps from different batches CHAIN — batch 2
+  * can remap a component whose rep batch 1 already created
+  * (r → k1 → k2), because a node is a rep until remapped and never
+  * again (reps only decrease), so accumulated deltas form a functional
+  * acyclic map. The read path therefore applies the CLOSURE of the
+  * accumulated remaps, computed driver-side with path compression:
+  * the table is O(component-merge events since the last fold) — fold
+  * cadence bounds it (guarded by an explicit require), and the closed
+  * map goes back out as a broadcast join dimension, so the cluster-side
+  * cost of a read is one broadcast hash join + a distinct over the
+  * scan. At 100 TB the assignment is billions of rows but the remap is
+  * thousands; rewriting the former per batch is exactly what this
+  * module exists to avoid.
+  *
+  * fold() rewrites `base` with everything applied (compact's
+  * rename-aside swap) and clears the deltas. read() tolerates every
+  * fold crash window: the "folded base + surviving deltas" state
+  * yields byte-identical (id, keep) pairs from both sides (a folded
+  * row's keep is a remap fixpoint, so re-applying the closed remap is
+  * the identity), and the terminal distinct() collapses them.
+  *
+  * Band-store compaction (thousands of gen dirs at streaming cadence)
+  * is the d15 story — Sinks.compact with sibling commit markers — and
+  * is deliberately not duplicated here.
+  */
+object KeepListStore {
+
+  private def fsOf(spark: SparkSession): FileSystem =
+    FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+  /** One-time corpus solve: full connected components via the
+    * pointer-jumping fixpoint, persisted as the initial `base`.
+    */
+  def backfill(bands: DataFrame, idCol: String, dir: String): Unit = {
+    val spark = bands.sparkSession
+    val fs = fsOf(spark)
+    val b = bands.select(col(idCol), col("band"), col("h"))
+    Sinks.atomicParquetCommit(b,
+      new Path(s"$dir/.tmp_bands_base"), new Path(s"$dir/bands_base"))
+    Sinks.atomicParquetCommit(MinHashLSH.convergeKeepList(b, idCol),
+      new Path(s"$dir/.tmp_base"), new Path(s"$dir/base"))
+    fs.mkdirs(new Path(s"$dir/state"))
+  }
+
+  /** All band rows so far: backfill + committed batch generations. */
+  private def readBands(spark: SparkSession, dir: String,
+                        idCol: String): DataFrame = {
+    val base = spark.read.parquet(s"$dir/bands_base")
+    val gens = new Path(s"$dir/bands")
+    if (fsOf(spark).exists(gens))
+      base.unionByName(spark.read.parquet(gens.toString)
+        .select(col(idCol), col("band"), col("h")))
+    else base
+  }
+
+  private def stateDeltas(spark: SparkSession, dir: String): Seq[Path] = {
+    val state = new Path(s"$dir/state")
+    val fs = fsOf(spark)
+    if (!fs.exists(state)) Seq.empty
+    else fs.listStatus(state).map(_.getPath)
+      .filter(_.getName.startsWith("batch=")).toSeq
+      .sortBy(p => p.getName.stripPrefix("batch=").toLong)
+  }
+
+  /** Driver-side CLOSURE of the accumulated remap deltas (see the
+    * composition note above). Keys are unique across deltas (a node is
+    * a rep until remapped, never again) and chains are acyclic (keeps
+    * only decrease), so path compression terminates. Returns None when
+    * there is nothing to apply.
+    */
+  private def closedRemap(spark: SparkSession, dir: String,
+                          deltas: Seq[Path],
+                          template: DataFrame): Option[DataFrame] = {
+    if (deltas.isEmpty) return None
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("old_rep",
+        template.schema.head.dataType),
+      org.apache.spark.sql.types.StructField("keep_id",
+        template.schema.head.dataType)))
+    val raw = spark.read.schema(schema)
+      .parquet(deltas.map(p => s"$p/remap"): _*).collect()
+    if (raw.isEmpty) return None
+    require(raw.length <= 4 * 1000 * 1000,
+      s"${raw.length} accumulated remap entries in $dir — fold() is " +
+        "overdue (the remap is O(merge events since the last fold); " +
+        "fold at compaction cadence keeps it driver-small)")
+    val m = scala.collection.mutable.HashMap[Any, Any](
+      raw.map(r => r.get(0) -> r.get(1)): _*)
+    def resolve(v: Any): Any = {
+      var x = v
+      while (m.contains(x)) x = m(x)
+      x
+    }
+    val closed = m.keys.map(k => Row(k, resolve(k))).toSeq
+    Some(spark.createDataFrame(
+      spark.sparkContext.parallelize(closed, 1), schema))
+  }
+
+  /** Current assignment: base ∪ batch deltas, with the closed remap
+    * applied as one broadcast join. The terminal distinct() is the
+    * fold-crash tolerance (identical pairs from base and a surviving
+    * delta), not a semantic dedup.
+    */
+  def read(spark: SparkSession, dir: String, idCol: String): DataFrame = {
+    val base = spark.read.parquet(s"$dir/base")
+    val deltas = stateDeltas(spark, dir)
+    val stored =
+      if (deltas.isEmpty) base
+      else base.unionByName(spark.read.schema(base.schema)
+        .parquet(deltas.map(p => s"$p/assign"): _*))
+    closedRemap(spark, dir, deltas, base) match {
+      case None => stored.distinct()
+      case Some(remap) =>
+        stored.join(broadcast(remap.withColumnRenamed("keep_id", "__new")),
+            stored("keep_id") === remap("old_rep"), "left")
+          .select(col(idCol),
+            coalesce(col("__new"), col("keep_id")).as("keep_id"))
+          .distinct()
+    }
+  }
+
+  /** Land one batch: solve the affected subgraph, commit (assign,
+    * remap) atomically under `state/batch=<batchId>`, then append the
+    * batch's bands (exactly-once per batchId). Idempotent under
+    * replay. Returns the batch docs' assignments (from the committed
+    * state, so a replay returns exactly what the original run did).
+    */
+  def appendBatch(batchBands: DataFrame, idCol: String, dir: String,
+                  batchId: Long): DataFrame = {
+    val spark = batchBands.sparkSession
+    val fs = fsOf(spark)
+    val stateDir = new Path(s"$dir/state/batch=$batchId")
+    val bandsSel = batchBands.select(col(idCol), col("band"), col("h"))
+    if (!fs.exists(stateDir)) {
+      // sweep dead half-writes (single-writer contract, as in
+      // Sinks.committedGenWrite)
+      val stateRoot = new Path(s"$dir/state")
+      if (fs.exists(stateRoot))
+        for (st <- fs.listStatus(stateRoot)
+             if st.getPath.getName.startsWith(".tmp_batch_"))
+          fs.delete(st.getPath, true)
+      val (assign, remap) = MinHashLSH.incrementalKeepList(
+        bandsSel, idCol,
+        readBands(spark, dir, idCol), read(spark, dir, idCol))
+      val tmp = new Path(s"$dir/state/.tmp_batch_$batchId")
+      assign.write.parquet(s"$tmp/assign")
+      remap.write.parquet(s"$tmp/remap")
+      Sinks.renameOrThrow(fs, tmp, stateDir)
+    }
+    Sinks.committedAppend(bandsSel, s"$dir/bands", batchId)
+    spark.read.parquet(s"$stateDir/assign")
+  }
+
+  /** Compaction-cadence rewrite: materialize read() as the new `base`
+    * (rename-aside swap, compact's discipline) and clear the deltas.
+    * Crash windows: mid-write → invisible; between the two renames →
+    * `base` absent, the complete tmp wins on the next call (which also
+    * clears the deltas the tmp already folded in); after the swap,
+    * before the delta delete → read() is unchanged (see the distinct()
+    * note) and the next fold cleans up.
+    */
+  def fold(spark: SparkSession, dir: String, idCol: String): Unit = {
+    val fs = fsOf(spark)
+    val dst = new Path(s"$dir/base")
+    val old = new Path(s"$dir/base__fold_old")
+    val tmp = new Path(s"$dir/base__fold_tmp")
+    def clearDeltas(): Unit =
+      stateDeltas(spark, dir).foreach(p => fs.delete(p, true))
+    if (!fs.exists(dst)) {
+      if (fs.exists(tmp)) {
+        Sinks.renameOrThrow(fs, tmp, dst); fs.delete(old, true)
+        clearDeltas()
+      } else if (fs.exists(old)) Sinks.renameOrThrow(fs, old, dst)
+    }
+    if (stateDeltas(spark, dir).isEmpty) { fs.delete(tmp, true); return }
+    val folded = read(spark, dir, idCol)
+    fs.delete(tmp, true)
+    folded.write.parquet(tmp.toString)
+    fs.delete(old, true)
+    Sinks.renameOrThrow(fs, dst, old)
+    Sinks.renameOrThrow(fs, tmp, dst)
+    clearDeltas()
+    fs.delete(old, true)
+  }
+}

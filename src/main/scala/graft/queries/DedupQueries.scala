@@ -198,6 +198,90 @@ object DedupQueries extends QueryPack {
                 SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.doc_id)
               SELECT doc_id, min(r) AS keep_id FROM reach GROUP BY doc_id""")),
 
+    // ---- KEEP-LIST LIFECYCLE (d18): d17 solved the affected subgraph
+    // but left the state in memory; this drives the PERSISTED story a
+    // 100 TB deployment runs — KeepListStore backfill → three
+    // crash-atomic batch landings → fold → read. The topology forces
+    // the hard case d17 cannot reach: REMAP COMPOSITION. Corpus drops
+    // doc_id % 5 ∈ {0,1}; batch 0 (%5=0) only extends fragments
+    // downward (batch ids exceed fragment minima → zero remaps), batch
+    // 1 (%5=1) fuses fragments into full runs between %8 chain breaks
+    // (fragment reps remap to run minima — e.g. some rep r → 8m), and
+    // batch 2's synthetic bridge docs (id+1000000, banded to 8m and
+    // 8m-1) fuse adjacent runs — remapping run minima that are
+    // themselves batch-1 remap TARGETS (r → 8m → prev-run min), so the
+    // read path's driver-side remap closure is load-bearing, not
+    // decorative. fold() then rewrites base and clears the deltas; the
+    // `folded` column asserts deltas are gone AND the post-fold read is
+    // row-identical to the pre-fold read (materialized to parquet
+    // before the fold — the read is lazy and the fold deletes its
+    // inputs). Oracle: independent full recursive closure over
+    // documents ∪ the synthetic bridges.
+    Q("d18_keeplist_lifecycle",
+      (s, d) => {
+        import graft.operators.KeepListStore
+        val ids = Tables.documents(s, d).select("doc_id")
+        def rows(df: DataFrame): DataFrame =
+          df.select(col("doc_id"), lit(0).as("band"), col("doc_id").as("h"))
+            .union(df.where(col("doc_id") % 8 =!= 0)
+              .select(col("doc_id"), lit(0).as("band"),
+                (col("doc_id") - 1).as("h")))
+        val base = Scratch.dir("graft_d18_")
+        val dir = base.resolve("kl").toString
+        KeepListStore.backfill(
+          rows(ids.where(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 1)),
+          "doc_id", dir)
+        KeepListStore.appendBatch(
+          rows(ids.where(col("doc_id") % 5 === 0)), "doc_id", dir, 0L)
+        KeepListStore.appendBatch(
+          rows(ids.where(col("doc_id") % 5 === 1)), "doc_id", dir, 1L)
+        val orig = ids.where(col("doc_id") % 8 === 0 && col("doc_id") > 0)
+          .select(col("doc_id").as("orig"))
+        val bridges = orig
+          .select((col("orig") + 1000000L).as("doc_id"), lit(0).as("band"),
+            col("orig").as("h"))
+          .union(orig.select((col("orig") + 1000000L).as("doc_id"),
+            lit(0).as("band"), (col("orig") - 1).as("h")))
+        KeepListStore.appendBatch(bridges, "doc_id", dir, 2L)
+        val beforeDir = base.resolve("before").toString
+        KeepListStore.read(s, dir, "doc_id").write.parquet(beforeDir)
+        KeepListStore.fold(s, dir, "doc_id")
+        val after = KeepListStore.read(s, dir, "doc_id")
+        val before = s.read.parquet(beforeDir)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          s.sparkContext.hadoopConfiguration)
+        val deltasGone = !fs.listStatus(
+            new org.apache.hadoop.fs.Path(s"$dir/state"))
+          .exists(_.getPath.getName.startsWith("batch="))
+        val unchanged = after.unionByName(before)
+          .groupBy("doc_id", "keep_id").count()
+          .where(col("count") =!= 2).isEmpty
+        after.withColumn("folded", lit(deltasGone && unchanged))
+      },
+      Some("""WITH RECURSIVE
+              nodes AS (SELECT doc_id FROM documents
+                        UNION ALL
+                        SELECT doc_id + 1000000 FROM documents
+                        WHERE doc_id % 8 = 0 AND doc_id > 0),
+              edges AS (
+                SELECT a.doc_id AS src, b.doc_id AS dst
+                FROM documents a JOIN documents b
+                  ON b.doc_id = a.doc_id + 1 AND b.doc_id % 8 <> 0
+                UNION ALL
+                SELECT doc_id + 1000000, doc_id FROM documents
+                WHERE doc_id % 8 = 0 AND doc_id > 0
+                UNION ALL
+                SELECT doc_id + 1000000, doc_id - 1 FROM documents
+                WHERE doc_id % 8 = 0 AND doc_id > 0),
+              sym AS (SELECT src, dst FROM edges
+                      UNION ALL SELECT dst, src FROM edges),
+              reach(doc_id, r) AS (
+                SELECT doc_id, doc_id FROM nodes
+                UNION
+                SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.doc_id)
+              SELECT doc_id, min(r) AS keep_id, TRUE AS folded
+              FROM reach GROUP BY doc_id""")),
+
     // ---- INCREMENTAL dedup against a PERSISTED fingerprint index (the
     // shape a 100 TB deployment actually runs): the corpus (doc_id % 5
     // != 0) is fingerprinted ONCE into a parquet band index; when the

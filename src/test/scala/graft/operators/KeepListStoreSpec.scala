@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Pins the persisted keep-list lifecycle: remap COMPOSITION across
+  * batches (the read-side closure), appendBatch replay idempotency,
+  * fold round-trip + idempotency, and the fold crash window where the
+  * deltas survive the base swap.
+  */
+class KeepListStoreSpec extends SparkSpec {
+
+  import org.apache.spark.sql.DataFrame
+
+  /** star bands: every listed doc shares one bucket `h` */
+  private def clique(h: Long, ids: Long*): DataFrame = {
+    import spark.implicits._
+    ids.map(i => (i, 0, h)).toDF("id", "band", "h")
+  }
+
+  private def readMap(dir: String): Map[Long, Long] =
+    KeepListStore.read(spark, dir, "id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("remap composition chains across batches at read time") {
+    val dir = graft.queries.Scratch.dir("klstore_comp_").toString
+    // corpus: {30,31} (rep 30) and {20,21} (rep 20), disjoint
+    KeepListStore.backfill(
+      clique(1000, 30, 31).union(clique(2000, 20, 21)), "id", dir)
+    // batch 0: doc 40 bridges the two → remap (30 -> 20)
+    KeepListStore.appendBatch(
+      clique(1000, 40L).union(clique(2000, 40L)), "id", dir, 0L)
+    // batch 1: doc 10 (new minimum) joins the merged component via
+    // bucket 1000 → remap (20 -> 10); reading doc 31 must CHAIN
+    // 30 -> 20 -> 10 through the closure
+    KeepListStore.appendBatch(clique(1000, 10L), "id", dir, 1L)
+    val m = readMap(dir)
+    assert(m == Map(10L -> 10L, 20L -> 10L, 21L -> 10L, 30L -> 10L,
+      31L -> 10L, 40L -> 10L))
+  }
+
+  test("appendBatch replay is a pure skip with identical assignments") {
+    val dir = graft.queries.Scratch.dir("klstore_replay_").toString
+    KeepListStore.backfill(clique(1, 5, 6), "id", dir)
+    val first = KeepListStore.appendBatch(clique(1, 2L), "id", dir, 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def genCount = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/bands"))
+      .count(_.getPath.getName.startsWith("gen="))
+    val gens = genCount
+    val replay = KeepListStore.appendBatch(clique(1, 2L), "id", dir, 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(replay == first && first == Set((2L, 2L)))
+    assert(genCount == gens)
+    assert(readMap(dir) == Map(2L -> 2L, 5L -> 2L, 6L -> 2L))
+  }
+
+  test("fold preserves the read, clears deltas, and is idempotent") {
+    val dir = graft.queries.Scratch.dir("klstore_fold_").toString
+    KeepListStore.backfill(clique(1, 7, 8), "id", dir)
+    KeepListStore.appendBatch(clique(1, 3L), "id", dir, 0L)
+    val before = readMap(dir)
+    KeepListStore.fold(spark, dir, "id")
+    assert(readMap(dir) == before)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/state"))
+      .exists(_.getPath.getName.startsWith("batch=")))
+    KeepListStore.fold(spark, dir, "id") // no deltas: must be a no-op
+    assert(readMap(dir) == before)
+  }
+
+  test("fold crash window: surviving deltas do not change the read") {
+    val dir = graft.queries.Scratch.dir("klstore_crash_").toString
+    KeepListStore.backfill(clique(1, 7, 8), "id", dir)
+    KeepListStore.appendBatch(clique(1, 3L), "id", dir, 0L)
+    val before = readMap(dir)
+    // snapshot the delta, fold, then restore it — the state after a
+    // crash between the base swap and the delta delete
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val delta = new org.apache.hadoop.fs.Path(s"$dir/state/batch=0")
+    val aside = new org.apache.hadoop.fs.Path(s"$dir/.crash_aside")
+    org.apache.hadoop.fs.FileUtil.copy(fs, delta, fs, aside, false,
+      spark.sparkContext.hadoopConfiguration)
+    KeepListStore.fold(spark, dir, "id")
+    org.apache.hadoop.fs.FileUtil.copy(fs, aside, fs, delta, false,
+      spark.sparkContext.hadoopConfiguration)
+    // the folded base already contains the delta's fixpoint: identical
+    // pairs from both sides must collapse, not duplicate or diverge
+    val rows = KeepListStore.read(spark, dir, "id").collect()
+    assert(rows.length == before.size)
+    assert(rows.map(r => r.getLong(0) -> r.getLong(1)).toMap == before)
+    // and the next fold heals the leftover
+    KeepListStore.fold(spark, dir, "id")
+    assert(!fs.exists(delta) && readMap(dir) == before)
+  }
+}
