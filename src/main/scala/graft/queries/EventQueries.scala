@@ -749,6 +749,67 @@ object EventQueries extends QueryPack {
         readIndexDedupVerdicts(s, resultDir)
       },
       indexDedupOracle),
+
+    // ---- Streaming KEEP-LIST maintenance (e23): d18's persisted
+    // lifecycle driven from foreachBatch — the shape a 100 TB corpus
+    // stream actually runs (connected-components assignment kept
+    // current per micro-batch, not recomputed per query). Each batch
+    // lands through KeepListStore.appendBatch keyed by the REAL
+    // batchId: (assign, remap) commit as one atomic dir rename first,
+    // bands append second, so any replay window heals (the state
+    // commit is the marker — a replayed batch that tried to re-solve
+    // would fail its rename onto the existing state dir, so the gate
+    // structurally proves the skip). After the stream, a batch-0
+    // redelivery is driven explicitly and must skip, then fold()
+    // compacts remaps + deltas into base and the gate reads the folded
+    // assignment. The second landing's docs chain-bridge the first's
+    // fragments (%5=1 ids connect runs), so cross-batch remaps — and
+    // their read-side closure — are on the gated path, not just in
+    // d18. Oracle: the independent full recursive closure (d10/d17's).
+    Q("e23_stream_keeplist",
+      (s, d) => {
+        import graft.operators.KeepListStore
+        def rows(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("doc_id"), lit(0).as("band"), col("doc_id").as("h"))
+            .union(df.where(col("doc_id") % 8 =!= 0)
+              .select(col("doc_id"), lit(0).as("band"),
+                (col("doc_id") - 1).as("h")))
+        val ids = Tables.documents(s, d).select("doc_id")
+        val dir = Scratch.dir("graft_e23_kl_").resolve("kl").toString
+        KeepListStore.backfill(
+          rows(ids.where(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 1)),
+          "doc_id", dir)
+        val stage = Scratch.dir("graft_e23_stage_").toString
+        val fileA = ids.where(col("doc_id") % 5 === 0)
+        fileA.coalesce(1).write.mode("append").parquet(stage)
+        val stream = s.readStream.schema("doc_id LONG").parquet(stage)
+        runGatedStreamWith(s, stream,
+          (batch, _, bid) => if (!batch.isEmpty) {
+            KeepListStore.appendBatch(rows(batch), "doc_id", dir, bid)
+            ()
+          }) { q =>
+          q.processAllAvailable()
+          ids.where(col("doc_id") % 5 === 1)
+            .coalesce(1).write.mode("append").parquet(stage)
+          q.processAllAvailable()
+        }
+        // batch-0 redelivery after the run: must be a pure skip (a
+        // re-solve would rename onto the existing state dir and throw)
+        KeepListStore.appendBatch(rows(fileA), "doc_id", dir, 0L)
+        KeepListStore.fold(s, dir, "doc_id")
+        KeepListStore.read(s, dir, "doc_id")
+      },
+      Some("""WITH RECURSIVE
+              edges AS (SELECT a.doc_id AS src, b.doc_id AS dst
+                        FROM documents a JOIN documents b
+                          ON b.doc_id = a.doc_id + 1 AND b.doc_id % 8 <> 0),
+              sym AS (SELECT src, dst FROM edges
+                      UNION ALL SELECT dst, src FROM edges),
+              reach(doc_id, r) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.doc_id)
+              SELECT doc_id, min(r) AS keep_id FROM reach GROUP BY doc_id""")),
   ) ++ lateGates
 
   /** shared e18/e19 fixture: corpus band index + staged landing 1 */
