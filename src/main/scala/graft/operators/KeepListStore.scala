@@ -18,10 +18,16 @@ import graft.sources.Sinks
   * {{{
   *   base/                  folded (id, keep_id) assignment — backfill
   *                          writes it, fold() rewrites it atomically
-  *   bands_base/            backfill band rows (id, band, h)
-  *   bands/gen=<batchId>/   per-batch band appends (exactly-once via
-  *                          Sinks.committedAppend — the gen dir is the
-  *                          completion marker)
+  *   bands/gen=<g>/hb=<n>/  BUCKETED band store (d16's layout, same
+  *                          machinery: backfill = gen=-1 via
+  *                          MinHashLSH.buildBucketedIndex, batches =
+  *                          exactly-once generations, bands__layout
+  *                          marker records the bucket count) — the
+  *                          batch probe PRUNES the corpus-band scan to
+  *                          its own hash buckets, so touched-component
+  *                          discovery I/O tracks |batch|, never
+  *                          |corpus| (a flat store would pay a full
+  *                          map-only corpus scan per batch)
   *   state/batch=<batchId>/assign/   batch docs' assignments
   *                         /remap/   non-identity (old_rep → keep_id)
   * }}}
@@ -71,28 +77,19 @@ object KeepListStore {
     FileSystem.get(spark.sparkContext.hadoopConfiguration)
 
   /** One-time corpus solve: full connected components via the
-    * pointer-jumping fixpoint, persisted as the initial `base`.
+    * pointer-jumping fixpoint, persisted as the initial `base`; the
+    * corpus bands land through [[MinHashLSH.buildBucketedIndex]] (the
+    * d16 layout — gen=-1, hb partitions, recorded bucket-count
+    * marker), so batch probes can prune.
     */
   def backfill(bands: DataFrame, idCol: String, dir: String): Unit = {
     val spark = bands.sparkSession
     val fs = fsOf(spark)
     val b = bands.select(col(idCol), col("band"), col("h"))
-    Sinks.atomicParquetCommit(b,
-      new Path(s"$dir/.tmp_bands_base"), new Path(s"$dir/bands_base"))
+    MinHashLSH.buildBucketedIndex(b, s"$dir/bands")
     Sinks.atomicParquetCommit(MinHashLSH.convergeKeepList(b, idCol),
       new Path(s"$dir/.tmp_base"), new Path(s"$dir/base"))
     fs.mkdirs(new Path(s"$dir/state"))
-  }
-
-  /** All band rows so far: backfill + committed batch generations. */
-  private def readBands(spark: SparkSession, dir: String,
-                        idCol: String): DataFrame = {
-    val base = spark.read.parquet(s"$dir/bands_base")
-    val gens = new Path(s"$dir/bands")
-    if (fsOf(spark).exists(gens))
-      base.unionByName(spark.read.parquet(gens.toString)
-        .select(col(idCol), col("band"), col("h")))
-    else base
   }
 
   private def stateDeltas(spark: SparkSession, dir: String): Seq[Path] = {
@@ -143,7 +140,19 @@ object KeepListStore {
     * fold-crash tolerance (identical pairs from base and a surviving
     * delta), not a semantic dedup.
     */
-  def read(spark: SparkSession, dir: String, idCol: String): DataFrame = {
+  def read(spark: SparkSession, dir: String, idCol: String): DataFrame =
+    readRaw(spark, dir, idCol).distinct()
+
+  /** read() without the crash-tolerance distinct — the internal
+    * corpus-state view appendBatch probes. Skipping the distinct there
+    * is load-bearing at scale: it is a corpus-wide shuffle, and
+    * appendBatch would otherwise pay it PER BATCH for tolerance it
+    * does not need (a surviving-fold-window duplicate is an identical
+    * (id, keep) pair, and incrementalKeepList's `touched` pipeline
+    * ends in its own distinct over the tiny rep set).
+    */
+  private def readRaw(spark: SparkSession, dir: String,
+                      idCol: String): DataFrame = {
     val base = spark.read.parquet(s"$dir/base")
     val deltas = stateDeltas(spark, dir)
     val stored =
@@ -151,13 +160,12 @@ object KeepListStore {
       else base.unionByName(spark.read.schema(base.schema)
         .parquet(deltas.map(p => s"$p/assign"): _*))
     closedRemap(spark, dir, deltas, base) match {
-      case None => stored.distinct()
+      case None => stored
       case Some(remap) =>
         stored.join(broadcast(remap.withColumnRenamed("keep_id", "__new")),
             stored("keep_id") === remap("old_rep"), "left")
           .select(col(idCol),
             coalesce(col("__new"), col("keep_id")).as("keep_id"))
-          .distinct()
     }
   }
 
@@ -172,24 +180,45 @@ object KeepListStore {
     val spark = batchBands.sparkSession
     val fs = fsOf(spark)
     val stateDir = new Path(s"$dir/state/batch=$batchId")
-    val bandsSel = batchBands.select(col(idCol), col("band"), col("h"))
-    if (!fs.exists(stateDir)) {
-      // sweep dead half-writes (single-writer contract, as in
-      // Sinks.committedGenWrite)
-      val stateRoot = new Path(s"$dir/state")
-      if (fs.exists(stateRoot))
-        for (st <- fs.listStatus(stateRoot)
-             if st.getPath.getName.startsWith(".tmp_batch_"))
-          fs.delete(st.getPath, true)
-      val (assign, remap) = MinHashLSH.incrementalKeepList(
-        bandsSel, idCol,
-        readBands(spark, dir, idCol), read(spark, dir, idCol))
-      val tmp = new Path(s"$dir/state/.tmp_batch_$batchId")
-      assign.write.parquet(s"$tmp/assign")
-      remap.write.parquet(s"$tmp/remap")
-      Sinks.renameOrThrow(fs, tmp, stateDir)
-    }
-    Sinks.committedAppend(bandsSel, s"$dir/bands", batchId)
+    val bandsDir = s"$dir/bands"
+    val nb = MinHashLSH.bucketCount(spark, bandsDir)
+    val bb = MinHashLSH.withHashBucket(
+        batchBands.select(col(idCol), col("band"), col("h")), nb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (!fs.exists(stateDir)) {
+        // sweep dead half-writes (single-writer contract, as in
+        // Sinks.committedGenWrite)
+        val stateRoot = new Path(s"$dir/state")
+        if (fs.exists(stateRoot))
+          for (st <- fs.listStatus(stateRoot)
+               if st.getPath.getName.startsWith(".tmp_batch_"))
+            fs.delete(st.getPath, true)
+        // touched-component probe pruned to the batch's own hash
+        // buckets (≤ |batch|·k of them) — the d16 move; hb is a pure
+        // function of h, so the pruned scan keeps every possibly-
+        // matching band row
+        val probedHb = bb.select("hb").distinct().collect()
+          .map(_.getInt(0)).toSeq.sorted
+        val corpusBands = MinHashLSH
+          .prunedBucketedIndex(spark, bandsDir, probedHb)
+          .select(col(idCol), col("band"), col("h"))
+        val (assign, remap) = MinHashLSH.incrementalKeepList(
+          bb.select(col(idCol), col("band"), col("h")), idCol,
+          corpusBands, readRaw(spark, dir, idCol))
+        val tmp = new Path(s"$dir/state/.tmp_batch_$batchId")
+        assign.write.parquet(s"$tmp/assign")
+        remap.write.parquet(s"$tmp/remap")
+        Sinks.renameOrThrow(fs, tmp, stateDir)
+      }
+      // small batches write their ≤64 bucket files from ONE task —
+      // a multi-task partitionBy write opens (tasks × buckets) tiny
+      // files; at real batch sizes the parallel write wins and the
+      // threshold leaves it alone
+      val nBatch = bb.count()
+      Sinks.committedPartitionedAppend(
+        if (nBatch < 200000) bb.coalesce(1) else bb, bandsDir, batchId, "hb")
+    } finally bb.unpersist()
     spark.read.parquet(s"$stateDir/assign")
   }
 

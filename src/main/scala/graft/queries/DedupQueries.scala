@@ -200,18 +200,19 @@ object DedupQueries extends QueryPack {
 
     // ---- KEEP-LIST LIFECYCLE (d18): d17 solved the affected subgraph
     // but left the state in memory; this drives the PERSISTED story a
-    // 100 TB deployment runs — KeepListStore backfill → three
+    // 100 TB deployment runs — KeepListStore backfill → two
     // crash-atomic batch landings → fold → read. The topology forces
     // the hard case d17 cannot reach: REMAP COMPOSITION. Corpus drops
-    // doc_id % 5 ∈ {0,1}; batch 0 (%5=0) only extends fragments
-    // downward (batch ids exceed fragment minima → zero remaps), batch
-    // 1 (%5=1) fuses fragments into full runs between %8 chain breaks
-    // (fragment reps remap to run minima — e.g. some rep r → 8m), and
-    // batch 2's synthetic bridge docs (id+1000000, banded to 8m and
-    // 8m-1) fuse adjacent runs — remapping run minima that are
-    // themselves batch-1 remap TARGETS (r → 8m → prev-run min), so the
-    // read path's driver-side remap closure is load-bearing, not
-    // decorative. fold() then rewrites base and clears the deltas; the
+    // doc_id % 5 = 1, breaking the chain into 4-long fragments (and at
+    // %8 boundaries); batch 0 (%5=1) fuses fragments into full runs
+    // between %8 chain breaks (losing fragment reps remap to run
+    // minima — e.g. some rep r → 8m), and batch 1's synthetic bridge
+    // docs (id+1000000, banded to 8m and 8m-1) fuse adjacent runs —
+    // remapping run minima that are themselves batch-0 remap TARGETS
+    // (r → 8m → prev-run min), so the read path's driver-side remap
+    // closure is load-bearing, not decorative. (The zero-remap batch
+    // case is pinned at unit scale by MinHashLSHSpec's fresh-docs
+    // test.) fold() then rewrites base and clears the deltas; the
     // `folded` column asserts deltas are gone AND the post-fold read is
     // row-identical to the pre-fold read (materialized to parquet
     // before the fold — the read is lazy and the fold deletes its
@@ -229,12 +230,9 @@ object DedupQueries extends QueryPack {
         val base = Scratch.dir("graft_d18_")
         val dir = base.resolve("kl").toString
         KeepListStore.backfill(
-          rows(ids.where(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 1)),
-          "doc_id", dir)
+          rows(ids.where(col("doc_id") % 5 =!= 1)), "doc_id", dir)
         KeepListStore.appendBatch(
-          rows(ids.where(col("doc_id") % 5 === 0)), "doc_id", dir, 0L)
-        KeepListStore.appendBatch(
-          rows(ids.where(col("doc_id") % 5 === 1)), "doc_id", dir, 1L)
+          rows(ids.where(col("doc_id") % 5 === 1)), "doc_id", dir, 0L)
         val orig = ids.where(col("doc_id") % 8 === 0 && col("doc_id") > 0)
           .select(col("doc_id").as("orig"))
         val bridges = orig
@@ -242,7 +240,7 @@ object DedupQueries extends QueryPack {
             col("orig").as("h"))
           .union(orig.select((col("orig") + 1000000L).as("doc_id"),
             lit(0).as("band"), (col("orig") - 1).as("h")))
-        KeepListStore.appendBatch(bridges, "doc_id", dir, 2L)
+        KeepListStore.appendBatch(bridges, "doc_id", dir, 1L)
         val beforeDir = base.resolve("before").toString
         KeepListStore.read(s, dir, "doc_id").write.parquet(beforeDir)
         KeepListStore.fold(s, dir, "doc_id")

@@ -32,7 +32,12 @@ object Sf1Probe {
     "d15_index_compaction", "e19_stream_restart_dedup",
     "m14_image_keeplist", "s15_ivf_staleness",
     "d16_bucketed_index_dedup", "s16_stream_ivf_append",
-    "e20_stream_bucketed_dedup", "e21_stream_cms", "e22_stream_histogram")
+    "e20_stream_bucketed_dedup", "e21_stream_cms", "e22_stream_histogram",
+    // keep-list lifecycle tier (d17 solves the affected subgraph only,
+    // d18/e23 add the persisted store + fold — their cost must track
+    // the batch, never the corpus)
+    "d17_incremental_keeplist", "d18_keeplist_lifecycle",
+    "e23_stream_keeplist")
 
   def buildSf1(spark: SparkSession, src: String, dst: String): Unit = {
     val marker = java.nio.file.Paths.get(s"${dst}_src.txt")

@@ -145,4 +145,27 @@ class MinHashLSHSpec extends SparkSpec {
     assert(remap.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
       Map(5L -> 1L))
   }
+
+  test("incremental keep-list: driver union-find path equals the distributed fixpoint") {
+    import spark.implicits._
+    // pseudo-random but deterministic topology: 60 docs, each banded to
+    // its own id and to a shared bucket drawn from a small pool, so
+    // components have varied shapes (chains, stars, singletons)
+    val corpus = (0 until 40).flatMap { i =>
+      Seq((i.toLong, 0, s"self$i"), (i.toLong, 0, s"pool${(i * 7) % 11}"))
+    }.toDF("doc_id", "band", "h")
+    val state = MinHashLSH.convergeKeepList(corpus, "doc_id")
+    val batch = (40 until 60).flatMap { i =>
+      Seq((i.toLong, 0, s"self$i"), (i.toLong, 0, s"pool${(i * 3) % 13}"))
+    }.toDF("doc_id", "band", "h")
+    def asMaps(p: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)) =
+      (p._1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+        p._2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    val fast = asMaps(MinHashLSH.incrementalKeepList(
+      batch, "doc_id", corpus, state))
+    val slow = asMaps(MinHashLSH.incrementalKeepList(
+      batch, "doc_id", corpus, state, driverSolveLimit = 0L))
+    assert(fast == slow)
+    assert(fast._1.keySet == (40L until 60L).toSet)
+  }
 }
