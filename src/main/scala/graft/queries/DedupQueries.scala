@@ -80,6 +80,60 @@ object DedupQueries extends QueryPack {
         LEFT JOIN hitc hc ON i.doc_id = hc.doc_id
         LEFT JOIN hitb hb ON i.doc_id = hb.doc_id"""
 
+  /** d15/d19 shared restatement (flat vs generational-bucketed
+    * compaction — layout and folding can never change verdicts):
+    * corpus + two sequential admitted batches, then the probe batch
+    * judged against the accumulated index, `compacted` asserted true.
+    */
+  private val duckCompactionOracle =
+    s"""$duckBands,
+        corpus AS (SELECT * FROM bands WHERE doc_id % 5 <> 0 AND h IS NOT NULL),
+        a AS (SELECT * FROM bands WHERE doc_id % 10 = 0 AND h IS NOT NULL),
+        b AS (SELECT * FROM bands WHERE doc_id % 10 = 5 AND h IS NOT NULL),
+        hc1 AS (SELECT DISTINCT x.doc_id FROM a x
+                JOIN corpus c ON x.band = c.band AND x.h = c.h),
+        hb1 AS (SELECT DISTINCT x.doc_id FROM a x
+                JOIN a y ON x.band = y.band AND x.h = y.h
+                 AND y.doc_id < x.doc_id),
+        adm1 AS (SELECT DISTINCT doc_id FROM a
+                 WHERE doc_id NOT IN (SELECT doc_id FROM hc1)
+                   AND doc_id NOT IN (SELECT doc_id FROM hb1)),
+        idx2 AS (SELECT * FROM corpus
+                 UNION ALL SELECT a.* FROM a JOIN adm1 USING (doc_id)),
+        hc2 AS (SELECT DISTINCT x.doc_id FROM b x
+                JOIN idx2 c ON x.band = c.band AND x.h = c.h),
+        hb2 AS (SELECT DISTINCT x.doc_id FROM b x
+                JOIN b y ON x.band = y.band AND x.h = y.h
+                 AND y.doc_id < x.doc_id),
+        adm2 AS (SELECT DISTINCT doc_id FROM b
+                 WHERE doc_id NOT IN (SELECT doc_id FROM hc2)
+                   AND doc_id NOT IN (SELECT doc_id FROM hb2)),
+        idx3 AS (SELECT * FROM idx2
+                 UNION ALL SELECT b.* FROM b JOIN adm2 USING (doc_id)),
+        probe_docs AS (
+          SELECT doc_id + 1000000 AS doc_id, text
+          FROM documents WHERE doc_id % 7 = 0
+          UNION ALL
+          SELECT doc_id + 2000000 AS doc_id,
+            'u'||doc_id||'x0 u'||doc_id||'x1 u'||doc_id||'x2 u'||doc_id||
+            'x3 u'||doc_id||'x4 u'||doc_id||'x5 u'||doc_id||'x6 u'||doc_id||'x7' AS text
+          FROM documents WHERE doc_id % 11 = 0),
+        ${duckBandsChain("probe_docs", "p")},
+        pb AS (SELECT * FROM pbands WHERE h IS NOT NULL),
+        hcp AS (SELECT DISTINCT x.doc_id FROM pb x
+                JOIN idx3 c ON x.band = c.band AND x.h = c.h),
+        hbp AS (SELECT DISTINCT x.doc_id FROM pb x
+                JOIN pb y ON x.band = y.band AND x.h = y.h
+                 AND y.doc_id < x.doc_id)
+        SELECT i.doc_id,
+          (hcp.doc_id IS NOT NULL) AS dup_of_corpus,
+          (hbp.doc_id IS NOT NULL) AS dup_in_batch,
+          (hcp.doc_id IS NULL AND hbp.doc_id IS NULL) AS admitted,
+          true AS compacted
+        FROM (SELECT DISTINCT doc_id FROM pb) i
+        LEFT JOIN hcp ON i.doc_id = hcp.doc_id
+        LEFT JOIN hbp ON i.doc_id = hbp.doc_id"""
+
   def all: Seq[Q] = Seq(
 
     // ---- Exact dedup: md5 fingerprint groupBy; keeper = min doc_id.
@@ -383,53 +437,70 @@ object DedupQueries extends QueryPack {
           "doc_id", idxDir, appendAdmitted = false)
           .withColumn("compacted", lit(after < before))
       },
-      Some(s"""$duckBands,
-              corpus AS (SELECT * FROM bands WHERE doc_id % 5 <> 0 AND h IS NOT NULL),
-              a AS (SELECT * FROM bands WHERE doc_id % 10 = 0 AND h IS NOT NULL),
-              b AS (SELECT * FROM bands WHERE doc_id % 10 = 5 AND h IS NOT NULL),
-              hc1 AS (SELECT DISTINCT x.doc_id FROM a x
-                      JOIN corpus c ON x.band = c.band AND x.h = c.h),
-              hb1 AS (SELECT DISTINCT x.doc_id FROM a x
-                      JOIN a y ON x.band = y.band AND x.h = y.h
-                       AND y.doc_id < x.doc_id),
-              adm1 AS (SELECT DISTINCT doc_id FROM a
-                       WHERE doc_id NOT IN (SELECT doc_id FROM hc1)
-                         AND doc_id NOT IN (SELECT doc_id FROM hb1)),
-              idx2 AS (SELECT * FROM corpus
-                       UNION ALL SELECT a.* FROM a JOIN adm1 USING (doc_id)),
-              hc2 AS (SELECT DISTINCT x.doc_id FROM b x
-                      JOIN idx2 c ON x.band = c.band AND x.h = c.h),
-              hb2 AS (SELECT DISTINCT x.doc_id FROM b x
-                      JOIN b y ON x.band = y.band AND x.h = y.h
-                       AND y.doc_id < x.doc_id),
-              adm2 AS (SELECT DISTINCT doc_id FROM b
-                       WHERE doc_id NOT IN (SELECT doc_id FROM hc2)
-                         AND doc_id NOT IN (SELECT doc_id FROM hb2)),
-              idx3 AS (SELECT * FROM idx2
-                       UNION ALL SELECT b.* FROM b JOIN adm2 USING (doc_id)),
-              probe_docs AS (
-                SELECT doc_id + 1000000 AS doc_id, text
-                FROM documents WHERE doc_id % 7 = 0
-                UNION ALL
-                SELECT doc_id + 2000000 AS doc_id,
-                  'u'||doc_id||'x0 u'||doc_id||'x1 u'||doc_id||'x2 u'||doc_id||
-                  'x3 u'||doc_id||'x4 u'||doc_id||'x5 u'||doc_id||'x6 u'||doc_id||'x7' AS text
-                FROM documents WHERE doc_id % 11 = 0),
-              ${duckBandsChain("probe_docs", "p")},
-              pb AS (SELECT * FROM pbands WHERE h IS NOT NULL),
-              hcp AS (SELECT DISTINCT x.doc_id FROM pb x
-                      JOIN idx3 c ON x.band = c.band AND x.h = c.h),
-              hbp AS (SELECT DISTINCT x.doc_id FROM pb x
-                      JOIN pb y ON x.band = y.band AND x.h = y.h
-                       AND y.doc_id < x.doc_id)
-              SELECT i.doc_id,
-                (hcp.doc_id IS NOT NULL) AS dup_of_corpus,
-                (hbp.doc_id IS NOT NULL) AS dup_in_batch,
-                (hcp.doc_id IS NULL AND hbp.doc_id IS NULL) AS admitted,
-                true AS compacted
-              FROM (SELECT DISTINCT doc_id FROM pb) i
-              LEFT JOIN hcp ON i.doc_id = hcp.doc_id
-              LEFT JOIN hbp ON i.doc_id = hbp.doc_id""")),
+      Some(duckCompactionOracle)),
+
+    // ---- Generational compaction for the BUCKETED layout (d19): d15
+    // compacts the flat index, but the bucketed stores (d16's index,
+    // s16's IVF cells, d18's band store) accumulate one gen=<batchId>
+    // dir per micro-batch — and there the gen dir IS the replay
+    // marker, so folding it away naively would let a replayed batch
+    // re-ingest. `Sinks.compactGenerations` records the folded ids in
+    // the sibling __committed manifest BEFORE the swap (every manifest
+    // id is already committed, so a crash after the manifest write
+    // over-skips nothing; the reverse order would double-ingest), then
+    // folds all generations into one gen=-1 preserving the hb
+    // partition layout (one file per bucket) with compact's
+    // rename-aside recovery. The gate drives d15's exact dataflow
+    // through the bucketed faces — backfill → two committed batches →
+    // compactGenerations → probe — and its `compacted` column also
+    // asserts the gen count collapsed to 1 AND that a driven replay of
+    // a FOLDED batchId is a pure skip through the manifest tier (the
+    // layout marker rides through as a sibling). Shared oracle with
+    // d15: compaction and layout can never change verdicts.
+    Q("d19_bucketed_compaction",
+      (s, d) => {
+        import graft.operators.MinHashLSH
+        val docs = withWords(Tables.documents(s, d)).select("doc_id", "text", "w")
+        val idxDir = Scratch.dir("graft_d19_").resolve("bands").toString
+        MinHashLSH.buildBucketedIndex(
+          MinHashLSH.bands(docs.where(col("doc_id") % 5 =!= 0),
+            "doc_id", col("w"), 4), idxDir)
+        MinHashLSH.incrementalDedupBucketed(
+          MinHashLSH.bands(docs.where(col("doc_id") % 10 === 0),
+            "doc_id", col("w"), 4), "doc_id", idxDir, batchId = 0L)
+        MinHashLSH.incrementalDedupBucketed(
+          MinHashLSH.bands(docs.where(col("doc_id") % 10 === 5),
+            "doc_id", col("w"), 4), "doc_id", idxDir, batchId = 1L)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          s.sparkContext.hadoopConfiguration)
+        def nGens = fs.listStatus(new org.apache.hadoop.fs.Path(idxDir))
+          .count(_.getPath.getName.startsWith("gen="))
+        val before = nGens // gen=-1 + two batch gens
+        graft.sources.Sinks.compactGenerations(s, idxDir, Some("hb"))
+        val after = nGens
+        // replay of a FOLDED batch id: only the manifest tier can skip
+        // it now (its gen dir is gone) — a re-append would double the
+        // admitted bands and flip the replayed-text probes
+        val replayed = graft.sources.Sinks.committedPartitionedAppend(
+          MinHashLSH.withHashBucket(
+            MinHashLSH.bands(docs.where(col("doc_id") % 10 === 0),
+              "doc_id", col("w"), 4)
+              .select(col("doc_id"), col("band"), col("h"))),
+          idxDir, 0L, "hb")
+        val replayProbe = docs.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        val novelProbe = docs.where(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat_ws(" ", (0 to 7).map(i =>
+              concat(lit("u"), col("doc_id"), lit(s"x$i"))): _*).as("text"))
+        MinHashLSH.incrementalDedupBucketed(
+          MinHashLSH.bands(withWords(replayProbe.unionByName(novelProbe)),
+            "doc_id", col("w"), 4),
+          "doc_id", idxDir, batchId = 99L, appendAdmitted = false)
+          .withColumn("compacted",
+            lit(before == 3 && after == 1 && !replayed))
+      },
+      Some(duckCompactionOracle)),
 
     // ---- Candidate verification: exact n-gram Jaccard on LSH pairs only.
     Q("d3_lsh_jaccard",

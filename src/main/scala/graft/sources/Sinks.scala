@@ -467,6 +467,11 @@ object Sinks {
     // per micro-batch and listing it per append would make every
     // append O(#generations)
     if (fs.exists(genDir)) return false // replayed batch: already committed
+    // second marker tier: ids whose gen dirs were FOLDED AWAY by
+    // compactGenerations live in the sibling manifest — a replayed
+    // folded batch must stay a pure skip, or compaction would turn
+    // at-least-once delivery into double ingestion
+    if (foldedIds(fs, indexDir).contains(batchId)) return false
     // about to write: sweep dead half-writes (single-writer contract —
     // any tmp found here is a crashed predecessor's)
     val root = new org.apache.hadoop.fs.Path(indexDir)
@@ -479,6 +484,87 @@ object Sinks {
     partitionCol.fold(w)(c => w.partitionBy(c)).parquet(tmp.toString)
     renameOrThrow(fs, tmp, genDir)
     true
+  }
+
+  /** ids whose generations were folded away by [[compactGenerations]]
+    * — read from the sibling manifest (absent until the first
+    * compaction, so uncompacted stores pay nothing beyond one exists
+    * check on the replay path).
+    */
+  private def foldedIds(fs: org.apache.hadoop.fs.FileSystem,
+                        indexDir: String): Set[Long] = {
+    // union of the manifest and its tmp sibling: the tmp is written as
+    // old ∪ new BEFORE the delete+rename publish, so the union is
+    // complete inside every crash window of that publish — and a stale
+    // tmp only ever lists ids that were committed at some point, so
+    // unioning it is always safe (a skip of a committed id is correct
+    // forever)
+    def readOne(name: String): Set[Long] = {
+      val p = new org.apache.hadoop.fs.Path(indexDir + name)
+      if (!fs.exists(p)) return Set.empty
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).map(_.toLong).toSet
+      finally in.close()
+    }
+    readOne("__committed") ++ readOne("__committed.tmp")
+  }
+
+  /** COMPACTION for the generational index layout
+    * ([[committedPartitionedAppend]]/[[committedAppend]]): at streaming
+    * cadence the store accumulates one `gen=<batchId>` dir per
+    * micro-batch — the same listing-time kill `compact` fixes for flat
+    * dirs, except here the gen dir IS the replay marker, so deleting it
+    * naively would let a replayed batch re-ingest. The fix is a second
+    * marker tier: the folded batch ids are recorded in the sibling
+    * `<dir>__committed` manifest BEFORE the swap (ordering is
+    * load-bearing — every manifest id is already committed, so a crash
+    * after the manifest write over-skips nothing, while the reverse
+    * order would let a replay of a folded id double-ingest), then all
+    * generations fold into a single `gen=-1` with the inner partition
+    * layout preserved (one file per partition value) and the dir swaps
+    * via compact's rename-aside recovery. The `__layout` bucket-count
+    * marker is a sibling and rides through untouched. Single-writer
+    * contract, like every committed face.
+    */
+  def compactGenerations(spark: SparkSession, indexDir: String,
+                         partitionCol: Option[String]): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(indexDir)
+    val old = new org.apache.hadoop.fs.Path(indexDir + "__compact_old")
+    val tmp = new org.apache.hadoop.fs.Path(indexDir + "__compact_tmp")
+    if (!fs.exists(dst)) { // compact's crash recovery
+      if (fs.exists(tmp)) { renameOrThrow(fs, tmp, dst); fs.delete(old, true) }
+      else if (fs.exists(old)) renameOrThrow(fs, old, dst)
+      else return
+    }
+    val gens = fs.listStatus(dst).map(_.getPath.getName)
+      .filter(_.startsWith("gen=")).map(_.stripPrefix("gen=").toLong)
+    if (!gens.exists(_ != -1L)) { fs.delete(tmp, true); return }
+    // 1) manifest first (union with any previously folded ids)
+    val ids = foldedIds(fs, indexDir) ++ gens.filter(_ != -1L)
+    val mTmp = new org.apache.hadoop.fs.Path(indexDir + "__committed.tmp")
+    val out = fs.create(mTmp, true)
+    try out.write(ids.toSeq.sorted.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(new org.apache.hadoop.fs.Path(indexDir + "__committed"), true)
+    renameOrThrow(fs, mTmp,
+      new org.apache.hadoop.fs.Path(indexDir + "__committed"))
+    // 2) fold every generation into one gen=-1, partition layout kept
+    fs.delete(tmp, true)
+    val df = spark.read.parquet(indexDir).drop("gen")
+    val w = partitionCol match {
+      case Some(c) => df.repartition(col(c)).write.partitionBy(c)
+      case None => df.coalesce(1).write
+    }
+    w.parquet(s"$tmp/gen=-1")
+    // 3) rename-aside swap
+    fs.delete(old, true)
+    renameOrThrow(fs, dst, old)
+    renameOrThrow(fs, tmp, dst)
+    fs.delete(old, true)
   }
 
   /** Write a table partitioned by a low-cardinality column (court/lang/

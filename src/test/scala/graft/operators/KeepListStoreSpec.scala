@@ -97,4 +97,25 @@ class KeepListStoreSpec extends SparkSpec {
     KeepListStore.fold(spark, dir, "id")
     assert(!fs.exists(delta) && readMap(dir) == before)
   }
+
+  test("band-store compaction keeps probes correct and folded batch ids skipped") {
+    val dir = graft.queries.Scratch.dir("klstore_cg_").toString
+    KeepListStore.backfill(clique(1, 30, 31), "id", dir)
+    KeepListStore.appendBatch(clique(2, 20L), "id", dir, 0L)
+    graft.sources.Sinks.compactGenerations(spark, s"$dir/bands", Some("hb"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/bands"))
+      .count(_.getPath.getName.startsWith("gen=")) == 1)
+    // replay of the folded batch: the manifest keeps the bands append a
+    // pure skip (the state dir already skips the recompute)
+    KeepListStore.appendBatch(clique(2, 20L), "id", dir, 0L)
+    // a new batch must still see COMPACTED corpus + batch-0 bands: doc
+    // 10 bridges bucket 2 (batch 0's, folded) and bucket 1 (backfill,
+    // folded) — any row lost in the fold breaks the merge
+    KeepListStore.appendBatch(clique(1, 10L).union(clique(2, 10L)),
+      "id", dir, 1L)
+    assert(readMap(dir) ==
+      Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 31L -> 10L))
+  }
 }

@@ -175,4 +175,63 @@ class SinksCrashSpec extends SparkSpec {
     Sinks.appendNewKeys(Seq((2L, "b2"), (3L, "c")).toDF("id", "v"), path, "id")
     assert(rowsOf(path) == Map(1L -> "a", 2L -> "b", 3L -> "c"))
   }
+
+  private def genRows(path: String): Set[(Long, String)] =
+    spark.read.parquet(path).select("id", "v").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("v"))).toSet
+
+  private def genCount(path: String): Int =
+    fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .count(_.getPath.getName.startsWith("gen="))
+
+  test("compactGenerations: folds gens to one, preserves rows, and folded ids stay skipped") {
+    import spark.implicits._
+    val path = tmp("cg1")
+    assert(Sinks.committedAppend(Seq((1L, "a")).toDF("id", "v"), path, 0L))
+    assert(Sinks.committedAppend(Seq((2L, "b")).toDF("id", "v"), path, 1L))
+    assert(Sinks.committedAppend(Seq((3L, "c")).toDF("id", "v"), path, 2L))
+    val want = genRows(path)
+    Sinks.compactGenerations(spark, path, None)
+    assert(genCount(path) == 1 && genRows(path) == want)
+    // replay of every folded id: manifest tier must skip (its gen dir
+    // is gone — a re-append would double the data)
+    for (b <- 0L to 2L)
+      assert(!Sinks.committedAppend(Seq((9L, "dup")).toDF("id", "v"), path, b))
+    assert(genRows(path) == want)
+    // a genuinely NEW id still lands, and a second compaction folds it
+    // while keeping the earlier manifest entries
+    assert(Sinks.committedAppend(Seq((4L, "d")).toDF("id", "v"), path, 3L))
+    Sinks.compactGenerations(spark, path, None)
+    assert(genCount(path) == 1 && genRows(path) == want + ((4L, "d")))
+    for (b <- 0L to 3L)
+      assert(!Sinks.committedAppend(Seq((9L, "dup")).toDF("id", "v"), path, b))
+  }
+
+  test("compactGenerations: crash windows (stale manifest tmp, half-swap) heal with no loss") {
+    import spark.implicits._
+    val path = tmp("cg2")
+    assert(Sinks.committedAppend(Seq((1L, "a")).toDF("id", "v"), path, 0L))
+    assert(Sinks.committedAppend(Seq((2L, "b")).toDF("id", "v"), path, 1L))
+    val want = genRows(path)
+    // window 1: manifest tmp written, publish not done — foldedIds
+    // unions the tmp, so a listed id with NO gen dir is still skipped
+    // (the gen dirs for 0/1 would skip on their own; id 7 only the
+    // manifest tmp knows)
+    val mTmp = new org.apache.hadoop.fs.Path(path + "__committed.tmp")
+    val out = fs.create(mTmp, true)
+    out.write("7".getBytes("UTF-8")); out.close()
+    assert(!Sinks.committedAppend(Seq((9L, "dup")).toDF("id", "v"), path, 7L))
+    fs.delete(mTmp, false)
+    // window 2: compaction died between its two renames — dir absent,
+    // complete tmp present. Build that state from a real fold.
+    Sinks.compactGenerations(spark, path, None)
+    assert(genRows(path) == want)
+    val aside = new org.apache.hadoop.fs.Path(path + "__crash_aside")
+    fs.rename(new org.apache.hadoop.fs.Path(path), aside)
+    fs.rename(aside, new org.apache.hadoop.fs.Path(path + "__compact_tmp"))
+    Sinks.compactGenerations(spark, path, None) // recovery path
+    assert(genCount(path) == 1 && genRows(path) == want)
+    for (b <- 0L to 1L)
+      assert(!Sinks.committedAppend(Seq((9L, "dup")).toDF("id", "v"), path, b))
+  }
 }
