@@ -109,7 +109,8 @@ object KeepListStore {
     */
   private def closedRemap(spark: SparkSession, dir: String,
                           deltas: Seq[Path],
-                          template: DataFrame): Option[DataFrame] = {
+                          template: DataFrame,
+                          guarded: Boolean): Option[DataFrame] = {
     if (deltas.isEmpty) return None
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("old_rep",
@@ -119,7 +120,10 @@ object KeepListStore {
     val raw = spark.read.schema(schema)
       .parquet(deltas.map(p => s"$p/remap"): _*).collect()
     if (raw.isEmpty) return None
-    require(raw.length <= 4 * 1000 * 1000,
+    // the guard is advisory pressure on the APPEND/READ paths; fold()
+    // bypasses it — it is the remedy the message prescribes, and a
+    // store past the limit must still be able to shrink itself
+    require(!guarded || raw.length <= 4 * 1000 * 1000,
       s"${raw.length} accumulated remap entries in $dir — fold() is " +
         "overdue (the remap is O(merge events since the last fold); " +
         "fold at compaction cadence keeps it driver-small)")
@@ -152,14 +156,19 @@ object KeepListStore {
     * ends in its own distinct over the tiny rep set).
     */
   private def readRaw(spark: SparkSession, dir: String,
-                      idCol: String): DataFrame = {
+                      idCol: String, guarded: Boolean = true): DataFrame = {
+    // heal a fold that died between its renames (base absent, complete
+    // tmp aside) at the NEXT TOUCH — without this, a crashed fold would
+    // wedge the stream (appendBatch/read throw path-not-found) until an
+    // operator manually re-ran fold(); one exists check when healthy
+    Sinks.healSwap(fsOf(spark), s"$dir/base")
     val base = spark.read.parquet(s"$dir/base")
     val deltas = stateDeltas(spark, dir)
     val stored =
       if (deltas.isEmpty) base
       else base.unionByName(spark.read.schema(base.schema)
         .parquet(deltas.map(p => s"$p/assign"): _*))
-    closedRemap(spark, dir, deltas, base) match {
+    closedRemap(spark, dir, deltas, base, guarded) match {
       case None => stored
       case Some(remap) =>
         stored.join(broadcast(remap.withColumnRenamed("keep_id", "__new")),
@@ -181,6 +190,13 @@ object KeepListStore {
     val fs = fsOf(spark)
     val stateDir = new Path(s"$dir/state/batch=$batchId")
     val bandsDir = s"$dir/bands"
+    Sinks.healSwap(fs, bandsDir) // a crashed bands compaction heals here
+    // PURE replay (state committed AND bands gen landed or folded):
+    // return the stored assignments without materializing the batch —
+    // the advertised O(1) skip. Sinks.committedPartitionedAppend would
+    // skip the write anyway, but only after the count/persist below.
+    if (fs.exists(stateDir) && Sinks.isCommittedGen(fs, bandsDir, batchId))
+      return spark.read.parquet(s"$stateDir/assign")
     val nb = MinHashLSH.bucketCount(spark, bandsDir)
     val bb = MinHashLSH.withHashBucket(
         batchBands.select(col(idCol), col("band"), col("h")), nb)
@@ -223,34 +239,23 @@ object KeepListStore {
   }
 
   /** Compaction-cadence rewrite: materialize read() as the new `base`
-    * (rename-aside swap, compact's discipline) and clear the deltas.
-    * Crash windows: mid-write → invisible; between the two renames →
-    * `base` absent, the complete tmp wins on the next call (which also
-    * clears the deltas the tmp already folded in); after the swap,
-    * before the delta delete → read() is unchanged (see the distinct()
-    * note) and the next fold cleans up.
+    * (the shared Sinks.swapRewrite rename-aside state machine) and
+    * clear the deltas. Crash windows: mid-write → invisible; between
+    * the two renames → `base` absent, the complete tmp wins at the
+    * NEXT TOUCH of the store (readRaw/appendBatch/fold all heal via
+    * Sinks.healSwap — a crashed fold must not wedge the stream until
+    * an operator intervenes); in either post-write window surviving
+    * deltas leave read() unchanged (identical pairs, see the
+    * distinct() note) and the next fold clears them.
     */
   def fold(spark: SparkSession, dir: String, idCol: String): Unit = {
     val fs = fsOf(spark)
-    val dst = new Path(s"$dir/base")
-    val old = new Path(s"$dir/base__fold_old")
-    val tmp = new Path(s"$dir/base__fold_tmp")
-    def clearDeltas(): Unit =
-      stateDeltas(spark, dir).foreach(p => fs.delete(p, true))
-    if (!fs.exists(dst)) {
-      if (fs.exists(tmp)) {
-        Sinks.renameOrThrow(fs, tmp, dst); fs.delete(old, true)
-        clearDeltas()
-      } else if (fs.exists(old)) Sinks.renameOrThrow(fs, old, dst)
-    }
-    if (stateDeltas(spark, dir).isEmpty) { fs.delete(tmp, true); return }
-    val folded = read(spark, dir, idCol)
-    fs.delete(tmp, true)
-    folded.write.parquet(tmp.toString)
-    fs.delete(old, true)
-    Sinks.renameOrThrow(fs, dst, old)
-    Sinks.renameOrThrow(fs, tmp, dst)
-    clearDeltas()
-    fs.delete(old, true)
+    Sinks.healSwap(fs, s"$dir/base")
+    if (stateDeltas(spark, dir).isEmpty) return
+    // UNGUARDED read: fold is the remedy the remap-size guard
+    // prescribes, so it must work past the limit
+    val folded = readRaw(spark, dir, idCol, guarded = false).distinct()
+    Sinks.swapRewrite(fs, s"$dir/base")(tmp => folded.write.parquet(tmp))
+    stateDeltas(spark, dir).foreach(p => fs.delete(p, true))
   }
 }

@@ -606,18 +606,26 @@ object MinHashLSH {
     out
   }
 
+  /** Id types whose driver-side ordering provably matches SQL `min`.
+    * INTEGRAL ONLY: StringType is deliberately excluded — JVM
+    * String.compareTo orders by UTF-16 code units while Spark's
+    * UTF8String `min` orders by UTF-8 bytes, and the two DISAGREE on
+    * supplementary code points (U+10000 sorts below U+FFFF in UTF-16,
+    * above it in UTF-8), so a string-keyed store could pick a
+    * different keep than the distributed path or any SQL oracle.
+    * String ids take the distributed fixpoint.
+    */
   private def comparableIdType(t: org.apache.spark.sql.types.DataType): Boolean =
     t match {
       case _: org.apache.spark.sql.types.LongType |
            _: org.apache.spark.sql.types.IntegerType |
-           _: org.apache.spark.sql.types.ShortType |
-           _: org.apache.spark.sql.types.StringType => true
+           _: org.apache.spark.sql.types.ShortType => true
       case _ => false
     }
 
   /** Driver union-find over (id, band, h, …) rows: ids sharing a
     * bucket are connected; keep = component minimum under the natural
-    * ordering (identical to SQL min for the long/int/string id types
+    * ordering (identical to SQL min for the integral id types
     * the fast path admits). Path-halving union-find; union roots by
     * minimum so the root IS the component keep. Returns id → keep for
     * every distinct id.

@@ -30,6 +30,18 @@ object DedupQueries extends QueryPack {
   private def withWords(df: DataFrame): DataFrame =
     df.withColumn("w", split(col("text"), " "))
 
+  /** Shared CHAIN-topology band rows for the keep-list gates/probes
+    * (d17, d18, e23, tools.StoreProbe): every doc in its own bucket,
+    * plus doc↔(doc-1) linkage broken at %8 boundaries — one definition
+    * so the gates can never silently diverge from their recursive
+    * oracles (which restate exactly these edges).
+    */
+  private[graft] def chainBands(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), lit(0).as("band"), col("doc_id").as("h"))
+      .union(df.where(col("doc_id") % 8 =!= 0)
+        .select(col("doc_id"), lit(0).as("band"),
+          (col("doc_id") - 1).as("h")))
+
   /** distinct 3-gram shingles: native word_ngrams (UTF8String concats,
     * no per-word String conversion) + array_distinct (first-occurrence
     * order, same as the previous compiled UDF's LinkedHashSet)
@@ -222,15 +234,11 @@ object DedupQueries extends QueryPack {
     Q("d17_incremental_keeplist",
       (s, d) => {
         val ids = Tables.documents(s, d).select("doc_id")
-        def rows(df: DataFrame): DataFrame =
-          df.select(col("doc_id"), lit(0).as("band"), col("doc_id").as("h"))
-            .union(df.where(col("doc_id") % 8 =!= 0)
-              .select(col("doc_id"), lit(0).as("band"), (col("doc_id") - 1).as("h")))
-        val corpusBands = rows(ids.where(col("doc_id") % 5 =!= 0))
+        val corpusBands = chainBands(ids.where(col("doc_id") % 5 =!= 0))
         // built once (at scale this assignment lives on disk)
         val corpusState = MinHashLSH.convergeKeepList(corpusBands, "doc_id")
         val (batchAssign, remap) = MinHashLSH.incrementalKeepList(
-          rows(ids.where(col("doc_id") % 5 === 0)), "doc_id",
+          chainBands(ids.where(col("doc_id") % 5 === 0)), "doc_id",
           corpusBands, corpusState)
         // read-time application: one broadcast join over the remap
         corpusState.as("c")
@@ -276,17 +284,12 @@ object DedupQueries extends QueryPack {
       (s, d) => {
         import graft.operators.KeepListStore
         val ids = Tables.documents(s, d).select("doc_id")
-        def rows(df: DataFrame): DataFrame =
-          df.select(col("doc_id"), lit(0).as("band"), col("doc_id").as("h"))
-            .union(df.where(col("doc_id") % 8 =!= 0)
-              .select(col("doc_id"), lit(0).as("band"),
-                (col("doc_id") - 1).as("h")))
         val base = Scratch.dir("graft_d18_")
         val dir = base.resolve("kl").toString
         KeepListStore.backfill(
-          rows(ids.where(col("doc_id") % 5 =!= 1)), "doc_id", dir)
+          chainBands(ids.where(col("doc_id") % 5 =!= 1)), "doc_id", dir)
         KeepListStore.appendBatch(
-          rows(ids.where(col("doc_id") % 5 === 1)), "doc_id", dir, 0L)
+          chainBands(ids.where(col("doc_id") % 5 === 1)), "doc_id", dir, 0L)
         val orig = ids.where(col("doc_id") % 8 === 0 && col("doc_id") > 0)
           .select(col("doc_id").as("orig"))
         val bridges = orig

@@ -769,15 +769,12 @@ object EventQueries extends QueryPack {
     Q("e23_stream_keeplist",
       (s, d) => {
         import graft.operators.KeepListStore
-        def rows(df: org.apache.spark.sql.DataFrame) =
-          df.select(col("doc_id"), lit(0).as("band"), col("doc_id").as("h"))
-            .union(df.where(col("doc_id") % 8 =!= 0)
-              .select(col("doc_id"), lit(0).as("band"),
-                (col("doc_id") - 1).as("h")))
+        import graft.queries.DedupQueries.chainBands
         val ids = Tables.documents(s, d).select("doc_id")
         val dir = Scratch.dir("graft_e23_kl_").resolve("kl").toString
         KeepListStore.backfill(
-          rows(ids.where(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 1)),
+          chainBands(
+            ids.where(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 1)),
           "doc_id", dir)
         val stage = Scratch.dir("graft_e23_stage_").toString
         val fileA = ids.where(col("doc_id") % 5 === 0)
@@ -785,7 +782,7 @@ object EventQueries extends QueryPack {
         val stream = s.readStream.schema("doc_id LONG").parquet(stage)
         runGatedStreamWith(s, stream,
           (batch, _, bid) => if (!batch.isEmpty) {
-            KeepListStore.appendBatch(rows(batch), "doc_id", dir, bid)
+            KeepListStore.appendBatch(chainBands(batch), "doc_id", dir, bid)
             ()
           }) { q =>
           q.processAllAvailable()
@@ -795,7 +792,7 @@ object EventQueries extends QueryPack {
         }
         // batch-0 redelivery after the run: must be a pure skip (a
         // re-solve would rename onto the existing state dir and throw)
-        KeepListStore.appendBatch(rows(fileA), "doc_id", dir, 0L)
+        KeepListStore.appendBatch(chainBands(fileA), "doc_id", dir, 0L)
         KeepListStore.fold(s, dir, "doc_id")
         KeepListStore.read(s, dir, "doc_id")
       },

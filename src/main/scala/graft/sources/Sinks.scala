@@ -336,35 +336,64 @@ object Sinks {
     * scan planning degrades). Reads, re-partitions by size, atomically
     * replaces via a temp dir + move.
     */
+  /** ONE copy of the rename-aside crash RECOVERY (the read half of the
+    * swap discipline): a rewrite that died between its two renames
+    * leaves `path` absent with the complete replacement at
+    * `__compact_tmp` (it is fully written before any rename, so it
+    * wins); with no tmp, roll back to the renamed-aside `__compact_old`.
+    * Returns whether `path` exists after the heal. EVERY toucher of a
+    * swap-managed dir routes through here — writers (the compactors)
+    * AND the read/append paths (committedGenWrite, KeepListStore) —
+    * because a crash window must heal at the NEXT TOUCH, whatever it
+    * is: an append that recreated a bare root over a half-swapped store
+    * would bury the tmp forever and silently destroy the pre-crash
+    * data. (SinksCrashSpec exercises the windows.)
+    */
+  private[graft] def healSwap(fs: org.apache.hadoop.fs.FileSystem,
+                              path: String): Boolean = {
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(path + "__compact_old")
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    if (!fs.exists(dst)) {
+      if (fs.exists(tmp)) { renameOrThrow(fs, tmp, dst); fs.delete(old, true) }
+      else if (fs.exists(old)) renameOrThrow(fs, old, dst)
+    }
+    fs.exists(dst)
+  }
+
+  /** ONE copy of the write half: heal, write the full replacement via
+    * `write(tmpDir)`, then swap with rename-aside. At no point is
+    * `path` absent AND the new data unrecoverable — a crash leaves
+    * either the old dir live, or the new dir one rename away (healed by
+    * [[healSwap]] on the next touch). Every dir-level rewrite (compact,
+    * compactUpserted/scd2Retention, compactGenerations, the keep-list
+    * fold) shares this state machine instead of keeping copies in
+    * lockstep.
+    */
+  private[graft] def swapRewrite(fs: org.apache.hadoop.fs.FileSystem,
+                                 path: String)(write: String => Unit): Unit = {
+    healSwap(fs, path)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(path + "__compact_old")
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    fs.delete(tmp, true) // stale tmp from a mid-write crash
+    write(tmp.toString)
+    fs.delete(old, true)
+    renameOrThrow(fs, dst, old)
+    renameOrThrow(fs, tmp, dst)
+    fs.delete(old, true)
+  }
+
   def compact(spark: SparkSession, path: String,
               targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    val old = new org.apache.hadoop.fs.Path(path + "__compact_old")
-    val tmpPath = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
-    // crash RECOVERY before anything else: a previous compact that died
-    // between its two renames leaves `path` absent. The tmp dir is
-    // complete by construction (it is fully written before any rename),
-    // so it wins; with no tmp, roll back to the renamed-aside old dir.
-    // (SinksCrashSpec exercises both windows.)
-    if (!fs.exists(dst)) {
-      if (fs.exists(tmpPath)) { renameOrThrow(fs, tmpPath, dst); fs.delete(old, true) }
-      else if (fs.exists(old)) renameOrThrow(fs, old, dst)
+    swapRewrite(fs, path) { tmp =>
+      val df = spark.read.parquet(path)
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val parts = math.max(1, (bytes / BigInt(targetFileBytes)).toInt)
+      df.repartition(parts).write.mode(SaveMode.Overwrite).parquet(tmp)
     }
-    val df = spark.read.parquet(path)
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val parts = math.max(1, (bytes / BigInt(targetFileBytes)).toInt)
-    val tmp = path + "__compact_tmp"
-    df.repartition(parts).write.mode(SaveMode.Overwrite).parquet(tmp)
-    // swap via rename-aside: at no point is `path` absent AND the new
-    // data unrecoverable — a crash leaves either the old dir live, or
-    // the new dir one rename away plus the old dir at __old (healed by
-    // the recovery block above on the next call)
-    fs.delete(old, true) // clear any leftover from a previous crash
-    renameOrThrow(fs, dst, old)
-    renameOrThrow(fs, new org.apache.hadoop.fs.Path(tmp), dst)
-    fs.delete(old, true)
   }
 
   /** Compact an UPSERT table (micro-batch upserts accumulate one file
@@ -402,24 +431,15 @@ object Sinks {
                               transform: DataFrame => DataFrame): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    val old = new org.apache.hadoop.fs.Path(path + "__compact_old")
-    val tmpPath = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
-    if (!fs.exists(dst)) { // same crash windows as compact
-      if (fs.exists(tmpPath)) { renameOrThrow(fs, tmpPath, dst); fs.delete(old, true) }
-      else if (fs.exists(old)) renameOrThrow(fs, old, dst)
-      // a table this stream never wrote (all its batches were empty —
-      // upsertBucketed writes nothing then, by design): nothing to compact
-      else return
+    // a table this stream never wrote (all its batches were empty —
+    // upsertBucketed writes nothing then, by design): nothing to compact
+    if (!healSwap(fs, path)) return
+    swapRewrite(fs, path) { tmp =>
+      transform(spark.read.parquet(path))
+        .repartition(col("__bucket"))
+        .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
+        .parquet(tmp)
     }
-    val df = transform(spark.read.parquet(path))
-    df.repartition(col("__bucket"))
-      .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
-      .parquet(path + "__compact_tmp")
-    fs.delete(old, true)
-    renameOrThrow(fs, dst, old)
-    renameOrThrow(fs, tmpPath, dst)
-    fs.delete(old, true)
   }
 
   /** EXACTLY-ONCE per-batch append into a partition-pruned index
@@ -462,16 +482,17 @@ object Sinks {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       df.sparkSession.sparkContext.hadoopConfiguration)
     val genDir = new org.apache.hadoop.fs.Path(s"$indexDir/gen=$batchId")
-    // fast path FIRST: a replay skip costs one getFileStatus, not a
-    // root listing — at streaming cadence the root holds one gen dir
-    // per micro-batch and listing it per append would make every
-    // append O(#generations)
-    if (fs.exists(genDir)) return false // replayed batch: already committed
-    // second marker tier: ids whose gen dirs were FOLDED AWAY by
-    // compactGenerations live in the sibling manifest — a replayed
-    // folded batch must stay a pure skip, or compaction would turn
-    // at-least-once delivery into double ingestion
-    if (foldedIds(fs, indexDir).contains(batchId)) return false
+    // fast path FIRST: a replay skip costs one getFileStatus (plus a
+    // cached manifest probe), not a root listing — at streaming cadence
+    // the root holds one gen dir per micro-batch and listing it per
+    // append would make every append O(#generations)
+    if (isCommittedGen(fs, indexDir, batchId)) return false
+    // heal a half-swapped store BEFORE writing: if a compaction died
+    // between its renames the root is absent and the full store sits at
+    // __compact_tmp — recreating a bare root here would bury that tmp
+    // forever (the next compaction would see the root, skip recovery,
+    // and delete the tmp: the whole pre-crash corpus silently gone)
+    healSwap(fs, indexDir)
     // about to write: sweep dead half-writes (single-writer contract —
     // any tmp found here is a crashed predecessor's)
     val root = new org.apache.hadoop.fs.Path(indexDir)
@@ -489,25 +510,76 @@ object Sinks {
   /** ids whose generations were folded away by [[compactGenerations]]
     * — read from the sibling manifest (absent until the first
     * compaction, so uncompacted stores pay nothing beyond one exists
-    * check on the replay path).
+    * check on the replay path). The published manifest is CACHED per
+    * (dir, modification time) — single-writer contract makes the mtime
+    * check sufficient — so a compacted store's appends stay O(1)
+    * instead of re-parsing the manifest per micro-batch.
     */
+  private val foldedIdsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Set[Long])]()
+
+  /** Manifest framing: ids one per line, terminated by `END:<count>`.
+    * The terminator is what makes a TORN tmp write detectable — without
+    * it, a crash mid-flush could truncate an id (\"123\" → \"12\") and
+    * fabricate a batch id that was never committed, silently dropping
+    * that future batch. A malformed tmp is ignored (torn write, by
+    * design); a malformed PUBLISHED manifest throws (it was renamed
+    * into place only after a full write+close, so damage means real
+    * corruption and over-reading as empty could double-ingest).
+    */
+  private def parseManifest(fs: org.apache.hadoop.fs.FileSystem,
+                            p: org.apache.hadoop.fs.Path,
+                            tornOk: Boolean): Set[Long] = {
+    val in = fs.open(p)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toVector
+      finally in.close()
+    val ok = lines.nonEmpty && lines.last == s"END:${lines.length - 1}" &&
+      lines.init.forall(_.forall(c => c.isDigit || c == '-'))
+    if (ok) lines.init.map(_.toLong).toSet
+    else if (tornOk) Set.empty
+    else throw new IllegalStateException(
+      s"corrupt committed-ids manifest at $p — refusing to guess " +
+        "(reading it as empty could double-ingest a folded batch)")
+  }
+
+  /** Is `batchId` already committed into this generational store? Two
+    * marker tiers: its gen dir (the append's atomic rename), or — once
+    * compaction folded that dir away — the sibling `__committed`
+    * manifest. The committed faces and their callers' replay fast
+    * paths (KeepListStore.appendBatch) share this one definition.
+    */
+  private[graft] def isCommittedGen(fs: org.apache.hadoop.fs.FileSystem,
+                                    indexDir: String,
+                                    batchId: Long): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/gen=$batchId")) ||
+      foldedIds(fs, indexDir).contains(batchId)
+
   private def foldedIds(fs: org.apache.hadoop.fs.FileSystem,
                         indexDir: String): Set[Long] = {
     // union of the manifest and its tmp sibling: the tmp is written as
     // old ∪ new BEFORE the delete+rename publish, so the union is
-    // complete inside every crash window of that publish — and a stale
-    // tmp only ever lists ids that were committed at some point, so
-    // unioning it is always safe (a skip of a committed id is correct
-    // forever)
-    def readOne(name: String): Set[Long] = {
-      val p = new org.apache.hadoop.fs.Path(indexDir + name)
-      if (!fs.exists(p)) return Set.empty
-      val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(_.nonEmpty).map(_.toLong).toSet
-      finally in.close()
-    }
-    readOne("__committed") ++ readOne("__committed.tmp")
+    // complete inside every crash window of that publish — and a
+    // well-formed stale tmp only ever lists ids that were committed at
+    // some point, so unioning it is always safe (a skip of a committed
+    // id is correct forever)
+    val mainP = new org.apache.hadoop.fs.Path(indexDir + "__committed")
+    val main =
+      if (!fs.exists(mainP)) Set.empty[Long]
+      else {
+        val mtime = fs.getFileStatus(mainP).getModificationTime
+        Option(foldedIdsCache.get(indexDir)) match {
+          case Some((t, s)) if t == mtime => s
+          case _ =>
+            val s = parseManifest(fs, mainP, tornOk = false)
+            foldedIdsCache.put(indexDir, (mtime, s))
+            s
+        }
+      }
+    val tmpP = new org.apache.hadoop.fs.Path(indexDir + "__committed.tmp")
+    if (fs.exists(tmpP)) main ++ parseManifest(fs, tmpP, tornOk = true)
+    else main
   }
 
   /** COMPACTION for the generational index layout
@@ -531,40 +603,32 @@ object Sinks {
                          partitionCol: Option[String]): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(indexDir)
-    val old = new org.apache.hadoop.fs.Path(indexDir + "__compact_old")
-    val tmp = new org.apache.hadoop.fs.Path(indexDir + "__compact_tmp")
-    if (!fs.exists(dst)) { // compact's crash recovery
-      if (fs.exists(tmp)) { renameOrThrow(fs, tmp, dst); fs.delete(old, true) }
-      else if (fs.exists(old)) renameOrThrow(fs, old, dst)
-      else return
-    }
-    val gens = fs.listStatus(dst).map(_.getPath.getName)
+    if (!healSwap(fs, indexDir)) return // never written: nothing to fold
+    val gens = fs.listStatus(new org.apache.hadoop.fs.Path(indexDir))
+      .map(_.getPath.getName)
       .filter(_.startsWith("gen=")).map(_.stripPrefix("gen=").toLong)
-    if (!gens.exists(_ != -1L)) { fs.delete(tmp, true); return }
-    // 1) manifest first (union with any previously folded ids)
+    if (!gens.exists(_ != -1L)) return
+    // 1) manifest first (union with any previously folded ids), framed
+    //    with the END terminator so a torn write is detectable
     val ids = foldedIds(fs, indexDir) ++ gens.filter(_ != -1L)
+    val payload = ids.toSeq.sorted.mkString("", "\n", s"\nEND:${ids.size}")
     val mTmp = new org.apache.hadoop.fs.Path(indexDir + "__committed.tmp")
     val out = fs.create(mTmp, true)
-    try out.write(ids.toSeq.sorted.mkString("\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     fs.delete(new org.apache.hadoop.fs.Path(indexDir + "__committed"), true)
     renameOrThrow(fs, mTmp,
       new org.apache.hadoop.fs.Path(indexDir + "__committed"))
-    // 2) fold every generation into one gen=-1, partition layout kept
-    fs.delete(tmp, true)
-    val df = spark.read.parquet(indexDir).drop("gen")
-    val w = partitionCol match {
-      case Some(c) => df.repartition(col(c)).write.partitionBy(c)
-      case None => df.coalesce(1).write
+    // 2) fold every generation into one gen=-1 (partition layout kept)
+    //    and 3) swap — the shared rename-aside state machine
+    swapRewrite(fs, indexDir) { tmp =>
+      val df = spark.read.parquet(indexDir).drop("gen")
+      val w = partitionCol match {
+        case Some(c) => df.repartition(col(c)).write.partitionBy(c)
+        case None => df.coalesce(1).write
+      }
+      w.parquet(s"$tmp/gen=-1")
     }
-    w.parquet(s"$tmp/gen=-1")
-    // 3) rename-aside swap
-    fs.delete(old, true)
-    renameOrThrow(fs, dst, old)
-    renameOrThrow(fs, tmp, dst)
-    fs.delete(old, true)
   }
 
   /** Write a table partitioned by a low-cardinality column (court/lang/

@@ -3,6 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.KeepListStore
+import graft.queries.DedupQueries.chainBands
 
 /** Phase-level timing of the d18 keep-list lifecycle at sf0.1 — which
   * of backfill / per-batch solve / bands append / fold dominates, to
@@ -22,19 +23,14 @@ object StoreProbe {
     for (trial <- 1 to 2) {
       println(s"== trial $trial")
       val ids = graft.sources.Tables.documents(spark, d).select("doc_id")
-      def rows(df: DataFrame): DataFrame =
-        df.select(col("doc_id"), lit(0).as("band"), col("doc_id").as("h"))
-          .union(df.where(col("doc_id") % 8 =!= 0)
-            .select(col("doc_id"), lit(0).as("band"),
-              (col("doc_id") - 1).as("h")))
       val dir = graft.queries.Scratch.dir("storeprobe_").resolve("kl").toString
       time("backfill")(KeepListStore.backfill(
-        rows(ids.where(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 1)),
+        chainBands(ids.where(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 1)),
         "doc_id", dir))
       time("batch0")(KeepListStore.appendBatch(
-        rows(ids.where(col("doc_id") % 5 === 0)), "doc_id", dir, 0L).count())
+        chainBands(ids.where(col("doc_id") % 5 === 0)), "doc_id", dir, 0L).count())
       time("batch1")(KeepListStore.appendBatch(
-        rows(ids.where(col("doc_id") % 5 === 1)), "doc_id", dir, 1L).count())
+        chainBands(ids.where(col("doc_id") % 5 === 1)), "doc_id", dir, 1L).count())
       time("read")(KeepListStore.read(spark, dir, "doc_id").count())
       time("fold")(KeepListStore.fold(spark, dir, "doc_id"))
       time("read2")(KeepListStore.read(spark, dir, "doc_id").count())

@@ -219,8 +219,15 @@ class SinksCrashSpec extends SparkSpec {
     // manifest tmp knows)
     val mTmp = new org.apache.hadoop.fs.Path(path + "__committed.tmp")
     val out = fs.create(mTmp, true)
-    out.write("7".getBytes("UTF-8")); out.close()
+    out.write("7\nEND:1".getBytes("UTF-8")); out.close()
     assert(!Sinks.committedAppend(Seq((9L, "dup")).toDF("id", "v"), path, 7L))
+    // and a TORN tmp (no END frame — a crash mid-flush truncated it)
+    // must be IGNORED, not parsed into a fabricated batch id
+    val out2 = fs.create(mTmp, true)
+    out2.write("7\n1".getBytes("UTF-8")); out2.close()
+    assert(Sinks.committedAppend(Seq((7L, "g")).toDF("id", "v"), path, 7L))
+    assert(genRows(path) == want + ((7L, "g")))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/gen=7"), true)
     fs.delete(mTmp, false)
     // window 2: compaction died between its two renames — dir absent,
     // complete tmp present. Build that state from a real fold.
@@ -233,5 +240,15 @@ class SinksCrashSpec extends SparkSpec {
     assert(genCount(path) == 1 && genRows(path) == want)
     for (b <- 0L to 1L)
       assert(!Sinks.committedAppend(Seq((9L, "dup")).toDF("id", "v"), path, b))
+    // window 3: half-swap again, but the NEXT TOUCH is an APPEND — it
+    // must heal the root first; recreating a bare root here would bury
+    // the complete tmp and the next compaction would delete it (the
+    // entire pre-crash store silently gone)
+    fs.rename(new org.apache.hadoop.fs.Path(path), aside)
+    fs.rename(aside, new org.apache.hadoop.fs.Path(path + "__compact_tmp"))
+    assert(Sinks.committedAppend(Seq((3L, "c")).toDF("id", "v"), path, 5L))
+    assert(genRows(path) == want + ((3L, "c")))
+    Sinks.compactGenerations(spark, path, None)
+    assert(genCount(path) == 1 && genRows(path) == want + ((3L, "c")))
   }
 }
