@@ -724,6 +724,50 @@ object DedupQueries extends QueryPack {
                 FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
               SELECT ia, ib, cos FROM p WHERE cos > 0.3""")),
 
+    // ---- EMBEDDING keep-list (d20): completes the keep-first dedup
+    // product across all three modalities — text (d6, minhash
+    // buckets), images (m14, hamming pairs), and now embeddings (d5's
+    // verified cosine pairs closed into connected components). Same
+    // scale argument as m14: pairs are output-quadratic in duplicate
+    // density, one-row-per-vector with a transitive representative is
+    // the product shape; the fixpoint loops only over pair-graph
+    // members (explicit edges), singletons map to themselves in one
+    // left join, so the loop's working set tracks the duplicate graph,
+    // never the corpus. Oracle: independent recursive closure over the
+    // restated exact pair set.
+    Q("d20_embedding_keeplist",
+      (s, d) => {
+        val e = VectorOps.vecs(Tables.embeddings(s, d))
+          .withColumn("bucket", VectorOps.bucket)
+        val pairs = VectorOps.neardupPairs(e, minCos = 0.29)
+          .select(col("ia"), col("ib"), round(col("cos"), 6).as("cos"))
+          .where(col("cos") > 0.3)
+        val pairKey = concat(col("ia"), lit("_"), col("ib"))
+        val edges = pairs.select(col("ia").as("vec_id"),
+            lit(0).as("band"), pairKey.as("h"))
+          .union(pairs.select(col("ib").as("vec_id"),
+            lit(0).as("band"), pairKey.as("h")))
+        val closed = MinHashLSH.convergeKeepList(edges, "vec_id")
+        e.select("vec_id").join(closed, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("keep_id"), col("vec_id")).as("keep_id"))
+      },
+      Some(s"""WITH RECURSIVE
+              e AS (SELECT vec_id, v, nn, ${VectorOps.duckBucket} AS bucket
+                    FROM (${VectorOps.duckVecs})),
+              p AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+                FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+                WHERE round(list_aggregate(list_transform(range(1, len(a.v) + 1),
+                        i -> a.v[i] * b.v[i]), 'sum') / (sqrt(a.nn) * sqrt(b.nn)), 6)
+                      > 0.3),
+              sym AS (SELECT ia AS src, ib AS dst FROM p
+                      UNION ALL SELECT ib, ia FROM p),
+              reach(vec_id, r) AS (
+                SELECT vec_id, vec_id FROM e
+                UNION
+                SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.vec_id)
+              SELECT vec_id, min(r) AS keep_id FROM reach GROUP BY vec_id""")),
+
     // ---- EXACT-SUBSTRING duplicate spans (the Lee et al. training-data
     // dedup class, k-gram-anchored): a character position is duplicated
     // when its 32-char gram occurs in MORE THAN ONE document; per doc we

@@ -98,6 +98,18 @@ class KeepListStoreSpec extends SparkSpec {
     assert(!fs.exists(delta) && readMap(dir) == before)
   }
 
+  test("read applies the remap closure as a BROADCAST join over the stored scan") {
+    val dir = graft.queries.Scratch.dir("klstore_plan_").toString
+    KeepListStore.backfill(clique(1, 5, 6), "id", dir)
+    KeepListStore.appendBatch(clique(1, 2L), "id", dir, 0L) // remap (5 -> 2)
+    val plan = KeepListStore.read(spark, dir, "id")
+      .queryExecution.executedPlan.toString
+    // the remap is O(merge events) — corpus-side rows must never
+    // shuffle for its application
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+  }
+
   test("band-store compaction keeps probes correct and folded batch ids skipped") {
     val dir = graft.queries.Scratch.dir("klstore_cg_").toString
     KeepListStore.backfill(clique(1, 30, 31), "id", dir)
