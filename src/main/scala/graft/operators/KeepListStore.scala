@@ -248,6 +248,61 @@ object KeepListStore {
     * deltas leave read() unchanged (identical pairs, see the
     * distinct() note) and the next fold clears them.
     */
+  /** DECREMENTAL connected components — the delete path of dedup state
+    * (takedown/GDPR removals): drop `docIds` from the store and repair
+    * the assignment EXACTLY, including the case a remap-only scheme
+    * gets wrong — a deleted doc that BRIDGED a component must SPLIT it
+    * back into the pieces its remaining buckets support.
+    *
+    * The repair re-solves only the AFFECTED COMPONENTS (those owning a
+    * deleted member), from their survivors' already-filtered band rows.
+    * That subgraph is CLOSED: a survivor sharing a bucket with any doc
+    * outside its component would already share that doc's component —
+    * contradiction — so the re-solve can never merge into, or steal
+    * from, untouched components, and its working set tracks the
+    * affected components, never the corpus.
+    *
+    * Ordering and crash contract (idempotent, re-run on failure — the
+    * appendBatch discipline): fold first (one source of truth), then
+    * the bands rewrite (a replayed batch whose docs were deleted must
+    * stay a pure skip — deleting data does NOT un-commit its batch, the
+    * manifest keeps that true), then the base swap. A crash between the
+    * two rewrites leaves deleted ids visible in read() until the
+    * re-run, but never resurrects their bands: future appends cannot
+    * dedup new docs against deleted content.
+    */
+  def deleteDocs(docIds: DataFrame, idCol: String, dir: String): Unit = {
+    val spark = docIds.sparkSession
+    val fs = fsOf(spark)
+    fold(spark, dir, idCol)
+    val del = docIds.select(col(idCol)).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      Sinks.rewriteGenerations(spark, s"$dir/bands", Some("hb"),
+        df => df.join(broadcast(del), Seq(idCol), "left_anti"))
+      val base = spark.read.parquet(s"$dir/base")
+      val affected = base.join(broadcast(del), Seq(idCol), "left_semi")
+        .select("keep_id").distinct()
+      val members = base.join(broadcast(affected), Seq("keep_id"), "left_semi")
+      val survivors = members.join(broadcast(del), Seq(idCol), "left_anti")
+        .select(idCol)
+      val resolved = MinHashLSH.convergeKeepList(
+        spark.read.parquet(s"$dir/bands")
+          .select(col(idCol), col("band"), col("h"))
+          .join(survivors, Seq(idCol), "left_semi"),
+        idCol)
+      // survivors whose every band row left with the deletions keep
+      // themselves (left join + coalesce); untouched components pass
+      // through unchanged
+      val rebuilt = base.join(broadcast(affected), Seq("keep_id"), "left_anti")
+        .select(col(idCol), col("keep_id"))
+        .unionByName(survivors
+          .join(resolved.withColumnRenamed("keep_id", "__k"), Seq(idCol), "left")
+          .select(col(idCol), coalesce(col("__k"), col(idCol)).as("keep_id")))
+      Sinks.swapRewrite(fs, s"$dir/base")(tmp => rebuilt.write.parquet(tmp))
+    } finally del.unpersist()
+  }
+
   def fold(spark: SparkSession, dir: String, idCol: String): Unit = {
     val fs = fsOf(spark)
     Sinks.healSwap(fs, s"$dir/base")

@@ -768,6 +768,44 @@ object DedupQueries extends QueryPack {
                 SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.vec_id)
               SELECT vec_id, min(r) AS keep_id FROM reach GROUP BY vec_id""")),
 
+    // ---- DECREMENTAL keep-list (d21): the DELETE path of dedup state
+    // (takedown/GDPR removals) — the operation that makes the persisted
+    // keep-list a full CRUD store. KeepListStore.deleteDocs drops the
+    // docs' band rows (generational rewrite; the manifest keeps their
+    // replayed batches as pure skips — deleting data does not un-commit
+    // its batch) and re-solves ONLY the affected components from their
+    // survivors' remaining buckets. The topology forces the case a
+    // remap-only scheme gets wrong: deleting doc_id % 7 = 0 removes
+    // mid-chain BRIDGES, so components must SPLIT (and deleted reps
+    // force re-election of the next minimum). The affected subgraph is
+    // provably closed — a survivor bucket-sharing with an outside doc
+    // would already share its component — so untouched components can
+    // never be merged into or stolen from. Oracle: recursive closure
+    // over the SURVIVING docs only, edges requiring both endpoints to
+    // survive.
+    Q("d21_keeplist_delete",
+      (s, d) => {
+        import graft.operators.KeepListStore
+        val ids = Tables.documents(s, d).select("doc_id")
+        val dir = Scratch.dir("graft_d21_").resolve("kl").toString
+        KeepListStore.backfill(chainBands(ids), "doc_id", dir)
+        KeepListStore.deleteDocs(
+          ids.where(col("doc_id") % 7 === 0), "doc_id", dir)
+        KeepListStore.read(s, dir, "doc_id")
+      },
+      Some("""WITH RECURSIVE
+              docs AS (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0),
+              edges AS (SELECT a.doc_id AS src, b.doc_id AS dst
+                        FROM docs a JOIN docs b
+                          ON b.doc_id = a.doc_id + 1 AND b.doc_id % 8 <> 0),
+              sym AS (SELECT src, dst FROM edges
+                      UNION ALL SELECT dst, src FROM edges),
+              reach(doc_id, r) AS (
+                SELECT doc_id, doc_id FROM docs
+                UNION
+                SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.doc_id)
+              SELECT doc_id, min(r) AS keep_id FROM reach GROUP BY doc_id""")),
+
     // ---- EXACT-SUBSTRING duplicate spans (the Lee et al. training-data
     // dedup class, k-gram-anchored): a character position is duplicated
     // when its 32-char gram occurs in MORE THAN ONE document; per doc we

@@ -600,29 +600,49 @@ object Sinks {
     * contract, like every committed face.
     */
   def compactGenerations(spark: SparkSession, indexDir: String,
-                         partitionCol: Option[String]): Unit = {
+                         partitionCol: Option[String]): Unit =
+    rewriteGenerations(spark, indexDir, partitionCol, identity,
+      skipIfFolded = true)
+
+  /** [[compactGenerations]] with a row-level `transform` (the delete
+    * path of a generational store: fold + filter in one rewrite). The
+    * manifest still records every folded batch id — DELETING DATA DOES
+    * NOT UN-COMMIT ITS BATCH: a replayed batch whose rows were since
+    * deleted must stay a pure skip, or the delete would be silently
+    * undone by redelivery. `skipIfFolded=false` (the default here)
+    * applies the transform even when only gen=-1 remains.
+    */
+  def rewriteGenerations(spark: SparkSession, indexDir: String,
+                         partitionCol: Option[String],
+                         transform: DataFrame => DataFrame,
+                         skipIfFolded: Boolean = false): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     if (!healSwap(fs, indexDir)) return // never written: nothing to fold
     val gens = fs.listStatus(new org.apache.hadoop.fs.Path(indexDir))
       .map(_.getPath.getName)
       .filter(_.startsWith("gen=")).map(_.stripPrefix("gen=").toLong)
-    if (!gens.exists(_ != -1L)) return
+    if (skipIfFolded && !gens.exists(_ != -1L)) return
     // 1) manifest first (union with any previously folded ids), framed
-    //    with the END terminator so a torn write is detectable
-    val ids = foldedIds(fs, indexDir) ++ gens.filter(_ != -1L)
-    val payload = ids.toSeq.sorted.mkString("", "\n", s"\nEND:${ids.size}")
-    val mTmp = new org.apache.hadoop.fs.Path(indexDir + "__committed.tmp")
-    val out = fs.create(mTmp, true)
-    try out.write(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    fs.delete(new org.apache.hadoop.fs.Path(indexDir + "__committed"), true)
-    renameOrThrow(fs, mTmp,
-      new org.apache.hadoop.fs.Path(indexDir + "__committed"))
-    // 2) fold every generation into one gen=-1 (partition layout kept)
-    //    and 3) swap — the shared rename-aside state machine
+    //    with the END terminator so a torn write is detectable; skipped
+    //    when this rewrite folds no new generations
+    val newFolds = gens.filter(_ != -1L)
+    if (newFolds.nonEmpty) {
+      val ids = foldedIds(fs, indexDir) ++ newFolds
+      val payload = ids.toSeq.sorted.mkString("", "\n", s"\nEND:${ids.size}")
+      val mTmp = new org.apache.hadoop.fs.Path(indexDir + "__committed.tmp")
+      val out = fs.create(mTmp, true)
+      try out.write(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      fs.delete(new org.apache.hadoop.fs.Path(indexDir + "__committed"), true)
+      renameOrThrow(fs, mTmp,
+        new org.apache.hadoop.fs.Path(indexDir + "__committed"))
+    }
+    // 2) fold every generation into one gen=-1 (partition layout kept,
+    //    transform applied) and 3) swap — the shared rename-aside
+    //    state machine
     swapRewrite(fs, indexDir) { tmp =>
-      val df = spark.read.parquet(indexDir).drop("gen")
+      val df = transform(spark.read.parquet(indexDir).drop("gen"))
       val w = partitionCol match {
         case Some(c) => df.repartition(col(c)).write.partitionBy(c)
         case None => df.coalesce(1).write

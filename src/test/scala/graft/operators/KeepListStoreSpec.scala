@@ -110,6 +110,34 @@ class KeepListStoreSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(800))
   }
 
+  test("deleteDocs: rep re-election, bridge split, full-component delete, idempotent re-run") {
+    import spark.implicits._
+    val dir = graft.queries.Scratch.dir("klstore_del_").toString
+    // component A: chain 10-11-12 via buckets (10,11),(11,12) — 11 is
+    // the BRIDGE; component B: {20,21}; component C: {30}
+    val bands = Seq(
+      (10L, 0, 1L), (11L, 0, 1L), // bucket 1: 10-11
+      (11L, 0, 2L), (12L, 0, 2L), // bucket 2: 11-12
+      (20L, 0, 3L), (21L, 0, 3L),
+      (30L, 0, 4L)).toDF("id", "band", "h")
+    KeepListStore.backfill(bands, "id", dir)
+    assert(readMap(dir) == Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L))
+    // delete the bridge 11 → A must SPLIT into {10} and {12}; delete
+    // rep 20 → B re-elects 21; delete all of C
+    KeepListStore.deleteDocs(Seq(11L, 20L, 30L).toDF("id"), "id", dir)
+    val want = Map(10L -> 10L, 12L -> 12L, 21L -> 21L)
+    assert(readMap(dir) == want)
+    // idempotent re-run (the crash-recovery contract)
+    KeepListStore.deleteDocs(Seq(11L, 20L, 30L).toDF("id"), "id", dir)
+    assert(readMap(dir) == want)
+    // deleted content is forgotten: a new doc in the bridge's bucket
+    // merges only with what remains there
+    KeepListStore.appendBatch(clique(1, 40L), "id", dir, 0L)
+    assert(readMap(dir) ==
+      Map(10L -> 10L, 12L -> 12L, 21L -> 21L, 40L -> 10L))
+  }
+
   test("band-store compaction keeps probes correct and folded batch ids skipped") {
     val dir = graft.queries.Scratch.dir("klstore_cg_").toString
     KeepListStore.backfill(clique(1, 30, 31), "id", dir)
