@@ -806,6 +806,55 @@ object DedupQueries extends QueryPack {
                 SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.doc_id)
               SELECT doc_id, min(r) AS keep_id FROM reach GROUP BY doc_id""")),
 
+    // ---- FINGERPRINT-INDEX delete (d22): the takedown path for the
+    // dedup serving index — forgetting content means future landings of
+    // the same text must be ADMITTED again, and that is exactly what
+    // this gate proves. The bucketed index backfills from the corpus
+    // (doc_id % 5 != 0), then doc_id % 3 = 0 is taken down via the same
+    // generalized rewrite as d21/s17 (Sinks.rewriteGenerations: fold +
+    // filter in one swap, manifest keeps folded batch ids as replay
+    // skips, hb layout preserved so probes still prune). The probe
+    // replays EVERY doc's text under fresh ids: texts whose only corpus
+    // holder was deleted flip to admitted, texts still held keep
+    // dup_of_corpus — the oracle restates verdicts against the
+    // SURVIVING corpus only.
+    Q("d22_index_delete",
+      (s, d) => {
+        import graft.operators.MinHashLSH
+        val docs = withWords(Tables.documents(s, d)).select("doc_id", "text", "w")
+        val idxDir = Scratch.dir("graft_d22_").resolve("bands").toString
+        MinHashLSH.buildBucketedIndex(
+          MinHashLSH.bands(docs.where(col("doc_id") % 5 =!= 0),
+            "doc_id", col("w"), 4), idxDir)
+        graft.sources.Sinks.rewriteGenerations(s, idxDir, Some("hb"),
+          df => df.where(col("doc_id") % 3 =!= 0))
+        val probe = docs.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        MinHashLSH.incrementalDedupBucketed(
+          MinHashLSH.bands(withWords(probe), "doc_id", col("w"), 4),
+          "doc_id", idxDir, batchId = 0L, appendAdmitted = false)
+      },
+      Some(s"""$duckBands,
+              corpus AS (SELECT * FROM bands
+                         WHERE doc_id % 5 <> 0 AND doc_id % 3 <> 0
+                           AND h IS NOT NULL),
+              probe_docs AS (SELECT doc_id + 1000000 AS doc_id, text
+                             FROM documents WHERE doc_id % 7 = 0),
+              ${duckBandsChain("probe_docs", "p")},
+              pb AS (SELECT * FROM pbands WHERE h IS NOT NULL),
+              hcp AS (SELECT DISTINCT x.doc_id FROM pb x
+                      JOIN corpus c ON x.band = c.band AND x.h = c.h),
+              hbp AS (SELECT DISTINCT x.doc_id FROM pb x
+                      JOIN pb y ON x.band = y.band AND x.h = y.h
+                       AND y.doc_id < x.doc_id)
+              SELECT i.doc_id,
+                (hcp.doc_id IS NOT NULL) AS dup_of_corpus,
+                (hbp.doc_id IS NOT NULL) AS dup_in_batch,
+                (hcp.doc_id IS NULL AND hbp.doc_id IS NULL) AS admitted
+              FROM (SELECT DISTINCT doc_id FROM pb) i
+              LEFT JOIN hcp ON i.doc_id = hcp.doc_id
+              LEFT JOIN hbp ON i.doc_id = hbp.doc_id""")),
+
     // ---- EXACT-SUBSTRING duplicate spans (the Lee et al. training-data
     // dedup class, k-gram-anchored): a character position is duplicated
     // when its 32-char gram occurs in MORE THAN ONE document; per doc we

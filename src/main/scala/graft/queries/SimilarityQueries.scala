@@ -169,9 +169,11 @@ object SimilarityQueries extends QueryPack {
     * assignment → nprobe=2 probing → in-cell cosine top-5) — shared by
     * s9 (in-memory serve) and s13 (serve from the PERSISTED cell-
     * partitioned index): the two gates differ only in where the index
-    * rows come from, so they share one oracle.
+    * rows come from, so they share one oracle. `corpusWhere` restricts
+    * the SERVED population (s17's delete path — the codebook stays the
+    * one trained before the deletion, frozen, exactly like the gate).
     */
-  private val duckIvfTrainedTopk =
+  private def duckIvfTrainedTopkOn(corpusWhere: String) =
     s"""WITH $duckKmeans,
         c AS (SELECT cid, cv,
                 list_aggregate(list_transform(cv, x -> x * x), 'sum') AS cn
@@ -182,7 +184,8 @@ object SimilarityQueries extends QueryPack {
                 FROM e CROSS JOIN c),
         asg AS (SELECT vec_id, v, nn, cid AS cell FROM (
                   SELECT *, row_number() OVER (PARTITION BY vec_id
-                    ORDER BY cs DESC, cid) AS r FROM sim) WHERE r = 1),
+                    ORDER BY cs DESC, cid) AS r FROM sim)
+                WHERE r = 1 AND ($corpusWhere)),
         probe AS (SELECT vec_id AS qid, v AS qv, nn AS qn, cid AS cell FROM (
                   SELECT *, row_number() OVER (PARTITION BY vec_id
                     ORDER BY cs DESC, cid) AS r FROM sim WHERE vec_id < 3)
@@ -196,6 +199,8 @@ object SimilarityQueries extends QueryPack {
         SELECT qid, cast(rank as bigint) AS rank, vec_id, cos FROM (
           SELECT *, row_number() OVER (PARTITION BY qid
             ORDER BY cos DESC, vec_id) AS rank FROM p) WHERE rank <= 5"""
+
+  private val duckIvfTrainedTopk = duckIvfTrainedTopkOn("TRUE")
 
   def all: Seq[Q] = Seq(
 
@@ -788,6 +793,31 @@ object SimilarityQueries extends QueryPack {
         serveTopkFromIndex(s, idxDir, cents, e)
       },
       Some(duckIvfTrainedTopk)),
+
+    // ---- IVF index DELETE (s17): the takedown path for the served
+    // vector store — the CRUD face the keep-list tier got in d21, via
+    // the SAME generalized rewrite (Sinks.rewriteGenerations folds the
+    // generations AND drops the deleted vectors in one swap; the
+    // manifest keeps any folded batch ids as replay skips). The
+    // codebook stays FROZEN (deletes do not retrain, exactly like
+    // appends under s14); the serve path is byte-identical to
+    // s13/s14/s16 and must see only survivors — a query's top-k must
+    // back-fill from remaining in-cell neighbors, which the
+    // restricted-population oracle restates exactly (deleted vec 0
+    // stays a valid EXTERNAL query: queries are not corpus rows).
+    Q("s17_ivf_delete",
+      (s, d) => {
+        val e = vecs(s, d)
+        val cents = withNorms(trainedCodebook(s, d))
+        val idxDir = Scratch.dir("graft_s17_").resolve("ivf").toString
+        VectorOps.committedCellAppend(
+          e.withColumn("cell",
+            VectorOps.ivfAssignUdf(cents)(col("v"), col("nn"))), idxDir, -1L)
+        graft.sources.Sinks.rewriteGenerations(s, idxDir, Some("cell"),
+          df => df.where(col("vec_id") % 9 =!= 0))
+        serveTopkFromIndex(s, idxDir, cents, e)
+      },
+      Some(duckIvfTrainedTopkOn("vec_id % 9 <> 0"))),
 
     // ---- PQ with the TRAINED codebook: the k-means centroids sliced
     // per subspace become the sub-codebooks (cids stay the contiguous
