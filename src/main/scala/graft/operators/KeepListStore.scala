@@ -197,6 +197,17 @@ object KeepListStore {
     // skip the write anyway, but only after the count/persist below.
     if (fs.exists(stateDir) && Sinks.isCommittedGen(fs, bandsDir, batchId))
       return spark.read.parquet(s"$stateDir/assign")
+    // replay of a batch whose STATE DELTA WAS FOLDED AWAY (fold,
+    // compaction, or deleteDocs ran since it committed): the bands
+    // manifest/gen still knows it was committed, and re-solving would
+    // write a fresh state delta — harmlessly duplicating base rows
+    // after a plain fold, but RESURRECTING DELETED DOCS after a
+    // takedown (the batch input still contains them; the store must
+    // not). Return the batch's CURRENT assignments instead; docs
+    // deleted since are correctly absent.
+    if (!fs.exists(stateDir) && Sinks.isCommittedGen(fs, bandsDir, batchId))
+      return readRaw(spark, dir, idCol)
+        .join(batchBands.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
     val nb = MinHashLSH.bucketCount(spark, bandsDir)
     val bb = MinHashLSH.withHashBucket(
         batchBands.select(col(idCol), col("band"), col("h")), nb)
@@ -274,6 +285,22 @@ object KeepListStore {
   def deleteDocs(docIds: DataFrame, idCol: String, dir: String): Unit = {
     val spark = docIds.sparkSession
     val fs = fsOf(spark)
+    // REFUSE while any batch is mid-commit (state delta committed,
+    // bands gen not yet landed — appendBatch's documented lag window):
+    // folding that state would bake its docs into base WITHOUT their
+    // band edges (permanent under-merge of the re-solve), and the
+    // batch's later replay would re-append bands for docs this call
+    // was asked to delete. The lag heals on the stream's own replay —
+    // takedown requires a quiesced store, and a loud error here is the
+    // difference between an operational retry and silent corruption.
+    for (p <- stateDeltas(spark, dir)) {
+      val b = p.getName.stripPrefix("batch=").toLong
+      if (!Sinks.isCommittedGen(fs, s"$dir/bands", b))
+        throw new IllegalStateException(
+          s"batch $b has committed state but no bands generation in " +
+            s"$dir — a landing is mid-commit; let the stream replay/heal " +
+            "before running a takedown")
+    }
     fold(spark, dir, idCol)
     val del = docIds.select(col(idCol)).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

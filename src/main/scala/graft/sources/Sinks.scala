@@ -638,14 +638,26 @@ object Sinks {
       renameOrThrow(fs, mTmp,
         new org.apache.hadoop.fs.Path(indexDir + "__committed"))
     }
+    // REFUSE a transform that drops every row — BEFORE anything
+    // mutates: an empty partitioned gen=-1 has no data files, so every
+    // later read of the store dies on schema inference ("unable to
+    // infer schema"), wedging it until manual repair. Filtering a store
+    // to nothing is a caller bug; a genuine full takedown means
+    // deleting the store dir and backfilling fresh.
+    val folded = transform(spark.read.parquet(indexDir).drop("gen"))
+    if (folded.isEmpty)
+      throw new IllegalArgumentException(
+        s"refusing to rewrite $indexDir to an EMPTY store (the transform " +
+          "dropped every row) — a full takedown deletes the store dir " +
+          "and backfills fresh; an empty rewrite would leave an " +
+          "unreadable schemaless dir")
     // 2) fold every generation into one gen=-1 (partition layout kept,
     //    transform applied) and 3) swap — the shared rename-aside
     //    state machine
     swapRewrite(fs, indexDir) { tmp =>
-      val df = transform(spark.read.parquet(indexDir).drop("gen"))
       val w = partitionCol match {
-        case Some(c) => df.repartition(col(c)).write.partitionBy(c)
-        case None => df.coalesce(1).write
+        case Some(c) => folded.repartition(col(c)).write.partitionBy(c)
+        case None => folded.coalesce(1).write
       }
       w.parquet(s"$tmp/gen=-1")
     }

@@ -138,6 +138,52 @@ class KeepListStoreSpec extends SparkSpec {
       Map(10L -> 10L, 12L -> 12L, 21L -> 21L, 40L -> 10L))
   }
 
+  test("replay of a FOLDED batch skips the re-solve; after a delete it cannot resurrect") {
+    import spark.implicits._
+    val dir = graft.queries.Scratch.dir("klstore_replayfold_").toString
+    KeepListStore.backfill(clique(1, 5, 6), "id", dir)
+    KeepListStore.appendBatch(clique(1, 2L), "id", dir, 0L)
+    KeepListStore.fold(spark, dir, "id")
+    // replay after a plain fold: state delta is gone but the bands gen
+    // knows batch 0 committed — current assignments come back, no new
+    // state delta is written
+    val replay = KeepListStore.appendBatch(clique(1, 2L), "id", dir, 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(replay == Set((2L, 2L)))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/state"))
+      .exists(_.getPath.getName.startsWith("batch=")))
+    // takedown of batch 0's doc, then the batch replays again: the doc
+    // must NOT come back — not in the returned assignments, not in
+    // read(), not in the band store
+    KeepListStore.deleteDocs(Seq(2L).toDF("id"), "id", dir)
+    val replay2 = KeepListStore.appendBatch(clique(1, 2L), "id", dir, 0L)
+    assert(replay2.isEmpty)
+    assert(readMap(dir) == Map(5L -> 5L, 6L -> 5L))
+    assert(spark.read.parquet(s"$dir/bands")
+      .where(col("id") === 2L).isEmpty)
+  }
+
+  test("deleteDocs refuses while a landing is mid-commit (state without bands gen)") {
+    import spark.implicits._
+    val dir = graft.queries.Scratch.dir("klstore_midcommit_").toString
+    KeepListStore.backfill(clique(1, 5, 6), "id", dir)
+    KeepListStore.appendBatch(clique(1, 3L), "id", dir, 1L)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    // fake appendBatch's crash window: state committed, bands gen gone
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/bands/gen=1"), true)
+    val e = intercept[IllegalStateException](
+      KeepListStore.deleteDocs(Seq(5L).toDF("id"), "id", dir))
+    assert(e.getMessage.contains("mid-commit"))
+    // the stream's own replay heals the lag (state exists → skip the
+    // re-solve, redo the idempotent bands append), then takedown works
+    KeepListStore.appendBatch(clique(1, 3L), "id", dir, 1L)
+    KeepListStore.deleteDocs(Seq(5L).toDF("id"), "id", dir)
+    assert(readMap(dir) == Map(3L -> 3L, 6L -> 3L))
+  }
+
   test("band-store compaction keeps probes correct and folded batch ids skipped") {
     val dir = graft.queries.Scratch.dir("klstore_cg_").toString
     KeepListStore.backfill(clique(1, 30, 31), "id", dir)

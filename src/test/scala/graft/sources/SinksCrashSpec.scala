@@ -251,4 +251,17 @@ class SinksCrashSpec extends SparkSpec {
     Sinks.compactGenerations(spark, path, None)
     assert(genCount(path) == 1 && genRows(path) == want + ((3L, "c")))
   }
+
+  test("rewriteGenerations refuses a filter-to-empty, leaving the store intact") {
+    import spark.implicits._
+    val path = tmp("cg3")
+    assert(Sinks.committedAppend(Seq((1L, "a")).toDF("id", "v"), path, 0L))
+    val want = genRows(path)
+    val e = intercept[IllegalArgumentException](
+      Sinks.rewriteGenerations(spark, path, None, _.where(lit(false))))
+    assert(e.getMessage.contains("EMPTY"))
+    // nothing mutated: rows and replay markers both survive
+    assert(genRows(path) == want)
+    assert(!Sinks.committedAppend(Seq((9L, "dup")).toDF("id", "v"), path, 0L))
+  }
 }
