@@ -147,6 +147,39 @@ object KeepListStore {
   def read(spark: SparkSession, dir: String, idCol: String): DataFrame =
     readRaw(spark, dir, idCol).distinct()
 
+  /** TIME-TRAVEL read: the assignment AS OF batch `asOf` — base plus
+    * only the deltas with batchId ≤ asOf, remap closure restricted the
+    * same way. This is the reproducibility face of the store (pin the
+    * exact dedup state a training snapshot was built against, audit
+    * which keep-list admitted a doc) and it falls out of the layout
+    * for free: deltas are immutable per-batch dirs, so a past state is
+    * a subset union, not a reconstruction.
+    *
+    * HISTORY HORIZON (the k17 contract, applied here): fold() collapses
+    * deltas into base, so states at or before the last folded batch are
+    * NOT reconstructible — and takedowns (deleteDocs) rewrite history
+    * by design, so they advance the horizon too (a pre-delete snapshot
+    * must never resurrect deleted docs). Reads past the horizon REFUSE
+    * loudly instead of silently returning the later (folded) state.
+    * The marker is claim-first (written before the base swap), so every
+    * fold crash window errs toward refusing a read that might still
+    * have been serveable — never the reverse.
+    */
+  def readAsOf(spark: SparkSession, dir: String, idCol: String,
+               asOf: Long): DataFrame = {
+    Sinks.healSwap(fsOf(spark), s"$dir/base")
+    val h = Sinks.readLongMarker(spark, s"$dir/base", "__fold_horizon")
+      .getOrElse(-1L)
+    if (asOf < h) throw new IllegalStateException(
+      s"as-of batch $asOf predates the fold horizon $h of $dir — " +
+        "folded/deleted history is not reconstructible (fold() collapses " +
+        "deltas into base); snapshot before folding or lower the fold " +
+        "cadence")
+    val deltas = stateDeltas(spark, dir)
+      .filter(_.getName.stripPrefix("batch=").toLong <= asOf)
+    assemble(spark, dir, idCol, deltas, guarded = true).distinct()
+  }
+
   /** read() without the crash-tolerance distinct — the internal
     * corpus-state view appendBatch probes. Skipping the distinct there
     * is load-bearing at scale: it is a corpus-wide shuffle, and
@@ -162,8 +195,16 @@ object KeepListStore {
     // wedge the stream (appendBatch/read throw path-not-found) until an
     // operator manually re-ran fold(); one exists check when healthy
     Sinks.healSwap(fsOf(spark), s"$dir/base")
+    assemble(spark, dir, idCol, stateDeltas(spark, dir), guarded)
+  }
+
+  /** base ∪ the given state deltas with their closed remap applied —
+    * the shared body of readRaw (all deltas) and readAsOf (deltas ≤
+    * the as-of batch). Callers heal the base swap first.
+    */
+  private def assemble(spark: SparkSession, dir: String, idCol: String,
+                       deltas: Seq[Path], guarded: Boolean): DataFrame = {
     val base = spark.read.parquet(s"$dir/base")
-    val deltas = stateDeltas(spark, dir)
     val stored =
       if (deltas.isEmpty) base
       else base.unionByName(spark.read.schema(base.schema)
@@ -333,7 +374,13 @@ object KeepListStore {
   def fold(spark: SparkSession, dir: String, idCol: String): Unit = {
     val fs = fsOf(spark)
     Sinks.healSwap(fs, s"$dir/base")
-    if (stateDeltas(spark, dir).isEmpty) return
+    val deltas = stateDeltas(spark, dir)
+    if (deltas.isEmpty) return
+    // claim the history horizon BEFORE the swap (readAsOf's contract):
+    // a crash between marker and swap refuses as-of reads the surviving
+    // deltas could still have served — conservative, never the reverse
+    Sinks.recordLongMarker(spark, s"$dir/base", "__fold_horizon",
+      deltas.map(_.getName.stripPrefix("batch=").toLong).max)
     // UNGUARDED read: fold is the remedy the remap-size guard
     // prescribes, so it must work past the limit
     val folded = readRaw(spark, dir, idCol, guarded = false).distinct()

@@ -337,6 +337,68 @@ object DedupQueries extends QueryPack {
               SELECT doc_id, min(r) AS keep_id, TRUE AS folded
               FROM reach GROUP BY doc_id""")),
 
+    // ---- TIME-TRAVEL read of the keep-list store (d23): the
+    // reproducibility face of the persisted dedup state — pin the exact
+    // assignment a training snapshot was built against. The layout
+    // makes a past state a SUBSET UNION (base + deltas ≤ asOf, remap
+    // closure restricted the same way), not a reconstruction. d18's
+    // topology makes the restriction load-bearing: batch 1's bridges
+    // fuse runs and REMAP batch-0 targets, so an as-of-0 read that
+    // leaked batch-1 deltas (or its remap entries) merges components
+    // the oracle keeps apart. The gate also pins the HISTORY-HORIZON
+    // contract end-to-end: after fold(), readAsOf(0) must REFUSE loudly
+    // (folded history is gone — the k17 discipline), while readAsOf at
+    // the horizon itself equals the current read; both are asserted in
+    // `asof_contract`. Oracle: full recursive closure over documents
+    // WITHOUT the bridges (exactly the pre-batch-1 world), TRUE for the
+    // contract column.
+    Q("d23_keeplist_asof",
+      (s, d) => {
+        import graft.operators.KeepListStore
+        val ids = Tables.documents(s, d).select("doc_id")
+        val base = Scratch.dir("graft_d23_")
+        val dir = base.resolve("kl").toString
+        KeepListStore.backfill(
+          chainBands(ids.where(col("doc_id") % 5 =!= 1)), "doc_id", dir)
+        KeepListStore.appendBatch(
+          chainBands(ids.where(col("doc_id") % 5 === 1)), "doc_id", dir, 0L)
+        val orig = ids.where(col("doc_id") % 8 === 0 && col("doc_id") > 0)
+          .select(col("doc_id").as("orig"))
+        val bridges = orig
+          .select((col("orig") + 1000000L).as("doc_id"), lit(0).as("band"),
+            col("orig").as("h"))
+          .union(orig.select((col("orig") + 1000000L).as("doc_id"),
+            lit(0).as("band"), (col("orig") - 1).as("h")))
+        KeepListStore.appendBatch(bridges, "doc_id", dir, 1L)
+        // materialize BEFORE the fold — the read is lazy and fold()
+        // deletes the very deltas it selects
+        val asOf0Dir = base.resolve("asof0").toString
+        KeepListStore.readAsOf(s, dir, "doc_id", 0L).write.parquet(asOf0Dir)
+        KeepListStore.fold(s, dir, "doc_id")
+        val loud =
+          try { KeepListStore.readAsOf(s, dir, "doc_id", 0L); false }
+          catch { case _: IllegalStateException => true }
+        val atHorizon = KeepListStore.readAsOf(s, dir, "doc_id", 1L)
+        val consistent = atHorizon
+          .unionByName(KeepListStore.read(s, dir, "doc_id"))
+          .groupBy("doc_id", "keep_id").count()
+          .where(col("count") =!= 2).isEmpty
+        s.read.parquet(asOf0Dir)
+          .withColumn("asof_contract", lit(loud && consistent))
+      },
+      Some("""WITH RECURSIVE
+              edges AS (SELECT a.doc_id AS src, b.doc_id AS dst
+                        FROM documents a JOIN documents b
+                          ON b.doc_id = a.doc_id + 1 AND b.doc_id % 8 <> 0),
+              sym AS (SELECT src, dst FROM edges
+                      UNION ALL SELECT dst, src FROM edges),
+              reach(doc_id, r) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.doc_id)
+              SELECT doc_id, min(r) AS keep_id, TRUE AS asof_contract
+              FROM reach GROUP BY doc_id""")),
+
     // ---- INCREMENTAL dedup against a PERSISTED fingerprint index (the
     // shape a 100 TB deployment actually runs): the corpus (doc_id % 5
     // != 0) is fingerprinted ONCE into a parquet band index; when the

@@ -264,7 +264,16 @@ object Sinks {
     * (tmp written, final rename pending) still reports the strictest
     * horizon seen. Horizons only ever grow.
     */
-  def retentionHorizon(spark: SparkSession, path: String): Option[Long] = {
+  def retentionHorizon(spark: SparkSession, path: String): Option[Long] =
+    readLongMarker(spark, path, "__retention")
+
+  /** Generic sibling long-marker read — the retention-horizon crash
+    * discipline (tmp sibling consulted, corrupt final marker is loud,
+    * values only grow) reused by every horizon-style marker
+    * (SCD2 `__retention`, keep-list `__fold_horizon`).
+    */
+  private[graft] def readLongMarker(spark: SparkSession, path: String,
+                                    suffix: String): Option[Long] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     def readMarker(p: org.apache.hadoop.fs.Path): Option[String] =
@@ -287,10 +296,10 @@ object Sinks {
     // sibling, by contrast, can legitimately be a zero-byte husk of a
     // crashed recordHorizon (create() succeeded, write never flushed):
     // an unparseable tmp is ignored, a parseable one still counts.
-    val fin = readMarker(new org.apache.hadoop.fs.Path(path + "__retention"))
+    val fin = readMarker(new org.apache.hadoop.fs.Path(path + suffix))
       .map(s => s.toLongOption.getOrElse(throw new IllegalStateException(
-        s"corrupt retention marker ${path}__retention: '$s'")))
-    val tmp = readMarker(new org.apache.hadoop.fs.Path(path + "__retention.tmp"))
+        s"corrupt marker ${path}$suffix: '$s'")))
+    val tmp = readMarker(new org.apache.hadoop.fs.Path(path + suffix + ".tmp"))
       .flatMap(_.toLongOption)
     val vals = fin.toSeq ++ tmp.toSeq
     if (vals.isEmpty) None else Some(vals.max)
@@ -301,12 +310,21 @@ object Sinks {
     * and rewrite errs toward refusing reads that would still have been
     * complete (never the reverse).
     */
-  private def recordHorizon(spark: SparkSession, path: String, horizon: Long): Unit = {
+  private def recordHorizon(spark: SparkSession, path: String, horizon: Long): Unit =
+    recordLongMarker(spark, path, "__retention", horizon)
+
+  /** Generic sibling long-marker write (monotone max with any prior
+    * value; tmp + rename, claim-first safe — see recordHorizon's
+    * ordering note).
+    */
+  private[graft] def recordLongMarker(spark: SparkSession, path: String,
+                                      suffix: String, v: Long): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    val h = math.max(horizon, retentionHorizon(spark, path).getOrElse(Long.MinValue))
-    val tmp = new org.apache.hadoop.fs.Path(path + "__retention.tmp")
-    val dst = new org.apache.hadoop.fs.Path(path + "__retention")
+    val h = math.max(v,
+      readLongMarker(spark, path, suffix).getOrElse(Long.MinValue))
+    val tmp = new org.apache.hadoop.fs.Path(path + suffix + ".tmp")
+    val dst = new org.apache.hadoop.fs.Path(path + suffix)
     val out = fs.create(tmp, true)
     try out.write(h.toString.getBytes(StandardCharsets.UTF_8))
     finally out.close()

@@ -37,7 +37,9 @@ object Sf1Probe {
     // d18/e23 add the persisted store + fold — their cost must track
     // the batch, never the corpus)
     "d17_incremental_keeplist", "d18_keeplist_lifecycle",
-    "e23_stream_keeplist", "d19_bucketed_compaction", "d21_keeplist_delete")
+    "e23_stream_keeplist", "d19_bucketed_compaction", "d21_keeplist_delete",
+    "d20_embedding_keeplist", "d22_index_delete", "s17_ivf_delete",
+    "d23_keeplist_asof")
 
   def buildSf1(spark: SparkSession, src: String, dst: String): Unit = {
     val marker = java.nio.file.Paths.get(s"${dst}_src.txt")

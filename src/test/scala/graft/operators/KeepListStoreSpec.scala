@@ -204,4 +204,60 @@ class KeepListStoreSpec extends SparkSpec {
     assert(readMap(dir) ==
       Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 31L -> 10L))
   }
+
+  test("readAsOf applies only deltas (and remaps) at or before the batch") {
+    val dir = graft.queries.Scratch.dir("klstore_asof_").toString
+    KeepListStore.backfill(
+      clique(1000, 30, 31).union(clique(2000, 20, 21)), "id", dir)
+    // batch 0: doc 40 bridges the components → remap (30 -> 20);
+    // batch 1: doc 10 takes over → remap (20 -> 10)
+    KeepListStore.appendBatch(
+      clique(1000, 40L).union(clique(2000, 40L)), "id", dir, 0L)
+    KeepListStore.appendBatch(clique(1000, 10L), "id", dir, 1L)
+    def asOfMap(b: Long) =
+      KeepListStore.readAsOf(spark, dir, "id", b).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // before any batch: the backfilled base alone
+    assert(asOfMap(-1L) ==
+      Map(30L -> 30L, 31L -> 30L, 20L -> 20L, 21L -> 20L))
+    // as of batch 0: the bridge merge applied, doc 10's takeover NOT —
+    // leaking batch 1's remap would turn every 20 into a 10
+    assert(asOfMap(0L) == Map(20L -> 20L, 21L -> 20L, 30L -> 20L,
+      31L -> 20L, 40L -> 20L))
+    // as of the head batch: identical to the current read
+    assert(asOfMap(1L) == readMap(dir))
+  }
+
+  test("fold advances the horizon: pre-horizon readAsOf refuses loudly") {
+    val dir = graft.queries.Scratch.dir("klstore_hzn_").toString
+    KeepListStore.backfill(clique(1, 7, 8), "id", dir)
+    KeepListStore.appendBatch(clique(1, 3L), "id", dir, 0L)
+    KeepListStore.appendBatch(clique(1, 2L), "id", dir, 1L)
+    KeepListStore.fold(spark, dir, "id")
+    val e = intercept[IllegalStateException] {
+      KeepListStore.readAsOf(spark, dir, "id", 0L).collect()
+    }
+    assert(e.getMessage.contains("fold horizon"))
+    // the horizon batch itself stays readable and equals the head
+    assert(KeepListStore.readAsOf(spark, dir, "id", 1L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == readMap(dir))
+  }
+
+  test("horizon marker is claim-first: a crashed fold still refuses") {
+    val dir = graft.queries.Scratch.dir("klstore_hzncrash_").toString
+    KeepListStore.backfill(clique(1, 7, 8), "id", dir)
+    KeepListStore.appendBatch(clique(1, 3L), "id", dir, 0L)
+    // simulate fold dying right after the marker claim: marker says
+    // horizon 0, but the delta survives and base was never swapped
+    graft.sources.Sinks.recordLongMarker(spark, s"$dir/base",
+      "__fold_horizon", 0L)
+    // the surviving delta COULD serve asOf(-1) = base-only, but the
+    // claim-first contract errs toward refusal (conservative window)
+    intercept[IllegalStateException] {
+      KeepListStore.readAsOf(spark, dir, "id", -1L).collect()
+    }
+    // at/after the claimed horizon reads stay correct
+    assert(KeepListStore.readAsOf(spark, dir, "id", 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == readMap(dir))
+  }
 }
