@@ -467,6 +467,66 @@ object RelationalQueries extends QueryPack {
               UNION ALL
               SELECT 99::BIGINT, NULL, 'NEWLAND', 'added'""")),
 
+    // ---- K18: Z-ORDER layout (multi-dimensional min/max clustering) —
+    // the write-time answer to "a single-key sort prunes one column
+    // only". Lineitem is rewritten clustered on the Morton curve of
+    // (l_orderkey, l_partkey); every output file then covers a small
+    // BOX in key space, so parquet footer min/max skips files for
+    // predicates on EITHER column. The gate proves both halves:
+    // (a) round-trip correctness — a 2-D box aggregate over the
+    // rewritten files matches the oracle over the raw table (the
+    // layout loses/duplicates nothing); (b) PRUNING — per-file min/max
+    // boxes (exactly what a scan's footer stats offer, computed via
+    // input_file_name so the assert is deterministic, not a runtime
+    // metric) show a 10%×10% box touching ≤ 40% of files AND a
+    // partkey-only slab (the dimension a l_orderkey-sorted layout
+    // CANNOT prune) touching ≤ 60%. Box bounds are integer arithmetic
+    // on the table's own min/max so both engines compute identical
+    // literals at any SF.
+    Q("k18_zorder_layout",
+      (s, d) => {
+        import graft.operators.ZOrder
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey").cast("long").as("l_orderkey"),
+            col("l_partkey").cast("long").as("l_partkey"),
+            col("l_quantity"))
+        val dir = Scratch.dir("graft_k18_").resolve("zli").toString
+        ZOrder.writeLayout(li, dir, "l_orderkey", "l_partkey", 16)
+        val st = li.agg(min("l_orderkey"), max("l_orderkey"),
+          min("l_partkey"), max("l_partkey")).head()
+        val (okLo, okMax, pkLo, pkMax) =
+          (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
+        val okHi = okLo + (okMax - okLo) / 10
+        val pkHi = pkLo + (pkMax - pkLo) / 10
+        val zread = s.read.parquet(dir)
+        val boxes = ZOrder.fileBoxes(zread, "l_orderkey", "l_partkey")
+          .collect()
+        def hits(lo1: Long, hi1: Long, lo2: Long, hi2: Long): Int =
+          boxes.count(r => !(r.getLong(2) < lo1 || r.getLong(1) > hi1 ||
+            r.getLong(4) < lo2 || r.getLong(3) > hi2))
+        val nf = boxes.length
+        val prunes = nf >= 8 &&
+          hits(okLo, okHi, pkLo, pkHi) * 10 <= nf * 4 &&
+          hits(Long.MinValue, Long.MaxValue, pkLo, pkHi) * 10 <= nf * 6
+        zread
+          .where(col("l_orderkey").between(okLo, okHi) &&
+            col("l_partkey").between(pkLo, pkHi))
+          .agg(count(lit(1)).as("n_rows"),
+            sum("l_quantity").cast("bigint").as("sum_qty"))
+          .withColumn("layout_prunes", lit(prunes))
+      },
+      Some("""WITH b AS (SELECT min(l_orderkey) AS oklo,
+                     min(l_orderkey) + (max(l_orderkey) - min(l_orderkey)) // 10 AS okhi,
+                     min(l_partkey) AS pklo,
+                     min(l_partkey) + (max(l_partkey) - min(l_partkey)) // 10 AS pkhi
+              FROM lineitem)
+              SELECT count(*)::BIGINT AS n_rows,
+                     sum(l_quantity)::BIGINT AS sum_qty,
+                     TRUE AS layout_prunes
+              FROM lineitem, b
+              WHERE l_orderkey BETWEEN b.oklo AND b.okhi
+                AND l_partkey BETWEEN b.pklo AND b.pkhi""")),
+
     // ---- K12: BUCKETED tables + exchange-free co-located join — the
     // brief's "co-locate joins via bucketing" as a gate. Both sides are
     // written as Spark bucketed tables (8 buckets on the join key, the
