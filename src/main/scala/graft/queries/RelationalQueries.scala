@@ -816,6 +816,53 @@ object RelationalQueries extends QueryPack {
               FROM lineitem JOIN part ON l_partkey = p_partkey
               WHERE p_size <= 5""")),
 
+    // ---- J20: RUNTIME BLOOM-FILTER join (Catalyst's
+    // InjectRuntimeFilter, the big-big shuffle-join pruning lever):
+    // when the dim side of a shuffle join carries a selective filter,
+    // the optimizer builds a bloom filter over its join keys as a
+    // scalar subquery and applies bloom_filter_might_contain on the
+    // FACT side BEFORE its shuffle — at 100 TB that is the difference
+    // between shuffling the whole fact table and shuffling the ~matching
+    // slice. The sizing confs are scoped to EXECUTION here (the rule
+    // runs at optimization time, not analysis — withConf's usual
+    // construction-only scope would silently miss it), broadcast is
+    // disabled to force the shuffle-join shape the rule targets, and
+    // the gate asserts the filter actually injected (a silently
+    // not-firing rule would otherwise still pass the value compare)
+    // alongside result equality with the plain join restated by the
+    // oracle.
+    Q("j20_runtime_bloom_join",
+      (s, d) => {
+        val (flag, rows, schema) =
+          withConf(s, "spark.sql.optimizer.runtime.bloomFilter.enabled", "true") {
+            withConf(s, "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0") {
+              withConf(s, "spark.sql.autoBroadcastJoinThreshold", "-1") {
+                val dim = Tables.orders(s, d)
+                  .where(col("o_orderpriority") === "1-URGENT")
+                val j = Tables.lineitem(s, d)
+                  .join(dim, col("l_orderkey") === col("o_orderkey"))
+                  .groupBy("o_orderpriority")
+                  .agg(count(lit(1)).as("n_items"),
+                    sum("l_quantity").cast("bigint").as("sum_qty"))
+                val injected = j.queryExecution.optimizedPlan.toString
+                  .toLowerCase.contains("bloom_filter_might_contain") ||
+                  j.queryExecution.executedPlan.toString
+                    .toLowerCase.contains("bloomfilter")
+                (injected, j.collect().toSeq, j.schema)
+              }
+            }
+          }
+        s.createDataFrame(
+            s.sparkContext.parallelize(rows, 1), schema)
+          .withColumn("bloom_injected", lit(flag))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_items,
+                     sum(l_quantity)::BIGINT AS sum_qty,
+                     TRUE AS bloom_injected
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE o_orderpriority = '1-URGENT'
+              GROUP BY 1""")),
+
     // ---- J18: RANGE (band) join — clicks within the hour BEFORE each
     // purchase by the same user, via the bucketized rewrite
     // (operators/RangeJoin): intervals explode to ≤2 coarse time
@@ -1264,6 +1311,31 @@ object RelationalQueries extends QueryPack {
                      count(*) AS n_sampled
               FROM kept JOIN r USING (lang)
               GROUP BY r.lang, r.n_total, r.rate""")),
+
+    // ---- SEEDED EPOCH SHUFFLE (o13): the training-loader's global
+    // reshuffle, computed ONCE per epoch as data instead of at read
+    // time — every doc gets a dense 1-based position in a permutation
+    // that is (a) deterministic in (seed, doc_id) — reproducible across
+    // engines, restarts, and partitionings, (b) different per seed, and
+    // (c) computed DISTRIBUTED: sort key = md5(seed || doc_id), ranked
+    // by GlobalRank's range-exchange + broadcast-offset plan, so no
+    // single-partition window ever sees the corpus (the naive
+    // row_number() OVER (ORDER BY …) funnels 100 TB through one task).
+    // The doc_id tiebreaker makes the order total without relying on
+    // hash uniqueness.
+    Q("o13_seeded_shuffle",
+      (s, d) => {
+        val keyed = Tables.documents(s, d).select(col("doc_id"))
+          .withColumn("k",
+            md5(concat(lit("epoch7:"), col("doc_id").cast("string"))))
+        graft.operators.GlobalRank
+          .withGlobalRank(keyed, Seq(col("k"), col("doc_id")), "pos")
+          .select(col("doc_id"), col("pos"))
+      },
+      Some("""SELECT doc_id,
+                row_number() OVER (
+                  ORDER BY md5('epoch7:' || doc_id), doc_id) AS pos
+              FROM documents""")),
 
     // ---- O4: random-label sample submission (kaggle variant in the
     // reference) — deterministic label pick via md5-hash bucketing.
