@@ -109,8 +109,23 @@ object SimilarityQueries extends QueryPack {
     */
   private def serveTopkFromIndex(s: SparkSession, idxDir: String,
                                  cents: Seq[(Long, Array[Double], Double)],
-                                 e: DataFrame): DataFrame = {
+                                 e: DataFrame,
+                                 asOf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // AS-OF serve (s18): restrict to generations ≤ asOf — a second
+    // partition-prune level on the SAME scan. Compacted generations are
+    // gone by construction, so a snapshot at or before the manifest's
+    // max folded id REFUSES loudly (the d23 horizon contract) instead
+    // of silently serving the folded (later) state.
+    for (a <- asOf;
+         m <- graft.sources.Sinks.maxFoldedGen(
+           org.apache.hadoop.fs.FileSystem.get(
+             s.sparkContext.hadoopConfiguration), idxDir)
+         if m > a)
+      throw new IllegalStateException(
+        s"as-of gen $a predates the compaction horizon $m of $idxDir — " +
+          "folded generations are not reconstructible; snapshot before " +
+          "compacting or keep more history")
     val q = e.where(col("vec_id") < 3)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nn").as("qn"),
         explode(VectorOps.ivfProbeUdf(cents, 2)(col("v"), col("nn"))).as("cell"))
@@ -119,8 +134,12 @@ object SimilarityQueries extends QueryPack {
       .map(_.getLong(0).toInt).sorted
     // partition-column values are inferred as int; matching-type
     // literals keep the filter a pure partition prune (no cast)
-    val index = s.read.parquet(idxDir)
-      .where(col("cell").isin(probed: _*)).drop("gen")
+    val cellPruned = s.read.parquet(idxDir)
+      .where(col("cell").isin(probed: _*))
+    val index = asOf
+      .map(a => cellPruned.where(col("gen") <= lit(a.toInt)))
+      .getOrElse(cellPruned)
+      .drop("gen")
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
     val topk = index
       .join(broadcast(q.withColumn("cell", col("cell").cast("int"))), Seq("cell"))
@@ -818,6 +837,55 @@ object SimilarityQueries extends QueryPack {
         serveTopkFromIndex(s, idxDir, cents, e)
       },
       Some(duckIvfTrainedTopkOn("vec_id % 9 <> 0"))),
+
+    // ---- IVF SNAPSHOT serving (s18): d23's time-travel contract on
+    // the vector store — "which index answered this query" is a
+    // reproducibility requirement (eval runs, incident forensics), and
+    // the generational layout gives it for free: as-of = the SAME
+    // partition-pruned serve with a second prune level gen ≤ asOf on
+    // the same scan. Three landings (backfill, two appends); the
+    // snapshot at batch 0 must rank WITHOUT batch 1's vectors — any
+    // leak shows up as a different top-k because later neighbors
+    // displace earlier ones. Then compactGenerations folds the store
+    // and the gate pins the horizon contract: the batch-0 snapshot now
+    // REFUSES loudly (manifest max folded id > asOf), while the at-head
+    // snapshot still equals the current serve (gen=-1 ≤ 1). Both
+    // asserted in `asof_contract`; oracle = the frozen-codebook top-k
+    // over exactly the ≤-batch-0 population.
+    Q("s18_ivf_asof",
+      (s, d) => {
+        val e = vecs(s, d)
+        val cents = withNorms(trainedCodebook(s, d))
+        def assigned(df: org.apache.spark.sql.DataFrame) =
+          df.withColumn("cell", VectorOps.ivfAssignUdf(cents)(col("v"), col("nn")))
+        val base = Scratch.dir("graft_s18_")
+        val idxDir = base.resolve("ivf").toString
+        VectorOps.committedCellAppend(
+          assigned(e.where(col("vec_id") % 4 =!= 3)), idxDir, -1L)
+        VectorOps.committedCellAppend(
+          assigned(e.where(col("vec_id") % 8 === 3)), idxDir, 0L)
+        VectorOps.committedCellAppend(
+          assigned(e.where(col("vec_id") % 8 === 7)), idxDir, 1L)
+        // materialize the snapshot BEFORE compaction — the serve is
+        // lazy and compaction rewrites the very dirs it reads
+        val matDir = base.resolve("asof0").toString
+        serveTopkFromIndex(s, idxDir, cents, e, asOf = Some(0L))
+          .write.parquet(matDir)
+        graft.sources.Sinks.compactGenerations(s, idxDir, Some("cell"))
+        val loud =
+          try {
+            serveTopkFromIndex(s, idxDir, cents, e, asOf = Some(0L))
+            false
+          } catch { case _: IllegalStateException => true }
+        val atHead = serveTopkFromIndex(s, idxDir, cents, e, asOf = Some(1L))
+          .collect().toSet
+        val current = serveTopkFromIndex(s, idxDir, cents, e)
+          .collect().toSet
+        s.read.parquet(matDir)
+          .withColumn("asof_contract", lit(loud && atHead == current))
+      },
+      Some(s"""SELECT q.*, TRUE AS asof_contract FROM (
+              ${duckIvfTrainedTopkOn("vec_id % 4 <> 3 OR vec_id % 8 = 3")}) q""")),
 
     // ---- PQ with the TRAINED codebook: the k-means centroids sliced
     // per subspace become the sub-codebooks (cids stay the contiguous

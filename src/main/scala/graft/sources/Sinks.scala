@@ -574,6 +574,16 @@ object Sinks {
     fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/gen=$batchId")) ||
       foldedIds(fs, indexDir).contains(batchId)
 
+  /** Largest batch id folded into this store's manifest, if any — the
+    * as-of read horizon (a compacted generation is not reconstructible,
+    * so snapshot reads at or before it must refuse).
+    */
+  private[graft] def maxFoldedGen(fs: org.apache.hadoop.fs.FileSystem,
+                                  indexDir: String): Option[Long] = {
+    val ids = foldedIds(fs, indexDir)
+    if (ids.isEmpty) None else Some(ids.max)
+  }
+
   private def foldedIds(fs: org.apache.hadoop.fs.FileSystem,
                         indexDir: String): Set[Long] = {
     // union of the manifest and its tmp sibling: the tmp is written as

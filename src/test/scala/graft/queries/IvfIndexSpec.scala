@@ -29,6 +29,25 @@ class IvfIndexSpec extends SparkSpec {
       .exists(f => f.contains("cell=1") || f.contains("cell=3")))
   }
 
+  test("as-of read prunes BOTH partition levels (gen and cell) in one scan") {
+    import spark.implicits._
+    val dir = Scratch.dir("ivf_asof_").resolve("ivf").toString
+    for (g <- Seq(-1, 0, 1))
+      (0L until 20L).map(i => (i + 100L * g, (i % 4).toInt))
+        .toDF("vec_id", "cell")
+        .write.partitionBy("cell").parquet(s"$dir/gen=$g")
+    val snap = spark.read.parquet(dir)
+      .where(col("cell").isin(0, 2) && col("gen") <= lit(0))
+    val p = snap.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") && p.contains("cell") &&
+      p.contains("gen"), s"expected partition filters on gen AND cell:\n$p")
+    val files = snap.select(input_file_name().as("f")).distinct()
+      .as[String].collect()
+    assert(files.nonEmpty && files.forall(f =>
+      (f.contains("gen=-1") || f.contains("gen=0")) &&
+        (f.contains("cell=0") || f.contains("cell=2"))))
+  }
+
   test("append lands inside the existing cell directories and is immediately visible") {
     import spark.implicits._
     val dir = Scratch.dir("ivf_app_").resolve("ivf").toString
