@@ -91,4 +91,58 @@ object ZOrder {
     df.groupBy(input_file_name().as("file"))
       .agg(min(col(c1)).as("min1"), max(col(c1)).as("max1"),
         min(col(c2)).as("min2"), max(col(c2)).as("max2"))
+
+  /** `c` mapped to its EQUI-DEPTH bin index in [0, bins): the skew
+    * answer writeLayout's doc promises. Linear min/max scaling is
+    * surprisingly robust to smooth skew (the range partitioner splits
+    * on the CODE DISTRIBUTION, so file boundaries adapt to mass and
+    * 21 bits of resolution absorb ~10^6:1 span compression — ZOrderSpec
+    * measures x² skew NOT degenerating it), but it has a hard failure
+    * mode: OUTLIER span inflation. A handful of sentinel values
+    * (MAX-int ids, 9999-12-31 timestamps) stretch min/max so far that
+    * the entire real population collapses onto one scaled code — zero
+    * resolution, the Morton curve degenerates to the other dimension,
+    * and predicates on this column stop pruning entirely. Binning by
+    * approximate quantile boundaries instead makes the code space
+    * uniform in ROW MASS by construction, so resolution tracks
+    * row-fraction, not value-span, under any distribution. Heavy ties
+    * collapse into one bin (equal values are not separable by any
+    * layout) — that costs resolution only where the data itself has
+    * none.
+    *
+    * The per-row map is a binary search over the broadcast boundary
+    * array — a scalar UDF, but on the WRITE path only (reads stay pure
+    * parquet scans), and `bins` boundaries come from one approxQuantile
+    * sketch pass, not a sort.
+    */
+  private def eqBin(boundaries: Array[Double], bins: Int, c: Column): Column = {
+    // interior boundaries only: values ≤ b(1) → bin 0, > b(bins-1) → bins-1
+    val inner = boundaries.slice(1, bins)
+    val u = udf((v: java.lang.Double) =>
+      if (v == null) 0L
+      else {
+        val i = java.util.Arrays.binarySearch(inner, v.doubleValue())
+        (if (i >= 0) i + 1 else -(i + 1)).toLong
+      })
+    u(c.cast("double"))
+  }
+
+  /** writeLayout with equi-depth (quantile-rank) binning instead of
+    * linear scaling — same single extra range shuffle, same read path;
+    * the stats pass is one approxQuantile sketch over both columns.
+    * `bins` ≤ 2^21 per dimension (default 2^12 — 4096 mass-uniform
+    * cells per axis is far finer than any realistic file count).
+    */
+  def writeLayoutEqDepth(df: DataFrame, path: String, c1: String, c2: String,
+                         numFiles: Int, bins: Int = 1 << 12): Unit = {
+    require(bins > 1 && bins <= (1 << 21), s"bins=$bins out of (1, 2^21]")
+    val probs = (0 to bins).map(_.toDouble / bins).toArray
+    val bnd = df.stat.approxQuantile(Array(c1, c2), probs, 0.25 / bins)
+    val z = morton(eqBin(bnd(0), bins, col(c1)), eqBin(bnd(1), bins, col(c2)))
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

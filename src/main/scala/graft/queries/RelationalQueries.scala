@@ -527,6 +527,69 @@ object RelationalQueries extends QueryPack {
               WHERE l_orderkey BETWEEN b.oklo AND b.okhi
                 AND l_partkey BETWEEN b.pklo AND b.pkhi""")),
 
+    // ---- K19: Z-ORDER under SKEW — the equi-depth variant. Layout
+    // keys are (l_orderkey², l_partkey): the squared key crowds 90% of
+    // rows into the top ~99% of the value span, the shape where a
+    // value-space mapping's resolution is at the mercy of the
+    // distribution. writeLayoutEqDepth bins each key by approximate
+    // quantile boundaries (code space uniform in ROW MASS by
+    // construction — resolution tracks row-fraction, not value-span,
+    // under ANY distribution, including the outlier span inflation
+    // that provably zeroes linear scaling; ZOrderSpec pins that
+    // degenerate contrast) at the same write cost: one sketch pass,
+    // one range shuffle, reads stay pure parquet scans. The gate holds
+    // the k18 thresholds on the skewed data: a 10%-of-rows ×
+    // 10%-of-partkey box ≤ 40% of files, the partkey slab ≤ 60%. Box
+    // bounds are integer arithmetic on l_orderkey's min/max, squared —
+    // monotone on positive keys, so both engines state the predicate
+    // exactly.
+    Q("k19_zorder_eqdepth",
+      (s, d) => {
+        import graft.operators.ZOrder
+        val li = Tables.lineitem(s, d)
+          .select((col("l_orderkey").cast("long") *
+            col("l_orderkey").cast("long")).as("skew"),
+            col("l_partkey").cast("long").as("l_partkey"),
+            col("l_quantity"))
+        val dir = Scratch.dir("graft_k19_").resolve("zeq").toString
+        ZOrder.writeLayoutEqDepth(li, dir, "skew", "l_partkey", 16)
+        val st = Tables.lineitem(s, d)
+          .select(col("l_orderkey").cast("long").as("ok"),
+            col("l_partkey").cast("long").as("pk"))
+          .agg(min("ok"), max("ok"), min("pk"), max("pk")).head()
+        val (okLo, okMax, pkLo, pkMax) =
+          (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
+        val okHi = okLo + (okMax - okLo) / 10
+        val (sqLo, sqHi) = (okLo * okLo, okHi * okHi)
+        val pkHi = pkLo + (pkMax - pkLo) / 10
+        val zread = s.read.parquet(dir)
+        val boxes = ZOrder.fileBoxes(zread, "skew", "l_partkey").collect()
+        def hits(lo1: Long, hi1: Long, lo2: Long, hi2: Long): Int =
+          boxes.count(r => !(r.getLong(2) < lo1 || r.getLong(1) > hi1 ||
+            r.getLong(4) < lo2 || r.getLong(3) > hi2))
+        val nf = boxes.length
+        val prunes = nf >= 8 &&
+          hits(sqLo, sqHi, pkLo, pkHi) * 10 <= nf * 4 &&
+          hits(Long.MinValue, Long.MaxValue, pkLo, pkHi) * 10 <= nf * 6
+        zread
+          .where(col("skew").between(sqLo, sqHi) &&
+            col("l_partkey").between(pkLo, pkHi))
+          .agg(count(lit(1)).as("n_rows"),
+            sum("l_quantity").cast("bigint").as("sum_qty"))
+          .withColumn("layout_prunes", lit(prunes))
+      },
+      Some("""WITH b AS (SELECT min(l_orderkey) AS oklo,
+                     min(l_orderkey) + (max(l_orderkey) - min(l_orderkey)) // 10 AS okhi,
+                     min(l_partkey) AS pklo,
+                     min(l_partkey) + (max(l_partkey) - min(l_partkey)) // 10 AS pkhi
+              FROM lineitem)
+              SELECT count(*)::BIGINT AS n_rows,
+                     sum(l_quantity)::BIGINT AS sum_qty,
+                     TRUE AS layout_prunes
+              FROM lineitem, b
+              WHERE l_orderkey * l_orderkey BETWEEN b.oklo * b.oklo AND b.okhi * b.okhi
+                AND l_partkey BETWEEN b.pklo AND b.pkhi""")),
+
     // ---- K12: BUCKETED tables + exchange-free co-located join — the
     // brief's "co-locate joins via bucketing" as a gate. Both sides are
     // written as Spark bucketed tables (8 buckets on the join key, the

@@ -576,6 +576,56 @@ object TextQueries extends QueryPack {
                 round(tf * ln(cast(n + 1 as double) / (df + 1)), 6) AS tfidf
               FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n""")),
 
+    // ---- BM25 retrieval scoring (t26): the ranking function a
+    // training-data pipeline runs for RAG corpus construction and
+    // query-based decontamination — TF-IDF (t5) plus saturation (k1)
+    // and length normalization (b). Okapi parameters k1=1.2, b=0.75;
+    // idf = ln((N − df + ½)/(df + ½) + 1), the Lucene non-negative
+    // variant. The query is self-contained for determinism: the 5
+    // highest-df tokens (token asc on ties) — at scale that broadcast
+    // is |query| rows, tf shuffles once on (doc, token) with map-side
+    // combine, doc lengths join on doc_id, and the global top-20 is
+    // TakeOrderedAndProject (no full sort). Per-term contributions
+    // round to 6 dp THEN accumulate as decimal(18,6) — the sum is
+    // order-independent (exact decimal addition), so the score never
+    // wobbles with partitioning; double out per convention.
+    Q("t26_bm25_topk",
+      (s, d) => {
+        val words = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        val tf = words.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val stats = dl.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n"))
+        val dfreq = words.groupBy("token").agg(countDistinct("doc_id").as("df"))
+        val qterms = dfreq.orderBy(col("df").desc, col("token")).limit(5)
+        tf.join(broadcast(qterms), "token")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"),
+            round(log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1)) *
+              (col("tf") * lit(2.2)) /
+              (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 6)
+              .cast("decimal(18,6)").as("c"))
+          .groupBy("doc_id")
+          .agg(sum("c").cast("double").as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+              tf AS (SELECT doc_id, token, count(*) AS tf FROM words GROUP BY 1, 2),
+              dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY 1),
+              stats AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
+              dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM words GROUP BY 1),
+              q AS (SELECT token, df FROM dfreq ORDER BY df DESC, token LIMIT 5),
+              contrib AS (
+                SELECT doc_id,
+                  cast(round(ln((n - df + 0.5) / (df + 0.5) + 1) * (tf * 2.2) /
+                    (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS decimal(18,6)) AS c
+                FROM tf JOIN q USING (token) JOIN dl USING (doc_id) CROSS JOIN stats)
+              SELECT doc_id, cast(sum(c) AS double) AS bm25
+              FROM contrib GROUP BY doc_id
+              ORDER BY bm25 DESC, doc_id LIMIT 20""")),
+
     // ---- clean_text (F1, the oracle-expressible regex subset): build a
     // deterministic "dirty" variant then normalize whitespace. The full
     // NFKC path lives in functions.TextFunctions (ScalaTest-covered).

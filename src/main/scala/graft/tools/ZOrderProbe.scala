@@ -46,6 +46,10 @@ object ZOrderProbe {
       val (_, tz) = time {
         ZOrder.writeLayout(src, zDir, "l_orderkey", "l_partkey", files)
       }
+      val eDir = s"/tmp/zorder_probe_e_$n"
+      val (_, te) = time {
+        ZOrder.writeLayoutEqDepth(src, eDir, "l_orderkey", "l_partkey", files)
+      }
       val sDir = s"/tmp/zorder_probe_s_$n"
       val (_, ts) = time {
         src.repartitionByRange(files, col("l_orderkey"))
@@ -69,10 +73,12 @@ object ZOrderProbe {
       }
 
       println(f"ZORDER n=$n rows=$rows files=$files " +
-        f"write_z=$tz%.2fs write_sorted=$ts%.2fs " +
+        f"write_z=$tz%.2fs write_eqdepth=$te%.2fs write_sorted=$ts%.2fs " +
         s"box_z=${frac(zDir, okLo, okHi, pkLo, pkHi)} " +
+        s"box_eqdepth=${frac(eDir, okLo, okHi, pkLo, pkHi)} " +
         s"box_sorted=${frac(sDir, okLo, okHi, pkLo, pkHi)} " +
         s"slab_z=${frac(zDir, Long.MinValue, Long.MaxValue, pkLo, pkHi)} " +
+        s"slab_eqdepth=${frac(eDir, Long.MinValue, Long.MaxValue, pkLo, pkHi)} " +
         s"slab_sorted=${frac(sDir, Long.MinValue, Long.MaxValue, pkLo, pkHi)}")
     }
     spark.stop()

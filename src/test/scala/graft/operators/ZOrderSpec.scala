@@ -43,6 +43,41 @@ class ZOrderSpec extends SparkSpec {
     assert(hits(0, 7, 0, 7) * 4 <= boxes.length)
   }
 
+  test("equi-depth binning keeps pruning under outlier skew where linear scaling degenerates") {
+    import spark.implicits._
+    // the degenerate case for min/max scaling is OUTLIER-driven span
+    // inflation (sentinel ids, 9999-12-31 timestamps): 8 rows at
+    // x = 2^40 stretch the span so far that all 4096 real rows
+    // (x uniform in 0..1023) collapse onto scaled code 0 — zero
+    // x-resolution, the Morton curve becomes y-only, and x-slab
+    // predicates stop pruning entirely. Quantile bins shrug: the
+    // outliers own the top bin, the real mass keeps full resolution.
+    val base = spark.range(4096)
+      .select((col("id") * 2654435761L % 4096).as("k"))
+      .select((col("k") % 1024).as("x"), (col("k") % 64).as("y"))
+      .unionAll(spark.range(8).select((col("id") + (1L << 40)).as("x"),
+        (col("id") % 64).as("y")))
+    val lin = graft.queries.Scratch.dir("zorder_skew_lin_").toString + "/l"
+    val eqd = graft.queries.Scratch.dir("zorder_skew_eq_").toString + "/e"
+    ZOrder.writeLayout(base, lin, "x", "y", 16)
+    ZOrder.writeLayoutEqDepth(base, eqd, "x", "y", 16, bins = 256)
+    // x-slab = bottom eighth of the real x range, all y — the
+    // dimension the collapsed layout cannot prune
+    def hits(dir: String): (Int, Int) = {
+      val boxes = ZOrder.fileBoxes(spark.read.parquet(dir), "x", "y").collect()
+      (boxes.count(r => !(r.getLong(1) > 127L)), boxes.length)
+    }
+    val (eHits, eN) = hits(eqd)
+    val (lHits, lN) = hits(lin)
+    assert(eHits * 10 <= eN * 6, s"eqdepth x-slab hits $eHits/$eN")
+    assert(lHits * 10 >= lN * 8, s"linear should have degenerated, hit $lHits/$lN")
+    // and the rewrite stays exact
+    val back = spark.read.parquet(eqd)
+    assert(back.count() == 4104 &&
+      back.select("x", "y").except(base).isEmpty &&
+      base.except(back.select("x", "y")).isEmpty)
+  }
+
   test("writeLayout is an exact rewrite (no loss, no duplication)") {
     import spark.implicits._
     val df = spark.range(1000)
