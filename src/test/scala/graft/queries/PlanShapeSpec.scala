@@ -250,4 +250,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       "neither search path may shuffle the corpus for 6 queries: " + p.take(800))
   }
+
+  test("t26 BM25: query terms and corpus stats broadcast; top-20 is TakeOrdered") {
+    val p = plan("t26_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      "global top-20 must not be a full sort: " + p.take(800))
+    assert(p.contains("BroadcastHashJoin"),
+      "the 5-term query join must broadcast: " + p.take(800))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "tf/df aggregations must map-side combine: " + p.take(800))
+  }
+
+  test("zorder layouts write through ONE range exchange (linear and eqdepth)") {
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").cast("long").as("a"),
+        col("l_partkey").cast("long").as("b"))
+    for (dir <- Seq("lin", "eq")) {
+      val path = Scratch.dir(s"zplan_${dir}_").toString + "/t"
+      if (dir == "lin") graft.operators.ZOrder.writeLayout(li, path, "a", "b", 4)
+      else graft.operators.ZOrder.writeLayoutEqDepth(li, path, "a", "b", 4, bins = 64)
+      // read back: predicates on either key must reach the parquet scan
+      // (the layout's whole payoff is footer-stats skipping under them)
+      val p = spark.read.parquet(path).where(col("b") < 100L)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("PushedFilters: [IsNotNull(b), LessThan(b,100)]"),
+        s"$dir: pruning predicate must push to the scan: " + p.take(1200))
+    }
+  }
 }
