@@ -64,14 +64,14 @@ object ZOrder {
       lit((1 << 21) - 1)).cast("long")
   }
 
-  /** Rewrite `df` as `numFiles` parquet files under `path`, clustered
-    * on the Morton curve of (c1, c2). One stats scan + one range
-    * shuffle; every output file covers a contiguous code range, i.e. a
-    * small box in (c1, c2) space, which is what makes its footer
-    * min/max selective on BOTH columns.
+  /** `df` clustered on the Morton curve of (c1, c2) — the pre-write
+    * plan writeLayout executes, exposed so the ONE-extra-exchange
+    * write-cost claim is assertable on the physical plan
+    * (PlanShapeSpec). One stats scan up front; the returned plan is a
+    * single range exchange + in-partition sort.
     */
-  def writeLayout(df: DataFrame, path: String, c1: String, c2: String,
-                  numFiles: Int): Unit = {
+  def clustered(df: DataFrame, c1: String, c2: String,
+                numFiles: Int): DataFrame = {
     val st = df.agg(min(col(c1)).cast("double"), max(col(c1)).cast("double"),
       min(col(c2)).cast("double"), max(col(c2)).cast("double")).head()
     val z = morton(scale21(col(c1), st.getDouble(0), st.getDouble(1)),
@@ -80,8 +80,17 @@ object ZOrder {
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-      .write.mode("overwrite").parquet(path)
   }
+
+  /** Rewrite `df` as `numFiles` parquet files under `path`, clustered
+    * on the Morton curve of (c1, c2). One stats scan + one range
+    * shuffle; every output file covers a contiguous code range, i.e. a
+    * small box in (c1, c2) space, which is what makes its footer
+    * min/max selective on BOTH columns.
+    */
+  def writeLayout(df: DataFrame, path: String, c1: String, c2: String,
+                  numFiles: Int): Unit =
+    clustered(df, c1, c2, numFiles).write.mode("overwrite").parquet(path)
 
   /** Per-file (min, max) box of two columns — the reader-side view of
     * what parquet footer stats will offer a scan, used to ASSERT
@@ -116,7 +125,8 @@ object ZOrder {
     * sketch pass, not a sort.
     */
   private def eqBin(boundaries: Array[Double], bins: Int, c: Column): Column = {
-    // interior boundaries only: values ≤ b(1) → bin 0, > b(bins-1) → bins-1
+    // interior boundaries only: values < b(1) → bin 0 (an exact
+    // boundary match goes to the bin ABOVE), > b(bins-1) → bins-1
     val inner = boundaries.slice(1, bins)
     val u = udf((v: java.lang.Double) =>
       if (v == null) 0L
@@ -127,14 +137,11 @@ object ZOrder {
     u(c.cast("double"))
   }
 
-  /** writeLayout with equi-depth (quantile-rank) binning instead of
-    * linear scaling — same single extra range shuffle, same read path;
-    * the stats pass is one approxQuantile sketch over both columns.
-    * `bins` ≤ 2^21 per dimension (default 2^12 — 4096 mass-uniform
-    * cells per axis is far finer than any realistic file count).
+  /** The equi-depth sibling of clustered() — one approxQuantile sketch
+    * pass up front, then the same single range exchange + sort.
     */
-  def writeLayoutEqDepth(df: DataFrame, path: String, c1: String, c2: String,
-                         numFiles: Int, bins: Int = 1 << 12): Unit = {
+  def clusteredEqDepth(df: DataFrame, c1: String, c2: String,
+                       numFiles: Int, bins: Int = 1 << 12): DataFrame = {
     require(bins > 1 && bins <= (1 << 21), s"bins=$bins out of (1, 2^21]")
     val probs = (0 to bins).map(_.toDouble / bins).toArray
     val bnd = df.stat.approxQuantile(Array(c1, c2), probs, 0.25 / bins)
@@ -143,6 +150,27 @@ object ZOrder {
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-      .write.mode("overwrite").parquet(path)
   }
+
+  /** writeLayout with equi-depth (quantile-rank) binning instead of
+    * linear scaling — same single extra range shuffle, same read path;
+    * the stats pass is one approxQuantile sketch over both columns.
+    * `bins` ≤ 2^21 per dimension (default 2^12 — 4096 mass-uniform
+    * cells per axis is far finer than any realistic file count).
+    */
+  def writeLayoutEqDepth(df: DataFrame, path: String, c1: String, c2: String,
+                         numFiles: Int, bins: Int = 1 << 12): Unit =
+    clusteredEqDepth(df, c1, c2, numFiles, bins)
+      .write.mode("overwrite").parquet(path)
+
+  /** How many of fileBoxes' per-file (min, max) boxes intersect the
+    * query box [lo1,hi1]×[lo2,hi2] — the ONE intersection predicate
+    * shared by every pruning assertion (k18/k19 gates, ZOrderSpec,
+    * ZOrderProbe), so the positional row layout lives in one place.
+    * Pass Long.MinValue/MaxValue for an unconstrained side.
+    */
+  def boxHits(boxes: Array[org.apache.spark.sql.Row],
+              lo1: Long, hi1: Long, lo2: Long, hi2: Long): Int =
+    boxes.count(r => !(r.getLong(2) < lo1 || r.getLong(1) > hi1 ||
+      r.getLong(4) < lo2 || r.getLong(3) > hi2))
 }

@@ -501,13 +501,11 @@ object RelationalQueries extends QueryPack {
         val zread = s.read.parquet(dir)
         val boxes = ZOrder.fileBoxes(zread, "l_orderkey", "l_partkey")
           .collect()
-        def hits(lo1: Long, hi1: Long, lo2: Long, hi2: Long): Int =
-          boxes.count(r => !(r.getLong(2) < lo1 || r.getLong(1) > hi1 ||
-            r.getLong(4) < lo2 || r.getLong(3) > hi2))
         val nf = boxes.length
         val prunes = nf >= 8 &&
-          hits(okLo, okHi, pkLo, pkHi) * 10 <= nf * 4 &&
-          hits(Long.MinValue, Long.MaxValue, pkLo, pkHi) * 10 <= nf * 6
+          ZOrder.boxHits(boxes, okLo, okHi, pkLo, pkHi) * 10 <= nf * 4 &&
+          ZOrder.boxHits(boxes, Long.MinValue, Long.MaxValue,
+            pkLo, pkHi) * 10 <= nf * 6
         zread
           .where(col("l_orderkey").between(okLo, okHi) &&
             col("l_partkey").between(pkLo, pkHi))
@@ -564,13 +562,11 @@ object RelationalQueries extends QueryPack {
         val pkHi = pkLo + (pkMax - pkLo) / 10
         val zread = s.read.parquet(dir)
         val boxes = ZOrder.fileBoxes(zread, "skew", "l_partkey").collect()
-        def hits(lo1: Long, hi1: Long, lo2: Long, hi2: Long): Int =
-          boxes.count(r => !(r.getLong(2) < lo1 || r.getLong(1) > hi1 ||
-            r.getLong(4) < lo2 || r.getLong(3) > hi2))
         val nf = boxes.length
         val prunes = nf >= 8 &&
-          hits(sqLo, sqHi, pkLo, pkHi) * 10 <= nf * 4 &&
-          hits(Long.MinValue, Long.MaxValue, pkLo, pkHi) * 10 <= nf * 6
+          ZOrder.boxHits(boxes, sqLo, sqHi, pkLo, pkHi) * 10 <= nf * 4 &&
+          ZOrder.boxHits(boxes, Long.MinValue, Long.MaxValue,
+            pkLo, pkHi) * 10 <= nf * 6
         zread
           .where(col("skew").between(sqLo, sqHi) &&
             col("l_partkey").between(pkLo, pkHi))

@@ -582,21 +582,27 @@ object TextQueries extends QueryPack {
     // and length normalization (b). Okapi parameters k1=1.2, b=0.75;
     // idf = ln((N − df + ½)/(df + ½) + 1), the Lucene non-negative
     // variant. The query is self-contained for determinism: the 5
-    // highest-df tokens (token asc on ties) — at scale that broadcast
-    // is |query| rows, tf shuffles once on (doc, token) with map-side
-    // combine, doc lengths join on doc_id, and the global top-20 is
+    // highest-df tokens (token asc on ties). ONE corpus-scale shuffle:
+    // tf groups on (doc, token) with map-side combine, and dl / df /
+    // avgdl all derive FROM tf (dl = sum of a doc's tfs, df = the
+    // token's tf-group count), so every downstream aggregate reuses
+    // the tf exchange instead of re-exploding the corpus. The query
+    // terms and corpus stats broadcast; the global top-20 is
     // TakeOrderedAndProject (no full sort). Per-term contributions
     // round to 6 dp THEN accumulate as decimal(18,6) — the sum is
     // order-independent (exact decimal addition), so the score never
-    // wobbles with partitioning; double out per convention.
+    // wobbles with partitioning; double out per convention. The oracle
+    // casts each count to DOUBLE before arithmetic so both engines run
+    // identical IEEE math (DuckDB would otherwise compute tf*2.2 in
+    // exact decimal — a systematic 1-ulp divergence feeding the round).
     Q("t26_bm25_topk",
       (s, d) => {
         val words = Tables.documents(s, d)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
         val tf = words.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-        val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
         val stats = dl.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n"))
-        val dfreq = words.groupBy("token").agg(countDistinct("doc_id").as("df"))
+        val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
         val qterms = dfreq.orderBy(col("df").desc, col("token")).limit(5)
         tf.join(broadcast(qterms), "token")
           .join(dl, "doc_id")
@@ -613,14 +619,16 @@ object TextQueries extends QueryPack {
       },
       Some("""WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
               tf AS (SELECT doc_id, token, count(*) AS tf FROM words GROUP BY 1, 2),
-              dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY 1),
+              dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
               stats AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
-              dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM words GROUP BY 1),
+              dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
               q AS (SELECT token, df FROM dfreq ORDER BY df DESC, token LIMIT 5),
               contrib AS (
                 SELECT doc_id,
-                  cast(round(ln((n - df + 0.5) / (df + 0.5) + 1) * (tf * 2.2) /
-                    (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS decimal(18,6)) AS c
+                  cast(round(ln((cast(n - df AS DOUBLE) + 0.5) / (cast(df AS DOUBLE) + 0.5) + 1) *
+                    (cast(tf AS DOUBLE) * 2.2) /
+                    (cast(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * cast(dl AS DOUBLE) / avgdl)),
+                    6) AS decimal(18,6)) AS c
                 FROM tf JOIN q USING (token) JOIN dl USING (doc_id) CROSS JOIN stats)
               SELECT doc_id, cast(sum(c) AS double) AS bm25
               FROM contrib GROUP BY doc_id

@@ -67,9 +67,7 @@ object ZOrderProbe {
       def frac(dir: String, lo1: Long, hi1: Long, lo2: Long, hi2: Long): String = {
         val boxes = ZOrder.fileBoxes(spark.read.parquet(dir),
           "l_orderkey", "l_partkey").collect()
-        val hit = boxes.count(r => !(r.getLong(2) < lo1 || r.getLong(1) > hi1 ||
-          r.getLong(4) < lo2 || r.getLong(3) > hi2))
-        s"$hit/${boxes.length}"
+        s"${ZOrder.boxHits(boxes, lo1, hi1, lo2, hi2)}/${boxes.length}"
       }
 
       println(f"ZORDER n=$n rows=$rows files=$files " +

@@ -31,8 +31,7 @@ class ZOrderSpec extends SparkSpec {
     val boxes = ZOrder.fileBoxes(spark.read.parquet(dir), "x", "y").collect()
     assert(boxes.length >= 8)
     def hits(lo1: Long, hi1: Long, lo2: Long, hi2: Long): Int =
-      boxes.count(r => !(r.getLong(2) < lo1 || r.getLong(1) > hi1 ||
-        r.getLong(4) < lo2 || r.getLong(3) > hi2))
+      ZOrder.boxHits(boxes, lo1, hi1, lo2, hi2)
     // a 16-file Morton layout of a 64×64 grid is ~a 4×4 macro-grid:
     // one-eighth slabs on EITHER axis touch at most half the files —
     // the single-key-sorted counterfactual reads 100% on its non-sort
@@ -65,17 +64,20 @@ class ZOrderSpec extends SparkSpec {
     // dimension the collapsed layout cannot prune
     def hits(dir: String): (Int, Int) = {
       val boxes = ZOrder.fileBoxes(spark.read.parquet(dir), "x", "y").collect()
-      (boxes.count(r => !(r.getLong(1) > 127L)), boxes.length)
+      (ZOrder.boxHits(boxes, Long.MinValue, 127L, Long.MinValue, Long.MaxValue),
+        boxes.length)
     }
     val (eHits, eN) = hits(eqd)
     val (lHits, lN) = hits(lin)
     assert(eHits * 10 <= eN * 6, s"eqdepth x-slab hits $eHits/$eN")
     assert(lHits * 10 >= lN * 8, s"linear should have degenerated, hit $lHits/$lN")
-    // and the rewrite stays exact
+    // rewrite exactness as a MULTISET compare — this fixture has every
+    // (x, y) row at multiplicity 4, where count + set-except would miss
+    // a duplication/loss that redistributes multiplicities
     val back = spark.read.parquet(eqd)
-    assert(back.count() == 4104 &&
-      back.select("x", "y").except(base).isEmpty &&
-      base.except(back.select("x", "y")).isEmpty)
+    val bm = back.groupBy("x", "y").count()
+    val sm = base.groupBy("x", "y").count()
+    assert(bm.except(sm).isEmpty && sm.except(bm).isEmpty)
   }
 
   test("writeLayout is an exact rewrite (no loss, no duplication)") {

@@ -267,9 +267,18 @@ class PlanShapeSpec extends SparkSpec {
       .select(col("l_orderkey").cast("long").as("a"),
         col("l_partkey").cast("long").as("b"))
     for (dir <- Seq("lin", "eq")) {
+      val clustered =
+        if (dir == "lin") graft.operators.ZOrder.clustered(li, "a", "b", 4)
+        else graft.operators.ZOrder.clusteredEqDepth(li, "a", "b", 4, bins = 64)
+      // the write-cost claim: the pre-write plan is exactly ONE
+      // exchange (rangepartitioning on the interleaved code) — a
+      // regression to a sort or an extra repartition would add one
+      val wp = clustered.queryExecution.executedPlan.toString
+      assert(wp.sliding("Exchange".length).count(_ == "Exchange") == 1 &&
+        wp.contains("rangepartitioning"),
+        s"$dir: layout must cost exactly one range exchange: " + wp.take(1200))
       val path = Scratch.dir(s"zplan_${dir}_").toString + "/t"
-      if (dir == "lin") graft.operators.ZOrder.writeLayout(li, path, "a", "b", 4)
-      else graft.operators.ZOrder.writeLayoutEqDepth(li, path, "a", "b", 4, bins = 64)
+      clustered.write.parquet(path)
       // read back: predicates on either key must reach the parquet scan
       // (the layout's whole payoff is footer-stats skipping under them)
       val p = spark.read.parquet(path).where(col("b") < 100L)
