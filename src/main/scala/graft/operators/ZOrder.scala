@@ -74,6 +74,11 @@ object ZOrder {
                 numFiles: Int): DataFrame = {
     val st = df.agg(min(col(c1)).cast("double"), max(col(c1)).cast("double"),
       min(col(c2)).cast("double"), max(col(c2)).cast("double")).head()
+    // empty input / all-null keys: no stats to scale by — clustering is
+    // moot, so degrade to a plain repartition instead of an NPE (nulls
+    // in a NON-empty column are fine: scale21 maps them to a null code,
+    // which range-partitions into the first file)
+    if (st.isNullAt(0) || st.isNullAt(2)) return df.repartition(numFiles)
     val z = morton(scale21(col(c1), st.getDouble(0), st.getDouble(1)),
       scale21(col(c2), st.getDouble(2), st.getDouble(3)))
     df.withColumn("__z", z)
@@ -145,6 +150,9 @@ object ZOrder {
     require(bins > 1 && bins <= (1 << 21), s"bins=$bins out of (1, 2^21]")
     val probs = (0 to bins).map(_.toDouble / bins).toArray
     val bnd = df.stat.approxQuantile(Array(c1, c2), probs, 0.25 / bins)
+    // approxQuantile returns an EMPTY boundary array for a column with
+    // no non-null values — same degenerate case as clustered()
+    if (bnd(0).isEmpty || bnd(1).isEmpty) return df.repartition(numFiles)
     val z = morton(eqBin(bnd(0), bins, col(c1)), eqBin(bnd(1), bins, col(c2)))
     df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))

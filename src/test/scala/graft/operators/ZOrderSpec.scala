@@ -80,6 +80,19 @@ class ZOrderSpec extends SparkSpec {
     assert(bm.except(sm).isEmpty && sm.except(bm).isEmpty)
   }
 
+  test("empty and all-null inputs degrade to a plain write, never an NPE") {
+    import spark.implicits._
+    val empty = Seq.empty[(java.lang.Long, java.lang.Long)].toDF("a", "b")
+    val nulls = Seq((null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(1L)),
+      (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(2L))).toDF("a", "b")
+    for ((df, n) <- Seq((empty, 0L), (nulls, 2L)); eq <- Seq(false, true)) {
+      val dir = graft.queries.Scratch.dir("zorder_null_").toString + "/t"
+      if (eq) ZOrder.writeLayoutEqDepth(df, dir, "a", "b", 2, bins = 4)
+      else ZOrder.writeLayout(df, dir, "a", "b", 2)
+      assert(spark.read.parquet(dir).count() == n)
+    }
+  }
+
   test("writeLayout is an exact rewrite (no loss, no duplication)") {
     import spark.implicits._
     val df = spark.range(1000)
