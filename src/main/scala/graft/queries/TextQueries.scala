@@ -634,6 +634,88 @@ object TextQueries extends QueryPack {
               FROM contrib GROUP BY doc_id
               ORDER BY bm25 DESC, doc_id LIMIT 20""")),
 
+    // ---- BM25 SERVED from a PERSISTED inverted index (t27): the
+    // retrieval dual of s13's served IVF — at 100 TB you do not
+    // re-explode the corpus per query; you index ONCE and serve many.
+    // The index is three parquet tables: postings (doc, token, tf)
+    // PARTITIONED BY a 64-way token-hash bucket, per-token df
+    // partitioned the same way, and (doc length, corpus stats). The
+    // serve path maps the query's terms to their buckets and reads
+    // ONLY those partitions — a static partition prune, so serve I/O
+    // tracks the query's posting lists, never the corpus (asserted in
+    // the `served_pruned` column from the executed plan's
+    // PartitionFilters, the j20/k18 discipline). Scoring joins the
+    // pruned postings to doc lengths (shuffles postings only) with the
+    // query terms and scalar stats broadcast; identical arithmetic to
+    // t26, same oracle shape — the index layout can never change the
+    // scores.
+    Q("t27_bm25_index_served",
+      (s, d) => {
+        val idx = Scratch.dir("graft_t27_").toString
+        val words = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        val tf = words.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+        tf.withColumn("tb", pmod(hash(col("token")), lit(64)))
+          .write.partitionBy("tb").parquet(s"$idx/postings")
+        tf.groupBy("token").agg(count(lit(1)).as("df"))
+          .withColumn("tb", pmod(hash(col("token")), lit(64)))
+          .write.partitionBy("tb").parquet(s"$idx/df")
+        dl.write.parquet(s"$idx/dl")
+        dl.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n"))
+          .write.parquet(s"$idx/stats")
+        // ---- serve: pick the query (5 highest-df terms — small full
+        // scan of the df table), prune postings to the terms' buckets
+        val qrows = s.read.parquet(s"$idx/df")
+          .select(col("token"), col("df"), col("tb"))
+          .orderBy(col("df").desc, col("token")).limit(5)
+          .collect()
+        val buckets = qrows.map(_.getInt(2)).distinct.sorted
+        val qdf = s.createDataFrame(
+          java.util.Arrays.asList(qrows.map(r =>
+            org.apache.spark.sql.Row(r.getString(0), r.getLong(1))): _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("token",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("df",
+              org.apache.spark.sql.types.LongType))))
+        val postings = s.read.parquet(s"$idx/postings")
+          .where(col("tb").isin(buckets.map(Integer.valueOf): _*))
+        val pplan = postings.queryExecution.executedPlan.toString
+        val served_pruned = pplan.contains("PartitionFilters: [") &&
+          pplan.contains("tb") && pplan.contains(" IN (")
+        val scored = postings
+          .join(broadcast(qdf), "token")
+          .join(s.read.parquet(s"$idx/dl"), "doc_id")
+          .crossJoin(broadcast(s.read.parquet(s"$idx/stats")))
+          .select(col("doc_id"),
+            round(log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1)) *
+              (col("tf") * lit(2.2)) /
+              (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 6)
+              .cast("decimal(18,6)").as("c"))
+          .groupBy("doc_id")
+          .agg(sum("c").cast("double").as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(20)
+        scored.withColumn("served_pruned", lit(served_pruned))
+      },
+      Some("""WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+              tf AS (SELECT doc_id, token, count(*) AS tf FROM words GROUP BY 1, 2),
+              dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+              stats AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
+              dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+              q AS (SELECT token, df FROM dfreq ORDER BY df DESC, token LIMIT 5),
+              contrib AS (
+                SELECT doc_id,
+                  cast(round(ln((cast(n - df AS DOUBLE) + 0.5) / (cast(df AS DOUBLE) + 0.5) + 1) *
+                    (cast(tf AS DOUBLE) * 2.2) /
+                    (cast(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * cast(dl AS DOUBLE) / avgdl)),
+                    6) AS decimal(18,6)) AS c
+                FROM tf JOIN q USING (token) JOIN dl USING (doc_id) CROSS JOIN stats)
+              SELECT doc_id, cast(sum(c) AS double) AS bm25, TRUE AS served_pruned
+              FROM contrib GROUP BY doc_id
+              ORDER BY bm25 DESC, doc_id LIMIT 20""")),
+
     // ---- clean_text (F1, the oracle-expressible regex subset): build a
     // deterministic "dirty" variant then normalize whitespace. The full
     // NFKC path lives in functions.TextFunctions (ScalaTest-covered).

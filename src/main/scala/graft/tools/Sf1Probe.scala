@@ -39,7 +39,7 @@ object Sf1Probe {
     "d17_incremental_keeplist", "d18_keeplist_lifecycle",
     "e23_stream_keeplist", "d19_bucketed_compaction", "d21_keeplist_delete",
     "d20_embedding_keeplist", "d22_index_delete", "s17_ivf_delete",
-    "d23_keeplist_asof")
+    "d23_keeplist_asof", "t26_bm25_topk")
 
   def buildSf1(spark: SparkSession, src: String, dst: String): Unit = {
     val marker = java.nio.file.Paths.get(s"${dst}_src.txt")
