@@ -578,6 +578,102 @@ object EventQueries extends QueryPack {
     // genuinely merge ACROSS batches (sum associativity = the sketch's
     // mergeability); the read side sums cells over all generations and
     // probes the exact top-20 users, a19-style.
+    // ---- STREAMING maintenance of the BM25 inverted index (e24):
+    // t28's additive layout driven from foreachBatch with the
+    // committed-generation protocol — each micro-batch tokenizes ONLY
+    // its docs and lands all four index tables (postings, df partials,
+    // doc lengths, (sum_dl, n) stats partials) as gen=<batchId> dirs,
+    // so at-least-once redelivery is a pure skip for every table (a
+    // replayed batch that re-appended df partials or stats would shift
+    // idf/avgdl and the oracle hash fails — the gate DRIVES that replay
+    // and asserts all four skips in `exactly_once`). Serve = t27's
+    // bucket-pruned path over the generational layout (tb still
+    // partition-prunes as the second level); the oracle is the plain
+    // full-corpus BM25, blind to batching, replay, and layout.
+    Q("e24_stream_bm25_index",
+      (s, d) => {
+        val idx = Scratch.dir("graft_e24_idx_").toString
+        val stage = Scratch.dir("graft_e24_stage_").toString
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        def land(batch: org.apache.spark.sql.DataFrame, bid: Long): Boolean = {
+          val words = batch
+            .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+          val tf = words.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+          val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+          val a = graft.sources.Sinks.committedPartitionedAppend(
+            tf.withColumn("tb", pmod(hash(col("token")), lit(64))),
+            s"$idx/postings", bid, "tb")
+          val b = graft.sources.Sinks.committedPartitionedAppend(
+            tf.groupBy("token").agg(count(lit(1)).as("df"))
+              .withColumn("tb", pmod(hash(col("token")), lit(64))),
+            s"$idx/df", bid, "tb")
+          val c = graft.sources.Sinks.committedAppend(dl, s"$idx/dl", bid)
+          val e = graft.sources.Sinks.committedAppend(
+            dl.agg(sum("dl").as("sum_dl"), count(lit(1)).as("n")),
+            s"$idx/stats", bid)
+          a || b || c || e
+        }
+        docs.where(col("doc_id") % 2 === 0)
+          .coalesce(1).write.mode("append").parquet(stage)
+        val stream = s.readStream
+          .schema("doc_id LONG, text STRING").parquet(stage)
+        runGatedStreamWith(s, stream,
+          (batch, _, bid) => if (!batch.isEmpty) { land(batch, bid); () }) { q =>
+          q.processAllAvailable()
+          docs.where(col("doc_id") % 2 === 1)
+            .coalesce(1).write.mode("append").parquet(stage)
+          q.processAllAvailable()
+        }
+        // at-least-once replay of batch 0's landing: every table must
+        // skip (land returns true if ANY table actually wrote)
+        val replayWrote = land(docs.where(col("doc_id") % 2 === 0), 0L)
+        val qrows = s.read.parquet(s"$idx/df")
+          .groupBy("token", "tb").agg(sum("df").as("df"))
+          .orderBy(col("df").desc, col("token")).limit(5)
+          .collect()
+        val buckets = qrows.map(_.getInt(1)).distinct.sorted
+        val qdf = s.createDataFrame(
+          java.util.Arrays.asList(qrows.map(r =>
+            org.apache.spark.sql.Row(r.getString(0), r.getLong(2))): _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("token",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("df",
+              org.apache.spark.sql.types.LongType))))
+        val postings = s.read.parquet(s"$idx/postings")
+          .where(col("tb").isin(buckets.map(Integer.valueOf): _*))
+        val pplan = postings.queryExecution.executedPlan.toString
+        val servedPruned = pplan.contains("PartitionFilters: [") &&
+          pplan.contains("tb") && pplan.contains(" IN (")
+        val stats = s.read.parquet(s"$idx/stats")
+          .agg((sum(col("sum_dl")).cast("double") /
+            sum(col("n")).cast("double")).as("avgdl"),
+            sum(col("n")).as("n"))
+        postings
+          .join(broadcast(qdf), "token")
+          .join(s.read.parquet(s"$idx/dl").select("doc_id", "dl"), "doc_id")
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"), TextQueries.bm25Contrib.as("c"))
+          .groupBy("doc_id")
+          .agg(sum("c").cast("double").as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(20)
+          .withColumn("exactly_once", lit(!replayWrote && servedPruned))
+      },
+      Some(s"""WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+              tf AS (SELECT doc_id, token, count(*) AS tf FROM words GROUP BY 1, 2),
+              dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+              stats AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
+              dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+              q AS (SELECT token, df FROM dfreq ORDER BY df DESC, token LIMIT 5),
+              contrib AS (
+                SELECT doc_id,
+                  ${TextQueries.bm25ContribSql} AS c
+                FROM tf JOIN q USING (token) JOIN dl USING (doc_id) CROSS JOIN stats)
+              SELECT doc_id, cast(sum(c) AS double) AS bm25, TRUE AS exactly_once
+              FROM contrib GROUP BY doc_id
+              ORDER BY bm25 DESC, doc_id LIMIT 20""")),
+
     Q("e21_stream_cms",
       (s, d) => {
         import graft.operators.CountMinSketch

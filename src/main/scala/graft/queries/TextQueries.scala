@@ -21,6 +21,28 @@ import graft.sources.Tables
   */
 object TextQueries extends QueryPack {
 
+  /** The Okapi BM25 per-term contribution (k1=1.2, b=0.75, Lucene
+    * non-negative idf), over columns n/df/tf/dl/avgdl — ONE arithmetic
+    * shape shared by every BM25 face (t26 direct, t27 served, t28
+    * incremental) so the scoring can never drift between them. Rounds
+    * to 6 dp then casts decimal(18,6): the downstream sum is exact
+    * decimal addition, order-independent under any partitioning.
+    */
+  private[queries] def bm25Contrib: org.apache.spark.sql.Column =
+    round(log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1)) *
+      (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 6)
+      .cast("decimal(18,6)")
+
+  /** The DuckDB restatement of bm25Contrib — counts cast to DOUBLE
+    * before arithmetic so both engines run identical IEEE math.
+    */
+  private[queries] val bm25ContribSql =
+    """cast(round(ln((cast(n - df AS DOUBLE) + 0.5) / (cast(df AS DOUBLE) + 0.5) + 1) *
+      |                    (cast(tf AS DOUBLE) * 2.2) /
+      |                    (cast(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * cast(dl AS DOUBLE) / avgdl)),
+      |                    6) AS decimal(18,6))""".stripMargin
+
   private val stopEn = "('the','a')"
   private val stopDe = "('der','die','das')"
   private val stopFr = "('le','la','les')"
@@ -607,17 +629,13 @@ object TextQueries extends QueryPack {
         tf.join(broadcast(qterms), "token")
           .join(dl, "doc_id")
           .crossJoin(broadcast(stats))
-          .select(col("doc_id"),
-            round(log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1)) *
-              (col("tf") * lit(2.2)) /
-              (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 6)
-              .cast("decimal(18,6)").as("c"))
+          .select(col("doc_id"), bm25Contrib.as("c"))
           .groupBy("doc_id")
           .agg(sum("c").cast("double").as("bm25"))
           .orderBy(col("bm25").desc, col("doc_id"))
           .limit(20)
       },
-      Some("""WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      Some(s"""WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
               tf AS (SELECT doc_id, token, count(*) AS tf FROM words GROUP BY 1, 2),
               dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
               stats AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
@@ -625,10 +643,7 @@ object TextQueries extends QueryPack {
               q AS (SELECT token, df FROM dfreq ORDER BY df DESC, token LIMIT 5),
               contrib AS (
                 SELECT doc_id,
-                  cast(round(ln((cast(n - df AS DOUBLE) + 0.5) / (cast(df AS DOUBLE) + 0.5) + 1) *
-                    (cast(tf AS DOUBLE) * 2.2) /
-                    (cast(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * cast(dl AS DOUBLE) / avgdl)),
-                    6) AS decimal(18,6)) AS c
+                  $bm25ContribSql AS c
                 FROM tf JOIN q USING (token) JOIN dl USING (doc_id) CROSS JOIN stats)
               SELECT doc_id, cast(sum(c) AS double) AS bm25
               FROM contrib GROUP BY doc_id
@@ -688,18 +703,14 @@ object TextQueries extends QueryPack {
           .join(broadcast(qdf), "token")
           .join(s.read.parquet(s"$idx/dl"), "doc_id")
           .crossJoin(broadcast(s.read.parquet(s"$idx/stats")))
-          .select(col("doc_id"),
-            round(log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1)) *
-              (col("tf") * lit(2.2)) /
-              (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 6)
-              .cast("decimal(18,6)").as("c"))
+          .select(col("doc_id"), bm25Contrib.as("c"))
           .groupBy("doc_id")
           .agg(sum("c").cast("double").as("bm25"))
           .orderBy(col("bm25").desc, col("doc_id"))
           .limit(20)
         scored.withColumn("served_pruned", lit(served_pruned))
       },
-      Some("""WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      Some(s"""WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
               tf AS (SELECT doc_id, token, count(*) AS tf FROM words GROUP BY 1, 2),
               dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
               stats AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
@@ -707,10 +718,88 @@ object TextQueries extends QueryPack {
               q AS (SELECT token, df FROM dfreq ORDER BY df DESC, token LIMIT 5),
               contrib AS (
                 SELECT doc_id,
-                  cast(round(ln((cast(n - df AS DOUBLE) + 0.5) / (cast(df AS DOUBLE) + 0.5) + 1) *
-                    (cast(tf AS DOUBLE) * 2.2) /
-                    (cast(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * cast(dl AS DOUBLE) / avgdl)),
-                    6) AS decimal(18,6)) AS c
+                  $bm25ContribSql AS c
+                FROM tf JOIN q USING (token) JOIN dl USING (doc_id) CROSS JOIN stats)
+              SELECT doc_id, cast(sum(c) AS double) AS bm25, TRUE AS served_pruned
+              FROM contrib GROUP BY doc_id
+              ORDER BY bm25 DESC, doc_id LIMIT 20""")),
+
+    // ---- INCREMENTAL maintenance of the inverted index (t28): the
+    // d13/s14 story for retrieval — when a batch of documents lands,
+    // only THAT BATCH is tokenized and appended; the standing corpus is
+    // never re-scanned. The layout makes every index statistic
+    // ADDITIVE: postings are per-doc rows (a doc lands once), df lands
+    // as per-batch partials summed at serve time, and corpus stats land
+    // as (sum_dl, n) partials — avgdl is computed at serve as one
+    // division of exact integer sums, so the incremental index scores
+    // BIT-IDENTICALLY to a full rebuild (integer sums below 2^53 are
+    // exact in double; the oracle is the same full-corpus BM25). Serve
+    // path = t27's (bucket partition prune asserted in
+    // `served_pruned`); the gate lands the corpus in two batches and
+    // the oracle knows nothing about batches — any double-count or
+    // missed merge shifts df/avgdl and the scores.
+    Q("t28_bm25_index_append",
+      (s, d) => {
+        val idx = Scratch.dir("graft_t28_").toString
+        def indexBatch(docs: org.apache.spark.sql.DataFrame): Unit = {
+          val words = docs
+            .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+          val tf = words.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+          tf.withColumn("tb", pmod(hash(col("token")), lit(64)))
+            .write.mode("append").partitionBy("tb").parquet(s"$idx/postings")
+          tf.groupBy("token").agg(count(lit(1)).as("df"))
+            .withColumn("tb", pmod(hash(col("token")), lit(64)))
+            .write.mode("append").partitionBy("tb").parquet(s"$idx/df")
+          val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+          dl.write.mode("append").parquet(s"$idx/dl")
+          dl.agg(sum("dl").as("sum_dl"), count(lit(1)).as("n"))
+            .write.mode("append").parquet(s"$idx/stats")
+        }
+        val docs = Tables.documents(s, d)
+        indexBatch(docs.where(col("doc_id") % 5 =!= 0)) // standing corpus
+        indexBatch(docs.where(col("doc_id") % 5 === 0)) // appended batch
+        val qrows = s.read.parquet(s"$idx/df")
+          .groupBy("token", "tb").agg(sum("df").as("df"))
+          .orderBy(col("df").desc, col("token")).limit(5)
+          .collect()
+        val buckets = qrows.map(_.getInt(1)).distinct.sorted
+        val qdf = s.createDataFrame(
+          java.util.Arrays.asList(qrows.map(r =>
+            org.apache.spark.sql.Row(r.getString(0), r.getLong(2))): _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("token",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("df",
+              org.apache.spark.sql.types.LongType))))
+        val postings = s.read.parquet(s"$idx/postings")
+          .where(col("tb").isin(buckets.map(Integer.valueOf): _*))
+        val pplan = postings.queryExecution.executedPlan.toString
+        val served_pruned = pplan.contains("PartitionFilters: [") &&
+          pplan.contains("tb") && pplan.contains(" IN (")
+        val stats = s.read.parquet(s"$idx/stats")
+          .agg((sum(col("sum_dl")).cast("double") /
+            sum(col("n")).cast("double")).as("avgdl"),
+            sum(col("n")).as("n"))
+        postings
+          .join(broadcast(qdf), "token")
+          .join(s.read.parquet(s"$idx/dl"), "doc_id")
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"), bm25Contrib.as("c"))
+          .groupBy("doc_id")
+          .agg(sum("c").cast("double").as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(20)
+          .withColumn("served_pruned", lit(served_pruned))
+      },
+      Some(s"""WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+              tf AS (SELECT doc_id, token, count(*) AS tf FROM words GROUP BY 1, 2),
+              dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+              stats AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
+              dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+              q AS (SELECT token, df FROM dfreq ORDER BY df DESC, token LIMIT 5),
+              contrib AS (
+                SELECT doc_id,
+                  $bm25ContribSql AS c
                 FROM tf JOIN q USING (token) JOIN dl USING (doc_id) CROSS JOIN stats)
               SELECT doc_id, cast(sum(c) AS double) AS bm25, TRUE AS served_pruned
               FROM contrib GROUP BY doc_id
