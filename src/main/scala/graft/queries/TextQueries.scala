@@ -805,6 +805,109 @@ object TextQueries extends QueryPack {
               FROM contrib GROUP BY doc_id
               ORDER BY bm25 DESC, doc_id LIMIT 20""")),
 
+    // ---- TAKEDOWN on the inverted index (t29): the CRUD face the
+    // other served stores already have (keep-list d21, band index d22,
+    // IVF s17), and the place the ADDITIVE layout earns its keep twice:
+    // deleting docs appends NEGATIVE df and stats partials computed
+    // from ONLY the deleted docs' own postings/lengths (touch tracks
+    // the takedown, never the corpus), while the per-doc tables
+    // (postings, dl) drop the rows physically in one rename-aside swap
+    // each — no full-statistics rebuild anywhere. The serve-time sums
+    // then see exactly the surviving corpus: idf, avgdl, N, and the
+    // query-term selection itself all shift, which the oracle (BM25
+    // over surviving docs only) verifies end-to-end; a missed negative
+    // partial or a survivor dropped by the rewrite shifts scores and
+    // fails the hash.
+    Q("t29_bm25_index_delete",
+      (s, d) => {
+        val idx = Scratch.dir("graft_t29_").toString
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          s.sparkContext.hadoopConfiguration)
+        val docs = Tables.documents(s, d)
+        val words = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        val tf = words.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val dl0 = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+        tf.withColumn("tb", pmod(hash(col("token")), lit(64)))
+          .write.partitionBy("tb").parquet(s"$idx/postings")
+        tf.groupBy("token").agg(count(lit(1)).as("df"))
+          .withColumn("tb", pmod(hash(col("token")), lit(64)))
+          .write.partitionBy("tb").parquet(s"$idx/df")
+        dl0.write.parquet(s"$idx/dl")
+        dl0.agg(sum("dl").as("sum_dl"), count(lit(1)).as("n"))
+          .write.parquet(s"$idx/stats")
+        // ---- the takedown: doc_id % 10 == 0 must be forgotten
+        val del = docs.where(col("doc_id") % 10 === 0)
+          .select("doc_id").persist()
+        val victimPostings = s.read.parquet(s"$idx/postings")
+          .join(broadcast(del), "doc_id")
+        victimPostings.groupBy("token")
+          .agg((-count(lit(1))).as("df"))
+          .withColumn("tb", pmod(hash(col("token")), lit(64)))
+          .write.mode("append").partitionBy("tb").parquet(s"$idx/df")
+        s.read.parquet(s"$idx/dl").join(broadcast(del), "doc_id")
+          .agg((-coalesce(sum("dl"), lit(0L))).as("sum_dl"),
+            (-count(lit(1))).as("n"))
+          .write.mode("append").parquet(s"$idx/stats")
+        graft.sources.Sinks.swapRewrite(fs, s"$idx/postings")(tmp =>
+          s.read.parquet(s"$idx/postings")
+            .join(broadcast(del), Seq("doc_id"), "left_anti")
+            .write.partitionBy("tb").parquet(tmp))
+        graft.sources.Sinks.swapRewrite(fs, s"$idx/dl")(tmp =>
+          s.read.parquet(s"$idx/dl")
+            .join(broadcast(del), Seq("doc_id"), "left_anti")
+            .write.parquet(tmp))
+        del.unpersist()
+        // ---- serve (t27's path): sums now describe the SURVIVORS
+        val qrows = s.read.parquet(s"$idx/df")
+          .groupBy("token", "tb").agg(sum("df").as("df"))
+          .where(col("df") > 0)
+          .orderBy(col("df").desc, col("token")).limit(5)
+          .collect()
+        val buckets = qrows.map(_.getInt(1)).distinct.sorted
+        val qdf = s.createDataFrame(
+          java.util.Arrays.asList(qrows.map(r =>
+            org.apache.spark.sql.Row(r.getString(0), r.getLong(2))): _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("token",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("df",
+              org.apache.spark.sql.types.LongType))))
+        val postings = s.read.parquet(s"$idx/postings")
+          .where(col("tb").isin(buckets.map(Integer.valueOf): _*))
+        val pplan = postings.queryExecution.executedPlan.toString
+        val served_pruned = pplan.contains("PartitionFilters: [") &&
+          pplan.contains("tb") && pplan.contains(" IN (")
+        val stats = s.read.parquet(s"$idx/stats")
+          .agg((sum(col("sum_dl")).cast("double") /
+            sum(col("n")).cast("double")).as("avgdl"),
+            sum(col("n")).as("n"))
+        postings
+          .join(broadcast(qdf), "token")
+          .join(s.read.parquet(s"$idx/dl"), "doc_id")
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"), bm25Contrib.as("c"))
+          .groupBy("doc_id")
+          .agg(sum("c").cast("double").as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(20)
+          .withColumn("served_pruned", lit(served_pruned))
+      },
+      Some(s"""WITH surv AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+              words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM surv),
+              tf AS (SELECT doc_id, token, count(*) AS tf FROM words GROUP BY 1, 2),
+              dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+              stats AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
+              dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+              q AS (SELECT token, df FROM dfreq ORDER BY df DESC, token LIMIT 5),
+              contrib AS (
+                SELECT doc_id,
+                  $bm25ContribSql AS c
+                FROM tf JOIN q USING (token) JOIN dl USING (doc_id) CROSS JOIN stats)
+              SELECT doc_id, cast(sum(c) AS double) AS bm25, TRUE AS served_pruned
+              FROM contrib GROUP BY doc_id
+              ORDER BY bm25 DESC, doc_id LIMIT 20""")),
+
     // ---- clean_text (F1, the oracle-expressible regex subset): build a
     // deterministic "dirty" variant then normalize whitespace. The full
     // NFKC path lives in functions.TextFunctions (ScalaTest-covered).
