@@ -1047,5 +1047,56 @@ object EventQueries extends QueryPack {
               FROM t c JOIN t p ON c.user_id = p.user_id
               WHERE c.event_type = 'click' AND p.event_type = 'purchase'
                 AND p.ts_us >= c.ts_us AND p.ts_us <= c.ts_us + 3600000000""")),
+
+    // ---- STREAMING materialized view (e25): k20's partial-fold loop
+    // driven from foreachBatch — the matview family's streaming face,
+    // completing the direct→incremental→streaming→retract symmetry the
+    // BM25 tier has (t26→t28→e24→t29). Each micro-batch aggregates
+    // ONLY its own rows to (custkey, sum, count) partials and lands
+    // them under the committed-generation protocol, so at-least-once
+    // redelivery is a pure skip — the gate DRIVES batch 0's replay and
+    // folds the assert into `exactly_once` (sum/count partials merge
+    // by ADDITION like e21's CMS cells, so a landed replay would
+    // double every batch-0 customer's totals and fail the oracle
+    // hash; contrast e15's HLL, whose max-merge tolerates redelivery
+    // without any protocol). Read = merge of #keys × #gens partial
+    // rows; the oracle is the batch-blind full recompute.
+    Q("e25_stream_matview",
+      (s, d) => {
+        val mv = Scratch.dir("graft_e25_mv_").toString + "/mv"
+        val stage = Scratch.dir("graft_e25_stage_").toString
+        val orders = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        def partial(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy("o_custkey")
+          .agg(sum(col("o_totalprice").cast("decimal(12,2)")).as("sp"),
+            count(lit(1)).as("cnt"))
+        orders.where(col("o_orderkey") % 2 === 0)
+          .coalesce(1).write.mode("append").parquet(stage)
+        val stream = s.readStream
+          .schema("o_orderkey LONG, o_custkey LONG, o_totalprice DOUBLE")
+          .parquet(stage)
+        runGatedStreamWith(s, stream,
+          (batch, _, bid) => if (!batch.isEmpty) {
+            graft.sources.Sinks.committedAppend(partial(batch), mv, bid)
+            ()
+          }) { q =>
+          q.processAllAvailable()
+          orders.where(col("o_orderkey") % 2 === 1)
+            .coalesce(1).write.mode("append").parquet(stage)
+          q.processAllAvailable()
+        }
+        val replayWrote = graft.sources.Sinks.committedAppend(
+          partial(orders.where(col("o_orderkey") % 2 === 0)), mv, 0L)
+        s.read.parquet(mv)
+          .groupBy("o_custkey")
+          .agg(sum("cnt").as("n_orders"),
+            sum("sp").cast("double").as("sum_price"))
+          .withColumn("exactly_once", lit(!replayWrote))
+      },
+      Some("""SELECT o_custkey, count(*) AS n_orders,
+                     cast(sum(cast(o_totalprice as decimal(12,2))) as double) AS sum_price,
+                     TRUE AS exactly_once
+              FROM orders GROUP BY 1""")),
   )
 }

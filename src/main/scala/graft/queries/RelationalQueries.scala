@@ -1423,5 +1423,115 @@ object RelationalQueries extends QueryPack {
               cast(quarter(o_orderdate) as bigint) AS o_quarter,
               cast(month(o_orderdate) as bigint) AS o_month,
               cast(isodow(o_orderdate) as bigint) AS o_isodow FROM orders""")),
+
+    // ---- K20: INCREMENTAL MATERIALIZED VIEW — the aggregate face of
+    // the incremental tier (d13 is the dedup face, t27 the index
+    // face): a per-customer revenue view maintained by folding each
+    // arriving batch's PARTIAL aggregate into the crash-atomic
+    // generational store ([[graft.sources.Sinks.committedAppend]]),
+    // never recomputing from the base table. Sum/count are
+    // self-mergeable, so partial-of-batch + merge-on-read is EXACTLY
+    // the full recompute — which is what the oracle restates, making
+    // the gate a real algebraic-identity check, not a tautology.
+    //
+    // The gate drives the full lifecycle: 4 batches append partials →
+    // batch 1 is REDELIVERED (the store's gen marker makes it a pure
+    // skip — asserted) → compaction folds the generations to one
+    // (asserted via dir listing: exactly gen=-1 remains) → batch 1 is
+    // redelivered AGAIN post-fold (the manifest tier keeps it a skip
+    // even though its gen dir is gone — asserted) → the view reads
+    // merged partials. Any failed skip double-counts and breaks the
+    // oracle hash, so idempotence is hash-gated, not just require()d.
+    //
+    // 100 TB shape: each batch shuffles only ITS OWN rows (map-side
+    // combine to ≤1 row per key per batch); the view read merges
+    // #keys × #gens partial rows — corpus-size-independent — and
+    // compaction bounds #gens, so neither write nor read cost grows
+    // with the accumulated base table. Decimal discipline: partials
+    // accumulate in decimal(12,2)-widened sums (exact, order-free),
+    // double only at the output edge.
+    Q("k20_incremental_matview",
+      (s, d) => {
+        val out = Scratch.dir("graft_k20_").resolve("mv").toString
+        val orders = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        def partial(b: Long): DataFrame = orders
+          .where(pmod(col("o_orderkey"), lit(4)) === b)
+          .groupBy("o_custkey")
+          .agg(sum(dec(col("o_totalprice"))).as("sp"),
+            count(lit(1)).as("cnt"))
+        for (b <- 0L to 3L)
+          require(graft.sources.Sinks.committedAppend(partial(b), out, b),
+            s"fresh batch $b must land")
+        require(!graft.sources.Sinks.committedAppend(partial(1L), out, 1L),
+          "pre-fold redelivery of batch 1 must be a pure skip")
+        graft.sources.Sinks.compactGenerations(s, out, None)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          s.sparkContext.hadoopConfiguration)
+        val gens = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+          .map(_.getPath.getName).filter(_.startsWith("gen=")).toSeq
+        require(gens == Seq("gen=-1"),
+          s"compaction must fold to exactly gen=-1, saw $gens")
+        require(!graft.sources.Sinks.committedAppend(partial(1L), out, 1L),
+          "post-fold redelivery of batch 1 must skip via the manifest tier")
+        s.read.parquet(out)
+          .groupBy("o_custkey")
+          .agg(sum("cnt").as("n_orders"),
+            sum("sp").cast("double").as("sum_price"))
+      },
+      Some("""SELECT o_custkey, count(*) AS n_orders,
+                     cast(sum(cast(o_totalprice as decimal(12,2))) as double) AS sum_price
+              FROM orders GROUP BY 1""")),
+
+    // ---- K21: matview RETRACTION — the delete face of k20, by the
+    // same additive trick t29 uses for the BM25 index: deleting rows
+    // appends a batch of NEGATIVE partials (-count, -sum) computed
+    // from ONLY the deleted rows — the base table is never rescanned,
+    // and the merged view then describes exactly the survivors.
+    // Sum/count retract cleanly because they are group-invertible
+    // (min/max are NOT — a min-bearing view would need k20's full
+    // recompute of the affected keys; the view picks its aggregates
+    // to match its maintenance story). The sharp edge is the
+    // EMPTY GROUP: a customer whose every order is retracted merges to
+    // cnt=0 and must be DROPPED, not emitted as a zero row — the
+    // delete predicate includes `o_custkey % 97 = 0` (whole customers
+    // vanish) precisely so that filter is hash-load-bearing against
+    // the oracle's recompute over survivors (which has no such
+    // groups). A redelivered retraction would double-subtract; the
+    // gate replays it and asserts the generational skip.
+    Q("k21_matview_retract",
+      (s, d) => {
+        val out = Scratch.dir("graft_k21_").resolve("mv").toString
+        val orders = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        // every batch must write ONE schema: the × sign widens the
+        // decimal, so pin sp back to sum's own decimal(22,2) (negated
+        // partials fit by construction — negation never adds digits)
+        def partial(df: DataFrame, sign: Int): DataFrame = df
+          .groupBy("o_custkey")
+          .agg((sum(dec(col("o_totalprice"))) * sign)
+            .cast("decimal(22,2)").as("sp"),
+            (count(lit(1)) * sign).as("cnt"))
+        for (b <- 0L to 1L)
+          require(graft.sources.Sinks.committedAppend(
+            partial(orders.where(pmod(col("o_orderkey"), lit(2)) === b), 1),
+            out, b), s"base batch $b must land")
+        val deleted = orders.where(
+          col("o_orderkey") % 7 === 0 || col("o_custkey") % 97 === 0)
+        require(graft.sources.Sinks.committedAppend(partial(deleted, -1), out, 2L),
+          "retraction batch must land")
+        require(!graft.sources.Sinks.committedAppend(partial(deleted, -1), out, 2L),
+          "redelivered retraction must skip — a double-subtract corrupts the view")
+        s.read.parquet(out)
+          .groupBy("o_custkey")
+          .agg(sum("cnt").as("n_orders"),
+            sum("sp").cast("double").as("sum_price"))
+          .where(col("n_orders") > 0)
+      },
+      Some("""SELECT o_custkey, count(*) AS n_orders,
+                     cast(sum(cast(o_totalprice as decimal(12,2))) as double) AS sum_price
+              FROM orders
+              WHERE NOT (o_orderkey % 7 = 0 OR o_custkey % 97 = 0)
+              GROUP BY 1""")),
   )
 }

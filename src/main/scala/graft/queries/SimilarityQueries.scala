@@ -966,5 +966,100 @@ object SimilarityQueries extends QueryPack {
                     FROM embeddings)
               WHERE dim <= 8
               GROUP BY 1, 2""")),
+
+    // ---- HYBRID retrieval with reciprocal-rank fusion (s19): the RAG
+    // corpus-construction shape — a sparse BM25 leg (t26's exact
+    // arithmetic via the shared bm25Contrib, so hybrid scoring can
+    // never drift from the direct/served BM25 faces) and a dense
+    // cosine leg (s1's shape), fused by RRF: score(d) = Σ_legs
+    // 1/(60 + rank_leg(d)), the rank-only fusion that needs NO score
+    // calibration between legs (Cormack et al., SIGIR'09). The
+    // document/embedding tables share ids (doc_id = vec_id in the
+    // synthetic corpus) — the join key a production pipeline carries
+    // explicitly.
+    //
+    // Scale: each leg ends in a top-k (TakeOrderedAndProject — per-
+    // partition heaps), so the fusion's full-outer join runs over
+    // 2·k rows on the driver-side of data volume: fusion cost is
+    // O(k), independent of corpus size. Ranks are exact ints; each
+    // fused term is one IEEE division, and the two-term sum has a
+    // fixed evaluation order — bit-identical across engines without
+    // decimal staging. Both rank columns ride along (nullable where a
+    // doc reached only one leg's top-k — the full-outer frontier the
+    // rank-window formulation handles for free).
+    Q("s19_hybrid_rrf",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        // sparse leg == t26's plan, ranked: tf is the ONE corpus-scale
+        // shuffle; dl/df/avgdl derive from tf; query terms broadcast
+        val words = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        val tf = words.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+        val stats = dl.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n"))
+        val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        val qterms = dfreq.orderBy(col("df").desc, col("token")).limit(5)
+        val sparse = tf.join(broadcast(qterms), "token")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"), TextQueries.bm25Contrib.as("c"))
+          .groupBy("doc_id")
+          .agg(sum("c").cast("double").as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+          // 20 rows survive the limit — the global window is exact-k
+          .withColumn("r_sparse", row_number().over(
+            Window.orderBy(col("bm25").desc, col("doc_id"))))
+          .select(col("doc_id"), col("r_sparse"))
+        // dense leg == s1's plan, ranked, query = vec 0's embedding
+        val e = vecs(s, d)
+        val q = e.where(col("vec_id") === 0)
+          .select(col("v").as("qv"), col("nn").as("qn"))
+        val dense = e.crossJoin(broadcast(q))
+          .where(col("vec_id") =!= 0)
+          .withColumn("cos", round(cosExpr, 6))
+          .orderBy(col("cos").desc, col("vec_id")).limit(20)
+          .withColumn("r_dense", row_number().over(
+            Window.orderBy(col("cos").desc, col("vec_id"))))
+          .select(col("vec_id").as("doc_id"), col("r_dense"))
+        sparse.join(dense, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            col("r_sparse").cast("bigint").as("r_sparse"),
+            col("r_dense").cast("bigint").as("r_dense"),
+            round(coalesce(lit(1.0) / (lit(60) + col("r_sparse")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("r_dense")), lit(0.0)), 6)
+              .as("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+      },
+      Some(s"""WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+              tf AS (SELECT doc_id, token, count(*) AS tf FROM words GROUP BY 1, 2),
+              dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+              stats AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
+              dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+              qt AS (SELECT token, df FROM dfreq ORDER BY df DESC, token LIMIT 5),
+              contrib AS (
+                SELECT doc_id,
+                  ${TextQueries.bm25ContribSql} AS c
+                FROM tf JOIN qt USING (token) JOIN dl USING (doc_id) CROSS JOIN stats),
+              bm AS (SELECT doc_id, cast(sum(c) AS double) AS bm25
+                     FROM contrib GROUP BY doc_id
+                     ORDER BY bm25 DESC, doc_id LIMIT 20),
+              sp AS (SELECT doc_id, row_number() OVER (
+                       ORDER BY bm25 DESC, doc_id) AS r_sparse FROM bm),
+              e AS ($duckVecs),
+              qv AS (SELECT v AS qv, nn AS qn FROM e WHERE vec_id = 0),
+              dc AS (SELECT vec_id,
+                       round(list_aggregate(list_transform(range(1, len(qv) + 1),
+                         i -> qv[i] * v[i]), 'sum') / (sqrt(qn) * sqrt(nn)), 6) AS cos
+                     FROM e CROSS JOIN qv WHERE vec_id <> 0
+                     ORDER BY cos DESC, vec_id LIMIT 20),
+              dn AS (SELECT vec_id AS doc_id, row_number() OVER (
+                       ORDER BY cos DESC, vec_id) AS r_dense FROM dc)
+              SELECT coalesce(sp.doc_id, dn.doc_id) AS doc_id,
+                cast(r_sparse AS bigint) AS r_sparse,
+                cast(r_dense AS bigint) AS r_dense,
+                round(coalesce(cast(1.0 AS double) / (60 + r_sparse), 0) +
+                      coalesce(cast(1.0 AS double) / (60 + r_dense), 0), 6) AS rrf
+              FROM sp FULL OUTER JOIN dn ON sp.doc_id = dn.doc_id
+              ORDER BY rrf DESC, doc_id LIMIT 10""")),
   )
 }

@@ -1136,5 +1136,107 @@ object TextQueries extends QueryPack {
                        FROM cand)
               SELECT q, true_id, doc_id AS matched_id, CAST(dist AS BIGINT) AS dist
               FROM best WHERE rn = 1""")),
+
+    // ---- TRAINED model-based filtering (t30): multinomial Naive Bayes
+    // language classifier — the simplest member of the fastText-style
+    // model-in-the-loop family every large pretraining pipeline runs
+    // (train a cheap classifier on labeled docs, score the corpus,
+    // filter/route on the prediction). Training IS aggregation: class
+    // priors and Laplace-smoothed token likelihoods are pure counts
+    // over the labeled split (doc_id % 5 <> 0), so the "trainer" is
+    // two groupBys — no iteration, exactly restatable by the oracle.
+    //
+    // Scale: the model is |vocab|×|classes| rows (a broadcast dim —
+    // vocabulary-bounded, corpus-size-independent); scoring is explode
+    // → broadcast join → one shuffle on (doc, class) with map-side
+    // combine; the argmax is a per-doc window. Numerics: the ONLY
+    // float step is ln(count ratio) rounded to 6 dp then fixed as
+    // decimal(18,6) (the bm25Contrib discipline); every downstream
+    // op — tf × logp, the score sum, prior addition, the argmax
+    // ordering — runs in EXACT decimal arithmetic, so the prediction
+    // can never wobble with partitioning or summation order. Unseen
+    // test tokens fall outside the train vocab and contribute nothing
+    // (the standard NB inference choice, restated by the oracle);
+    // vocab-empty docs score on priors alone via the left join.
+    Q("t30_nb_langid",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val train = docs.where(col("doc_id") % 5 =!= 0)
+        val test = docs.where(col("doc_id") % 5 === 0)
+        val ttok = train.select(col("lang"),
+          explode(split(col("text"), " ")).as("token"))
+        val cls = train.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        val ntr = train.agg(count(lit(1)).as("n_train"))
+        val ct = ttok.groupBy("lang", "token").agg(count(lit(1)).as("ct"))
+        val tokt = ttok.groupBy("lang").agg(count(lit(1)).as("tok_l"))
+        val vocab = ttok.select("token").distinct()
+        val vsz = vocab.agg(count(lit(1)).as("v"))
+        val model = cls.select("lang").crossJoin(vocab)
+          .join(ct, Seq("lang", "token"), "left")
+          .join(tokt, "lang").crossJoin(broadcast(vsz))
+          .select(col("lang"), col("token"),
+            round(log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+              (col("tok_l") + col("v")).cast("double")), 6)
+              .cast("decimal(18,6)").as("logp"))
+        val prior = cls.crossJoin(broadcast(ntr))
+          .select(col("lang"),
+            round(log(col("n_docs").cast("double") /
+              col("n_train").cast("double")), 6)
+              .cast("decimal(18,6)").as("prior6"))
+        val ttf = test.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("token"))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val contrib = ttf.join(broadcast(model), "token")
+          .select(col("doc_id"), col("lang"),
+            (col("logp") * col("tf").cast("decimal(10,0)")).as("c"))
+          .groupBy("doc_id", "lang").agg(sum("c").as("sc"))
+        val scored = test.select(col("doc_id"), col("lang").as("true_lang"))
+          .crossJoin(broadcast(prior))
+          .join(contrib, Seq("doc_id", "lang"), "left")
+          .select(col("doc_id"), col("true_lang"), col("lang"),
+            (col("prior6") +
+              coalesce(col("sc"), lit(0).cast("decimal(38,6)"))).as("score"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("lang"))
+        scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+          .select(col("doc_id"), col("lang").as("pred_lang"), col("true_lang"),
+            col("score").cast("double").as("score"),
+            (col("lang") === col("true_lang")).as("correct"))
+      },
+      Some("""WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+              test AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+              ttok AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM train),
+              cls AS (SELECT lang, count(*) AS n_docs FROM train GROUP BY 1),
+              ntr AS (SELECT count(*) AS n_train FROM train),
+              ct AS (SELECT lang, token, count(*) AS ct FROM ttok GROUP BY 1, 2),
+              tokt AS (SELECT lang, count(*) AS tok_l FROM ttok GROUP BY 1),
+              vocab AS (SELECT DISTINCT token FROM ttok),
+              vsz AS (SELECT count(*) AS v FROM vocab),
+              model AS (SELECT c.lang, vb.token,
+                  cast(round(ln(cast(coalesce(ct.ct, 0) + 1 AS double) /
+                    cast(tokt.tok_l + vsz.v AS double)), 6) AS decimal(18,6)) AS logp
+                FROM cls c CROSS JOIN vocab vb
+                LEFT JOIN ct ON ct.lang = c.lang AND ct.token = vb.token
+                JOIN tokt ON tokt.lang = c.lang CROSS JOIN vsz),
+              prior AS (SELECT lang,
+                  cast(round(ln(cast(n_docs AS double) /
+                    cast(n_train AS double)), 6) AS decimal(18,6)) AS prior6
+                FROM cls CROSS JOIN ntr),
+              ttf AS (SELECT doc_id, token, count(*) AS tf FROM
+                        (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                         FROM test) GROUP BY 1, 2),
+              contrib AS (SELECT t.doc_id, m.lang,
+                  sum(m.logp * cast(t.tf AS decimal(10,0))) AS sc
+                FROM ttf t JOIN model m USING (token) GROUP BY 1, 2),
+              scored AS (SELECT te.doc_id, te.lang AS true_lang, p.lang,
+                  p.prior6 + coalesce(c.sc, cast(0 AS decimal(38,6))) AS score
+                FROM test te CROSS JOIN prior p
+                LEFT JOIN contrib c ON c.doc_id = te.doc_id AND c.lang = p.lang)
+              SELECT doc_id, lang AS pred_lang, true_lang,
+                     cast(score AS double) AS score,
+                     (lang = true_lang) AS correct
+              FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY score DESC, lang) AS rn FROM scored)
+              WHERE rn = 1""")),
   )
 }
