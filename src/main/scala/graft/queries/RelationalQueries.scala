@@ -1522,11 +1522,15 @@ object RelationalQueries extends QueryPack {
           "retraction batch must land")
         require(!graft.sources.Sinks.committedAppend(partial(deleted, -1), out, 2L),
           "redelivered retraction must skip — a double-subtract corrupts the view")
-        s.read.parquet(out)
+        val merged = s.read.parquet(out)
           .groupBy("o_custkey")
           .agg(sum("cnt").as("n_orders"),
             sum("sp").cast("double").as("sum_price"))
-          .where(col("n_orders") > 0)
+        // the documented edge must actually OCCUR, or the drop filter
+        // below is vacuously green (16 such customers at sf0.01)
+        require(merged.where(col("n_orders") === 0).limit(1).count() == 1L,
+          "fixture must produce at least one fully-retracted customer")
+        merged.where(col("n_orders") > 0)
       },
       Some("""SELECT o_custkey, count(*) AS n_orders,
                      cast(sum(cast(o_totalprice as decimal(12,2))) as double) AS sum_price

@@ -990,23 +990,10 @@ object SimilarityQueries extends QueryPack {
     Q("s19_hybrid_rrf",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        // sparse leg == t26's plan, ranked: tf is the ONE corpus-scale
-        // shuffle; dl/df/avgdl derive from tf; query terms broadcast
-        val words = Tables.documents(s, d)
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-        val tf = words.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-        val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-        val stats = dl.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n"))
-        val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-        val qterms = dfreq.orderBy(col("df").desc, col("token")).limit(5)
-        val sparse = tf.join(broadcast(qterms), "token")
-          .join(dl, "doc_id")
-          .crossJoin(broadcast(stats))
-          .select(col("doc_id"), TextQueries.bm25Contrib.as("c"))
-          .groupBy("doc_id")
-          .agg(sum("c").cast("double").as("bm25"))
-          .orderBy(col("bm25").desc, col("doc_id")).limit(20)
-          // 20 rows survive the limit — the global window is exact-k
+        // sparse leg IS t26's plan — the shared bm25Topk, so the
+        // hybrid can never drift from the direct face
+        // 20 rows survive the limit — the global window is exact-k
+        val sparse = TextQueries.bm25Topk(s, d, 20)
           .withColumn("r_sparse", row_number().over(
             Window.orderBy(col("bm25").desc, col("doc_id"))))
           .select(col("doc_id"), col("r_sparse"))
@@ -1030,19 +1017,7 @@ object SimilarityQueries extends QueryPack {
               .as("rrf"))
           .orderBy(col("rrf").desc, col("doc_id")).limit(10)
       },
-      Some(s"""WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-              tf AS (SELECT doc_id, token, count(*) AS tf FROM words GROUP BY 1, 2),
-              dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
-              stats AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
-              dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-              qt AS (SELECT token, df FROM dfreq ORDER BY df DESC, token LIMIT 5),
-              contrib AS (
-                SELECT doc_id,
-                  ${TextQueries.bm25ContribSql} AS c
-                FROM tf JOIN qt USING (token) JOIN dl USING (doc_id) CROSS JOIN stats),
-              bm AS (SELECT doc_id, cast(sum(c) AS double) AS bm25
-                     FROM contrib GROUP BY doc_id
-                     ORDER BY bm25 DESC, doc_id LIMIT 20),
+      Some(s"""WITH ${TextQueries.duckBm25TopkSql(20)},
               sp AS (SELECT doc_id, row_number() OVER (
                        ORDER BY bm25 DESC, doc_id) AS r_sparse FROM bm),
               e AS ($duckVecs),

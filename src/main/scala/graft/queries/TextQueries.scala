@@ -43,6 +43,54 @@ object TextQueries extends QueryPack {
       |                    (cast(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * cast(dl AS DOUBLE) / avgdl)),
       |                    6) AS decimal(18,6))""".stripMargin
 
+  /** The DIRECT BM25 pipeline over the documents table, scored and
+    * top-k'd — t26's exact plan, factored so s19's sparse leg runs the
+    * SAME code instead of a pasted copy (one more face of the
+    * bm25Contrib discipline: a scoring fix that touched only t26 while
+    * s19 kept a stale paste would silently re-introduce cross-face
+    * drift). ONE corpus-scale shuffle: tf groups on (doc, token) with
+    * map-side combine; dl/df/avgdl all derive FROM tf; query terms
+    * (5 highest-df tokens, token asc ties) and scalar stats broadcast;
+    * the global top-k is TakeOrderedAndProject.
+    */
+  private[queries] def bm25Topk(s: org.apache.spark.sql.SparkSession,
+                                d: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val words = graft.sources.Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val tf = words.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val qterms = dfreq.orderBy(col("df").desc, col("token")).limit(5)
+    tf.join(broadcast(qterms), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), bm25Contrib.as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").cast("double").as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** DuckDB restatement of [[bm25Topk]]: a CTE chain (no leading WITH)
+    * ending in relation `bm(doc_id, bm25)` — the single copy every
+    * direct-BM25 oracle splices, mirroring bm25ContribSql.
+    */
+  private[queries] def duckBm25TopkSql(k: Int): String =
+    s"""words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |              tf AS (SELECT doc_id, token, count(*) AS tf FROM words GROUP BY 1, 2),
+       |              dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+       |              stats AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
+       |              dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+       |              q AS (SELECT token, df FROM dfreq ORDER BY df DESC, token LIMIT 5),
+       |              contrib AS (
+       |                SELECT doc_id,
+       |                  $bm25ContribSql AS c
+       |                FROM tf JOIN q USING (token) JOIN dl USING (doc_id) CROSS JOIN stats),
+       |              bm AS (SELECT doc_id, cast(sum(c) AS double) AS bm25
+       |                     FROM contrib GROUP BY doc_id
+       |                     ORDER BY bm25 DESC, doc_id LIMIT $k)""".stripMargin
+
   private val stopEn = "('the','a')"
   private val stopDe = "('der','die','das')"
   private val stopFr = "('le','la','les')"
@@ -618,36 +666,9 @@ object TextQueries extends QueryPack {
     // identical IEEE math (DuckDB would otherwise compute tf*2.2 in
     // exact decimal — a systematic 1-ulp divergence feeding the round).
     Q("t26_bm25_topk",
-      (s, d) => {
-        val words = Tables.documents(s, d)
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-        val tf = words.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-        val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-        val stats = dl.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n"))
-        val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-        val qterms = dfreq.orderBy(col("df").desc, col("token")).limit(5)
-        tf.join(broadcast(qterms), "token")
-          .join(dl, "doc_id")
-          .crossJoin(broadcast(stats))
-          .select(col("doc_id"), bm25Contrib.as("c"))
-          .groupBy("doc_id")
-          .agg(sum("c").cast("double").as("bm25"))
-          .orderBy(col("bm25").desc, col("doc_id"))
-          .limit(20)
-      },
-      Some(s"""WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-              tf AS (SELECT doc_id, token, count(*) AS tf FROM words GROUP BY 1, 2),
-              dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
-              stats AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
-              dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-              q AS (SELECT token, df FROM dfreq ORDER BY df DESC, token LIMIT 5),
-              contrib AS (
-                SELECT doc_id,
-                  $bm25ContribSql AS c
-                FROM tf JOIN q USING (token) JOIN dl USING (doc_id) CROSS JOIN stats)
-              SELECT doc_id, cast(sum(c) AS double) AS bm25
-              FROM contrib GROUP BY doc_id
-              ORDER BY bm25 DESC, doc_id LIMIT 20""")),
+      (s, d) => bm25Topk(s, d, 20),
+      Some(s"""WITH ${duckBm25TopkSql(20)}
+              SELECT doc_id, bm25 FROM bm""")),
 
     // ---- BM25 SERVED from a PERSISTED inverted index (t27): the
     // retrieval dual of s13's served IVF — at 100 TB you do not
