@@ -1098,5 +1098,51 @@ object EventQueries extends QueryPack {
                      cast(sum(cast(o_totalprice as decimal(12,2))) as double) AS sum_price,
                      TRUE AS exactly_once
               FROM orders GROUP BY 1""")),
+
+    // ---- W6: time-series GAP FILL + LOCF — the resample step every
+    // metrics/telemetry pipeline runs before ML featurization: per
+    // user, the daily event series densified over [first, last] active
+    // day (gap days materialized, count zero-filled) with
+    // last-observation-carried-forward as the imputation column. The
+    // spine is explode(sequence(min_day, max_day)) per user — bounded
+    // by the OBSERVED span, never a global calendar cross-join — so
+    // spine size tracks Σ per-user spans, not users × corpus lifetime.
+    // LOCF is last(ignoreNulls) over the per-user day order: a
+    // partition-parallel window (partitioned by user — no single-task
+    // funnel). All integer arithmetic on epoch-micro day indexes
+    // (ts_us div 86400000000), the t-series convention — no date-type
+    // or float divergence surface; first-day LOCF is non-null by
+    // construction (the spine starts at an observed day).
+    Q("w6_gapfill_locf",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+          .groupBy("user_id", "day").agg(count(lit(1)).as("n"))
+        val spine = daily.groupBy("user_id")
+          .agg(min("day").as("d0"), max("day").as("d1"))
+          .select(col("user_id"),
+            explode(sequence(col("d0"), col("d1"))).as("day"))
+        val w = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(daily, Seq("user_id", "day"), "left")
+          .select(col("user_id"), col("day"),
+            coalesce(col("n"), lit(0L)).as("n_events"),
+            last(col("n"), ignoreNulls = true).over(w).as("locf_events"),
+            col("n").isNull.as("gap"))
+      },
+      Some("""WITH daily AS (SELECT user_id, epoch_ns(ts) // 1000 // 86400000000 AS day,
+                       count(*) AS n
+                     FROM events GROUP BY 1, 2),
+              spine AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day
+                        FROM (SELECT user_id, min(day) AS d0, max(day) AS d1
+                              FROM daily GROUP BY 1)),
+              f AS (SELECT s.user_id, s.day, d.n
+                    FROM spine s LEFT JOIN daily d USING (user_id, day))
+              SELECT user_id, day, coalesce(n, 0) AS n_events,
+                     last_value(n IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_events,
+                     (n IS NULL) AS gap
+              FROM f""")),
   )
 }

@@ -1537,5 +1537,51 @@ object RelationalQueries extends QueryPack {
               FROM orders
               WHERE NOT (o_orderkey % 7 = 0 OR o_custkey % 97 = 0)
               GROUP BY 1""")),
+
+    // ---- K22: CDC CHANGELOG APPLY (MERGE INTO semantics) — the
+    // ingestion shape every warehouse-fed corpus store needs: a
+    // snapshot table plus an (op, seq, payload) changelog collapse to
+    // the post-merge state. Latest op per key wins (row_number over
+    // seq desc — the changelog-sized shuffle, never the snapshot),
+    // then ONE full-outer join applies it: U rewrites the payload, I
+    // lands keys the snapshot lacks, D drops the key, untouched keys
+    // pass through. The fixture interleaves deliberately: %10 keys get
+    // TWO updates (latest-wins is hash-load-bearing — applying seq 1
+    // would emit '_u1'), %7 keys a delete at the highest seq (so
+    // %70 keys prove D beats earlier Us), %13 keys an insert under a
+    // fresh key. 100 TB: the join co-partitions on the key (bucketed
+    // snapshots make it exchange-free per k12); cost tracks
+    // snapshot + changelog, with no per-op row churn.
+    Q("k22_cdc_apply",
+      (s, d) => {
+        val snap = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+        def slice(m: Int) = snap.where(col("c_custkey") % m === 0)
+        val log = slice(10)
+          .select(col("c_custkey"), lit("U").as("op"),
+            concat(col("c_name"), lit("_u1")).as("new_name"), lit(1L).as("seq"))
+          .unionByName(slice(10).select(col("c_custkey"), lit("U").as("op"),
+            concat(col("c_name"), lit("_u2")).as("new_name"), lit(2L).as("seq")))
+          .unionByName(slice(7).select(col("c_custkey"), lit("D").as("op"),
+            lit(null).cast("string").as("new_name"), lit(3L).as("seq")))
+          .unionByName(slice(13).select(
+            (col("c_custkey") + 1000000L).as("c_custkey"), lit("I").as("op"),
+            concat(col("c_name"), lit("_new")).as("new_name"), lit(1L).as("seq")))
+        val latest = log
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("c_custkey").orderBy(col("seq").desc)))
+          .where(col("rn") === 1)
+          .select(col("c_custkey"), col("op"), col("new_name"))
+        snap.join(latest, Seq("c_custkey"), "full_outer")
+          .where(coalesce(col("op"), lit("")) =!= "D")
+          .select(col("c_custkey").cast("bigint").as("c_custkey"),
+            coalesce(col("new_name"), col("c_name")).as("c_name"))
+      },
+      Some("""SELECT c_custkey::BIGINT AS c_custkey,
+                     CASE WHEN c_custkey % 10 = 0 THEN c_name || '_u2'
+                          ELSE c_name END AS c_name
+              FROM customer WHERE c_custkey % 7 <> 0
+              UNION ALL
+              SELECT (c_custkey + 1000000)::BIGINT, c_name || '_new'
+              FROM customer WHERE c_custkey % 13 = 0""")),
   )
 }
