@@ -997,5 +997,73 @@ object DedupQueries extends QueryPack {
                 cast(sum(CASE WHEN line_df > 3 THEN 1 ELSE 0 END) as bigint) AS n_dropped,
                 string_agg(CASE WHEN line_df <= 3 THEN line END, '. ' ORDER BY idx) AS rebuilt
               FROM l JOIN f USING (line) GROUP BY doc_id""")),
+
+    // ---- EXACT set-similarity join (prefix filtering / AllPairs):
+    // the LSH-free third member of the near-dup family — d2 is
+    // probabilistic candidates, d24 is the EXACT all-pairs result at
+    // Jaccard ≥ 0.8 with lossless prefix-filter pruning (rarest-first
+    // global token order keeps hot tokens out of the join key — see
+    // SetSimJoin's scale notes). The oracle is the INDEPENDENT brute-
+    // force token self-join with no prefix filter, so any lost pair
+    // (an unsound prefix, a broken length bound) fails the hash, and
+    // all threshold math is integer cross-multiplication on both
+    // sides.
+    Q("d24_setsim_join",
+      (s, d) => graft.operators.SetSimJoin.jaccardJoin(
+        withWords(Tables.documents(s, d)), "doc_id", col("w"), 4, 5),
+      Some("""WITH t AS (SELECT doc_id,
+                unnest(list_distinct(string_split(text, ' '))) AS tok
+              FROM documents),
+              sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY 1),
+              ov AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+                       count(*) AS inter_sz
+                     FROM t a JOIN t b
+                       ON a.tok = b.tok AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2)
+              SELECT ia, ib, inter_sz,
+                sa.n + sb.n - inter_sz AS union_sz,
+                inter_sz / (sa.n + sb.n - inter_sz) AS jaccard
+              FROM ov
+              JOIN sz sa ON sa.doc_id = ia
+              JOIN sz sb ON sb.doc_id = ib
+              WHERE 5 * inter_sz >= 4 * (sa.n + sb.n - inter_sz)""")),
+
+    // ---- KEEP-BEST representative selection: real pipelines keep the
+    // highest-QUALITY member of each duplicate cluster, not the
+    // smallest id — d26 composes the d6 keep-list (connected
+    // components of the band graph) with a per-component argmax on
+    // (n_chars, then smaller id as the tiebreak). The rep choice is
+    // one partial-aggregable max_by groupBy — NO window sort over the
+    // corpus — and the oracle recomputes the closure independently
+    // (d6's recursive CTE) then takes the same argmax via row_number,
+    // so a wrong component or a wrong tie-break both fail the hash.
+    Q("d26_keep_best",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val kl = MinHashLSH.dedupKeepList(withWords(docs), "doc_id", col("w"))
+        val reps = kl.join(docs.select("doc_id", "n_chars"), "doc_id")
+          .groupBy("keep_id")
+          .agg(max_by(col("doc_id"),
+            struct(col("n_chars"), -col("doc_id"))).as("rep_id"))
+        kl.join(reps, "keep_id").select(col("doc_id"), col("rep_id"))
+      },
+      Some(s"""${duckBands.replaceFirst("WITH", "WITH RECURSIVE")},
+              edges AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+                        FROM bands a JOIN bands b
+                          ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+              sym AS (SELECT src, dst FROM edges
+                      UNION ALL SELECT dst, src FROM edges),
+              reach(doc_id, r) AS (
+                SELECT doc_id, doc_id FROM (SELECT DISTINCT doc_id FROM bands)
+                UNION
+                SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.doc_id),
+              comp AS (SELECT doc_id, min(r) AS root FROM reach GROUP BY doc_id),
+              ranked AS (SELECT c.doc_id, c.root,
+                           row_number() OVER (PARTITION BY c.root
+                             ORDER BY d.n_chars DESC, c.doc_id) AS rn
+                         FROM comp c JOIN documents d ON d.doc_id = c.doc_id),
+              best AS (SELECT root, doc_id AS rep_id FROM ranked WHERE rn = 1)
+              SELECT c.doc_id, b.rep_id
+              FROM comp c JOIN best b ON c.root = b.root""")),
   )
 }

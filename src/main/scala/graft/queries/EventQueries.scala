@@ -807,6 +807,63 @@ object EventQueries extends QueryPack {
                   10 * CAST(target - (cum - cnt) AS DOUBLE) / cnt, 6) AS est
               FROM sel WHERE r = 1""")),
 
+    // ---- Streaming weighted lottery (e26): o14's draw maintained
+    // incrementally — global top-k by ticket is a MERGEABLE sketch
+    // (top-k of unioned per-batch top-ks = top-k of the union), so
+    // each micro-batch lands only its own top-100 candidates under the
+    // committed-generation protocol and the serve side merges the tiny
+    // partials. The replayed batch 0 is DRIVEN and must be a pure
+    // skip: a landed replay duplicates the even docs' ticket rows and
+    // the duplicates crowd the merged top-100 — exactly-once is
+    // hash-load-bearing, not asserted. Oracle = o14's batch-blind
+    // recompute, so incremental maintenance can never drift from the
+    // direct draw.
+    Q("e26_stream_lottery",
+      (s, d) => {
+        val dir = Scratch.dir("graft_e26_lot_").toString + "/topk"
+        val stage = Scratch.dir("graft_e26_stage_").toString
+        val docs = Tables.documents(s, d).select("doc_id", "lang")
+        def tickets(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("doc_id"), col("lang"),
+            when(col("lang") === "de", 3L).when(col("lang") === "fr", 2L)
+              .otherwise(1L).as("w"))
+          .withColumn("ticket", array_min(expr(
+            "transform(sequence(1L, w), j -> " +
+              "md5(concat(cast(doc_id as string), ':', cast(j as string))))")))
+          .orderBy(col("ticket")).limit(100)
+        docs.where(col("doc_id") % 2 === 0)
+          .coalesce(1).write.mode("append").parquet(stage)
+        val stream = s.readStream
+          .schema("doc_id LONG, lang STRING").parquet(stage)
+        runGatedStreamWith(s, stream,
+          (batch, _, bid) => if (!batch.isEmpty) {
+            graft.sources.Sinks.committedAppend(tickets(batch), dir, bid)
+            ()
+          }) { q =>
+          q.processAllAvailable()
+          docs.where(col("doc_id") % 2 === 1)
+            .coalesce(1).write.mode("append").parquet(stage)
+          q.processAllAvailable()
+        }
+        // replayed batch 0: pure skip, or the even docs' tickets land
+        // twice and the duplicate rows displace true winners
+        graft.sources.Sinks.committedAppend(
+          tickets(docs.where(col("doc_id") % 2 === 0)), dir, 0L)
+        s.read.parquet(dir).orderBy(col("ticket")).limit(100)
+          .select("doc_id", "lang", "w", "ticket")
+      },
+      Some("""WITH base AS (SELECT doc_id, lang,
+                CASE lang WHEN 'de' THEN 3 WHEN 'fr' THEN 2 ELSE 1 END
+                  ::BIGINT AS w
+              FROM documents),
+              t AS (SELECT doc_id, lang, w,
+                list_aggregate(list_transform(range(1, w + 1),
+                  j -> md5(doc_id::VARCHAR || ':' || j::VARCHAR)), 'min')
+                  AS ticket
+              FROM base)
+              SELECT doc_id, lang, w, ticket FROM t
+              ORDER BY ticket LIMIT 100""")),
+
     // ---- Streaming dedup against the BUCKETED index (e20): e18's
     // protocol on d16's partition-pruned layout — every micro-batch
     // probes ONLY its own hash buckets (probe I/O tracks |batch|,

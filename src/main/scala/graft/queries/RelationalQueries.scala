@@ -1396,6 +1396,111 @@ object RelationalQueries extends QueryPack {
                   ORDER BY md5('epoch7:' || doc_id), doc_id) AS pos
               FROM documents""")),
 
+    // ---- O14: WEIGHTED sampling without replacement (lottery
+    // scheme): each doc gets `w` deterministic md5 tickets and its
+    // priority is the BEST (minimum) ticket — the doc-level priority
+    // is distributed as the min of w iid uniforms, so higher-weight
+    // docs win proportionally more of the top-k, and the whole draw
+    // is exact integer/string arithmetic (no pow/ln whose libm
+    // rounding could diverge across engines). Tickets are map-only
+    // per row; the top-100 is ORDER BY + LIMIT, which Spark plans as
+    // TakeOrderedAndProject — per-partition heaps merged at the
+    // driver, never a global sort. At 100 TB the same plan holds: k
+    // rows per partition flow to the driver, nothing else moves.
+    Q("o14_weighted_lottery",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          when(col("lang") === "de", 3L).when(col("lang") === "fr", 2L)
+            .otherwise(1L).as("w"))
+        .withColumn("ticket", array_min(expr(
+          "transform(sequence(1L, w), j -> " +
+            "md5(concat(cast(doc_id as string), ':', cast(j as string))))")))
+        .orderBy(col("ticket"))
+        .limit(100),
+      Some("""WITH base AS (SELECT doc_id, lang,
+                CASE lang WHEN 'de' THEN 3 WHEN 'fr' THEN 2 ELSE 1 END
+                  ::BIGINT AS w
+              FROM documents),
+              t AS (SELECT doc_id, lang, w,
+                list_aggregate(list_transform(range(1, w + 1),
+                  j -> md5(doc_id::VARCHAR || ':' || j::VARCHAR)), 'min')
+                  AS ticket
+              FROM base)
+              SELECT doc_id, lang, w, ticket FROM t
+              ORDER BY ticket LIMIT 100""")),
+
+    // ---- O15: DSIR-style importance selection — score every doc by
+    // how much more likely its tokens are under a TARGET distribution
+    // (the trusted de-language slice) than under the raw pool, and
+    // keep the top-50. Features are md5-HASHED token buckets (4096),
+    // the published DSIR move that makes the model FIXED-SIZE: the
+    // per-bucket log-likelihood-ratio table is 4096 rows broadcast to
+    // every executor no matter how large the corpus, so scoring is one
+    // map-side join over (doc, bucket) term frequencies. Float
+    // discipline is t30's: each log is rounded to 6 decimals and cast
+    // to DECIMAL so the cross-engine libm agreement is at a scale
+    // rounding absorbs, then all summation is decimal-exact and
+    // order-independent; the top-50 orders by the EXACT decimal score
+    // before the final double cast.
+    Q("o15_dsir_select",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tok = docs
+          .select(col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("token"))
+          .select(col("doc_id"), col("lang"),
+            pmod(expr("conv(substring(md5(token), 1, 8), 16, 10)")
+              .cast("bigint"), lit(4096L)).as("b"))
+        val cr = tok.groupBy("b").agg(count(lit(1)).as("cr"))
+        val ct = tok.where(col("lang") === "de")
+          .groupBy("b").agg(count(lit(1)).as("ct"))
+        val n = tok.agg(count(lit(1)).as("nr"),
+          count(when(col("lang") === "de", 1)).as("nt"))
+        val model = cr.join(ct, Seq("b"), "left").crossJoin(broadcast(n))
+          .select(col("b"),
+            (round(log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+              (col("nt") + 4096L).cast("double")), 6).cast("decimal(18,6)")
+              - round(log((col("cr") + 1).cast("double") /
+                (col("nr") + 4096L).cast("double")), 6).cast("decimal(18,6)"))
+              .as("llr"))
+        val tf = tok.groupBy("doc_id", "b").agg(count(lit(1)).as("tf"))
+        // per-token NORMALIZED weight — the raw llr sum is length-
+        // biased (long docs accumulate the corpus-wide negative drift
+        // and never select); normalizing doubles the target's
+        // enrichment in the top-50 (de 14% base → 30% selected at
+        // sf0.01). Exact decimal sum first, one double division last.
+        tf.join(broadcast(model), "b")
+          .groupBy("doc_id")
+          .agg(sum(col("llr") * col("tf").cast("decimal(10,0)")).as("wsum"),
+            sum("tf").as("ntok"))
+          .join(docs.select("doc_id", "lang"), "doc_id")
+          .withColumn("weight",
+            col("wsum").cast("double") / col("ntok").cast("double"))
+          .orderBy(col("weight").desc, col("doc_id"))
+          .limit(50)
+          .select("doc_id", "lang", "weight")
+      },
+      Some("""WITH tok AS (SELECT doc_id, lang,
+                CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 4096 AS b
+              FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+                    FROM documents)),
+              cr AS (SELECT b, count(*) AS cr FROM tok GROUP BY 1),
+              ct AS (SELECT b, count(*) AS ct FROM tok WHERE lang = 'de' GROUP BY 1),
+              n AS (SELECT count(*) AS nr,
+                      count(*) FILTER (lang = 'de') AS nt FROM tok),
+              model AS (SELECT cr.b,
+                  round(ln((coalesce(ct.ct, 0) + 1) / (n.nt + 4096)), 6)::DECIMAL(18,6)
+                - round(ln((cr.cr + 1) / (n.nr + 4096)), 6)::DECIMAL(18,6) AS llr
+                FROM cr LEFT JOIN ct ON cr.b = ct.b CROSS JOIN n),
+              tf AS (SELECT doc_id, b, count(*) AS tf FROM tok GROUP BY 1, 2),
+              w AS (SELECT doc_id, sum(llr * tf::DECIMAL(10,0)) AS wsum,
+                      sum(tf) AS ntok
+                    FROM tf JOIN model USING (b) GROUP BY 1)
+              SELECT d.doc_id, d.lang,
+                wsum::DOUBLE / ntok::DOUBLE AS weight
+              FROM w JOIN documents d USING (doc_id)
+              ORDER BY weight DESC, d.doc_id LIMIT 50""")),
+
     // ---- O4: random-label sample submission (kaggle variant in the
     // reference) — deterministic label pick via md5-hash bucketing.
     Q("o4_sample_submission",

@@ -287,4 +287,35 @@ class PlanShapeSpec extends SparkSpec {
         s"$dir: pruning predicate must push to the scan: " + p.take(1200))
     }
   }
+
+  test("d24 set-similarity join: prefix equi-joins only, never a nested loop or cartesian") {
+    val p = plan("d24_setsim_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidates must come from the prefix-token equi-join: " + p.take(800))
+    // the candidate distinct lowers to a HashAggregate with the integer
+    // length cross-multiplication BELOW it — impossible-length pairs
+    // are dropped before they shuffle into the distinct
+    assert(p.contains("HashAggregate"),
+      "candidate distinct expected to lower to HashAggregate: " + p.take(800))
+    val below = p.substring(p.indexOf("HashAggregate"))
+    assert(below.contains("least") && below.contains("greatest"),
+      "length filter must sit below the candidate distinct: " + p.take(1200))
+  }
+
+  test("o14 weighted lottery: map-only tickets, top-100 is TakeOrderedAndProject") {
+    val p = plan("o14_weighted_lottery")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the draw must be a per-partition heap merge, not a global sort: " + p.take(800))
+    assert(!p.contains("Exchange"),
+      "ticket computation is per-row; nothing may shuffle: " + p.take(800))
+  }
+
+  test("d26 keep-best picks the rep via partial-aggregable max_by, not a window sort") {
+    val p = plan("d26_keep_best")
+    assert(!p.contains("Window"),
+      "rep selection must be a groupBy max_by (partial agg), never a per-component window: "
+        + p.take(1200))
+    assert(p.contains("max_by") || p.contains("partial_max_by"),
+      "expected the max_by aggregate in the rep pick: " + p.take(1200))
+  }
 }
