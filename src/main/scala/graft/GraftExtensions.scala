@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.{CharNgrams, CosineSim, CounterMerge, MinHashSig, SimHashMd5, TextFunctions, Uuid3, WinnowFp, WordNgrams}
+import graft.functions.{CharNgrams, CosineSim, CounterMerge, MinHashSig, SimHashMd5, SortedIntersect, TextFunctions, Uuid3, WinnowFp, WordNgrams}
 
 /** Session extension point: registers graft's native functions so SQL
   * users get them without touching the Scala API.
@@ -62,6 +62,8 @@ object GraftExtensions {
       WordNgrams.info, WordNgrams.builder)
     reg.registerFunction(FunctionIdentifier("char_ngrams"),
       CharNgrams.info, CharNgrams.builder)
+    reg.registerFunction(FunctionIdentifier("sorted_intersect_size"),
+      SortedIntersect.info, SortedIntersect.builder)
   }
 
   /** UDF-backed helpers (no codegen need): RFC uuid5 decision ids,
