@@ -131,4 +131,74 @@ object SetSimJoin {
       .withColumn("jaccard",
         col("inter_sz").cast("double") / col("union_sz").cast("double"))
   }
+
+  /** Asymmetric CONTAINMENT join: ordered pairs (ia, ib), ia ≠ ib,
+    * with |a∩b| ≥ τ·|a| — "a is τ-contained in b", the quote/excerpt/
+    * subset detector (a near-complete subset never reaches a symmetric
+    * Jaccard threshold when |b| ≫ |a|, which is exactly the
+    * boilerplate-inside-longer-doc case jaccardJoin can't see).
+    *
+    * Same interned-id machinery as [[jaccardJoin]]; the filters change
+    * with the asymmetry (all integer cross-multiplications):
+    *  - only the PROBE side a is prefix-pruned (|a|−⌈τ|a|⌉+1 rarest
+    *    ids): the overlap bound is τ·|a|, so a's prefix must hit any
+    *    qualifying b, while b has no prefix shorter than its full list
+    *    that is safe for every possible |a| — b joins on all its ids
+    *  - length filter |b| ≥ τ·|a| (b can't contain more of a than b has)
+    *  - positional bound min(na−pa, nb−pb)+1 ≥ ⌈τ·na⌉
+    *
+    * @return (ia, ib, inter_sz, na, nb, containment) — sizes BIGINT,
+    *         containment = inter/na as double (exact int division)
+    */
+  def containmentJoin(docs: DataFrame, idCol: String, tokensCol: Column,
+                      tauNum: Int = 19, tauDen: Int = 20): DataFrame = {
+    require(tauNum > 0 && tauNum <= tauDen, s"tau=$tauNum/$tauDen not in (0,1]")
+    graft.GraftExtensions.registerNative(docs.sparkSession)
+    val base = docs
+      .select(col(idCol).cast("long").as("id"),
+        array_distinct(tokensCol).as("ts"))
+      .where(size(col("ts")) > 0)
+    val freq = base.select(explode(col("ts")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val tokIds = GlobalRank
+      .withGlobalRank(freq, Seq(col("df"), col("tok")), "tid")
+      .select(col("tok"), col("tid").cast("int").as("tid"))
+    val baseI = base.select(col("id"), explode(col("ts")).as("tok"))
+      .join(tokIds, "tok")
+      .groupBy("id")
+      .agg(sort_array(collect_list(col("tid"))).as("its"),
+        count(lit(1)).cast("int").as("n"))
+
+    val prefLen = (col("n") - (col("n") * tauNum + tauDen - 1)
+      .divide(tauDen).cast("int") + 1)
+    val a = baseI
+      .select(col("id"), col("n"),
+        posexplode(slice(col("its"), lit(1), prefLen)).as(Seq("p0", "tid")))
+      .select(col("id").as("ia"), col("n").as("na"),
+        (col("p0") + 1).as("pa"), col("tid"))
+    val b = baseI
+      .select(col("id"), col("n"),
+        posexplode(col("its")).as(Seq("p0", "tid")))
+      .select(col("id").as("ib"), col("n").as("nb"),
+        (col("p0") + 1).as("pb"), col("tid"))
+    // minimum overlap: ⌈τ·na⌉
+    val alphaC = (col("na") * tauNum + tauDen - 1).divide(tauDen).cast("int")
+    val candidates = a.join(b, "tid")
+      .where(col("ia") =!= col("ib"))
+      .where(col("nb") * tauDen >= col("na") * tauNum)
+      .where(least(col("na") - col("pa"), col("nb") - col("pb")) + 1 >= alphaC)
+      .select("ia", "ib").distinct()
+
+    val ta = baseI.select(col("id").as("ia"), col("its").as("tsa"),
+      col("n").as("na"))
+    val tb = baseI.select(col("id").as("ib"), col("its").as("tsb"),
+      col("n").as("nb"))
+    candidates.join(ta, "ia").join(tb, "ib")
+      .select(col("ia"), col("ib"),
+        expr("sorted_intersect_size(tsa, tsb)").cast("long").as("inter_sz"),
+        col("na").cast("long").as("na"), col("nb").cast("long").as("nb"))
+      .where(col("inter_sz") * tauDen >= col("na") * tauNum)
+      .withColumn("containment",
+        col("inter_sz").cast("double") / col("na").cast("double"))
+  }
 }

@@ -1028,6 +1028,32 @@ object DedupQueries extends QueryPack {
               JOIN sz sb ON sb.doc_id = ib
               WHERE 5 * inter_sz >= 4 * (sa.n + sb.n - inter_sz)""")),
 
+    // ---- Asymmetric CONTAINMENT join (d27): |a∩b| ≥ τ·|a| — the
+    // quote/excerpt/subset detector jaccardJoin structurally misses
+    // (a short doc fully embedded in a long one never reaches a
+    // symmetric threshold). Probe-side-only prefix pruning, length and
+    // positional bounds, interned ids, native merge verify — see
+    // SetSimJoin.containmentJoin. Oracle = independent brute-force
+    // directed token self-join with no pruning.
+    Q("d27_containment_join",
+      (s, d) => graft.operators.SetSimJoin.containmentJoin(
+        withWords(Tables.documents(s, d)), "doc_id", col("w"), 19, 20),
+      Some("""WITH t AS (SELECT doc_id,
+                unnest(list_distinct(string_split(text, ' '))) AS tok
+              FROM documents),
+              sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY 1),
+              ov AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+                       count(*) AS inter_sz
+                     FROM t a JOIN t b
+                       ON a.tok = b.tok AND a.doc_id <> b.doc_id
+                     GROUP BY 1, 2)
+              SELECT ia, ib, inter_sz, sa.n AS na, sb.n AS nb,
+                inter_sz / sa.n AS containment
+              FROM ov
+              JOIN sz sa ON sa.doc_id = ia
+              JOIN sz sb ON sb.doc_id = ib
+              WHERE 20 * inter_sz >= 19 * sa.n""")),
+
     // ---- KEEP-BEST representative selection: real pipelines keep the
     // highest-QUALITY member of each duplicate cluster, not the
     // smallest id — d26 composes the d6 keep-list (connected

@@ -1036,5 +1036,68 @@ object SimilarityQueries extends QueryPack {
                       coalesce(cast(1.0 AS double) / (60 + r_dense), 0), 6) AS rrf
               FROM sp FULL OUTER JOIN dn ON sp.doc_id = dn.doc_id
               ORDER BY rrf DESC, doc_id LIMIT 10""")),
+
+    // ---- SEMANTIC dedup (SemDeDup): the published cluster-then-dedup
+    // recipe — k-means cells (the s8 trained codebook, shared fit via
+    // the session cache) PRUNE the pairwise cosine work to within-cell
+    // pairs, then the verified near-dup graph closes to a keep-first
+    // representative per semantic group (the d6/d20/m14 keep-list
+    // product shape, fourth modality: semantic space). The scale
+    // argument IS the clustering: all-pairs is n², within-cell is
+    // Σ|cell|² — at production k the pruning factor is k for balanced
+    // cells, and the cell join is a plain equi-join AQE can skew-split.
+    // The oracle composes the full trainer restatement (duckKmeans),
+    // the same argmin assignment, brute within-cell cosine pairs, and
+    // the independent recursive closure — a wrong cell, a missed pair,
+    // or an under-merged component all fail the hash.
+    Q("d25_semantic_dedup",
+      (s, d) => {
+        val e = vecs(s, d)
+        val cents = trainedCodebook(s, d)
+        val assigned = e.withColumn("cid",
+          graft.operators.KMeansLite.assignUdf(cents)(col("v"))
+            .cast("bigint"))
+        val a = assigned.select(col("cid"), col("vec_id").as("ia"),
+          col("v").as("qv"), col("nn").as("qn"))
+        val b = assigned.select(col("cid"), col("vec_id").as("ib"),
+          col("v"), col("nn"))
+        val pairs = a.join(b, "cid").where(col("ia") < col("ib"))
+          .select(col("ia"), col("ib"), round(cosExpr, 6).as("cos"))
+          .where(col("cos") > 0.3)
+        val pairKey = concat(col("ia"), lit("_"), col("ib"))
+        val edges = pairs.select(col("ia").as("vec_id"),
+            lit(0).as("band"), pairKey.as("h"))
+          .union(pairs.select(col("ib").as("vec_id"),
+            lit(0).as("band"), pairKey.as("h")))
+        val closed = graft.operators.MinHashLSH.convergeKeepList(edges, "vec_id")
+        e.select("vec_id").join(closed, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("keep_id"), col("vec_id")).as("keep_id"))
+      },
+      Some(s"""WITH RECURSIVE $duckKmeans,
+              dd2 AS (SELECT e.vec_id, c.cid,
+                        list_aggregate(list_transform(range(1, len(e.v) + 1),
+                          i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])), 'sum') AS dd
+                      FROM e CROSS JOIN c1 c),
+              asg AS (SELECT vec_id, cid FROM (
+                        SELECT vec_id, cid, row_number() OVER (
+                          PARTITION BY vec_id ORDER BY dd, cid) AS r FROM dd2)
+                      WHERE r = 1),
+              ev AS (SELECT e.vec_id, e.v, e.nn, asg.cid
+                     FROM e JOIN asg ON e.vec_id = asg.vec_id),
+              p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                      round(list_aggregate(list_transform(range(1, len(a.v) + 1),
+                        i -> a.v[i] * b.v[i]), 'sum') /
+                        (sqrt(a.nn) * sqrt(b.nn)), 6) AS cos
+                    FROM ev a JOIN ev b
+                      ON a.cid = b.cid AND a.vec_id < b.vec_id),
+              pp AS (SELECT ia, ib FROM p WHERE cos > 0.3),
+              sym AS (SELECT ia AS src, ib AS dst FROM pp
+                      UNION ALL SELECT ib, ia FROM pp),
+              reach(vec_id, r) AS (
+                SELECT vec_id, vec_id FROM e
+                UNION
+                SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.vec_id)
+              SELECT vec_id, min(r) AS keep_id FROM reach GROUP BY vec_id""")),
   )
 }

@@ -618,6 +618,65 @@ object StatsQueries extends QueryPack {
                       JOIN edges ac ON ac.src = ab.src AND ac.dst = bc.dst)
               SELECT count(*) AS n_triangles FROM tri""")),
 
+    // ---- (beyond ref) LABEL PROPAGATION communities (r13): two
+    // synchronous LPA rounds over the r11 citation-shaped graph —
+    // every node starts as its own label, each round adopts the
+    // MAJORITY label among neighbors (ties → smallest label; no votes
+    // → keep current). Each round is one equi-join + one partial-
+    // aggregable count + one max_by argmax — no window over the
+    // corpus, no per-node iteration, round count fixed and small (the
+    // async/convergent variant is order-dependent and engine-specific;
+    // the synchronous unrolling is the deterministic face). Oracle
+    // restates both rounds unrolled with the same integer tie-break.
+    Q("r13_label_propagation",
+      (s, d) => {
+        val ids = Tables.documents(s, d).select("doc_id")
+        val e1 = ids.where(col("doc_id") >= 1)
+          .select(col("doc_id").as("src"), expr("doc_id div 2").as("dst"))
+        val e2 = ids.where(col("doc_id") >= 1)
+          .select(col("doc_id").as("src"), expr("doc_id div 3").as("dst"))
+        val ed = e1.union(e2).where(col("src") =!= col("dst")).distinct()
+        val sym = ed.union(ed.select(col("dst").as("src"),
+          col("src").as("dst"))).distinct()
+        var labels = ids.select(col("doc_id").as("node"),
+          col("doc_id").as("lbl"))
+        for (_ <- 1 to 2) {
+          val votes = sym.join(labels, col("src") === col("node"))
+            .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+          val win = votes.groupBy("dst")
+            .agg(max_by(col("lbl"), struct(col("c"), -col("lbl"))).as("wl"))
+          labels = labels.join(win, col("node") === col("dst"), "left")
+            .select(col("node"), coalesce(col("wl"), col("lbl")).as("lbl"))
+        }
+        labels.select(col("node").as("doc_id"), col("lbl").as("label"))
+      },
+      Some("""WITH ids AS (SELECT doc_id FROM documents),
+              e AS (SELECT doc_id AS src, doc_id // 2 AS dst FROM ids WHERE doc_id >= 1
+                    UNION
+                    SELECT doc_id AS src, doc_id // 3 AS dst FROM ids WHERE doc_id >= 1),
+              ed AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+              sym AS (SELECT DISTINCT src, dst FROM (
+                        SELECT src, dst FROM ed
+                        UNION ALL SELECT dst AS src, src AS dst FROM ed)),
+              l0 AS (SELECT doc_id AS node, doc_id AS lbl FROM ids),
+              v1 AS (SELECT s.dst, l.lbl, count(*) AS c
+                     FROM sym s JOIN l0 l ON s.src = l.node GROUP BY 1, 2),
+              w1 AS (SELECT dst, lbl AS wl FROM (
+                       SELECT dst, lbl, row_number() OVER (
+                         PARTITION BY dst ORDER BY c DESC, lbl) AS r FROM v1)
+                     WHERE r = 1),
+              l1 AS (SELECT l0.node, coalesce(w1.wl, l0.lbl) AS lbl
+                     FROM l0 LEFT JOIN w1 ON l0.node = w1.dst),
+              v2 AS (SELECT s.dst, l.lbl, count(*) AS c
+                     FROM sym s JOIN l1 l ON s.src = l.node GROUP BY 1, 2),
+              w2 AS (SELECT dst, lbl AS wl FROM (
+                       SELECT dst, lbl, row_number() OVER (
+                         PARTITION BY dst ORDER BY c DESC, lbl) AS r FROM v2)
+                     WHERE r = 1),
+              l2 AS (SELECT l1.node, coalesce(w2.wl, l1.lbl) AS lbl
+                     FROM l1 LEFT JOIN w2 ON l1.node = w2.dst)
+              SELECT node AS doc_id, lbl AS label FROM l2""")),
+
     // ---- (beyond ref) DATA-QUALITY constraint report (a23): the
     // Deequ-shaped ingest guard — null/range/uniqueness constraints
     // FUSED into one aggregation pass per table (a per-constraint loop

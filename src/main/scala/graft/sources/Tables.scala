@@ -51,6 +51,14 @@ object Tables {
             .withColumn("ts_ns", expr("ts_us * 1000L"))
             .withColumn("ts", expr("timestamp_micros(ts_us)"))
       }
+    } else if (name == "documents") {
+      // schema-normalizing read (the events precedent): the shipped
+      // table carries n_chars ≡ length(text) as a derived column;
+      // landings that omit it (re-exports, the sf1 replication probe)
+      // get it derived so every consumer sees one schema
+      val raw = spark.read.parquet(s"$dir/documents.parquet")
+      if (raw.columns.contains("n_chars")) raw
+      else raw.withColumn("n_chars", length(col("text")).cast("long"))
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

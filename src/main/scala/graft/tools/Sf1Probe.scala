@@ -39,7 +39,17 @@ object Sf1Probe {
     "d17_incremental_keeplist", "d18_keeplist_lifecycle",
     "e23_stream_keeplist", "d19_bucketed_compaction", "d21_keeplist_delete",
     "d20_embedding_keeplist", "d22_index_delete", "s17_ivf_delete",
-    "d23_keeplist_asof", "t26_bm25_topk")
+    "d23_keeplist_asof", "t26_bm25_topk",
+    // round-8 late additions: keep-best composes the d6 fixpoint with
+    // one more agg; the lottery/DSIR selectors are map-only + fixed
+    // broadcast model; e26 is micro-batch fixed overhead like x35.
+    // d24 is deliberately ABSENT: the replication scheme keeps replica
+    // token SETS τ-similar, so its true-pair OUTPUT grows ~100× per
+    // 10× docs — an output-bound op can't meet a 12× wall-clock bar on
+    // a corpus whose answer is 100× larger; its scaling story is the
+    // per-pair cost row in PERF.md (falls with scale).
+    "d26_keep_best", "o14_weighted_lottery", "o15_dsir_select",
+    "e26_stream_lottery")
 
   def buildSf1(spark: SparkSession, src: String, dst: String): Unit = {
     val marker = java.nio.file.Paths.get(s"${dst}_src.txt")
