@@ -807,6 +807,67 @@ object EventQueries extends QueryPack {
                   10 * CAST(target - (cum - cnt) AS DOUBLE) / cnt, 6) AS est
               FROM sel WHERE r = 1""")),
 
+    // ---- LATE-DATA accounting (e27): the watermark's DROP discipline
+    // gated explicitly — every other watermark gate feeds data in
+    // event-time order, so the drop path never fires. The protocol
+    // pins the REAL Spark semantics (probed in tools.E27Probe): a late
+    // row is only guaranteed dropped once its window's state has been
+    // EVICTED, and eviction happens at the end of a batch whose
+    // watermark passed the window — so the early half (even event_id)
+    // lands, a same-max flush batch evicts+emits every window ≤
+    // max(ts)−2h, and THEN the odd half arrives late: rows for evicted
+    // windows vanish (no re-emission, no state resurrection), rows for
+    // the still-open tail merge. The oracle restates the admission
+    // rule exactly — keep all early rows, keep a late row iff its
+    // window END is above the eviction watermark (ms-floored, Spark's
+    // watermark precision) — so an over-eager drop, unbounded lateness
+    // tolerance, and duplicate re-emission all fail the hash.
+    Q("e27_stream_late_data",
+      (s, d) => {
+        val stage = Scratch.dir("graft_e27_stage_").toString
+        val ev = Tables.events(s, d).select(eventCols.map(col): _*)
+        val maxUs = Tables.events(s, d)
+          .where(col("event_id") % 2 === 0)
+          .agg(max(col("ts_us"))).head().getLong(0)
+        ev.where(col("event_id") % 2 === 0)
+          .coalesce(1).write.mode("append").parquet(stage)
+        val outDir = runGatedStream(s,
+          graft.streaming.EventStreams.tumblingCounts(eventStream(s, stage))) { q =>
+          q.processAllAvailable()
+          // eviction batch: same max event time (watermark unchanged),
+          // but its end evicts+emits every window the watermark passed
+          landFlush(s, stage, -1L, maxUs)
+          q.processAllAvailable()
+          ev.where(col("event_id") % 2 === 1)
+            .coalesce(1).write.mode("append").parquet(stage)
+          q.processAllAvailable()
+          // two closing flushes (e11's discipline): the first advances
+          // the watermark, the second's batch evicts the tail
+          landFlush(s, stage, -2L, maxUs + 720L * 3600000000L)
+          q.processAllAvailable()
+          landFlush(s, stage, -3L, maxUs + 1440L * 3600000000L)
+          q.processAllAvailable()
+        }
+        s.read.parquet(outDir)
+          .where(col("event_type") =!= "flush")
+          .select(unix_micros(col("window_start")).as("window_start_us"),
+            col("event_type"), col("n_events"),
+            col("sum_value").cast("double").as("sum_value"))
+      },
+      Some("""WITH t AS (SELECT event_id, epoch_ns(ts) // 1000 AS ts_us,
+                       event_type, value FROM events),
+              a AS (SELECT * FROM t WHERE event_id % 2 = 0),
+              wm AS (SELECT (max(ts_us) // 1000 - 7200000) * 1000 AS wm_us FROM a),
+              kept AS (SELECT * FROM a
+                       UNION ALL
+                       SELECT t.* FROM t, wm
+                       WHERE event_id % 2 = 1
+                         AND ((ts_us // 3600000000) + 1) * 3600000000 > wm_us)
+              SELECT (ts_us // 3600000000) * 3600000000 AS window_start_us,
+                event_type, count(*) AS n_events,
+                cast(sum(cast(value as decimal(18,6))) as double) AS sum_value
+              FROM kept GROUP BY 1, 2""")),
+
     // ---- Streaming weighted lottery (e26): o14's draw maintained
     // incrementally — global top-k by ticket is a MERGEABLE sketch
     // (top-k of unioned per-batch top-ks = top-k of the union), so
@@ -1201,5 +1262,42 @@ object EventQueries extends QueryPack {
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_events,
                      (n IS NULL) AS gap
               FROM f""")),
+
+    // ---- W7: RUNNING DISTINCT USERS (cumulative reach) — the growth
+    // metric every analytics product serves, and the classic window
+    // trap: a naive count(DISTINCT) OVER (ORDER BY day) funnels the
+    // corpus through one task and holds a growing distinct set per
+    // row. The identity that makes it scale: cumulative distinct at
+    // day d = #users whose FIRST day ≤ d — so it's a per-user min
+    // (partial-aggregable), a per-day count (partial-aggregable), and
+    // one running sum over the DAY spine (rows = #days, not #events;
+    // at 100 TB this window sorts dozens of rows while the heavy
+    // lifting stays in hash aggregates — GlobalRank's prefix sum is
+    // the fallback if the spine itself ever grows).
+    Q("w7_running_distinct_users",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, d)
+          .select(expr("ts_us div 86400000000").as("day"), col("user_id"))
+        val newPerDay = ev.groupBy("user_id").agg(min("day").as("fd"))
+          .groupBy("fd").agg(count(lit(1)).as("new_users"))
+        val w = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.select("day").distinct()
+          .join(newPerDay, col("day") === col("fd"), "left")
+          .select(col("day"), coalesce(col("new_users"), lit(0L)).as("new_users"))
+          .withColumn("cum_users", sum("new_users").over(w))
+      },
+      Some("""WITH e AS (SELECT epoch_ns(ts) // 1000 // 86400000000 AS day,
+                       user_id FROM events),
+              f AS (SELECT user_id, min(day) AS fd FROM e GROUP BY 1),
+              npd AS (SELECT fd, count(*) AS new_users FROM f GROUP BY 1),
+              days AS (SELECT DISTINCT day FROM e)
+              SELECT d.day, coalesce(npd.new_users, 0) AS new_users,
+                cast(sum(coalesce(npd.new_users, 0)) OVER (
+                  ORDER BY d.day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint)
+                  AS cum_users
+              FROM days d LEFT JOIN npd ON d.day = npd.fd""")),
   )
 }

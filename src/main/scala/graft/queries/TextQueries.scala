@@ -1259,5 +1259,40 @@ object TextQueries extends QueryPack {
               FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
                       ORDER BY score DESC, lang) AS rn FROM scored)
               WHERE rn = 1""")),
+
+    // ---- Per-language token ENTROPY (t31): the corpus-statistics
+    // face of quality analysis — Shannon entropy of the unigram
+    // distribution per language, the number a curation report quotes
+    // to compare source diversity. Float discipline via the algebraic
+    // split H = ln(N) − (Σ c·ln(c))/N: each ln is rounded to 6
+    // decimals and held as DECIMAL (t30's engine-agreement scale), the
+    // Σ c·ln(c) accumulates decimal-exact and order-independent, and
+    // the two double conversions at the end are exact casts + one IEEE
+    // division — bit-identical across engines. Two partial-aggregable
+    // groupBys, no window, no collect.
+    Q("t31_token_entropy",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        tok.groupBy("lang", "w").agg(count(lit(1)).as("c"))
+          .groupBy("lang")
+          .agg(
+            sum(col("c") * round(log(col("c").cast("double")), 6)
+              .cast("decimal(18,6)")).as("slogc"),
+            sum("c").as("n_tokens"))
+          .select(col("lang"), col("n_tokens"),
+            (round(log(col("n_tokens").cast("double")), 6)
+              .cast("decimal(18,6)").cast("double")
+              - col("slogc").cast("double") /
+                col("n_tokens").cast("double")).as("entropy"))
+      },
+      Some("""WITH cw AS (SELECT lang, w, count(*) AS c FROM (
+                SELECT lang, unnest(string_split(text, ' ')) AS w
+                FROM documents) GROUP BY 1, 2)
+              SELECT lang, cast(sum(c) as bigint) AS n_tokens,
+                round(ln(sum(c)), 6)::DECIMAL(18,6)::DOUBLE
+                  - (sum(c * round(ln(c), 6)::DECIMAL(18,6)))::DOUBLE
+                    / (sum(c))::DOUBLE AS entropy
+              FROM cw GROUP BY lang""")),
   )
 }
