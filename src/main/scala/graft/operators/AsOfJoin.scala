@@ -67,6 +67,52 @@ object AsOfJoin {
     matched.select(out: _*)
   }
 
+  /** Left as-of-FORWARD join: for each left row, the single EARLIEST
+    * right row with `right.ord >= left.ord` (or `>` when strict) in
+    * the same key group — the mirror of [[joinBackward]] through the
+    * same union-sort rewrite (one shuffle of |L|+|R| rows, no pairwise
+    * blowup): the window frame flips to [currentRow, following] and
+    * `first(ignoreNulls)` picks the nearest following payload. At
+    * equal ord the side tag decides inclusivity: the right row sorts
+    * AFTER the left row (side 2) so the current-row-anchored frame
+    * sees it (inclusive); strict tags it side 0 so it sorts before
+    * the left row and falls outside the frame.
+    *
+    * Determinism caveat (shared with joinBackward): among right rows
+    * with IDENTICAL (key, ord) the winner is unspecified — pre-reduce
+    * the right side to one row per (key, ord) when that can occur.
+    */
+  def joinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  leftOrd: String, rightOrd: String, rightVals: Seq[String],
+                  prefix: String = "asof_", strict: Boolean = false): DataFrame = {
+    val payload = struct(rightVals.map(right(_)) ++ Seq(right(rightOrd).as("__ord")): _*)
+    val r = right.select(
+      keys.map(right(_)) ++ Seq(
+        right(rightOrd).as("__ord"),
+        lit(if (strict) 0 else 2).as("__side"),
+        payload.as("__payload")): _*)
+    val leftCols = left.columns
+    val l = left.select(
+      col("*") +: Seq(
+        col(leftOrd).as("__ord"),
+        lit(1).as("__side"),
+        lit(null).cast(r.schema("__payload").dataType).as("__payload")): _*)
+    val rAligned = l.columns.foldLeft(r) { (df, c) =>
+      if (r.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(l.schema(c).dataType))
+    }.select(l.columns.map(col): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ord"), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val matched = l.unionByName(rAligned)
+      .withColumn("__match", first(col("__payload"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+    val out = leftCols.map(col) ++
+      rightVals.map(v => col(s"__match.$v").as(s"$prefix$v")) :+
+      col("__match.__ord").as(s"${prefix}ord")
+    matched.select(out: _*)
+  }
+
   /** Range join on [lower, upper) against an equi key, returned as an
     * aggregate per left row (count / sum-style), avoiding the pair
     * blowup only when aggregation allows; general range joins keep the

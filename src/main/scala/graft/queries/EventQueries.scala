@@ -807,6 +807,87 @@ object EventQueries extends QueryPack {
                   10 * CAST(target - (cum - cnt) AS DOUBLE) / cnt, 6) AS est
               FROM sel WHERE r = 1""")),
 
+    // ---- LEFT OUTER stream-stream interval join (e28): e12's
+    // attribution join with the unconverted clicks KEPT — the outer
+    // path exercises state semantics the inner join never touches
+    // (a left row emits null-padded exactly once, when the watermark
+    // proves no future match and its state evicts; too early is a
+    // missing-conversion bug, twice is a state-resurrection bug, both
+    // fail the hash). Flush rows flow through BOTH legs so each leg's
+    // watermark advances (a leg's watermark only sees rows surviving
+    // its own filter); they self-join harmlessly under user −1 and
+    // are filtered on read. Oracle = inner pairs UNION ALL clicks
+    // with NOT EXISTS any in-window purchase.
+    Q("e28_stream_outer_join",
+      (s, d) => {
+        val stageDir = stageEvents(s, d)
+        val maxUs = eventsMaxUs(s, d)
+        val outDir = runGatedStream(s,
+          graft.streaming.EventStreams.clickToPurchaseOuter(
+            eventStream(s, stageDir))) { q =>
+          q.processAllAvailable()
+          for ((fid, hours) <- Seq((-1L, 36L), (-2L, 72L))) {
+            landFlush(s, stageDir, fid, maxUs + hours * 3600000000L)
+            q.processAllAvailable()
+          }
+        }
+        s.read.parquet(outDir)
+          .where(col("user_id") =!= -1L)
+          .select(col("click_id"), col("purchase_id"), col("user_id"))
+      },
+      Some("""WITH t AS (SELECT event_id, user_id, event_type,
+                       epoch_ns(ts) // 1000 AS ts_us FROM events),
+              c AS (SELECT * FROM t WHERE event_type = 'click'),
+              p AS (SELECT * FROM t WHERE event_type = 'purchase')
+              SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+                     c.user_id
+              FROM c JOIN p ON c.user_id = p.user_id
+                AND p.ts_us >= c.ts_us AND p.ts_us <= c.ts_us + 3600000000
+              UNION ALL
+              SELECT c.event_id, CAST(NULL AS BIGINT), c.user_id FROM c
+              WHERE NOT EXISTS (SELECT 1 FROM p
+                WHERE p.user_id = c.user_id
+                  AND p.ts_us >= c.ts_us
+                  AND p.ts_us <= c.ts_us + 3600000000)""")),
+
+    // ---- Forward as-of join (j21): for each click, the user's NEXT
+    // purchase — joinBackward's mirror through the same union-sort
+    // rewrite (one shuffle of |L|+|R| rows on the key, no pairwise
+    // blowup; the window frame flips and first(ignoreNulls) picks the
+    // nearest following payload). The right side pre-reduces to one
+    // row per (user, ts) so the winner is total-order determined at
+    // any SF. Oracle = the argmin-per-click restatement over the
+    // directed pair join.
+    Q("j21_asof_forward",
+      (s, d) => {
+        val t = Tables.events(s, d)
+        val clicks = t.where(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"), col("ts_us"))
+        val purchases = t.where(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts_us"))
+          .agg(min("event_id").as("purchase_id"))
+        graft.operators.AsOfJoin.joinForward(clicks, purchases,
+          Seq("user_id"), "ts_us", "ts_us", Seq("purchase_id"), "next_")
+          .select(col("click_id"), col("user_id"), col("ts_us"),
+            col("next_purchase_id"), col("next_ord").as("next_ts_us"))
+      },
+      Some("""WITH t AS (SELECT event_id, user_id, event_type,
+                       epoch_ns(ts) // 1000 AS ts_us FROM events),
+              c AS (SELECT event_id AS click_id, user_id, ts_us FROM t
+                    WHERE event_type = 'click'),
+              p AS (SELECT user_id, ts_us, min(event_id) AS purchase_id
+                    FROM t WHERE event_type = 'purchase' GROUP BY 1, 2),
+              r AS (SELECT c.click_id, p.purchase_id, p.ts_us AS pts,
+                      row_number() OVER (PARTITION BY c.click_id
+                        ORDER BY p.ts_us) AS rn
+                    FROM c JOIN p ON p.user_id = c.user_id
+                      AND p.ts_us >= c.ts_us)
+              SELECT c.click_id, c.user_id, c.ts_us,
+                     r.purchase_id AS next_purchase_id,
+                     r.pts AS next_ts_us
+              FROM c LEFT JOIN (SELECT * FROM r WHERE rn = 1) r
+                ON c.click_id = r.click_id""")),
+
     // ---- LATE-DATA accounting (e27): the watermark's DROP discipline
     // gated explicitly — every other watermark gate feeds data in
     // event-time order, so the drop path never fires. The protocol

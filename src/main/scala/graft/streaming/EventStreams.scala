@@ -152,6 +152,33 @@ object EventStreams {
       .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"))
   }
 
+  /** LEFT OUTER stream-stream interval join — the attribution join
+    * with unconverted clicks kept: matches emit on arrival (the inner
+    * path), and a click with NO purchase in its following hour emits
+    * null-padded exactly once, when the watermark proves no future
+    * match can exist and the state row evicts. Flush rows must reach
+    * BOTH legs' watermark nodes (a leg's watermark only advances on
+    * rows that survive its filter), so each leg admits event_type
+    * 'flush' alongside its own type; flush rows carry user_id −1 and
+    * the caller filters them from the output.
+    */
+  def clickToPurchaseOuter(events: DataFrame): DataFrame = {
+    val clicks = events.where(col("event_type").isin("click", "flush"))
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = events.where(col("event_type").isin("purchase", "flush"))
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "2 hours")
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("interval 1 hour"),
+      "leftOuter")
+      .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"))
+  }
+
   /** File-source reader for a directory of event parquet files — the
     * production ingest shape (each micro-batch = newly landed files).
     * Same two-encoding policy as `sources.Tables`: legacy
