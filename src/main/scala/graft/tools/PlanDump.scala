@@ -91,7 +91,27 @@ object PlanDump {
       // gates (write/compact/replay); their plan-level checks live in
       // IncrementalDedupCrashSpec / Scd2HorizonSpec / the d13 plan
       // above (the probe shape is shared).
-      "m14_image_keeplist", "s15_ivf_staleness")
+      "m14_image_keeplist", "s15_ivf_staleness",
+      // round-8 retrieval/layout additions: t26 BM25 (query terms +
+      // corpus stats broadcast, tf/df partial-agg, top-20 is
+      // TakeOrderedAndProject)
+      "t26_bm25_topk",
+      // round-8 selection/dedup additions: d24 exact set-similarity
+      // (interned-id prefix equi-join, length+positional filters below
+      // the pair distinct, sorted-merge verify), d27 its asymmetric
+      // containment mirror, d26 keep-best (partial-aggregable max_by,
+      // no Window), d25 SemDeDup (broadcast codebook assign, within-
+      // cell equi-join — never all-pairs), o14 lottery (map-only
+      // tickets, zero Exchange, TakeOrderedAndProject), o15 DSIR
+      // (4096-row broadcast LLR model, decimal-exact scoring), r13
+      // label propagation (two unrolled join+agg rounds), t31 entropy
+      // (two partial-agg groupBys), w7 cumulative reach (running sum
+      // over the day spine, not a corpus window), j21 forward as-of
+      // (one union-sort shuffle, flipped frame)
+      "d24_setsim_join", "d27_containment_join", "d26_keep_best",
+      "d25_semantic_dedup", "o14_weighted_lottery", "o15_dsir_select",
+      "r13_label_propagation", "t31_token_entropy",
+      "w7_running_distinct_users", "j21_asof_forward")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries (sf0.001)\n\n")
     sb.append("Generated by `graft.tools.PlanDump`. What to look for per plan is\n")
