@@ -68,6 +68,37 @@ class SetSimJoinSpec extends SparkSpec {
       assert(run(docs, tn, td) == brute(docs, tn, td), s"tau=$tn/$td")
   }
 
+  private def bruteContainment(docs: Seq[(Long, Seq[String])], tauNum: Int, tauDen: Int)
+  : Set[(Long, Long, Long)] =
+    (for {
+      (ia, ta) <- docs.map { case (i, t) => (i, t.distinct.toSet) }
+      (ib, tb) <- docs.map { case (i, t) => (i, t.distinct.toSet) }
+      if ia != ib
+      inter = (ta & tb).size.toLong
+      if inter * tauDen >= ta.size.toLong * tauNum
+    } yield (ia, ib, inter)).toSet
+
+  test("randomized: containment join equals brute force (directed, asymmetric)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 30).map(i => s"t$i")
+    // supersets force the asymmetric case: small docs embedded in
+    // larger ones never reach a symmetric jaccard threshold
+    val docs = (0 until 12).flatMap { i =>
+      val small = rnd.shuffle(vocab).take(4 + rnd.nextInt(4))
+      val big = (small ++ rnd.shuffle(vocab).take(8 + rnd.nextInt(8))).distinct
+      Seq((i * 10L, small), (i * 10L + 1, big))
+    }
+    for ((tn, td) <- Seq((19, 20), (3, 4), (1, 2))) {
+      val got = SetSimJoin.containmentJoin(
+        docs.toDF("doc_id", "ts"), "doc_id", col("ts"), tn, td)
+        .select("ia", "ib", "inter_sz")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == bruteContainment(docs, tn, td), s"tau=$tn/$td")
+    }
+  }
+
   test("jaccard column is the exact integer ratio as double") {
     import spark.implicits._
     val docs = Seq(1L -> Seq("a", "b", "c"), 2L -> Seq("a", "b", "d"))

@@ -310,6 +310,28 @@ class PlanShapeSpec extends SparkSpec {
       "ticket computation is per-row; nothing may shuffle: " + p.take(800))
   }
 
+  test("d27 containment join: directed prefix equi-join, no nested loop, native merge verify") {
+    val p = plan("d27_containment_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidates must come from the interned-id equi-join: " + p.take(800))
+    assert(p.contains("sorted_intersect_size"),
+      "verify must be the codegen'd sorted-merge, not array_intersect: " + p.take(1200))
+  }
+
+  test("o15 DSIR: the LLR model joins broadcast (fixed-size at any corpus scale)") {
+    val p = plan("o15_dsir_select")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 4096-row model must broadcast to the tf side: " + p.take(800))
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-50 must not be a global sort: " + p.take(800))
+  }
+
+  test("d25 SemDeDup: within-cell pairs via equi-join on cid, never all-pairs") {
+    val p = plan("d25_semantic_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the pair source must stay the cell equi-join: " + p.take(800))
+  }
+
   test("d26 keep-best picks the rep via partial-aggregable max_by, not a window sort") {
     val p = plan("d26_keep_best")
     assert(!p.contains("Window"),

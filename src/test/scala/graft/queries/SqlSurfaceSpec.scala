@@ -80,6 +80,19 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r.getSeq[String](3).isEmpty)
   }
 
+  test("sorted_intersect_size is callable from SQL (sorted deduped int arrays)") {
+    registerViews()
+    graft.GraftExtensions.registerNative(spark)
+    val r = spark.sql(
+      """SELECT sorted_intersect_size(array(1, 3, 5, 9), array(2, 3, 5, 8, 9)) AS a,
+        |       sorted_intersect_size(array(1, 2), array(3, 4)) AS b,
+        |       sorted_intersect_size(array(), array(1)) AS c""".stripMargin)
+      .collect()(0)
+    assert(r.getInt(0) == 3)
+    assert(r.getInt(1) == 0)
+    assert(r.getInt(2) == 0)
+  }
+
   test("minhash_sig and cosine_sim compose in plain SQL") {
     registerViews()
     graft.GraftExtensions.registerNative(spark)
