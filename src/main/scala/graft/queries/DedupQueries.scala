@@ -1028,6 +1028,44 @@ object DedupQueries extends QueryPack {
               JOIN sz sb ON sb.doc_id = ib
               WHERE 5 * inter_sz >= 4 * (sa.n + sb.n - inter_sz)""")),
 
+    // ---- EMBEDDING decontamination (d28): the third decontamination
+    // modality (n-gram equi-join d8, bloom prefilter d11, and now
+    // semantic) — a corpus vector is contaminated iff its cosine with
+    // ANY held-out eval vector clears the threshold. The eval set is
+    // benchmarks, i.e. TINY at any corpus scale, so the plan is the
+    // real production shape: eval broadcast to every executor, one
+    // map-only corpus scan with the codegen'd cosine, no shuffle of
+    // the corpus at all (the distinct + left join run on hit ids).
+    // Threshold compares the ROUNDED cosine (d5's discipline).
+    Q("d28_embedding_decontaminate",
+      (s, d) => {
+        graft.GraftExtensions.registerNative(s)
+        val e = VectorOps.vecs(Tables.embeddings(s, d))
+        val eval_ = e.where(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("eval_id"),
+            col("v").as("qv"), col("nn").as("qn"))
+        val corpus = e.where(col("vec_id") % 50 =!= 0)
+        val hits = corpus.crossJoin(broadcast(eval_))
+          .select(col("vec_id"),
+            round(expr("cosine_sim(qv, v, qn, nn)"), 6).as("cos"))
+          .where(col("cos") > 0.3)
+          .select("vec_id").distinct()
+        corpus.select("vec_id")
+          .join(hits.withColumn("contaminated", lit(true)), Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("contaminated"), lit(false)).as("contaminated"))
+      },
+      Some(s"""WITH e AS (${VectorOps.duckVecs}),
+              ev AS (SELECT vec_id AS eval_id, v AS qv, nn AS qn
+                     FROM e WHERE vec_id % 50 = 0),
+              c AS (SELECT * FROM e WHERE vec_id % 50 <> 0),
+              hits AS (SELECT DISTINCT c.vec_id FROM c CROSS JOIN ev
+                       WHERE round(list_aggregate(list_transform(
+                           range(1, len(c.v) + 1), i -> qv[i] * c.v[i]), 'sum')
+                           / (sqrt(qn) * sqrt(c.nn)), 6) > 0.3)
+              SELECT c.vec_id, (h.vec_id IS NOT NULL) AS contaminated
+              FROM c LEFT JOIN hits h ON c.vec_id = h.vec_id""")),
+
     // ---- Asymmetric CONTAINMENT join (d27): |a∩b| ≥ τ·|a| — the
     // quote/excerpt/subset detector jaccardJoin structurally misses
     // (a short doc fully embedded in a long one never reaches a

@@ -807,6 +807,67 @@ object EventQueries extends QueryPack {
                   10 * CAST(target - (cum - cnt) AS DOUBLE) / cnt, 6) AS est
               FROM sel WHERE r = 1""")),
 
+    // ---- Streaming DSIR (e29): the selection tier joins the
+    // incremental/matview family — the o15 model's bucket counts are
+    // ADDITIVE (cr/ct are sums), so each micro-batch lands only its
+    // own per-bucket partial under the committed-generation protocol
+    // and the serve side merges #buckets×#gens tiny rows, never
+    // re-scanning the corpus for the model. Batch 0's replay is DRIVEN
+    // and must skip (a landed replay double-counts the even docs'
+    // tokens, shifting every llr — hash-load-bearing exactly-once).
+    // Scoring runs through THE SAME dsirSelect as o15, and the oracle
+    // is o15's batch-blind restatement — incremental model maintenance
+    // can never drift from the direct fit.
+    Q("e29_stream_dsir",
+      (s, d) => {
+        val dir = Scratch.dir("graft_e29_dsir_").toString + "/counts"
+        val stage = Scratch.dir("graft_e29_stage_").toString
+        val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+        docs.where(col("doc_id") % 2 === 0)
+          .coalesce(1).write.mode("append").parquet(stage)
+        val stream = s.readStream
+          .schema("doc_id LONG, lang STRING, text STRING").parquet(stage)
+        runGatedStreamWith(s, stream,
+          (batch, _, bid) => if (!batch.isEmpty) {
+            graft.sources.Sinks.committedAppend(
+              RelationalQueries.dsirCounts(batch), dir, bid)
+            ()
+          }) { q =>
+          q.processAllAvailable()
+          docs.where(col("doc_id") % 2 === 1)
+            .coalesce(1).write.mode("append").parquet(stage)
+          q.processAllAvailable()
+        }
+        // replayed batch 0: pure skip or every even doc's tokens count
+        // twice in the model
+        graft.sources.Sinks.committedAppend(
+          RelationalQueries.dsirCounts(docs.where(col("doc_id") % 2 === 0)),
+          dir, 0L)
+        val merged = s.read.parquet(dir).groupBy("b")
+          .agg(sum("cr").as("cr"), sum("ct").as("ct"))
+        RelationalQueries.dsirSelect(s, d, merged)
+      },
+      Some("""WITH tok AS (SELECT doc_id, lang,
+                CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 4096 AS b
+              FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+                    FROM documents)),
+              cr AS (SELECT b, count(*) AS cr FROM tok GROUP BY 1),
+              ct AS (SELECT b, count(*) AS ct FROM tok WHERE lang = 'de' GROUP BY 1),
+              n AS (SELECT count(*) AS nr,
+                      count(*) FILTER (lang = 'de') AS nt FROM tok),
+              model AS (SELECT cr.b,
+                  round(ln((coalesce(ct.ct, 0) + 1) / (n.nt + 4096)), 6)::DECIMAL(18,6)
+                - round(ln((cr.cr + 1) / (n.nr + 4096)), 6)::DECIMAL(18,6) AS llr
+                FROM cr LEFT JOIN ct ON cr.b = ct.b CROSS JOIN n),
+              tf AS (SELECT doc_id, b, count(*) AS tf FROM tok GROUP BY 1, 2),
+              w AS (SELECT doc_id, sum(llr * tf::DECIMAL(10,0)) AS wsum,
+                      sum(tf) AS ntok
+                    FROM tf JOIN model USING (b) GROUP BY 1)
+              SELECT d.doc_id, d.lang,
+                wsum::DOUBLE / ntok::DOUBLE AS weight
+              FROM w JOIN documents d USING (doc_id)
+              ORDER BY weight DESC, d.doc_id LIMIT 50""")),
+
     // ---- LEFT OUTER stream-stream interval join (e28): e12's
     // attribution join with the unconverted clicks KEPT — the outer
     // path exercises state semantics the inner join never touches

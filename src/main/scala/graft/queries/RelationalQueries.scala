@@ -24,6 +24,60 @@ object RelationalQueries extends QueryPack {
 
   private def dec(c: Column, t: String = "decimal(12,2)"): Column = c.cast(t)
 
+  /** DSIR model input: per-bucket (cr = pool count, ct = target-slice
+    * count) over md5-hashed 4096 token buckets — ONE scan, and the
+    * counts are ADDITIVE, which is what lets e29 maintain them as
+    * streamed partials under the committed-generation protocol.
+    */
+  private[queries] def dsirCounts(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .select(col("lang"),
+        pmod(expr("conv(substring(md5(token), 1, 8), 16, 10)")
+          .cast("bigint"), lit(4096L)).as("b"))
+      .groupBy("b")
+      .agg(count(lit(1)).as("cr"),
+        count(when(col("lang") === "de", 1)).as("ct"))
+
+  /** DSIR scoring against a (b, cr, ct) counts relation (directly
+    * computed by o15, merge-of-partials by e29 — one scorer, so the
+    * incremental face can never drift from the direct one): per-bucket
+    * log-likelihood-ratio model (fixed 4096 rows, broadcast at any
+    * corpus size), decimal-exact per-doc accumulation, per-token
+    * NORMALIZED weight — the raw llr sum is length-biased (long docs
+    * accumulate the corpus-wide negative drift and never select);
+    * normalizing doubles the target's enrichment in the top-50 (de 14%
+    * base → 30% selected at sf0.01). Exact decimal sum first, one
+    * double division last; top-50 via TakeOrderedAndProject.
+    */
+  private[queries] def dsirSelect(s: SparkSession, d: String,
+                                  counts: DataFrame): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val n = counts.agg(sum("cr").as("nr"), sum("ct").as("nt"))
+    val model = counts.crossJoin(broadcast(n))
+      .select(col("b"),
+        (round(log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+          (col("nt") + 4096L).cast("double")), 6).cast("decimal(18,6)")
+          - round(log((col("cr") + 1).cast("double") /
+            (col("nr") + 4096L).cast("double")), 6).cast("decimal(18,6)"))
+          .as("llr"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .select(col("doc_id"),
+        pmod(expr("conv(substring(md5(token), 1, 8), 16, 10)")
+          .cast("bigint"), lit(4096L)).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(model), "b")
+      .groupBy("doc_id")
+      .agg(sum(col("llr") * col("tf").cast("decimal(10,0)")).as("wsum"),
+        sum("tf").as("ntok"))
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .withColumn("weight",
+        col("wsum").cast("double") / col("ntok").cast("double"))
+      .orderBy(col("weight").desc, col("doc_id"))
+      .limit(50)
+      .select("doc_id", "lang", "weight")
+  }
+
   def all: Seq[Q] = Seq(
 
     // ---- K5/K6 write-path round-trips (k1/k2): the gzip-JSONL and
@@ -1443,43 +1497,8 @@ object RelationalQueries extends QueryPack {
     // order-independent; the top-50 orders by the EXACT decimal score
     // before the final double cast.
     Q("o15_dsir_select",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        val tok = docs
-          .select(col("doc_id"), col("lang"),
-            explode(split(col("text"), " ")).as("token"))
-          .select(col("doc_id"), col("lang"),
-            pmod(expr("conv(substring(md5(token), 1, 8), 16, 10)")
-              .cast("bigint"), lit(4096L)).as("b"))
-        val cr = tok.groupBy("b").agg(count(lit(1)).as("cr"))
-        val ct = tok.where(col("lang") === "de")
-          .groupBy("b").agg(count(lit(1)).as("ct"))
-        val n = tok.agg(count(lit(1)).as("nr"),
-          count(when(col("lang") === "de", 1)).as("nt"))
-        val model = cr.join(ct, Seq("b"), "left").crossJoin(broadcast(n))
-          .select(col("b"),
-            (round(log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
-              (col("nt") + 4096L).cast("double")), 6).cast("decimal(18,6)")
-              - round(log((col("cr") + 1).cast("double") /
-                (col("nr") + 4096L).cast("double")), 6).cast("decimal(18,6)"))
-              .as("llr"))
-        val tf = tok.groupBy("doc_id", "b").agg(count(lit(1)).as("tf"))
-        // per-token NORMALIZED weight — the raw llr sum is length-
-        // biased (long docs accumulate the corpus-wide negative drift
-        // and never select); normalizing doubles the target's
-        // enrichment in the top-50 (de 14% base → 30% selected at
-        // sf0.01). Exact decimal sum first, one double division last.
-        tf.join(broadcast(model), "b")
-          .groupBy("doc_id")
-          .agg(sum(col("llr") * col("tf").cast("decimal(10,0)")).as("wsum"),
-            sum("tf").as("ntok"))
-          .join(docs.select("doc_id", "lang"), "doc_id")
-          .withColumn("weight",
-            col("wsum").cast("double") / col("ntok").cast("double"))
-          .orderBy(col("weight").desc, col("doc_id"))
-          .limit(50)
-          .select("doc_id", "lang", "weight")
-      },
+      (s, d) => dsirSelect(s, d,
+        dsirCounts(Tables.documents(s, d))),
       Some("""WITH tok AS (SELECT doc_id, lang,
                 CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 4096 AS b
               FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
