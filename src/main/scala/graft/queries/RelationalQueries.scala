@@ -1520,6 +1520,89 @@ object RelationalQueries extends QueryPack {
               FROM w JOIN documents d USING (doc_id)
               ORDER BY weight DESC, d.doc_id LIMIT 50""")),
 
+    // ---- O16: EXACT-TOTAL stratified sampling via largest-remainder
+    // apportionment — o3 takes a fixed n per stratum; real eval-set
+    // construction asks for "exactly k rows overall, proportional by
+    // stratum", and naive floor quotas under-fill. Quotas are the
+    // Hamilton method in exact integers: base = ⌊k·n_s/N⌋, the k−Σbase
+    // deficit goes to the largest remainders (ties → stratum name).
+    // The quota table is #strata rows (the only windows run over it
+    // and over per-stratum hash ranks); membership is the same
+    // engine-neutral md5 rank as o3, joined against the broadcast
+    // quota. Oracle restates the apportionment with identical integer
+    // arithmetic and tie-breaks.
+    Q("o16_quota_stratified",
+      (s, d) => {
+        val k = 100L
+        val cust = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val sizes = cust.groupBy("c_mktsegment").agg(count(lit(1)).as("ns"))
+        val tot = sizes.agg(sum("ns").as("n"))
+        val q0 = sizes.crossJoin(broadcast(tot))
+          .withColumn("base", expr(s"CAST(($k * ns) DIV n AS BIGINT)"))
+          .withColumn("rem", expr(s"($k * ns) % n"))
+        val baseSum = q0.agg(sum("base").as("bsum"))
+        val quotas = q0.crossJoin(broadcast(baseSum))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("rem").desc, col("c_mktsegment"))))
+          .withColumn("quota", col("base") +
+            when(col("rk") <= lit(k) - col("bsum"), 1L).otherwise(0L))
+          .select("c_mktsegment", "quota")
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy(md5(col("c_custkey").cast("string")), col("c_custkey"))
+        cust.withColumn("rn", row_number().over(w))
+          .join(broadcast(quotas), "c_mktsegment")
+          .where(col("rn") <= col("quota"))
+          .select(col("c_custkey"), col("c_mktsegment"),
+            col("rn").cast("bigint").as("rn"))
+      },
+      Some("""WITH sz AS (SELECT c_mktsegment, count(*) AS ns
+                          FROM customer GROUP BY 1),
+              n AS (SELECT sum(ns) AS n FROM sz),
+              q0 AS (SELECT c_mktsegment, ns,
+                       (100 * ns) // n AS base, (100 * ns) % n AS rem
+                     FROM sz CROSS JOIN n),
+              b AS (SELECT sum(base) AS bsum FROM q0),
+              qt AS (SELECT c_mktsegment,
+                       base + CASE WHEN row_number() OVER (
+                           ORDER BY rem DESC, c_mktsegment) <= 100 - bsum
+                         THEN 1 ELSE 0 END AS quota
+                     FROM q0 CROSS JOIN b),
+              r AS (SELECT c_custkey, c_mktsegment, row_number() OVER (
+                      PARTITION BY c_mktsegment
+                      ORDER BY md5(cast(c_custkey as varchar)), c_custkey) AS rn
+                    FROM customer)
+              SELECT r.c_custkey, r.c_mktsegment, cast(r.rn as bigint) AS rn
+              FROM r JOIN qt USING (c_mktsegment)
+              WHERE r.rn <= qt.quota""")),
+
+    // ---- A25: TOP-K PER GROUP — the classic rank-filter, written as
+    // the declarative row_number ≤ 3 so Catalyst's WindowGroupLimit
+    // kicks in: each partition keeps a bounded per-group heap BEFORE
+    // the shuffle and the full sort never materializes (plan-asserted
+    // in PlanShapeSpec) — the difference between "sort the corpus per
+    // group" and "carry 3 rows per group" at 100 TB.
+    Q("a25_topk_per_group",
+      (s, d) => {
+        val w = Window.partitionBy("s_nationkey")
+          .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+        Tables.supplier(s, d)
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 3)
+          .select(col("s_nationkey").cast("bigint").as("s_nationkey"),
+            col("s_suppkey").cast("bigint").as("s_suppkey"),
+            col("s_acctbal").cast("double").as("s_acctbal"),
+            col("rk").cast("bigint").as("rk"))
+      },
+      Some("""SELECT cast(s_nationkey as bigint) AS s_nationkey,
+                cast(s_suppkey as bigint) AS s_suppkey,
+                cast(s_acctbal as double) AS s_acctbal,
+                cast(rk as bigint) AS rk
+              FROM (SELECT s_nationkey, s_suppkey, s_acctbal, row_number() OVER (
+                      PARTITION BY s_nationkey
+                      ORDER BY s_acctbal DESC, s_suppkey) AS rk
+                    FROM supplier) WHERE rk <= 3""")),
+
     // ---- O4: random-label sample submission (kaggle variant in the
     // reference) — deterministic label pick via md5-hash bucketing.
     Q("o4_sample_submission",

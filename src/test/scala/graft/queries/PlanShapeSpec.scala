@@ -332,6 +332,12 @@ class PlanShapeSpec extends SparkSpec {
       "the pair source must stay the cell equi-join: " + p.take(800))
   }
 
+  test("a25 rank filter lowers to WindowGroupLimit (bounded per-group heap, no full sort)") {
+    val p = plan("a25_topk_per_group")
+    assert(p.contains("WindowGroupLimit"),
+      "row_number <= k must push a group limit below the window: " + p.take(1200))
+  }
+
   test("d26 keep-best picks the rep via partial-aggregable max_by, not a window sort") {
     val p = plan("d26_keep_best")
     assert(!p.contains("Window"),
