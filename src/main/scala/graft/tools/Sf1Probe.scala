@@ -49,7 +49,23 @@ object Sf1Probe {
     // a corpus whose answer is 100× larger; its scaling story is the
     // per-pair cost row in PERF.md (falls with scale).
     "d26_keep_best", "o14_weighted_lottery", "o15_dsir_select",
-    "e26_stream_lottery")
+    "e26_stream_lottery",
+    // closing additions: streaming faces (fixed micro-batch overhead +
+    // additive partials), graph rounds (joins+aggs on keys), entropy /
+    // reach / quotas / rank-limit (partial-aggregable), embedding
+    // decontamination (broadcast eval, map-only corpus scan). d25 is
+    // ABSENT like d24/d27: its gate pins k=4 cells, so within-cell
+    // pairs grow quadratically at fixed k — production scales k with
+    // the corpus (the pruning factor IS k), and the gate's job is
+    // verdict correctness, not the k-scaling policy.
+    // o16/a25 are absent for a different reason: they run over the
+    // relational dimension tables (customer/supplier) the sf1 replica
+    // does not scale — their plans are quota-broadcast / WindowGroupLimit
+    // bounded and SF-independent by construction.
+    "e27_stream_late_data", "e28_stream_outer_join", "e29_stream_dsir",
+    "r13_label_propagation", "t31_token_entropy",
+    "w7_running_distinct_users", "d28_embedding_decontaminate",
+    "j21_asof_forward")
 
   def buildSf1(spark: SparkSession, src: String, dst: String): Unit = {
     val marker = java.nio.file.Paths.get(s"${dst}_src.txt")
