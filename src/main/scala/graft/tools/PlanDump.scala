@@ -111,7 +111,13 @@ object PlanDump {
       "d24_setsim_join", "d27_containment_join", "d26_keep_best",
       "d25_semantic_dedup", "o14_weighted_lottery", "o15_dsir_select",
       "r13_label_propagation", "t31_token_entropy",
-      "w7_running_distinct_users", "j21_asof_forward")
+      "w7_running_distinct_users", "j21_asof_forward",
+      // closing additions: a25's rank filter must lower to
+      // WindowGroupLimit (bounded per-group heap), o16's quota table
+      // is #strata rows broadcast back, d28's eval set broadcasts
+      // against one map-only corpus scan
+      "a25_topk_per_group", "o16_quota_stratified",
+      "d28_embedding_decontaminate")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries (sf0.001)\n\n")
     sb.append("Generated by `graft.tools.PlanDump`. What to look for per plan is\n")
