@@ -71,12 +71,13 @@ object AsOfJoin {
     * right row with `right.ord >= left.ord` (or `>` when strict) in
     * the same key group — the mirror of [[joinBackward]] through the
     * same union-sort rewrite (one shuffle of |L|+|R| rows, no pairwise
-    * blowup): the window frame flips to [currentRow, following] and
-    * `first(ignoreNulls)` picks the nearest following payload. At
-    * equal ord the side tag decides inclusivity: the right row sorts
-    * AFTER the left row (side 2) so the current-row-anchored frame
-    * sees it (inclusive); strict tags it side 0 so it sorts before
-    * the left row and falls outside the frame.
+    * blowup): the sort flips to DESCENDING (ord, side) so the same
+    * O(n) running frame `last(ignoreNulls) over [unboundedPreceding,
+    * currentRow]` picks the nearest FOLLOWING payload. At equal ord
+    * the side tag decides inclusivity: in descending side order the
+    * inclusive right row (side 2) sorts before the left row (side 1)
+    * so the running frame sees it; strict tags it side 0 so it sorts
+    * after the left row and falls outside the frame.
     *
     * Determinism caveat (shared with joinBackward): among right rows
     * with IDENTICAL (key, ord) the winner is unspecified — pre-reduce
@@ -101,11 +102,19 @@ object AsOfJoin {
       if (r.columns.contains(c)) df
       else df.withColumn(c, lit(null).cast(l.schema(c).dataType))
     }.select(l.columns.map(col): _*)
+    // DESCENDING (ord, side) + the running [unboundedPreceding, currentRow]
+    // frame with last(ignoreNulls): Spark evaluates this as an O(n) running
+    // frame per key group; the naive [currentRow, unboundedFollowing] +
+    // first(ignoreNulls) lowers to UnboundedFollowingWindowFunctionFrame,
+    // which recomputes the aggregate from each row to the partition end —
+    // O(n^2) on hot keys. In descending side order the inclusive right row
+    // (side 2) sorts BEFORE the left row (side 1) so the running frame sees
+    // it; strict (side 0) sorts after and falls outside the frame.
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ord"), col("__side"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col("__ord").desc, col("__side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = l.unionByName(rAligned)
-      .withColumn("__match", first(col("__payload"), ignoreNulls = true).over(w))
+      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
     val out = leftCols.map(col) ++
       rightVals.map(v => col(s"__match.$v").as(s"$prefix$v")) :+

@@ -35,16 +35,19 @@ import org.apache.spark.sql.functions._
   * Tokens are INTERNED to frequency-ranked int ids before the join
   * ([[GlobalRank]] over the (df, token) order — a range-exchange
   * rank, never a one-task window, so the interning holds at any
-  * vocabulary size). The payoff is threefold: join keys hash as ints,
-  * the ordered token array IS a sorted int array (the df-rank is the
-  * prefix order), and the verify step intersects primitive arrays
-  * with the codegen'd `sorted_intersect_size` two-pointer merge —
-  * measured 3.3× over string `array_intersect` end-to-end at sf0.1.
+  * vocabulary size; a rank past Int.MaxValue fails FAST via
+  * `raise_error` rather than silently wrapping the int cast). The
+  * payoff is threefold: join keys hash as ints, the ordered token
+  * array IS a sorted int array (the df-rank is the prefix order), and
+  * the verify step intersects primitive arrays with the codegen'd
+  * `sorted_intersect_size` two-pointer merge — measured 3.3× over
+  * string `array_intersect` end-to-end at sf0.1.
   *
-  * Threshold arithmetic is RATIONAL (tauNum/tauDen), never floating:
-  * prefix length, both filters, and the final Jaccard test are all
-  * integer cross-multiplications, so the operator's output set is
-  * bit-deterministic and engine-portable.
+  * Threshold arithmetic is INTEGER end-to-end (tauNum/tauDen
+  * rationals): prefix length, both filters, and the final test are
+  * integer cross-multiplications, and every ceil-division lowers to
+  * SQL `div` (IntegralDivide) — no floating point anywhere, so the
+  * operator's output set is bit-deterministic at any operand size.
   *
   * Cost shape at 100 TB: one groupBy for document frequencies (map-
   * side combined, one row per distinct token), the interning rank
@@ -55,11 +58,71 @@ import org.apache.spark.sql.functions._
   * inherently pair-shaped: on duplicate-dense corpora it is OUTPUT-
   * BOUND (sf0.01→sf0.1 is 98× more true pairs for 10× docs; per-pair
   * cost falls — PERF.md).
+  *
+  * CACHING: the interning rank pins one MEMORY_AND_DISK cache (see
+  * [[GlobalRank.withGlobalRankReleasable]]). The `*Releasable`
+  * variants hand the release handle to the caller (run it after the
+  * result materializes); the handle-free overloads keep the cache for
+  * the plan's lifetime — fine for one-shot jobs, but a long-lived
+  * session invoking the operator repeatedly should use the releasable
+  * form or accept the accumulated pinned storage.
   */
 object SetSimJoin {
 
+  /** Integer ceil-division ⌈num/den⌉ via SQL `div` (IntegralDivide) —
+    * integer end-to-end, exact at any operand magnitude (Column./ is
+    * double division whose floor is only provably exact below 2^53).
+    */
+  private def ceilDiv(num: Column, den: Int): Column =
+    call_function("div", num + lit(den - 1), lit(den.toLong)).cast("int")
+
+  /** Interned per-doc token sets: (id, its = SORTED int-id array —
+    * ascending df-ranked tid IS the rarest-first prefix order — and
+    * n = |its|), plus the interning cache's release handle.
+    */
+  private def internedDocs(docs: DataFrame, idCol: String, tokensCol: Column)
+      : (DataFrame, () => Unit) = {
+    val base = docs
+      .select(col(idCol).cast("long").as("id"),
+        array_distinct(tokensCol).as("ts"))
+      .where(size(col("ts")) > 0)
+    // global document frequency per token, interned to the df-ranked
+    // int id — the shared total order AND the cheap join/verify key
+    val freq = base.select(explode(col("ts")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val (ranked, release) = GlobalRank
+      .withGlobalRankReleasable(freq, Seq(col("df"), col("tok")), "tid")
+    // fail FAST on vocabulary overflow: a silent int wrap would corrupt
+    // both the prefix order and every intersection count
+    val tokIds = ranked.select(col("tok"),
+      when(col("tid") > lit(Int.MaxValue.toLong),
+        raise_error(concat(
+          lit("SetSimJoin: token vocabulary rank overflows Int ("),
+          col("tid").cast("string"), lit(")"))))
+        .otherwise(col("tid")).cast("int").as("tid"))
+    val baseI = base.select(col("id"), explode(col("ts")).as("tok"))
+      .join(tokIds, "tok")
+      .groupBy("id")
+      .agg(sort_array(collect_list(col("tid"))).as("its"),
+        count(lit(1)).cast("int").as("n"))
+    (baseI, release)
+  }
+
+  /** Prefix length |d| − ⌈τ·|d|⌉ + 1 (integer ceil). */
+  private def prefLen(tauNum: Int, tauDen: Int): Column =
+    col("n") - ceilDiv(col("n") * tauNum, tauDen) + 1
+
+  /** All pairs (ia < ib) with Jaccard ≥ tauNum/tauDen — handle-free
+    * overload of [[jaccardJoinReleasable]] (keeps the interning cache
+    * pinned for the plan's lifetime; see class doc).
+    */
+  def jaccardJoin(docs: DataFrame, idCol: String, tokensCol: Column,
+                  tauNum: Int = 4, tauDen: Int = 5): DataFrame =
+    jaccardJoinReleasable(docs, idCol, tokensCol, tauNum, tauDen)._1
+
   /** All pairs (id_a < id_b) with |a∩b| / |a∪b| ≥ tauNum/tauDen over
-    * distinct token sets.
+    * distinct token sets, plus the interning cache's release handle
+    * (run it after the result materializes).
     *
     * @param docs      input relation
     * @param idCol     numeric id column name
@@ -67,38 +130,17 @@ object SetSimJoin {
     * @return (ia, ib, inter_sz, union_sz, jaccard) — sizes BIGINT,
     *         jaccard = inter/union as double (exact int division)
     */
-  def jaccardJoin(docs: DataFrame, idCol: String, tokensCol: Column,
-                  tauNum: Int = 4, tauDen: Int = 5): DataFrame = {
+  def jaccardJoinReleasable(docs: DataFrame, idCol: String, tokensCol: Column,
+                            tauNum: Int = 4, tauDen: Int = 5)
+      : (DataFrame, () => Unit) = {
     require(tauNum > 0 && tauNum <= tauDen, s"tau=$tauNum/$tauDen not in (0,1]")
     graft.GraftExtensions.registerNative(docs.sparkSession)
-    val base = docs
-      .select(col(idCol).cast("long").as("id"),
-        array_distinct(tokensCol).as("ts"))
-      .where(size(col("ts")) > 0)
+    val (baseI, release) = internedDocs(docs, idCol, tokensCol)
 
-    // global document frequency per token, interned to the df-ranked
-    // int id — the shared total order AND the cheap join/verify key
-    val freq = base.select(explode(col("ts")).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("df"))
-    val tokIds = GlobalRank
-      .withGlobalRank(freq, Seq(col("df"), col("tok")), "tid")
-      .select(col("tok"), col("tid").cast("int").as("tid"))
-
-    // each doc's tokens as a SORTED int-id array: ascending tid IS the
-    // rarest-first prefix order, so one sort serves both the prefix
-    // slice and the sorted-merge verify
-    val baseI = base.select(col("id"), explode(col("ts")).as("tok"))
-      .join(tokIds, "tok")
-      .groupBy("id")
-      .agg(sort_array(collect_list(col("tid"))).as("its"),
-        count(lit(1)).cast("int").as("n"))
-
-    // prefix length n - ceil(tau*n) + 1, all-integer ceil
-    val prefLen = (col("n") - (col("n") * tauNum + tauDen - 1)
-      .divide(tauDen).cast("int") + 1)
     val prefixes = baseI
       .select(col("id"), col("n"),
-        posexplode(slice(col("its"), lit(1), prefLen)).as(Seq("p0", "tid")))
+        posexplode(slice(col("its"), lit(1), prefLen(tauNum, tauDen)))
+          .as(Seq("p0", "tid")))
       .select(col("id"), col("n"), col("tid"), (col("p0") + 1).as("p"))
 
     val a = prefixes.select(col("id").as("ia"), col("n").as("na"),
@@ -106,8 +148,7 @@ object SetSimJoin {
     val b = prefixes.select(col("id").as("ib"), col("n").as("nb"),
       col("p").as("pb"), col("tid"))
     // minimum overlap a qualifying pair must reach: ⌈τ/(1+τ)·(na+nb)⌉
-    val alpha = ((col("na") + col("nb")) * tauNum + (tauNum + tauDen) - 1)
-      .divide(tauNum + tauDen).cast("int")
+    val alpha = ceilDiv((col("na") + col("nb")) * tauNum, tauNum + tauDen)
     val candidates = a.join(b, "tid")
       .where(col("ia") < col("ib"))
       // length + positional filters, integer cross-multiplied — BEFORE
@@ -121,7 +162,7 @@ object SetSimJoin {
     // two-pointer merge over the sorted id arrays
     val ta = baseI.select(col("id").as("ia"), col("its").as("tsa"))
     val tb = baseI.select(col("id").as("ib"), col("its").as("tsb"))
-    candidates.join(ta, "ia").join(tb, "ib")
+    val out = candidates.join(ta, "ia").join(tb, "ib")
       .select(col("ia"), col("ib"),
         expr("sorted_intersect_size(tsa, tsb)").cast("long").as("inter_sz"),
         (size(col("tsa")) + size(col("tsb"))).cast("long").as("nsum"))
@@ -130,7 +171,16 @@ object SetSimJoin {
       .where(col("inter_sz") * tauDen >= col("union_sz") * tauNum)
       .withColumn("jaccard",
         col("inter_sz").cast("double") / col("union_sz").cast("double"))
+    (out, release)
   }
+
+  /** Asymmetric containment join — handle-free overload of
+    * [[containmentJoinReleasable]] (keeps the interning cache pinned
+    * for the plan's lifetime; see class doc).
+    */
+  def containmentJoin(docs: DataFrame, idCol: String, tokensCol: Column,
+                      tauNum: Int = 19, tauDen: Int = 20): DataFrame =
+    containmentJoinReleasable(docs, idCol, tokensCol, tauNum, tauDen)._1
 
   /** Asymmetric CONTAINMENT join: ordered pairs (ia, ib), ia ≠ ib,
     * with |a∩b| ≥ τ·|a| — "a is τ-contained in b", the quote/excerpt/
@@ -143,37 +193,41 @@ object SetSimJoin {
     *  - only the PROBE side a is prefix-pruned (|a|−⌈τ|a|⌉+1 rarest
     *    ids): the overlap bound is τ·|a|, so a's prefix must hit any
     *    qualifying b, while b has no prefix shorter than its full list
-    *    that is safe for every possible |a| — b joins on all its ids
+    *    that is safe for every possible |a| — b joins on its ids
+    *  - the B-SIDE CANDIDATE BOUND (PPJoin+-style suffix bound): a
+    *    b posting (tid, pb) can only pair with probes whose PREFIX
+    *    contains tid, and every such probe needs overlap ≥ ⌈τ·na⌉ ≥
+    *    ⌈τ·minNa(tid)⌉ where minNa(tid) = min probe length over
+    *    prefixes containing tid — so postings with nb − pb + 1 <
+    *    ⌈τ·minNa(tid)⌉ are dropped BEFORE the join. Lossless: the
+    *    per-pair positional filter would reject every candidate such
+    *    a posting could form (na ≥ minNa(tid) for all its probes).
+    *    This is the hot-token defense: stop-word-grade ids sort LAST
+    *    in every document (maximal pb, minimal nb − pb), so exactly
+    *    the largest would-be join buckets are pruned hardest, and ids
+    *    appearing in NO probe prefix drop out entirely (the minNa
+    *    inner join is a semi-join on prefix membership). Measured on
+    *    the worst case (31-token vocabulary, sf0.1): b postings
+    *    116,231 → 53,224 (2.18×) with the final candidate set
+    *    bit-identical — tools.SetSimProbe / PERF.md.
     *  - length filter |b| ≥ τ·|a| (b can't contain more of a than b has)
     *  - positional bound min(na−pa, nb−pb)+1 ≥ ⌈τ·na⌉
     *
     * @return (ia, ib, inter_sz, na, nb, containment) — sizes BIGINT,
     *         containment = inter/na as double (exact int division)
     */
-  def containmentJoin(docs: DataFrame, idCol: String, tokensCol: Column,
-                      tauNum: Int = 19, tauDen: Int = 20): DataFrame = {
+  def containmentJoinReleasable(docs: DataFrame, idCol: String,
+                                tokensCol: Column,
+                                tauNum: Int = 19, tauDen: Int = 20)
+      : (DataFrame, () => Unit) = {
     require(tauNum > 0 && tauNum <= tauDen, s"tau=$tauNum/$tauDen not in (0,1]")
     graft.GraftExtensions.registerNative(docs.sparkSession)
-    val base = docs
-      .select(col(idCol).cast("long").as("id"),
-        array_distinct(tokensCol).as("ts"))
-      .where(size(col("ts")) > 0)
-    val freq = base.select(explode(col("ts")).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("df"))
-    val tokIds = GlobalRank
-      .withGlobalRank(freq, Seq(col("df"), col("tok")), "tid")
-      .select(col("tok"), col("tid").cast("int").as("tid"))
-    val baseI = base.select(col("id"), explode(col("ts")).as("tok"))
-      .join(tokIds, "tok")
-      .groupBy("id")
-      .agg(sort_array(collect_list(col("tid"))).as("its"),
-        count(lit(1)).cast("int").as("n"))
+    val (baseI, release) = internedDocs(docs, idCol, tokensCol)
 
-    val prefLen = (col("n") - (col("n") * tauNum + tauDen - 1)
-      .divide(tauDen).cast("int") + 1)
     val a = baseI
       .select(col("id"), col("n"),
-        posexplode(slice(col("its"), lit(1), prefLen)).as(Seq("p0", "tid")))
+        posexplode(slice(col("its"), lit(1), prefLen(tauNum, tauDen)))
+          .as(Seq("p0", "tid")))
       .select(col("id").as("ia"), col("n").as("na"),
         (col("p0") + 1).as("pa"), col("tid"))
     val b = baseI
@@ -181,9 +235,17 @@ object SetSimJoin {
         posexplode(col("its")).as(Seq("p0", "tid")))
       .select(col("id").as("ib"), col("n").as("nb"),
         (col("p0") + 1).as("pb"), col("tid"))
+    // b-side candidate bound: per-tid minimum probe length over the
+    // prefixes that contain it — a vocab-bounded relation (≤ one row
+    // per distinct prefix token; AQE broadcasts it when small). The
+    // inner join doubles as the prefix-membership semi-join.
+    val minNa = a.groupBy("tid").agg(min(col("na")).as("min_na"))
+    val bPruned = b.join(minNa, "tid")
+      .where(col("nb") - col("pb") + 1 >= ceilDiv(col("min_na") * tauNum, tauDen))
+      .drop("min_na")
     // minimum overlap: ⌈τ·na⌉
-    val alphaC = (col("na") * tauNum + tauDen - 1).divide(tauDen).cast("int")
-    val candidates = a.join(b, "tid")
+    val alphaC = ceilDiv(col("na") * tauNum, tauDen)
+    val candidates = a.join(bPruned, "tid")
       .where(col("ia") =!= col("ib"))
       .where(col("nb") * tauDen >= col("na") * tauNum)
       .where(least(col("na") - col("pa"), col("nb") - col("pb")) + 1 >= alphaC)
@@ -193,12 +255,13 @@ object SetSimJoin {
       col("n").as("na"))
     val tb = baseI.select(col("id").as("ib"), col("its").as("tsb"),
       col("n").as("nb"))
-    candidates.join(ta, "ia").join(tb, "ib")
+    val out = candidates.join(ta, "ia").join(tb, "ib")
       .select(col("ia"), col("ib"),
         expr("sorted_intersect_size(tsa, tsb)").cast("long").as("inter_sz"),
         col("na").cast("long").as("na"), col("nb").cast("long").as("nb"))
       .where(col("inter_sz") * tauDen >= col("na") * tauNum)
       .withColumn("containment",
         col("inter_sz").cast("double") / col("na").cast("double"))
+    (out, release)
   }
 }

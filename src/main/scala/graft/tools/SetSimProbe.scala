@@ -140,6 +140,46 @@ object SetSimProbe {
     t("end-to-end") {
       graft.operators.SetSimJoin.jaccardJoin(docs, "doc_id", col("w"), 4, 5).count()
     }
+
+    // ===== containment (d27) — b-side candidate bound (round 9) =====
+    // b joins on ALL its token ids (no safe b-prefix exists), so hot
+    // ids form the largest buckets. The bound drops b postings that
+    // cannot reach ceil(tau*minNa(tid)) overlap for ANY probe whose
+    // prefix contains tid — measured here as posting rows and raw
+    // candidate rows, with and without the bound.
+    val (cn, cd) = (19, 20) // containment tau
+    val prefLenC = (col("n") - (col("n") * cn + cd - 1)
+      .divide(cd).cast("int") + 1)
+    val aC = baseI
+      .select(col("id"), col("n"),
+        posexplode(slice(col("its"), lit(1), prefLenC)).as(Seq("p0", "tid")))
+      .select(col("id").as("ia"), col("n").as("na"),
+        (col("p0") + 1).as("pa"), col("tid"))
+    val bC = baseI
+      .select(col("id"), col("n"),
+        posexplode(col("its")).as(Seq("p0", "tid")))
+      .select(col("id").as("ib"), col("n").as("nb"),
+        (col("p0") + 1).as("pb"), col("tid"))
+    t("cont-b-postings") { bC.count() }
+    val minNa = aC.groupBy("tid").agg(min(col("na")).as("min_na"))
+    val bPruned = bC.join(minNa, "tid")
+      .where(col("nb") - col("pb") + 1 >=
+        (col("min_na") * cn + cd - 1).divide(cd).cast("int"))
+      .drop("min_na")
+    t("cont-b-pruned") { bPruned.count() }
+    val alphaC = (col("na") * cn + cd - 1).divide(cd).cast("int")
+    def contCands(bSide: org.apache.spark.sql.DataFrame) =
+      aC.join(bSide, "tid")
+        .where(col("ia") =!= col("ib"))
+        .where(col("nb") * cd >= col("na") * cn)
+        .where(least(col("na") - col("pa"), col("nb") - col("pb")) + 1 >= alphaC)
+    t("cont-raw-unbounded") { aC.join(bC, "tid").where(col("ia") =!= col("ib")).count() }
+    t("cont-raw-bounded") { aC.join(bPruned, "tid").where(col("ia") =!= col("ib")).count() }
+    t("cont-cands-unbounded") { contCands(bC).count() }
+    t("cont-cands-bounded") { contCands(bPruned).count() }
+    t("cont-end-to-end") {
+      graft.operators.SetSimJoin.containmentJoin(docs, "doc_id", col("w"), cn, cd).count()
+    }
     spark.stop()
   }
 }

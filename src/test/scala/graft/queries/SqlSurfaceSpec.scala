@@ -93,6 +93,24 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r.getInt(2) == 0)
   }
 
+  test("sorted_intersect_size rejects non-int arrays and skips null slots (ADVICE r9)") {
+    registerViews()
+    graft.GraftExtensions.registerNative(spark)
+    // string arrays fail at ANALYSIS (the old blind cast silently
+    // counted all-null 'intersections')
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT sorted_intersect_size(array('a','b'), array('a'))").collect()
+    }
+    assert(ex.getMessage.contains("array<int>"))
+    // null slots never match and never read garbage
+    val r = spark.sql(
+      """SELECT sorted_intersect_size(array(NULL, 1, 3), array(NULL, 3)) AS a,
+        |       sorted_intersect_size(array(CAST(NULL AS INT)), array(CAST(NULL AS INT))) AS b""".stripMargin)
+      .collect()(0)
+    assert(r.getInt(0) == 1)
+    assert(r.getInt(1) == 0)
+  }
+
   test("minhash_sig and cosine_sim compose in plain SQL") {
     registerViews()
     graft.GraftExtensions.registerNative(spark)
