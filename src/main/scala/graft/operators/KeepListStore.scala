@@ -51,14 +51,19 @@ import graft.sources.Sinks
   * (r → k1 → k2), because a node is a rep until remapped and never
   * again (reps only decrease), so accumulated deltas form a functional
   * acyclic map. The read path therefore applies the CLOSURE of the
-  * accumulated remaps, computed driver-side with path compression:
-  * the table is O(component-merge events since the last fold) — fold
-  * cadence bounds it (guarded by an explicit require), and the closed
-  * map goes back out as a broadcast join dimension, so the cluster-side
-  * cost of a read is one broadcast hash join + a distinct over the
-  * scan. At 100 TB the assignment is billions of rows but the remap is
-  * thousands; rewriting the former per batch is exactly what this
-  * module exists to avoid.
+  * accumulated remaps — SIZE-DISPATCHED on the deltas' parquet bytes
+  * (free filesystem metadata): the normal case (remap is
+  * O(component-merge events since the last fold), fold cadence keeps
+  * it small) collects to the driver for path compression and goes
+  * back out as a broadcast join dimension, so a read costs one
+  * broadcast hash join + a distinct over the scan; a merge-heavy
+  * burst between folds (mass near-dup ingest) past the threshold
+  * routes to a DISTRIBUTED pointer-doubling closure instead — O(log
+  * chain) self-joins, no driver materialization, shuffle-join apply —
+  * so no burst profile can driver-OOM the store. At 100 TB the
+  * assignment is billions of rows but the remap is thousands;
+  * rewriting the former per batch is exactly what this module exists
+  * to avoid.
   *
   * fold() rewrites `base` with everything applied (compact's
   * rename-aside swap) and clears the deltas. read() tolerates every
@@ -101,24 +106,90 @@ object KeepListStore {
       .sortBy(p => p.getName.stripPrefix("batch=").toLong)
   }
 
-  /** Driver-side CLOSURE of the accumulated remap deltas (see the
-    * composition note above). Keys are unique across deltas (a node is
-    * a rep until remapped, never again) and chains are acyclic (keeps
-    * only decrease), so path compression terminates. Returns None when
-    * there is nothing to apply.
+  /** Remap-size dispatch threshold (total parquet BYTES across the
+    * delta `remap` dirs — free filesystem metadata, no job): at or
+    * below, the closure is computed driver-side (collect + path
+    * compression — a broadcast-sized dimension); above, it goes to
+    * [[closeRemapDistributed]] so a merge-heavy burst between folds
+    * can never driver-OOM the read path. ~32 MB of (id, id) parquet is
+    * a few million entries — inside the old advisory guard, far under
+    * broadcast limits. Override per session with the runtime conf
+    * `graft.keeplist.driverRemapBytes` (the d29 gate pins 0 to force
+    * the distributed path; KeepListStoreSpec proves both paths equal).
+    */
+  private[operators] val DriverRemapBytes: Long = 32L * 1024 * 1024
+
+  private def remapDispatchBytes(spark: SparkSession): Long =
+    spark.conf.getOption("graft.keeplist.driverRemapBytes")
+      .map(_.toLong).getOrElse(DriverRemapBytes)
+
+  /** DISTRIBUTED closure of a functional acyclic remap relation via
+    * POINTER DOUBLING: each round joins the map with itself (right
+    * side keyed on old_rep), so after round i every entry points 2^i
+    * steps down its chain — O(log longest-chain) rounds, each one
+    * shuffle of |remap| rows, no driver materialization. This is the
+    * same fixpoint discipline as [[MinHashLSH.convergeKeepList]]'s
+    * pointer jumping, specialized to a functional map (old_rep keys
+    * are unique, keeps only decrease, so chains terminate). The final
+    * frame stays persisted for its consumers (fold/read materialize
+    * once; fold then clears the deltas, so the pin is one fold cycle).
+    */
+  private[operators] def closeRemapDistributed(remap: DataFrame): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var cur = remap.persist(lvl)
+    var done = false
+    while (!done) {
+      val stepped = cur.join(
+          cur.select(col("old_rep").as("__o"), col("keep_id").as("__k")),
+          col("keep_id") === col("__o"), "left")
+        .select(col("old_rep"),
+          coalesce(col("__k"), col("keep_id")).as("keep_id"),
+          col("__k").isNotNull.as("__moved"))
+        .persist(lvl)
+      done = stepped.where(col("__moved")).isEmpty
+      val prev = cur
+      cur = stepped.drop("__moved")
+      prev.unpersist()
+    }
+    cur
+  }
+
+  /** CLOSURE of the accumulated remap deltas (see the composition note
+    * above), SIZE-DISPATCHED like `GlobalRank.estimatedRows`: small
+    * remaps collect to the driver for path compression (and return
+    * broadcastable = true — the apply join stays a broadcast hash
+    * join); a merge-heavy burst past the byte threshold routes to the
+    * distributed pointer-doubling closure (broadcastable = false — the
+    * apply join shuffles, the honest cost when the remap itself is
+    * big). Keys are unique across deltas (a node is a rep until
+    * remapped, never again) and chains are acyclic (keeps only
+    * decrease), so both closures terminate. Returns None when there is
+    * nothing to apply.
     */
   private def closedRemap(spark: SparkSession, dir: String,
                           deltas: Seq[Path],
                           template: DataFrame,
-                          guarded: Boolean): Option[DataFrame] = {
+                          guarded: Boolean): Option[(DataFrame, Boolean)] = {
     if (deltas.isEmpty) return None
+    val fs = fsOf(spark)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("old_rep",
         template.schema.head.dataType),
       org.apache.spark.sql.types.StructField("keep_id",
         template.schema.head.dataType)))
-    val raw = spark.read.schema(schema)
-      .parquet(deltas.map(p => s"$p/remap"): _*).collect()
+    val remapPaths = deltas.map(p => new Path(p, "remap"))
+      .filter(fs.exists(_))
+    if (remapPaths.isEmpty) return None
+    val bytes = remapPaths.map(fs.getContentSummary(_).getLength).sum
+    val reader = spark.read.schema(schema)
+    if (bytes > remapDispatchBytes(spark)) {
+      val closed = closeRemapDistributed(
+        reader.parquet(remapPaths.map(_.toString): _*))
+      // a burst of EMPTY remap files can exceed no byte threshold, so
+      // the distributed branch never needs the raw.isEmpty escape
+      return Some((closed, false))
+    }
+    val raw = reader.parquet(remapPaths.map(_.toString): _*).collect()
     if (raw.isEmpty) return None
     // the guard is advisory pressure on the APPEND/READ paths; fold()
     // bypasses it — it is the remedy the message prescribes, and a
@@ -135,8 +206,8 @@ object KeepListStore {
       x
     }
     val closed = m.keys.map(k => Row(k, resolve(k))).toSeq
-    Some(spark.createDataFrame(
-      spark.sparkContext.parallelize(closed, 1), schema))
+    Some((spark.createDataFrame(
+      spark.sparkContext.parallelize(closed, 1), schema), true))
   }
 
   /** Current assignment: base ∪ batch deltas, with the closed remap
@@ -211,9 +282,10 @@ object KeepListStore {
         .parquet(deltas.map(p => s"$p/assign"): _*))
     closedRemap(spark, dir, deltas, base, guarded) match {
       case None => stored
-      case Some(remap) =>
-        stored.join(broadcast(remap.withColumnRenamed("keep_id", "__new")),
-            stored("keep_id") === remap("old_rep"), "left")
+      case Some((remap, broadcastable)) =>
+        val dim0 = remap.withColumnRenamed("keep_id", "__new")
+        val dim = if (broadcastable) broadcast(dim0) else dim0
+        stored.join(dim, stored("keep_id") === remap("old_rep"), "left")
           .select(col(idCol),
             coalesce(col("__new"), col("keep_id")).as("keep_id"))
     }

@@ -399,6 +399,92 @@ object DedupQueries extends QueryPack {
               SELECT doc_id, min(r) AS keep_id, TRUE AS asof_contract
               FROM reach GROUP BY doc_id""")),
 
+    // ---- MERGE-HEAVY BURST between folds (d29): the distributed fold
+    // path. The read-side remap closure is size-dispatched (driver path
+    // collection vs pointer-doubling self-joins); this gate pins the
+    // DISTRIBUTED branch end-to-end by forcing the dispatch threshold
+    // to 0 and driving a burst of THOUSANDS of non-identity remaps
+    // between folds: every doc gets 4 singleton satellite components
+    // (backfill), batch 0 bridges each satellite into its doc's
+    // component (4 merge events per doc — each one a remap s→d), and
+    // batch 1 chains docs into %8 runs (remaps d→run-min that COMPOSE
+    // with batch 0's targets: s→d→8m). fold() then runs under the same
+    // forced-distributed conf; the `folded` column asserts deltas are
+    // gone and the post-fold read is row-identical to the pre-fold
+    // read. Oracle: independent recursive closure over the full
+    // synthetic node/edge set. (KeepListStoreSpec separately proves
+    // driver and distributed closures equal on one store.)
+    Q("d29_keeplist_burst_fold",
+      (s, d) => {
+        import graft.operators.KeepListStore
+        val ids = Tables.documents(s, d).select("doc_id")
+        val base = Scratch.dir("graft_d29_")
+        val dir = base.resolve("kl").toString
+        val sats = ids.select(col("doc_id"),
+            explode(sequence(lit(1), lit(4))).as("j"))
+          .select(col("doc_id"),
+            (col("doc_id") + col("j") * 100000000L).as("sid"))
+        val singles = ids.select(col("doc_id").as("id"))
+          .unionByName(sats.select(col("sid").as("id")))
+          .select(col("id").as("doc_id"), lit(0).as("band"), col("id").as("h"))
+        KeepListStore.backfill(singles, "doc_id", dir)
+        withConf(s, "graft.keeplist.driverRemapBytes", "0") {
+          val b0 = sats.select((col("sid") + 400000000L).as("doc_id"),
+              lit(0).as("band"), col("sid").as("h"))
+            .unionByName(sats.select((col("sid") + 400000000L).as("doc_id"),
+              lit(0).as("band"), col("doc_id").as("h")))
+          KeepListStore.appendBatch(b0, "doc_id", dir, 0L)
+          val linked = ids.where(col("doc_id") % 8 =!= 0)
+          val b1 = linked.select((col("doc_id") + 900000000L).as("doc_id"),
+              lit(0).as("band"), col("doc_id").as("h"))
+            .unionByName(linked.select((col("doc_id") + 900000000L).as("doc_id"),
+              lit(0).as("band"), (col("doc_id") - 1).as("h")))
+          KeepListStore.appendBatch(b1, "doc_id", dir, 1L)
+          // materialize BEFORE the fold — the read is lazy and fold()
+          // deletes the very deltas it reads
+          val beforeDir = base.resolve("before").toString
+          KeepListStore.read(s, dir, "doc_id").write.parquet(beforeDir)
+          KeepListStore.fold(s, dir, "doc_id")
+          val after = KeepListStore.read(s, dir, "doc_id")
+          val before = s.read.parquet(beforeDir)
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            s.sparkContext.hadoopConfiguration)
+          val deltasGone = !fs.listStatus(
+              new org.apache.hadoop.fs.Path(s"$dir/state"))
+            .exists(_.getPath.getName.startsWith("batch="))
+          val unchanged = after.unionByName(before)
+            .groupBy("doc_id", "keep_id").count()
+            .where(col("count") =!= 2).isEmpty
+          after.withColumn("folded", lit(deltasGone && unchanged))
+        }
+      },
+      Some("""WITH RECURSIVE
+              js AS (SELECT unnest(range(1, 5)) AS j),
+              sats AS (SELECT doc_id, doc_id + j * 100000000 AS sid
+                       FROM documents, js),
+              nodes AS (
+                SELECT doc_id FROM documents
+                UNION ALL SELECT sid FROM sats
+                UNION ALL SELECT sid + 400000000 FROM sats
+                UNION ALL SELECT doc_id + 900000000 FROM documents
+                WHERE doc_id % 8 <> 0),
+              edges AS (
+                SELECT sid + 400000000 AS src, sid AS dst FROM sats
+                UNION ALL SELECT sid + 400000000, doc_id FROM sats
+                UNION ALL SELECT doc_id + 900000000, doc_id
+                  FROM documents WHERE doc_id % 8 <> 0
+                UNION ALL SELECT a.doc_id + 900000000, b.doc_id
+                  FROM documents a JOIN documents b ON b.doc_id = a.doc_id - 1
+                  WHERE a.doc_id % 8 <> 0),
+              sym AS (SELECT src, dst FROM edges
+                      UNION ALL SELECT dst, src FROM edges),
+              reach(doc_id, r) AS (
+                SELECT doc_id, doc_id FROM nodes
+                UNION
+                SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.doc_id)
+              SELECT doc_id, min(r) AS keep_id, TRUE AS folded
+              FROM reach GROUP BY doc_id""")),
+
     // ---- INCREMENTAL dedup against a PERSISTED fingerprint index (the
     // shape a 100 TB deployment actually runs): the corpus (doc_id % 5
     // != 0) is fingerprinted ONCE into a parquet band index; when the

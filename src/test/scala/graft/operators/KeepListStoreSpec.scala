@@ -110,6 +110,33 @@ class KeepListStoreSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(800))
   }
 
+  test("merge-heavy burst: distributed pointer-doubling closure equals the driver path") {
+    val dir = graft.queries.Scratch.dir("klstore_burst_").toString
+    // ten batches, each electing a NEW minimum into the same bucket —
+    // a 10-deep remap chain (100 -> 90 -> 89 -> ... -> 81)
+    KeepListStore.backfill(clique(1, 100, 101), "id", dir)
+    for (i <- 0 until 10)
+      KeepListStore.appendBatch(clique(1, (90 - i).toLong), "id", dir, i.toLong)
+    val viaDriver = readMap(dir)
+    assert(viaDriver.values.toSet == Set(81L))
+    spark.conf.set("graft.keeplist.driverRemapBytes", "0")
+    try {
+      // same store, distributed closure forced: identical assignment,
+      // and fold() under the distributed path round-trips the read
+      val viaDist = readMap(dir)
+      assert(viaDist == viaDriver)
+      KeepListStore.fold(spark, dir, "id")
+      assert(readMap(dir) == viaDriver)
+    } finally spark.conf.unset("graft.keeplist.driverRemapBytes")
+    // the closure primitive on a 200-deep chain (log-round doubling)
+    import spark.implicits._
+    val chain = (0 until 200).map(i => (i.toLong + 1, i.toLong))
+      .toDF("old_rep", "keep_id")
+    val closed = KeepListStore.closeRemapDistributed(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(closed == (1 to 200).map(i => i.toLong -> 0L).toMap)
+  }
+
   test("deleteDocs: rep re-election, bridge split, full-component delete, idempotent re-run") {
     import spark.implicits._
     val dir = graft.queries.Scratch.dir("klstore_del_").toString
