@@ -868,6 +868,110 @@ object EventQueries extends QueryPack {
               FROM w JOIN documents d USING (doc_id)
               ORDER BY weight DESC, d.doc_id LIMIT 50""")),
 
+    // ---- DSIR model DRIFT + gated refresh (e31): e29 proved the
+    // streamed partials accumulate exactly; this gate closes the
+    // staleness loop (the s15 discipline for the selection tier,
+    // VERDICT r8 directive 4). Batch 0 = even docs as-is (the frozen
+    // model's world); batch 1 = odd docs with text UPPERCASED — a
+    // real target-distribution shift (every shifted token hashes to a
+    // different bucket), exactly the case a frozen llr snapshot
+    // silently mis-scores. The gate computes the drift metric between
+    // the frozen (gen=0) and live (all gens) target distributions —
+    // EXACT integer cross-multiplication, one terminal double division
+    // (dsirDrift) — trips the rational threshold 1/10, refits from the
+    // already-committed partials (merge of #buckets×#gens rows, never
+    // a corpus re-scan — cost pinned in tools.DsirRefreshProbe), and
+    // re-scores through the same dsirSelect. drift_after_refresh
+    // re-evaluates the metric at the refreshed snapshot: exactly 0 /
+    // fresh — the loop closes. Oracle restates the shifted-corpus
+    // counts, the cross-multiplied drift, and the refreshed selection.
+    Q("e31_dsir_drift_refresh",
+      (s, d) => {
+        val dir = Scratch.dir("graft_e31_dsir_").toString + "/counts"
+        val stage = Scratch.dir("graft_e31_stage_").toString
+        val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+        val shifted = docs.withColumn("text",
+          when(col("doc_id") % 2 === 1, upper(col("text")))
+            .otherwise(col("text")))
+        shifted.where(col("doc_id") % 2 === 0)
+          .coalesce(1).write.mode("append").parquet(stage)
+        val stream = s.readStream
+          .schema("doc_id LONG, lang STRING, text STRING").parquet(stage)
+        runGatedStreamWith(s, stream,
+          (batch, _, bid) => if (!batch.isEmpty) {
+            graft.sources.Sinks.committedAppend(
+              RelationalQueries.dsirCounts(batch), dir, bid)
+            ()
+          }) { q =>
+          q.processAllAvailable()
+          shifted.where(col("doc_id") % 2 === 1)
+            .coalesce(1).write.mode("append").parquet(stage)
+          q.processAllAvailable()
+        }
+        val frozen = s.read.parquet(s"$dir/gen=0").groupBy("b")
+          .agg(sum("cr").as("cr"), sum("ct").as("ct"))
+        val live = s.read.parquet(dir).groupBy("b")
+          .agg(sum("cr").as("cr"), sum("ct").as("ct"))
+        val dRow = RelationalQueries.dsirDrift(frozen, live, 1, 10)
+          .collect()(0)
+        val (driftV, stale) = (dRow.getDouble(0), dRow.getBoolean(1))
+        // the GATED decision: refresh from the committed partials only
+        // when the metric trips; a fresh model keeps serving the
+        // frozen snapshot (no re-fit churn on every batch)
+        val model = if (stale) live else frozen
+        val aRow = RelationalQueries.dsirDrift(model, live, 1, 10)
+          .collect()(0)
+        RelationalQueries.dsirSelect(s, d, model)
+          .withColumn("drift", lit(driftV))
+          .withColumn("stale", lit(stale))
+          .withColumn("drift_after_refresh", lit(aRow.getDouble(0)))
+          .withColumn("fresh_after", lit(!aRow.getBoolean(1)))
+      },
+      Some("""WITH tokb AS (SELECT doc_id, lang,
+                CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 4096 AS b
+              FROM (SELECT doc_id, lang,
+                      CASE WHEN doc_id % 2 = 1 THEN upper(token)
+                           ELSE token END AS tok
+                    FROM (SELECT doc_id, lang,
+                            unnest(string_split(text, ' ')) AS token
+                          FROM documents))),
+              fro AS (SELECT b, count(*) FILTER (lang = 'de') AS ct
+                      FROM tokb WHERE doc_id % 2 = 0 GROUP BY 1),
+              liv AS (SELECT b, count(*) AS cr,
+                        count(*) FILTER (lang = 'de') AS ct
+                      FROM tokb GROUP BY 1),
+              nn AS (SELECT (SELECT sum(ct) FROM fro) AS ntf,
+                       (SELECT sum(ct) FROM liv) AS ntl),
+              dev AS (SELECT abs(coalesce(f.ct, 0)::DECIMAL(38,0) * nn.ntl
+                        - coalesce(l.ct, 0)::DECIMAL(38,0) * nn.ntf) AS dd
+                      FROM fro f FULL JOIN liv l USING (b) CROSS JOIN nn),
+              dr AS (SELECT (SELECT sum(dd) FROM dev)::DECIMAL(38,0) AS num,
+                       ntf, ntl FROM nn),
+              drift AS (SELECT
+                  num::DOUBLE / (ntf::DECIMAL(38,0) * ntl * 2)::DOUBLE AS drift,
+                  (num * 10 >= ntf::DECIMAL(38,0) * ntl * 2) AS stale FROM dr),
+              n2 AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM liv),
+              model AS (SELECT liv.b,
+                  round(ln((coalesce(liv.ct, 0) + 1) / (n2.nt + 4096)), 6)::DECIMAL(18,6)
+                - round(ln((liv.cr + 1) / (n2.nr + 4096)), 6)::DECIMAL(18,6) AS llr
+                FROM liv CROSS JOIN n2),
+              otok AS (SELECT doc_id,
+                  CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 4096 AS b
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                      FROM documents)),
+              tf AS (SELECT doc_id, b, count(*) AS tf FROM otok GROUP BY 1, 2),
+              w AS (SELECT doc_id, sum(llr * tf::DECIMAL(10,0)) AS wsum,
+                      sum(tf) AS ntok
+                    FROM tf JOIN model USING (b) GROUP BY 1)
+              SELECT d.doc_id, d.lang,
+                wsum::DOUBLE / ntok::DOUBLE AS weight,
+                (SELECT drift FROM drift) AS drift,
+                (SELECT stale FROM drift) AS stale,
+                0.0::DOUBLE AS drift_after_refresh,
+                TRUE AS fresh_after
+              FROM w JOIN documents d USING (doc_id)
+              ORDER BY weight DESC, d.doc_id LIMIT 50""")),
+
     // ---- LEFT OUTER stream-stream interval join (e28): e12's
     // attribution join with the unconverted clicks KEPT — the outer
     // path exercises state semantics the inner join never touches

@@ -29,7 +29,7 @@ object RelationalQueries extends QueryPack {
     * counts are ADDITIVE, which is what lets e29 maintain them as
     * streamed partials under the committed-generation protocol.
     */
-  private[queries] def dsirCounts(docs: DataFrame): DataFrame =
+  private[graft] def dsirCounts(docs: DataFrame): DataFrame =
     docs.select(col("lang"), explode(split(col("text"), " ")).as("token"))
       .select(col("lang"),
         pmod(expr("conv(substring(md5(token), 1, 8), 16, 10)")
@@ -49,7 +49,7 @@ object RelationalQueries extends QueryPack {
     * base → 30% selected at sf0.01). Exact decimal sum first, one
     * double division last; top-50 via TakeOrderedAndProject.
     */
-  private[queries] def dsirSelect(s: SparkSession, d: String,
+  private[graft] def dsirSelect(s: SparkSession, d: String,
                                   counts: DataFrame): DataFrame = {
     val docs = Tables.documents(s, d)
     val n = counts.agg(sum("cr").as("nr"), sum("ct").as("nt"))
@@ -76,6 +76,57 @@ object RelationalQueries extends QueryPack {
       .orderBy(col("weight").desc, col("doc_id"))
       .limit(50)
       .select("doc_id", "lang", "weight")
+  }
+
+  /** DSIR model STALENESS metric (the s15 discipline applied to the
+    * selection tier): total-variation distance between a FROZEN model
+    * snapshot's target-bucket distribution and the live accumulated
+    * counts, with the refresh decision gated on a rational threshold.
+    * A shifted target distribution would otherwise silently stale the
+    * llr model — the committed partials keep ACCUMULATING correctly,
+    * but a serving snapshot fit before the shift scores with the old
+    * distribution until something notices (reference analog: the
+    * re-runnable incremental batch contract,
+    * `scrc/preprocessors/abstract_extractor.py:69-77` — state must
+    * detect when a re-fit is due, not assume it).
+    *
+    * Arithmetic discipline (the SetSimJoin rule): the TV numerator is
+    * an EXACT integer — Σ_b |ct_f·Nt_l − ct_l·Nt_f| as decimal(38,0)
+    * cross-multiplications (no per-bucket division, no float sum) —
+    * and `stale` is the exact cross-multiplied comparison
+    * num·tauDen ≥ 2·Nt_f·Nt_l·tauNum. Only the REPORTED drift value
+    * performs one terminal double division, so the decision and the
+    * hash are bit-deterministic and engine-portable. Cost shape: the
+    * inputs are bucket relations (≤4096 rows each at any corpus size),
+    * so drift is a broadcast-sized full-outer join + one agg —
+    * evaluating it per batch is free relative to any scoring run
+    * (measured: tools.DsirRefreshProbe / PERF.md).
+    *
+    * Returns one row: (drift DOUBLE, stale BOOLEAN).
+    */
+  private[graft] def dsirDrift(frozen: DataFrame, live: DataFrame,
+                                 tauNum: Int, tauDen: Int): DataFrame = {
+    val f = frozen.select(col("b"), col("ct").as("ctf"))
+    val l = live.select(col("b"), col("ct").as("ctl"))
+    val joined = f.join(l, Seq("b"), "full")
+      .select(coalesce(col("ctf"), lit(0L)).as("ctf"),
+        coalesce(col("ctl"), lit(0L)).as("ctl"))
+    // totals first (one agg over ≤4096 rows), then the per-bucket
+    // cross-multiplied deviations against the broadcast totals
+    val n = joined.agg(sum(col("ctf")).as("ntf"), sum(col("ctl")).as("ntl"))
+    joined.crossJoin(broadcast(n))
+      .select(col("ntf"), col("ntl"),
+        abs(col("ctf").cast("decimal(38,0)") * col("ntl") -
+          col("ctl").cast("decimal(38,0)") * col("ntf")).as("d"))
+      .groupBy("ntf", "ntl")
+      .agg(sum(col("d")).cast("decimal(38,0)").as("num"))
+      .select(
+        (col("num").cast("double") /
+          (col("ntf").cast("decimal(38,0)") * col("ntl") * 2).cast("double"))
+          .as("drift"),
+        (col("num") * tauDen >=
+          col("ntf").cast("decimal(38,0)") * col("ntl") * (2 * tauNum))
+          .as("stale"))
   }
 
   def all: Seq[Q] = Seq(
