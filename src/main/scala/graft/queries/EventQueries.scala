@@ -1015,6 +1015,119 @@ object EventQueries extends QueryPack {
                   AND p.ts_us >= c.ts_us
                   AND p.ts_us <= c.ts_us + 3600000000)""")),
 
+    // ---- STREAMING quarantine in the unified schema (e32): x39 gave
+    // the batch tiers ONE `struct<result, error>` envelope and one
+    // normalized (tier, doc_id, error) sink; this gate wires the same
+    // schema into the streaming tier (VERDICT r8 directive 8 —
+    // reference analog: the log-and-skip channel,
+    // `scrc/preprocessors/abstract_extractor.py:177-183`). Each
+    // micro-batch decodes the m7 hostile-media fixture, envelopes the
+    // result through sources.Quarantine, and lands BOTH channels under
+    // the committed-generation protocol: clean rows to the output
+    // store, quarantined rows to the shared sink — same exactly-once
+    // discipline as every e-tier store, pinned by a DRIVEN replay of
+    // batch 0 (a landed replay would double-count its quarantined
+    // docs and fail the hash). Oracle restates the fixture's damage
+    // rule (doc_id % 4 != 0 quarantines) batch-blind.
+    Q("e32_stream_quarantine",
+      (s, d) => {
+        import graft.sources.Quarantine
+        val stage = Scratch.dir("graft_e32_stage_").toString
+        val qsink = Scratch.dir("graft_e32_q_").toString + "/quarantine"
+        val cleanDir = Scratch.dir("graft_e32_c_").toString + "/clean"
+        val docs = Tables.documents(s, d).select("doc_id")
+        def landBoth(batch: org.apache.spark.sql.DataFrame, bid: Long): Unit = {
+          val media = graft.multimodal.MediaPipeline.decodeMeta(
+            graft.multimodal.MediaPipeline.withHostilePayload(batch)).toDF()
+            .withColumn("q", Quarantine.envelope(
+              struct(col("format"), col("width"), col("height")),
+              when(col("quarantined"),
+                lit("MediaQuarantined: undecodable payload"))))
+          graft.sources.Sinks.committedAppend(
+            Quarantine.quarantinedRows(media, "q", "media", "doc_id"),
+            qsink, bid)
+          graft.sources.Sinks.committedAppend(
+            Quarantine.split(media, "q")._1
+              .select(col("doc_id"), col("q.result.format").as("format")),
+            cleanDir, bid)
+        }
+        docs.where(col("doc_id") % 2 === 0)
+          .coalesce(1).write.mode("append").parquet(stage)
+        val stream = s.readStream.schema("doc_id LONG").parquet(stage)
+        runGatedStreamWith(s, stream,
+          (batch, _, bid) => if (!batch.isEmpty) landBoth(batch, bid)) { q =>
+          q.processAllAvailable()
+          docs.where(col("doc_id") % 2 === 1)
+            .coalesce(1).write.mode("append").parquet(stage)
+          q.processAllAvailable()
+        }
+        // DRIVEN replay of batch 0: must be a pure skip on both stores
+        landBoth(docs.where(col("doc_id") % 2 === 0), 0L)
+        val nClean = s.read.parquet(cleanDir).count()
+        s.read.parquet(qsink)
+          .groupBy("tier")
+          .agg(count(lit(1)).as("n_quarantined"),
+            countDistinct("doc_id").as("n_docs"),
+            sum(col("error").isNotNull.cast("long")).as("n_with_error"))
+          .withColumn("n_clean", lit(nClean))
+      },
+      Some("""SELECT 'media' AS tier,
+                count(*) FILTER (doc_id % 4 <> 0) AS n_quarantined,
+                count(DISTINCT doc_id) FILTER (doc_id % 4 <> 0) AS n_docs,
+                count(*) FILTER (doc_id % 4 <> 0) AS n_with_error,
+                count(*) FILTER (doc_id % 4 = 0) AS n_clean
+              FROM documents""")),
+
+    // ---- FULL OUTER stream-stream interval join (e30): completes the
+    // outer family (e12 inner, e28 left — VERDICT r8 directive 6).
+    // Beyond e28, the RIGHT side's unmatched rows now carry state
+    // semantics too: a purchase with no click in [-1h, 0] must emit
+    // null-padded exactly once, when the watermark proves no EARLIER
+    // click can still arrive and its state evicts (the e27/e11
+    // eviction-flush protocol: two closing flushes drive both legs'
+    // tails out). user_id coalesces across sides — a right-unmatched
+    // row has no click leg. Oracle = inner pairs UNION ALL clicks with
+    // no in-window purchase UNION ALL purchases with no in-window
+    // click; a missing right tail, a double emission, or an outer row
+    // for a matched key all fail the hash.
+    Q("e30_stream_full_outer_join",
+      (s, d) => {
+        val stageDir = stageEvents(s, d)
+        val maxUs = eventsMaxUs(s, d)
+        val outDir = runGatedStream(s,
+          graft.streaming.EventStreams.clickToPurchaseFull(
+            eventStream(s, stageDir))) { q =>
+          q.processAllAvailable()
+          for ((fid, hours) <- Seq((-1L, 36L), (-2L, 72L))) {
+            landFlush(s, stageDir, fid, maxUs + hours * 3600000000L)
+            q.processAllAvailable()
+          }
+        }
+        s.read.parquet(outDir)
+          .where(col("user_id") =!= -1L)
+          .select(col("click_id"), col("purchase_id"), col("user_id"))
+      },
+      Some("""WITH t AS (SELECT event_id, user_id, event_type,
+                       epoch_ns(ts) // 1000 AS ts_us FROM events),
+              c AS (SELECT * FROM t WHERE event_type = 'click'),
+              p AS (SELECT * FROM t WHERE event_type = 'purchase')
+              SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+                     c.user_id
+              FROM c JOIN p ON c.user_id = p.user_id
+                AND p.ts_us >= c.ts_us AND p.ts_us <= c.ts_us + 3600000000
+              UNION ALL
+              SELECT c.event_id, CAST(NULL AS BIGINT), c.user_id FROM c
+              WHERE NOT EXISTS (SELECT 1 FROM p
+                WHERE p.user_id = c.user_id
+                  AND p.ts_us >= c.ts_us
+                  AND p.ts_us <= c.ts_us + 3600000000)
+              UNION ALL
+              SELECT CAST(NULL AS BIGINT), p.event_id, p.user_id FROM p
+              WHERE NOT EXISTS (SELECT 1 FROM c
+                WHERE c.user_id = p.user_id
+                  AND p.ts_us >= c.ts_us
+                  AND p.ts_us <= c.ts_us + 3600000000)""")),
+
     // ---- Forward as-of join (j21): for each click, the user's NEXT
     // purchase — joinBackward's mirror through the same union-sort
     // rewrite (one shuffle of |L|+|R| rows on the key, no pairwise

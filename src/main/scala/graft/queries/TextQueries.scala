@@ -91,6 +91,66 @@ object TextQueries extends QueryPack {
        |                     FROM contrib GROUP BY doc_id
        |                     ORDER BY bm25 DESC, doc_id LIMIT $k)""".stripMargin
 
+  /** PRODUCTION serve path for the persisted BM25 index (t27/t28/t29 —
+    * VERDICT r8 directive 7): serve RECEIVES its query terms; it never
+    * scans the corpus — or the full df table — to construct the query.
+    * The terms map to their 64-way token-hash buckets through a LOCAL
+    * relation (`hash()` is Spark's own Murmur3, computed by the
+    * engine, never re-implemented driver-side), and BOTH the postings
+    * and the df reads are statically partition-pruned to those
+    * buckets, so serve I/O tracks the query's posting lists and df
+    * partials, never the corpus (df is vocab-sized — small next to
+    * postings, but a full scan per query is still O(vocab) I/O serve
+    * has no right to). df partials sum per token at serve time (the
+    * t28 additive layout; a fresh t27 index is the single-partial
+    * case), tokens summing to ≤0 drop (post-takedown ghosts, t29),
+    * and stats partials reduce to avgdl = sum(sum_dl)/sum(n) — exact
+    * integer sums, one terminal division, bit-identical to a rebuilt
+    * index's avg(). Returns the top-k plus `served_pruned` asserted
+    * from the EXECUTED plans of BOTH pruned reads (the j20/k18
+    * discipline).
+    */
+  private def bm25Serve(s: org.apache.spark.sql.SparkSession, idx: String,
+                        terms: Seq[String], k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val termsDf = s.createDataFrame(
+      java.util.Arrays.asList(terms.map(t =>
+        org.apache.spark.sql.Row(t)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("token",
+          org.apache.spark.sql.types.StringType))))
+      .withColumn("tb", pmod(hash(col("token")), lit(64)))
+    val buckets = termsDf.select("tb").collect().map(_.getInt(0))
+      .distinct.sorted.map(Integer.valueOf)
+    val dfRead = s.read.parquet(s"$idx/df")
+      .where(col("tb").isin(buckets: _*))
+    val postings = s.read.parquet(s"$idx/postings")
+      .where(col("tb").isin(buckets: _*))
+    def prunedPlan(df: org.apache.spark.sql.DataFrame): Boolean = {
+      val p = df.queryExecution.executedPlan.toString
+      p.contains("PartitionFilters: [") && p.contains("tb") &&
+        p.contains(" IN (")
+    }
+    val served_pruned = prunedPlan(postings) && prunedPlan(dfRead)
+    val qdf = dfRead.join(broadcast(termsDf.select("token")), "token")
+      .groupBy("token").agg(sum("df").as("df"))
+      .where(col("df") > 0)
+    val stats = s.read.parquet(s"$idx/stats")
+      .agg((sum(col("sum_dl")).cast("double") /
+        sum(col("n")).cast("double")).as("avgdl"),
+        sum(col("n")).as("n"))
+    postings
+      .join(broadcast(qdf), "token")
+      .join(s.read.parquet(s"$idx/dl"), "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), bm25Contrib.as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").cast("double").as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("served_pruned", lit(served_pruned))
+  }
+
   private val stopEn = "('the','a')"
   private val stopDe = "('der','die','das')"
   private val stopFr = "('le','la','les')"
@@ -698,38 +758,19 @@ object TextQueries extends QueryPack {
           .withColumn("tb", pmod(hash(col("token")), lit(64)))
           .write.partitionBy("tb").parquet(s"$idx/df")
         dl.write.parquet(s"$idx/dl")
-        dl.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n"))
+        // stats land as ADDITIVE partials (sum_dl, n) — the t28 layout
+        // from day one, so serve reduces them identically whether the
+        // index was built once or grown incrementally
+        dl.agg(sum("dl").as("sum_dl"), count(lit(1)).as("n"))
           .write.parquet(s"$idx/stats")
-        // ---- serve: pick the query (5 highest-df terms — small full
-        // scan of the df table), prune postings to the terms' buckets
-        val qrows = s.read.parquet(s"$idx/df")
-          .select(col("token"), col("df"), col("tb"))
+        // ---- query SELECTION (harness-side, not serve): the 5
+        // highest-df terms keep the gate deterministic. Serve itself
+        // receives the terms and reads df through the same bucket
+        // prune as postings (bm25Serve — VERDICT r8 directive 7).
+        val terms = s.read.parquet(s"$idx/df")
           .orderBy(col("df").desc, col("token")).limit(5)
-          .collect()
-        val buckets = qrows.map(_.getInt(2)).distinct.sorted
-        val qdf = s.createDataFrame(
-          java.util.Arrays.asList(qrows.map(r =>
-            org.apache.spark.sql.Row(r.getString(0), r.getLong(1))): _*),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("token",
-              org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("df",
-              org.apache.spark.sql.types.LongType))))
-        val postings = s.read.parquet(s"$idx/postings")
-          .where(col("tb").isin(buckets.map(Integer.valueOf): _*))
-        val pplan = postings.queryExecution.executedPlan.toString
-        val served_pruned = pplan.contains("PartitionFilters: [") &&
-          pplan.contains("tb") && pplan.contains(" IN (")
-        val scored = postings
-          .join(broadcast(qdf), "token")
-          .join(s.read.parquet(s"$idx/dl"), "doc_id")
-          .crossJoin(broadcast(s.read.parquet(s"$idx/stats")))
-          .select(col("doc_id"), bm25Contrib.as("c"))
-          .groupBy("doc_id")
-          .agg(sum("c").cast("double").as("bm25"))
-          .orderBy(col("bm25").desc, col("doc_id"))
-          .limit(20)
-        scored.withColumn("served_pruned", lit(served_pruned))
+          .select("token").collect().map(_.getString(0)).toSeq
+        bm25Serve(s, idx, terms, 20)
       },
       Some(s"""WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
               tf AS (SELECT doc_id, token, count(*) AS tf FROM words GROUP BY 1, 2),
@@ -779,38 +820,14 @@ object TextQueries extends QueryPack {
         val docs = Tables.documents(s, d)
         indexBatch(docs.where(col("doc_id") % 5 =!= 0)) // standing corpus
         indexBatch(docs.where(col("doc_id") % 5 === 0)) // appended batch
-        val qrows = s.read.parquet(s"$idx/df")
-          .groupBy("token", "tb").agg(sum("df").as("df"))
+        // query selection (harness-side): highest MERGED df; serve
+        // receives the terms and re-derives df through its own pruned
+        // read (bm25Serve)
+        val terms = s.read.parquet(s"$idx/df")
+          .groupBy("token").agg(sum("df").as("df"))
           .orderBy(col("df").desc, col("token")).limit(5)
-          .collect()
-        val buckets = qrows.map(_.getInt(1)).distinct.sorted
-        val qdf = s.createDataFrame(
-          java.util.Arrays.asList(qrows.map(r =>
-            org.apache.spark.sql.Row(r.getString(0), r.getLong(2))): _*),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("token",
-              org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("df",
-              org.apache.spark.sql.types.LongType))))
-        val postings = s.read.parquet(s"$idx/postings")
-          .where(col("tb").isin(buckets.map(Integer.valueOf): _*))
-        val pplan = postings.queryExecution.executedPlan.toString
-        val served_pruned = pplan.contains("PartitionFilters: [") &&
-          pplan.contains("tb") && pplan.contains(" IN (")
-        val stats = s.read.parquet(s"$idx/stats")
-          .agg((sum(col("sum_dl")).cast("double") /
-            sum(col("n")).cast("double")).as("avgdl"),
-            sum(col("n")).as("n"))
-        postings
-          .join(broadcast(qdf), "token")
-          .join(s.read.parquet(s"$idx/dl"), "doc_id")
-          .crossJoin(broadcast(stats))
-          .select(col("doc_id"), bm25Contrib.as("c"))
-          .groupBy("doc_id")
-          .agg(sum("c").cast("double").as("bm25"))
-          .orderBy(col("bm25").desc, col("doc_id"))
-          .limit(20)
-          .withColumn("served_pruned", lit(served_pruned))
+          .select("token").collect().map(_.getString(0)).toSeq
+        bm25Serve(s, idx, terms, 20)
       },
       Some(s"""WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
               tf AS (SELECT doc_id, token, count(*) AS tf FROM words GROUP BY 1, 2),
@@ -879,40 +896,16 @@ object TextQueries extends QueryPack {
             .join(broadcast(del), Seq("doc_id"), "left_anti")
             .write.parquet(tmp))
         del.unpersist()
-        // ---- serve (t27's path): sums now describe the SURVIVORS
-        val qrows = s.read.parquet(s"$idx/df")
-          .groupBy("token", "tb").agg(sum("df").as("df"))
+        // ---- serve (bm25Serve): the merged df sums now describe the
+        // SURVIVORS; query selection (harness-side) picks from the
+        // positive merged dfs, serve re-derives them through its own
+        // pruned read and drops ≤0 ghosts itself
+        val terms = s.read.parquet(s"$idx/df")
+          .groupBy("token").agg(sum("df").as("df"))
           .where(col("df") > 0)
           .orderBy(col("df").desc, col("token")).limit(5)
-          .collect()
-        val buckets = qrows.map(_.getInt(1)).distinct.sorted
-        val qdf = s.createDataFrame(
-          java.util.Arrays.asList(qrows.map(r =>
-            org.apache.spark.sql.Row(r.getString(0), r.getLong(2))): _*),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("token",
-              org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("df",
-              org.apache.spark.sql.types.LongType))))
-        val postings = s.read.parquet(s"$idx/postings")
-          .where(col("tb").isin(buckets.map(Integer.valueOf): _*))
-        val pplan = postings.queryExecution.executedPlan.toString
-        val served_pruned = pplan.contains("PartitionFilters: [") &&
-          pplan.contains("tb") && pplan.contains(" IN (")
-        val stats = s.read.parquet(s"$idx/stats")
-          .agg((sum(col("sum_dl")).cast("double") /
-            sum(col("n")).cast("double")).as("avgdl"),
-            sum(col("n")).as("n"))
-        postings
-          .join(broadcast(qdf), "token")
-          .join(s.read.parquet(s"$idx/dl"), "doc_id")
-          .crossJoin(broadcast(stats))
-          .select(col("doc_id"), bm25Contrib.as("c"))
-          .groupBy("doc_id")
-          .agg(sum("c").cast("double").as("bm25"))
-          .orderBy(col("bm25").desc, col("doc_id"))
-          .limit(20)
-          .withColumn("served_pruned", lit(served_pruned))
+          .select("token").collect().map(_.getString(0)).toSeq
+        bm25Serve(s, idx, terms, 20)
       },
       Some(s"""WITH surv AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
               words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM surv),

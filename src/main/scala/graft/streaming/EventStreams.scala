@@ -179,6 +179,33 @@ object EventStreams {
       .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"))
   }
 
+  /** FULL OUTER stream-stream interval join — completes the outer-join
+    * family (e12 inner, e28 left): unmatched CLICKS null-pad on the
+    * right and unmatched PURCHASES null-pad on the left, each emitted
+    * exactly once when the watermark proves no future match and its
+    * state evicts (the e27/e11 eviction-flush protocol drives the tail
+    * out). Same leg/watermark/flush discipline as [[clickToPurchaseOuter]];
+    * user_id coalesces across sides because a right-unmatched row has
+    * no click leg to carry it.
+    */
+  def clickToPurchaseFull(events: DataFrame): DataFrame = {
+    val clicks = events.where(col("event_type").isin("click", "flush"))
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = events.where(col("event_type").isin("purchase", "flush"))
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "2 hours")
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("interval 1 hour"),
+      "fullOuter")
+      .select(col("click_id"), col("purchase_id"),
+        coalesce(col("c_user"), col("p_user")).as("user_id"))
+  }
+
   /** File-source reader for a directory of event parquet files — the
     * production ingest shape (each micro-batch = newly landed files).
     * Same two-encoding policy as `sources.Tables`: legacy

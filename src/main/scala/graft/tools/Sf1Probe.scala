@@ -57,19 +57,42 @@ object Sf1Probe {
     // ABSENT like d24/d27: its gate pins k=4 cells, so within-cell
     // pairs grow quadratically at fixed k — production scales k with
     // the corpus (the pruning factor IS k), and the gate's job is
-    // verdict correctness, not the k-scaling policy.
-    // o16/a25 are absent for a different reason: they run over the
-    // relational dimension tables (customer/supplier) the sf1 replica
-    // does not scale — their plans are quota-broadcast / WindowGroupLimit
-    // bounded and SF-independent by construction.
+    // verdict correctness, not the k-scaling policy. (d24/d27 get
+    // their own per-pair rows via the `pairs` mode below.)
     "e27_stream_late_data", "e28_stream_outer_join", "e29_stream_dsir",
     "r13_label_propagation", "t31_token_entropy",
     "w7_running_distinct_users", "d28_embedding_decontaminate",
-    "j21_asof_forward")
+    "j21_asof_forward",
+    // round-9 additions: the replica now scales customer/supplier
+    // (replicate-v3), so the quota/top-k gates join the enforced table
+    // (VERDICT r8 directive 5) — o16 is quota-broadcast + one
+    // hash-partitioned window, a25 is WindowGroupLimit-bounded; both
+    // must track the scaled dimension linearly. Plus the round's new
+    // gates: d29 (distributed keep-list fold burst), e30 (full-outer
+    // stream-stream), e31 (DSIR drift — bucket-relation metric, flat),
+    // e32 (streaming quarantine — micro-batch overhead + decode scan).
+    "o16_quota_stratified", "a25_topk_per_group",
+    "d29_keeplist_burst_fold", "e30_stream_full_outer_join",
+    "e31_dsir_drift_refresh", "e32_stream_quarantine")
+
+  /** Replicate a raw parquet table n× with fresh surrogate keys
+    * (key·n + rep) — the dimension-table face of the ScaleProbe
+    * replication scheme, so gates over customer/supplier scale with
+    * the corpus instead of being excluded as unscaled dims.
+    */
+  private def replicateKeyed(spark: SparkSession, src: String,
+                             table: String, n: Int,
+                             keyCols: Set[String]): org.apache.spark.sql.DataFrame = {
+    val df = spark.read.parquet(s"$src/$table.parquet")
+    df.crossJoin(spark.range(n).toDF("rep"))
+      .select(df.columns.map(c =>
+        if (keyCols.contains(c)) (col(c) * n + col("rep")).as(c)
+        else col(c)): _*)
+  }
 
   def buildSf1(spark: SparkSession, src: String, dst: String): Unit = {
     val marker = java.nio.file.Paths.get(s"${dst}_src.txt")
-    val tag = s"$src n=10 replicate-v2" // v2: + events
+    val tag = s"$src n=10 replicate-v3" // v3: + customer/supplier dims
     val fresh = new java.io.File(dst).exists() &&
       java.nio.file.Files.exists(marker) &&
       java.nio.file.Files.readString(marker) == tag
@@ -78,6 +101,13 @@ object Sf1Probe {
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
     ScaleProbe.replicateVecs(spark, src, 10)
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    // dimension tables for the quota/top-k gates (o16/a25): fresh keys,
+    // group columns (c_mktsegment / s_nationkey) untouched so group
+    // cardinality stays fixed while group SIZE scales 10×
+    replicateKeyed(spark, src, "customer", 10, Set("c_custkey"))
+      .write.mode("overwrite").parquet(s"$dst/customer.parquet")
+    replicateKeyed(spark, src, "supplier", 10, Set("s_suppkey"))
+      .write.mode("overwrite").parquet(s"$dst/supplier.parquet")
     // events 10×: fresh event ids, 10× the user population, values
     // perturbed per replica — the raw-schema layout Tables.events reads
     spark.read.parquet(s"$src/events.parquet")
@@ -110,6 +140,27 @@ object Sf1Probe {
         val (_, t) = time(graft.SparkEntry.queries(name)(spark, dir).count())
         t
       }.min
+
+    // `pairs` mode: the OUTPUT-BOUND exact set joins (d24/d27) are
+    // excluded from the 12× wall-clock bar — the replication scheme
+    // keeps replica token sets τ-similar, so their true-pair OUTPUT
+    // grows ~100× per 10× docs — but their scaling claim ("per-pair
+    // cost falls with scale") must be PINNED at the 10× step, not
+    // asserted from sf0.01→0.1 (VERDICT r8 directive 5). One timed
+    // run per (gate, dir) reporting time, output pairs, and µs/pair.
+    if (args.contains("pairs")) {
+      for (g <- Seq("d24_setsim_join", "d27_containment_join");
+           dir <- Seq(sf01, sf1)) {
+        var pairs = 0L
+        val (_, t) = time {
+          pairs = graft.SparkEntry.queries(g)(spark, dir).count()
+        }
+        println(f"SF1PAIRS $g%-24s dir=$dir%-22s t=$t%8.2fs " +
+          f"pairs=$pairs%10d us_per_pair=${t * 1e6 / pairs}%8.3f")
+      }
+      spark.stop()
+      return
+    }
 
     var flags = 0
     for (g <- gates) {

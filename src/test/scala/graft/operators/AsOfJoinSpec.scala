@@ -67,6 +67,19 @@ class AsOfJoinSpec extends SparkSpec {
     assert(f == n)
   }
 
+  test("joinForward runs as an O(n) running frame, never UnboundedFollowing (ADVICE r9)") {
+    val (l, r) = fixture
+    val plan = AsOfJoin.joinForward(l, r, Seq("k"), "t", "t", Seq("rval"))
+      .queryExecution.executedPlan.toString.toLowerCase
+    // [currentRow, unboundedFollowing] lowers to Spark's
+    // UnboundedFollowingWindowFunctionFrame, which recomputes from each
+    // row to the partition end — O(n^2) per key group on hot keys. The
+    // descending-sort rewrite must keep the frame a running
+    // [unboundedPreceding, currentRow].
+    assert(!plan.contains("unboundedfollowing"), plan.take(800))
+    assert(plan.contains("unboundedpreceding"), plan.take(800))
+  }
+
   test("rangeCount counts right rows in [lower, upper) per left row") {
     val (l, r) = fixture
     val out = AsOfJoin.rangeCount(l, r, Seq("k"),
