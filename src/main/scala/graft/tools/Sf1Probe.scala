@@ -164,10 +164,19 @@ object Sf1Probe {
 
     var flags = 0
     for (g <- gates) {
-      val t01 = run(g, sf01)
-      val t1 = run(g, sf1)
+      var t01 = run(g, sf01)
+      var t1 = run(g, sf1)
+      def flagged = t1 > 0.35 && t1 / t01 > 12.0
+      if (flagged) {
+        // a flag must survive a clean third measurement of BOTH dirs
+        // before it counts — the 2-iteration min is still exposed to
+        // first-run JVM/codegen warmup at the jumbo dir (observed:
+        // m14's sf1 first pass at 45 s vs a 20 s clean median), and a
+        // scaling gate must fail on scaling, not on warmup
+        t01 = math.min(t01, run(g, sf01))
+        t1 = math.min(t1, run(g, sf1))
+      }
       val ratio = t1 / t01
-      val flagged = t1 > 0.35 && ratio > 12.0
       if (flagged) flags += 1
       println(f"SF1 $g%-28s sf0.1=$t01%6.2fs sf1=$t1%7.2fs ratio=$ratio%5.2fx" +
         (if (flagged) "  FLAG" else ""))
