@@ -113,6 +113,9 @@ object TextQueries extends QueryPack {
   private def bm25Serve(s: org.apache.spark.sql.SparkSession, idx: String,
                         terms: Seq[String], k: Int)
       : org.apache.spark.sql.DataFrame = {
+    // an empty query is caller error — isin() over zero buckets would
+    // quietly return an empty frame that LOOKS like "no matches"
+    require(terms.nonEmpty, "bm25Serve: query terms must be non-empty")
     val termsDf = s.createDataFrame(
       java.util.Arrays.asList(terms.map(t =>
         org.apache.spark.sql.Row(t)): _*),
