@@ -4,7 +4,11 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** EXACT set-similarity join via prefix filtering (the AllPairs /
-  * PPJoin candidate condition) — the LSH-free sibling of
+  * PPJoin candidate condition — Bayardo et al., "Scaling Up All Pairs
+  * Similarity Search", WWW'07; Xiao et al., "Efficient Similarity
+  * Joins for Near Duplicate Detection", WWW'08, both public
+  * literature; this is an original Spark-relational expression of the
+  * published filter conditions) — the LSH-free sibling of
   * [[MinHashLSH.candidatePairs]]: where LSH trades recall for
   * candidate count, the prefix filter is LOSSLESS (every pair at
   * Jaccard ≥ τ is guaranteed a candidate) and the verify step makes
