@@ -26,7 +26,14 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // default = the driver contract (local[32]) CLAMPED to the actual
+    // core count: on a smaller host an un-parameterized run must not
+    // oversubscribe 32 task threads (which would skew medians the
+    // opposite way from the r7/r8 undersubscription problem). The
+    // driver box has ≥32 cores, so the contract value survives there;
+    // SPARK_GRAFT_CPUS stays the explicit override either way.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -123,6 +123,38 @@ object KeepListStore {
     spark.conf.getOption("graft.keeplist.driverRemapBytes")
       .map(_.toLong).getOrElse(DriverRemapBytes)
 
+  /** AUTO-FOLD threshold (accumulated delta remap parquet bytes):
+    * appendBatch folds the store itself before landing a batch whose
+    * standing deltas exceed it, so an operator who never calls fold()
+    * gets a self-healing store instead of the 4M-entry hard error.
+    * Deliberately a SEPARATE knob from the dispatch threshold: a gate
+    * forcing the distributed closure (driverRemapBytes=0) must not
+    * also fold away the multi-delta remap composition it exists to
+    * exercise. NOTE: fold advances the history horizon — readAsOf
+    * snapshots older than the auto-fold point refuse, by the same
+    * contract as a manual fold.
+    */
+  private def autoFoldBytes(spark: SparkSession): Long =
+    spark.conf.getOption("graft.keeplist.autoFoldBytes")
+      .map(_.toLong).getOrElse(DriverRemapBytes)
+
+  /** One pinned distributed-closure frame per store dir (see
+    * [[closeRemapDistributed]]): computing a fresh closure for a dir
+    * releases the previous pin, and fold() releases the dir's pin once
+    * the folded base is durable — so repeated reads on a past-threshold
+    * store hold at most ONE cached closure, not one per read (the
+    * releasable-handle discipline, in registry form because read()
+    * hands a lazy frame to callers whose materialization point this
+    * module cannot see).
+    */
+  private val pinnedClosures =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def releasePinned(dir: String): Unit = {
+    val prev = pinnedClosures.remove(dir)
+    if (prev != null) prev.unpersist()
+  }
+
   /** DISTRIBUTED closure of a functional acyclic remap relation via
     * POINTER DOUBLING: each round joins the map with itself (right
     * side keyed on old_rep), so after round i every entry points 2^i
@@ -181,15 +213,27 @@ object KeepListStore {
       .filter(fs.exists(_))
     if (remapPaths.isEmpty) return None
     val bytes = remapPaths.map(fs.getContentSummary(_).getLength).sum
-    val reader = spark.read.schema(schema)
+    // defensive: both closures assume NO identity entries (the write
+    // path filters id != keep before committing a remap) — the driver
+    // resolve() and the distributed __moved test would each spin
+    // forever on old_rep == keep_id, so drop such rows at the source
+    // rather than letting a future write-path regression hang the read
+    val reader0 = spark.read.schema(schema)
+    def load(paths: Seq[Path]): DataFrame =
+      reader0.parquet(paths.map(_.toString): _*)
+        .where(col("old_rep") =!= col("keep_id"))
     if (bytes > remapDispatchBytes(spark)) {
-      val closed = closeRemapDistributed(
-        reader.parquet(remapPaths.map(_.toString): _*))
+      val closed = closeRemapDistributed(load(remapPaths))
       // a burst of EMPTY remap files can exceed no byte threshold, so
-      // the distributed branch never needs the raw.isEmpty escape
+      // the distributed branch never needs the raw.isEmpty escape;
+      // one pin per dir — a fresh closure releases the previous one
+      pinnedClosures.put(dir, closed) match {
+        case null => ()
+        case prev => prev.unpersist()
+      }
       return Some((closed, false))
     }
-    val raw = reader.parquet(remapPaths.map(_.toString): _*).collect()
+    val raw = load(remapPaths).collect()
     if (raw.isEmpty) return None
     // the guard is advisory pressure on the APPEND/READ paths; fold()
     // bypasses it — it is the remedy the message prescribes, and a
@@ -321,6 +365,17 @@ object KeepListStore {
     if (!fs.exists(stateDir) && Sinks.isCommittedGen(fs, bandsDir, batchId))
       return readRaw(spark, dir, idCol)
         .join(batchBands.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+    // AUTO-FOLD (fresh landings only — replays above stay O(1) skips):
+    // when the STANDING deltas' remap bytes exceed the threshold, fold
+    // before landing this batch. The check is the same free parquet-
+    // byte metadata the size dispatch uses, so an operator who never
+    // calls fold() still gets a store whose accumulated remap is
+    // bounded by (threshold + one batch) instead of the hard error.
+    val standingRemapBytes = stateDeltas(spark, dir)
+      .map(p => new Path(p, "remap")).filter(fs.exists(_))
+      .map(fs.getContentSummary(_).getLength).sum
+    if (standingRemapBytes > autoFoldBytes(spark))
+      fold(spark, dir, idCol)
     val nb = MinHashLSH.bucketCount(spark, bandsDir)
     val bb = MinHashLSH.withHashBucket(
         batchBands.select(col(idCol), col("band"), col("h")), nb)
@@ -458,5 +513,8 @@ object KeepListStore {
     val folded = readRaw(spark, dir, idCol, guarded = false).distinct()
     Sinks.swapRewrite(fs, s"$dir/base")(tmp => folded.write.parquet(tmp))
     stateDeltas(spark, dir).foreach(p => fs.delete(p, true))
+    // the folded base is durable and the deltas are gone — any cached
+    // distributed closure for this dir has nothing left to serve
+    releasePinned(dir)
   }
 }

@@ -102,6 +102,14 @@ object RelationalQueries extends QueryPack {
     * evaluating it per batch is free relative to any scoring run
     * (measured: tools.DsirRefreshProbe / PERF.md).
     *
+    * ZERO-MASS convention (the terminal division is 0/0 when a side
+    * has no target tokens, and NaN must never reach the decision):
+    * both sides empty → drift 0.0 / fresh (nothing to compare, nothing
+    * to refresh from); exactly one side empty → drift 1.0 / stale
+    * (total variation between a distribution and no-mass is maximal —
+    * a model frozen before the target language existed, or a live
+    * store whose target mass vanished, must refresh).
+    *
     * Returns one row: (drift DOUBLE, stale BOOLEAN).
     */
   private[graft] def dsirDrift(frozen: DataFrame, live: DataFrame,
@@ -121,11 +129,15 @@ object RelationalQueries extends QueryPack {
       .groupBy("ntf", "ntl")
       .agg(sum(col("d")).cast("decimal(38,0)").as("num"))
       .select(
-        (col("num").cast("double") /
-          (col("ntf").cast("decimal(38,0)") * col("ntl") * 2).cast("double"))
+        when(col("ntf") === 0 && col("ntl") === 0, lit(0.0))
+          .when(col("ntf") === 0 || col("ntl") === 0, lit(1.0))
+          .otherwise(col("num").cast("double") /
+            (col("ntf").cast("decimal(38,0)") * col("ntl") * 2).cast("double"))
           .as("drift"),
-        (col("num") * tauDen >=
-          col("ntf").cast("decimal(38,0)") * col("ntl") * (2 * tauNum))
+        when(col("ntf") === 0 && col("ntl") === 0, lit(false))
+          .when(col("ntf") === 0 || col("ntl") === 0, lit(true))
+          .otherwise(col("num") * tauDen >=
+            col("ntf").cast("decimal(38,0)") * col("ntl") * (2 * tauNum))
           .as("stale"))
   }
 

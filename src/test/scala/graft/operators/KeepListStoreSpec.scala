@@ -270,6 +270,70 @@ class KeepListStoreSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap == readMap(dir))
   }
 
+  test("auto-fold: a past-threshold store folds itself on the next append") {
+    val dir = graft.queries.Scratch.dir("klstore_auto_").toString
+    KeepListStore.backfill(
+      clique(1000, 30, 31).union(clique(2000, 20, 21)), "id", dir)
+    spark.conf.set("graft.keeplist.autoFoldBytes", "1")
+    try {
+      // batch 0 merges the components → a non-identity remap delta,
+      // whose parquet bytes exceed the 1-byte threshold
+      KeepListStore.appendBatch(
+        clique(1000, 40L).union(clique(2000, 40L)), "id", dir, 0L)
+      // batch 1's append must fold batch 0 FIRST (no manual fold
+      // anywhere), then land — the store self-heals
+      KeepListStore.appendBatch(clique(1000, 10L), "id", dir, 1L)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val surviving = fs.listStatus(
+          new org.apache.hadoop.fs.Path(s"$dir/state"))
+        .map(_.getPath.getName).filter(_.startsWith("batch=")).toSeq
+      assert(surviving == Seq("batch=1"), surviving.toString)
+      assert(readMap(dir).values.toSet == Set(10L))
+      // the auto-fold advanced the history horizon like a manual one
+      intercept[IllegalStateException] {
+        KeepListStore.readAsOf(spark, dir, "id", -1L).collect()
+      }
+    } finally spark.conf.unset("graft.keeplist.autoFoldBytes")
+  }
+
+  test("auto-fold never disturbs the pure-replay skip") {
+    val dir = graft.queries.Scratch.dir("klstore_autoreplay_").toString
+    KeepListStore.backfill(
+      clique(1000, 30, 31).union(clique(2000, 20, 21)), "id", dir)
+    KeepListStore.appendBatch(
+      clique(1000, 40L).union(clique(2000, 40L)), "id", dir, 0L)
+    spark.conf.set("graft.keeplist.autoFoldBytes", "1")
+    try {
+      // replay of batch 0 under an over-threshold store: must stay the
+      // O(1) skip — same assignments back, delta NOT folded away
+      val replay = KeepListStore.appendBatch(
+          clique(1000, 40L).union(clique(2000, 40L)), "id", dir, 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(replay == Set((40L, 20L)))
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      assert(fs.exists(
+        new org.apache.hadoop.fs.Path(s"$dir/state/batch=0")))
+    } finally spark.conf.unset("graft.keeplist.autoFoldBytes")
+  }
+
+  test("a poisoned identity remap entry is dropped at load, never spun on") {
+    import spark.implicits._
+    val dir = graft.queries.Scratch.dir("klstore_poison_").toString
+    KeepListStore.backfill(clique(1, 5, 6), "id", dir)
+    KeepListStore.appendBatch(clique(1, 2L), "id", dir, 0L) // remap (5 -> 2)
+    // a write-path regression lands an identity entry: both closure
+    // paths would loop forever on it without the load-time filter
+    Seq((7L, 7L)).toDF("old_rep", "keep_id").coalesce(1)
+      .write.mode("append").parquet(s"$dir/state/batch=0/remap")
+    val want = Map(2L -> 2L, 5L -> 2L, 6L -> 2L)
+    assert(readMap(dir) == want) // driver closure path: completes
+    spark.conf.set("graft.keeplist.driverRemapBytes", "0")
+    try assert(readMap(dir) == want) // distributed path: completes
+    finally spark.conf.unset("graft.keeplist.driverRemapBytes")
+  }
+
   test("horizon marker is claim-first: a crashed fold still refuses") {
     val dir = graft.queries.Scratch.dir("klstore_hzncrash_").toString
     KeepListStore.backfill(clique(1, 7, 8), "id", dir)

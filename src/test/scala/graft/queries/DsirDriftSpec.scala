@@ -49,6 +49,19 @@ class DsirDriftSpec extends SparkSpec {
     assert(d == 1.0 && s)
   }
 
+  test("zero target mass is an explicit convention, never NaN") {
+    // both sides massless -> nothing to compare, nothing to refresh from
+    val z = counts((1L, 10L, 0L), (2L, 5L, 0L))
+    val (d0, s0) = drift(z, z, 1, 10)
+    assert(d0 == 0.0 && !s0)
+    // one side massless, the other not -> maximal shift, must refresh
+    val m = counts((1L, 10L, 4L))
+    val (d1, s1) = drift(z, m, 1, 10)
+    assert(d1 == 1.0 && s1)
+    val (d2, s2) = drift(m, z, 1, 10)
+    assert(d2 == 1.0 && s2)
+  }
+
   test("drift is invariant to row order and partitioning") {
     val f = counts((1L, 0L, 7L), (2L, 0L, 3L), (3L, 0L, 5L))
     val l = counts((3L, 0L, 1L), (1L, 0L, 9L), (2L, 0L, 5L))
