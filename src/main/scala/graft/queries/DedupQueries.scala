@@ -485,6 +485,67 @@ object DedupQueries extends QueryPack {
               SELECT doc_id, min(r) AS keep_id, TRUE AS folded
               FROM reach GROUP BY doc_id""")),
 
+    // ---- AUTO-FOLD lifecycle (d31): the self-healing face of the
+    // store — d29 proved fold() scales past the dispatch threshold,
+    // but fold was still a MANUAL remedy; this gate drives three
+    // merge-burst batches with the auto-fold threshold forced low and
+    // NEVER calls fold() — appendBatch itself must fold the standing
+    // deltas before each landing (batch k's append folds batch k−1),
+    // leaving exactly one surviving delta and a read identical to the
+    // batch-blind closure. Topology: singleton backfill, then the
+    // d23 chain bridges split across batches by doc_id % 3, so every
+    // batch generates real remap entries (merges re-electing reps)
+    // and remaps COMPOSE across the auto-folds. `auto_folded` asserts
+    // the state dir holds only the last batch — the store healed
+    // itself. Oracle: recursive closure over the full bridge graph,
+    // batch- and fold-blind.
+    Q("d31_keeplist_auto_fold",
+      (s, d) => {
+        import graft.operators.KeepListStore
+        val ids = Tables.documents(s, d).select("doc_id")
+        val dir = Scratch.dir("graft_d31_").resolve("kl").toString
+        KeepListStore.backfill(
+          ids.select(col("doc_id"), lit(0).as("band"),
+            col("doc_id").as("h")), "doc_id", dir)
+        withConf(s, "graft.keeplist.autoFoldBytes", "1") {
+          for (k <- 0 until 3) {
+            val linked = ids.where(col("doc_id") % 8 =!= 0 &&
+              col("doc_id") % 3 === k)
+            val bid = (col("doc_id") + (k + 1) * 100000000L).as("doc_id")
+            KeepListStore.appendBatch(
+              linked.select(bid, lit(0).as("band"), col("doc_id").as("h"))
+                .unionByName(linked.select(bid, lit(0).as("band"),
+                  (col("doc_id") - 1).as("h"))),
+              "doc_id", dir, k.toLong)
+          }
+        }
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          s.sparkContext.hadoopConfiguration)
+        val surviving = fs.listStatus(
+            new org.apache.hadoop.fs.Path(s"$dir/state"))
+          .map(_.getPath.getName).filter(_.startsWith("batch=")).toSeq
+        KeepListStore.read(s, dir, "doc_id")
+          .withColumn("auto_folded", lit(surviving == Seq("batch=2")))
+      },
+      Some("""WITH RECURSIVE
+              br AS (SELECT doc_id,
+                       doc_id + (doc_id % 3 + 1) * 100000000 AS bid
+                     FROM documents WHERE doc_id % 8 <> 0),
+              nodes AS (SELECT doc_id FROM documents
+                        UNION ALL SELECT bid FROM br),
+              edges AS (SELECT bid AS src, doc_id AS dst FROM br
+                        UNION ALL
+                        SELECT b.bid, a.doc_id FROM br b
+                        JOIN documents a ON a.doc_id = b.doc_id - 1),
+              sym AS (SELECT src, dst FROM edges
+                      UNION ALL SELECT dst, src FROM edges),
+              reach(doc_id, r) AS (
+                SELECT doc_id, doc_id FROM nodes
+                UNION
+                SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.doc_id)
+              SELECT doc_id, min(r) AS keep_id, TRUE AS auto_folded
+              FROM reach GROUP BY doc_id""")),
+
     // ---- INCREMENTAL dedup against a PERSISTED fingerprint index (the
     // shape a 100 TB deployment actually runs): the corpus (doc_id % 5
     // != 0) is fingerprinted ONCE into a parquet band index; when the
@@ -1165,6 +1226,41 @@ object DedupQueries extends QueryPack {
       Some("""WITH t AS (SELECT doc_id,
                 unnest(list_distinct(string_split(text, ' '))) AS tok
               FROM documents),
+              sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY 1),
+              ov AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+                       count(*) AS inter_sz
+                     FROM t a JOIN t b
+                       ON a.tok = b.tok AND a.doc_id <> b.doc_id
+                     GROUP BY 1, 2)
+              SELECT ia, ib, inter_sz, sa.n AS na, sb.n AS nb,
+                inter_sz / sa.n AS containment
+              FROM ov
+              JOIN sz sa ON sa.doc_id = ia
+              JOIN sz sb ON sb.doc_id = ib
+              WHERE 20 * inter_sz >= 19 * sa.n""")),
+
+    // ---- Containment join on a REALISTIC Zipfian vocabulary (d30):
+    // d27 measures the b-side suffix bound on the adversarial 31-token
+    // corpus — the worst case, where every posting is hot. This gate
+    // runs the SAME operator over the documents' word-TRIGRAM sets
+    // (16k+ distinct shingles at sf0.01, df max 7 / median 1 — the
+    // long-tailed distribution a real corpus has), where the bound's
+    // claimed real-world win applies: shingles absent from every probe
+    // prefix drop out of the b side entirely via the minNa semi-join.
+    // The pruning fraction is PINNED in tools.SetSimProbe's `zipf`
+    // mode (PERF.md row); the oracle is the unchanged brute-force
+    // directed self-join, restated over trigrams (the duckBandsChain
+    // shingle expression — the established word_ngrams(w,3) dual).
+    Q("d30_containment_zipf",
+      (s, d) => graft.operators.SetSimJoin.containmentJoin(
+        withShingles(Tables.documents(s, d)), "doc_id", col("sh"), 19, 20),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents),
+              sh AS (SELECT doc_id,
+                       list_distinct(list_transform(range(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+                     FROM w),
+              t AS (SELECT doc_id, unnest(g) AS tok FROM sh),
               sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY 1),
               ov AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
                        count(*) AS inter_sz

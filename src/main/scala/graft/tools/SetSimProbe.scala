@@ -19,6 +19,102 @@ object SetSimProbe {
       println(f"SETSIM $label%-16s ${(System.nanoTime() - t0) / 1e9}%6.2fs rows=$n")
     }
     val docs = Tables.documents(spark, d).withColumn("w", split(col("text"), " "))
+
+    // ===== `var` mode (round 10): the d24 VARIANCE probe — the same
+    // jaccardJoin swings 13–20 s at sf0.1 with no code change. The
+    // A/B discriminates the cache-pinning hypothesis: the GATE uses
+    // the handle-free overload, whose interning cache stays pinned
+    // until the plan is GC'd (nondeterministic), so successive runs in
+    // one session (a bench pass) inherit whatever storage the
+    // ContextCleaner has or hasn't reclaimed. Interleaved series:
+    // `pinned` = the gate shape; `released` = releasable handle run
+    // after the count. Per run: wall, GC-time delta, heap before/
+    // after, cached-RDD count going in.
+    if (args.contains("var")) {
+      import scala.jdk.CollectionConverters._
+      val iters = args.find(_.forall(_.isDigit)).map(_.toInt).getOrElse(8)
+      val gcBeans = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.asScala
+      def gcMs = gcBeans.map(_.getCollectionTime).sum
+      def heapGb = java.lang.management.ManagementFactory.getMemoryMXBean
+        .getHeapMemoryUsage.getUsed / 1e9
+      for (i <- 1 to iters; mode <- Seq("pinned", "released")) {
+        if (args.contains("gc")) { System.gc(); Thread.sleep(3000) }
+        val cached0 = spark.sparkContext.getPersistentRDDs.size
+        val (gc0, h0, t0) = (gcMs, heapGb, System.nanoTime())
+        val n = mode match {
+          case "pinned" => graft.operators.SetSimJoin
+            .jaccardJoin(docs, "doc_id", col("w"), 4, 5).count()
+          case _ =>
+            val (df, rel) = graft.operators.SetSimJoin
+              .jaccardJoinReleasable(docs, "doc_id", col("w"), 4, 5)
+            try df.count() finally rel()
+        }
+        println(f"SETSIMVAR i=$i%2d mode=$mode%-8s " +
+          f"t=${(System.nanoTime() - t0) / 1e9}%6.2fs " +
+          f"gc=${gcMs - gc0}%6dms heap=$h0%5.1f->$heapGb%5.1fGB " +
+          f"cachedRDDs=$cached0%3d pairs=$n%d")
+      }
+      spark.stop()
+      return
+    }
+
+    // ===== `zipf` mode (round 10, d30): the containment b-side bound
+    // on the documents' word-TRIGRAM sets — the realistic long-tailed
+    // vocabulary, where the claimed real-world win ("ids absent from
+    // every probe prefix drop out entirely via the minNa semi-join")
+    // is measurable rather than asserted. Prints posting/candidate
+    // counts with and without the bound → the PERF.md pruning row.
+    if (args.contains("zipf")) {
+      graft.GraftExtensions.registerNative(spark)
+      val d3 = docs.withColumn("sh", expr("array_distinct(word_ngrams(w, 3))"))
+      val base3 = d3.select(col("doc_id").cast("long").as("id"),
+          col("sh").as("ts")).where(size(col("ts")) > 0)
+      val freq3 = base3.select(explode(col("ts")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      t("zipf-vocab") { freq3.count() }
+      import org.apache.spark.sql.expressions.Window
+      val tid3 = freq3.select(col("tok"),
+        row_number().over(Window.orderBy(col("df"), col("tok"))).as("tid"))
+      val bI = base3.select(col("id"), explode(col("ts")).as("tok"))
+        .join(tid3, "tok")
+        .groupBy("id")
+        .agg(sort_array(collect_list(col("tid"))).as("its"),
+          count(lit(1)).cast("int").as("n"))
+        .persist()
+      t("zipf-docs") { bI.count() }
+      val (cn, cd) = (19, 20)
+      val pl = (col("n") - (col("n") * cn + cd - 1)
+        .divide(cd).cast("int") + 1)
+      val aZ = bI.select(col("id"), col("n"),
+          posexplode(slice(col("its"), lit(1), pl)).as(Seq("p0", "tid")))
+        .select(col("id").as("ia"), col("n").as("na"),
+          (col("p0") + 1).as("pa"), col("tid"))
+      val bZ = bI.select(col("id"), col("n"),
+          posexplode(col("its")).as(Seq("p0", "tid")))
+        .select(col("id").as("ib"), col("n").as("nb"),
+          (col("p0") + 1).as("pb"), col("tid"))
+      t("zipf-b-postings") { bZ.count() }
+      val mnA = aZ.groupBy("tid").agg(min(col("na")).as("min_na"))
+      t("zipf-prefix-vocab") { mnA.count() }
+      val bZp = bZ.join(mnA, "tid")
+        .where(col("nb") - col("pb") + 1 >=
+          (col("min_na") * cn + cd - 1).divide(cd).cast("int"))
+        .drop("min_na")
+      t("zipf-b-pruned") { bZp.count() }
+      def cands(bs: org.apache.spark.sql.DataFrame) =
+        aZ.join(bs, "tid").where(col("ia") =!= col("ib"))
+      t("zipf-raw-unbounded") { cands(bZ).count() }
+      t("zipf-raw-bounded") { cands(bZp).count() }
+      t("zipf-end-to-end") {
+        graft.operators.SetSimJoin.containmentJoin(
+          d3, "doc_id", col("sh"), cn, cd).count()
+      }
+      bI.unpersist()
+      spark.stop()
+      return
+    }
+
     val base = docs
       .select(col("doc_id").cast("long").as("id"),
         array_distinct(col("w")).as("ts"))
