@@ -111,11 +111,31 @@ object TextQueries extends QueryPack {
     * discipline).
     */
   private def bm25Serve(s: org.apache.spark.sql.SparkSession, idx: String,
-                        terms: Seq[String], k: Int)
+                        terms: Seq[String], k: Int,
+                        asOf: Option[Long] = None)
       : org.apache.spark.sql.DataFrame = {
     // an empty query is caller error — isin() over zero buckets would
     // quietly return an empty frame that LOOKS like "no matches"
     require(terms.nonEmpty, "bm25Serve: query terms must be non-empty")
+    // AS-OF serve (t32, the s18/d23 contract on the retrieval index):
+    // when the index carries a `gen` partition level, gen ≤ asOf is a
+    // SECOND static prune on the same scans — a past state is a subset
+    // union of immutable generation dirs, never a reconstruction.
+    // Compacted generations are gone by construction, so a snapshot at
+    // or before the manifest's max folded id REFUSES loudly instead of
+    // silently serving the folded (later) state.
+    for (g <- asOf;
+         m <- graft.sources.Sinks.maxFoldedGen(
+           org.apache.hadoop.fs.FileSystem.get(
+             s.sparkContext.hadoopConfiguration), s"$idx/postings")
+         if m > g)
+      throw new IllegalStateException(
+        s"as-of gen $g predates the compaction horizon $m of $idx — " +
+          "folded generations are not reconstructible; snapshot before " +
+          "compacting or keep more history")
+    def genPrune(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      asOf.map(g => df.where(col("gen") <= lit(g.toInt))).getOrElse(df)
     val termsDf = s.createDataFrame(
       java.util.Arrays.asList(terms.map(t =>
         org.apache.spark.sql.Row(t)): _*),
@@ -125,10 +145,10 @@ object TextQueries extends QueryPack {
       .withColumn("tb", pmod(hash(col("token")), lit(64)))
     val buckets = termsDf.select("tb").collect().map(_.getInt(0))
       .distinct.sorted.map(Integer.valueOf)
-    val dfRead = s.read.parquet(s"$idx/df")
-      .where(col("tb").isin(buckets: _*))
-    val postings = s.read.parquet(s"$idx/postings")
-      .where(col("tb").isin(buckets: _*))
+    val dfRead = genPrune(s.read.parquet(s"$idx/df")
+      .where(col("tb").isin(buckets: _*)))
+    val postings = genPrune(s.read.parquet(s"$idx/postings")
+      .where(col("tb").isin(buckets: _*)))
     def prunedPlan(df: org.apache.spark.sql.DataFrame): Boolean = {
       val p = df.queryExecution.executedPlan.toString
       p.contains("PartitionFilters: [") && p.contains("tb") &&
@@ -138,13 +158,14 @@ object TextQueries extends QueryPack {
     val qdf = dfRead.join(broadcast(termsDf.select("token")), "token")
       .groupBy("token").agg(sum("df").as("df"))
       .where(col("df") > 0)
-    val stats = s.read.parquet(s"$idx/stats")
+    val stats = genPrune(s.read.parquet(s"$idx/stats"))
       .agg((sum(col("sum_dl")).cast("double") /
         sum(col("n")).cast("double")).as("avgdl"),
         sum(col("n")).as("n"))
     postings
       .join(broadcast(qdf), "token")
-      .join(s.read.parquet(s"$idx/dl"), "doc_id")
+      .join(genPrune(s.read.parquet(s"$idx/dl"))
+        .select(col("doc_id"), col("dl")), "doc_id")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), bm25Contrib.as("c"))
       .groupBy("doc_id")
@@ -922,6 +943,88 @@ object TextQueries extends QueryPack {
                   $bm25ContribSql AS c
                 FROM tf JOIN q USING (token) JOIN dl USING (doc_id) CROSS JOIN stats)
               SELECT doc_id, cast(sum(c) AS double) AS bm25, TRUE AS served_pruned
+              FROM contrib GROUP BY doc_id
+              ORDER BY bm25 DESC, doc_id LIMIT 20""")),
+
+    // ---- TIME-TRAVEL serve of the inverted index (t32): the missing
+    // lifecycle face — IVF has s18 and the keep-list d23, but a
+    // training snapshot could not pin the exact retrieval state it was
+    // built against. The index lands in GENERATION partition dirs
+    // (gen, tb for the bucketed tables; gen for dl/stats), so a past
+    // state is a subset union: serve as-of g adds gen ≤ g as a SECOND
+    // static prune on the same scans — `served_pruned` still asserts
+    // the executed plans' PartitionFilters. The contract mirrors d23
+    // end-to-end in `asof_contract`: the at-head snapshot serves
+    // byte-identically to the generation-blind view, and after a
+    // compaction folds the generations, the pre-horizon snapshot
+    // REFUSES loudly (claim-first manifest). Oracle: BM25 over the
+    // batch-0 world only (even docs), batch- and layout-blind.
+    Q("t32_bm25_index_asof",
+      (s, d) => {
+        val base = Scratch.dir("graft_t32_")
+        val idx = base.resolve("idx").toString
+        def land(docs: org.apache.spark.sql.DataFrame, g: Long): Unit = {
+          val words = docs
+            .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+          val tf = words.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+          tf.withColumn("tb", pmod(hash(col("token")), lit(64)))
+            .withColumn("gen", lit(g))
+            .write.mode("append").partitionBy("gen", "tb")
+            .parquet(s"$idx/postings")
+          tf.groupBy("token").agg(count(lit(1)).as("df"))
+            .withColumn("tb", pmod(hash(col("token")), lit(64)))
+            .withColumn("gen", lit(g))
+            .write.mode("append").partitionBy("gen", "tb").parquet(s"$idx/df")
+          val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+          dl.withColumn("gen", lit(g))
+            .write.mode("append").partitionBy("gen").parquet(s"$idx/dl")
+          dl.agg(sum("dl").as("sum_dl"), count(lit(1)).as("n"))
+            .withColumn("gen", lit(g))
+            .write.mode("append").partitionBy("gen").parquet(s"$idx/stats")
+        }
+        val docs = Tables.documents(s, d)
+        land(docs.where(col("doc_id") % 2 === 0), 0L)
+        land(docs.where(col("doc_id") % 2 === 1), 1L)
+        // query selection (harness-side): top df within the SNAPSHOT's
+        // world — as-of must not see batch 1 even through the terms
+        val terms = s.read.parquet(s"$idx/df").where(col("gen") <= 0)
+          .groupBy("token").agg(sum("df").as("df"))
+          .orderBy(col("df").desc, col("token")).limit(5)
+          .select("token").collect().map(_.getString(0)).toSeq
+        // materialize the snapshot BEFORE the compaction below — the
+        // serve is lazy and the fold destroys the very gens it reads
+        val outDir = base.resolve("asof0").toString
+        bm25Serve(s, idx, terms, 20, asOf = Some(0L)).write.parquet(outDir)
+        // at-head consistency: gen ≤ head ≡ generation-blind
+        val termsHead = s.read.parquet(s"$idx/df")
+          .groupBy("token").agg(sum("df").as("df"))
+          .orderBy(col("df").desc, col("token")).limit(5)
+          .select("token").collect().map(_.getString(0)).toSeq
+        val headConsistent = bm25Serve(s, idx, termsHead, 20, asOf = Some(1L))
+          .unionByName(bm25Serve(s, idx, termsHead, 20))
+          .groupBy("doc_id", "bm25", "served_pruned").count()
+          .where(col("count") =!= 2).isEmpty
+        // compaction advances the horizon; the folded snapshot refuses
+        graft.sources.Sinks.compactGenerations(s, s"$idx/postings", Some("tb"))
+        val loud =
+          try { bm25Serve(s, idx, terms, 20, asOf = Some(0L)); false }
+          catch { case _: IllegalStateException => true }
+        s.read.parquet(outDir)
+          .withColumn("asof_contract", lit(headConsistent && loud))
+      },
+      Some(s"""WITH surv AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+              words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM surv),
+              tf AS (SELECT doc_id, token, count(*) AS tf FROM words GROUP BY 1, 2),
+              dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+              stats AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
+              dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+              q AS (SELECT token, df FROM dfreq ORDER BY df DESC, token LIMIT 5),
+              contrib AS (
+                SELECT doc_id,
+                  $bm25ContribSql AS c
+                FROM tf JOIN q USING (token) JOIN dl USING (doc_id) CROSS JOIN stats)
+              SELECT doc_id, cast(sum(c) AS double) AS bm25, TRUE AS served_pruned,
+                TRUE AS asof_contract
               FROM contrib GROUP BY doc_id
               ORDER BY bm25 DESC, doc_id LIMIT 20""")),
 
