@@ -52,14 +52,39 @@ object RelationalQueries extends QueryPack {
   private[graft] def dsirSelect(s: SparkSession, d: String,
                                   counts: DataFrame): DataFrame = {
     val docs = Tables.documents(s, d)
+    dsirScore(docs, dsirModel(counts))
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .withColumn("weight",
+        col("wsum").cast("double") / col("ntok").cast("double"))
+      .orderBy(col("weight").desc, col("doc_id"))
+      .limit(50)
+      .select("doc_id", "lang", "weight")
+  }
+
+  /** The llr model relation from a (b, cr, ct) counts relation — fixed
+    * ≤4096 rows, broadcast at any corpus size. Split out of
+    * [[dsirSelect]] so the incremental tier (o18) scores against the
+    * SAME model arithmetic the direct fit uses.
+    */
+  private[graft] def dsirModel(counts: DataFrame): DataFrame = {
     val n = counts.agg(sum("cr").as("nr"), sum("ct").as("nt"))
-    val model = counts.crossJoin(broadcast(n))
+    counts.crossJoin(broadcast(n))
       .select(col("b"),
         (round(log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
           (col("nt") + 4096L).cast("double")), 6).cast("decimal(18,6)")
           - round(log((col("cr") + 1).cast("double") /
             (col("nr") + 4096L).cast("double")), 6).cast("decimal(18,6)"))
           .as("llr"))
+  }
+
+  /** Per-doc ADDITIVE score partials (doc_id, wsum DECIMAL, ntok)
+    * against a broadcast model: one tokenize pass over exactly the
+    * docs given — the incremental discipline's unit of work, and the
+    * decimal wsum parquet-round-trips exactly, so a selection over
+    * persisted per-batch partials is bit-identical to a monolithic
+    * re-score through the same function.
+    */
+  private[graft] def dsirScore(docs: DataFrame, model: DataFrame): DataFrame = {
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .select(col("doc_id"),
@@ -70,12 +95,6 @@ object RelationalQueries extends QueryPack {
       .groupBy("doc_id")
       .agg(sum(col("llr") * col("tf").cast("decimal(10,0)")).as("wsum"),
         sum("tf").as("ntok"))
-      .join(docs.select("doc_id", "lang"), "doc_id")
-      .withColumn("weight",
-        col("wsum").cast("double") / col("ntok").cast("double"))
-      .orderBy(col("weight").desc, col("doc_id"))
-      .limit(50)
-      .select("doc_id", "lang", "weight")
   }
 
   /** DSIR model STALENESS metric (the s15 discipline applied to the
@@ -1580,6 +1599,137 @@ object RelationalQueries extends QueryPack {
                     FROM tf JOIN model USING (b) GROUP BY 1)
               SELECT d.doc_id, d.lang,
                 wsum::DOUBLE / ntok::DOUBLE AS weight
+              FROM w JOIN documents d USING (doc_id)
+              ORDER BY weight DESC, d.doc_id LIMIT 50""")),
+
+    // ---- DSIR model AS-OF (o17): the model generations were
+    // committed (e29) and drift-gated (e31) but not ADDRESSABLE — a
+    // training snapshot could not pin which model selected it. The
+    // additive layout makes a past model a subset union of partials
+    // (gen ≤ b merged), exactly the d23/s18/t32 discipline; the
+    // contract column asserts the at-head model equals the
+    // generation-blind merge AND that compaction advances a horizon
+    // the pre-fold snapshot refuses past. Oracle: o15's selection
+    // under the model fit on batch 0's world only (even docs),
+    // scored over the full corpus, batch-blind.
+    Q("o17_dsir_model_asof",
+      (s, d) => {
+        val dir = Scratch.dir("graft_o17_").toString + "/counts"
+        val docs = Tables.documents(s, d)
+        graft.sources.Sinks.committedAppend(
+          dsirCounts(docs.where(col("doc_id") % 2 === 0)), dir, 0L)
+        graft.sources.Sinks.committedAppend(
+          dsirCounts(docs.where(col("doc_id") % 2 === 1)), dir, 1L)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          s.sparkContext.hadoopConfiguration)
+        def modelAsOf(g: Long): DataFrame = {
+          for (m <- graft.sources.Sinks.maxFoldedGen(fs, dir) if m > g)
+            throw new IllegalStateException(
+              s"as-of gen $g predates the compaction horizon $m of $dir — " +
+                "folded model partials are not reconstructible; snapshot " +
+                "before compacting or keep more history")
+          s.read.parquet(dir).where(col("gen") <= lit(g.toInt))
+            .groupBy("b").agg(sum("cr").as("cr"), sum("ct").as("ct"))
+        }
+        // the snapshot selection — materialized before the fold below
+        val outDir = Scratch.dir("graft_o17_out_").resolve("sel").toString
+        dsirSelect(s, d, modelAsOf(0L)).write.parquet(outDir)
+        // at-head ≡ generation-blind: equal COUNTS relations imply
+        // equal models and selections (cheap 4096-row compare)
+        val blind = s.read.parquet(dir).groupBy("b")
+          .agg(sum("cr").as("cr"), sum("ct").as("ct"))
+        val headConsistent = modelAsOf(1L).unionByName(blind)
+          .groupBy("b", "cr", "ct").count()
+          .where(col("count") =!= 2).isEmpty
+        graft.sources.Sinks.compactGenerations(s, dir, None)
+        val loud =
+          try { modelAsOf(0L); false }
+          catch { case _: IllegalStateException => true }
+        s.read.parquet(outDir)
+          .withColumn("asof_contract", lit(headConsistent && loud))
+      },
+      Some("""WITH tok AS (SELECT doc_id, lang,
+                CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 4096 AS b
+              FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+                    FROM documents)),
+              etok AS (SELECT * FROM tok WHERE doc_id % 2 = 0),
+              cr AS (SELECT b, count(*) AS cr FROM etok GROUP BY 1),
+              ct AS (SELECT b, count(*) AS ct FROM etok WHERE lang = 'de' GROUP BY 1),
+              n AS (SELECT count(*) AS nr,
+                      count(*) FILTER (lang = 'de') AS nt FROM etok),
+              model AS (SELECT cr.b,
+                  round(ln((coalesce(ct.ct, 0) + 1) / (n.nt + 4096)), 6)::DECIMAL(18,6)
+                - round(ln((cr.cr + 1) / (n.nr + 4096)), 6)::DECIMAL(18,6) AS llr
+                FROM cr LEFT JOIN ct ON cr.b = ct.b CROSS JOIN n),
+              tf AS (SELECT doc_id, b, count(*) AS tf FROM tok GROUP BY 1, 2),
+              w AS (SELECT doc_id, sum(llr * tf::DECIMAL(10,0)) AS wsum,
+                      sum(tf) AS ntok
+                    FROM tf JOIN model USING (b) GROUP BY 1)
+              SELECT d.doc_id, d.lang,
+                wsum::DOUBLE / ntok::DOUBLE AS weight, TRUE AS asof_contract
+              FROM w JOIN documents d USING (doc_id)
+              ORDER BY weight DESC, d.doc_id LIMIT 50""")),
+
+    // ---- INCREMENTAL DSIR scoring (o18): e31's refresh re-scored the
+    // CORPUS — correct, but corpus-linear per refresh. The per-doc
+    // score partials (wsum decimal, ntok) are themselves additive
+    // facts that never change while the model is fixed, so each batch
+    // tokenizes and scores ONLY ITS OWN docs against the broadcast
+    // model and lands the partials under the committed-generation
+    // protocol (batch 1's replay is DRIVEN and must skip — a landed
+    // replay double-selects every odd doc); the selection is a top-50
+    // over the merged persisted partials, BIT-IDENTICAL to the
+    // monolithic re-score because dsirScore is one function and
+    // decimal wsum parquet-round-trips exactly —
+    // `incremental_consistent` asserts it in-gate against the full
+    // dsirSelect. The refresh-step economics (score one batch vs
+    // re-score the corpus) are pinned in tools.DsirRefreshProbe.
+    Q("o18_dsir_incremental_score",
+      (s, d) => {
+        val dir = Scratch.dir("graft_o18_").toString + "/scores"
+        val docs = Tables.documents(s, d)
+        val frozen = dsirCounts(docs.where(col("doc_id") % 2 === 0))
+        val model = dsirModel(frozen)
+        graft.sources.Sinks.committedAppend(
+          dsirScore(docs.where(col("doc_id") % 2 === 0), model), dir, 0L)
+        graft.sources.Sinks.committedAppend(
+          dsirScore(docs.where(col("doc_id") % 2 === 1), model), dir, 1L)
+        // driven replay of batch 1: exactly-once or the hash fails
+        graft.sources.Sinks.committedAppend(
+          dsirScore(docs.where(col("doc_id") % 2 === 1), model), dir, 1L)
+        val sel = s.read.parquet(dir)
+          .select("doc_id", "wsum", "ntok")
+          .join(docs.select("doc_id", "lang"), "doc_id")
+          .withColumn("weight",
+            col("wsum").cast("double") / col("ntok").cast("double"))
+          .orderBy(col("weight").desc, col("doc_id"))
+          .limit(50)
+          .select("doc_id", "lang", "weight")
+        val consistent = sel.unionByName(dsirSelect(s, d, frozen))
+          .groupBy("doc_id", "lang", "weight").count()
+          .where(col("count") =!= 2).isEmpty
+        sel.withColumn("incremental_consistent", lit(consistent))
+      },
+      Some("""WITH tok AS (SELECT doc_id, lang,
+                CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 4096 AS b
+              FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+                    FROM documents)),
+              etok AS (SELECT * FROM tok WHERE doc_id % 2 = 0),
+              cr AS (SELECT b, count(*) AS cr FROM etok GROUP BY 1),
+              ct AS (SELECT b, count(*) AS ct FROM etok WHERE lang = 'de' GROUP BY 1),
+              n AS (SELECT count(*) AS nr,
+                      count(*) FILTER (lang = 'de') AS nt FROM etok),
+              model AS (SELECT cr.b,
+                  round(ln((coalesce(ct.ct, 0) + 1) / (n.nt + 4096)), 6)::DECIMAL(18,6)
+                - round(ln((cr.cr + 1) / (n.nr + 4096)), 6)::DECIMAL(18,6) AS llr
+                FROM cr LEFT JOIN ct ON cr.b = ct.b CROSS JOIN n),
+              tf AS (SELECT doc_id, b, count(*) AS tf FROM tok GROUP BY 1, 2),
+              w AS (SELECT doc_id, sum(llr * tf::DECIMAL(10,0)) AS wsum,
+                      sum(tf) AS ntok
+                    FROM tf JOIN model USING (b) GROUP BY 1)
+              SELECT d.doc_id, d.lang,
+                wsum::DOUBLE / ntok::DOUBLE AS weight,
+                TRUE AS incremental_consistent
               FROM w JOIN documents d USING (doc_id)
               ORDER BY weight DESC, d.doc_id LIMIT 50""")),
 

@@ -70,8 +70,24 @@ object DsirRefreshProbe {
       val (_, tCorpus) = time {
         graft.queries.RelationalQueries.dsirCounts(docs).count()
       }
+      // o18 economics: score ONE fixed-size batch against the model vs
+      // re-score the corpus — the additive per-doc partials mean a
+      // landing batch pays only its own tokenize pass, so the
+      // incremental step should be ~flat in corpus size while the
+      // monolithic re-score is the linear floor
+      val model = graft.queries.RelationalQueries.dsirModel(frozen)
+      // id < 500 is 500 docs at EITHER scale (replica ids pack as
+      // doc_id·n + rep) — a genuinely fixed-size landing batch
+      val batch = docs.where(col("doc_id") < 500)
+      val (_, tScoreBatch) = time {
+        graft.queries.RelationalQueries.dsirScore(batch, model).count()
+      }
+      val (_, tScoreAll) = time {
+        graft.queries.RelationalQueries.dsirScore(docs, model).count()
+      }
       println(f"DSIRREFRESH n=$n%2d docs=$nd%8d drift=$tDrift%6.2fs " +
-        f"refresh_from_partials=$tRefresh%6.2fs refit_from_corpus=$tCorpus%6.2fs")
+        f"refresh_from_partials=$tRefresh%6.2fs refit_from_corpus=$tCorpus%6.2fs " +
+        f"score_batch=$tScoreBatch%6.2fs score_corpus=$tScoreAll%6.2fs")
     }
     spark.stop()
   }
