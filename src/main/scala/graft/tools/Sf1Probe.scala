@@ -9,12 +9,25 @@ import org.apache.spark.sql.functions._
   * ScaleProbe replication scheme), run the dedup/ANN/streaming tier
   * gates at sf0.1 AND sf1 through the REAL SparkEntry entry points, and
   * enforce the scaling_audit threshold per query: an sf1 time more than
-  * 12× its sf0.1 time (with the same >0.35 s floor) flags. Two timed
-  * iterations per (gate, dir), min taken — box noise is 1.5–6× on this
-  * hardware (PERF.md) and a scaling flag must not be a noise artifact.
-  * x35 is a fixed-size stream fixture (cost = micro-batch overhead, by
-  * design SF-independent) — included to pin exactly that. Results feed
-  * the PERF.md sf1 table.
+  * 12× its sf0.1 time (with the same >0.35 s floor) flags. x35 is a
+  * fixed-size stream fixture (cost = micro-batch overhead, by design
+  * SF-independent) — included to pin exactly that. Results feed the
+  * PERF.md sf1 table.
+  *
+  * ROUND-10 MEASUREMENT PROTOCOL — per-gate JVM ISOLATION, symmetric
+  * (VERDICT r9 directive 1 + the advisor's retry-asymmetry finding).
+  * The round-9 audit ran all 45 gates through one JVM: m14 read 11.0×
+  * in-audit vs 4.7× clean purely from neighboring gates' heap/GC
+  * pressure, so the flag condition tested audit ORDERING as much as
+  * scaling — and the flagged-only re-measure could only ever REMOVE
+  * flags (min over up to 3 runs for flagged gates, 2 for the rest).
+  * Now the driver run spawns ONE FRESH CHILD JVM PER GATE (`one`
+  * mode): every gate, flagged or not, gets the identical policy —
+  * fresh heap, table-footer warmup, then the SAME number of timed
+  * iterations at both dirs with the MEDIAN taken (median absorbs the
+  * first-run codegen warmup that the old min-of-2 let through, and
+  * unlike min it cannot be driven down by retry luck). The audit's
+  * flag condition is scaling, full stop.
   */
 object Sf1Probe {
 
@@ -73,7 +86,17 @@ object Sf1Probe {
     // e32 (streaming quarantine — micro-batch overhead + decode scan).
     "o16_quota_stratified", "a25_topk_per_group",
     "d29_keeplist_burst_fold", "e30_stream_full_outer_join",
-    "e31_dsir_drift_refresh", "e32_stream_quarantine")
+    "e31_dsir_drift_refresh", "e32_stream_quarantine",
+    // round-10 additions: the lifecycle-symmetry gates (as-of reads
+    // for BM25 and the DSIR model — subset unions over generation
+    // dirs, like d23/s18), the keep-list auto-fold burst, and the
+    // incremental DSIR scorer (per-batch tokenize + merged partials).
+    // d30 (Zipfian containment) is enforced too: unlike d24/d27 the
+    // trigram vocabulary keeps replica sets from exploding the true-
+    // pair output, so a wall-clock bar is meaningful.
+    "d31_keeplist_auto_fold", "t32_bm25_index_asof",
+    "o17_dsir_model_asof", "o18_dsir_incremental_score",
+    "d30_containment_zipf")
 
   /** Replicate a raw parquet table n× with fresh surrogate keys
     * (key·n + rep) — the dimension-table face of the ScaleProbe
@@ -122,7 +145,80 @@ object Sf1Probe {
     java.nio.file.Files.writeString(marker, tag)
   }
 
+  /** CHILD entry (`one <gate> <sf01> <sf1> [iters]`): fresh JVM, own
+    * Spark session, footer warmup on both dirs, then `iters` timed
+    * runs per dir with the MEDIAN reported on one parseable line.
+    * This is the isolation unit — nothing from any other gate (pinned
+    * caches, heap fragmentation, codegen churn) can reach it.
+    */
+  private def childMain(gate: String, sf01: String, sf1: String,
+                        iters: Int): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.GraftExtensions.registerNative(spark)
+    for (dir <- Seq(sf01, sf1); t <- graft.sources.Tables.names)
+      try graft.sources.Tables(spark, dir, t).count()
+      catch { case _: Throwable => () }
+    def median(dir: String): Double = {
+      val ts = (1 to iters).map { _ =>
+        time(graft.SparkEntry.queries(gate)(spark, dir).count())._2
+      }.sorted
+      ts(ts.size / 2)
+    }
+    val t01 = median(sf01)
+    val t1 = median(sf1)
+    println(f"SF1ONE $gate t01=$t01%.4f t1=$t1%.4f")
+    spark.stop()
+  }
+
+  /** Fork one isolated child per gate; returns (t01, t1) or None on
+    * child failure/timeout (reported, counted as a flag — a gate that
+    * cannot be measured must not silently pass the audit).
+    */
+  private def runIsolated(javaBin: String, cp: String, heap: String,
+                          gate: String, sf01: String, sf1: String,
+                          iters: Int, logDir: java.io.File)
+      : Option[(Double, Double)] = {
+    val pb = new ProcessBuilder(javaBin, s"-Xmx$heap", "-cp", cp,
+      "--add-opens=java.base/java.lang=ALL-UNNAMED",
+      "--add-opens=java.base/java.lang.invoke=ALL-UNNAMED",
+      "--add-opens=java.base/java.util=ALL-UNNAMED",
+      "--add-opens=java.base/java.nio=ALL-UNNAMED",
+      "--add-opens=java.base/sun.nio.ch=ALL-UNNAMED",
+      "--add-opens=java.base/sun.util.calendar=ALL-UNNAMED",
+      "--add-opens=java.base/sun.security.action=ALL-UNNAMED",
+      "--add-opens=java.base/java.io=ALL-UNNAMED",
+      "--add-opens=java.base/java.net=ALL-UNNAMED",
+      "--add-opens=java.base/java.util.concurrent=ALL-UNNAMED",
+      "graft.tools.Sf1Probe", "one", gate, sf01, sf1, iters.toString)
+    pb.redirectError(new java.io.File(logDir, s"$gate.err"))
+    val outFile = new java.io.File(logDir, s"$gate.out")
+    pb.redirectOutput(outFile)
+    val p = pb.start()
+    val done = p.waitFor(45, java.util.concurrent.TimeUnit.MINUTES)
+    if (!done) { p.destroyForcibly(); println(s"SF1 $gate TIMEOUT"); return None }
+    val out = scala.io.Source.fromFile(outFile)
+    val line: Option[String] =
+      try out.getLines().find(_.startsWith("SF1ONE ")) finally out.close()
+    val R = """SF1ONE \S+ t01=([0-9.]+) t1=([0-9.]+)""".r.unanchored
+    line match {
+      case Some(R(t01, t1)) => Some((t01.toDouble, t1.toDouble))
+      case _ =>
+        println(s"SF1 $gate CHILD-FAILED exit=${p.exitValue()} " +
+          s"(see ${outFile.getPath} / .err)")
+        None
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("one")) {
+      childMain(args(1), args(2), args(3),
+        args.lift(4).map(_.toInt).getOrElse(3))
+      return
+    }
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -162,26 +258,48 @@ object Sf1Probe {
       return
     }
 
-    var flags = 0
-    for (g <- gates) {
-      var t01 = run(g, sf01)
-      var t1 = run(g, sf1)
-      def flagged = t1 > 0.35 && t1 / t01 > 12.0
-      if (flagged) {
-        // a flag must survive a clean third measurement of BOTH dirs
-        // before it counts — the 2-iteration min is still exposed to
-        // first-run JVM/codegen warmup at the jumbo dir (observed:
-        // m14's sf1 first pass at 45 s vs a 20 s clean median), and a
-        // scaling gate must fail on scaling, not on warmup
-        t01 = math.min(t01, run(g, sf01))
-        t1 = math.min(t1, run(g, sf1))
+    // dev escape hatch: `inproc` keeps the old single-JVM sweep (min
+    // of 2, no isolation) for quick A/B against the isolated numbers
+    if (args.contains("inproc")) {
+      var flags = 0
+      for (g <- gates) {
+        val t01 = run(g, sf01)
+        val t1 = run(g, sf1)
+        val flagged = t1 > 0.35 && t1 / t01 > 12.0
+        if (flagged) flags += 1
+        println(f"SF1 $g%-28s sf0.1=$t01%6.2fs sf1=$t1%7.2fs " +
+          f"ratio=${t1 / t01}%5.2fx" + (if (flagged) "  FLAG" else ""))
       }
-      val ratio = t1 / t01
-      if (flagged) flags += 1
-      println(f"SF1 $g%-28s sf0.1=$t01%6.2fs sf1=$t1%7.2fs ratio=$ratio%5.2fx" +
-        (if (flagged) "  FLAG" else ""))
+      println(s"SF1AUDIT flags=$flags of ${gates.length} (inproc)")
+      spark.stop()
+      return
     }
-    println(s"SF1AUDIT flags=$flags of ${gates.length}")
+
+    // ISOLATED audit: release the box (one heavy Spark JVM at a time —
+    // a parent session idling over 32 cores is exactly the neighbor
+    // pressure the isolation exists to remove), then one child per gate
     spark.stop()
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val heap = sys.env.getOrElse("SPARK_GRAFT_SF1_HEAP", "48g")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_SF1_ITERS", "3").toInt
+    val only = args.filter(gates.contains) // subset: probe single gates
+    val logDir = new java.io.File("/tmp/sf1probe_logs")
+    logDir.mkdirs()
+    var flags = 0
+    for (g <- if (only.nonEmpty) only.toSeq else gates) {
+      runIsolated(javaBin, cp, heap, g, sf01, sf1, iters, logDir) match {
+        case Some((t01, t1)) =>
+          val ratio = t1 / t01
+          val flagged = t1 > 0.35 && ratio > 12.0
+          if (flagged) flags += 1
+          println(f"SF1 $g%-28s sf0.1=$t01%6.2fs sf1=$t1%7.2fs " +
+            f"ratio=$ratio%5.2fx" + (if (flagged) "  FLAG" else ""))
+        case None => flags += 1 // unmeasurable never passes silently
+      }
+    }
+    println(s"SF1AUDIT flags=$flags of " +
+      s"${if (only.nonEmpty) only.length else gates.length} " +
+      s"(isolated, median of $iters per dir)")
   }
 }
