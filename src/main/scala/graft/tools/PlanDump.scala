@@ -117,7 +117,14 @@ object PlanDump {
       // is #strata rows broadcast back, d28's eval set broadcasts
       // against one map-only corpus scan
       "a25_topk_per_group", "o16_quota_stratified",
-      "d28_embedding_decontaminate")
+      "d28_embedding_decontaminate",
+      // round-10 additions: d30 containment on the Zipfian trigram
+      // vocabulary (the b-side bound's realistic case), o18's
+      // incremental scorer (broadcast model join over only the
+      // batch's tf), t32's as-of serve (gen + tb double partition
+      // prune on the same scans)
+      "d30_containment_zipf", "o18_dsir_incremental_score",
+      "t32_bm25_index_asof")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries (sf0.001)\n\n")
     sb.append("Generated by `graft.tools.PlanDump`. What to look for per plan is\n")
