@@ -40,6 +40,21 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // SESSION-AGING fix (round 10, measured): even with the UI off,
+      // the driver's status stores retain per-job/stage/task rows and
+      // per-SQL-execution plan graphs at their defaults (1000 jobs /
+      // 1000 stages / 100k tasks / 1000 SQL executions). A 262-gate
+      // 3-pass sweep is ~790 executions x thousands of jobs; by pass 2
+      // the retention churn throttled exactly the driver-loop gates
+      // (d25 k-means 4.5 -> 68 s, d26 fixpoint 2.3 -> 10 s, d27
+      // 14 -> 38 s). Capping retention restores the full sweep to its
+      // per-gate isolated numbers (297 s total, every gate inside its
+      // documented band). Real clusters run one query per session and
+      // never see this; a benchmark loop is the pathological client.
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "10000")
+      .config("spark.sql.ui.retainedExecutions", "10")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: JVM/codegen spin-up + parquet footers, so per-query times
