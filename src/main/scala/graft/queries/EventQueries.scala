@@ -1323,6 +1323,159 @@ object EventQueries extends QueryPack {
       },
       indexDedupOracle),
 
+    // ---- AS-OF serve over the STREAMED BM25 index (e33): e24 proved
+    // the streamed generational landings; t32 proved as-of over a
+    // batch-written generational index; this gate closes the square —
+    // the gens a STREAM commits (keyed by real foreachBatch batchIds)
+    // are addressable history. Serve as-of batch 0 goes through the
+    // same bm25Serve: gen ≤ 0 is a second static prune on the same
+    // scans (`served_pruned` still asserted from both executed plans),
+    // and the contract column pins at-head ≡ generation-blind plus the
+    // loud refusal once d19's compaction folds the streamed gens.
+    // Oracle: BM25 over batch 0's world (even docs), blind to
+    // streaming, batching, and layout.
+    Q("e33_stream_bm25_asof",
+      (s, d) => {
+        val base = Scratch.dir("graft_e33_")
+        val idx = base.resolve("idx").toString
+        val stage = base.resolve("stage").toString
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        def land(batch: org.apache.spark.sql.DataFrame, bid: Long): Unit = {
+          val words = batch
+            .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+          val tf = words.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+          val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+          graft.sources.Sinks.committedPartitionedAppend(
+            tf.withColumn("tb", pmod(hash(col("token")), lit(64))),
+            s"$idx/postings", bid, "tb")
+          graft.sources.Sinks.committedPartitionedAppend(
+            tf.groupBy("token").agg(count(lit(1)).as("df"))
+              .withColumn("tb", pmod(hash(col("token")), lit(64))),
+            s"$idx/df", bid, "tb")
+          graft.sources.Sinks.committedAppend(dl, s"$idx/dl", bid)
+          graft.sources.Sinks.committedAppend(
+            dl.agg(sum("dl").as("sum_dl"), count(lit(1)).as("n")),
+            s"$idx/stats", bid)
+          ()
+        }
+        docs.where(col("doc_id") % 2 === 0)
+          .coalesce(1).write.mode("append").parquet(stage)
+        val stream = s.readStream
+          .schema("doc_id LONG, text STRING").parquet(stage)
+        runGatedStreamWith(s, stream,
+          (batch, _, bid) => if (!batch.isEmpty) land(batch, bid)) { q =>
+          q.processAllAvailable()
+          docs.where(col("doc_id") % 2 === 1)
+            .coalesce(1).write.mode("append").parquet(stage)
+          q.processAllAvailable()
+        }
+        // query selection within the SNAPSHOT's world (gen 0 only)
+        val terms = s.read.parquet(s"$idx/df").where(col("gen") <= 0)
+          .groupBy("token").agg(sum("df").as("df"))
+          .orderBy(col("df").desc, col("token")).limit(5)
+          .select("token").collect().map(_.getString(0)).toSeq
+        val outDir = base.resolve("asof0").toString
+        TextQueries.bm25Serve(s, idx, terms, 20, asOf = Some(0L))
+          .write.parquet(outDir)
+        val termsHead = s.read.parquet(s"$idx/df")
+          .groupBy("token").agg(sum("df").as("df"))
+          .orderBy(col("df").desc, col("token")).limit(5)
+          .select("token").collect().map(_.getString(0)).toSeq
+        val headConsistent =
+          TextQueries.bm25Serve(s, idx, termsHead, 20, asOf = Some(1L))
+            .unionByName(TextQueries.bm25Serve(s, idx, termsHead, 20))
+            .groupBy("doc_id", "bm25", "served_pruned").count()
+            .where(col("count") =!= 2).isEmpty
+        graft.sources.Sinks.compactGenerations(s, s"$idx/postings", Some("tb"))
+        val loud =
+          try { TextQueries.bm25Serve(s, idx, terms, 20, asOf = Some(0L)); false }
+          catch { case _: IllegalStateException => true }
+        s.read.parquet(outDir)
+          .withColumn("asof_contract", lit(headConsistent && loud))
+      },
+      Some(s"""WITH surv AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+              words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM surv),
+              tf AS (SELECT doc_id, token, count(*) AS tf FROM words GROUP BY 1, 2),
+              dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+              stats AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
+              dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+              q AS (SELECT token, df FROM dfreq ORDER BY df DESC, token LIMIT 5),
+              contrib AS (
+                SELECT doc_id,
+                  ${TextQueries.bm25ContribSql} AS c
+                FROM tf JOIN q USING (token) JOIN dl USING (doc_id) CROSS JOIN stats)
+              SELECT doc_id, cast(sum(c) AS double) AS bm25, TRUE AS served_pruned,
+                TRUE AS asof_contract
+              FROM contrib GROUP BY doc_id
+              ORDER BY bm25 DESC, doc_id LIMIT 20""")),
+
+    // ---- Streaming AUTO-FOLD (e34): d31 proved the store folds
+    // itself; this gate proves the risky composition — auto-fold
+    // firing INSIDE a foreachBatch stream without breaking the
+    // exactly-once replay protocol. e23's topology and oracle, with
+    // the threshold forced low: batch 1's append auto-folds batch 0's
+    // delta MID-STREAM, so the post-stream batch-0 redelivery must
+    // take the FOLDED-replay path (bands gen committed, state delta
+    // gone — current assignments back, no re-solve, no resurrection),
+    // the exact path a replay-after-manual-fold takes in d18 but now
+    // reached by the store's own decision. `stream_auto_folded`
+    // asserts only batch 1's delta survived; the read applies it over
+    // the auto-folded base with NO manual fold anywhere. Oracle:
+    // e23's batch- and fold-blind recursive closure.
+    Q("e34_stream_auto_fold",
+      (s, d) => {
+        import graft.operators.KeepListStore
+        import graft.queries.DedupQueries.chainBands
+        val ids = Tables.documents(s, d).select("doc_id")
+        val dir = Scratch.dir("graft_e34_kl_").resolve("kl").toString
+        KeepListStore.backfill(
+          chainBands(
+            ids.where(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 1)),
+          "doc_id", dir)
+        val stage = Scratch.dir("graft_e34_stage_").toString
+        val fileA = ids.where(col("doc_id") % 5 === 0)
+        fileA.coalesce(1).write.mode("append").parquet(stage)
+        val stream = s.readStream.schema("doc_id LONG").parquet(stage)
+        withConf(s, "graft.keeplist.autoFoldBytes", "1") {
+          runGatedStreamWith(s, stream,
+            (batch, _, bid) => if (!batch.isEmpty) {
+              KeepListStore.appendBatch(chainBands(batch), "doc_id", dir, bid)
+              ()
+            }) { q =>
+            q.processAllAvailable()
+            ids.where(col("doc_id") % 5 === 1)
+              .coalesce(1).write.mode("append").parquet(stage)
+            q.processAllAvailable()
+          }
+          // batch-0 redelivery AFTER its delta was auto-folded away:
+          // the bands generation still knows it committed, so this must
+          // be the folded-replay skip (assignments back, no new state)
+          val replay = KeepListStore.appendBatch(
+            chainBands(fileA), "doc_id", dir, 0L)
+          val replayOk = replay.join(fileA, Seq("doc_id"), "left_anti").isEmpty
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            s.sparkContext.hadoopConfiguration)
+          val surviving = fs.listStatus(
+              new org.apache.hadoop.fs.Path(s"$dir/state"))
+            .map(_.getPath.getName).filter(_.startsWith("batch=")).toSeq
+          KeepListStore.read(s, dir, "doc_id")
+            .withColumn("stream_auto_folded",
+              lit(surviving == Seq("batch=1") && replayOk))
+        }
+      },
+      Some("""WITH RECURSIVE
+              edges AS (SELECT a.doc_id AS src, b.doc_id AS dst
+                        FROM documents a JOIN documents b
+                          ON b.doc_id = a.doc_id + 1 AND b.doc_id % 8 <> 0),
+              sym AS (SELECT src, dst FROM edges
+                      UNION ALL SELECT dst, src FROM edges),
+              reach(doc_id, r) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.doc_id)
+              SELECT doc_id, min(r) AS keep_id, TRUE AS stream_auto_folded
+              FROM reach GROUP BY doc_id""")),
+
     // ---- Streaming KEEP-LIST maintenance (e23): d18's persisted
     // lifecycle driven from foreachBatch — the shape a 100 TB corpus
     // stream actually runs (connected-components assignment kept

@@ -110,7 +110,7 @@ object TextQueries extends QueryPack {
     * from the EXECUTED plans of BOTH pruned reads (the j20/k18
     * discipline).
     */
-  private def bm25Serve(s: org.apache.spark.sql.SparkSession, idx: String,
+  private[queries] def bm25Serve(s: org.apache.spark.sql.SparkSession, idx: String,
                         terms: Seq[String], k: Int,
                         asOf: Option[Long] = None)
       : org.apache.spark.sql.DataFrame = {

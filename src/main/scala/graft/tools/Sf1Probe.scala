@@ -96,7 +96,10 @@ object Sf1Probe {
     // pair output, so a wall-clock bar is meaningful.
     "d31_keeplist_auto_fold", "t32_bm25_index_asof",
     "o17_dsir_model_asof", "o18_dsir_incremental_score",
-    "d30_containment_zipf")
+    "d30_containment_zipf",
+    // streamed faces of the round-10 lifecycle gates: as-of over the
+    // stream-committed BM25 gens, auto-fold inside foreachBatch
+    "e33_stream_bm25_asof", "e34_stream_auto_fold")
 
   /** Replicate a raw parquet table n× with fresh surrogate keys
     * (key·n + rep) — the dimension-table face of the ScaleProbe
