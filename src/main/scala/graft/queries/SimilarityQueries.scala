@@ -160,13 +160,13 @@ object SimilarityQueries extends QueryPack {
   /** duckKmeans trained on a FILTERED population (`te`) while `e` stays
     * the full corpus — the s15 oracle's frozen-codebook restatement.
     */
-  private def duckKmeansOn(trainWhere: String) =
+  private def duckKmeansOn(trainWhere: String, kSql: String = "4") =
     s"""e AS ($duckVecs),
         te AS (SELECT * FROM e WHERE $trainWhere),
         c0 AS (SELECT cast(r - 1 as int) AS cid, v AS cv FROM (
                  SELECT *, row_number() OVER (
                    ORDER BY md5(cast(vec_id as varchar)), vec_id) AS r FROM te)
-               WHERE r <= 4),
+               WHERE r <= ($kSql)),
         d1 AS (SELECT te.vec_id, te.v, c.cid,
                  list_aggregate(list_transform(range(1, len(te.v) + 1),
                    i -> (te.v[i] - c.cv[i]) * (te.v[i] - c.cv[i])), 'sum') AS dd
@@ -1051,31 +1051,68 @@ object SimilarityQueries extends QueryPack {
     // the independent recursive closure — a wrong cell, a missed pair,
     // or an under-merged component all fail the hash.
     Q("d25_semantic_dedup",
+      (s, d) => semanticDedup(vecs(s, d), trainedCodebook(s, d)),
+      Some(s"""WITH RECURSIVE $duckKmeans,
+              $duckSemanticDedupTail""")),
+
+    // ---- SemDeDup at PRODUCTION k (d32): d25 pins verdict
+    // correctness at a fixed k=4 codebook, which is why it sat outside
+    // the enforced sf1 table — within-cell pairs grow quadratically at
+    // fixed k, and the documented policy is "production scales k with
+    // the corpus; the pruning factor IS k". This gate RUNS that
+    // policy: k = max(4, n/100) derives from the corpus (5 cells at
+    // sf0.01, 20 at sf0.1, 200 at sf1), both sides computing the same
+    // k — the Spark fit from count(), the oracle's seed CTE from a
+    // scalar subquery over the same population — so the within-cell
+    // pair work stays ~n·(100/2) per vector instead of n²/4, and the
+    // SemDeDup family joins the enforced scaling table. Trainer,
+    // assignment, threshold, and closure are d25's, verbatim.
+    Q("d32_semantic_dedup_scaledk",
       (s, d) => {
         val e = vecs(s, d)
-        val cents = trainedCodebook(s, d)
-        val assigned = e.withColumn("cid",
-          graft.operators.KMeansLite.assignUdf(cents)(col("v"))
-            .cast("bigint"))
-        val a = assigned.select(col("cid"), col("vec_id").as("ia"),
-          col("v").as("qv"), col("nn").as("qn"))
-        val b = assigned.select(col("cid"), col("vec_id").as("ib"),
-          col("v"), col("nn"))
-        val pairs = a.join(b, "cid").where(col("ia") < col("ib"))
-          .select(col("ia"), col("ib"), round(cosExpr, 6).as("cos"))
-          .where(col("cos") > 0.3)
-        val pairKey = concat(col("ia"), lit("_"), col("ib"))
-        val edges = pairs.select(col("ia").as("vec_id"),
-            lit(0).as("band"), pairKey.as("h"))
-          .union(pairs.select(col("ib").as("vec_id"),
-            lit(0).as("band"), pairKey.as("h")))
-        val closed = graft.operators.MinHashLSH.convergeKeepList(edges, "vec_id")
-        e.select("vec_id").join(closed, Seq("vec_id"), "left")
-          .select(col("vec_id"),
-            coalesce(col("keep_id"), col("vec_id")).as("keep_id"))
+        val k = math.max(4L, e.count() / 100).toInt
+        semanticDedup(e, graft.operators.KMeansLite.fit(e, "vec_id", "v", k, 1))
       },
-      Some(s"""WITH RECURSIVE $duckKmeans,
-              dd2 AS (SELECT e.vec_id, c.cid,
+      Some(s"""WITH RECURSIVE ${duckKmeansOn("1 = 1",
+                "SELECT greatest(4, count(*) // 100) FROM te")},
+              $duckSemanticDedupTail""")),
+  )
+
+  /** Shared d25/d32 body: argmin cell assignment under the given
+    * codebook, within-cell rounded-cosine pairs over the 0.3
+    * threshold, keep-list closure, singletons keep themselves. The
+    * cell join is a plain equi-join (AQE skew-splittable); nothing
+    * all-pairs anywhere.
+    */
+  private def semanticDedup(e: DataFrame,
+                            cents: Seq[(Int, Array[Double])]): DataFrame = {
+    val assigned = e.withColumn("cid",
+      graft.operators.KMeansLite.assignUdf(cents)(col("v"))
+        .cast("bigint"))
+    val a = assigned.select(col("cid"), col("vec_id").as("ia"),
+      col("v").as("qv"), col("nn").as("qn"))
+    val b = assigned.select(col("cid"), col("vec_id").as("ib"),
+      col("v"), col("nn"))
+    val pairs = a.join(b, "cid").where(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"), round(cosExpr, 6).as("cos"))
+      .where(col("cos") > 0.3)
+    val pairKey = concat(col("ia"), lit("_"), col("ib"))
+    val edges = pairs.select(col("ia").as("vec_id"),
+        lit(0).as("band"), pairKey.as("h"))
+      .union(pairs.select(col("ib").as("vec_id"),
+        lit(0).as("band"), pairKey.as("h")))
+    val closed = graft.operators.MinHashLSH.convergeKeepList(edges, "vec_id")
+    e.select("vec_id").join(closed, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("keep_id"), col("vec_id")).as("keep_id"))
+  }
+
+  /** the one copy of the SemDeDup oracle chain downstream of a trained
+    * `c1(cid, cv)` codebook — d25 instantiates it under the fixed-k
+    * trainer, d32 under the corpus-scaled-k trainer
+    */
+  private val duckSemanticDedupTail =
+    """dd2 AS (SELECT e.vec_id, c.cid,
                         list_aggregate(list_transform(range(1, len(e.v) + 1),
                           i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])), 'sum') AS dd
                       FROM e CROSS JOIN c1 c),
@@ -1098,6 +1135,5 @@ object SimilarityQueries extends QueryPack {
                 SELECT vec_id, vec_id FROM e
                 UNION
                 SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.vec_id)
-              SELECT vec_id, min(r) AS keep_id FROM reach GROUP BY vec_id""")),
-  )
+              SELECT vec_id, min(r) AS keep_id FROM reach GROUP BY vec_id"""
 }

@@ -100,6 +100,14 @@ object Sf1Probe {
     // streamed faces of the round-10 lifecycle gates: as-of over the
     // stream-committed BM25 gens, auto-fold inside foreachBatch
     "e33_stream_bm25_asof", "e34_stream_auto_fold")
+    // d32 (SemDeDup at corpus-scaled k) is deliberately ABSENT, with a
+    // MEASURED rationale this time (PERF.md round-10): scaling k with
+    // n makes the within-cell pair work linear, but the brute argmin
+    // ASSIGNMENT is n·k distance ops — quadratic again when k ∝ n —
+    // and the isolated probe pins it at 17.6× for the 10× step. The
+    // production remedy is hierarchical (two-level) centroid
+    // assignment, a future operator; the gate's job today is verdict
+    // correctness under the scaled-k policy, which it pins.
 
   /** Replicate a raw parquet table n× with fresh surrogate keys
     * (key·n + rep) — the dimension-table face of the ScaleProbe
