@@ -88,10 +88,16 @@ object KMeansLite {
     * overlap pathology) falls back to the full fine argmin —
     * correctness-first, bounded, and rare by construction.
     */
-  def assignHierarchicalUdf(coarse: Seq[(Int, Array[Double])],
-                            fine: Seq[(Int, Array[Double])]) = {
-    require(coarse.nonEmpty && fine.nonEmpty,
+  def assignHierarchicalUdf(coarse0: Seq[(Int, Array[Double])],
+                            fine0: Seq[(Int, Array[Double])]) = {
+    require(coarse0.nonEmpty && fine0.nonEmpty,
       "assignHierarchicalUdf: both codebooks must be non-empty")
+    // the lowest-cid tie-break contract holds only if nearestIn scans
+    // in cid order — fit() returns sorted codebooks, but enforce it
+    // here (driver-side, k·log k) so an unsorted caller can't silently
+    // shift assignments away from the oracle's restated rule
+    val coarse = coarse0.sortBy(_._1)
+    val fine = fine0.sortBy(_._1)
     val byCoarse: Map[Int, Seq[(Int, Array[Double])]] =
       fine.groupBy(fc => nearestIn(coarse, fc._2.toSeq))
     udf { v: Seq[Double] =>

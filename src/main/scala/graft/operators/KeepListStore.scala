@@ -146,6 +146,15 @@ object KeepListStore {
     * releasable-handle discipline, in registry form because read()
     * hands a lazy frame to callers whose materialization point this
     * module cannot see).
+    *
+    * LIFETIME CONTRACT for read() callers, therefore: a returned frame
+    * must be MATERIALIZED (count/collect/write) before the next fold()
+    * or over-threshold read() of the SAME dir. Releasing a pin only
+    * un-caches — a still-lazy consumer recomputes, which is correct
+    * until fold() also deletes the delta parquet under it; after that
+    * the deferred materialization fails on the removed paths. Every
+    * in-repo caller (gates, Verify, streaming foreachBatch bodies)
+    * materializes eagerly; external callers inherit the same rule.
     */
   private val pinnedClosures =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
@@ -371,10 +380,21 @@ object KeepListStore {
     // byte metadata the size dispatch uses, so an operator who never
     // calls fold() still gets a store whose accumulated remap is
     // bounded by (threshold + one batch) instead of the hard error.
-    val standingRemapBytes = stateDeltas(spark, dir)
+    // DEFERRED while any standing delta is MID-COMMIT (state committed,
+    // bands gen not landed — the same guard deleteDocs enforces
+    // loudly): folding that state would bake its docs into base
+    // WITHOUT their band edges and delete the delta, so a crash before
+    // the bands land would leave base durably holding docs no future
+    // batch can dedup against. The replay window heals on the stream's
+    // own redelivery (foreachBatch serializes), so deferral is safe:
+    // the NEXT fresh landing re-checks and folds once the lag is gone.
+    val standing = stateDeltas(spark, dir)
+    val standingRemapBytes = standing
       .map(p => new Path(p, "remap")).filter(fs.exists(_))
       .map(fs.getContentSummary(_).getLength).sum
-    if (standingRemapBytes > autoFoldBytes(spark))
+    if (standingRemapBytes > autoFoldBytes(spark) &&
+        standing.forall(p => Sinks.isCommittedGen(fs, bandsDir,
+          p.getName.stripPrefix("batch=").toLong)))
       fold(spark, dir, idCol)
     val nb = MinHashLSH.bucketCount(spark, bandsDir)
     val bb = MinHashLSH.withHashBucket(

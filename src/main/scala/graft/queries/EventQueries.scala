@@ -1452,7 +1452,13 @@ object EventQueries extends QueryPack {
           // be the folded-replay skip (assignments back, no new state)
           val replay = KeepListStore.appendBatch(
             chainBands(fileA), "doc_id", dir, 0L)
-          val replayOk = replay.join(fileA, Seq("doc_id"), "left_anti").isEmpty
+          // BOTH directions: replay ⊆ fileA (no foreign docs) AND
+          // fileA ⊆ replay (a folded-replay that dropped docs — e.g. a
+          // wrong read path returning an empty frame — must fail the
+          // gate, not vacuously pass the one-sided anti-join)
+          val replayOk =
+            replay.join(fileA, Seq("doc_id"), "left_anti").isEmpty &&
+            fileA.join(replay, Seq("doc_id"), "left_anti").isEmpty
           val fs = org.apache.hadoop.fs.FileSystem.get(
             s.sparkContext.hadoopConfiguration)
           val surviving = fs.listStatus(

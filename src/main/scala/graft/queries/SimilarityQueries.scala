@@ -117,15 +117,20 @@ object SimilarityQueries extends QueryPack {
     // gone by construction, so a snapshot at or before the manifest's
     // max folded id REFUSES loudly (the d23 horizon contract) instead
     // of silently serving the folded (later) state.
-    for (a <- asOf;
-         m <- graft.sources.Sinks.maxFoldedGen(
-           org.apache.hadoop.fs.FileSystem.get(
-             s.sparkContext.hadoopConfiguration), idxDir)
-         if m > a)
-      throw new IllegalStateException(
-        s"as-of gen $a predates the compaction horizon $m of $idxDir — " +
-          "folded generations are not reconstructible; snapshot before " +
-          "compacting or keep more history")
+    for (a <- asOf) {
+      for (m <- graft.sources.Sinks.maxFoldedGen(
+             org.apache.hadoop.fs.FileSystem.get(
+               s.sparkContext.hadoopConfiguration), idxDir)
+           if m > a)
+        throw new IllegalStateException(
+          s"as-of gen $a predates the compaction horizon $m of $idxDir — " +
+            "folded generations are not reconstructible; snapshot before " +
+            "compacting or keep more history")
+      // partition discovery types `gen` as int; a silent a.toInt would
+      // wrap past 2^31 generations and serve the wrong snapshot
+      require(a <= Int.MaxValue,
+        s"as-of gen $a exceeds the int partition-value range of $idxDir")
+    }
     val q = e.where(col("vec_id") < 3)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nn").as("qn"),
         explode(VectorOps.ivfProbeUdf(cents, 2)(col("v"), col("nn"))).as("cell"))

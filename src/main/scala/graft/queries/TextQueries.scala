@@ -124,15 +124,27 @@ object TextQueries extends QueryPack {
     // Compacted generations are gone by construction, so a snapshot at
     // or before the manifest's max folded id REFUSES loudly instead of
     // silently serving the folded (later) state.
-    for (g <- asOf;
-         m <- graft.sources.Sinks.maxFoldedGen(
-           org.apache.hadoop.fs.FileSystem.get(
-             s.sparkContext.hadoopConfiguration), s"$idx/postings")
-         if m > g)
-      throw new IllegalStateException(
-        s"as-of gen $g predates the compaction horizon $m of $idx — " +
-          "folded generations are not reconstructible; snapshot before " +
-          "compacting or keep more history")
+    // horizon = the max folded generation across ALL FOUR index tables
+    // — compaction is postings-led in-repo, but if df/dl/stats were
+    // ever compacted independently a postings-only check would silently
+    // serve the folded (later) state for those tables while the
+    // snapshot claims gen ≤ asOf; consulting every manifest makes the
+    // refusal hold whichever table folded first
+    for (g <- asOf) {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      val horizon = Seq("postings", "df", "dl", "stats")
+        .flatMap(t => graft.sources.Sinks.maxFoldedGen(fs, s"$idx/$t"))
+      for (m <- horizon.maxOption if m > g)
+        throw new IllegalStateException(
+          s"as-of gen $g predates the compaction horizon $m of $idx — " +
+            "folded generations are not reconstructible; snapshot before " +
+            "compacting or keep more history")
+      // partition discovery types `gen` as int; a silent g.toInt would
+      // wrap past 2^31 batches and serve the wrong snapshot — refuse
+      require(g <= Int.MaxValue,
+        s"as-of gen $g exceeds the int partition-value range of $idx")
+    }
     def genPrune(df: org.apache.spark.sql.DataFrame)
         : org.apache.spark.sql.DataFrame =
       asOf.map(g => df.where(col("gen") <= lit(g.toInt))).getOrElse(df)

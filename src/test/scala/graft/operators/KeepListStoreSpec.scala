@@ -318,6 +318,86 @@ class KeepListStoreSpec extends SparkSpec {
     } finally spark.conf.unset("graft.keeplist.autoFoldBytes")
   }
 
+  test("auto-fold defers while any landing is mid-commit (state without bands gen)") {
+    val dir = graft.queries.Scratch.dir("klstore_autodefer_").toString
+    KeepListStore.backfill(
+      clique(1000, 30, 31).union(clique(2000, 20, 21)), "id", dir)
+    // batch 0 merges the components → over-threshold remap delta
+    KeepListStore.appendBatch(
+      clique(1000, 40L).union(clique(2000, 40L)), "id", dir, 0L)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    // fake appendBatch's crash window: batch 0's state committed, its
+    // bands generation gone — folding NOW would bake doc 40 into base
+    // without its band edges (permanent if the replay crashed again)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/bands/gen=0"), true)
+    spark.conf.set("graft.keeplist.autoFoldBytes", "1")
+    try {
+      def stateDirs = fs.listStatus(
+          new org.apache.hadoop.fs.Path(s"$dir/state"))
+        .map(_.getPath.getName).filter(_.startsWith("batch=")).sorted.toSeq
+      // a fresh landing past the threshold must DEFER the fold (the
+      // deleteDocs guard, applied): both deltas stand, reads stay right
+      KeepListStore.appendBatch(clique(1000, 10L), "id", dir, 1L)
+      assert(stateDirs == Seq("batch=0", "batch=1"), stateDirs.toString)
+      assert(readMap(dir).values.toSet == Set(10L))
+      // the stream's own replay heals the lag (state skip + idempotent
+      // bands re-append); the guard must hold DURING that replay too
+      KeepListStore.appendBatch(
+        clique(1000, 40L).union(clique(2000, 40L)), "id", dir, 0L)
+      assert(stateDirs == Seq("batch=0", "batch=1"))
+      // lag gone → the next fresh landing folds as usual
+      KeepListStore.appendBatch(clique(1000, 11L), "id", dir, 2L)
+      assert(stateDirs == Seq("batch=2"), stateDirs.toString)
+      assert(readMap(dir).values.toSet == Set(10L))
+    } finally spark.conf.unset("graft.keeplist.autoFoldBytes")
+  }
+
+  test("fold window reads: pre- or post-fold view, never a mix (read + readAsOf)") {
+    val dir = graft.queries.Scratch.dir("klstore_foldwin_").toString
+    KeepListStore.backfill(
+      clique(1000, 30, 31).union(clique(2000, 20, 21)), "id", dir)
+    KeepListStore.appendBatch(
+      clique(1000, 40L).union(clique(2000, 40L)), "id", dir, 0L) // 30→20
+    KeepListStore.appendBatch(clique(1000, 10L), "id", dir, 1L)  // 20→10
+    // a reader materialized BEFORE the fold holds the pre-fold view —
+    // the documented lifetime contract (materialize before the next
+    // fold of the same dir); the auto-fold beneath never corrupts it
+    val preFold = readMap(dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    // save the deltas aside, then drive the fold through appendBatch's
+    // AUTO-fold (no manual fold anywhere)
+    val save = graft.queries.Scratch.dir("klstore_foldwin_save_").toString
+    for (b <- Seq(0L, 1L))
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(s"$dir/state/batch=$b"), fs,
+        new org.apache.hadoop.fs.Path(s"$save/batch=$b"), false,
+        spark.sparkContext.hadoopConfiguration)
+    spark.conf.set("graft.keeplist.autoFoldBytes", "1")
+    try KeepListStore.appendBatch(clique(3000, 50L), "id", dir, 2L)
+    finally spark.conf.unset("graft.keeplist.autoFoldBytes")
+    val postFold = readMap(dir)
+    assert(postFold == preFold + (50L -> 50L))
+    // simulate the fold-crash window "base swapped, deltas not yet
+    // deleted": restore batch 0/1 deltas next to the folded base. Both
+    // read() and readAsOf(head) must return the POST-fold view exactly
+    // — folded rows' keeps are remap fixpoints, so re-applying the
+    // closed remap is the identity and distinct() collapses the pairs;
+    // one keep per id proves no pre/post MIX ever escapes
+    for (b <- Seq(0L, 1L))
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(s"$save/batch=$b"), fs,
+        new org.apache.hadoop.fs.Path(s"$dir/state/batch=$b"), false,
+        spark.sparkContext.hadoopConfiguration)
+    val windowRead = KeepListStore.read(spark, dir, "id").collect()
+    assert(windowRead.length == windowRead.map(_.getLong(0)).distinct.length)
+    assert(windowRead.map(r => r.getLong(0) -> r.getLong(1)).toMap == postFold)
+    val windowAsOf = KeepListStore.readAsOf(spark, dir, "id", 2L).collect()
+    assert(windowAsOf.length == windowAsOf.map(_.getLong(0)).distinct.length)
+    assert(windowAsOf.map(r => r.getLong(0) -> r.getLong(1)).toMap == postFold)
+  }
+
   test("a poisoned identity remap entry is dropped at load, never spun on") {
     import spark.implicits._
     val dir = graft.queries.Scratch.dir("klstore_poison_").toString
