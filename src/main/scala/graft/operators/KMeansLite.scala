@@ -109,35 +109,78 @@ object KMeansLite {
     }
   }
 
+  /** deterministic init shared by both fits: the vectors of the k
+    * smallest (md5(id), id) — hash-ordered, restatable in SQL
+    */
+  private def seedInit(df: DataFrame, idCol: String, vCol: String, k: Int)
+      : Seq[(Int, Array[Double])] = df
+    .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    .limit(k).select(col(vCol)).collect()
+    .zipWithIndex
+    .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }.toSeq
+
+  /** one Lloyd mean step under the given assignment UDF — decimal-
+    * exact sums, round-6 double finalization (both engines identical)
+    */
+  private def lloydMeans(df: DataFrame, vCol: String,
+                         assign: org.apache.spark.sql.expressions.UserDefinedFunction)
+      : Map[Int, Array[Double]] = df
+    .withColumn("cid", assign(col(vCol)))
+    .select(col("cid"), posexplode(
+      expr(s"transform($vCol, x -> cast(x as decimal(25,10)))"))
+      .as(Seq("dim", "x")))
+    .groupBy("cid", "dim")
+    // decimal-exact sum, then the s5-proven round(…,6) finalization
+    // — decimal DIVISION precision rules differ between engines, so
+    // the quantized mean is what both compute identically
+    .agg(round((sum("x") / count(lit(1))).cast("double"), 6).as("m"))
+    .collect()
+    .groupBy(_.getInt(0))
+    .map { case (cid, rows) =>
+      cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+    }
+
   /** Fit `k` centroids with `iters` Lloyd iterations; returns them
     * sorted by cluster id. `df` must carry a unique `idCol` (init picks
     * the k smallest by hash order) and `vCol: array<double>`.
     */
   def fit(df: DataFrame, idCol: String, vCol: String, k: Int, iters: Int)
       : Seq[(Int, Array[Double])] = {
-    var cents: Seq[(Int, Array[Double])] = df
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-      .limit(k).select(col(vCol)).collect()
-      .zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }.toSeq
+    var cents = seedInit(df, idCol, vCol, k)
     for (_ <- 1 to iters) {
-      val means = df
-        .withColumn("cid", assignUdf(cents)(col(vCol)))
-        .select(col("cid"), posexplode(
-          expr(s"transform($vCol, x -> cast(x as decimal(25,10)))"))
-          .as(Seq("dim", "x")))
-        .groupBy("cid", "dim")
-        // decimal-exact sum, then the s5-proven round(…,6) finalization
-        // — decimal DIVISION precision rules differ between engines, so
-        // the quantized mean is what both compute identically
-        .agg(round((sum("x") / count(lit(1))).cast("double"), 6).as("m"))
-        .collect()
-        .groupBy(_.getInt(0))
-        .map { case (cid, rows) =>
-          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
-        }
+      val means = lloydMeans(df, vCol, assignUdf(cents))
       cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
     }
     cents
+  }
+
+  /** TWO-LEVEL fit — the scaled-k production path end to end. fit()'s
+    * Lloyd iteration assigns with the brute argmin, so at k ∝ n the
+    * TRAINER is n·k per iteration even if the final assignment goes
+    * hierarchical; this variant routes the iteration's assignment
+    * through [[assignHierarchicalUdf]] under a coarse codebook fit
+    * first at kc ≈ √k, so every pass over the data — coarse fit, fine
+    * iterations, and the caller's final assignment — is n·O(√k).
+    *
+    * Same determinism contract as fit(): hash-ordered seeds, lowest-cid
+    * tie-breaks at both levels, decimal-exact means finalized round-6,
+    * a cluster that loses every member keeps its previous centroid —
+    * so a SQL oracle can restate the whole fit (coarse trainer → fine
+    * seeds → per-iteration hierarchical argmin → means). APPROXIMATE
+    * vs fit() the way assignHierarchicalUdf is vs assignUdf (a
+    * vector's true nearest fine centroid can sit in a neighboring
+    * coarse cell); exact on separated data (HierarchicalAssignSpec).
+    * Returns (coarse, fine), both sorted by cid.
+    */
+  def fitHierarchical(df: DataFrame, idCol: String, vCol: String,
+                      k: Int, kc: Int, iters: Int)
+      : (Seq[(Int, Array[Double])], Seq[(Int, Array[Double])]) = {
+    val coarse = fit(df, idCol, vCol, kc, iters)
+    var cents = seedInit(df, idCol, vCol, k)
+    for (_ <- 1 to iters) {
+      val means = lloydMeans(df, vCol, assignHierarchicalUdf(coarse, cents))
+      cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    }
+    (coarse, cents)
   }
 }

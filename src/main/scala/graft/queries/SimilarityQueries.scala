@@ -162,32 +162,95 @@ object SimilarityQueries extends QueryPack {
     res
   }
 
+  /** hash-ordered k-seed init CTE (`<p>c0(cid, cv)`) — KMeansLite's
+    * seedInit restated; shared by the brute and hierarchical trainers
+    */
+  private def duckSeeds(p: String, kSql: String) =
+    s"""${p}c0 AS (SELECT cast(r - 1 as int) AS cid, v AS cv FROM (
+                 SELECT *, row_number() OVER (
+                   ORDER BY md5(cast(vec_id as varchar)), vec_id) AS r FROM te)
+               WHERE r <= ($kSql))"""
+
+  /** decimal-exact per-(cid, dim) Lloyd means finalized round-6
+    * (`<out>(cid, cv)` from an assigned population `<from>(vec_id, v,
+    * cid)`) — KMeansLite's lloydMeans restated, one copy
+    */
+  private def duckLloydMeans(out: String, from: String) =
+    s"""$out AS (SELECT cid, list(m ORDER BY dim) AS cv FROM (
+                 SELECT cid, dim,
+                   round(cast(sum(x) / count(*) as double), 6) AS m
+                 FROM (SELECT cid,
+                         unnest(list_transform(v, x -> cast(x as decimal(25,10)))) AS x,
+                         generate_subscripts(v, 1) AS dim
+                       FROM $from)
+                 GROUP BY cid, dim) GROUP BY cid)"""
+
+  /** the brute one-iteration Lloyd chain `<p>c0 → <p>d1 → <p>a1 →
+    * <p>c1` over the training population `te` — fit(k, iters=1)
+    */
+  private def duckKmeansBody(p: String, kSql: String) =
+    s"""${duckSeeds(p, kSql)},
+        ${p}d1 AS (SELECT te.vec_id, te.v, c.cid,
+                 list_aggregate(list_transform(range(1, len(te.v) + 1),
+                   i -> (te.v[i] - c.cv[i]) * (te.v[i] - c.cv[i])), 'sum') AS dd
+               FROM te CROSS JOIN ${p}c0 c),
+        ${p}a1 AS (SELECT vec_id, v, cid FROM (
+                 SELECT vec_id, v, cid, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY dd, cid) AS r FROM ${p}d1)
+               WHERE r = 1),
+        ${duckLloydMeans(s"${p}c1", s"${p}a1")}"""
+
   /** duckKmeans trained on a FILTERED population (`te`) while `e` stays
     * the full corpus — the s15 oracle's frozen-codebook restatement.
     */
   private def duckKmeansOn(trainWhere: String, kSql: String = "4") =
     s"""e AS ($duckVecs),
         te AS (SELECT * FROM e WHERE $trainWhere),
-        c0 AS (SELECT cast(r - 1 as int) AS cid, v AS cv FROM (
+        ${duckKmeansBody("", kSql)}"""
+
+  /** TWO-LEVEL assignment restatement (KMeansLite
+    * .assignHierarchicalUdf): each FINE centroid routes to its nearest
+    * COARSE cell (ties to the lowest coarse cid), a vector routes the
+    * same way and argmins only its cell's fine members; a vector whose
+    * coarse cell owns NO fine members falls back to the full fine
+    * argmin (the UNION ALL leg). Emits `<p>asg(vec_id, cid)` over the
+    * population CTE `pop(vec_id, v)` under codebooks
+    * `coarse(cid, cv)` / `fine(cid, cv)`.
+    */
+  private def duckHierAssign(p: String, pop: String,
+                             coarse: String, fine: String) =
+    s"""${p}fd AS (SELECT f.cid AS fcid, h.cid AS ccid,
+                 list_aggregate(list_transform(range(1, len(f.cv) + 1),
+                   i -> (f.cv[i] - h.cv[i]) * (f.cv[i] - h.cv[i])), 'sum') AS dd
+               FROM $fine f CROSS JOIN $coarse h),
+        ${p}fmap AS (SELECT fcid, ccid FROM (
                  SELECT *, row_number() OVER (
-                   ORDER BY md5(cast(vec_id as varchar)), vec_id) AS r FROM te)
-               WHERE r <= ($kSql)),
-        d1 AS (SELECT te.vec_id, te.v, c.cid,
-                 list_aggregate(list_transform(range(1, len(te.v) + 1),
-                   i -> (te.v[i] - c.cv[i]) * (te.v[i] - c.cv[i])), 'sum') AS dd
-               FROM te CROSS JOIN c0 c),
-        a1 AS (SELECT vec_id, v, cid FROM (
-                 SELECT vec_id, v, cid, row_number() OVER (
-                   PARTITION BY vec_id ORDER BY dd, cid) AS r FROM d1)
+                   PARTITION BY fcid ORDER BY dd, ccid) AS r FROM ${p}fd)
                WHERE r = 1),
-        c1 AS (SELECT cid, list(m ORDER BY dim) AS cv FROM (
-                 SELECT cid, dim,
-                   round(cast(sum(x) / count(*) as double), 6) AS m
-                 FROM (SELECT cid,
-                         unnest(list_transform(v, x -> cast(x as decimal(25,10)))) AS x,
-                         generate_subscripts(v, 1) AS dim
-                       FROM a1)
-                 GROUP BY cid, dim) GROUP BY cid)"""
+        ${p}vd AS (SELECT t.vec_id, h.cid AS ccid,
+                 list_aggregate(list_transform(range(1, len(t.v) + 1),
+                   i -> (t.v[i] - h.cv[i]) * (t.v[i] - h.cv[i])), 'sum') AS dd
+               FROM $pop t CROSS JOIN $coarse h),
+        ${p}vc AS (SELECT vec_id, ccid FROM (
+                 SELECT *, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY dd, ccid) AS r FROM ${p}vd)
+               WHERE r = 1),
+        ${p}cand AS (SELECT vc.vec_id, f.cid, f.cv
+               FROM ${p}vc vc JOIN ${p}fmap m ON m.ccid = vc.ccid
+               JOIN $fine f ON f.cid = m.fcid),
+        ${p}cand2 AS (SELECT * FROM ${p}cand
+               UNION ALL
+               SELECT vc.vec_id, f.cid, f.cv
+               FROM ${p}vc vc CROSS JOIN $fine f
+               WHERE vc.vec_id NOT IN (SELECT vec_id FROM ${p}cand)),
+        ${p}ad AS (SELECT c.vec_id, c.cid,
+                 list_aggregate(list_transform(range(1, len(t.v) + 1),
+                   i -> (t.v[i] - c.cv[i]) * (t.v[i] - c.cv[i])), 'sum') AS dd
+               FROM ${p}cand2 c JOIN $pop t ON t.vec_id = c.vec_id),
+        ${p}asg AS (SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY dd, cid) AS r FROM ${p}ad)
+               WHERE r = 1)"""
 
   /** Full trained-IVF top-k restatement (codebook training → cell
     * assignment → nprobe=2 probing → in-cell cosine top-5) — shared by
@@ -1078,10 +1141,55 @@ object SimilarityQueries extends QueryPack {
         val k = math.max(4L, e.count() / 100).toInt
         semanticDedup(e, graft.operators.KMeansLite.fit(e, "vec_id", "v", k, 1))
       },
-      Some(s"""WITH RECURSIVE ${duckKmeansOn("1 = 1",
-                "SELECT greatest(4, count(*) // 100) FROM te")},
+      Some(s"""WITH RECURSIVE ${duckKmeansOn("1 = 1", d33KSql)},
               $duckSemanticDedupTail""")),
+
+    // ---- SemDeDup at production k through the TWO-LEVEL path (d33):
+    // d32 runs the scaled-k policy and measures exactly why the brute
+    // path cannot scale — the argmin is n·k distance ops in BOTH the
+    // trainer's Lloyd step and the corpus assignment (17.6× isolated
+    // at the 10× step). This gate is the remedy wired end to end: a
+    // coarse codebook at kc = ⌈√k⌉ trains first, the fine fit's Lloyd
+    // iteration assigns THROUGH it (KMeansLite.fitHierarchical), and
+    // the corpus assignment routes coarse-then-in-cell — every data
+    // pass is n·O(√k), so the gate joins the enforced sf1 table (the
+    // row d32 is excluded with a measured rationale for). Policy
+    // (k = max(4, n/100)), cosine threshold, and closure are d32's
+    // verbatim. The oracle restates the FULL two-level rule — coarse
+    // trainer, fine seeds, the hierarchical Lloyd iteration, and the
+    // coarse-argmin → in-cell-argmin corpus assignment with the
+    // empty-cell fallback — so a wrong routing, a skipped fallback, a
+    // tie broken high, or a drifted mean all fail the hash.
+    Q("d33_semantic_dedup_hier",
+      (s, d) => {
+        val e = vecs(s, d)
+        val k = math.max(4L, e.count() / 100).toInt
+        val kc = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+        val (coarse, fine) = graft.operators.KMeansLite.fitHierarchical(
+          e, "vec_id", "v", k, kc, 1)
+        semanticDedupAssigned(e, e.withColumn("cid",
+          graft.operators.KMeansLite
+            .assignHierarchicalUdf(coarse, fine)(col("v")).cast("bigint")))
+      },
+      Some(s"""WITH RECURSIVE e AS ($duckVecs),
+              te AS (SELECT * FROM e),
+              ${duckKmeansBody("h", d33KcSql)},
+              ${duckSeeds("f", d33KSql)},
+              ${duckHierAssign("i1", "te", "hc1", "fc0")},
+              i1ev AS (SELECT t.vec_id, t.v, a.cid
+                       FROM te t JOIN i1asg a ON t.vec_id = a.vec_id),
+              ${duckLloydMeans("fc1", "i1ev")},
+              ${duckHierAssign("", "e", "hc1", "fc1")},
+              $duckSemanticDedupFromAsg""")),
   )
+
+  /** d32/d33's corpus-scaled k and d33's ⌈√k⌉ coarse size — both sides
+    * (the Spark gates and these scalar subqueries) derive them from
+    * the same population count
+    */
+  private val d33KSql = "SELECT greatest(4, count(*) // 100) FROM te"
+  private val d33KcSql =
+    "SELECT greatest(2, cast(ceil(sqrt(greatest(4, count(*) // 100))) as int)) FROM te"
 
   /** Shared d25/d32 body: argmin cell assignment under the given
     * codebook, within-cell rounded-cosine pairs over the 0.3
@@ -1090,10 +1198,17 @@ object SimilarityQueries extends QueryPack {
     * all-pairs anywhere.
     */
   private def semanticDedup(e: DataFrame,
-                            cents: Seq[(Int, Array[Double])]): DataFrame = {
-    val assigned = e.withColumn("cid",
+                            cents: Seq[(Int, Array[Double])]): DataFrame =
+    semanticDedupAssigned(e, e.withColumn("cid",
       graft.operators.KMeansLite.assignUdf(cents)(col("v"))
-        .cast("bigint"))
+        .cast("bigint")))
+
+  /** the assignment-agnostic SemDeDup body: d25/d32 hand it the brute
+    * argmin cells, d33 the two-level ones — pairs/threshold/closure
+    * identical either way
+    */
+  private def semanticDedupAssigned(e: DataFrame,
+                                    assigned: DataFrame): DataFrame = {
     val a = assigned.select(col("cid"), col("vec_id").as("ia"),
       col("v").as("qv"), col("nn").as("qn"))
     val b = assigned.select(col("cid"), col("vec_id").as("ib"),
@@ -1112,20 +1227,12 @@ object SimilarityQueries extends QueryPack {
         coalesce(col("keep_id"), col("vec_id")).as("keep_id"))
   }
 
-  /** the one copy of the SemDeDup oracle chain downstream of a trained
-    * `c1(cid, cv)` codebook — d25 instantiates it under the fixed-k
-    * trainer, d32 under the corpus-scaled-k trainer
+  /** the one copy of the SemDeDup oracle chain downstream of an
+    * `asg(vec_id, cid)` assignment — within-cell rounded-cosine pairs,
+    * threshold, symmetric closure, keep-first min
     */
-  private val duckSemanticDedupTail =
-    """dd2 AS (SELECT e.vec_id, c.cid,
-                        list_aggregate(list_transform(range(1, len(e.v) + 1),
-                          i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])), 'sum') AS dd
-                      FROM e CROSS JOIN c1 c),
-              asg AS (SELECT vec_id, cid FROM (
-                        SELECT vec_id, cid, row_number() OVER (
-                          PARTITION BY vec_id ORDER BY dd, cid) AS r FROM dd2)
-                      WHERE r = 1),
-              ev AS (SELECT e.vec_id, e.v, e.nn, asg.cid
+  private val duckSemanticDedupFromAsg =
+    """ev AS (SELECT e.vec_id, e.v, e.nn, asg.cid
                      FROM e JOIN asg ON e.vec_id = asg.vec_id),
               p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
                       round(list_aggregate(list_transform(range(1, len(a.v) + 1),
@@ -1141,4 +1248,19 @@ object SimilarityQueries extends QueryPack {
                 UNION
                 SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.vec_id)
               SELECT vec_id, min(r) AS keep_id FROM reach GROUP BY vec_id"""
+
+  /** the SemDeDup chain downstream of a trained `c1(cid, cv)` codebook
+    * (brute argmin assignment + the shared tail) — d25 instantiates it
+    * under the fixed-k trainer, d32 under the corpus-scaled-k trainer
+    */
+  private val duckSemanticDedupTail =
+    s"""dd2 AS (SELECT e.vec_id, c.cid,
+                        list_aggregate(list_transform(range(1, len(e.v) + 1),
+                          i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])), 'sum') AS dd
+                      FROM e CROSS JOIN c1 c),
+              asg AS (SELECT vec_id, cid FROM (
+                        SELECT vec_id, cid, row_number() OVER (
+                          PARTITION BY vec_id ORDER BY dd, cid) AS r FROM dd2)
+                      WHERE r = 1),
+              $duckSemanticDedupFromAsg"""
 }

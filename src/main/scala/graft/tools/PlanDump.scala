@@ -124,7 +124,17 @@ object PlanDump {
       // batch's tf), t32's as-of serve (gen + tb double partition
       // prune on the same scans)
       "d30_containment_zipf", "o18_dsir_incremental_score",
-      "t32_bm25_index_asof")
+      "t32_bm25_index_asof",
+      // round-11 additions: d32's scaled-k SemDeDup (brute argmin
+      // broadcast assign — the measured n·k baseline) and d33 its
+      // two-level remedy (same within-cell equi-join shape, the
+      // assignment UDF routes coarse→in-cell). e33/e34 are
+      // side-effecting streaming lifecycle gates (their plans are
+      // per-micro-batch; machine checks live in the gates' own
+      // assertions), but their BATCH faces t32/d31 are dumped — d31's
+      // store read below shows the broadcast remap-closure join.
+      "d32_semantic_dedup_scaledk", "d33_semantic_dedup_hier",
+      "d31_keeplist_auto_fold", "o17_dsir_model_asof")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries (sf0.001)\n\n")
     sb.append("Generated by `graft.tools.PlanDump`. What to look for per plan is\n")

@@ -99,15 +99,28 @@ object Sf1Probe {
     "d30_containment_zipf",
     // streamed faces of the round-10 lifecycle gates: as-of over the
     // stream-committed BM25 gens, auto-fold inside foreachBatch
-    "e33_stream_bm25_asof", "e34_stream_auto_fold")
-    // d32 (SemDeDup at corpus-scaled k) is deliberately ABSENT, with a
-    // MEASURED rationale this time (PERF.md round-10): scaling k with
-    // n makes the within-cell pair work linear, but the brute argmin
-    // ASSIGNMENT is n·k distance ops — quadratic again when k ∝ n —
-    // and the isolated probe pins it at 17.6× for the 10× step. The
-    // production remedy is hierarchical (two-level) centroid
-    // assignment, a future operator; the gate's job today is verdict
-    // correctness under the scaled-k policy, which it pins.
+    "e33_stream_bm25_asof", "e34_stream_auto_fold",
+    // round-11: d33 is the GATED remedy for d32's measured 17.6× —
+    // scaled-k SemDeDup with every data pass (coarse fit, the fine
+    // fit's Lloyd step, corpus assignment) routed through the
+    // two-level argmin, n·O(√k) instead of n·k. d32 itself stays
+    // ABSENT with the round-10 measured rationale: its job is pinning
+    // verdict correctness of the brute path under the scaled-k
+    // policy; d33 is the same policy built to scale, so the SemDeDup
+    // family's enforced row is d33's.
+    "d33_semantic_dedup_hier",
+    // round-11: the user-facing dataset creators (the reference's
+    // actual workloads — scrc/dataset_creation/*.py) join the
+    // enforced table: the scaling guarantee should cover what a user
+    // runs end-to-end, not just the operator tier. They run over the
+    // deterministic fixture corpus (SF-invariant by construction,
+    // like x35), so their enforced rows pin exactly that — creator
+    // cost is fixture-bound join/agg work that no corpus growth may
+    // leak into, the x35 discipline applied to the whole e2e tier.
+    "x22_pipeline_e2e", "x25_judgment_dataset_e2e",
+    "x26_criticality_e2e", "x27_doc2doc_e2e", "x28_lawarea_e2e",
+    "x29_courtview_e2e", "x30_pretraining_e2e", "x31_fi_summary",
+    "x32_fi_sample", "x33_citation_ner_e2e", "x34_regeste_e2e")
 
   /** Replicate a raw parquet table n× with fresh surrogate keys
     * (key·n + rep) — the dimension-table face of the ScaleProbe

@@ -82,6 +82,36 @@ class HierarchicalAssignSpec extends SparkSpec {
     assert(two(2L) == 0) // equidistant 2/-2 -> lowest cid wins
   }
 
+  test("separated blobs: two-level fit + assign ≡ brute fit + assign end-to-end") {
+    // d33's exactness-on-separated-data claim at the FIT level, not
+    // just the assignment UDF: construct ids so the hash-ordered seeds
+    // (fit's init contract) land one per blob — the first two anchor
+    // the coarse fit, all four the fine — then the hierarchical Lloyd
+    // step and corpus assignment must equal the brute path bit for bit
+    val centers = Seq(Array(0.0, 100.0), Array(100.0, 0.0),
+      Array(0.0, 110.0), Array(110.0, 0.0))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ids = (0L until 80L).toSeq
+    val hashOrder = ids.sortBy(i => (md5hex(i.toString), i))
+    val seedIds = hashOrder.take(4)
+    val rest = ids.filterNot(seedIds.contains)
+    val rows = seedIds.zipWithIndex.map { case (id, j) =>
+        (id, centers(j).toSeq) } ++
+      rest.zipWithIndex.map { case (id, j) =>
+        val c = centers(j % 4)
+        (id, Seq(c(0) + ((j * 7) % 10) * 0.01, c(1) - ((j * 3) % 10) * 0.01))
+      }
+    val df = rows.toDF("id", "v")
+    val flat = KMeansLite.fit(df, "id", "v", 4, 1)
+    val (coarse, fine) = KMeansLite.fitHierarchical(df, "id", "v", 4, 2, 1)
+    assert(fine.map { case (c, a) => (c, a.toSeq) } ==
+      flat.map { case (c, a) => (c, a.toSeq) })
+    val brute = assignments(df, KMeansLite.assignUdf(flat))
+    val two = assignments(df, KMeansLite.assignHierarchicalUdf(coarse, fine))
+    assert(two == brute)
+  }
+
   test("null/empty vectors quarantine as null, as in assignUdf") {
     val fine = Seq((0, Array(0.0, 0.0)))
     val df = Seq((0L, Seq(0.1, 0.1)), (1L, null.asInstanceOf[Seq[Double]]),
