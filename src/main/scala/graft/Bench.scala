@@ -35,33 +35,37 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // SESSION-AGING fix (round 10, measured): even with the UI off,
-      // the driver's status stores retain per-job/stage/task rows and
-      // per-SQL-execution plan graphs at their defaults (1000 jobs /
-      // 1000 stages / 100k tasks / 1000 SQL executions). A 262-gate
-      // 3-pass sweep is ~790 executions x thousands of jobs; by pass 2
-      // the retention churn throttled exactly the driver-loop gates
-      // (d25 k-means 4.5 -> 68 s, d26 fixpoint 2.3 -> 10 s, d27
-      // 14 -> 38 s). Capping retention restores the full sweep to its
-      // per-gate isolated numbers (297 s total, every gate inside its
-      // documented band). Real clusters run one query per session and
-      // never see this; a benchmark loop is the pathological client.
-      .config("spark.ui.retainedJobs", "100")
-      .config("spark.ui.retainedStages", "100")
-      .config("spark.ui.retainedTasks", "10000")
-      .config("spark.sql.ui.retainedExecutions", "10")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // warmup: JVM/codegen spin-up + parquet footers, so per-query times
-    // reflect steady state instead of charging startup to the first query
-    graft.sources.Tables.names.foreach { t =>
-      try graft.sources.Tables(spark, sfDir, t).count()
-      catch { case _: Throwable => () }
+    // SESSION-AGING fix (round 10, measured): even with the UI off,
+    // the driver's status stores retain per-job/stage/task rows and
+    // per-SQL-execution plan graphs at their defaults (1000 jobs /
+    // 1000 stages / 100k tasks / 1000 SQL executions). A 262-gate
+    // 3-pass sweep is ~790 executions x thousands of jobs; by pass 2
+    // the retention churn throttled exactly the driver-loop gates
+    // (d25 k-means 4.5 -> 68 s, d26 fixpoint 2.3 -> 10 s, d27
+    // 14 -> 38 s). Capping retention restores the full sweep to its
+    // per-gate isolated numbers (297 s total, every gate inside its
+    // documented band). Real clusters run one query per session and
+    // never see this; a benchmark loop is the pathological client.
+    def mkSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "100")
+        .config("spark.ui.retainedTasks", "10000")
+        .config("spark.sql.ui.retainedExecutions", "10")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      // warmup: parquet footers (and, pass 1, JVM/codegen spin-up), so
+      // per-query times reflect steady state instead of charging
+      // startup to the first query
+      graft.sources.Tables.names.foreach { t =>
+        try graft.sources.Tables(s, sfDir, t).count()
+        catch { case _: Throwable => () }
+      }
+      s
     }
     // dev knob: comma-separated query names to bench in isolation
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -75,8 +79,21 @@ object Bench {
     val samples = collection.mutable.Map.empty[String, List[Double]]
     val errors = collection.mutable.LinkedHashSet.empty[String]
     var itersRun = 0
+    var spark: SparkSession = null
     while (itersRun < iters &&
       (itersRun == 0 || (System.nanoTime() - wall0) / 1e9 < budgetSec)) {
+      // STEADY-STATE protocol (round 11): one FRESH SESSION PER PASS.
+      // The retention caps above killed most of the round-10 late-pass
+      // inflation, but the residual band still landed 1.6-1.9x on the
+      // heavy driver-loop gates by pass 3 (d27 27.1 s committed vs
+      // 14.3 s solo) — cross-pass accumulation the caps bound but do
+      // not zero. Recycling the session between passes makes every
+      // pass a young-session measurement, so the committed medians sit
+      // inside the per-gate isolated bands; JIT/codegen caches are
+      // JVM-global and survive the recycle, so pass 1 still absorbs
+      // warmup for all passes. JVM cost: ~2 s per recycle, off-clock.
+      if (spark != null) spark.stop()
+      spark = mkSession()
       for ((name, fn) <- names) {
         val t0 = System.nanoTime()
         val ok =
