@@ -524,8 +524,16 @@ object DedupQueries extends QueryPack {
         val surviving = fs.listStatus(
             new org.apache.hadoop.fs.Path(s"$dir/state"))
           .map(_.getPath.getName).filter(_.startsWith("batch=")).toSeq
-        KeepListStore.read(s, dir, "doc_id")
-          .withColumn("auto_folded", lit(surviving == Seq("batch=2")))
+        val head = KeepListStore.read(s, dir, "doc_id")
+        // an AS-OF read over the auto-folded store (folded base + the
+        // one surviving delta — the permanent shape of the fold
+        // window) must return exactly the head view, never a
+        // pre/post-fold mix: symmetric difference empty BOTH ways
+        val asOf = KeepListStore.readAsOf(s, dir, "doc_id", 2L)
+        val asofConsistent =
+          asOf.exceptAll(head).isEmpty && head.exceptAll(asOf).isEmpty
+        head.withColumn("auto_folded",
+          lit(surviving == Seq("batch=2") && asofConsistent))
       },
       Some("""WITH RECURSIVE
               br AS (SELECT doc_id,
