@@ -213,6 +213,97 @@ object VectorOps {
         .take(nprobe).map(_._1)
     }
 
+  /** argmax-cosine over a cid-SORTED codebook scan — `>` keeps the
+    * first (lowest-cid) entry on ties, the same contract ivfAssignUdf
+    * states and the SQL `ORDER BY cs DESC, cid` restates
+    */
+  private def bestCosIn(cents: Seq[(Long, Array[Double], Double)],
+                        v: Seq[Double], nn: Double): Long = {
+    var best = -1L
+    var bestCos = Double.NegativeInfinity
+    for ((cid, cv, cn) <- cents) {
+      var s = 0.0
+      var i = 0
+      while (i < cv.length) { s += cv(i) * v(i); i += 1 }
+      val cos = s / (math.sqrt(cn) * math.sqrt(nn))
+      if (cos > bestCos) { bestCos = cos; best = cid }
+    }
+    best
+  }
+
+  /** TWO-LEVEL (coarse → fine) IVF cell assignment by COSINE — the
+    * cosine face of KMeansLite.assignHierarchicalUdf, for the IVF tier
+    * whose cell rule is argmax cosine (s6/s9's convention), needed the
+    * moment nlist scales with the corpus: the flat ivfAssignUdf is
+    * n·nlist dot products (d32's shape in a different metric); routing
+    * through a coarse codebook of kc ≈ √nlist cells costs
+    * n·(kc + nlist/kc) ≈ n·2√nlist. Each fine cell is grouped ONCE,
+    * driver-side, under its nearest coarse cell (kc·nlist ops); a
+    * vector resolves its coarse cell and argmaxes only that cell's
+    * fine members. APPROXIMATE vs the flat argmax (a vector's true
+    * nearest fine cell can sit under a neighboring coarse cell — the
+    * standard IVF/IMI routing trade) but fully DETERMINISTIC given the
+    * codebooks: both levels scan cid-sorted and tie low, so a SQL
+    * oracle restates the exact rule. A coarse cell owning NO fine
+    * members (seed-overlap pathology) falls back to the full fine
+    * argmax — correctness-first and rare by construction.
+    */
+  def ivfAssignHierUdf(coarse0: Seq[(Long, Array[Double], Double)],
+                       fine0: Seq[(Long, Array[Double], Double)]) = {
+    require(coarse0.nonEmpty && fine0.nonEmpty,
+      "ivfAssignHierUdf: both codebooks must be non-empty")
+    val coarse = coarse0.sortBy(_._1)
+    val fine = fine0.sortBy(_._1)
+    val byCoarse: Map[Long, Seq[(Long, Array[Double], Double)]] =
+      fine.groupBy { case (_, fv, fn) => bestCosIn(coarse, fv.toSeq, fn) }
+    udf { (v: Seq[Double], nn: Double) =>
+      if (v == null || v.isEmpty) None
+      else {
+        val cands = byCoarse.getOrElse(bestCosIn(coarse, v, nn), fine)
+        Some(bestCosIn(cands, v, nn))
+      }
+    }
+  }
+
+  /** TWO-LEVEL probe list: the query routes to its `pc` nearest COARSE
+    * cells (cosine desc, cid asc) and ranks only THEIR fine members for
+    * the `nprobe` probe targets — O(kc + pc·nlist/kc) per query instead
+    * of ivfProbeUdf's O(nlist), the routing every at-scale IVF serves
+    * queries through (a query stream pays the probe per query; at
+    * nlist ∝ n the flat scan is linear-per-query). Same fallback rule
+    * as the assignment: if the routed coarse cells own no fine members
+    * at all, rank the full fine codebook.
+    */
+  def ivfProbeHierUdf(coarse0: Seq[(Long, Array[Double], Double)],
+                      fine0: Seq[(Long, Array[Double], Double)],
+                      pc: Int, nprobe: Int) = {
+    require(coarse0.nonEmpty && fine0.nonEmpty,
+      "ivfProbeHierUdf: both codebooks must be non-empty")
+    val coarse = coarse0.sortBy(_._1)
+    val fine = fine0.sortBy(_._1)
+    val byCoarse: Map[Long, Seq[(Long, Array[Double], Double)]] =
+      fine.groupBy { case (_, fv, fn) => bestCosIn(coarse, fv.toSeq, fn) }
+    udf { (v: Seq[Double], nn: Double) =>
+      if (v == null || v.isEmpty) Seq.empty[Long]
+      else {
+        def cosTo(c: (Long, Array[Double], Double)): (Long, Double) = {
+          val (cid, cv, cn) = c
+          var s = 0.0
+          var i = 0
+          while (i < cv.length) { s += cv(i) * v(i); i += 1 }
+          (cid, s / (math.sqrt(cn) * math.sqrt(nn)))
+        }
+        val routed = coarse.map(cosTo)
+          .sortBy { case (cid, cos) => (-cos, cid) }.take(pc).map(_._1)
+        val cands0 = routed.flatMap(c => byCoarse.getOrElse(c, Nil))
+        val cands = if (cands0.isEmpty) fine else cands0
+        cands.map(cosTo)
+          .sortBy { case (cid, cos) => (-cos, cid) }
+          .take(nprobe).map(_._1)
+      }
+    }
+  }
+
   // -------------------------------------------------------------------- PQ
 
   /** Product quantization (the third ANN tier next to LSH buckets and

@@ -1181,6 +1181,135 @@ object SimilarityQueries extends QueryPack {
               ${duckLloydMeans("fc1", "i1ev")},
               ${duckHierAssign("", "e", "hc1", "fc1")},
               $duckSemanticDedupFromAsg""")),
+
+    // ---- IVF at corpus-scaled nlist through TWO-LEVEL COSINE routing
+    // (s20): the IVF tier's standing scale note (PERF.md round 11) is
+    // that its flat argmax assignment shares d32's n·nlist shape the
+    // moment nlist scales with the corpus — and that the d33 remedy is
+    // "the same UDF over dot products" in the IVF tier's metric. This
+    // gate lands that cosine face as a production shape: nlist =
+    // max(4, n/100) (d32/d33's policy), codebooks from the SAME
+    // two-level trainer (KMeansLite.fitHierarchical — every training
+    // pass n·O(√nlist)), corpus cells assigned coarse→in-cell by
+    // ARGMAX COSINE (VectorOps.ivfAssignHierUdf), and the probe routed
+    // the same way (ivfProbeHierUdf: pc=2 coarse cells, then nprobe=2
+    // among their fine members — O(√nlist + 2·√nlist) per query
+    // instead of O(nlist), the IMI-style routing a query STREAM needs
+    // at scale). Serve is s9's: broadcast cell equi-join, exact
+    // in-cell cosine top-5. The oracle restates every level — the
+    // hierarchical L2 fit (d33's CTE chain verbatim), the cosine
+    // fine→coarse map, the coarse-argmax → in-cell-argmax corpus
+    // assignment with the empty-cell fallback, the two-level probe
+    // with the same fallback, and the final top-5 — so a wrong
+    // routing at either level, a skipped fallback, or a tie broken
+    // high all fail the hash.
+    Q("s20_ivf_hier_scalednlist",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = vecs(s, d)
+        val k = math.max(4L, e.count() / 100).toInt
+        val kc = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+        val (coarseCb, fineCb) = graft.operators.KMeansLite.fitHierarchical(
+          e, "vec_id", "v", k, kc, 1)
+        val coarse = withNorms(coarseCb)
+        val fine = withNorms(fineCb)
+        val assigned = e.withColumn("cell",
+          VectorOps.ivfAssignHierUdf(coarse, fine)(col("v"), col("nn")))
+        val q = e.where(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("nn").as("qn"),
+            explode(VectorOps.ivfProbeHierUdf(coarse, fine, 2, 2)(
+              col("v"), col("nn"))).as("cell"))
+        val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+        assigned.join(broadcast(q), Seq("cell"))
+          .where(col("vec_id") =!= col("qid"))
+          .withColumn("cos", round(cosExpr, 6))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 5)
+          .select(col("qid"), col("rank").cast("bigint").as("rank"),
+            col("vec_id"), col("cos"))
+      },
+      Some(s"""WITH e AS ($duckVecs),
+              te AS (SELECT * FROM e),
+              ${duckKmeansBody("h", d33KcSql)},
+              ${duckSeeds("f", d33KSql)},
+              ${duckHierAssign("i1", "te", "hc1", "fc0")},
+              i1ev AS (SELECT t.vec_id, t.v, a.cid
+                       FROM te t JOIN i1asg a ON t.vec_id = a.vec_id),
+              ${duckLloydMeans("fc1", "i1ev")},
+              hcn AS (SELECT cid, cv,
+                        list_aggregate(list_transform(cv, x -> x * x), 'sum') AS cn
+                      FROM hc1),
+              fcn AS (SELECT cid, cv,
+                        list_aggregate(list_transform(cv, x -> x * x), 'sum') AS cn
+                      FROM fc1),
+              ffd AS (SELECT f.cid AS fcid, h.cid AS ccid,
+                        list_aggregate(list_transform(range(1, len(f.cv) + 1),
+                          i -> h.cv[i] * f.cv[i]), 'sum')
+                          / (sqrt(h.cn) * sqrt(f.cn)) AS cs
+                      FROM fcn f CROSS JOIN hcn h),
+              fmap AS (SELECT fcid, ccid FROM (
+                        SELECT *, row_number() OVER (
+                          PARTITION BY fcid ORDER BY cs DESC, ccid) AS r FROM ffd)
+                      WHERE r = 1),
+              vcd AS (SELECT e.vec_id, h.cid AS ccid,
+                        list_aggregate(list_transform(range(1, len(e.v) + 1),
+                          i -> h.cv[i] * e.v[i]), 'sum')
+                          / (sqrt(h.cn) * sqrt(e.nn)) AS cs
+                      FROM e CROSS JOIN hcn h),
+              vcc AS (SELECT vec_id, ccid FROM (
+                        SELECT *, row_number() OVER (
+                          PARTITION BY vec_id ORDER BY cs DESC, ccid) AS r FROM vcd)
+                      WHERE r = 1),
+              cand AS (SELECT vcc.vec_id, f.cid, f.cv, f.cn
+                       FROM vcc JOIN fmap m ON m.ccid = vcc.ccid
+                       JOIN fcn f ON f.cid = m.fcid),
+              cand2 AS (SELECT * FROM cand
+                        UNION ALL
+                        SELECT vcc.vec_id, f.cid, f.cv, f.cn
+                        FROM vcc CROSS JOIN fcn f
+                        WHERE vcc.vec_id NOT IN (SELECT vec_id FROM cand)),
+              cad AS (SELECT c.vec_id, c.cid,
+                        list_aggregate(list_transform(range(1, len(t.v) + 1),
+                          i -> c.cv[i] * t.v[i]), 'sum')
+                          / (sqrt(c.cn) * sqrt(t.nn)) AS cs
+                      FROM cand2 c JOIN e t ON t.vec_id = c.vec_id),
+              asg AS (SELECT vec_id, cid AS cell FROM (
+                        SELECT *, row_number() OVER (
+                          PARTITION BY vec_id ORDER BY cs DESC, cid) AS r FROM cad)
+                      WHERE r = 1),
+              qvc AS (SELECT vec_id AS qid, ccid FROM (
+                        SELECT *, row_number() OVER (
+                          PARTITION BY vec_id ORDER BY cs DESC, ccid) AS r
+                        FROM vcd WHERE vec_id < 3)
+                      WHERE r <= 2),
+              qcand AS (SELECT qvc.qid, f.cid, f.cv, f.cn
+                        FROM qvc JOIN fmap m ON m.ccid = qvc.ccid
+                        JOIN fcn f ON f.cid = m.fcid),
+              qcand2 AS (SELECT * FROM qcand
+                         UNION ALL
+                         SELECT q.qid, f.cid, f.cv, f.cn
+                         FROM (SELECT DISTINCT qid FROM qvc) q CROSS JOIN fcn f
+                         WHERE q.qid NOT IN (SELECT qid FROM qcand)),
+              qpd AS (SELECT c.qid, c.cid,
+                        list_aggregate(list_transform(range(1, len(t.v) + 1),
+                          i -> c.cv[i] * t.v[i]), 'sum')
+                          / (sqrt(c.cn) * sqrt(t.nn)) AS cs
+                      FROM qcand2 c JOIN e t ON t.vec_id = c.qid),
+              qprobe AS (SELECT qid, cid AS cell FROM (
+                          SELECT *, row_number() OVER (
+                            PARTITION BY qid ORDER BY cs DESC, cid) AS r FROM qpd)
+                        WHERE r <= 2),
+              p AS (SELECT qp.qid, a.vec_id,
+                      round(list_aggregate(list_transform(range(1, len(q.v) + 1),
+                        i -> q.v[i] * t.v[i]), 'sum')
+                        / (sqrt(q.nn) * sqrt(t.nn)), 6) AS cos
+                    FROM asg a JOIN qprobe qp ON a.cell = qp.cell
+                    JOIN e q ON q.vec_id = qp.qid
+                    JOIN e t ON t.vec_id = a.vec_id
+                    WHERE a.vec_id <> qp.qid)
+              SELECT qid, cast(rank as bigint) AS rank, vec_id, cos FROM (
+                SELECT *, row_number() OVER (PARTITION BY qid
+                  ORDER BY cos DESC, vec_id) AS rank FROM p) WHERE rank <= 5""")),
   )
 
   /** d32/d33's corpus-scaled k and d33's ⌈√k⌉ coarse size — both sides

@@ -134,7 +134,11 @@ object PlanDump {
       // assertions), but their BATCH faces t32/d31 are dumped — d31's
       // store read below shows the broadcast remap-closure join.
       "d32_semantic_dedup_scaledk", "d33_semantic_dedup_hier",
-      "d31_keeplist_auto_fold", "o17_dsir_model_asof")
+      "d31_keeplist_auto_fold", "o17_dsir_model_asof",
+      // s20: scaled-nlist IVF through two-level cosine routing — the
+      // plan must show the broadcast cell equi-join serve (s9's shape)
+      // with the assignment/probe UDFs folded into the projections
+      "s20_ivf_hier_scalednlist")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries (sf0.001)\n\n")
     sb.append("Generated by `graft.tools.PlanDump`. What to look for per plan is\n")

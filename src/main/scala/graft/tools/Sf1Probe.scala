@@ -109,6 +109,12 @@ object Sf1Probe {
     // policy; d33 is the same policy built to scale, so the SemDeDup
     // family's enforced row is d33's.
     "d33_semantic_dedup_hier",
+    // round-11: s20 is the cosine face of the same remedy in the IVF
+    // tier — corpus-scaled nlist with the fit, the corpus assignment,
+    // AND the probe all routed two-level (n·O(√nlist) per data pass,
+    // O(√nlist) per query route); its enforced row pins that the IVF
+    // tier's own scaled-nlist path clears the bar, not just SemDeDup's
+    "s20_ivf_hier_scalednlist",
     // round-11: the user-facing dataset creators (the reference's
     // actual workloads — scrc/dataset_creation/*.py) join the
     // enforced table: the scaling guarantee should cover what a user
