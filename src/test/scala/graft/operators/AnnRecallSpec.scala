@@ -111,6 +111,51 @@ class AnnRecallSpec extends SparkSpec {
     assert(r2 >= 0.5, f"IVF nprobe=2 recall@$K collapsed: $r2%.3f")
   }
 
+  test("two-level cosine routing preserves flat-IVF recall (s20's trade priced)") {
+    // same FINE codebook both ways — this isolates the ROUTING trade
+    // (s20's coarse→in-cell approximation) from codebook quality: flat
+    // assign/probe scan all k cells; two-level routes through kc=√k
+    // coarse anchors at pc=2, nprobe=2. The recall delta IS the price
+    // of the O(√k)-per-pass routing; COVERAGE cites the printed line.
+    val k = 16
+    val kc = 4
+    val fine = withNormsL(KMeansLite.fit(e, "vec_id", "v", k, 1))
+    val coarse = withNormsL(KMeansLite.fit(e, "vec_id", "v", kc, 1))
+    def top(assign: org.apache.spark.sql.expressions.UserDefinedFunction,
+            probe: org.apache.spark.sql.expressions.UserDefinedFunction)
+        : Map[Long, Set[Long]] = {
+      val assigned = e.withColumn("cell", assign(col("v"), col("nn")))
+      val q = e.where(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nn").as("qn"),
+          explode(probe(col("v"), col("nn"))).as("cell"))
+      assigned.join(broadcast(q), Seq("cell"))
+        .where(col("vec_id") =!= col("qid"))
+        .withColumn("cos", VectorOps.cosine("v", "qv", "nn", "qn"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+        .where(col("rank") <= K)
+        .select("qid", "vec_id").collect()
+        .groupBy(_.getLong(0)).map { case (q2, rs) => q2 -> rs.map(_.getLong(1)).toSet }
+    }
+    val flat = recall(top(VectorOps.ivfAssignUdf(fine),
+      VectorOps.ivfProbeUdf(fine, 2)))
+    val two = recall(top(VectorOps.ivfAssignHierUdf(coarse, fine),
+      VectorOps.ivfProbeHierUdf(coarse, fine, 2, 2)))
+    println(f"ANN-RECALL ivf-hier k=$k kc=$kc flat(nprobe=2)=$flat%.3f " +
+      f"two-level(pc=2,nprobe=2)=$two%.3f")
+    // measured on this corpus: flat 0.338, two-level 0.275 — the
+    // routing trade costs ~0.06 recall@10 for the O(√k) pass cost;
+    // the floors pin "small delta, no collapse", not the exact values
+    assert(two >= flat - 0.15,
+      f"two-level routing lost too much recall: $two%.3f vs flat $flat%.3f")
+    assert(two >= 0.25, f"two-level IVF recall@$K collapsed: $two%.3f")
+  }
+
+  private def withNormsL(cb: Seq[(Int, Array[Double])])
+      : Seq[(Long, Array[Double], Double)] =
+    cb.map { case (cid, cv) => (cid.toLong, cv, cv.map(x => x * x).sum) }
+
   test("PQ ADC ranking preserves most true neighbors at 16x compression") {
     val cents = KMeansLite.fit(e, "vec_id", "v", 4, 1)
       .map { case (cid, cv) => (cid.toLong, cv) }
