@@ -110,7 +110,8 @@ object SimilarityQueries extends QueryPack {
   private def serveTopkFromIndex(s: SparkSession, idxDir: String,
                                  cents: Seq[(Long, Array[Double], Double)],
                                  e: DataFrame,
-                                 asOf: Option[Long] = None): DataFrame = {
+                                 asOf: Option[Long] = None,
+                                 probe: Option[org.apache.spark.sql.expressions.UserDefinedFunction] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // AS-OF serve (s18): restrict to generations ≤ asOf — a second
     // partition-prune level on the SAME scan. Compacted generations are
@@ -131,9 +132,10 @@ object SimilarityQueries extends QueryPack {
       require(a <= Int.MaxValue,
         s"as-of gen $a exceeds the int partition-value range of $idxDir")
     }
+    val probeUdf = probe.getOrElse(VectorOps.ivfProbeUdf(cents, 2))
     val q = e.where(col("vec_id") < 3)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nn").as("qn"),
-        explode(VectorOps.ivfProbeUdf(cents, 2)(col("v"), col("nn"))).as("cell"))
+        explode(probeUdf(col("v"), col("nn"))).as("cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probed = q.select("cell").distinct().collect()
       .map(_.getLong(0).toInt).sorted
@@ -1228,8 +1230,82 @@ object SimilarityQueries extends QueryPack {
           .select(col("qid"), col("rank").cast("bigint").as("rank"),
             col("vec_id"), col("cos"))
       },
-      Some(s"""WITH e AS ($duckVecs),
-              te AS (SELECT * FROM e),
+      Some(duckIvfHierTopkOn("TRUE"))),
+
+    // ---- STREAMED maintenance of the scaled-nlist two-level index
+    // (s21): s20 gates the two-level build/probe as one batch; this is
+    // its streamed face under the repo's lifecycle-symmetry rule
+    // (every persisted index face gets batch AND stream maintenance —
+    // s16 did this for flat IVF at fixed nlist). Codebooks train ONCE
+    // on the pre-stream backfill at nlist = max(4, n_train/100) and
+    // FREEZE (the s15/s16 discipline: appends never retrain); the
+    // backfill lands as gen=-1, the held-out quarter arrives as a
+    // real stream in two landings, each micro-batch assigned
+    // coarse→in-cell by the SAME two-level cosine UDF and published
+    // EXACTLY-ONCE via committedCellAppend (atomic gen=<batchId>
+    // rename; replays are pure skips). Serve is the s13 partition-
+    // pruned read over (gen, cell) with the TWO-LEVEL probe routing
+    // the queries. The oracle is s20's full restatement with te = the
+    // backfill population — blind to streaming, batching, and layout,
+    // so append loss, duplication, a wrong frozen codebook, or a
+    // routing drift at either level all fail the hash.
+    Q("s21_stream_ivf_hier",
+      (s, d) => {
+        val e = vecs(s, d)
+        val trainPop = e.where(col("vec_id") % 4 =!= 3)
+        val k = math.max(4L, trainPop.count() / 100).toInt
+        val kc = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+        val (coarseCb, fineCb) = graft.operators.KMeansLite.fitHierarchical(
+          trainPop, "vec_id", "v", k, kc, 1)
+        val coarse = withNorms(coarseCb)
+        val fine = withNorms(fineCb)
+        val assignUdf = VectorOps.ivfAssignHierUdf(coarse, fine)
+        def assigned(df: org.apache.spark.sql.DataFrame) =
+          df.withColumn("cell", assignUdf(col("v"), col("nn")))
+        val idxDir = Scratch.dir("graft_s21_").resolve("ivf").toString
+        VectorOps.committedCellAppend(assigned(trainPop), idxDir, -1L)
+        val raw = Tables.embeddings(s, d)
+        val stage = Scratch.dir("graft_s21_stage_").toString
+        raw.where(col("vec_id") % 8 === 3)
+          .coalesce(1).write.mode("append").parquet(stage)
+        val ckpt = Scratch.dir("graft_s21_ck_").toString
+        val q = s.readStream.schema(raw.schema).parquet(stage)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+            if (!batch.isEmpty) {
+              graft.GraftExtensions.registerNative(s)
+              VectorOps.committedCellAppend(
+                assigned(VectorOps.vecs(batch)
+                  .select("vec_id", "label", "v", "nn")), idxDir, bid)
+              ()
+            }
+          }
+          .start()
+        try {
+          q.processAllAvailable()
+          raw.where(col("vec_id") % 8 === 7)
+            .coalesce(1).write.mode("append").parquet(stage)
+          q.processAllAvailable()
+        } finally q.stop()
+        serveTopkFromIndex(s, idxDir, fine, e,
+          probe = Some(VectorOps.ivfProbeHierUdf(coarse, fine, 2, 2)))
+      },
+      Some(duckIvfHierTopkOn("vec_id % 4 <> 3"))),
+  )
+
+  /** Full two-level-IVF top-k restatement at corpus-scaled nlist
+    * (s20/s21's shared oracle, parameterized like duckIvfTrainedTopkOn):
+    * hierarchical L2 fit over the TRAINING population `te` (d33's CTE
+    * chain verbatim — the codebooks are frozen artifacts of te), then
+    * the cosine two-level corpus assignment, the two-level probe, and
+    * the in-cell top-5 over the FULL population. s20 trains on
+    * everything (te = e); s21 trains on the pre-stream backfill while
+    * the streamed generations land under the frozen codebooks.
+    */
+  private def duckIvfHierTopkOn(trainWhere: String) =
+    s"""WITH e AS ($duckVecs),
+              te AS (SELECT * FROM e WHERE $trainWhere),
               ${duckKmeansBody("h", d33KcSql)},
               ${duckSeeds("f", d33KSql)},
               ${duckHierAssign("i1", "te", "hc1", "fc0")},
@@ -1309,8 +1385,7 @@ object SimilarityQueries extends QueryPack {
                     WHERE a.vec_id <> qp.qid)
               SELECT qid, cast(rank as bigint) AS rank, vec_id, cos FROM (
                 SELECT *, row_number() OVER (PARTITION BY qid
-                  ORDER BY cos DESC, vec_id) AS rank FROM p) WHERE rank <= 5""")),
-  )
+                  ORDER BY cos DESC, vec_id) AS rank FROM p) WHERE rank <= 5"""
 
   /** d32/d33's corpus-scaled k and d33's ⌈√k⌉ coarse size — both sides
     * (the Spark gates and these scalar subqueries) derive them from

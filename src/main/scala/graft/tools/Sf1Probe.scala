@@ -115,6 +115,12 @@ object Sf1Probe {
     // O(√nlist) per query route); its enforced row pins that the IVF
     // tier's own scaled-nlist path clears the bar, not just SemDeDup's
     "s20_ivf_hier_scalednlist",
+    // s21: s20's streamed face — frozen scaled-nlist codebooks, per-
+    // micro-batch two-level assignment, exactly-once gen publishes,
+    // partition-pruned two-level-probed serve; its enforced row pins
+    // that the streamed maintenance cost tracks the batch, not the
+    // corpus, at the scaled-nlist policy
+    "s21_stream_ivf_hier",
     // round-11: the user-facing dataset creators (the reference's
     // actual workloads — scrc/dataset_creation/*.py) join the
     // enforced table: the scaling guarantee should cover what a user
