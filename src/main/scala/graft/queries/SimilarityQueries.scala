@@ -1292,6 +1292,63 @@ object SimilarityQueries extends QueryPack {
           probe = Some(VectorOps.ivfProbeHierUdf(coarse, fine, 2, 2)))
       },
       Some(duckIvfHierTopkOn("vec_id % 4 <> 3"))),
+
+    // ---- AS-OF serve on the streamed two-level index (s22): closes
+    // the lifecycle-symmetry square for the scaled-nlist tier the way
+    // s18 closed it for flat IVF — a training snapshot must be able to
+    // pin WHICH index answered its queries. The store is s21's
+    // (backfill gen=-1, two streamed landings at gen=0/1 under frozen
+    // two-level codebooks); serve as-of batch 0 is the SAME partition-
+    // pruned two-level-probed read with gen <= 0 as a second static
+    // prune on the same scan — a subset union of generation dirs,
+    // never a reconstruction — so batch 1's vectors (vec_id % 8 = 7)
+    // must be invisible and every query's top-5 back-fills from the
+    // snapshot population. Oracle = the two-level restatement with the
+    // SERVED population restricted to the snapshot (codebooks and
+    // queries unchanged — frozen artifacts don't time-travel).
+    Q("s22_ivf_hier_asof",
+      (s, d) => {
+        val e = vecs(s, d)
+        val trainPop = e.where(col("vec_id") % 4 =!= 3)
+        val k = math.max(4L, trainPop.count() / 100).toInt
+        val kc = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+        val (coarseCb, fineCb) = graft.operators.KMeansLite.fitHierarchical(
+          trainPop, "vec_id", "v", k, kc, 1)
+        val coarse = withNorms(coarseCb)
+        val fine = withNorms(fineCb)
+        val assignUdf = VectorOps.ivfAssignHierUdf(coarse, fine)
+        def assigned(df: org.apache.spark.sql.DataFrame) =
+          df.withColumn("cell", assignUdf(col("v"), col("nn")))
+        val idxDir = Scratch.dir("graft_s22_").resolve("ivf").toString
+        VectorOps.committedCellAppend(assigned(trainPop), idxDir, -1L)
+        val raw = Tables.embeddings(s, d)
+        val stage = Scratch.dir("graft_s22_stage_").toString
+        raw.where(col("vec_id") % 8 === 3)
+          .coalesce(1).write.mode("append").parquet(stage)
+        val ckpt = Scratch.dir("graft_s22_ck_").toString
+        val q = s.readStream.schema(raw.schema).parquet(stage)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+            if (!batch.isEmpty) {
+              graft.GraftExtensions.registerNative(s)
+              VectorOps.committedCellAppend(
+                assigned(VectorOps.vecs(batch)
+                  .select("vec_id", "label", "v", "nn")), idxDir, bid)
+              ()
+            }
+          }
+          .start()
+        try {
+          q.processAllAvailable()
+          raw.where(col("vec_id") % 8 === 7)
+            .coalesce(1).write.mode("append").parquet(stage)
+          q.processAllAvailable()
+        } finally q.stop()
+        serveTopkFromIndex(s, idxDir, fine, e, asOf = Some(0L),
+          probe = Some(VectorOps.ivfProbeHierUdf(coarse, fine, 2, 2)))
+      },
+      Some(duckIvfHierTopkOn("vec_id % 4 <> 3", "vec_id % 8 <> 7"))),
   )
 
   /** Full two-level-IVF top-k restatement at corpus-scaled nlist
@@ -1299,11 +1356,15 @@ object SimilarityQueries extends QueryPack {
     * hierarchical L2 fit over the TRAINING population `te` (d33's CTE
     * chain verbatim — the codebooks are frozen artifacts of te), then
     * the cosine two-level corpus assignment, the two-level probe, and
-    * the in-cell top-5 over the FULL population. s20 trains on
-    * everything (te = e); s21 trains on the pre-stream backfill while
-    * the streamed generations land under the frozen codebooks.
+    * the in-cell top-5 over the SERVED population (`corpusWhere` —
+    * duckIvfTrainedTopkOn's knob: s22's as-of serve restricts the
+    * population to the generations at or before the snapshot while
+    * codebooks and queries stay fixed). s20 trains on everything
+    * (te = e); s21/s22 train on the pre-stream backfill while the
+    * streamed generations land under the frozen codebooks.
     */
-  private def duckIvfHierTopkOn(trainWhere: String) =
+  private def duckIvfHierTopkOn(trainWhere: String,
+                                corpusWhere: String = "TRUE") =
     s"""WITH e AS ($duckVecs),
               te AS (SELECT * FROM e WHERE $trainWhere),
               ${duckKmeansBody("h", d33KcSql)},
@@ -1352,7 +1413,7 @@ object SimilarityQueries extends QueryPack {
               asg AS (SELECT vec_id, cid AS cell FROM (
                         SELECT *, row_number() OVER (
                           PARTITION BY vec_id ORDER BY cs DESC, cid) AS r FROM cad)
-                      WHERE r = 1),
+                      WHERE r = 1 AND ($corpusWhere)),
               qvc AS (SELECT vec_id AS qid, ccid FROM (
                         SELECT *, row_number() OVER (
                           PARTITION BY vec_id ORDER BY cs DESC, ccid) AS r

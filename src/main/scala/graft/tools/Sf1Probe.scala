@@ -121,6 +121,10 @@ object Sf1Probe {
     // that the streamed maintenance cost tracks the batch, not the
     // corpus, at the scaled-nlist policy
     "s21_stream_ivf_hier",
+    // s22: as-of serve on s21's streamed store — the snapshot read is
+    // a second static partition prune on the same scan, so its cost
+    // must track the snapshot's generations, not the corpus history
+    "s22_ivf_hier_asof",
     // round-11: the user-facing dataset creators (the reference's
     // actual workloads — scrc/dataset_creation/*.py) join the
     // enforced table: the scaling guarantee should cover what a user
