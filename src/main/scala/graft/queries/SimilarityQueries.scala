@@ -1349,6 +1349,39 @@ object SimilarityQueries extends QueryPack {
           probe = Some(VectorOps.ivfProbeHierUdf(coarse, fine, 2, 2)))
       },
       Some(duckIvfHierTopkOn("vec_id % 4 <> 3", "vec_id % 8 <> 7"))),
+
+    // ---- Takedown on the two-level store (s23): the CRUD face the
+    // scaled-nlist tier was missing — s17 proved delete for flat IVF;
+    // the same `Sinks.rewriteGenerations` (fold + filter in one
+    // rename-aside swap, cell layout preserved so serves still
+    // partition-prune) drops the deleted vectors here while the
+    // TWO-LEVEL codebooks stay frozen (a takedown no more retrains
+    // than an append — the codebooks predate it). Serve is the
+    // two-level-probed pruned read; every query's top-5 must
+    // back-fill from remaining in-cell neighbors. Oracle = the shared
+    // two-level restatement with the SERVED population restricted to
+    // survivors — codebooks trained on the full pre-delete corpus,
+    // exactly what the frozen artifacts are.
+    Q("s23_ivf_hier_delete",
+      (s, d) => {
+        val e = vecs(s, d)
+        val k = math.max(4L, e.count() / 100).toInt
+        val kc = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+        val (coarseCb, fineCb) = graft.operators.KMeansLite.fitHierarchical(
+          e, "vec_id", "v", k, kc, 1)
+        val coarse = withNorms(coarseCb)
+        val fine = withNorms(fineCb)
+        val idxDir = Scratch.dir("graft_s23_").resolve("ivf").toString
+        VectorOps.committedCellAppend(
+          e.withColumn("cell",
+            VectorOps.ivfAssignHierUdf(coarse, fine)(col("v"), col("nn"))),
+          idxDir, -1L)
+        graft.sources.Sinks.rewriteGenerations(s, idxDir, Some("cell"),
+          df => df.where(col("vec_id") % 9 =!= 0))
+        serveTopkFromIndex(s, idxDir, fine, e,
+          probe = Some(VectorOps.ivfProbeHierUdf(coarse, fine, 2, 2)))
+      },
+      Some(duckIvfHierTopkOn("TRUE", "vec_id % 9 <> 0"))),
   )
 
   /** Full two-level-IVF top-k restatement at corpus-scaled nlist

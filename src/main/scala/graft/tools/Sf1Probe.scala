@@ -125,6 +125,9 @@ object Sf1Probe {
     // a second static partition prune on the same scan, so its cost
     // must track the snapshot's generations, not the corpus history
     "s22_ivf_hier_asof",
+    // s23: takedown on the two-level store — rewrite cost tracks the
+    // store, serve cost the probed cells, neither the corpus history
+    "s23_ivf_hier_delete",
     // round-11: the user-facing dataset creators (the reference's
     // actual workloads — scrc/dataset_creation/*.py) join the
     // enforced table: the scaling guarantee should cover what a user
