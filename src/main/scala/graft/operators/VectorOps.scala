@@ -184,18 +184,7 @@ object VectorOps {
   def ivfAssignUdf(cents: Seq[(Long, Array[Double], Double)]) =
     udf { (v: Seq[Double], nn: Double) =>
       if (v == null || v.isEmpty) None
-      else {
-        var best = -1L
-        var bestCos = Double.NegativeInfinity
-        for ((cid, cv, cn) <- cents) {
-          var s = 0.0
-          var i = 0
-          while (i < cv.length) { s += cv(i) * v(i); i += 1 }
-          val cos = s / (math.sqrt(cn) * math.sqrt(nn))
-          if (cos > bestCos) { bestCos = cos; best = cid }
-        }
-        Some(best)
-      }
+      else Some(bestCosIn(cents, v, nn))
     }
 
   /** nprobe nearest cells for a query vector (cells sorted by
@@ -204,14 +193,23 @@ object VectorOps {
   def ivfProbeUdf(cents: Seq[(Long, Array[Double], Double)], nprobe: Int) =
     udf { (v: Seq[Double], nn: Double) =>
       if (v == null || v.isEmpty) Seq.empty[Long]
-      else cents.map { case (cid, cv, cn) =>
-        var s = 0.0
-        var i = 0
-        while (i < cv.length) { s += cv(i) * v(i); i += 1 }
-        (cid, s / (math.sqrt(cn) * math.sqrt(nn)))
-      }.sortBy { case (cid, cos) => (-cos, cid) }
+      else cents.map { case (cid, cv, cn) => (cid, cosTo(cv, cn, v, nn)) }
+        .sortBy { case (cid, cos) => (-cos, cid) }
         .take(nprobe).map(_._1)
     }
+
+  /** THE one copy of the tier's scoring arithmetic — dot folded
+    * left-to-right, then s/(√cn·√nn) — every assign/probe path (flat
+    * and two-level) scores through here so a precision or fold-order
+    * change can never desynchronize a path from the SQL restatement
+    */
+  private def cosTo(cv: Array[Double], cn: Double,
+                    v: Seq[Double], nn: Double): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < cv.length) { s += cv(i) * v(i); i += 1 }
+    s / (math.sqrt(cn) * math.sqrt(nn))
+  }
 
   /** argmax-cosine over a cid-SORTED codebook scan — `>` keeps the
     * first (lowest-cid) entry on ties, the same contract ivfAssignUdf
@@ -222,14 +220,20 @@ object VectorOps {
     var best = -1L
     var bestCos = Double.NegativeInfinity
     for ((cid, cv, cn) <- cents) {
-      var s = 0.0
-      var i = 0
-      while (i < cv.length) { s += cv(i) * v(i); i += 1 }
-      val cos = s / (math.sqrt(cn) * math.sqrt(nn))
+      val cos = cosTo(cv, cn, v, nn)
       if (cos > bestCos) { bestCos = cos; best = cid }
     }
     best
   }
+
+  /** fine cells grouped under their cosine-nearest coarse cell — the
+    * ONE routing rule both two-level UDFs share (inputs must be
+    * cid-sorted; group member order is fine's encounter order)
+    */
+  private def routeFine(coarse: Seq[(Long, Array[Double], Double)],
+                        fine: Seq[(Long, Array[Double], Double)])
+      : Map[Long, Seq[(Long, Array[Double], Double)]] =
+    fine.groupBy { case (_, fv, fn) => bestCosIn(coarse, fv.toSeq, fn) }
 
   /** TWO-LEVEL (coarse → fine) IVF cell assignment by COSINE — the
     * cosine face of KMeansLite.assignHierarchicalUdf, for the IVF tier
@@ -254,8 +258,7 @@ object VectorOps {
       "ivfAssignHierUdf: both codebooks must be non-empty")
     val coarse = coarse0.sortBy(_._1)
     val fine = fine0.sortBy(_._1)
-    val byCoarse: Map[Long, Seq[(Long, Array[Double], Double)]] =
-      fine.groupBy { case (_, fv, fn) => bestCosIn(coarse, fv.toSeq, fn) }
+    val byCoarse = routeFine(coarse, fine)
     udf { (v: Seq[Double], nn: Double) =>
       if (v == null || v.isEmpty) None
       else {
@@ -281,25 +284,17 @@ object VectorOps {
       "ivfProbeHierUdf: both codebooks must be non-empty")
     val coarse = coarse0.sortBy(_._1)
     val fine = fine0.sortBy(_._1)
-    val byCoarse: Map[Long, Seq[(Long, Array[Double], Double)]] =
-      fine.groupBy { case (_, fv, fn) => bestCosIn(coarse, fv.toSeq, fn) }
+    val byCoarse = routeFine(coarse, fine)
     udf { (v: Seq[Double], nn: Double) =>
       if (v == null || v.isEmpty) Seq.empty[Long]
       else {
-        def cosTo(c: (Long, Array[Double], Double)): (Long, Double) = {
-          val (cid, cv, cn) = c
-          var s = 0.0
-          var i = 0
-          while (i < cv.length) { s += cv(i) * v(i); i += 1 }
-          (cid, s / (math.sqrt(cn) * math.sqrt(nn)))
-        }
-        val routed = coarse.map(cosTo)
-          .sortBy { case (cid, cos) => (-cos, cid) }.take(pc).map(_._1)
+        def scored(cs: Seq[(Long, Array[Double], Double)]) =
+          cs.map { case (cid, cv, cn) => (cid, cosTo(cv, cn, v, nn)) }
+            .sortBy { case (cid, cos) => (-cos, cid) }
+        val routed = scored(coarse).take(pc).map(_._1)
         val cands0 = routed.flatMap(c => byCoarse.getOrElse(c, Nil))
         val cands = if (cands0.isEmpty) fine else cands0
-        cands.map(cosTo)
-          .sortBy { case (cid, cos) => (-cos, cid) }
-          .take(nprobe).map(_._1)
+        scored(cands).take(nprobe).map(_._1)
       }
     }
   }

@@ -104,8 +104,11 @@ object SimilarityQueries extends QueryPack {
     * (collected — bounded driver state), a PARTITION-PRUNED read of the
     * probed cell directories (a `gen` partition level, if present, is
     * pruned through and dropped), broadcast cell equi-join, exact
-    * cosine top-5. One copy — the three gates differ only in how the
-    * index got onto disk.
+    * cosine top-5. One copy — the gates differ only in how the index
+    * got onto disk. `cents` is used ONLY to build the default flat
+    * probe; when `probe` is supplied (the two-level gates) the
+    * codebook plays no role in the serve — routing lives entirely in
+    * the probe UDF.
     */
   private def serveTopkFromIndex(s: SparkSession, idxDir: String,
                                  cents: Seq[(Long, Array[Double], Double)],
@@ -1251,43 +1254,7 @@ object SimilarityQueries extends QueryPack {
     // routing drift at either level all fail the hash.
     Q("s21_stream_ivf_hier",
       (s, d) => {
-        val e = vecs(s, d)
-        val trainPop = e.where(col("vec_id") % 4 =!= 3)
-        val k = math.max(4L, trainPop.count() / 100).toInt
-        val kc = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
-        val (coarseCb, fineCb) = graft.operators.KMeansLite.fitHierarchical(
-          trainPop, "vec_id", "v", k, kc, 1)
-        val coarse = withNorms(coarseCb)
-        val fine = withNorms(fineCb)
-        val assignUdf = VectorOps.ivfAssignHierUdf(coarse, fine)
-        def assigned(df: org.apache.spark.sql.DataFrame) =
-          df.withColumn("cell", assignUdf(col("v"), col("nn")))
-        val idxDir = Scratch.dir("graft_s21_").resolve("ivf").toString
-        VectorOps.committedCellAppend(assigned(trainPop), idxDir, -1L)
-        val raw = Tables.embeddings(s, d)
-        val stage = Scratch.dir("graft_s21_stage_").toString
-        raw.where(col("vec_id") % 8 === 3)
-          .coalesce(1).write.mode("append").parquet(stage)
-        val ckpt = Scratch.dir("graft_s21_ck_").toString
-        val q = s.readStream.schema(raw.schema).parquet(stage)
-          .writeStream.outputMode("append")
-          .option("checkpointLocation", ckpt)
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
-            if (!batch.isEmpty) {
-              graft.GraftExtensions.registerNative(s)
-              VectorOps.committedCellAppend(
-                assigned(VectorOps.vecs(batch)
-                  .select("vec_id", "label", "v", "nn")), idxDir, bid)
-              ()
-            }
-          }
-          .start()
-        try {
-          q.processAllAvailable()
-          raw.where(col("vec_id") % 8 === 7)
-            .coalesce(1).write.mode("append").parquet(stage)
-          q.processAllAvailable()
-        } finally q.stop()
+        val (idxDir, coarse, fine, e) = buildHierStreamedStore(s, d, "s21")
         serveTopkFromIndex(s, idxDir, fine, e,
           probe = Some(VectorOps.ivfProbeHierUdf(coarse, fine, 2, 2)))
       },
@@ -1308,47 +1275,32 @@ object SimilarityQueries extends QueryPack {
     // queries unchanged — frozen artifacts don't time-travel).
     Q("s22_ivf_hier_asof",
       (s, d) => {
-        val e = vecs(s, d)
-        val trainPop = e.where(col("vec_id") % 4 =!= 3)
-        val k = math.max(4L, trainPop.count() / 100).toInt
-        val kc = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
-        val (coarseCb, fineCb) = graft.operators.KMeansLite.fitHierarchical(
-          trainPop, "vec_id", "v", k, kc, 1)
-        val coarse = withNorms(coarseCb)
-        val fine = withNorms(fineCb)
-        val assignUdf = VectorOps.ivfAssignHierUdf(coarse, fine)
-        def assigned(df: org.apache.spark.sql.DataFrame) =
-          df.withColumn("cell", assignUdf(col("v"), col("nn")))
-        val idxDir = Scratch.dir("graft_s22_").resolve("ivf").toString
-        VectorOps.committedCellAppend(assigned(trainPop), idxDir, -1L)
-        val raw = Tables.embeddings(s, d)
-        val stage = Scratch.dir("graft_s22_stage_").toString
-        raw.where(col("vec_id") % 8 === 3)
-          .coalesce(1).write.mode("append").parquet(stage)
-        val ckpt = Scratch.dir("graft_s22_ck_").toString
-        val q = s.readStream.schema(raw.schema).parquet(stage)
-          .writeStream.outputMode("append")
-          .option("checkpointLocation", ckpt)
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
-            if (!batch.isEmpty) {
-              graft.GraftExtensions.registerNative(s)
-              VectorOps.committedCellAppend(
-                assigned(VectorOps.vecs(batch)
-                  .select("vec_id", "label", "v", "nn")), idxDir, bid)
-              ()
-            }
-          }
-          .start()
-        try {
-          q.processAllAvailable()
-          raw.where(col("vec_id") % 8 === 7)
-            .coalesce(1).write.mode("append").parquet(stage)
-          q.processAllAvailable()
-        } finally q.stop()
-        serveTopkFromIndex(s, idxDir, fine, e, asOf = Some(0L),
-          probe = Some(VectorOps.ivfProbeHierUdf(coarse, fine, 2, 2)))
+        val (idxDir, coarse, fine, e) = buildHierStreamedStore(s, d, "s22")
+        val probe = Some(VectorOps.ivfProbeHierUdf(coarse, fine, 2, 2))
+        // materialize the snapshot BEFORE compaction (the serve is
+        // lazy and compaction rewrites the dirs it reads), then pin
+        // s18's full as-of contract on THIS store: the pre-horizon
+        // snapshot must refuse loudly once the streamed gens fold,
+        // and the at-head snapshot must equal the generation-blind
+        // serve — the square is only closed with both faces held.
+        val matDir = Scratch.dir("graft_s22_mat_").resolve("asof0").toString
+        serveTopkFromIndex(s, idxDir, fine, e, asOf = Some(0L), probe = probe)
+          .write.parquet(matDir)
+        graft.sources.Sinks.compactGenerations(s, idxDir, Some("cell"))
+        val loud =
+          try {
+            serveTopkFromIndex(s, idxDir, fine, e, asOf = Some(0L), probe = probe)
+            false
+          } catch { case _: IllegalStateException => true }
+        val atHead = serveTopkFromIndex(s, idxDir, fine, e,
+          asOf = Some(1L), probe = probe).collect().toSet
+        val current = serveTopkFromIndex(s, idxDir, fine, e, probe = probe)
+          .collect().toSet
+        s.read.parquet(matDir)
+          .withColumn("asof_contract", lit(loud && atHead == current))
       },
-      Some(duckIvfHierTopkOn("vec_id % 4 <> 3", "vec_id % 8 <> 7"))),
+      Some(s"""SELECT q.*, TRUE AS asof_contract FROM (
+              ${duckIvfHierTopkOn("vec_id % 4 <> 3", "vec_id % 8 <> 7")}) q""")),
 
     // ---- Takedown on the two-level store (s23): the CRUD face the
     // scaled-nlist tier was missing — s17 proved delete for flat IVF;
@@ -1383,6 +1335,59 @@ object SimilarityQueries extends QueryPack {
       },
       Some(duckIvfHierTopkOn("TRUE", "vec_id % 9 <> 0"))),
   )
+
+  /** ONE copy of s21/s22's streamed two-level store construction (the
+    * serveTopkFromIndex discipline: gates differ only in how they READ
+    * the store): codebooks fit hierarchically on the pre-stream
+    * backfill (vec_id % 4 ≠ 3) at nlist = max(4, n_train/100) and
+    * FREEZE; the backfill lands as gen=-1; the held-out quarter
+    * arrives as a real stream in two landings (vec_id % 8 = 3, then
+    * % 8 = 7), each micro-batch assigned coarse→in-cell by the frozen
+    * two-level UDF and published exactly-once via committedCellAppend.
+    * Returns (idxDir, coarse, fine, corpus).
+    */
+  private def buildHierStreamedStore(s: SparkSession, d: String, tag: String)
+      : (String, Seq[(Long, Array[Double], Double)],
+         Seq[(Long, Array[Double], Double)], DataFrame) = {
+    val e = vecs(s, d)
+    val trainPop = e.where(col("vec_id") % 4 =!= 3)
+    val k = math.max(4L, trainPop.count() / 100).toInt
+    val kc = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val (coarseCb, fineCb) = graft.operators.KMeansLite.fitHierarchical(
+      trainPop, "vec_id", "v", k, kc, 1)
+    val coarse = withNorms(coarseCb)
+    val fine = withNorms(fineCb)
+    val assignUdf = VectorOps.ivfAssignHierUdf(coarse, fine)
+    def assigned(df: DataFrame) =
+      df.withColumn("cell", assignUdf(col("v"), col("nn")))
+    val idxDir = Scratch.dir(s"graft_${tag}_").resolve("ivf").toString
+    VectorOps.committedCellAppend(assigned(trainPop), idxDir, -1L)
+    val raw = Tables.embeddings(s, d)
+    val stage = Scratch.dir(s"graft_${tag}_stage_").toString
+    raw.where(col("vec_id") % 8 === 3)
+      .coalesce(1).write.mode("append").parquet(stage)
+    val ckpt = Scratch.dir(s"graft_${tag}_ck_").toString
+    val q = s.readStream.schema(raw.schema).parquet(stage)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (!batch.isEmpty) {
+          graft.GraftExtensions.registerNative(s)
+          VectorOps.committedCellAppend(
+            assigned(VectorOps.vecs(batch)
+              .select("vec_id", "label", "v", "nn")), idxDir, bid)
+          ()
+        }
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      raw.where(col("vec_id") % 8 === 7)
+        .coalesce(1).write.mode("append").parquet(stage)
+      q.processAllAvailable()
+    } finally q.stop()
+    (idxDir, coarse, fine, e)
+  }
 
   /** Full two-level-IVF top-k restatement at corpus-scaled nlist
     * (s20/s21's shared oracle, parameterized like duckIvfTrainedTopkOn):

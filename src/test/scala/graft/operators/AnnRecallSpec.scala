@@ -86,24 +86,37 @@ class AnnRecallSpec extends SparkSpec {
     assert(m4o > single, "the arithmetic table family must also beat one table")
   }
 
+  /** codebook entries with squared norms — the ivf UDFs' input shape */
+  private def withNormsL(cb: Seq[(Int, Array[Double])])
+      : Seq[(Long, Array[Double], Double)] =
+    cb.map { case (cid, cv) => (cid.toLong, cv, cv.map(x => x * x).sum) }
+
+  /** ONE copy of the IVF serve pipeline (assign → probe-explode →
+    * cell join → exact cosine top-K) — flat and two-level recall
+    * measurements differ only in the UDF pair they pass
+    */
+  private def serveTop(assign: org.apache.spark.sql.expressions.UserDefinedFunction,
+                       probe: org.apache.spark.sql.expressions.UserDefinedFunction)
+      : Map[Long, Set[Long]] = {
+    val assigned = e.withColumn("cell", assign(col("v"), col("nn")))
+    val q = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nn").as("qn"),
+        explode(probe(col("v"), col("nn"))).as("cell"))
+    assigned.join(broadcast(q), Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("cos", VectorOps.cosine("v", "qv", "nn", "qn"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+      .where(col("rank") <= K)
+      .select("qid", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (q2, rs) => q2 -> rs.map(_.getLong(1)).toSet }
+  }
+
   test("IVF nprobe=2 recall beats a single-cell probe") {
-    val cents = KMeansLite.fit(e, "vec_id", "v", 4, 1)
-    val ivf = cents.map { case (cid, cv) => (cid.toLong, cv, cv.map(x => x * x).sum) }
-    def ivfTop(nprobe: Int): Map[Long, Set[Long]] = {
-      val assigned = e.withColumn("cell", VectorOps.ivfAssignUdf(ivf)(col("v"), col("nn")))
-      val q = e.where(col("vec_id") < nQueries)
-        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nn").as("qn"),
-          explode(VectorOps.ivfProbeUdf(ivf, nprobe)(col("v"), col("nn"))).as("cell"))
-      assigned.join(broadcast(q), Seq("cell"))
-        .where(col("vec_id") =!= col("qid"))
-        .withColumn("cos", VectorOps.cosine("v", "qv", "nn", "qn"))
-        .withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
-        .where(col("rank") <= K)
-        .select("qid", "vec_id").collect()
-        .groupBy(_.getLong(0)).map { case (q2, rs) => q2 -> rs.map(_.getLong(1)).toSet }
-    }
+    val ivf = withNormsL(KMeansLite.fit(e, "vec_id", "v", 4, 1))
+    def ivfTop(nprobe: Int): Map[Long, Set[Long]] =
+      serveTop(VectorOps.ivfAssignUdf(ivf), VectorOps.ivfProbeUdf(ivf, nprobe))
     val r1 = recall(ivfTop(1))
     val r2 = recall(ivfTop(2))
     println(f"ANN-RECALL ivf nprobe=1: $r1%.3f  nprobe=2: $r2%.3f")
@@ -121,26 +134,9 @@ class AnnRecallSpec extends SparkSpec {
     val kc = 4
     val fine = withNormsL(KMeansLite.fit(e, "vec_id", "v", k, 1))
     val coarse = withNormsL(KMeansLite.fit(e, "vec_id", "v", kc, 1))
-    def top(assign: org.apache.spark.sql.expressions.UserDefinedFunction,
-            probe: org.apache.spark.sql.expressions.UserDefinedFunction)
-        : Map[Long, Set[Long]] = {
-      val assigned = e.withColumn("cell", assign(col("v"), col("nn")))
-      val q = e.where(col("vec_id") < nQueries)
-        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nn").as("qn"),
-          explode(probe(col("v"), col("nn"))).as("cell"))
-      assigned.join(broadcast(q), Seq("cell"))
-        .where(col("vec_id") =!= col("qid"))
-        .withColumn("cos", VectorOps.cosine("v", "qv", "nn", "qn"))
-        .withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
-        .where(col("rank") <= K)
-        .select("qid", "vec_id").collect()
-        .groupBy(_.getLong(0)).map { case (q2, rs) => q2 -> rs.map(_.getLong(1)).toSet }
-    }
-    val flat = recall(top(VectorOps.ivfAssignUdf(fine),
+    val flat = recall(serveTop(VectorOps.ivfAssignUdf(fine),
       VectorOps.ivfProbeUdf(fine, 2)))
-    val two = recall(top(VectorOps.ivfAssignHierUdf(coarse, fine),
+    val two = recall(serveTop(VectorOps.ivfAssignHierUdf(coarse, fine),
       VectorOps.ivfProbeHierUdf(coarse, fine, 2, 2)))
     println(f"ANN-RECALL ivf-hier k=$k kc=$kc flat(nprobe=2)=$flat%.3f " +
       f"two-level(pc=2,nprobe=2)=$two%.3f")
@@ -151,10 +147,6 @@ class AnnRecallSpec extends SparkSpec {
       f"two-level routing lost too much recall: $two%.3f vs flat $flat%.3f")
     assert(two >= 0.25, f"two-level IVF recall@$K collapsed: $two%.3f")
   }
-
-  private def withNormsL(cb: Seq[(Int, Array[Double])])
-      : Seq[(Long, Array[Double], Double)] =
-    cb.map { case (cid, cv) => (cid.toLong, cv, cv.map(x => x * x).sum) }
 
   test("PQ ADC ranking preserves most true neighbors at 16x compression") {
     val cents = KMeansLite.fit(e, "vec_id", "v", 4, 1)
