@@ -137,8 +137,12 @@ object PlanDump {
       "d31_keeplist_auto_fold", "o17_dsir_model_asof",
       // s20: scaled-nlist IVF through two-level cosine routing — the
       // plan must show the broadcast cell equi-join serve (s9's shape)
-      // with the assignment/probe UDFs folded into the projections
-      "s20_ivf_hier_scalednlist")
+      // with the assignment/probe UDFs folded into the projections.
+      // s21: its streamed persisted-store face — like s13 the serve
+      // scan must carry PartitionFilters on the probed cells (and the
+      // gen level pruned through), with the TWO-LEVEL probe feeding
+      // the broadcast side
+      "s20_ivf_hier_scalednlist", "s21_stream_ivf_hier")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries (sf0.001)\n\n")
     sb.append("Generated by `graft.tools.PlanDump`. What to look for per plan is\n")
