@@ -138,14 +138,34 @@ class AnnRecallSpec extends SparkSpec {
       VectorOps.ivfProbeUdf(fine, 2)))
     val two = recall(serveTop(VectorOps.ivfAssignHierUdf(coarse, fine),
       VectorOps.ivfProbeHierUdf(coarse, fine, 2, 2)))
+    // the recall knobs, measured: widening pc ALONE (pc=kc makes the
+    // probe leg rank every fine cell — a globally-flat probe over the
+    // two-level ASSIGNMENT) actually LOSES recall, because neighbors
+    // were assigned through their coarse route and a query's
+    // globally-nearest cells can be ones no neighbor could land in —
+    // probe/assignment ROUTING CONSISTENCY beats probe width. The
+    // knob that recovers is nprobe within the matched candidate set.
+    val wideMismatch = recall(serveTop(
+      VectorOps.ivfAssignHierUdf(coarse, fine),
+      VectorOps.ivfProbeHierUdf(coarse, fine, kc, 2)))
+    val wideMatched = recall(serveTop(
+      VectorOps.ivfAssignHierUdf(coarse, fine),
+      VectorOps.ivfProbeHierUdf(coarse, fine, 2, 4)))
     println(f"ANN-RECALL ivf-hier k=$k kc=$kc flat(nprobe=2)=$flat%.3f " +
-      f"two-level(pc=2,nprobe=2)=$two%.3f")
-    // measured on this corpus: flat 0.338, two-level 0.275 — the
-    // routing trade costs ~0.06 recall@10 for the O(√k) pass cost;
-    // the floors pin "small delta, no collapse", not the exact values
+      f"two-level(pc=2,nprobe=2)=$two%.3f pc=$kc-mismatch=$wideMismatch%.3f " +
+      f"nprobe=4-matched=$wideMatched%.3f")
+    // measured on this corpus: flat 0.338, two-level 0.275, pc=kc
+    // 0.213 (the consistency lesson), nprobe=4 recovers past flat;
+    // floors pin "small delta, no collapse, matched-widening
+    // recovers", not the exact values
     assert(two >= flat - 0.15,
       f"two-level routing lost too much recall: $two%.3f vs flat $flat%.3f")
     assert(two >= 0.25, f"two-level IVF recall@$K collapsed: $two%.3f")
+    assert(two >= wideMismatch - 1e-9,
+      "matched pc=2 probing must not lose to the mismatched global probe")
+    assert(wideMatched >= flat - 1e-9,
+      f"nprobe=4 within the matched route must recover flat nprobe=2 " +
+        f"recall: $wideMatched%.3f vs $flat%.3f")
   }
 
   test("PQ ADC ranking preserves most true neighbors at 16x compression") {
