@@ -288,7 +288,16 @@ object Sf1Probe {
     // asserted from sf0.01→0.1 (VERDICT r8 directive 5). One timed
     // run per (gate, dir) reporting time, output pairs, and µs/pair.
     if (args.contains("pairs")) {
-      for (g <- Seq("d24_setsim_join", "d27_containment_join");
+      // d2 rides along since round 11: its enforced-table ratio (the
+      // table's highest in-band row) is largely OUTPUT growth — the
+      // replica scheme makes replicated docs near-identical, so the
+      // banded pair output grows ~quadratically in replicas (the m14
+      // closure finding, same physics) — and the per-pair row prices
+      // that honestly the way d24/d27's rows do.
+      val pairGates = Seq("d24_setsim_join", "d27_containment_join",
+        "d2_minhash_lsh_pairs")
+      val pairOnly = args.filter(pairGates.contains)
+      for (g <- (if (pairOnly.nonEmpty) pairOnly.toSeq else pairGates);
            dir <- Seq(sf01, sf1)) {
         var pairs = 0L
         val (_, t) = time {
