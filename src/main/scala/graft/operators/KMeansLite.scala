@@ -183,4 +183,135 @@ object KMeansLite {
     }
     (coarse, cents)
   }
+
+  // ---------------------------------------------- centroids-as-DataFrame
+  // The driver-state ceiling of the UDF tier, and its removal. The
+  // two-level UDFs above hold the FINE codebook (k·dims doubles) as
+  // broadcast-by-closure state and build the fine→coarse route map
+  // driver-side at k·kc distance ops; fit()/fitHierarchical() collect
+  // k·dims means back per Lloyd iteration. Under the gated policy
+  // k = n/100 that survives ~100× of the gated shapes (15 M docs →
+  // k = 150k ≈ 77 MB broadcast) but dies around k ≈ 10⁷ (multi-GB
+  // broadcast; 3×10¹⁰ driver ops for the route map). The *Dist
+  // variants below keep the fine codebook a DataFrame end to end —
+  // the coarse route is a zero-shuffle UDF over the O(√k) coarse
+  // codebook (the ONLY remaining driver/broadcast state: kc = √k
+  // cells, e.g. k = 10¹⁰ → 10⁵ cells ≈ 51 MB — the ceiling moves
+  // from k ≈ 10⁷ to k ≈ 10¹⁰), the fine argmin is an equi-join on
+  // the routed coarse cell + one per-vector window, and the Lloyd
+  // means never leave the cluster. BIT-IDENTICAL to the UDF tier by
+  // construction (same seeds, same fold orders, same lowest-cid tie
+  // breaks, same empty-cell fallback, same decimal-exact means) —
+  // DistAssignSpec asserts it and the s24/d34 gates share the
+  // s20/d33 oracles verbatim.
+
+  /** hash-ordered k seeds as a DATAFRAME (seedInit without the
+    * driver collect): `(cid int, cv array<double>)`. The ranking
+    * window runs over the k-row `limit(k)` result (TakeOrdered heaps
+    * cluster-side), never over the corpus.
+    */
+  private def seedInitDf(df: DataFrame, idCol: String, vCol: String,
+                         k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(md5(col(idCol).cast("string")).as("__h"),
+        col(idCol).as("__sid"), col(vCol).as("cv"))
+      .orderBy(col("__h"), col("__sid")).limit(k)
+      .withColumn("cid", (row_number().over(
+        Window.orderBy(col("__h"), col("__sid"))) - 1))
+      .select(col("cid"), col("cv"))
+  }
+
+  /** squared-L2 distance of vector columns `a`, `b` — the SQL fold is
+    * ascending-dim left-to-right, bit-identical to nearestIn's loop
+    */
+  private def l2Col(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
+      "cast(0 as double), (acc, x) -> acc + x)")
+
+  /** TWO-LEVEL assignment with the fine codebook as a DATAFRAME
+    * (`fineDf(cid, cv)`): coarse routing is the same zero-shuffle
+    * compiled argmin over the small broadcast coarse codebook — on
+    * BOTH the fine centroids and the population — and the fine argmin
+    * becomes an equi-join on the routed coarse cell plus one
+    * per-vector window (ties to the lowest cid, nearestIn's
+    * contract). A vector routed to a coarse cell owning NO fine
+    * members falls back to the full fine argmin (cross join against
+    * the fine DataFrame — rare by construction, the UDF tier's rule).
+    * Null/empty vectors assign null. Returns `(<idCol>, cid)`.
+    */
+  def assignHierDistDf(pop: DataFrame, idCol: String, vCol: String,
+                       coarse: Seq[(Int, Array[Double])],
+                       fineDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val route = assignUdf(coarse.sortBy(_._1))
+    val fineRouted = fineDf.withColumn("__ccid", route(col("cv")))
+    val routed = pop
+      .select(col(idCol).as("__aid"), col(vCol).as("__v"))
+      .withColumn("__ccid", route(col("__v")))
+      .where(col("__ccid").isNotNull)
+    val w = Window.partitionBy("__aid").orderBy(col("__dd"), col("cid"))
+    def argmin(cands: DataFrame): DataFrame = cands
+      .withColumn("__dd", l2Col("__v", "cv"))
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") === 1)
+      .select(col("__aid"), col("cid"))
+    val matched = argmin(routed.join(fineRouted, Seq("__ccid")))
+    val fallback = argmin(
+      routed.join(fineRouted.select("__ccid").distinct(),
+          Seq("__ccid"), "left_anti")
+        .crossJoin(fineDf))
+    matched.union(fallback).withColumnRenamed("__aid", idCol)
+  }
+
+  /** one distributed Lloyd mean step over an assigned population
+    * `(cid, <vCol>)` — the lloydMeans aggregation kept as a DataFrame
+    * (decimal-exact sums, round-6 double finalization; the per-cid
+    * array reassembles via a dim-sorted collect_list, bounded at dims
+    * entries per group)
+    */
+  private def lloydMeansDf(assigned: DataFrame, vCol: String): DataFrame =
+    assigned
+      .select(col("cid"), posexplode(
+        expr(s"transform($vCol, x -> cast(x as decimal(25,10)))"))
+        .as(Seq("dim", "x")))
+      .groupBy("cid", "dim")
+      .agg(round((sum("x") / count(lit(1))).cast("double"), 6).as("m"))
+      .groupBy("cid")
+      .agg(expr("transform(sort_array(collect_list(struct(dim, m))), " +
+        "s -> s.m)").as("cv"))
+
+  /** TWO-LEVEL fit with the fine codebook a DATAFRAME end to end —
+    * fitHierarchical without the k-proportional driver state: the
+    * coarse codebook still fits via [[fit]] (kc = √k centroids — the
+    * retained, bounded driver state), fine seeds stay distributed
+    * ([[seedInitDf]]), each Lloyd iteration assigns through
+    * [[assignHierDistDf]] and re-means via [[lloydMeansDf]], and the
+    * keep-seed rule (a cluster losing every member keeps its previous
+    * centroid) is an anti-join union instead of getOrElse. Returns
+    * `(coarse, fineDf(cid, cv))` — same contract, same determinism,
+    * bit-identical centroids (DistAssignSpec).
+    */
+  def fitHierarchicalDist(df: DataFrame, idCol: String, vCol: String,
+                          k: Int, kc: Int, iters: Int)
+      : (Seq[(Int, Array[Double])], DataFrame) = {
+    val coarse = fit(df, idCol, vCol, kc, iters)
+    var fine = seedInitDf(df, idCol, vCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    for (_ <- 1 to iters) {
+      val asg = assignHierDistDf(df, idCol, vCol, coarse, fine)
+      val assigned = df.select(col(idCol), col(vCol))
+        .join(asg, Seq(idCol))
+      val means = lloydMeansDf(assigned, vCol)
+      // keep-seed via anti-join (a shuffle over ≤ k codebook rows,
+      // never the corpus); persist truncates the per-iteration
+      // lineage so `iters` chains don't re-run earlier assignments
+      val next = means
+        .unionByName(fine.join(means.select("cid"), Seq("cid"), "left_anti"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      fine.unpersist()
+      fine = next
+    }
+    (coarse, fine)
+  }
 }

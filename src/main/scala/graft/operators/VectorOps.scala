@@ -183,7 +183,7 @@ object VectorOps {
     */
   def ivfAssignUdf(cents: Seq[(Long, Array[Double], Double)]) =
     udf { (v: Seq[Double], nn: Double) =>
-      if (v == null || v.isEmpty) None
+      if (quarantined(v, nn)) None
       else Some(bestCosIn(cents, v, nn))
     }
 
@@ -192,11 +192,20 @@ object VectorOps {
     */
   def ivfProbeUdf(cents: Seq[(Long, Array[Double], Double)], nprobe: Int) =
     udf { (v: Seq[Double], nn: Double) =>
-      if (v == null || v.isEmpty) Seq.empty[Long]
+      if (quarantined(v, nn)) Seq.empty[Long]
       else cents.map { case (cid, cv, cn) => (cid, cosTo(cv, cn, v, nn)) }
         .sortBy { case (cid, cos) => (-cos, cid) }
         .take(nprobe).map(_._1)
     }
+
+  /** the ONE quarantine rule of the cosine tier: null, empty, and
+    * ZERO-NORM vectors have no cell (cosine is undefined at ‖v‖ = 0 —
+    * every cosTo is NaN, so the argmax would return the -1 sentinel
+    * and a cell=-1 partition could land on disk; quarantining at the
+    * kernel keeps that impossible in every flat and two-level path)
+    */
+  private def quarantined(v: Seq[Double], nn: Double): Boolean =
+    v == null || v.isEmpty || nn == 0.0
 
   /** THE one copy of the tier's scoring arithmetic — dot folded
     * left-to-right, then s/(√cn·√nn) — every assign/probe path (flat
@@ -260,7 +269,7 @@ object VectorOps {
     val fine = fine0.sortBy(_._1)
     val byCoarse = routeFine(coarse, fine)
     udf { (v: Seq[Double], nn: Double) =>
-      if (v == null || v.isEmpty) None
+      if (quarantined(v, nn)) None
       else {
         val cands = byCoarse.getOrElse(bestCosIn(coarse, v, nn), fine)
         Some(bestCosIn(cands, v, nn))
@@ -276,17 +285,28 @@ object VectorOps {
     * nlist ∝ n the flat scan is linear-per-query). Same fallback rule
     * as the assignment: if the routed coarse cells own no fine members
     * at all, rank the full fine codebook.
+    *
+    * RECALL KNOBS, measured (AnnRecallSpec "two-level cosine routing",
+    * k=16/kc=4 corpus): flat nprobe=2 recall@10 = 0.338; two-level
+    * (pc=2, nprobe=2) = 0.275; widening nprobe WITHIN the matched
+    * route to (pc=2, nprobe=4) RECOVERS PAST flat at 0.463; widening
+    * pc instead to (pc=kc, nprobe=2) — a globally-flat probe over the
+    * two-level assignment — LOSES at 0.213. Routing consistency beats
+    * probe width: neighbors were assigned through their coarse route,
+    * so probe the matched route and spend budget on `nprobe`, not
+    * `pc`. The defaults are that measured recovery point; the gated
+    * queries pin (2, 2) explicitly to price the cheapest trade.
     */
   def ivfProbeHierUdf(coarse0: Seq[(Long, Array[Double], Double)],
                       fine0: Seq[(Long, Array[Double], Double)],
-                      pc: Int, nprobe: Int) = {
+                      pc: Int = 2, nprobe: Int = 4) = {
     require(coarse0.nonEmpty && fine0.nonEmpty,
       "ivfProbeHierUdf: both codebooks must be non-empty")
     val coarse = coarse0.sortBy(_._1)
     val fine = fine0.sortBy(_._1)
     val byCoarse = routeFine(coarse, fine)
     udf { (v: Seq[Double], nn: Double) =>
-      if (v == null || v.isEmpty) Seq.empty[Long]
+      if (quarantined(v, nn)) Seq.empty[Long]
       else {
         def scored(cs: Seq[(Long, Array[Double], Double)]) =
           cs.map { case (cid, cv, cn) => (cid, cosTo(cv, cn, v, nn)) }
@@ -297,6 +317,106 @@ object VectorOps {
         scored(cands).take(nprobe).map(_._1)
       }
     }
+  }
+
+  // -------------------------------------- two-level, centroids-as-DataFrame
+  // The cosine face of KMeansLite's *Dist tier (see the ceiling note
+  // there): ivfAssignHierUdf/ivfProbeHierUdf hold the fine codebook as
+  // k·dims broadcast-by-closure state and build the fine→coarse route
+  // map driver-side — fine to k ≈ 10⁷, a real ceiling past it. These
+  // variants keep the fine codebook a DATAFRAME: the coarse route is
+  // the same zero-shuffle compiled argmax over the O(√k) coarse
+  // codebook (the only remaining driver state), the fine argmax is an
+  // equi-join on the routed coarse cell + one per-vector window, and
+  // the probe is the same join ranked to nprobe per query.
+  // BIT-IDENTICAL to the UDF tier (same cosine_sim fold, same
+  // cos-desc/cid-asc tie rule, same empty-cell fallback, same
+  // zero-norm quarantine) — the s24 gate shares s20's oracle verbatim
+  // and DistAssignSpec asserts row-level equality.
+
+  /** bridge an L2-trained fine codebook DataFrame `(cid, cv)` (the
+    * KMeansLite.fitHierarchicalDist output) into the cosine tier's
+    * `(cid bigint, cv, cn)` shape — the norm fold is ascending, the
+    * withNorms/oracle order
+    */
+  def withNormsDf(fineDf: DataFrame): DataFrame =
+    fineDf.select(col("cid").cast("bigint").as("cid"), col("cv"),
+      expr("aggregate(cv, cast(0 as double), (a, x) -> a + x * x)").as("cn"))
+
+  /** TWO-LEVEL cosine cell assignment with the fine codebook as a
+    * DATAFRAME `fineDf(cid, cv, cn)`: vectors and fine centroids both
+    * route to their argmax-cosine coarse cell through the broadcast
+    * coarse codebook (zero shuffle), then the fine argmax is an
+    * equi-join on the routed cell + a per-vector (cos desc, cid asc)
+    * window — ivfAssignHierUdf's exact rule, including the
+    * empty-coarse-cell fallback (full fine argmax via cross join) and
+    * the zero-norm quarantine (null cell). Input `e` must carry
+    * (`idCol`, v, nn); returns `(<idCol>, cell)`.
+    */
+  def ivfAssignHierDist(e: DataFrame, idCol: String,
+                        coarse: Seq[(Long, Array[Double], Double)],
+                        fineDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.GraftExtensions.registerNative(e.sparkSession)
+    val route = ivfAssignUdf(coarse.sortBy(_._1))
+    val fineRouted = fineDf.withColumn("__ccid", route(col("cv"), col("cn")))
+    val routed = e
+      .select(col(idCol).as("__aid"), col("v").as("__v"), col("nn").as("__nn"))
+      .withColumn("__ccid", route(col("__v"), col("__nn")))
+      .where(col("__ccid").isNotNull)
+    val w = Window.partitionBy("__aid").orderBy(col("__cs").desc, col("cid"))
+    def argmax(cands: DataFrame): DataFrame = cands
+      .withColumn("__cs", expr("cosine_sim(cv, __v, cn, __nn)"))
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") === 1)
+      .select(col("__aid"), col("cid").as("cell"))
+    val matched = argmax(routed.join(fineRouted, Seq("__ccid")))
+    val fallback = argmax(
+      routed.join(fineRouted.select("__ccid").distinct(),
+          Seq("__ccid"), "left_anti")
+        .crossJoin(fineDf))
+    matched.union(fallback).withColumnRenamed("__aid", idCol)
+  }
+
+  /** TWO-LEVEL probe with the fine codebook as a DATAFRAME: each query
+    * routes to its `pc` nearest coarse cells (the broadcast flat probe
+    * over the O(√k) coarse codebook), ranks only THEIR fine members
+    * through the equi-join, and keeps `nprobe` targets per query —
+    * ivfProbeHierUdf's exact rule (fallback: a query whose routed
+    * coarse cells own no fine members at all ranks the full fine
+    * codebook). `q` must carry (`qidCol`, qv, qn); returns
+    * `(<qidCol>, cell)`. Same recall knobs and measured defaults as
+    * ivfProbeHierUdf — routing consistency beats probe width, spend
+    * budget on `nprobe`.
+    */
+  def ivfProbeHierDist(q: DataFrame, qidCol: String,
+                       coarse: Seq[(Long, Array[Double], Double)],
+                       fineDf: DataFrame,
+                       pc: Int = 2, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.GraftExtensions.registerNative(q.sparkSession)
+    val fineRouted = fineDf.withColumn("__ccid",
+      ivfAssignUdf(coarse.sortBy(_._1))(col("cv"), col("cn")))
+    val routed = q
+      .select(col(qidCol).as("__qid"), col("qv").as("__qv"), col("qn").as("__qn"))
+      .withColumn("__ccid",
+        explode(ivfProbeUdf(coarse.sortBy(_._1), pc)(col("__qv"), col("__qn"))))
+    val w = Window.partitionBy("__qid").orderBy(col("__cs").desc, col("cid"))
+    def rank(cands: DataFrame): DataFrame = cands
+      .withColumn("__cs", expr("cosine_sim(cv, __qv, cn, __qn)"))
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") <= nprobe)
+      .select(col("__qid"), col("cid").as("cell"))
+    val matched = rank(routed.join(fineRouted, Seq("__ccid")))
+    // a query falls back ONLY when NONE of its routed coarse cells
+    // owns a fine member (the UDF's cands0.isEmpty rule)
+    val matchedQ = routed
+      .join(fineRouted.select("__ccid").distinct(), Seq("__ccid"), "left_semi")
+      .select("__qid").distinct()
+    val fallback = rank(routed.drop("__ccid").distinct()
+      .join(matchedQ, Seq("__qid"), "left_anti")
+      .crossJoin(fineDf))
+    matched.union(fallback).withColumnRenamed("__qid", qidCol)
   }
 
   // -------------------------------------------------------------------- PQ

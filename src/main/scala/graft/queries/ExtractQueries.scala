@@ -763,6 +763,93 @@ object ExtractQueries extends QueryPack {
                 (37, 2013, 'train', 'approval', 0)
               ) AS t(file_id, year, split, label, label_id)""")),
 
+    // ---- The judgment creator at SF-SCALING corpus size (x40): x25
+    // pins verdict correctness on the 40-row deterministic fixture —
+    // by construction SF-invariant, so its enforced sf1 row proves
+    // only that no corpus cost leaks in, not that the creator SCALES
+    // (VERDICT r11 directive 8: "load-bearing rather than vacuous").
+    // This gate runs the SAME creator pipeline — DecisionJoins.wide
+    // assembly, dropna(judgments), F15 binary conversion, dropna
+    // (label/year), O6 date splits, A16 label vocabulary — over a
+    // decision corpus derived 1:1 from the DOCUMENTS table, so the
+    // fact tables (decisions, judgments, sections) scale with SF
+    // while the dimension catalogs stay the fixed MiniCorpus smalls
+    // (dims don't scale in production either; they broadcast). The
+    // judgment mix covers every drop path at every SF by modulo
+    // construction: %7 no-judgment (dropna), %11 contradictory
+    // partials (binary → null), %29 NULL-date (year dropna), %3
+    // dismissal, rest approval. The oracle restates the whole chain
+    // arithmetically over documents — batch-, join-, and
+    // vocab-blind.
+    Q("x40_judgment_dataset_scaled",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d).select("doc_id")
+        val did = concat(lit("doc_"), col("doc_id"))
+        val decisions = docs.select(
+          did.as("decision_id"),
+          (col("doc_id") % 3 + 1).cast("int").as("language_id"),
+          (col("doc_id") % 3 + 1).cast("int").as("chamber_id"),
+          col("doc_id").as("file_id"),
+          when(col("doc_id") % 29 === 0, lit(null).cast("date"))
+            .otherwise(expr("make_date(cast(2000 + doc_id % 24 as int), " +
+              "cast(doc_id % 9 + 1 as int), 15)")).as("date"),
+          concat(lit("topic_"), col("doc_id") % 4).as("topic"))
+        val judgments = docs.select(col("doc_id"),
+          expr("""CASE WHEN doc_id % 7 = 0 THEN array()
+                  WHEN doc_id % 11 = 0 THEN array(2, 4)
+                  WHEN doc_id % 3 = 0 THEN array(3)
+                  ELSE array(1) END""").as("jids"))
+          .select(explode(col("jids")).as("judgment_id"),
+            did.as("decision_id"))
+        val sections = docs.select(
+          col("doc_id").cast("int").as("section_id"),
+          did.as("decision_id"),
+          lit(1).as("section_type_id"),
+          concat(lit("Sachverhalt zu Dokument "), col("doc_id"))
+            .as("section_text"))
+        val mini = graft.relational.DecisionJoins.miniCorpus(s)
+        val in = mini.copy(decisions = decisions, judgments = judgments,
+          sections = sections,
+          citations = mini.citations.where(lit(false)),
+          fileNumbers = mini.fileNumbers.where(lit(false)),
+          parties = mini.parties.where(lit(false)),
+          judicialPeople = mini.judicialPeople.where(lit(false)))
+        val labeled = graft.relational.DecisionJoins.wide(in)
+          .where(col("judgments").isNotNull)
+          .withColumn("label", ExtractUdfs.binaryJudgment(
+            col("judgments.judgment")))
+          .where(col("label").isNotNull)
+          .where(col("year").isNotNull)
+          .withColumn("split", graft.datasets.DatasetWriter.dateSplit("year"))
+        // A16: the vocab window runs over |labels| rows, never the data
+        val vocab = labeled.groupBy("label").agg(count(lit(1)).as("n"))
+          .withColumn("label_id",
+            row_number().over(Window.orderBy("label")).cast("bigint") - 1)
+          .select("label", "label_id")
+        labeled.join(broadcast(vocab), Seq("label"))
+          .select(col("file_id").cast("bigint").as("file_id"),
+            col("year").cast("bigint").as("year"),
+            col("split"), col("label"), col("label_id"))
+      },
+      Some("""WITH lab AS (
+                SELECT doc_id,
+                  CASE WHEN doc_id % 7 = 0 THEN NULL
+                       WHEN doc_id % 11 = 0 THEN NULL
+                       WHEN doc_id % 3 = 0 THEN 'dismissal'
+                       ELSE 'approval' END AS label,
+                  2000 + doc_id % 24 AS yr
+                FROM documents
+                WHERE doc_id % 29 <> 0)
+              SELECT doc_id::BIGINT AS file_id, yr::BIGINT AS year,
+                CASE WHEN yr <= 2015 THEN 'train'
+                     WHEN yr <= 2017 THEN 'validation'
+                     WHEN yr <= 2022 THEN 'test'
+                     ELSE 'secret_test' END AS split,
+                label,
+                (CASE WHEN label = 'approval' THEN 0 ELSE 1 END)::BIGINT AS label_id
+              FROM lab WHERE label IS NOT NULL""")),
+
     // ---- F23: BGer docket-reference extraction + normalization —
     // all four docket forms (underscore, dot, space, old-register) and
     // the multi-reference join, synthesized per row so the oracle

@@ -190,6 +190,22 @@ object SimilarityQueries extends QueryPack {
                        FROM $from)
                  GROUP BY cid, dim) GROUP BY cid)"""
 
+  /** keep-seed finalization (the fit() contract: a cluster that loses
+    * every member KEEPS its previous centroid — `means.getOrElse(cid,
+    * old)`): `<out>` = the Lloyd means over `<from>` unioned with the
+    * `<seeds>` rows whose cid attracted no member. The oracles
+    * previously consumed the means alone — latent (a memberless cell
+    * never arose in gated data) but a corpus producing one would
+    * hash-mismatch the Scala keep-seed semantics; the union is the
+    * restatement of getOrElse and costs nothing when no cell is empty.
+    */
+  private def duckKeepSeedMeans(out: String, from: String, seeds: String) =
+    s"""${duckLloydMeans(s"${out}m", from)},
+        $out AS (SELECT * FROM ${out}m
+               UNION ALL
+               SELECT cid, cv FROM $seeds
+               WHERE cid NOT IN (SELECT cid FROM ${out}m))"""
+
   /** the brute one-iteration Lloyd chain `<p>c0 → <p>d1 → <p>a1 →
     * <p>c1` over the training population `te` — fit(k, iters=1)
     */
@@ -203,7 +219,7 @@ object SimilarityQueries extends QueryPack {
                  SELECT vec_id, v, cid, row_number() OVER (
                    PARTITION BY vec_id ORDER BY dd, cid) AS r FROM ${p}d1)
                WHERE r = 1),
-        ${duckLloydMeans(s"${p}c1", s"${p}a1")}"""
+        ${duckKeepSeedMeans(s"${p}c1", s"${p}a1", s"${p}c0")}"""
 
   /** duckKmeans trained on a FILTERED population (`te`) while `e` stays
     * the full corpus — the s15 oracle's frozen-codebook restatement.
@@ -1176,16 +1192,44 @@ object SimilarityQueries extends QueryPack {
           graft.operators.KMeansLite
             .assignHierarchicalUdf(coarse, fine)(col("v")).cast("bigint")))
       },
-      Some(s"""WITH RECURSIVE e AS ($duckVecs),
-              te AS (SELECT * FROM e),
-              ${duckKmeansBody("h", d33KcSql)},
-              ${duckSeeds("f", d33KSql)},
-              ${duckHierAssign("i1", "te", "hc1", "fc0")},
-              i1ev AS (SELECT t.vec_id, t.v, a.cid
-                       FROM te t JOIN i1asg a ON t.vec_id = a.vec_id),
-              ${duckLloydMeans("fc1", "i1ev")},
-              ${duckHierAssign("", "e", "hc1", "fc1")},
-              $duckSemanticDedupFromAsg""")),
+      Some(duckD33Oracle)),
+
+    // ---- SemDeDup at production k with the fine codebook as a
+    // DATAFRAME (d34): d33 fixed the n·k COMPUTE but still holds both
+    // codebooks and the fine→coarse route map as DRIVER state
+    // (assignHierarchicalUdf broadcasts k·dims doubles and builds the
+    // route map at k·kc driver ops; the trainer collects k·dims means
+    // per Lloyd iteration) — fine at the gated policy's 100× but a
+    // real ceiling at k ≈ 10⁷. This gate runs the SAME policy with
+    // that state distributed end to end (KMeansLite
+    // .fitHierarchicalDist / assignHierDistDf): fine seeds, Lloyd
+    // means, and the final assignment all stay DataFrames; the coarse
+    // route is an equi-join keyed by the broadcast O(√k) coarse
+    // argmin — the ONLY remaining driver state, pushing the ceiling
+    // to k ≈ 10¹⁰. Pairs/threshold/closure are d33's verbatim, and
+    // the ORACLE IS d33's VERBATIM — the two paths must produce
+    // bit-identical codebooks, assignments, and keep-lists, which
+    // this shared oracle (and DistAssignSpec's row-level equality)
+    // enforces.
+    Q("d34_semantic_dedup_dist",
+      (s, d) => {
+        val e = vecs(s, d)
+        val k = math.max(4L, e.count() / 100).toInt
+        val kc = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+        val (coarse, fineDf) = graft.operators.KMeansLite.fitHierarchicalDist(
+          e, "vec_id", "v", k, kc, 1)
+        val asg = graft.operators.KMeansLite.assignHierDistDf(
+          e, "vec_id", "v", coarse, fineDf)
+        val res = semanticDedupAssigned(e,
+          e.join(asg, Seq("vec_id"))
+            .withColumn("cid", col("cid").cast("bigint")))
+        // semanticDedupAssigned's closure materialized its edge cache
+        // eagerly (convergeKeepList counts it at construction), so
+        // nothing downstream re-reads the codebook — release it NOW
+        fineDf.unpersist()
+        res
+      },
+      Some(duckD33Oracle)),
 
     // ---- IVF at corpus-scaled nlist through TWO-LEVEL COSINE routing
     // (s20): the IVF tier's standing scale note (PERF.md round 11) is
@@ -1334,6 +1378,60 @@ object SimilarityQueries extends QueryPack {
           probe = Some(VectorOps.ivfProbeHierUdf(coarse, fine, 2, 2)))
       },
       Some(duckIvfHierTopkOn("TRUE", "vec_id % 9 <> 0"))),
+
+    // ---- Scaled-nlist IVF with the fine codebook as a DATAFRAME
+    // (s24): the cosine face of d34 — s20 routes assignment and probe
+    // two-level but still holds the fine codebook (nlist·dims doubles)
+    // and the fine→coarse route map as driver/broadcast state, the
+    // tier's one remaining structural ceiling (k ≈ 10⁷). Here that
+    // state is distributed end to end: the codebooks train through
+    // KMeansLite.fitHierarchicalDist (fine seeds, Lloyd means, and
+    // keep-seed all DataFrames), corpus cells assign through
+    // VectorOps.ivfAssignHierDist (coarse route = zero-shuffle argmax
+    // over the broadcast O(√nlist) coarse codebook; fine argmax = an
+    // equi-join on the routed cell + one per-vector window, AQE-
+    // splittable), and queries probe through ivfProbeHierDist (same
+    // join shape ranked to nprobe per query). Serve is s20's
+    // broadcast cell equi-join, exact in-cell cosine top-5. The
+    // ORACLE IS s20's VERBATIM — wrong routing, a missed fallback, a
+    // drifted mean, or a tie broken high in ANY of the distributed
+    // reformulations fails the shared hash.
+    Q("s24_ivf_hier_dist",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = vecs(s, d)
+        val k = math.max(4L, e.count() / 100).toInt
+        val kc = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+        val (coarseCb, fineL2) = graft.operators.KMeansLite
+          .fitHierarchicalDist(e, "vec_id", "v", k, kc, 1)
+        val coarse = withNorms(coarseCb)
+        val fineDf = VectorOps.withNormsDf(fineL2)
+        val assigned = e.join(
+          VectorOps.ivfAssignHierDist(e, "vec_id", coarse, fineDf),
+          Seq("vec_id"))
+        val qBase = e.where(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("v").as("qv"),
+            col("nn").as("qn"))
+        val q = qBase.join(
+          VectorOps.ivfProbeHierDist(qBase, "qid", coarse, fineDf, 2, 2),
+          Seq("qid"))
+        val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+        val topk = assigned.join(broadcast(q), Seq("cell"))
+          .where(col("vec_id") =!= col("qid"))
+          .withColumn("cos", round(cosExpr, 6))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 5)
+          .select(col("qid"), col("rank").cast("bigint").as("rank"),
+            col("vec_id"), col("cos"))
+        // materialize the (queries×k)-row result, then release the
+        // fit's internal codebook cache (serveTopkFromIndex's pattern)
+        val rows = topk.collect()
+        val res = s.createDataFrame(
+          java.util.Arrays.asList(rows: _*), topk.schema)
+        fineL2.unpersist()
+        res
+      },
+      Some(duckIvfHierTopkOn("TRUE"))),
   )
 
   /** ONE copy of s21/s22's streamed two-level store construction (the
@@ -1410,7 +1508,7 @@ object SimilarityQueries extends QueryPack {
               ${duckHierAssign("i1", "te", "hc1", "fc0")},
               i1ev AS (SELECT t.vec_id, t.v, a.cid
                        FROM te t JOIN i1asg a ON t.vec_id = a.vec_id),
-              ${duckLloydMeans("fc1", "i1ev")},
+              ${duckKeepSeedMeans("fc1", "i1ev", "fc0")},
               hcn AS (SELECT cid, cv,
                         list_aggregate(list_transform(cv, x -> x * x), 'sum') AS cn
                       FROM hc1),
@@ -1485,6 +1583,25 @@ object SimilarityQueries extends QueryPack {
               SELECT qid, cast(rank as bigint) AS rank, vec_id, cos FROM (
                 SELECT *, row_number() OVER (PARTITION BY qid
                   ORDER BY cos DESC, vec_id) AS rank FROM p) WHERE rank <= 5"""
+
+  /** the full two-level SemDeDup restatement — coarse trainer, fine
+    * seeds, hierarchical Lloyd iteration, two-level corpus assignment,
+    * then the shared pairs/threshold/closure tail. ONE copy, shared by
+    * d33 (the UDF path) and d34 (the centroids-as-DataFrame path):
+    * the two gates must be bit-identical, and sharing the oracle is
+    * what enforces it.
+    */
+  private lazy val duckD33Oracle =
+    s"""WITH RECURSIVE e AS ($duckVecs),
+              te AS (SELECT * FROM e),
+              ${duckKmeansBody("h", d33KcSql)},
+              ${duckSeeds("f", d33KSql)},
+              ${duckHierAssign("i1", "te", "hc1", "fc0")},
+              i1ev AS (SELECT t.vec_id, t.v, a.cid
+                       FROM te t JOIN i1asg a ON t.vec_id = a.vec_id),
+              ${duckKeepSeedMeans("fc1", "i1ev", "fc0")},
+              ${duckHierAssign("", "e", "hc1", "fc1")},
+              $duckSemanticDedupFromAsg"""
 
   /** d32/d33's corpus-scaled k and d33's ⌈√k⌉ coarse size — both sides
     * (the Spark gates and these scalar subqueries) derive them from

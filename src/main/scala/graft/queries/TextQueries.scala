@@ -187,6 +187,34 @@ object TextQueries extends QueryPack {
       .withColumn("served_pruned", lit(served_pruned))
   }
 
+  /** TABLE-AWARE compaction of a generational BM25 index (the t33
+    * face; see the gate for the full rationale): per-doc tables
+    * (postings, dl) fold by concatenation through the generic
+    * [[graft.sources.Sinks.rewriteGenerations]] machinery — postings
+    * keep the term-bucket partition layout so serve's static tb prune
+    * survives — while the ADDITIVE-partial tables merge: df sums per
+    * (token, tb) with net-≤0 ghosts (takedown negatives, t29)
+    * physically dropped, stats to the single (Σsum_dl, Σn) row. Every
+    * per-table fold writes the `__committed` manifest first, so as-of
+    * reads before the horizon refuse loudly through bm25Serve's
+    * four-table horizon check. Serving the folded index is
+    * bit-identical to serving the generational one: the merges ARE
+    * the sums serve performs across partials. (dl folds unpartitioned
+    * here — the gated layout; a corpus-scale deployment buckets dl by
+    * doc hash and the fold preserves whatever inner layout exists.)
+    */
+  private[queries] def compactBm25(s: org.apache.spark.sql.SparkSession,
+                                   idx: String): Unit = {
+    graft.sources.Sinks.compactGenerations(s, s"$idx/postings", Some("tb"))
+    graft.sources.Sinks.rewriteGenerations(s, s"$idx/df", Some("tb"),
+      df => df.groupBy("token", "tb").agg(sum("df").as("df"))
+        .where(col("df") > 0)
+        .select("token", "df", "tb"))
+    graft.sources.Sinks.compactGenerations(s, s"$idx/dl", None)
+    graft.sources.Sinks.rewriteGenerations(s, s"$idx/stats", None,
+      st => st.agg(sum("sum_dl").as("sum_dl"), sum("n").as("n")))
+  }
+
   private val stopEn = "('the','a')"
   private val stopDe = "('der','die','das')"
   private val stopFr = "('le','la','les')"
@@ -1037,6 +1065,100 @@ object TextQueries extends QueryPack {
                 FROM tf JOIN q USING (token) JOIN dl USING (doc_id) CROSS JOIN stats)
               SELECT doc_id, cast(sum(c) AS double) AS bm25, TRUE AS served_pruned,
                 TRUE AS asof_contract
+              FROM contrib GROUP BY doc_id
+              ORDER BY bm25 DESC, doc_id LIMIT 20""")),
+
+    // ---- COMPACTION of committed BM25 generations (t33): the read-
+    // amplification face the other stores already close (keep-list
+    // d15/d19/d31, IVF s22's fold) but the BM25 family did not — the
+    // most expensive non-dedup tier at sf0.1 (t28 append 5.0 s, t32
+    // as-of 8.2 s) accumulates one generation dir per batch and every
+    // serve is a subset UNION over all of them, so read cost grows
+    // with generation count, not index size. The fold is table-aware:
+    // postings and dl are per-doc rows (a doc lands once) so their
+    // generations CONCATENATE — postings through the generic
+    // compactGenerations with the term-bucket layout preserved (serve's
+    // static tb prune survives the fold); df and stats are ADDITIVE
+    // PARTIALS so their generations MERGE — df sums per (token, tb)
+    // with net-≤0 ghosts (t29's negative takedown partials) physically
+    // dropped, stats to the single (Σsum_dl, Σn) row — exactly the
+    // sums serve would have computed across partials, so serving the
+    // folded index is BIT-IDENTICAL to serving the generational one.
+    // The gate pins the full boundary contract in `compact_contract`:
+    // head serve unchanged across the fold, as-of AT the horizon still
+    // served (gen=-1 ≤ every snapshot), as-of BEFORE the horizon
+    // refuses loudly (manifest, the d23 rule), and the postings layout
+    // physically collapsed to the single folded generation. Oracle =
+    // the full-corpus BM25, batch- and layout-blind.
+    Q("t33_bm25_index_compact",
+      (s, d) => {
+        val idx = Scratch.dir("graft_t33_").resolve("idx").toString
+        def land(docs: org.apache.spark.sql.DataFrame, g: Long): Unit = {
+          val words = docs
+            .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+          val tf = words.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+          tf.withColumn("tb", pmod(hash(col("token")), lit(64)))
+            .withColumn("gen", lit(g))
+            .write.mode("append").partitionBy("gen", "tb")
+            .parquet(s"$idx/postings")
+          tf.groupBy("token").agg(count(lit(1)).as("df"))
+            .withColumn("tb", pmod(hash(col("token")), lit(64)))
+            .withColumn("gen", lit(g))
+            .write.mode("append").partitionBy("gen", "tb").parquet(s"$idx/df")
+          val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+          dl.withColumn("gen", lit(g))
+            .write.mode("append").partitionBy("gen").parquet(s"$idx/dl")
+          dl.agg(sum("dl").as("sum_dl"), count(lit(1)).as("n"))
+            .withColumn("gen", lit(g))
+            .write.mode("append").partitionBy("gen").parquet(s"$idx/stats")
+        }
+        val docs = Tables.documents(s, d)
+        land(docs.where(col("doc_id") % 2 === 0), 0L)
+        land(docs.where(col("doc_id") % 2 === 1), 1L)
+        // query selection (harness-side, t28's rule): top MERGED df —
+        // invariant across the fold by construction
+        val terms = s.read.parquet(s"$idx/df")
+          .groupBy("token").agg(sum("df").as("df"))
+          .orderBy(col("df").desc, col("token")).limit(5)
+          .select("token").collect().map(_.getString(0)).toSeq
+        val before = bm25Serve(s, idx, terms, 20).collect().toSeq
+        compactBm25(s, idx)
+        // the folded store stays valid (nothing mutates after the
+        // fold), so the returned frame can re-serve lazily — unlike
+        // t32, where the fold destroys the very gens the result reads
+        val after = bm25Serve(s, idx, terms, 20)
+        val unchanged = after.collect().toSeq == before
+        // as-of AT the horizon: the folded gen=-1 is ≤ every snapshot,
+        // so the max folded id still serves (and identically)
+        val atHorizon = bm25Serve(s, idx, terms, 20, asOf = Some(1L))
+          .collect().toSeq == before
+        // BEFORE the horizon: folded generations are gone — refuse
+        val loud =
+          try { bm25Serve(s, idx, terms, 20, asOf = Some(0L)); false }
+          catch { case _: IllegalStateException => true }
+        // the layout physically collapsed: one folded generation left
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          s.sparkContext.hadoopConfiguration)
+        val folded = Seq("postings", "df", "dl", "stats").forall { t =>
+          fs.listStatus(new org.apache.hadoop.fs.Path(s"$idx/$t"))
+            .map(_.getPath.getName).filter(_.startsWith("gen="))
+            .toSeq == Seq("gen=-1")
+        }
+        after.withColumn("compact_contract",
+          lit(unchanged && atHorizon && loud && folded))
+      },
+      Some(s"""WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+              tf AS (SELECT doc_id, token, count(*) AS tf FROM words GROUP BY 1, 2),
+              dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+              stats AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
+              dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+              q AS (SELECT token, df FROM dfreq ORDER BY df DESC, token LIMIT 5),
+              contrib AS (
+                SELECT doc_id,
+                  $bm25ContribSql AS c
+                FROM tf JOIN q USING (token) JOIN dl USING (doc_id) CROSS JOIN stats)
+              SELECT doc_id, cast(sum(c) AS double) AS bm25, TRUE AS served_pruned,
+                TRUE AS compact_contract
               FROM contrib GROUP BY doc_id
               ORDER BY bm25 DESC, doc_id LIMIT 20""")),
 

@@ -6,15 +6,49 @@ import org.apache.spark.sql.SparkSession
 
 /** Dump formatted physical plans for the headline queries → PLANS.md
   * (the .explain("formatted") evidence the scale review reads).
+  *
+  * COVERAGE IS ENFORCED (VERDICT r11 directive 2 — the regen ran
+  * early two rounds straight): every gate on the ENFORCED sf1 surface
+  * (Sf1Probe.gates) must either be in [[headline]] or carry an
+  * explicit exclusion reason in [[excluded]]; the dump FAILS otherwise,
+  * so adding an enforced gate without deciding its plan evidence
+  * breaks the round-close regen instead of silently skipping it.
+  * PlansCurrencySpec closes the other gap (regen-ran-early): it fails
+  * `sbt test` whenever PLANS.md on disk lacks a section for any
+  * headline entry.
   */
 object PlanDump {
-  def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.001"
-    val headline = Seq(
+
+  /** enforced gates deliberately NOT dumped, with the standing reason
+    * — streaming faces have per-micro-batch plans (machine checks live
+    * in their specs / gate assertions); store-lifecycle gates are
+    * write/compact/replay sequences whose probe shapes are shared with
+    * a dumped batch face
+    */
+  val excluded: Map[String, String] = {
+    val streaming = Seq("e18_stream_index_dedup", "e19_stream_restart_dedup",
+      "e20_stream_bucketed_dedup", "e21_stream_cms", "e22_stream_histogram",
+      "e23_stream_keeplist", "e26_stream_lottery", "e27_stream_late_data",
+      "e28_stream_outer_join", "e29_stream_dsir",
+      "e30_stream_full_outer_join", "e31_dsir_drift_refresh",
+      "e32_stream_quarantine", "e33_stream_bm25_asof",
+      "e34_stream_auto_fold", "x35_corpus_stream", "s16_stream_ivf_append")
+      .map(_ -> "streaming face: plans are per-micro-batch; checks in specs")
+    val lifecycle = Seq(
+      "d15_index_compaction" -> "compaction lifecycle; probe shape shared with d13's dumped plan",
+      "d16_bucketed_index_dedup" -> "store-build lifecycle; probe shape shared with d13's dumped plan",
+      "d17_incremental_keeplist" -> "fixpoint lifecycle; loop plans pinned in MinHashLSHSpec",
+      "d18_keeplist_lifecycle" -> "store lifecycle; fold/read shapes pinned in KeepListStoreSpec",
+      "d19_bucketed_compaction" -> "compaction lifecycle; folded-read shape shared with d31's dumped plan",
+      "d21_keeplist_delete" -> "store lifecycle; read shape shared with d31's dumped plan",
+      "d22_index_delete" -> "store lifecycle; probe shape shared with d13's dumped plan",
+      "d23_keeplist_asof" -> "store lifecycle; as-of prune shape shared with t32's dumped plan",
+      "d29_keeplist_burst_fold" -> "fold-burst lifecycle; read shape shared with d31's dumped plan",
+      "s17_ivf_delete" -> "store lifecycle; pruned-serve shape shared with s13's dumped plan")
+    (streaming ++ lifecycle).toMap
+  }
+
+  val headline = Seq(
       "a1_pricing_summary", "j1_snowflake_join", "j2_aggregate_join",
       "j10_asof_join", "w2_top25_parts_by_revenue", "d1_exact_dedup",
       "d2_minhash_lsh_pairs", "d5_embedding_neardup", "s1_cosine_topk",
@@ -142,7 +176,45 @@ object PlanDump {
       // scan must carry PartitionFilters on the probed cells (and the
       // gen level pruned through), with the TWO-LEVEL probe feeding
       // the broadcast side
-      "s20_ivf_hier_scalednlist", "s21_stream_ivf_hier")
+      "s20_ivf_hier_scalednlist", "s21_stream_ivf_hier",
+      // round-12: the two-level lifecycle closers the round-11 regen
+      // missed (s22's as-of reads from the materialized snapshot —
+      // the interesting prune ran pre-materialization and matches
+      // s21's; s23's takedown serve must keep s13's PartitionFilters
+      // on the rewritten store)
+      "s22_ivf_hier_asof", "s23_ivf_hier_delete",
+      // round-12: the centroids-as-DataFrame tier — d34/s24 must show
+      // the coarse-route equi-join + per-vector window argmin with NO
+      // broadcast of the fine codebook (the whole point), and s24's
+      // serve stays s20's broadcast cell equi-join
+      "d34_semantic_dedup_dist", "s24_ivf_hier_dist",
+      // round-12: t33's post-compaction serve must carry the same
+      // static tb PartitionFilters as t27/t32 over the single folded
+      // generation; x40 is the creator assembly at corpus scale —
+      // broadcast dims, aggregate-joins, vocab window over |labels|
+      "t33_bm25_index_compact", "x40_judgment_dataset_scaled",
+      // enforced-surface members previously missing plan evidence:
+      // s4 bucketed ANN (bucket equi-join, no all-pairs), s9 trained
+      // IVF serve (broadcast cell equi-join), d20 embedding keep-list
+      // (banded pairs + fixpoint tail), and the remaining e2e creators
+      "s4_lsh_ann_topk", "s9_ivf_kmeans", "d20_embedding_keeplist",
+      "x28_lawarea_e2e", "x29_courtview_e2e", "x30_pretraining_e2e",
+      "x32_fi_sample", "x33_citation_ner_e2e", "x34_regeste_e2e")
+
+  def main(args: Array[String]): Unit = {
+    // COVERAGE GATE first — fail before any dumping if an enforced
+    // gate has neither plan evidence nor an exclusion reason
+    val undecided = Sf1Probe.gates
+      .filterNot(g => headline.contains(g) || excluded.contains(g))
+    require(undecided.isEmpty,
+      s"enforced gates with no plan-evidence decision: " +
+        s"${undecided.mkString(", ")} — add each to PlanDump.headline " +
+        "or to PlanDump.excluded with a reason")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.001"
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries (sf0.001)\n\n")
     sb.append("Generated by `graft.tools.PlanDump`. What to look for per plan is\n")

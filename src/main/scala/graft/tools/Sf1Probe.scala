@@ -139,7 +139,48 @@ object Sf1Probe {
     "x22_pipeline_e2e", "x25_judgment_dataset_e2e",
     "x26_criticality_e2e", "x27_doc2doc_e2e", "x28_lawarea_e2e",
     "x29_courtview_e2e", "x30_pretraining_e2e", "x31_fi_summary",
-    "x32_fi_sample", "x33_citation_ner_e2e", "x34_regeste_e2e")
+    "x32_fi_sample", "x33_citation_ner_e2e", "x34_regeste_e2e",
+    // round-12: the centroids-as-DataFrame tier (VERDICT r11
+    // directive 1) — d34/s24 re-run the d33/s20 policies with the
+    // fine codebook distributed end to end (coarse route equi-join +
+    // per-vector window instead of the broadcast fine argmin); their
+    // rows pin that removing the driver state does not reintroduce a
+    // data-scaling term
+    "d34_semantic_dedup_dist", "s24_ivf_hier_dist",
+    // round-12: BM25 generation compaction (directive 5) — fold cost
+    // must track the index, serve cost the probed buckets, neither
+    // the generation count
+    "t33_bm25_index_compact",
+    // round-12: the creator tier's LOAD-BEARING scaling row
+    // (directive 8) — x40 derives its decision corpus from the
+    // documents table, so unlike the fixture-bound x25..x34 rows this
+    // one must track the corpus linearly
+    "x40_judgment_dataset_scaled")
+
+  /** OUTPUT-BOUND gates measured per OUTPUT UNIT, not per wall-clock
+    * (VERDICT r11 directive 3 — the class rule, applied by the
+    * generator): the sf1 replica scheme keeps replica content
+    * τ-similar, so a pair/edge-emitting gate's true answer grows
+    * ~quadratically in replicas (measured: d2 pairs 98×, m14 edges
+    * 103× at the 10× step) and a wall-clock bar tests the answer's
+    * size, not the engine. d2/d24/d27 are priced in `pairs` mode
+    * (their output IS the pairs); m14's output is the keep-list (rows
+    * track docs) but its COST is the closure over the pair-graph
+    * edges, so its enforced row measures edges explicitly and flags
+    * on the per-EDGE cost ratio. Each entry counts the gate's edge
+    * workload at one dir — once per sweep, outside the timed runs.
+    */
+  val edgeCounters: Map[String, (SparkSession, String) => Long] = Map(
+    "m14_image_keeplist" -> { (s, dir) =>
+      val h = graft.multimodal.MediaPipeline.imageAHashes(
+        graft.multimodal.MediaPipeline.withImagePayload(
+          graft.sources.Tables.documents(s, dir))).toDF()
+        .where(col("ahash").isNotNull)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try graft.operators.HammingLSH
+        .nearDupPairs(h, "doc_id", "ahash", bits = 48, bands = 4).count()
+      finally h.unpersist(true)
+    })
 
   /** Replicate a raw parquet table n× with fresh surrogate keys
     * (key·n + rep) — the dimension-table face of the ScaleProbe
@@ -213,7 +254,16 @@ object Sf1Probe {
     }
     val t01 = median(sf01)
     val t1 = median(sf1)
-    println(f"SF1ONE $gate t01=$t01%.4f t1=$t1%.4f")
+    // edge-priced gates (the output-bound class rule) report their
+    // edge workload too — counted once per dir, outside the timed runs
+    val edges = edgeCounters.get(gate)
+      .map(c => (c(spark, sf01), c(spark, sf1)))
+    edges match {
+      case Some((e01, e1)) =>
+        println(f"SF1ONE $gate t01=$t01%.4f t1=$t1%.4f e01=$e01%d e1=$e1%d")
+      case None =>
+        println(f"SF1ONE $gate t01=$t01%.4f t1=$t1%.4f")
+    }
     spark.stop()
   }
 
@@ -224,7 +274,7 @@ object Sf1Probe {
   private def runIsolated(javaBin: String, cp: String, heap: String,
                           gate: String, sf01: String, sf1: String,
                           iters: Int, logDir: java.io.File)
-      : Option[(Double, Double)] = {
+      : Option[(Double, Double, Option[(Long, Long)])] = {
     val pb = new ProcessBuilder(javaBin, s"-Xmx$heap", "-cp", cp,
       "--add-opens=java.base/java.lang=ALL-UNNAMED",
       "--add-opens=java.base/java.lang.invoke=ALL-UNNAMED",
@@ -246,9 +296,13 @@ object Sf1Probe {
     val out = scala.io.Source.fromFile(outFile)
     val line: Option[String] =
       try out.getLines().find(_.startsWith("SF1ONE ")) finally out.close()
-    val R = """SF1ONE \S+ t01=([0-9.]+) t1=([0-9.]+)""".r.unanchored
+    val R =
+      """SF1ONE \S+ t01=([0-9.]+) t1=([0-9.]+)(?: e01=([0-9]+) e1=([0-9]+))?"""
+        .r.unanchored
     line match {
-      case Some(R(t01, t1)) => Some((t01.toDouble, t1.toDouble))
+      case Some(R(t01, t1, e01, e1)) =>
+        Some((t01.toDouble, t1.toDouble,
+          Option(e01).map(e => (e.toLong, e1.toLong))))
       case _ =>
         println(s"SF1 $gate CHILD-FAILED exit=${p.exitValue()} " +
           s"(see ${outFile.getPath} / .err)")
@@ -341,7 +395,21 @@ object Sf1Probe {
     var flags = 0
     for (g <- if (only.nonEmpty) only.toSeq else gates) {
       runIsolated(javaBin, cp, heap, g, sf01, sf1, iters, logDir) match {
-        case Some((t01, t1)) =>
+        case Some((t01, t1, Some((e01, e1)))) =>
+          // the output-bound class rule (see edgeCounters): the bar is
+          // the per-EDGE cost ratio — a wall ratio on a gate whose
+          // edge workload grows ~100× per 10× step tests the answer's
+          // size, not the engine
+          val u01 = t01 * 1e6 / e01
+          val u1 = t1 * 1e6 / e1
+          val ratio = u1 / u01
+          val flagged = t1 > 0.35 && ratio > 12.0
+          if (flagged) flags += 1
+          println(f"SF1 $g%-28s sf0.1=$t01%6.2fs sf1=$t1%7.2fs " +
+            f"wall=${t1 / t01}%5.2fx edges=$e01%d->$e1%d " +
+            f"us_per_edge=$u01%.2f->$u1%.2f ratio=$ratio%5.2fx " +
+            "PER-EDGE" + (if (flagged) "  FLAG" else ""))
+        case Some((t01, t1, None)) =>
           val ratio = t1 / t01
           val flagged = t1 > 0.35 && ratio > 12.0
           if (flagged) flags += 1

@@ -161,9 +161,14 @@ class AnnRecallSpec extends SparkSpec {
     assert(two >= flat - 0.15,
       f"two-level routing lost too much recall: $two%.3f vs flat $flat%.3f")
     assert(two >= 0.25, f"two-level IVF recall@$K collapsed: $two%.3f")
-    assert(two >= wideMismatch - 1e-9,
+    // the two orderings below are measured facts about THIS corpus/
+    // seed (0.275 vs 0.213; 0.463 vs 0.338), not algorithm invariants
+    // — a corpus or seeding change could narrow them without a real
+    // regression, so the assertions carry a 0.05 slack band while the
+    // println above keeps the exact measured values on record
+    assert(two >= wideMismatch - 0.05,
       "matched pc=2 probing must not lose to the mismatched global probe")
-    assert(wideMatched >= flat - 1e-9,
+    assert(wideMatched >= flat - 0.05,
       f"nprobe=4 within the matched route must recover flat nprobe=2 " +
         f"recall: $wideMatched%.3f vs $flat%.3f")
   }

@@ -346,4 +346,50 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("max_by") || p.contains("partial_max_by"),
       "expected the max_by aggregate in the rep pick: " + p.take(1200))
   }
+
+  test("centroids-as-DataFrame assignment: routed equi-join + keyed window, no funnel") {
+    // s24/d34's dumped PLANS are their materialized results (the
+    // lifecycle pattern), so the scale shape of the DISTRIBUTED
+    // assignment is machine-checked here on the inner frame: the fine
+    // argmax must be an equi-JOIN keyed on the routed coarse cell
+    // with the per-vector window HASH-PARTITIONED on the vector id —
+    // never a single-partition window (the funnel the dist tier
+    // exists to avoid), never a nested-loop pair source on the
+    // matched leg
+    import org.apache.spark.sql.functions._
+    graft.GraftExtensions.registerNative(spark)
+    val e = graft.operators.VectorOps
+      .vecs(graft.sources.Tables.embeddings(spark, sfDir))
+      .select("vec_id", "v", "nn")
+    val fineCb = graft.operators.KMeansLite.fit(e, "vec_id", "v", 8, 1)
+    val coarseCb = graft.operators.KMeansLite.fit(e, "vec_id", "v", 3, 1)
+    def norms(cb: Seq[(Int, Array[Double])]) = cb.map { case (c, v) =>
+      (c.toLong, v, v.map(x => x * x).sum) }
+    val fineDf = spark.createDataFrame(
+      java.util.Arrays.asList(norms(fineCb).map { case (c, v, n) =>
+        org.apache.spark.sql.Row(c, v.toSeq, n) }: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cid",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cv",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)),
+        org.apache.spark.sql.types.StructField("cn",
+          org.apache.spark.sql.types.DoubleType))))
+    val asg = graft.operators.VectorOps
+      .ivfAssignHierDist(e, "vec_id", norms(coarseCb), fineDf)
+    val p = asg.queryExecution.executedPlan.toString
+    assert(p.contains("Window"), "expected the per-vector argmax window")
+    assert(!p.contains("Window [") ||
+      p.linesIterator.filter(_.contains("Window"))
+        .forall(l => l.contains("windowspecdefinition") || l.contains("partitionBy")
+          || l.contains("__aid")),
+      "the argmax window must be keyed on the vector id: " + p.take(1500))
+    assert(!p.contains("No Partition Defined"),
+      "single-partition window funnel in the dist assignment")
+    assert(p.contains("hashpartitioning(__aid") ||
+      p.contains("hashpartitioning(__ccid"),
+      "the fine argmax must hash-partition on the routed key or vector id: " +
+        p.take(1500))
+  }
 }
