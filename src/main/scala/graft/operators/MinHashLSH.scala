@@ -222,11 +222,22 @@ object MinHashLSH {
     val prevP = spark.conf.getOption("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", loopP)
     try {
+    // TRUNCATE the caller's lineage before the loop: caching
+    // short-circuits EXECUTION but every round still re-analyzes and
+    // re-optimizes a plan whose logical tree contains the caller's
+    // full edge derivation — for a caller like d34 (edges = a union of
+    // self-joined multi-stage assignment frames) that driver-side
+    // analysis cost dominated the loop (measured 24 s vs 5 s for the
+    // same graph from a shallow lineage, 11 rounds either way). The
+    // LogicalRDD re-wrap makes round plans constant-size in the
+    // caller's plan, the same move the loop already makes for its own
+    // hopped/compressed frames.
+    val edgesFlat = b0.sparkSession.createDataFrame(edges0.rdd, edges0.schema)
     // edges pre-shuffled on the join key and CACHED WITH that
     // partitioning: InMemoryRelation preserves outputPartitioning, so
     // every round's edges⋈reps join exchanges only the small (id, rep)
     // side instead of re-shuffling the 4×|docs| band rows per round
-    val edges = edges0.repartition(loopP, col(idCol)).persist(lvl)
+    val edges = edgesFlat.repartition(loopP, col(idCol)).persist(lvl)
     def repSum(df: DataFrame): Option[java.math.BigDecimal] =
       Option(df.agg(sum(col("rep").cast("decimal(38,0)"))).collect()(0)
         .getDecimal(0))

@@ -1218,14 +1218,23 @@ object SimilarityQueries extends QueryPack {
         val kc = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
         val (coarse, fineDf) = graft.operators.KMeansLite.fitHierarchicalDist(
           e, "vec_id", "v", k, kc, 1)
+        // PERSIST the assignment: semanticDedupAssigned consumes it on
+        // both sides of the pair join and the edge union re-reads the
+        // pair frame — without the cache the multi-stage join+window
+        // assignment chain would execute 4× (measured 56 s → the UDF
+        // path's band at sf0.1; the UDF assignment is a cheap per-row
+        // recompute, the dist one is not)
         val asg = graft.operators.KMeansLite.assignHierDistDf(
           e, "vec_id", "v", coarse, fineDf)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val res = semanticDedupAssigned(e,
           e.join(asg, Seq("vec_id"))
             .withColumn("cid", col("cid").cast("bigint")))
         // semanticDedupAssigned's closure materialized its edge cache
         // eagerly (convergeKeepList counts it at construction), so
-        // nothing downstream re-reads the codebook — release it NOW
+        // nothing downstream re-reads the codebook or assignment —
+        // release both NOW
+        asg.unpersist()
         fineDf.unpersist()
         res
       },
