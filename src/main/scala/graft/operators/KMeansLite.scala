@@ -205,20 +205,50 @@ object KMeansLite {
   // DistAssignSpec asserts it and the s24/d34 gates share the
   // s20/d33 oracles verbatim.
 
-  /** hash-ordered k seeds as a DATAFRAME (seedInit without the
-    * driver collect): `(cid int, cv array<double>)`. The ranking
-    * window runs over the k-row `limit(k)` result (TakeOrdered heaps
-    * cluster-side), never over the corpus.
+  /** Above this k the seed path switches from the limit+window plan
+    * (which merges/ranks the k-row result through ONE task — fine at
+    * ~50 MB of seed vectors, the funnel the dist tier must not
+    * reintroduce past that) to GlobalRank's distributed ranking.
     */
-  private def seedInitDf(df: DataFrame, idCol: String, vCol: String,
-                         k: Int): DataFrame = {
+  private[operators] val SeedFunnelMax = 100000
+
+  /** hash-ordered k seeds as a DATAFRAME (seedInit without the
+    * driver collect), PERSISTED: `(cid int, cv array<double>)`.
+    * SIZE-ADAPTIVE like GlobalRank.ntileGlobal: small k takes the
+    * limit+window plan (TakeOrdered heaps cluster-side; only the
+    * k-row result ranks in one task), large k routes through
+    * GlobalRank's range-exchange ranking so no single task ever holds
+    * k seed vectors — filter rank ≤ k afterwards. Both paths rank the
+    * SAME (md5, id) total order, so the seeds are identical
+    * (DistAssignSpec pins it); `funnelMax` is a test knob only.
+    */
+  private[operators] def seedInitDf(df: DataFrame, idCol: String, vCol: String,
+                                    k: Int,
+                                    funnelMax: Int = SeedFunnelMax): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    df.select(md5(col(idCol).cast("string")).as("__h"),
-        col(idCol).as("__sid"), col(vCol).as("cv"))
-      .orderBy(col("__h"), col("__sid")).limit(k)
-      .withColumn("cid", (row_number().over(
-        Window.orderBy(col("__h"), col("__sid"))) - 1))
-      .select(col("cid"), col("cv"))
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val base = df.select(md5(col(idCol).cast("string")).as("__h"),
+      col(idCol).as("__sid"), col(vCol).as("cv"))
+    if (k <= funnelMax)
+      base.orderBy(col("__h"), col("__sid")).limit(k)
+        .withColumn("cid", (row_number().over(
+          Window.orderBy(col("__h"), col("__sid"))) - 1))
+        .select(col("cid"), col("cv"))
+        .persist(lvl)
+    else {
+      val (ranked, release) = GlobalRank.withGlobalRankReleasable(
+        base, Seq(col("__h"), col("__sid")), "__r")
+      val seeds = ranked.where(col("__r") <= k)
+        .withColumn("cid", (col("__r") - 1).cast("int"))
+        .select(col("cid"), col("cv"))
+        .persist(lvl)
+      // materialize before releasing the rank's internal cache — the
+      // range-boundary sampling is seeded per shuffle, so the seeds
+      // must pin ONE materialization of it
+      seeds.count()
+      release()
+      seeds
+    }
   }
 
   /** squared-L2 distance of vector columns `a`, `b` — the SQL fold is
@@ -295,8 +325,7 @@ object KMeansLite {
                           k: Int, kc: Int, iters: Int)
       : (Seq[(Int, Array[Double])], DataFrame) = {
     val coarse = fit(df, idCol, vCol, kc, iters)
-    var fine = seedInitDf(df, idCol, vCol, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var fine = seedInitDf(df, idCol, vCol, k) // persisted by seedInitDf
     for (_ <- 1 to iters) {
       val asg = assignHierDistDf(df, idCol, vCol, coarse, fine)
       val assigned = df.select(col(idCol), col(vCol))

@@ -114,7 +114,8 @@ object SimilarityQueries extends QueryPack {
                                  cents: Seq[(Long, Array[Double], Double)],
                                  e: DataFrame,
                                  asOf: Option[Long] = None,
-                                 probe: Option[org.apache.spark.sql.expressions.UserDefinedFunction] = None): DataFrame = {
+                                 probe: Option[org.apache.spark.sql.expressions.UserDefinedFunction] = None,
+                                 probeDf: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // AS-OF serve (s18): restrict to generations ≤ asOf — a second
     // partition-prune level on the SAME scan. Compacted generations are
@@ -135,10 +136,18 @@ object SimilarityQueries extends QueryPack {
       require(a <= Int.MaxValue,
         s"as-of gen $a exceeds the int partition-value range of $idxDir")
     }
-    val probeUdf = probe.getOrElse(VectorOps.ivfProbeUdf(cents, 2))
-    val q = e.where(col("vec_id") < 3)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nn").as("qn"),
-        explode(probeUdf(col("v"), col("nn"))).as("cell"))
+    // probe routing: a UDF (flat / two-level closure codebooks) or a
+    // pre-computed (qid, cell) DataFrame (the centroids-as-DataFrame
+    // tier's ivfProbeHierDist — s25) joined to the query vectors; the
+    // serve downstream is identical either way
+    val qBase = e.where(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nn").as("qn"))
+    val q = probeDf
+      .map(p => qBase.join(p, Seq("qid")))
+      .getOrElse {
+        val probeUdf = probe.getOrElse(VectorOps.ivfProbeUdf(cents, 2))
+        qBase.withColumn("cell", explode(probeUdf(col("qv"), col("qn"))))
+      }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probed = q.select("cell").distinct().collect()
       .map(_.getLong(0).toInt).sorted
@@ -1441,6 +1450,56 @@ object SimilarityQueries extends QueryPack {
         res
       },
       Some(duckIvfHierTopkOn("TRUE"))),
+
+    // ---- STREAMED maintenance with the centroids-as-DataFrame tier
+    // (s25): the dist tier gets its lifecycle face the way the UDF
+    // tier got s21 — frozen codebooks trained on the pre-stream
+    // backfill through fitHierarchicalDist (fine codebook never
+    // driver-resident), the backfill landing as gen=-1, the held-out
+    // quarter arriving as a real stream where EACH MICRO-BATCH runs
+    // the distributed assignment (coarse-route equi-join + keyed
+    // window — a join per batch, priced by the batch, never the
+    // corpus) and publishes exactly-once via committedCellAppend.
+    // Serve is the s13 partition-pruned read routed by the DIST probe
+    // (ivfProbeHierDist's (qid, cell) frame — bounded queries×nprobe
+    // rows, collected like the UDF path's probed-cell list). ORACLE
+    // IS s21's VERBATIM — the stream, the per-batch joins, and the
+    // dist routing must all be invisible to the hash.
+    Q("s25_stream_ivf_hier_dist",
+      (s, d) => {
+        val e = vecs(s, d)
+        val trainPop = e.where(col("vec_id") % 4 =!= 3)
+        val k = math.max(4L, trainPop.count() / 100).toInt
+        val kc = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+        val (coarseCb, fineL2) = graft.operators.KMeansLite
+          .fitHierarchicalDist(trainPop, "vec_id", "v", k, kc, 1)
+        val coarse = withNorms(coarseCb)
+        val fineDf = VectorOps.withNormsDf(fineL2)
+        def assigned(df: DataFrame) = df.join(
+          VectorOps.ivfAssignHierDist(df, "vec_id", coarse, fineDf),
+          Seq("vec_id"))
+        val idxDir = Scratch.dir("graft_s25_").resolve("ivf").toString
+        VectorOps.committedCellAppend(assigned(trainPop), idxDir, -1L)
+        streamHeldOut(s, d, "s25") { (batch, bid) =>
+          VectorOps.committedCellAppend(
+            assigned(VectorOps.vecs(batch)
+              .select("vec_id", "label", "v", "nn")), idxDir, bid)
+          ()
+        }
+        val qBase = e.where(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("v").as("qv"),
+            col("nn").as("qn"))
+        // materialize the probe routing (bounded: queries × nprobe
+        // rows) so the frozen codebook cache can release before the
+        // lazy serve — the UDF path's collected-probe discipline
+        val pdf = VectorOps.ivfProbeHierDist(qBase, "qid", coarse, fineDf, 2, 2)
+        val pdfRows = pdf.collect()
+        val pdfLocal = s.createDataFrame(
+          java.util.Arrays.asList(pdfRows: _*), pdf.schema)
+        fineL2.unpersist()
+        serveTopkFromIndex(s, idxDir, Seq.empty, e, probeDf = Some(pdfLocal))
+      },
+      Some(duckIvfHierTopkOn("vec_id % 4 <> 3"))),
   )
 
   /** ONE copy of s21/s22's streamed two-level store construction (the
@@ -1469,6 +1528,23 @@ object SimilarityQueries extends QueryPack {
       df.withColumn("cell", assignUdf(col("v"), col("nn")))
     val idxDir = Scratch.dir(s"graft_${tag}_").resolve("ivf").toString
     VectorOps.committedCellAppend(assigned(trainPop), idxDir, -1L)
+    streamHeldOut(s, d, tag) { (batch, bid) =>
+      VectorOps.committedCellAppend(
+        assigned(VectorOps.vecs(batch)
+          .select("vec_id", "label", "v", "nn")), idxDir, bid)
+      ()
+    }
+    (idxDir, coarse, fine, e)
+  }
+
+  /** ONE copy of the held-out-quarter streaming scaffold (s21/s22/s25):
+    * vec_id % 8 = 3 lands first, a real parquet-source stream drives
+    * `ingest` through foreachBatch, then % 8 = 7 lands as the second
+    * micro-batch. `ingest` receives the RAW batch rows and the real
+    * batchId — the committed-append discipline lives in the caller.
+    */
+  private def streamHeldOut(s: SparkSession, d: String, tag: String)
+                           (ingest: (DataFrame, Long) => Unit): Unit = {
     val raw = Tables.embeddings(s, d)
     val stage = Scratch.dir(s"graft_${tag}_stage_").toString
     raw.where(col("vec_id") % 8 === 3)
@@ -1480,10 +1556,7 @@ object SimilarityQueries extends QueryPack {
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         if (!batch.isEmpty) {
           graft.GraftExtensions.registerNative(s)
-          VectorOps.committedCellAppend(
-            assigned(VectorOps.vecs(batch)
-              .select("vec_id", "label", "v", "nn")), idxDir, bid)
-          ()
+          ingest(batch, bid)
         }
       }
       .start()
@@ -1493,7 +1566,6 @@ object SimilarityQueries extends QueryPack {
         .coalesce(1).write.mode("append").parquet(stage)
       q.processAllAvailable()
     } finally q.stop()
-    (idxDir, coarse, fine, e)
   }
 
   /** Full two-level-IVF top-k restatement at corpus-scaled nlist

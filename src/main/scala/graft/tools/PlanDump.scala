@@ -186,8 +186,12 @@ object PlanDump {
       // round-12: the centroids-as-DataFrame tier — d34/s24 must show
       // the coarse-route equi-join + per-vector window argmin with NO
       // broadcast of the fine codebook (the whole point), and s24's
-      // serve stays s20's broadcast cell equi-join
+      // serve stays s20's broadcast cell equi-join; s25 is its
+      // streamed face — like s13/s21 the serve scan must carry
+      // PartitionFilters on the probed cells with the gen level
+      // pruned through
       "d34_semantic_dedup_dist", "s24_ivf_hier_dist",
+      "s25_stream_ivf_hier_dist",
       // round-12: t33's post-compaction serve must carry the same
       // static tb PartitionFilters as t27/t32 over the single folded
       // generation; x40 is the creator assembly at corpus scale —
@@ -224,6 +228,41 @@ object PlanDump {
       val df = graft.SparkEntry.queries(name)(spark, d)
       sb.append(s"\n## $name\n\n```\n")
       sb.append(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      sb.append("```\n")
+    }
+    // the d34/s24 gates dump their MATERIALIZED results (the lifecycle
+    // pattern), so the scale-relevant plan — the centroids-as-DataFrame
+    // assignment itself — gets its own section: look for the equi-join
+    // keyed on the routed coarse cell, the per-vector window
+    // hash-partitioned on the id (no funnel), and NO broadcast of the
+    // fine codebook as closure state (it is a scan-side relation).
+    // PlanShapeSpec machine-checks the same properties.
+    {
+      import org.apache.spark.sql.functions._
+      graft.GraftExtensions.registerNative(spark)
+      val e = graft.operators.VectorOps
+        .vecs(graft.sources.Tables.embeddings(spark, d))
+        .select("vec_id", "v", "nn")
+      val fineCb = graft.operators.KMeansLite.fit(e, "vec_id", "v", 8, 1)
+      val coarseCb = graft.operators.KMeansLite.fit(e, "vec_id", "v", 3, 1)
+      def norms(cb: Seq[(Int, Array[Double])]) = cb.map { case (c, v) =>
+        (c.toLong, v, v.map(x => x * x).sum) }
+      val fineDf = spark.createDataFrame(
+        java.util.Arrays.asList(norms(fineCb).map { case (c, v, n) =>
+          org.apache.spark.sql.Row(c, v.toSeq, n) }: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cid",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cv",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType)),
+          org.apache.spark.sql.types.StructField("cn",
+            org.apache.spark.sql.types.DoubleType))))
+      val asg = graft.operators.VectorOps
+        .ivfAssignHierDist(e, "vec_id", norms(coarseCb), fineDf)
+      sb.append("\n## ivfAssignHierDist (inner plan of the d34/s24 tier)\n\n```\n")
+      sb.append(asg.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
       sb.append("```\n")
     }

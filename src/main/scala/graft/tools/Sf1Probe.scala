@@ -147,6 +147,10 @@ object Sf1Probe {
     // rows pin that removing the driver state does not reintroduce a
     // data-scaling term
     "d34_semantic_dedup_dist", "s24_ivf_hier_dist",
+    // s25: the dist tier's streamed face — per-micro-batch distributed
+    // assignment (a join per batch); its row pins that the per-batch
+    // join cost tracks the batch, never the corpus
+    "s25_stream_ivf_hier_dist",
     // round-12: BM25 generation compaction (directive 5) — fold cost
     // must track the index, serve cost the probed buckets, neither
     // the generation count

@@ -121,6 +121,22 @@ class DistAssignSpec extends SparkSpec {
     }
   }
 
+  test("seed ranking: distributed GlobalRank path equals the limit+window path") {
+    // the dist tier's last k-row funnel: above SeedFunnelMax the seed
+    // ranking routes through GlobalRank's range exchange — force that
+    // path with funnelMax = 0 and pin bit-equality with the small path
+    val k = 13
+    val small = KMeansLite.seedInitDf(e, "vec_id", "v", k)
+    val large = KMeansLite.seedInitDf(e, "vec_id", "v", k, funnelMax = 0)
+    val s = small.collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
+      .sortBy(_._1).toSeq
+    val l = large.collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
+      .sortBy(_._1).toSeq
+    assert(l == s, "seed paths diverged")
+    assert(s.map(_._1) == (0 until k), "seed cids must be dense 0..k-1")
+    small.unpersist(); large.unpersist()
+  }
+
   test("zero-norm vectors quarantine identically (no cell) in both paths") {
     val dims = 4
     val rows = Seq(
