@@ -65,6 +65,35 @@ object Bench {
         try graft.sources.Tables(s, sfDir, t).count()
         catch { case _: Throwable => () }
       }
+      // SACRIFICIAL session warmup (round 13): footer warmup alone left
+      // per-SESSION spin-up — first shuffle exchange, first window exec,
+      // first broadcast, and the micro-batch engine — to land on
+      // whichever gate ran it first, producing phantom 1.5–2× committed
+      // deltas on arbitrary gates each round (e10 2.21 s committed vs
+      // 0.90–0.96 solo in r12). Burn it here, off the clock: one batch
+      // composite through agg/broadcast-join/window/sort, and one tiny
+      // file-stream round-trip so the streaming gates start warm too.
+      try {
+        import org.apache.spark.sql.functions._
+        val df = s.range(0, 50000)
+          .select(col("id"), (col("id") % 97).as("k"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("k").orderBy("id")
+        df.join(broadcast(df.groupBy("k").count()), "k")
+          .withColumn("r", row_number().over(w))
+          .where(col("r") <= 3).orderBy("k").count()
+      } catch { case _: Throwable => () }
+      try {
+        val base = java.nio.file.Files.createTempDirectory("bench_warm_")
+        val src = base.resolve("src").toString
+        s.range(0, 8).toDF("id").coalesce(1).write.parquet(src)
+        val q = s.readStream.schema("id LONG").parquet(src)
+          .groupBy("id").count()
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", base.resolve("ck").toString)
+          .format("noop").start()
+        try q.processAllAvailable() finally q.stop()
+      } catch { case _: Throwable => () }
       s
     }
     // dev knob: comma-separated query names to bench in isolation

@@ -332,10 +332,15 @@ object KMeansLite {
         .join(asg, Seq(idCol))
       val means = lloydMeansDf(assigned, vCol)
       // keep-seed via anti-join (a shuffle over ≤ k codebook rows,
-      // never the corpus); persist truncates the per-iteration
-      // lineage so `iters` chains don't re-run earlier assignments
-      val next = means
+      // never the corpus). Persist short-circuits EXECUTION only —
+      // the logical plan would still deepen every iteration and
+      // re-incur driver-side analysis of the whole chain (the d34
+      // lesson, MinHashLSH.convergeKeepList) — so the persisted
+      // frame is re-wrapped as a flat LogicalRDD before it becomes
+      // next round's `fine`; unpersist stays on the wrapped handle.
+      val grown = means
         .unionByName(fine.join(means.select("cid"), Seq("cid"), "left_anti"))
+      val next = df.sparkSession.createDataFrame(grown.rdd, grown.schema)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       next.count()
       fine.unpersist()

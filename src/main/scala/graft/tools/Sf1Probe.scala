@@ -399,7 +399,7 @@ object Sf1Probe {
     var flags = 0
     for (g <- if (only.nonEmpty) only.toSeq else gates) {
       runIsolated(javaBin, cp, heap, g, sf01, sf1, iters, logDir) match {
-        case Some((t01, t1, Some((e01, e1)))) =>
+        case Some((t01, t1, Some((e01, e1)))) if e01 > 0 && e1 > 0 =>
           // the output-bound class rule (see edgeCounters): the bar is
           // the per-EDGE cost ratio — a wall ratio on a gate whose
           // edge workload grows ~100× per 10× step tests the answer's
@@ -413,6 +413,16 @@ object Sf1Probe {
             f"wall=${t1 / t01}%5.2fx edges=$e01%d->$e1%d " +
             f"us_per_edge=$u01%.2f->$u1%.2f ratio=$ratio%5.2fx " +
             "PER-EDGE" + (if (flagged) "  FLAG" else ""))
+        case Some((t01, t1, Some((e01, e1)))) =>
+          // a ZERO edge count would make per-edge cost Infinity (e01=0)
+          // or 0/NaN (e1=0) — the latter silently never flags even when
+          // wall exploded. Fall back to the wall-clock bar, loudly.
+          val ratio = t1 / t01
+          val flagged = t1 > 0.35 && ratio > 12.0
+          if (flagged) flags += 1
+          println(f"SF1 $g%-28s sf0.1=$t01%6.2fs sf1=$t1%7.2fs " +
+            f"ratio=$ratio%5.2fx edges=$e01%d->$e1%d " +
+            "ZERO-EDGES(wall-clock bar)" + (if (flagged) "  FLAG" else ""))
         case Some((t01, t1, None)) =>
           val ratio = t1 / t01
           val flagged = t1 > 0.35 && ratio > 12.0

@@ -37,8 +37,7 @@ class DistAssignSpec extends SparkSpec {
     val (k, kc) = (9, 3)
     val (coarseU, fineU) = KMeansLite.fitHierarchical(e, "vec_id", "v", k, kc, 1)
     val (coarseD, fineDdf) = KMeansLite.fitHierarchicalDist(e, "vec_id", "v", k, kc, 1)
-    assert(coarseD == coarseU.map { case (c, v) => (c, v) } ||
-      coarseD.map { case (c, v) => (c, v.toSeq) } ==
+    assert(coarseD.map { case (c, v) => (c, v.toSeq) } ==
         coarseU.map { case (c, v) => (c, v.toSeq) },
       "coarse codebooks diverged (same fit() both paths)")
     val fineD = fineDdf.collect()

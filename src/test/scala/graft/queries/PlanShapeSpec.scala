@@ -380,10 +380,10 @@ class PlanShapeSpec extends SparkSpec {
       .ivfAssignHierDist(e, "vec_id", norms(coarseCb), fineDf)
     val p = asg.queryExecution.executedPlan.toString
     assert(p.contains("Window"), "expected the per-vector argmax window")
-    assert(!p.contains("Window [") ||
-      p.linesIterator.filter(_.contains("Window"))
-        .forall(l => l.contains("windowspecdefinition") || l.contains("partitionBy")
-          || l.contains("__aid")),
+    // every physical Window line contains 'windowspecdefinition', so a
+    // disjunct on it would be vacuous — assert the partition key itself
+    assert(p.linesIterator.filter(_.contains("windowspecdefinition"))
+        .forall(_.contains("windowspecdefinition(__aid")),
       "the argmax window must be keyed on the vector id: " + p.take(1500))
     assert(!p.contains("No Partition Defined"),
       "single-partition window funnel in the dist assignment")
