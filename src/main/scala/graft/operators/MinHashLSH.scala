@@ -401,21 +401,7 @@ object MinHashLSH {
     val spark = bands.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(indexDir + "__layout")
-    if (fs.exists(dst)) {
-      val existing = bucketCount(spark, indexDir)
-      if (existing != numBuckets)
-        throw new IllegalStateException(
-          s"$indexDir is already built with numBuckets=$existing; " +
-            s"rebuilding with $numBuckets would strand its partitions — " +
-            "use a fresh index dir")
-    } else {
-      val tmp = new org.apache.hadoop.fs.Path(indexDir + "__layout.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(numBuckets.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      graft.sources.Sinks.renameOrThrow(fs, tmp, dst)
-    }
+    graft.sources.Sinks.ensureLayoutMarker(fs, indexDir, numBuckets)
     if (!graft.sources.Sinks.committedPartitionedAppend(
         withHashBucket(bands, numBuckets), indexDir, -1L, "hb"))
       throw new IllegalStateException(
@@ -428,24 +414,10 @@ object MinHashLSH {
     * silent-wrong-prune class the marker exists to prevent).
     */
   private[operators] def bucketCount(spark: org.apache.spark.sql.SparkSession,
-                                     indexDir: String): Int = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val p = new org.apache.hadoop.fs.Path(indexDir + "__layout")
-    if (!fs.exists(p))
-      throw new IllegalStateException(
-        s"no layout marker at ${indexDir}__layout — build the index with " +
-          "buildBucketedIndex (probing with a guessed bucket count would " +
-          "silently prune true collisions)")
-    val in = fs.open(p)
-    try {
-      val buf = new Array[Byte](32)
-      val out = new java.io.ByteArrayOutputStream(32)
-      var n = in.read(buf)
-      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
-      out.toString(java.nio.charset.StandardCharsets.UTF_8).trim.toInt
-    } finally in.close()
-  }
+                                     indexDir: String): Int =
+    graft.sources.Sinks.readLayoutMarker(
+      org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration), indexDir)
 
   /** The pruned index read the bucketed probe runs — exposed so specs
     * can pin the PartitionFilters on the very plan the operator

@@ -370,12 +370,41 @@ object VectorOps {
       .withColumn("__r", row_number().over(w))
       .where(col("__r") === 1)
       .select(col("__aid"), col("cid").as("cell"))
+    guardFallback(fineRouted, coarse.size, "ivfAssignHierDist")
     val matched = argmax(routed.join(fineRouted, Seq("__ccid")))
     val fallback = argmax(
       routed.join(fineRouted.select("__ccid").distinct(),
           Seq("__ccid"), "left_anti")
         .crossJoin(fineDf))
     matched.union(fallback).withColumnRenamed("__aid", idCol)
+  }
+
+  /** Degenerate-codebook cost guard for the dist tier's fallback legs:
+    * a row (or query) whose routed coarse cells own NO fine member
+    * falls back to a crossJoin against the FULL fine codebook —
+    * correct and rare by construction (it needs a coarse cell that no
+    * fine centroid routes to), but its cost is unbounded if a
+    * degenerate coarse codebook empties MOST coarse cells: the
+    * fallback then re-runs the flat k-wide argmin the two-level route
+    * exists to avoid, for a large row fraction. One codebook-sized
+    * count (≤ k rows, one cheap job per call) bounds it up front: more
+    * than 3/4 of coarse cells empty refuses loudly with the remedy
+    * (retrain the coarse codebook at kc ≈ ⌈√k⌉) instead of silently
+    * serving n·k work. The bound is deliberately loose — adversarial
+    * small codebooks with a minority of unattractive coarse cells
+    * (DistAssignSpec's forced-fallback shapes) stay legal.
+    */
+  private def guardFallback(fineRouted: DataFrame, coarseSize: Int,
+                            what: String): Unit = {
+    val routedCells = fineRouted.select("__ccid").distinct().count()
+    val empty = coarseSize - routedCells
+    require(empty * 4 <= coarseSize.toLong * 3,
+      s"$what: $empty of $coarseSize coarse cells own no fine centroid — " +
+        "a majority-degenerate coarse codebook would route most rows " +
+        "through the full-fine-codebook fallback (the n·k scan the " +
+        "two-level tier exists to avoid); retrain the coarse codebook " +
+        "(kc ≈ ⌈√k⌉ over the same population) instead of serving " +
+        "through the fallback leg")
   }
 
   /** TWO-LEVEL probe with the fine codebook as a DATAFRAME: each query
@@ -387,7 +416,11 @@ object VectorOps {
     * codebook). `q` must carry (`qidCol`, qv, qn); returns
     * `(<qidCol>, cell)`. Same recall knobs and measured defaults as
     * ivfProbeHierUdf — routing consistency beats probe width, spend
-    * budget on `nprobe`.
+    * budget on `nprobe`. The transfer is PROVEN, not assumed:
+    * AnnRecallSpec's dist test composes this probe into s24's full
+    * serve (bounded (qid, cell) frame join) and asserts the served
+    * top-K sets equal the UDF tier's at (2,2) and (2,4) exactly, so
+    * the (pc, nprobe) = (2, 4) recommendation holds verbatim here.
     */
   def ivfProbeHierDist(q: DataFrame, qidCol: String,
                        coarse: Seq[(Long, Array[Double], Double)],
@@ -407,6 +440,7 @@ object VectorOps {
       .withColumn("__r", row_number().over(w))
       .where(col("__r") <= nprobe)
       .select(col("__qid"), col("cid").as("cell"))
+    guardFallback(fineRouted, coarse.size, "ivfProbeHierDist")
     val matched = rank(routed.join(fineRouted, Seq("__ccid")))
     // a query falls back ONLY when NONE of its routed coarse cells
     // owns a fine member (the UDF's cands0.isEmpty rule)
@@ -503,6 +537,59 @@ object VectorOps {
   def committedCellAppend(assigned: DataFrame, indexDir: String,
                           batchId: Long): Boolean =
     graft.sources.Sinks.committedPartitionedAppend(assigned, indexDir, batchId, "cell")
+
+  /** BUCKETED-CELL store layout — the 100 TB replacement for the
+    * `cell=<id>` directory-per-cell scheme, whose per-directory
+    * metadata cost walls at ~10⁵ cells (a filesystem/object-store
+    * listing limit, far below the k ≈ 10¹⁰ the dist tier can now
+    * compute; at the gated k = n/100 policy the per-directory layout
+    * caps a store at ~10⁷ vectors per generation). Here the PARTITION
+    * key is `cell_bucket = cell % B` (B chosen once, recorded in the
+    * sibling `__layout` marker — the banded index's contract, shared
+    * code) and `cell` rides as a DATA column; rows are shuffled to
+    * their bucket and written cell-sorted, so every (gen, bucket) is
+    * ONE file with cell-clustered row groups. The serve's two-level
+    * prune: the probed-cell list maps to `probed % B` bucket dirs (a
+    * pure partition prune, ≤ B directories ever listed no matter how
+    * many cells exist), and `cell IN (probed)` pushes into the parquet
+    * scan where the sorted layout makes it a row-group min/max skip.
+    * Directory count per generation is bounded by B — independent of
+    * the cell count — which is what converts the dist tier's compute
+    * headroom into an end-to-end store claim.
+    */
+  def committedBucketedCellAppend(assigned: DataFrame, indexDir: String,
+                                  batchId: Long, buckets: Int = 64): Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      assigned.sparkSession.sparkContext.hadoopConfiguration)
+    graft.sources.Sinks.ensureLayoutMarker(fs, indexDir, buckets)
+    val df = assigned
+      .withColumn("cell_bucket",
+        pmod(col("cell").cast("bigint"), lit(buckets.toLong)).cast("int"))
+      .repartition(col("cell_bucket"))
+      .sortWithinPartitions("cell_bucket", "cell")
+    graft.sources.Sinks.committedPartitionedAppend(
+      df, indexDir, batchId, "cell_bucket")
+  }
+
+  /** Fold a bucketed-cell store's generations into one (the s18/s29
+    * compaction face): the bucket layout AND the in-file cell sort are
+    * both part of the on-disk contract, so the rewrite re-clusters by
+    * (cell_bucket, cell) — a fold that lost the sort would silently
+    * turn the serve's row-group skip back into a full-bucket scan.
+    */
+  def compactBucketedCells(spark: org.apache.spark.sql.SparkSession,
+                           indexDir: String): Unit =
+    graft.sources.Sinks.compactGenerations(spark, indexDir,
+      Some("cell_bucket"), sortWithin = Seq("cell_bucket", "cell"))
+
+  /** Row-level delete on a bucketed-cell store (the s17/s28 takedown
+    * face) — fold + filter in one swap, layout contract preserved.
+    */
+  def deleteFromBucketedCells(spark: org.apache.spark.sql.SparkSession,
+                              indexDir: String,
+                              keep: DataFrame => DataFrame): Unit =
+    graft.sources.Sinks.rewriteGenerations(spark, indexDir,
+      Some("cell_bucket"), keep, sortWithin = Seq("cell_bucket", "cell"))
 
   /** DuckDB restatements (for oracle SQL) */
   val duckVecs: String =

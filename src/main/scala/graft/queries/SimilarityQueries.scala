@@ -115,7 +115,8 @@ object SimilarityQueries extends QueryPack {
                                  e: DataFrame,
                                  asOf: Option[Long] = None,
                                  probe: Option[org.apache.spark.sql.expressions.UserDefinedFunction] = None,
-                                 probeDf: Option[DataFrame] = None): DataFrame = {
+                                 probeDf: Option[DataFrame] = None,
+                                 bucketed: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // AS-OF serve (s18): restrict to generations ≤ asOf — a second
     // partition-prune level on the SAME scan. Compacted generations are
@@ -153,15 +154,35 @@ object SimilarityQueries extends QueryPack {
       .map(_.getLong(0).toInt).sorted
     // partition-column values are inferred as int; matching-type
     // literals keep the filter a pure partition prune (no cast)
-    val cellPruned = s.read.parquet(idxDir)
-      .where(col("cell").isin(probed: _*))
+    val cellPruned =
+      if (bucketed) {
+        // BUCKETED-CELL layout (s26–s29): the partition key is
+        // cell_bucket = cell % B (B from the store's __layout marker),
+        // `cell` is a DATA column. The probed-cell list maps to its
+        // bucket dirs — a pure partition prune bounded by B no matter
+        // how many cells exist — and the cell list pushes into the
+        // parquet scan as In(cell, ...) where the cell-sorted write
+        // makes it a row-group min/max skip inside each pruned bucket.
+        val b = graft.sources.Sinks.readLayoutMarker(
+          org.apache.hadoop.fs.FileSystem.get(
+            s.sparkContext.hadoopConfiguration), idxDir)
+        val bks = probed.map(c => ((c % b) + b) % b).distinct.sorted
+        s.read.parquet(idxDir)
+          .where(col("cell_bucket").isin(bks: _*))
+          .where(col("cell").isin(probed.map(_.toLong): _*))
+          .drop("cell_bucket")
+      } else s.read.parquet(idxDir).where(col("cell").isin(probed: _*))
     val index = asOf
       .map(a => cellPruned.where(col("gen") <= lit(a.toInt)))
       .getOrElse(cellPruned)
       .drop("gen")
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    // the flat layout's partition discovery types `cell` int; the
+    // bucketed layout keeps it the bigint data column it was written as
+    val qKeyed = if (bucketed) q
+      else q.withColumn("cell", col("cell").cast("int"))
     val topk = index
-      .join(broadcast(q.withColumn("cell", col("cell").cast("int"))), Seq("cell"))
+      .join(broadcast(qKeyed), Seq("cell"))
       .where(col("vec_id") =!= col("qid"))
       .withColumn("cos", round(cosExpr, 6))
       .withColumn("rank", row_number().over(w))
@@ -1500,6 +1521,126 @@ object SimilarityQueries extends QueryPack {
         serveTopkFromIndex(s, idxDir, Seq.empty, e, probeDf = Some(pdfLocal))
       },
       Some(duckIvfHierTopkOn("vec_id % 4 <> 3"))),
+
+    // ---- BUCKETED-CELL store layout (s26): the 100 TB fix for the
+    // `cell=<id>` directory-per-cell scheme every earlier IVF store
+    // uses — one directory per cell walls at ~10⁵ cells (filesystem /
+    // object-store metadata), far below the k ≈ 10¹⁰ the dist tier
+    // computes and below a 100 TB corpus at the gated k = n/100
+    // policy. Here the partition key is cell_bucket = cell % B (B
+    // recorded once in the store's __layout marker — the banded
+    // index's contract) and `cell` rides as a cell-sorted DATA column:
+    // directories per generation are bounded by B no matter how many
+    // cells exist, the serve's bucket prune is a pure partition prune,
+    // and the pushed In(cell, ...) filter row-group-skips inside each
+    // pruned bucket file (BucketedIvfSpec pins both from the executed
+    // plan). Codebooks are the corpus-scaled TWO-LEVEL tier (k =
+    // n/100 — thousands of cells at sf1, where bucketing is real, not
+    // one cell per bucket); the ORACLE IS s20/s24's VERBATIM — the
+    // layout must be invisible in results.
+    Q("s26_ivf_bucketed_served",
+      (s, d) => {
+        val e = vecs(s, d)
+        val k = math.max(4L, e.count() / 100).toInt
+        val kc = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+        val (coarseCb, fineCb) = graft.operators.KMeansLite.fitHierarchical(
+          e, "vec_id", "v", k, kc, 1)
+        val coarse = withNorms(coarseCb)
+        val fine = withNorms(fineCb)
+        val idxDir = Scratch.dir("graft_s26_").resolve("ivf").toString
+        VectorOps.committedBucketedCellAppend(
+          e.withColumn("cell",
+            VectorOps.ivfAssignHierUdf(coarse, fine)(col("v"), col("nn"))),
+          idxDir, -1L, buckets = 16)
+        serveTopkFromIndex(s, idxDir, fine, e,
+          probe = Some(VectorOps.ivfProbeHierUdf(coarse, fine, 2, 2)),
+          bucketed = true)
+      },
+      Some(duckIvfHierTopkOn("TRUE"))),
+
+    // ---- Frozen-codebook APPEND on the bucketed layout (s27): s14's
+    // maintenance story re-run on the B-bounded store — the landing
+    // batch assigns under the frozen codebook and publishes as its own
+    // generation of ≤ B cell-sorted files (one bucketed shuffle of the
+    // BATCH, never the corpus). Serve must see both generations
+    // through the bucket prune + row-group cell skip; ORACLE IS
+    // s13/s14's VERBATIM.
+    Q("s27_ivf_bucketed_append",
+      (s, d) => {
+        val e = vecs(s, d)
+        val cents = withNorms(trainedCodebook(s, d))
+        def assigned(df: DataFrame) =
+          df.withColumn("cell", VectorOps.ivfAssignUdf(cents)(col("v"), col("nn")))
+        val idxDir = Scratch.dir("graft_s27_").resolve("ivf").toString
+        VectorOps.committedBucketedCellAppend(
+          assigned(e.where(col("vec_id") % 4 =!= 3)), idxDir, -1L, buckets = 16)
+        VectorOps.committedBucketedCellAppend(
+          assigned(e.where(col("vec_id") % 4 === 3)), idxDir, 0L, buckets = 16)
+        serveTopkFromIndex(s, idxDir, cents, e, bucketed = true)
+      },
+      Some(duckIvfTrainedTopk)),
+
+    // ---- Takedown on the bucketed layout (s28): s17's CRUD face with
+    // the bucket contract held through the rewrite — fold + filter in
+    // one swap, rows re-clustered (cell_bucket, cell) so the serve's
+    // row-group skip survives the fold. Codebook frozen; every query's
+    // top-5 back-fills from surviving in-cell neighbors; ORACLE IS
+    // s17's VERBATIM (restricted-population restatement).
+    Q("s28_ivf_bucketed_delete",
+      (s, d) => {
+        val e = vecs(s, d)
+        val cents = withNorms(trainedCodebook(s, d))
+        val idxDir = Scratch.dir("graft_s28_").resolve("ivf").toString
+        VectorOps.committedBucketedCellAppend(
+          e.withColumn("cell",
+            VectorOps.ivfAssignUdf(cents)(col("v"), col("nn"))),
+          idxDir, -1L, buckets = 16)
+        VectorOps.deleteFromBucketedCells(s, idxDir,
+          df => df.where(col("vec_id") % 9 =!= 0))
+        serveTopkFromIndex(s, idxDir, cents, e, bucketed = true)
+      },
+      Some(duckIvfTrainedTopkOn("vec_id % 9 <> 0"))),
+
+    // ---- AS-OF + compaction horizon on the bucketed layout (s29):
+    // s18's time-travel square — three landings, the batch-0 snapshot
+    // served through the same bucket-pruned scan with gen ≤ 0 as a
+    // second static prune; after compactBucketedCells (fold preserves
+    // bucket layout AND cell sort) the pre-horizon snapshot must
+    // refuse loudly while the at-head snapshot equals the current
+    // serve. ORACLE IS s18's VERBATIM.
+    Q("s29_ivf_bucketed_asof",
+      (s, d) => {
+        val e = vecs(s, d)
+        val cents = withNorms(trainedCodebook(s, d))
+        def assigned(df: DataFrame) =
+          df.withColumn("cell", VectorOps.ivfAssignUdf(cents)(col("v"), col("nn")))
+        val base = Scratch.dir("graft_s29_")
+        val idxDir = base.resolve("ivf").toString
+        VectorOps.committedBucketedCellAppend(
+          assigned(e.where(col("vec_id") % 4 =!= 3)), idxDir, -1L, buckets = 16)
+        VectorOps.committedBucketedCellAppend(
+          assigned(e.where(col("vec_id") % 8 === 3)), idxDir, 0L, buckets = 16)
+        VectorOps.committedBucketedCellAppend(
+          assigned(e.where(col("vec_id") % 8 === 7)), idxDir, 1L, buckets = 16)
+        val matDir = base.resolve("asof0").toString
+        serveTopkFromIndex(s, idxDir, cents, e, asOf = Some(0L),
+          bucketed = true).write.parquet(matDir)
+        VectorOps.compactBucketedCells(s, idxDir)
+        val loud =
+          try {
+            serveTopkFromIndex(s, idxDir, cents, e, asOf = Some(0L),
+              bucketed = true)
+            false
+          } catch { case _: IllegalStateException => true }
+        val atHead = serveTopkFromIndex(s, idxDir, cents, e,
+          asOf = Some(1L), bucketed = true).collect().toSet
+        val current = serveTopkFromIndex(s, idxDir, cents, e,
+          bucketed = true).collect().toSet
+        s.read.parquet(matDir)
+          .withColumn("asof_contract", lit(loud && atHead == current))
+      },
+      Some(s"""SELECT q.*, TRUE AS asof_contract FROM (
+              ${duckIvfTrainedTopkOn("vec_id % 4 <> 3 OR vec_id % 8 = 3")}) q""")),
   )
 
   /** ONE copy of s21/s22's streamed two-level store construction (the

@@ -280,6 +280,69 @@ object StatsQueries extends QueryPack {
                           ELSE 'secret_test' END AS split
               FROM docs d LEFT JOIN labeled l USING (own_key)""")),
 
+    // ---- The criticality creator at SF-SCALING ruling vocabulary
+    // (x41, the x40 treatment for the second flagship creator —
+    // VERDICT r12 directive 5): x26 proves the composed pipeline per
+    // row, but its ruling key space is CAPPED at 400 (`% 400`), so
+    // the creator's heaviest pieces — the citation-frequency
+    // aggregate and the global quartile ranking
+    // (criticality_dataset_creator.py:111-158) — never scale with the
+    // corpus there. Here one ruling per 8 documents (the key space
+    // grows ∝ n) and a Zipf-ish synthetic citation graph (floor
+    // division by a varying denominator concentrates citations on low
+    // ruling ids) keep the quartiles non-degenerate at every SF; the
+    // freq frame ranks through GlobalRank's distributed ntile (never
+    // a single-partition funnel) and the label join is a PLAIN join —
+    // at corpus scale the labeled frame is n/8 rows, not a broadcast
+    // small. Oracle restates the whole chain; enforced sf1 row.
+    Q("x41_criticality_scaled",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("year", (col("doc_id") % 25 + 2000).cast("int"))
+          .withColumn("own_key", expr("(doc_id div 8) * 8"))
+          .withColumn("cited_key", expr("(doc_id div (2 + doc_id % 7)) * 8"))
+        val freq = docs.groupBy(col("cited_key").as("own_key"))
+          .agg(count(lit(1)).as("freq"), max("year").as("last_cite_year"))
+        val tiled = graft.operators.GlobalRank.ntileGlobal(
+          freq, 4, Seq(col("freq").desc, col("own_key")), "__q")
+        val labeled = tiled
+          .withColumn("label", concat(lit("critical-"), col("__q").cast("string")))
+          .select("own_key", "freq", "last_cite_year", "label")
+        docs.join(labeled, Seq("own_key"), "left")
+          .withColumn("label", coalesce(col("label"), lit("non-critical")))
+          .withColumn("score", when(col("freq").isNull, 0.0)
+            .otherwise(round(col("freq") *
+              greatest(lit(0.0),
+                (col("last_cite_year") - 2000).cast("double") / 25), 6)))
+          .withColumn("split", graft.datasets.DatasetWriter.dateSplit("year"))
+          .select(col("doc_id"), col("year").cast("bigint").as("year"),
+            col("label"), col("score"), col("split"))
+      },
+      Some("""WITH docs AS (
+                SELECT doc_id, CAST(doc_id % 25 + 2000 AS INT) AS year,
+                       (doc_id // 8) * 8 AS own_key,
+                       (doc_id // (2 + doc_id % 7)) * 8 AS cited_key
+                FROM documents),
+              freq AS (
+                SELECT cited_key AS own_key, count(*) AS freq,
+                       max(year) AS last_cite_year
+                FROM docs GROUP BY 1),
+              labeled AS (
+                SELECT own_key, freq, last_cite_year,
+                       'critical-' || ntile(4) OVER (ORDER BY freq DESC, own_key) AS label
+                FROM freq)
+              SELECT d.doc_id, d.year::BIGINT AS year,
+                     coalesce(l.label, 'non-critical') AS label,
+                     CASE WHEN l.freq IS NULL THEN 0.0
+                          ELSE round(l.freq * greatest(0.0,
+                            cast(l.last_cite_year - 2000 as double) / 25), 6)
+                     END AS score,
+                     CASE WHEN d.year <= 2015 THEN 'train'
+                          WHEN d.year <= 2017 THEN 'validation'
+                          WHEN d.year <= 2022 THEN 'test'
+                          ELSE 'secret_test' END AS split
+              FROM docs d LEFT JOIN labeled l USING (own_key)""")),
+
     // ---- §3.2 doc2doc-IR creator END-TO-END (x27,
     // doc2doc_ir_dataset_creator.py): citation-graph corpus → top-k
     // label vocabulary (deterministic order) → out-of-vocab drop →

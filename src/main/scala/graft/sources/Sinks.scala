@@ -525,6 +525,57 @@ object Sinks {
     true
   }
 
+  /** Create-or-validate a store's sibling `__layout` marker (the
+    * bucket-count layout contract, shared by the banded MinHash index
+    * and the bucketed-cell IVF store): the bucket count is chosen ONCE
+    * at first write, recorded tmp+rename, and every later writer and
+    * every reader derives it from the marker — a writer bucketing
+    * differently than the store would land rows in directories reads
+    * no longer match (the silent-wrong-prune class), so a differing
+    * count refuses loudly instead.
+    */
+  def ensureLayoutMarker(fs: org.apache.hadoop.fs.FileSystem,
+                         indexDir: String, numBuckets: Int): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(indexDir + "__layout")
+    if (fs.exists(dst)) {
+      val existing = readLayoutMarker(fs, indexDir)
+      if (existing != numBuckets)
+        throw new IllegalStateException(
+          s"$indexDir is already laid out with numBuckets=$existing; " +
+            s"writing with $numBuckets would strand its partitions — " +
+            "use a fresh store dir")
+    } else {
+      val tmp = new org.apache.hadoop.fs.Path(indexDir + "__layout.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(numBuckets.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      renameOrThrow(fs, tmp, dst)
+    }
+  }
+
+  /** The recorded bucket count of a bucketed store — loud when absent
+    * (reading with a guessed bucket count would silently prune away
+    * live rows).
+    */
+  def readLayoutMarker(fs: org.apache.hadoop.fs.FileSystem,
+                       indexDir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(indexDir + "__layout")
+    if (!fs.exists(p))
+      throw new IllegalStateException(
+        s"no layout marker at ${indexDir}__layout — the store was not " +
+          "built through a bucketed writer (reading with a guessed " +
+          "bucket count would silently prune live rows)")
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](32)
+      val out = new java.io.ByteArrayOutputStream(32)
+      var n = in.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toString(java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+    } finally in.close()
+  }
+
   /** ids whose generations were folded away by [[compactGenerations]]
     * — read from the sibling manifest (absent until the first
     * compaction, so uncompacted stores pay nothing beyond one exists
@@ -628,9 +679,10 @@ object Sinks {
     * contract, like every committed face.
     */
   def compactGenerations(spark: SparkSession, indexDir: String,
-                         partitionCol: Option[String]): Unit =
+                         partitionCol: Option[String],
+                         sortWithin: Seq[String] = Nil): Unit =
     rewriteGenerations(spark, indexDir, partitionCol, identity,
-      skipIfFolded = true)
+      skipIfFolded = true, sortWithin = sortWithin)
 
   /** [[compactGenerations]] with a row-level `transform` (the delete
     * path of a generational store: fold + filter in one rewrite). The
@@ -643,7 +695,8 @@ object Sinks {
   def rewriteGenerations(spark: SparkSession, indexDir: String,
                          partitionCol: Option[String],
                          transform: DataFrame => DataFrame,
-                         skipIfFolded: Boolean = false): Unit = {
+                         skipIfFolded: Boolean = false,
+                         sortWithin: Seq[String] = Nil): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     if (!healSwap(fs, indexDir)) return // never written: nothing to fold
@@ -684,7 +737,14 @@ object Sinks {
     //    state machine
     swapRewrite(fs, indexDir) { tmp =>
       val w = partitionCol match {
-        case Some(c) => folded.repartition(col(c)).write.partitionBy(c)
+        case Some(c) =>
+          // `sortWithin` re-clusters rows inside each rewritten file
+          // (the bucketed-cell layout keeps rows cell-sorted so the
+          // serve's cell filter stays a row-group skip after a fold)
+          val rp = folded.repartition(col(c))
+          val rs = if (sortWithin.nonEmpty)
+            rp.sortWithinPartitions(sortWithin.map(col): _*) else rp
+          rs.write.partitionBy(c)
         case None => folded.coalesce(1).write
       }
       w.parquet(s"$tmp/gen=-1")

@@ -197,6 +197,23 @@ object PlanDump {
       // generation; x40 is the creator assembly at corpus scale —
       // broadcast dims, aggregate-joins, vocab window over |labels|
       "t33_bm25_index_compact", "x40_judgment_dataset_scaled",
+      // round-13: x41's scaled criticality creator — the plan must
+      // show the citation-freq hash aggregate (partial + final) and a
+      // PLAIN label join (the labeled frame scales ∝ n/8, deliberately
+      // not hint-broadcast). The quartile ntile goes through
+      // GlobalRank's SIZE DISPATCH: at dump/gate scale the freq frame
+      // is a genuine small (≤ n/8 rows), so the plan shows the
+      // limit+window small path — only the k-row aggregate ranks in
+      // one task, never the corpus; the range-exchange large path is
+      // pinned by GlobalRankSpec, not by this dump
+      "x41_criticality_scaled",
+      // round-13: s26's bucketed-cell store — the gate's returned
+      // frame is the materialized lifecycle result (like s13), so the
+      // scale-relevant scan gets its own custom section below (look
+      // for PartitionFilters on cell_bucket with In(cell, ...) in
+      // PushedFilters); BucketedIvfSpec machine-checks both from the
+      // executed plan, plus the cell-sort write contract
+      "s26_ivf_bucketed_served",
       // enforced-surface members previously missing plan evidence:
       // s4 bucketed ANN (bucket equi-join, no all-pairs), s9 trained
       // IVF serve (broadcast cell equi-join), d20 embedding keep-list
@@ -263,6 +280,28 @@ object PlanDump {
         .ivfAssignHierDist(e, "vec_id", norms(coarseCb), fineDf)
       sb.append("\n## ivfAssignHierDist (inner plan of the d34/s24 tier)\n\n```\n")
       sb.append(asg.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      sb.append("```\n")
+    }
+    // the bucketed-cell store's serve scan (s26–s29): the partition
+    // prune must be on cell_bucket (bounded by B regardless of cell
+    // count) with the probed-cell list PUSHED into the parquet scan
+    // as In(cell, ...) — the row-group skip over the cell-sorted
+    // files. The gate returns a materialized frame, so the scan is
+    // dumped from a serve-shaped read of a synthetic bucketed store.
+    {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val dir = graft.queries.Scratch.dir("plandump_bivf_")
+        .resolve("ivf").toString
+      val df = (0 until 600)
+        .map(i => (i.toLong, (i % 200).toLong)).toDF("vec_id", "cell")
+      graft.operators.VectorOps.committedBucketedCellAppend(df, dir, -1L, 8)
+      val served = spark.read.parquet(dir)
+        .where(col("cell_bucket").isin(3))
+        .where(col("cell").isin(3L, 11L))
+      sb.append("\n## bucketed-cell serve scan (s26–s29 store layout)\n\n```\n")
+      sb.append(served.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
       sb.append("```\n")
     }

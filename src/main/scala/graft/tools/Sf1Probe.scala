@@ -155,11 +155,26 @@ object Sf1Probe {
     // must track the index, serve cost the probed buckets, neither
     // the generation count
     "t33_bm25_index_compact",
+    // round-13: the bucketed-cell store layout (VERDICT r12 directive
+    // 1) — s26 builds and serves the scaled-nlist IVF from a store
+    // whose directory count is bounded by B (cell_bucket = cell % B
+    // partitions, cell a cell-sorted data column); its row pins that
+    // bounding the directory count costs no data-scaling term in
+    // build or serve (the probe's cell filter becomes a bucket prune
+    // + in-file row-group skip instead of a directory prune)
+    "s26_ivf_bucketed_served",
     // round-12: the creator tier's LOAD-BEARING scaling row
     // (directive 8) — x40 derives its decision corpus from the
     // documents table, so unlike the fixture-bound x25..x34 rows this
     // one must track the corpus linearly
-    "x40_judgment_dataset_scaled")
+    "x40_judgment_dataset_scaled",
+    // round-13: the criticality creator at SF-scaling ruling
+    // vocabulary (VERDICT r12 directive 5) — x26's pipeline with the
+    // key-space cap removed (rulings ∝ n/8), so the citation-freq
+    // aggregate, the distributed quartile ntile, and the label join
+    // all scale with the corpus; its row pins that the creator's
+    // heaviest label logic tracks the corpus linearly
+    "x41_criticality_scaled")
 
   /** OUTPUT-BOUND gates measured per OUTPUT UNIT, not per wall-clock
     * (VERDICT r11 directive 3 — the class rule, applied by the

@@ -173,6 +173,77 @@ class AnnRecallSpec extends SparkSpec {
         f"recall: $wideMatched%.3f vs $flat%.3f")
   }
 
+  /** s24's serve shape: assignment/probe through the centroids-as-
+    * DataFrame tier (equi-join + keyed window routing, no broadcast
+    * fine codebook), then the same bounded (qid, cell) frame join —
+    * the DIST composition differs from serveTop's UDF explode, which
+    * is exactly why its recall needs its own measurement
+    */
+  private def serveTopDist(coarse: Seq[(Long, Array[Double], Double)],
+                           fineDf: org.apache.spark.sql.DataFrame,
+                           pc: Int, nprobe: Int): Map[Long, Set[Long]] = {
+    val assigned = e.join(
+      VectorOps.ivfAssignHierDist(e, "vec_id", coarse, fineDf), Seq("vec_id"))
+    val qBase = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nn").as("qn"))
+    val q = qBase.join(
+      VectorOps.ivfProbeHierDist(qBase, "qid", coarse, fineDf, pc, nprobe),
+      Seq("qid"))
+    assigned.join(broadcast(q), Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("cos", VectorOps.cosine("v", "qv", "nn", "qn"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+      .where(col("rank") <= K)
+      .select("qid", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (q2, rs) => q2 -> rs.map(_.getLong(1)).toSet }
+  }
+
+  test("the dist tier's probe path serves UDF-tier recall exactly " +
+       "(s24's serve shape; the (pc,nprobe)=(2,4) default holds)") {
+    // DistAssignSpec pins assignment/probe bit-parity; this pins that
+    // the COMPOSED serve — bounded (qid, cell) frame join instead of
+    // the UDF probe explode — inherits it end to end, so the recall
+    // sweep's (pc, nprobe) guidance at ivfProbeHierUdf's definition
+    // site transfers to the dist path unchanged.
+    val k = 16
+    val kc = 4
+    val fine = withNormsL(KMeansLite.fit(e, "vec_id", "v", k, 1))
+    val coarse = withNormsL(KMeansLite.fit(e, "vec_id", "v", kc, 1))
+    val fineDf = spark.createDataFrame(
+      java.util.Arrays.asList(fine.map { case (c, v, n) =>
+        org.apache.spark.sql.Row(c, v.toSeq, n) }: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cid",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cv",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)),
+        org.apache.spark.sql.types.StructField("cn",
+          org.apache.spark.sql.types.DoubleType))))
+    val udf22 = serveTop(VectorOps.ivfAssignHierUdf(coarse, fine),
+      VectorOps.ivfProbeHierUdf(coarse, fine, 2, 2))
+    val udf24 = serveTop(VectorOps.ivfAssignHierUdf(coarse, fine),
+      VectorOps.ivfProbeHierUdf(coarse, fine, 2, 4))
+    val dist22 = serveTopDist(coarse, fineDf, 2, 2)
+    val dist24 = serveTopDist(coarse, fineDf, 2, 4)
+    println(f"ANN-RECALL ivf-hier-dist k=$k kc=$kc " +
+      f"(pc=2,np=2)=${recall(dist22)}%.3f (pc=2,np=4)=${recall(dist24)}%.3f " +
+      s"udf-parity=${dist22 == udf22 && dist24 == udf24}")
+    assert(dist22 == udf22,
+      "dist serve at (pc=2, nprobe=2) diverged from the UDF serve")
+    assert(dist24 == udf24,
+      "dist serve at (pc=2, nprobe=4) diverged from the UDF serve")
+    // the measured default from the UDF sweep, confirmed on this path:
+    // nprobe=4 within the matched route recovers flat nprobe=2 recall
+    val flat = recall(serveTop(VectorOps.ivfAssignUdf(fine),
+      VectorOps.ivfProbeUdf(fine, 2)))
+    assert(recall(dist24) >= flat - 0.05,
+      f"(2,4) on the dist path must hold flat nprobe=2 recall: " +
+        f"${recall(dist24)}%.3f vs $flat%.3f")
+  }
+
   test("PQ ADC ranking preserves most true neighbors at 16x compression") {
     val cents = KMeansLite.fit(e, "vec_id", "v", 4, 1)
       .map { case (cid, cv) => (cid.toLong, cv) }
