@@ -1641,6 +1641,37 @@ object SimilarityQueries extends QueryPack {
       },
       Some(s"""SELECT q.*, TRUE AS asof_contract FROM (
               ${duckIvfTrainedTopkOn("vec_id % 4 <> 3 OR vec_id % 8 = 3")}) q""")),
+
+    // ---- STREAMED maintenance on the bucketed layout (s30): closes
+    // the lifecycle symmetry — every store contract so far (flat s16,
+    // two-level s21, dist s25) has a streamed face, and the layout
+    // that actually survives 100 TB must too. The held-out quarter
+    // arrives as a real stream; each micro-batch assigns under the
+    // frozen codebook and publishes via committedBucketedCellAppend —
+    // one bucket shuffle of the BATCH per landing (≤ B cell-sorted
+    // files per generation), exactly-once by batchId exactly like the
+    // flat face (the gen-dir rename discipline is layout-blind).
+    // Serve = the bucketed bucket-prune + row-group-skip read over
+    // all generations; ORACLE IS s13/s14/s16's VERBATIM — stream,
+    // batching, and layout all invisible to the hash.
+    Q("s30_stream_ivf_bucketed",
+      (s, d) => {
+        val e = vecs(s, d)
+        val cents = withNorms(trainedCodebook(s, d))
+        def assigned(df: DataFrame) =
+          df.withColumn("cell", VectorOps.ivfAssignUdf(cents)(col("v"), col("nn")))
+        val idxDir = Scratch.dir("graft_s30_").resolve("ivf").toString
+        VectorOps.committedBucketedCellAppend(
+          assigned(e.where(col("vec_id") % 4 =!= 3)), idxDir, -1L, buckets = 16)
+        streamHeldOut(s, d, "s30") { (batch, bid) =>
+          VectorOps.committedBucketedCellAppend(
+            assigned(VectorOps.vecs(batch)
+              .select("vec_id", "label", "v", "nn")), idxDir, bid, buckets = 16)
+          ()
+        }
+        serveTopkFromIndex(s, idxDir, cents, e, bucketed = true)
+      },
+      Some(duckIvfTrainedTopk)),
   )
 
   /** ONE copy of s21/s22's streamed two-level store construction (the

@@ -32,7 +32,8 @@ object PlanDump {
       "e28_stream_outer_join", "e29_stream_dsir",
       "e30_stream_full_outer_join", "e31_dsir_drift_refresh",
       "e32_stream_quarantine", "e33_stream_bm25_asof",
-      "e34_stream_auto_fold", "x35_corpus_stream", "s16_stream_ivf_append")
+      "e34_stream_auto_fold", "x35_corpus_stream", "s16_stream_ivf_append",
+      "s30_stream_ivf_bucketed")
       .map(_ -> "streaming face: plans are per-micro-batch; checks in specs")
     val lifecycle = Seq(
       "d15_index_compaction" -> "compaction lifecycle; probe shape shared with d13's dumped plan",

@@ -163,6 +163,10 @@ object Sf1Probe {
     // build or serve (the probe's cell filter becomes a bucket prune
     // + in-file row-group skip instead of a directory prune)
     "s26_ivf_bucketed_served",
+    // s30: the bucketed layout's streamed face (lifecycle symmetry
+    // with s16/s21/s25) — per-batch maintenance cost must track the
+    // batch (one bucket shuffle of the landing), never the corpus
+    "s30_stream_ivf_bucketed",
     // round-12: the creator tier's LOAD-BEARING scaling row
     // (directive 8) — x40 derives its decision corpus from the
     // documents table, so unlike the fixture-bound x25..x34 rows this

@@ -135,5 +135,13 @@ class BucketedIvfSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(bHier === dHier)
     assert(bHier.nonEmpty)
+    // the streamed faces must agree the same way (s30 == s16: same
+    // stream, same frozen codebook, only the store layout differs)
+    val bStream = graft.SparkEntry.queries("s30_stream_ivf_bucketed")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val fStream = graft.SparkEntry.queries("s16_stream_ivf_append")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(bStream === fStream)
+    assert(bStream.nonEmpty)
   }
 }
