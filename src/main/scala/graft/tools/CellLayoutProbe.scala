@@ -43,6 +43,10 @@ object CellLayoutProbe {
       .getOrElse(Seq(10000, 50000, 100000, 200000))
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_CELL_BUDGET", "600").toDouble
     val buckets = sys.env.getOrElse("SPARK_GRAFT_CELL_BUCKETS", "4096").toInt
+    // e.g. SPARK_GRAFT_CELL_LAYOUTS=bucketed to extend the bucketed
+    // curve past cell counts the flat layout cannot finish at all
+    val layouts = sys.env.getOrElse("SPARK_GRAFT_CELL_LAYOUTS", "flat,bucketed")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
 
     def time[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime(); val r = f
@@ -73,7 +77,7 @@ object CellLayoutProbe {
     }
 
     var flatDead = false
-    for (n <- ladder; layout <- Seq("flat", "bucketed")) {
+    for (n <- ladder; layout <- layouts) {
       if (layout == "flat" && flatDead) {
         println(f"CELLS layout=flat     ncells=$n%7d SKIPPED (previous rung exceeded ${budgetSec}%.0f s write budget)")
       } else {
