@@ -150,13 +150,16 @@ object SimilarityQueries extends QueryPack {
         qBase.withColumn("cell", explode(probeUdf(col("qv"), col("qn"))))
       }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cell ids stay LONG here: the bucketed layout's cell is a bigint
+    // data column and its id space is the dist tier's (k ≈ 10¹⁰ —
+    // an Int truncation would silently probe the wrong cells past
+    // 2³¹); only the flat layout narrows to Int, where partition
+    // discovery types the cell directory values int anyway
     val probed = q.select("cell").distinct().collect()
-      .map(_.getLong(0).toInt).sorted
-    // partition-column values are inferred as int; matching-type
-    // literals keep the filter a pure partition prune (no cast)
+      .map(_.getLong(0)).sorted
     val cellPruned =
       if (bucketed) {
-        // BUCKETED-CELL layout (s26–s29): the partition key is
+        // BUCKETED-CELL layout (s26–s30): the partition key is
         // cell_bucket = cell % B (B from the store's __layout marker),
         // `cell` is a DATA column. The probed-cell list maps to its
         // bucket dirs — a pure partition prune bounded by B no matter
@@ -166,12 +169,15 @@ object SimilarityQueries extends QueryPack {
         val b = graft.sources.Sinks.readLayoutMarker(
           org.apache.hadoop.fs.FileSystem.get(
             s.sparkContext.hadoopConfiguration), idxDir)
-        val bks = probed.map(c => ((c % b) + b) % b).distinct.sorted
+        val bks = probed.map(c => (((c % b) + b) % b).toInt).distinct.sorted
         s.read.parquet(idxDir)
           .where(col("cell_bucket").isin(bks: _*))
-          .where(col("cell").isin(probed.map(_.toLong): _*))
+          .where(col("cell").isin(probed: _*))
           .drop("cell_bucket")
-      } else s.read.parquet(idxDir).where(col("cell").isin(probed: _*))
+      } else
+        // partition-column values are inferred as int; matching-type
+        // literals keep the filter a pure partition prune (no cast)
+        s.read.parquet(idxDir).where(col("cell").isin(probed.map(_.toInt): _*))
     val index = asOf
       .map(a => cellPruned.where(col("gen") <= lit(a.toInt)))
       .getOrElse(cellPruned)
