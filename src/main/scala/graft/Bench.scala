@@ -82,18 +82,29 @@ object Bench {
         df.join(broadcast(df.groupBy("k").count()), "k")
           .withColumn("r", row_number().over(w))
           .where(col("r") <= 3).orderBy("k").count()
-      } catch { case _: Throwable => () }
+      } catch { case scala.util.control.NonFatal(_) => () }
+      // warmup failures must not hide FATAL errors (OOM/linkage would
+      // skew every gate after a silently-skipped warmup) — NonFatal
+      // only; and the scratch dir is deleted either way (it used to
+      // leak a checkpoint+parquet dir per bench run)
       try {
         val base = java.nio.file.Files.createTempDirectory("bench_warm_")
-        val src = base.resolve("src").toString
-        s.range(0, 8).toDF("id").coalesce(1).write.parquet(src)
-        val q = s.readStream.schema("id LONG").parquet(src)
-          .groupBy("id").count()
-          .writeStream.outputMode("update")
-          .option("checkpointLocation", base.resolve("ck").toString)
-          .format("noop").start()
-        try q.processAllAvailable() finally q.stop()
-      } catch { case _: Throwable => () }
+        try {
+          val src = base.resolve("src").toString
+          s.range(0, 8).toDF("id").coalesce(1).write.parquet(src)
+          val q = s.readStream.schema("id LONG").parquet(src)
+            .groupBy("id").count()
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", base.resolve("ck").toString)
+            .format("noop").start()
+          try q.processAllAvailable() finally q.stop()
+        } finally {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(base).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
       s
     }
     // dev knob: comma-separated query names to bench in isolation

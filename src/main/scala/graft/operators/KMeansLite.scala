@@ -320,6 +320,13 @@ object KMeansLite {
     * centroid) is an anti-join union instead of getOrElse. Returns
     * `(coarse, fineDf(cid, cv))` — same contract, same determinism,
     * bit-identical centroids (DistAssignSpec).
+    *
+    * CACHE CONTRACT — CALLER UNPERSISTS: the returned fine frame is
+    * persisted (≤ k codebook rows; at iters=0 it is seedInitDf's
+    * persisted frame). The caller releases it after materializing its
+    * consumers (`fineDf.unpersist()` — the s24/s25 gates and
+    * serveTopkFromIndex's probe-cache discipline); leaving it pinned
+    * costs one codebook-sized cache block until session cache eviction.
     */
   def fitHierarchicalDist(df: DataFrame, idCol: String, vCol: String,
                           k: Int, kc: Int, iters: Int)

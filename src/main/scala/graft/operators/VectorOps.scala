@@ -359,7 +359,16 @@ object VectorOps {
     import org.apache.spark.sql.expressions.Window
     graft.GraftExtensions.registerNative(e.sparkSession)
     val route = ivfAssignUdf(coarse.sortBy(_._1))
+    // cached (≤ k rows): the guard's eager count and BOTH join legs
+    // reuse one routing pass instead of re-running the route UDF per
+    // consumer. COST CONTRACT: each builder call runs ONE codebook-
+    // sized Spark job up front (the guard) and pins a ≤ k-row cache for
+    // the life of the returned plan — callers batching many builds in
+    // one session release it with spark.catalog.clearCache (the fitted
+    // codebook frames carry the same caller-releases contract,
+    // KMeansLite.fitHierarchicalDist).
     val fineRouted = fineDf.withColumn("__ccid", route(col("cv"), col("cn")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val routed = e
       .select(col(idCol).as("__aid"), col("v").as("__v"), col("nn").as("__nn"))
       .withColumn("__ccid", route(col("__v"), col("__nn")))
@@ -396,7 +405,10 @@ object VectorOps {
     */
   private def guardFallback(fineRouted: DataFrame, coarseSize: Int,
                             what: String): Unit = {
-    val routedCells = fineRouted.select("__ccid").distinct().count()
+    // a NULL __ccid is a QUARANTINED fine centroid (zero-norm), not a
+    // routed cell — counting it would loosen the bound by one
+    val routedCells = fineRouted.where(col("__ccid").isNotNull)
+      .select("__ccid").distinct().count()
     val empty = coarseSize - routedCells
     require(empty * 4 <= coarseSize.toLong * 3,
       s"$what: $empty of $coarseSize coarse cells own no fine centroid — " +
@@ -428,8 +440,10 @@ object VectorOps {
                        pc: Int = 2, nprobe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.GraftExtensions.registerNative(q.sparkSession)
+    // cached ≤ k rows — same cost contract as ivfAssignHierDist's
     val fineRouted = fineDf.withColumn("__ccid",
       ivfAssignUdf(coarse.sortBy(_._1))(col("cv"), col("cn")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val routed = q
       .select(col(qidCol).as("__qid"), col("qv").as("__qv"), col("qn").as("__qn"))
       .withColumn("__ccid",
@@ -561,14 +575,184 @@ object VectorOps {
                                   batchId: Long, buckets: Int = 64): Boolean = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       assigned.sparkSession.sparkContext.hadoopConfiguration)
-    graft.sources.Sinks.ensureLayoutMarker(fs, indexDir, buckets)
+    // the cell id space is the dist tier's (k ≈ 10¹⁰) — WRITE bigint
+    // unconditionally and RECORD the type in the marker, so a future
+    // narrowed writer (the b76ab6a Int-truncation class) refuses at the
+    // marker instead of landing rows a Long-keyed serve never matches
+    graft.sources.Sinks.ensureLayoutMarker(fs, indexDir, buckets,
+      cellType = Some("bigint"))
     val df = assigned
+      .withColumn("cell", col("cell").cast("bigint"))
       .withColumn("cell_bucket",
-        pmod(col("cell").cast("bigint"), lit(buckets.toLong)).cast("int"))
+        pmod(col("cell"), lit(buckets.toLong)).cast("int"))
       .repartition(col("cell_bucket"))
       .sortWithinPartitions("cell_bucket", "cell")
     graft.sources.Sinks.committedPartitionedAppend(
       df, indexDir, batchId, "cell_bucket")
+  }
+
+  /** Smallest-power-of-two bucket count for a cell store at the given
+    * nlist, clamped to [16, 4096] — 4096 is CellLayoutProbe's measured
+    * flat-to-10⁶-cells point (PERF.md round 13); below 16 the bucketing
+    * is pure overhead.
+    */
+  def defaultBuckets(nlist: Long): Int =
+    math.min(4096L, math.max(16L,
+      java.lang.Long.highestOneBit(math.max(1L, nlist)))).toInt
+
+  /** THE default store append for IVF cell indexes — auto-dispatching
+    * layout (VERDICT r13 directive 1: a user at scale must not get the
+    * walled layout by default).
+    *
+    * The flat `cell=<id>` directory-per-cell layout is optimal ONLY for
+    * a FIXED small codebook (tens of cells — the s13-s19 nlist=4 tier):
+    * its per-directory metadata cost walls at ~10⁵ cells
+    * (CellLayoutProbe). The layout is a WRITE-ONCE contract (the
+    * __layout marker refuses mixed writers), so a store cannot switch
+    * layouts as its codebook grows — which means the dispatch must key
+    * on the POLICY, not on today's observed nlist: a corpus-scaled
+    * nlist (the k = n/100 family) starts small at small SF and crosses
+    * the wall in production, exactly when a rewrite is most expensive.
+    *
+    * Hence: the default is BUCKETED (`cell_bucket = cell % B` partition
+    * key, B = [[defaultBuckets]] at first write, then the marker's B
+    * forever). Flat is an explicit opt-in (`fixedNlist = true`) and
+    * even then only below [[FlatLayoutMaxCells]]; an opt-in above the
+    * bound refuses loudly rather than planting a store that cannot
+    * scale.
+    */
+  val FlatLayoutMaxCells = 64
+
+  def committedCellAppendAuto(assigned: DataFrame, indexDir: String,
+                              batchId: Long, nlist: Long,
+                              fixedNlist: Boolean = false): Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      assigned.sparkSession.sparkContext.hadoopConfiguration)
+    graft.sources.Sinks.layoutMarkerOpt(fs, indexDir) match {
+      case Some(b) => // existing bucketed store: its B wins, always
+        committedBucketedCellAppend(assigned, indexDir, batchId, b)
+      case None if fixedNlist =>
+        require(nlist <= FlatLayoutMaxCells,
+          s"flat cell=<id> layout requested for nlist=$nlist — the " +
+            s"per-directory layout is only sane below $FlatLayoutMaxCells " +
+            "cells (it walls at ~1e5 dirs, CellLayoutProbe); drop " +
+            "fixedNlist to get the bucketed layout")
+        committedCellAppend(assigned, indexDir, batchId)
+      case None =>
+        committedBucketedCellAppend(assigned, indexDir, batchId,
+          defaultBuckets(nlist))
+    }
+  }
+
+  /** Layout-aware compaction: dispatches on the store's __layout marker
+    * so lifecycle code (s22/s23-style) is layout-blind like the serve.
+    */
+  def compactCells(spark: org.apache.spark.sql.SparkSession,
+                   indexDir: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    if (graft.sources.Sinks.layoutMarkerOpt(fs, indexDir).isDefined)
+      compactBucketedCells(spark, indexDir)
+    else
+      graft.sources.Sinks.compactGenerations(spark, indexDir, Some("cell"))
+  }
+
+  /** Layout-aware row-level delete — the takedown face of
+    * [[compactCells]]'s dispatch.
+    */
+  def deleteFromCells(spark: org.apache.spark.sql.SparkSession,
+                      indexDir: String,
+                      keep: DataFrame => DataFrame): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    if (graft.sources.Sinks.layoutMarkerOpt(fs, indexDir).isDefined)
+      deleteFromBucketedCells(spark, indexDir, keep)
+    else
+      graft.sources.Sinks.rewriteGenerations(spark, indexDir, Some("cell"), keep)
+  }
+
+  /** The probed-cell SERVE SCAN over a persisted cell store, layout-
+    * dispatched on the __layout marker — ONE copy of the contract every
+    * IVF serve (flat s13-s19, two-level s20-s23, dist s24/s25, bucketed
+    * s26-s30) reads through:
+    *
+    *  - BUCKETED: the probed cells map to their `cell % B` bucket dirs
+    *    — a STATIC partition prune bounded by B literals no matter how
+    *    many cells exist — then the in-bucket cell filter SIZE-
+    *    DISPATCHES (VERDICT r13 directive 2): up to
+    *    `graft.ivf.isinMaxCells` (default 128) probed cells it is a
+    *    literal In(cell, ...) pushed into the parquet scan (a row-group
+    *    min/max skip over the cell-sorted files; NOTE parquet converts
+    *    In to a min/max RANGE above
+    *    spark.sql.parquet.pushdown.inFilterThreshold=10 probed cells —
+    *    still a skip on sorted files, pinned in BucketedIvfSpec); above
+    *    the threshold it becomes a broadcast LEFT SEMI join against the
+    *    probed-cell list, so a 10⁵-query batch never inflates the plan
+    *    with 10⁵·nprobe literals (the bucket prune stays static and
+    *    bounded by B either way). The marker's recorded cell TYPE is
+    *    asserted against the scanned schema — a truncation-class drift
+    *    refuses loudly (VERDICT r13 directive 8).
+    *  - FLAT: `cell` IS the (int-typed) partition column and the probed
+    *    list is bounded by the fixed small nlist, so the literal isin
+    *    stays the right shape; the scan normalizes cell to bigint AFTER
+    *    the prune so consumers join Long keys on either layout.
+    *
+    * `asOf` restricts to generations ≤ the snapshot on the SAME scan
+    * (a second static prune) and refuses past the compaction horizon.
+    */
+  def prunedCellScan(spark: org.apache.spark.sql.SparkSession,
+                     indexDir: String, probed: Array[Long],
+                     asOf: Option[Long] = None): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    for (a <- asOf) {
+      for (m <- graft.sources.Sinks.maxFoldedGen(fs, indexDir) if m > a)
+        throw new IllegalStateException(
+          s"as-of gen $a predates the compaction horizon $m of $indexDir — " +
+            "folded generations are not reconstructible; snapshot before " +
+            "compacting or keep more history")
+      // partition discovery types `gen` as int; a silent a.toInt would
+      // wrap past 2^31 generations and serve the wrong snapshot
+      require(a <= Int.MaxValue,
+        s"as-of gen $a exceeds the int partition-value range of $indexDir")
+    }
+    val scan = graft.sources.Sinks.layoutMarkerOpt(fs, indexDir) match {
+      case Some(b) =>
+        val base = spark.read.parquet(indexDir)
+        for (ct <- graft.sources.Sinks.readLayoutCellType(fs, indexDir)) {
+          val actual = base.schema("cell").dataType.sql.toLowerCase
+          require(actual == ct,
+            s"$indexDir records cell type '$ct' in its __layout marker " +
+              s"but the store scans as '$actual' — a type drift here is " +
+              "the silent-wrong-probe class (Int-truncated ids past 2^31); " +
+              "rebuild the store or fix the writer")
+        }
+        val bks = probed.map(c => (((c % b) + b) % b).toInt).distinct.sorted
+        val bucketPruned = base.where(col("cell_bucket").isin(bks: _*))
+        val isinMax = spark.conf.getOption("graft.ivf.isinMaxCells")
+          .map(_.toInt).getOrElse(128)
+        val cellFiltered =
+          if (probed.length <= isinMax)
+            bucketPruned.where(col("cell").isin(probed: _*))
+          else {
+            import spark.implicits._
+            // re-select the scan's column order: a USING join hoists the
+            // key first, and the two dispatch arms must be drop-in equal
+            bucketPruned.join(
+                broadcast(probed.toSeq.toDF("cell")), Seq("cell"), "left_semi")
+              .select(bucketPruned.columns.map(col): _*)
+          }
+        cellFiltered.drop("cell_bucket")
+      case None =>
+        // partition-column values are inferred as int; matching-type
+        // literals keep the filter a pure partition prune (no cast);
+        // the bigint normalization is a post-prune projection
+        spark.read.parquet(indexDir)
+          .where(col("cell").isin(probed.map(_.toInt): _*))
+          .withColumn("cell", col("cell").cast("bigint"))
+    }
+    asOf.map(a => scan.where(col("gen") <= lit(a.toInt))).getOrElse(scan)
+      .drop("gen")
   }
 
   /** Fold a bucketed-cell store's generations into one (the s18/s29

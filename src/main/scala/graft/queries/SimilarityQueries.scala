@@ -115,28 +115,8 @@ object SimilarityQueries extends QueryPack {
                                  e: DataFrame,
                                  asOf: Option[Long] = None,
                                  probe: Option[org.apache.spark.sql.expressions.UserDefinedFunction] = None,
-                                 probeDf: Option[DataFrame] = None,
-                                 bucketed: Boolean = false): DataFrame = {
+                                 probeDf: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // AS-OF serve (s18): restrict to generations ≤ asOf — a second
-    // partition-prune level on the SAME scan. Compacted generations are
-    // gone by construction, so a snapshot at or before the manifest's
-    // max folded id REFUSES loudly (the d23 horizon contract) instead
-    // of silently serving the folded (later) state.
-    for (a <- asOf) {
-      for (m <- graft.sources.Sinks.maxFoldedGen(
-             org.apache.hadoop.fs.FileSystem.get(
-               s.sparkContext.hadoopConfiguration), idxDir)
-           if m > a)
-        throw new IllegalStateException(
-          s"as-of gen $a predates the compaction horizon $m of $idxDir — " +
-            "folded generations are not reconstructible; snapshot before " +
-            "compacting or keep more history")
-      // partition discovery types `gen` as int; a silent a.toInt would
-      // wrap past 2^31 generations and serve the wrong snapshot
-      require(a <= Int.MaxValue,
-        s"as-of gen $a exceeds the int partition-value range of $idxDir")
-    }
     // probe routing: a UDF (flat / two-level closure codebooks) or a
     // pre-computed (qid, cell) DataFrame (the centroids-as-DataFrame
     // tier's ivfProbeHierDist — s25) joined to the query vectors; the
@@ -150,43 +130,19 @@ object SimilarityQueries extends QueryPack {
         qBase.withColumn("cell", explode(probeUdf(col("qv"), col("qn"))))
       }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // cell ids stay LONG here: the bucketed layout's cell is a bigint
-    // data column and its id space is the dist tier's (k ≈ 10¹⁰ —
-    // an Int truncation would silently probe the wrong cells past
-    // 2³¹); only the flat layout narrows to Int, where partition
-    // discovery types the cell directory values int anyway
+    // cell ids stay LONG end-to-end (the bucketed layout's cell is a
+    // bigint data column; its id space is the dist tier's k ≈ 10¹⁰);
+    // the scan itself — layout dispatch on the __layout marker, the
+    // static bucket prune / literal-vs-semi-join cell filter size
+    // dispatch, the as-of horizon contract, the marker type assert —
+    // is VectorOps.prunedCellScan, one copy shared with the specs
     val probed = q.select("cell").distinct().collect()
       .map(_.getLong(0)).sorted
-    val cellPruned =
-      if (bucketed) {
-        // BUCKETED-CELL layout (s26–s30): the partition key is
-        // cell_bucket = cell % B (B from the store's __layout marker),
-        // `cell` is a DATA column. The probed-cell list maps to its
-        // bucket dirs — a pure partition prune bounded by B no matter
-        // how many cells exist — and the cell list pushes into the
-        // parquet scan as In(cell, ...) where the cell-sorted write
-        // makes it a row-group min/max skip inside each pruned bucket.
-        val b = graft.sources.Sinks.readLayoutMarker(
-          org.apache.hadoop.fs.FileSystem.get(
-            s.sparkContext.hadoopConfiguration), idxDir)
-        val bks = probed.map(c => (((c % b) + b) % b).toInt).distinct.sorted
-        s.read.parquet(idxDir)
-          .where(col("cell_bucket").isin(bks: _*))
-          .where(col("cell").isin(probed: _*))
-          .drop("cell_bucket")
-      } else
-        // partition-column values are inferred as int; matching-type
-        // literals keep the filter a pure partition prune (no cast)
-        s.read.parquet(idxDir).where(col("cell").isin(probed.map(_.toInt): _*))
-    val index = asOf
-      .map(a => cellPruned.where(col("gen") <= lit(a.toInt)))
-      .getOrElse(cellPruned)
-      .drop("gen")
+    val index = VectorOps.prunedCellScan(s, idxDir, probed, asOf)
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
-    // the flat layout's partition discovery types `cell` int; the
-    // bucketed layout keeps it the bigint data column it was written as
-    val qKeyed = if (bucketed) q
-      else q.withColumn("cell", col("cell").cast("int"))
+    // prunedCellScan normalizes cell to bigint on either layout, so the
+    // probe frame's Long cells join unchanged
+    val qKeyed = q
     val topk = index
       .join(broadcast(qKeyed), Seq("cell"))
       .where(col("vec_id") =!= col("qid"))
@@ -1334,9 +1290,12 @@ object SimilarityQueries extends QueryPack {
     // backfill lands as gen=-1, the held-out quarter arrives as a
     // real stream in two landings, each micro-batch assigned
     // coarse→in-cell by the SAME two-level cosine UDF and published
-    // EXACTLY-ONCE via committedCellAppend (atomic gen=<batchId>
-    // rename; replays are pure skips). Serve is the s13 partition-
-    // pruned read over (gen, cell) with the TWO-LEVEL probe routing
+    // EXACTLY-ONCE via committedCellAppendAuto (atomic gen=<batchId>
+    // rename; replays are pure skips) — since round 14 the scaled-
+    // nlist tier's DEFAULT store is the BUCKETED-CELL layout (k scales
+    // with the corpus, so the flat dir-per-cell layout would wall at
+    // ~1e5 cells; the auto dispatch refuses to plant it). Serve is the
+    // marker-dispatched bucket-pruned read with the TWO-LEVEL probe routing
     // the queries. The oracle is s20's full restatement with te = the
     // backfill population — blind to streaming, batching, and layout,
     // so append loss, duplication, a wrong frozen codebook, or a
@@ -1375,7 +1334,7 @@ object SimilarityQueries extends QueryPack {
         val matDir = Scratch.dir("graft_s22_mat_").resolve("asof0").toString
         serveTopkFromIndex(s, idxDir, fine, e, asOf = Some(0L), probe = probe)
           .write.parquet(matDir)
-        graft.sources.Sinks.compactGenerations(s, idxDir, Some("cell"))
+        VectorOps.compactCells(s, idxDir) // layout-aware fold
         val loud =
           try {
             serveTopkFromIndex(s, idxDir, fine, e, asOf = Some(0L), probe = probe)
@@ -1393,9 +1352,11 @@ object SimilarityQueries extends QueryPack {
 
     // ---- Takedown on the two-level store (s23): the CRUD face the
     // scaled-nlist tier was missing — s17 proved delete for flat IVF;
-    // the same `Sinks.rewriteGenerations` (fold + filter in one
-    // rename-aside swap, cell layout preserved so serves still
-    // partition-prune) drops the deleted vectors here while the
+    // the same layout-aware rewrite (VectorOps.deleteFromCells —
+    // fold + filter in one rename-aside swap, bucket layout AND cell
+    // sort preserved so serves still prune and row-group-skip; the
+    // store is the bucketed DEFAULT since round 14) drops the
+    // deleted vectors here while the
     // TWO-LEVEL codebooks stay frozen (a takedown no more retrains
     // than an append — the codebooks predate it). Serve is the
     // two-level-probed pruned read; every query's top-5 must
@@ -1413,11 +1374,13 @@ object SimilarityQueries extends QueryPack {
         val coarse = withNorms(coarseCb)
         val fine = withNorms(fineCb)
         val idxDir = Scratch.dir("graft_s23_").resolve("ivf").toString
-        VectorOps.committedCellAppend(
+        // DEFAULT store for the scaled-nlist tier = the auto dispatch
+        // (bucketed — k scales with the corpus; r13 directive 1)
+        VectorOps.committedCellAppendAuto(
           e.withColumn("cell",
             VectorOps.ivfAssignHierUdf(coarse, fine)(col("v"), col("nn"))),
-          idxDir, -1L)
-        graft.sources.Sinks.rewriteGenerations(s, idxDir, Some("cell"),
+          idxDir, -1L, nlist = k)
+        VectorOps.deleteFromCells(s, idxDir,
           df => df.where(col("vec_id") % 9 =!= 0))
         serveTopkFromIndex(s, idxDir, fine, e,
           probe = Some(VectorOps.ivfProbeHierUdf(coarse, fine, 2, 2)))
@@ -1486,7 +1449,8 @@ object SimilarityQueries extends QueryPack {
     // quarter arriving as a real stream where EACH MICRO-BATCH runs
     // the distributed assignment (coarse-route equi-join + keyed
     // window — a join per batch, priced by the batch, never the
-    // corpus) and publishes exactly-once via committedCellAppend.
+    // corpus) and publishes exactly-once via committedCellAppendAuto
+    // (the bucketed DEFAULT layout — round 14).
     // Serve is the s13 partition-pruned read routed by the DIST probe
     // (ivfProbeHierDist's (qid, cell) frame — bounded queries×nprobe
     // rows, collected like the UDF path's probed-cell list). ORACLE
@@ -1506,11 +1470,15 @@ object SimilarityQueries extends QueryPack {
           VectorOps.ivfAssignHierDist(df, "vec_id", coarse, fineDf),
           Seq("vec_id"))
         val idxDir = Scratch.dir("graft_s25_").resolve("ivf").toString
-        VectorOps.committedCellAppend(assigned(trainPop), idxDir, -1L)
+        // the dist tier stores through the DEFAULT (bucketed) layout —
+        // the backfill fixes B from the frozen nlist; every streamed
+        // landing then follows the marker (r13 directive 1)
+        VectorOps.committedCellAppendAuto(assigned(trainPop), idxDir, -1L,
+          nlist = k)
         streamHeldOut(s, d, "s25") { (batch, bid) =>
-          VectorOps.committedCellAppend(
+          VectorOps.committedCellAppendAuto(
             assigned(VectorOps.vecs(batch)
-              .select("vec_id", "label", "v", "nn")), idxDir, bid)
+              .select("vec_id", "label", "v", "nn")), idxDir, bid, nlist = k)
           ()
         }
         val qBase = e.where(col("vec_id") < 3)
@@ -1559,8 +1527,7 @@ object SimilarityQueries extends QueryPack {
             VectorOps.ivfAssignHierUdf(coarse, fine)(col("v"), col("nn"))),
           idxDir, -1L, buckets = 16)
         serveTopkFromIndex(s, idxDir, fine, e,
-          probe = Some(VectorOps.ivfProbeHierUdf(coarse, fine, 2, 2)),
-          bucketed = true)
+          probe = Some(VectorOps.ivfProbeHierUdf(coarse, fine, 2, 2)))
       },
       Some(duckIvfHierTopkOn("TRUE"))),
 
@@ -1582,7 +1549,7 @@ object SimilarityQueries extends QueryPack {
           assigned(e.where(col("vec_id") % 4 =!= 3)), idxDir, -1L, buckets = 16)
         VectorOps.committedBucketedCellAppend(
           assigned(e.where(col("vec_id") % 4 === 3)), idxDir, 0L, buckets = 16)
-        serveTopkFromIndex(s, idxDir, cents, e, bucketed = true)
+        serveTopkFromIndex(s, idxDir, cents, e)
       },
       Some(duckIvfTrainedTopk)),
 
@@ -1603,7 +1570,7 @@ object SimilarityQueries extends QueryPack {
           idxDir, -1L, buckets = 16)
         VectorOps.deleteFromBucketedCells(s, idxDir,
           df => df.where(col("vec_id") % 9 =!= 0))
-        serveTopkFromIndex(s, idxDir, cents, e, bucketed = true)
+        serveTopkFromIndex(s, idxDir, cents, e)
       },
       Some(duckIvfTrainedTopkOn("vec_id % 9 <> 0"))),
 
@@ -1629,19 +1596,16 @@ object SimilarityQueries extends QueryPack {
         VectorOps.committedBucketedCellAppend(
           assigned(e.where(col("vec_id") % 8 === 7)), idxDir, 1L, buckets = 16)
         val matDir = base.resolve("asof0").toString
-        serveTopkFromIndex(s, idxDir, cents, e, asOf = Some(0L),
-          bucketed = true).write.parquet(matDir)
+        serveTopkFromIndex(s, idxDir, cents, e, asOf = Some(0L)).write.parquet(matDir)
         VectorOps.compactBucketedCells(s, idxDir)
         val loud =
           try {
-            serveTopkFromIndex(s, idxDir, cents, e, asOf = Some(0L),
-              bucketed = true)
+            serveTopkFromIndex(s, idxDir, cents, e, asOf = Some(0L))
             false
           } catch { case _: IllegalStateException => true }
         val atHead = serveTopkFromIndex(s, idxDir, cents, e,
-          asOf = Some(1L), bucketed = true).collect().toSet
-        val current = serveTopkFromIndex(s, idxDir, cents, e,
-          bucketed = true).collect().toSet
+          asOf = Some(1L)).collect().toSet
+        val current = serveTopkFromIndex(s, idxDir, cents, e).collect().toSet
         s.read.parquet(matDir)
           .withColumn("asof_contract", lit(loud && atHead == current))
       },
@@ -1675,7 +1639,7 @@ object SimilarityQueries extends QueryPack {
               .select("vec_id", "label", "v", "nn")), idxDir, bid, buckets = 16)
           ()
         }
-        serveTopkFromIndex(s, idxDir, cents, e, bucketed = true)
+        serveTopkFromIndex(s, idxDir, cents, e)
       },
       Some(duckIvfTrainedTopk)),
   )
@@ -1705,11 +1669,15 @@ object SimilarityQueries extends QueryPack {
     def assigned(df: DataFrame) =
       df.withColumn("cell", assignUdf(col("v"), col("nn")))
     val idxDir = Scratch.dir(s"graft_${tag}_").resolve("ivf").toString
-    VectorOps.committedCellAppend(assigned(trainPop), idxDir, -1L)
+    // scaled-nlist tier → the DEFAULT (bucketed) store via the auto
+    // dispatch; the backfill fixes B, streamed landings follow the
+    // marker (r13 directive 1 — the flat layout is the walled one)
+    VectorOps.committedCellAppendAuto(assigned(trainPop), idxDir, -1L,
+      nlist = k)
     streamHeldOut(s, d, tag) { (batch, bid) =>
-      VectorOps.committedCellAppend(
+      VectorOps.committedCellAppendAuto(
         assigned(VectorOps.vecs(batch)
-          .select("vec_id", "label", "v", "nn")), idxDir, bid)
+          .select("vec_id", "label", "v", "nn")), idxDir, bid, nlist = k)
       ()
     }
     (idxDir, coarse, fine, e)

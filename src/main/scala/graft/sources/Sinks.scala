@@ -535,7 +535,8 @@ object Sinks {
     * count refuses loudly instead.
     */
   def ensureLayoutMarker(fs: org.apache.hadoop.fs.FileSystem,
-                         indexDir: String, numBuckets: Int): Unit = {
+                         indexDir: String, numBuckets: Int,
+                         cellType: Option[String] = None): Unit = {
     val dst = new org.apache.hadoop.fs.Path(indexDir + "__layout")
     if (fs.exists(dst)) {
       val existing = readLayoutMarker(fs, indexDir)
@@ -544,11 +545,22 @@ object Sinks {
           s"$indexDir is already laid out with numBuckets=$existing; " +
             s"writing with $numBuckets would strand its partitions — " +
             "use a fresh store dir")
+      // the key column's TYPE is part of the layout contract too (the
+      // b76ab6a class: an Int-narrowed key silently probes the wrong
+      // rows past 2³¹) — a writer declaring a different type than the
+      // store records refuses loudly like a differing bucket count
+      for (recorded <- readLayoutCellType(fs, indexDir); declared <- cellType
+           if recorded != declared)
+        throw new IllegalStateException(
+          s"$indexDir records key type '$recorded' in its __layout " +
+            s"marker; writing '$declared'-typed keys would make reads " +
+            "silently mismatch — use a fresh store dir")
     } else {
       val tmp = new org.apache.hadoop.fs.Path(indexDir + "__layout.tmp")
+      val body = numBuckets.toString +
+        cellType.map(t => s"\ncell:$t").getOrElse("")
       val out = fs.create(tmp, true)
-      try out.write(numBuckets.toString.getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
+      try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       renameOrThrow(fs, tmp, dst)
     }
@@ -566,13 +578,44 @@ object Sinks {
         s"no layout marker at ${indexDir}__layout — the store was not " +
           "built through a bucketed writer (reading with a guessed " +
           "bucket count would silently prune live rows)")
+    // first line = bucket count (round-13 markers are exactly that);
+    // later lines are optional contract fields (`cell:<type>`)
+    readMarkerLines(fs, p).head.trim.toInt
+  }
+
+  /** The marker's bucket count, or None for an unmarked (flat-laid-out
+    * or brand-new) store — the layout-dispatch probe readers and the
+    * auto-dispatching writers share.
+    */
+  def layoutMarkerOpt(fs: org.apache.hadoop.fs.FileSystem,
+                      indexDir: String): Option[Int] =
+    if (fs.exists(new org.apache.hadoop.fs.Path(indexDir + "__layout")))
+      Some(readLayoutMarker(fs, indexDir))
+    else None
+
+  /** The marker's recorded key type (`cell:<type>` line), if the store
+    * was written by a type-recording writer; round-13 markers predate
+    * the field and return None (no assert possible, documented).
+    */
+  def readLayoutCellType(fs: org.apache.hadoop.fs.FileSystem,
+                         indexDir: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(indexDir + "__layout")
+    if (!fs.exists(p)) None
+    else readMarkerLines(fs, p).collectFirst {
+      case l if l.startsWith("cell:") => l.stripPrefix("cell:").trim
+    }
+  }
+
+  private def readMarkerLines(fs: org.apache.hadoop.fs.FileSystem,
+                              p: org.apache.hadoop.fs.Path): Seq[String] = {
     val in = fs.open(p)
     try {
-      val buf = new Array[Byte](32)
-      val out = new java.io.ByteArrayOutputStream(32)
+      val buf = new Array[Byte](64)
+      val out = new java.io.ByteArrayOutputStream(64)
       var n = in.read(buf)
       while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
-      out.toString(java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+      out.toString(java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
     } finally in.close()
   }
 

@@ -121,6 +121,144 @@ class BucketedIvfSpec extends SparkSpec {
     assert(after.columns.contains("cell_bucket"))
   }
 
+  test("auto-dispatch (r14 directive 1): the DEFAULT store is bucketed; " +
+       "flat is an explicit fixed-nlist opt-in bounded by FlatLayoutMaxCells") {
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def rows(n: Int) = (0 until n).map(i => (i.toLong, (i % 7).toLong))
+      .toDF("vec_id", "cell")
+    // default call → bucketed layout with defaultBuckets(nlist), marker
+    val dirB = Scratch.dir("bivf_auto_b_").resolve("ivf").toString
+    VectorOps.committedCellAppendAuto(rows(70), dirB, -1L, nlist = 7)
+    assert(graft.sources.Sinks.layoutMarkerOpt(fs, dirB) ===
+      Some(VectorOps.defaultBuckets(7)))
+    // a later append at a DIFFERENT computed B still follows the marker
+    VectorOps.committedCellAppendAuto(rows(10), dirB, 0L, nlist = 5000)
+    assert(graft.sources.Sinks.readLayoutMarker(fs, dirB) ===
+      VectorOps.defaultBuckets(7))
+    assert(spark.read.parquet(dirB).count() === 80)
+    // explicit fixed-nlist opt-in below the bound → flat (no marker,
+    // cell=<id> partition dirs)
+    val dirF = Scratch.dir("bivf_auto_f_").resolve("ivf").toString
+    VectorOps.committedCellAppendAuto(rows(70), dirF, -1L, nlist = 7,
+      fixedNlist = true)
+    assert(graft.sources.Sinks.layoutMarkerOpt(fs, dirF).isEmpty)
+    assert(new java.io.File(s"$dirF/gen=-1").listFiles
+      .exists(_.getName.startsWith("cell=")))
+    // the opt-in REFUSES above the bound — a user at scale cannot
+    // plant the walled layout
+    val err = intercept[IllegalArgumentException] {
+      VectorOps.committedCellAppendAuto(rows(10),
+        Scratch.dir("bivf_auto_x_").resolve("ivf").toString, -1L,
+        nlist = 100000, fixedNlist = true)
+    }
+    assert(err.getMessage.contains("flat"))
+    // layout-aware CRUD dispatches on the marker for both layouts
+    VectorOps.deleteFromCells(spark, dirB, df => df.where(col("vec_id") % 2 === 0))
+    assert(spark.read.parquet(dirB).count() === 40)
+    assert(spark.read.parquet(dirB).columns.contains("cell_bucket"))
+    VectorOps.compactCells(spark, dirF)
+    assert(spark.read.parquet(dirF).count() === 70)
+    assert(new java.io.File(dirF).listFiles.filter(_.isDirectory)
+      .map(_.getName).toSet === Set("gen=-1"))
+  }
+
+  test("probed-cell size dispatch (r14 directive 2): literal In below " +
+       "graft.ivf.isinMaxCells, broadcast LEFT SEMI above — same rows, " +
+       "bucket partition prune static either way") {
+    import spark.implicits._
+    val dir = Scratch.dir("bivf_semi_").resolve("ivf").toString
+    synthStore(dir, cells = 200, buckets = 8)
+    // 12 probed cells: ABOVE parquet's In-pushdown threshold (10 —
+    // the pushed filter degrades to a min/max RANGE on the cell-sorted
+    // files, ADVICE r13) but below the default semi-join threshold
+    val probed = Array(3L, 11L, 19L, 27L, 35L, 43L, 51L, 59L, 67L, 75L,
+      83L, 91L)
+    val lit12 = graft.operators.VectorOps.prunedCellScan(spark, dir, probed)
+    val pLit = lit12.queryExecution.executedPlan.toString
+    assert(pLit.contains("PartitionFilters: [") && pLit.contains("cell_bucket"))
+    assert(pLit.contains("In(cell") || pLit.contains("isin"),
+      s"expected the literal cell filter at 12 probed cells:\n$pLit")
+    assert(lit12.select("cell").distinct().as[Long].collect().toSet ===
+      probed.toSet, "production-width (>10-cell) probe must stay correct " +
+        "through parquet's In->range pushdown fallback")
+    // force the big-batch path: threshold below the probe width
+    spark.conf.set("graft.ivf.isinMaxCells", "4")
+    try {
+      val semi = graft.operators.VectorOps.prunedCellScan(spark, dir, probed)
+      val pSemi = semi.queryExecution.executedPlan.toString
+      assert(pSemi.contains("PartitionFilters: [") && pSemi.contains("cell_bucket"),
+        s"the bucket partition prune must stay STATIC on the semi-join path:\n$pSemi")
+      assert(pSemi.contains("LeftSemi"),
+        s"expected a broadcast left-semi cell filter above the threshold:\n$pSemi")
+      assert(!pSemi.contains("In(cell"),
+        s"the semi-join path must not also inflate the plan with cell literals:\n$pSemi")
+      assert(semi.collect().map(_.toSeq).toSet === lit12.collect().map(_.toSeq).toSet,
+        "the two dispatch arms must return identical rows")
+    } finally spark.conf.unset("graft.ivf.isinMaxCells")
+  }
+
+  test("layout marker records the cell TYPE (r14 directive 8): a store " +
+       "scanning at a different type than recorded refuses loudly") {
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    // the bucketed writer records bigint
+    val dirOk = Scratch.dir("bivf_type_ok_").resolve("ivf").toString
+    synthStore(dirOk, cells = 10, buckets = 4)
+    assert(graft.sources.Sinks.readLayoutCellType(fs, dirOk) === Some("bigint"))
+    assert(graft.operators.VectorOps.prunedCellScan(spark, dirOk, Array(3L))
+      .count() > 0)
+    // a store whose files landed int-typed (the b76ab6a truncation
+    // class, planted here by hand) refuses at serve time
+    val dirBad = Scratch.dir("bivf_type_bad_").resolve("ivf").toString
+    graft.sources.Sinks.ensureLayoutMarker(fs, dirBad, 4, Some("bigint"))
+    (0 until 20).map(i => (i.toLong, i % 10, i % 4))
+      .toDF("vec_id", "cell", "cell_bucket")
+      .write.partitionBy("cell_bucket").parquet(s"$dirBad/gen=-1")
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.VectorOps.prunedCellScan(spark, dirBad, Array(3L))
+    }
+    assert(err.getMessage.contains("cell type"))
+    // and a WRITER declaring a different type refuses at the marker
+    val err2 = intercept[IllegalStateException] {
+      graft.sources.Sinks.ensureLayoutMarker(fs, dirBad, 4, Some("int"))
+    }
+    assert(err2.getMessage.contains("bigint"))
+  }
+
+  test("the dist tier's serve path (s25 shape) prunes through the " +
+       "bucketed store: static bucket PartitionFilters + pushed cell filter") {
+    import spark.implicits._
+    // the store exactly as the dist stream gates write it: the auto
+    // dispatch at a corpus-scaled nlist
+    val dir = Scratch.dir("bivf_dist_").resolve("ivf").toString
+    val df = (0 until 600).map(i => (i.toLong, (i % 150).toLong))
+      .toDF("vec_id", "cell")
+    VectorOps.committedCellAppendAuto(df, dir, -1L, nlist = 150)
+    VectorOps.committedCellAppendAuto(df.where(col("vec_id") < 60), dir, 0L,
+      nlist = 150)
+    // the serve reads through prunedCellScan with the probe frame's
+    // collected cells — assert the executed plan from the REAL path
+    val served = graft.operators.VectorOps.prunedCellScan(spark, dir,
+      Array(7L, 23L))
+    val p = served.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") && p.contains("cell_bucket"),
+      s"dist serve must keep the static bucket prune:\n$p")
+    assert(p.contains("In(cell"), s"dist serve must push the cell filter:\n$p")
+    val files = served.select(input_file_name().as("f")).distinct()
+      .as[String].collect()
+    val b = graft.sources.Sinks.readLayoutMarker(
+      org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration), dir)
+    val wantBuckets = Set(7L % b, 23L % b).map(x => s"cell_bucket=$x")
+    assert(files.nonEmpty && files.forall(f => wantBuckets.exists(f.contains)),
+      s"rows leaked outside the probed buckets: ${files.mkString(", ")}")
+    assert(served.select("cell").distinct().as[Long].collect().toSet ===
+      Set(7L, 23L))
+  }
+
   test("the bucketed serve equals the flat serve (layout invisible in " +
        "results): s27 == s14, s26 family == s24") {
     val bucketed = graft.SparkEntry.queries("s27_ivf_bucketed_append")(spark, sfDir)
