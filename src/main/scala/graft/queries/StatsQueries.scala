@@ -343,6 +343,122 @@ object StatsQueries extends QueryPack {
                           ELSE 'secret_test' END AS split
               FROM docs d LEFT JOIN labeled l USING (own_key)""")),
 
+    // ---- The doc2doc-IR creator at SF-SCALING ruling vocabulary
+    // (x42, the x40/x41 treatment for the third flagship creator —
+    // VERDICT r13 directive 5): x27 proves the composed pipeline but
+    // caps its ruling key space at 400 and resolves citations by
+    // EXACT key only. Here the ruling corpus is one ruling per 8
+    // documents (∝ n), the citation graph is Zipf-ish (x41's floor
+    // division concentrates citations on low ruling ordinals), and the
+    // creator runs the reference's three heavy pieces at their real
+    // shapes (doc2doc_ir_dataset_creator.py:137-180, 251-325):
+    //  1. NEAREST-PAGE citation resolution — "the citation does
+    //     sometimes cite a specific page instead of the beginning of
+    //     the ruling" (:266-271) — as the J10 as-of join: rulings in a
+    //     volume start every 5 pages, citations land 0-2 pages inside
+    //     a ruling, and AsOfJoin.joinBackward (union-sort, ONE shuffle
+    //     of |cites|+|rulings| on volume, no pairwise blowup) resolves
+    //     each to the greatest start_page <= cited page.
+    //  2. CITATION TF-IDF relevance (do_some_fancy_stuff, :288-325):
+    //     tf = the doc's citation count for the ruling (docs repeat
+    //     the citation 1-3 times), df = citing-doc count per ruling
+    //     (an aggregate reused from the vocab step), score =
+    //     round(tf · ln((N+1)/(df+1)), 6) — t5's proven ln parity.
+    //  3. Top-k LABEL VOCABULARY + out-of-vocab drop (:110 keeps the
+    //     1000 most common; 16 here so the P8 drop path is LIVE at
+    //     every SF) and citation masking (<ref-ruling>).
+    // The freq/vocab aggregates and the resolution join all scale with
+    // the corpus; vocab is TakeOrderedAndProject (k rows) broadcast
+    // back. Oracle restates the whole chain, ASOF JOIN included.
+    // Enforced sf1 row.
+    Q("x42_doc2doc_scaled",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("year", (col("doc_id") % 25 + 2000).cast("int"))
+          .withColumn("cited_vk", expr("doc_id div (2 + doc_id % 7) div 8"))
+          .withColumn("cite_volume", col("cited_vk") % 50 + 100)
+          .withColumn("cite_page",
+            expr("(cited_vk div 50) * 5 + 1 + doc_id % 3"))
+          .withColumn("tf", (col("doc_id") % 3 + 1).cast("bigint"))
+          .withColumn("body", concat(col("text"), expr(
+            """repeat(concat(' Vgl. BGE ', cast(cite_volume as string),
+               ' II ', cast(cite_page as string), '.'),
+               cast(tf as int))""")))
+        // ruling dimension ∝ n/8: ordinal vk, 50 volumes, one ruling
+        // every 5 pages within a volume
+        val rulings = docs.where(col("doc_id") % 8 === 0)
+          .select(col("doc_id").as("ruling_id"),
+            expr("doc_id div 8").as("vk"))
+          .withColumn("cite_volume", col("vk") % 50 + 100)
+          .withColumn("start_page", expr("(vk div 50) * 5 + 1"))
+        val resolved = graft.operators.AsOfJoin.joinBackward(
+          docs.select("doc_id", "cite_volume", "cite_page"), rulings,
+          keys = Seq("cite_volume"),
+          leftOrd = "cite_page", rightOrd = "start_page",
+          rightVals = Seq("ruling_id"))
+          .select(col("doc_id"), col("asof_ruling_id").as("resolved_ruling_id"))
+        val freq = docs.groupBy("cited_vk")
+          .agg(count(lit(1)).as("freq"))
+        val vocab = freq.orderBy(col("freq").desc, col("cited_vk")).limit(16)
+          .select("cited_vk")
+        val n = docs.agg(count(lit(1)).as("n"))
+        docs
+          .join(broadcast(vocab), Seq("cited_vk"), "left_semi")
+          .join(freq, Seq("cited_vk"))
+          .join(resolved, Seq("doc_id"))
+          .crossJoin(broadcast(n))
+          .withColumn("tfidf", round(col("tf") *
+            log((col("n") + 1).cast("double") / (col("freq") + 1)), 6))
+          .withColumn("feature_text", regexp_replace(col("body"),
+            "(?:BGE|ATF|DTF) \\d{1,3} [IVX]+ \\d{1,3}", "<ref-ruling>"))
+          .withColumn("split", graft.datasets.DatasetWriter.dateSplit("year"))
+          .select(col("doc_id"), col("year").cast("bigint").as("year"),
+            col("cited_vk"), col("resolved_ruling_id"), col("tf"),
+            col("tfidf"), col("feature_text"), col("split"))
+      },
+      Some("""WITH d0 AS (
+                SELECT doc_id, text, CAST(doc_id % 25 + 2000 AS INT) AS year,
+                       (doc_id // (2 + doc_id % 7)) // 8 AS cited_vk,
+                       doc_id % 3 + 1 AS tf
+                FROM documents),
+              d2 AS (
+                SELECT *,
+                       cited_vk % 50 + 100 AS cite_volume,
+                       (cited_vk // 50) * 5 + 1 + doc_id % 3 AS cite_page,
+                       text || repeat(' Vgl. BGE ' ||
+                         (cited_vk % 50 + 100) || ' II ' ||
+                         ((cited_vk // 50) * 5 + 1 + doc_id % 3) || '.',
+                         CAST(tf AS INT)) AS body
+                FROM d0),
+              rulings AS (
+                SELECT doc_id AS ruling_id, doc_id // 8 AS vk,
+                       (doc_id // 8) % 50 + 100 AS volume,
+                       ((doc_id // 8) // 50) * 5 + 1 AS start_page
+                FROM documents WHERE doc_id % 8 = 0),
+              res AS (
+                SELECT d.doc_id, r.ruling_id AS resolved_ruling_id
+                FROM d2 d ASOF LEFT JOIN rulings r
+                  ON d.cite_volume = r.volume AND d.cite_page >= r.start_page),
+              freq AS (SELECT cited_vk, count(*) AS freq FROM d2 GROUP BY 1),
+              vocab AS (SELECT cited_vk FROM freq
+                        ORDER BY freq DESC, cited_vk LIMIT 16),
+              n AS (SELECT count(*) AS n FROM documents)
+              SELECT d.doc_id, d.year::BIGINT AS year, d.cited_vk,
+                     res.resolved_ruling_id, d.tf,
+                     round(d.tf * ln(cast(n.n + 1 as double) / (f.freq + 1)), 6) AS tfidf,
+                     regexp_replace(d.body,
+                       '(?:BGE|ATF|DTF) \d{1,3} [IVX]+ \d{1,3}',
+                       '<ref-ruling>', 'g') AS feature_text,
+                     CASE WHEN d.year <= 2015 THEN 'train'
+                          WHEN d.year <= 2017 THEN 'validation'
+                          WHEN d.year <= 2022 THEN 'test'
+                          ELSE 'secret_test' END AS split
+              FROM d2 d
+              JOIN vocab v USING (cited_vk)
+              JOIN freq f USING (cited_vk)
+              JOIN res USING (doc_id)
+              CROSS JOIN n""")),
+
     // ---- §3.2 doc2doc-IR creator END-TO-END (x27,
     // doc2doc_ir_dataset_creator.py): citation-graph corpus → top-k
     // label vocabulary (deterministic order) → out-of-vocab drop →

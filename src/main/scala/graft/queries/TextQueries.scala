@@ -110,7 +110,7 @@ object TextQueries extends QueryPack {
     * from the EXECUTED plans of BOTH pruned reads (the j20/k18
     * discipline).
     */
-  private[queries] def bm25Serve(s: org.apache.spark.sql.SparkSession, idx: String,
+  private[graft] def bm25Serve(s: org.apache.spark.sql.SparkSession, idx: String,
                         terms: Seq[String], k: Int,
                         asOf: Option[Long] = None)
       : org.apache.spark.sql.DataFrame = {
@@ -203,7 +203,7 @@ object TextQueries extends QueryPack {
     * here — the gated layout; a corpus-scale deployment buckets dl by
     * doc hash and the fold preserves whatever inner layout exists.)
     */
-  private[queries] def compactBm25(s: org.apache.spark.sql.SparkSession,
+  private[graft] def compactBm25(s: org.apache.spark.sql.SparkSession,
                                    idx: String): Unit = {
     graft.sources.Sinks.compactGenerations(s, s"$idx/postings", Some("tb"))
     graft.sources.Sinks.rewriteGenerations(s, s"$idx/df", Some("tb"),

@@ -173,10 +173,11 @@ object PlanDump {
       // s20: scaled-nlist IVF through two-level cosine routing — the
       // plan must show the broadcast cell equi-join serve (s9's shape)
       // with the assignment/probe UDFs folded into the projections.
-      // s21: its streamed persisted-store face — like s13 the serve
-      // scan must carry PartitionFilters on the probed cells (and the
-      // gen level pruned through), with the TWO-LEVEL probe feeding
-      // the broadcast side
+      // s21: its streamed persisted-store face — the store is the
+      // BUCKETED default since round 14, so the serve scan must carry
+      // PartitionFilters on cell_bucket (bounded by B) with the probed
+      // cells pushed as In(cell, ...) and the gen level pruned
+      // through, the TWO-LEVEL probe feeding the broadcast side
       "s20_ivf_hier_scalednlist", "s21_stream_ivf_hier",
       // round-12: the two-level lifecycle closers the round-11 regen
       // missed (s22's as-of reads from the materialized snapshot —
@@ -188,9 +189,9 @@ object PlanDump {
       // the coarse-route equi-join + per-vector window argmin with NO
       // broadcast of the fine codebook (the whole point), and s24's
       // serve stays s20's broadcast cell equi-join; s25 is its
-      // streamed face — like s13/s21 the serve scan must carry
-      // PartitionFilters on the probed cells with the gen level
-      // pruned through
+      // streamed face — bucketed store since round 14, so like s21
+      // the serve scan must carry cell_bucket PartitionFilters with
+      // the pushed In(cell) filter and the gen level pruned through
       "d34_semantic_dedup_dist", "s24_ivf_hier_dist",
       "s25_stream_ivf_hier_dist",
       // round-12: t33's post-compaction serve must carry the same
@@ -208,6 +209,13 @@ object PlanDump {
       // one task, never the corpus; the range-exchange large path is
       // pinned by GlobalRankSpec, not by this dump
       "x41_criticality_scaled",
+      // round-14: x42's scaled doc2doc creator — the plan must show
+      // the as-of resolution as ONE union-sort shuffle on the volume
+      // key (no pairwise page join), the vocab as
+      // TakeOrderedAndProject broadcast back (left-semi), and the
+      // freq/resolved joins as plain shuffles (both sides ∝ n — no
+      // forced broadcast of a scaling frame)
+      "x42_doc2doc_scaled",
       // round-13: s26's bucketed-cell store — the gate's returned
       // frame is the materialized lifecycle result (like s13), so the
       // scale-relevant scan gets its own custom section below (look
@@ -222,6 +230,30 @@ object PlanDump {
       "s4_lsh_ann_topk", "s9_ivf_kmeans", "d20_embedding_keeplist",
       "x28_lawarea_e2e", "x29_courtview_e2e", "x30_pretraining_e2e",
       "x32_fi_sample", "x33_citation_ner_e2e", "x34_regeste_e2e")
+
+  /** Content fingerprint of every main-source .scala file (path +
+    * bytes, SHA-256). PLANS.md embeds it so PlansCurrencySpec can
+    * detect a dump that predates the last source change — the round-13
+    * dump missed the final serve-typing fix because the currency spec
+    * gated section PRESENCE only (VERDICT r13 directive 4).
+    * Content-based, not mtime-based, so a fresh checkout (where every
+    * file's mtime is checkout time) cannot false-flag.
+    */
+  def sourceFingerprint(): String = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala")
+    val stream = java.nio.file.Files.walk(root)
+    val files =
+      try stream.iterator().asScala
+        .filter(_.toString.endsWith(".scala")).toVector.sortBy(_.toString)
+      finally stream.close()
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    for (f <- files) {
+      md.update(f.toString.getBytes(StandardCharsets.UTF_8))
+      md.update(java.nio.file.Files.readAllBytes(f))
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
 
   def main(args: Array[String]): Unit = {
     // COVERAGE GATE first — fail before any dumping if an enforced
@@ -241,7 +273,8 @@ object PlanDump {
     sb.append("# PLANS — formatted physical plans of headline queries (sf0.001)\n\n")
     sb.append("Generated by `graft.tools.PlanDump`. What to look for per plan is\n")
     sb.append("noted inline; the machine-checked versions of these assertions live\n")
-    sb.append("in `PlanShapeSpec`/`ScaleSpec`.\n")
+    sb.append("in `PlanShapeSpec`/`ScaleSpec`.\n\n")
+    sb.append(s"Source fingerprint: ${sourceFingerprint()}\n")
     for (name <- headline) {
       val df = graft.SparkEntry.queries(name)(spark, d)
       sb.append(s"\n## $name\n\n```\n")

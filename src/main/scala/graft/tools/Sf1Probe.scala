@@ -178,7 +178,13 @@ object Sf1Probe {
     // aggregate, the distributed quartile ntile, and the label join
     // all scale with the corpus; its row pins that the creator's
     // heaviest label logic tracks the corpus linearly
-    "x41_criticality_scaled")
+    "x41_criticality_scaled",
+    // round-14: the doc2doc-IR creator at SF-scaling ruling vocabulary
+    // (VERDICT r13 directive 5) — nearest-page as-of resolution (one
+    // union-sort shuffle), citation TF-IDF, top-k vocab + masking, all
+    // over a ruling corpus ∝ n/8; its row pins that the creator's
+    // heaviest join logic tracks the corpus linearly
+    "x42_doc2doc_scaled")
 
   /** OUTPUT-BOUND gates measured per OUTPUT UNIT, not per wall-clock
     * (VERDICT r11 directive 3 — the class rule, applied by the
@@ -204,6 +210,36 @@ object Sf1Probe {
         .nearDupPairs(h, "doc_id", "ahash", bits = 48, bands = 4).count()
       finally h.unpersist(true)
     })
+
+  /** POLICY-PRICED gates (VERDICT r13 directive 3): the scaled-nlist /
+    * scaled-k family trains at k = n/100 (the d32/d33 policy), so every
+    * Lloyd/assignment pass costs ∝ n·√k and the 10× step carries a
+    * 10·√10 ≈ 31.6× compute term BY POLICY, not by regression. These
+    * gates pass the 12× wall bar only because the two-level plans
+    * amortize that term — which means the wall bar alone could absorb
+    * a genuine 2-3× regression inside the band. So, like d2's per-pair
+    * and m14's per-edge rows, these gates ALSO price per n·√k unit:
+    * units = n · √(max(4, n/100)) counted from the dir's embeddings
+    * table (the stream gates train on 3/4 of n — a constant factor
+    * that cancels in the ratio). The per-unit cost must not RISE at
+    * the 10× step; [[nsqrtkBar]] = 1.5 is headroom for fixed-overhead
+    * noise (sf0.1 per-unit cost is OVERpriced by session spin-up, so
+    * healthy ratios sit well below 1), not for new data-scaling work.
+    * Flag condition for these gates = wall > 12× OR per-unit > 1.5×.
+    */
+  val nsqrtkGates: Set[String] = Set(
+    "s20_ivf_hier_scalednlist", "s21_stream_ivf_hier", "s22_ivf_hier_asof",
+    "s23_ivf_hier_delete", "s24_ivf_hier_dist", "s25_stream_ivf_hier_dist",
+    "s26_ivf_bucketed_served", "d33_semantic_dedup_hier",
+    "d34_semantic_dedup_dist")
+
+  val nsqrtkBar = 1.5
+
+  def nsqrtkUnits(s: SparkSession, dir: String): Long = {
+    val n = s.read.parquet(s"$dir/embeddings.parquet").count()
+    val k = math.max(4L, n / 100)
+    (n.toDouble * math.sqrt(k.toDouble)).toLong
+  }
 
   /** Replicate a raw parquet table n× with fresh surrogate keys
     * (key·n + rep) — the dimension-table face of the ScaleProbe
@@ -281,10 +317,18 @@ object Sf1Probe {
     // edge workload too — counted once per dir, outside the timed runs
     val edges = edgeCounters.get(gate)
       .map(c => (c(spark, sf01), c(spark, sf1)))
-    edges match {
-      case Some((e01, e1)) =>
+    // policy-priced gates report their n·√k unit workload too —
+    // counted once per dir from the embeddings table, off the clock
+    val units =
+      if (nsqrtkGates(gate))
+        Some((nsqrtkUnits(spark, sf01), nsqrtkUnits(spark, sf1)))
+      else None
+    (edges, units) match {
+      case (Some((e01, e1)), _) =>
         println(f"SF1ONE $gate t01=$t01%.4f t1=$t1%.4f e01=$e01%d e1=$e1%d")
-      case None =>
+      case (None, Some((u01, u1))) =>
+        println(f"SF1ONE $gate t01=$t01%.4f t1=$t1%.4f u01=$u01%d u1=$u1%d")
+      case _ =>
         println(f"SF1ONE $gate t01=$t01%.4f t1=$t1%.4f")
     }
     spark.stop()
@@ -297,7 +341,7 @@ object Sf1Probe {
   private def runIsolated(javaBin: String, cp: String, heap: String,
                           gate: String, sf01: String, sf1: String,
                           iters: Int, logDir: java.io.File)
-      : Option[(Double, Double, Option[(Long, Long)])] = {
+      : Option[(Double, Double, Option[(Long, Long)], Option[(Long, Long)])] = {
     val pb = new ProcessBuilder(javaBin, s"-Xmx$heap", "-cp", cp,
       "--add-opens=java.base/java.lang=ALL-UNNAMED",
       "--add-opens=java.base/java.lang.invoke=ALL-UNNAMED",
@@ -320,12 +364,14 @@ object Sf1Probe {
     val line: Option[String] =
       try out.getLines().find(_.startsWith("SF1ONE ")) finally out.close()
     val R =
-      """SF1ONE \S+ t01=([0-9.]+) t1=([0-9.]+)(?: e01=([0-9]+) e1=([0-9]+))?"""
+      ("""SF1ONE \S+ t01=([0-9.]+) t1=([0-9.]+)""" +
+        """(?: e01=([0-9]+) e1=([0-9]+))?(?: u01=([0-9]+) u1=([0-9]+))?""")
         .r.unanchored
     line match {
-      case Some(R(t01, t1, e01, e1)) =>
+      case Some(R(t01, t1, e01, e1, u01, u1)) =>
         Some((t01.toDouble, t1.toDouble,
-          Option(e01).map(e => (e.toLong, e1.toLong))))
+          Option(e01).map(e => (e.toLong, e1.toLong)),
+          Option(u01).map(u => (u.toLong, u1.toLong))))
       case _ =>
         println(s"SF1 $gate CHILD-FAILED exit=${p.exitValue()} " +
           s"(see ${outFile.getPath} / .err)")
@@ -418,7 +464,7 @@ object Sf1Probe {
     var flags = 0
     for (g <- if (only.nonEmpty) only.toSeq else gates) {
       runIsolated(javaBin, cp, heap, g, sf01, sf1, iters, logDir) match {
-        case Some((t01, t1, Some((e01, e1)))) if e01 > 0 && e1 > 0 =>
+        case Some((t01, t1, Some((e01, e1)), _)) if e01 > 0 && e1 > 0 =>
           // the output-bound class rule (see edgeCounters): the bar is
           // the per-EDGE cost ratio — a wall ratio on a gate whose
           // edge workload grows ~100× per 10× step tests the answer's
@@ -432,7 +478,7 @@ object Sf1Probe {
             f"wall=${t1 / t01}%5.2fx edges=$e01%d->$e1%d " +
             f"us_per_edge=$u01%.2f->$u1%.2f ratio=$ratio%5.2fx " +
             "PER-EDGE" + (if (flagged) "  FLAG" else ""))
-        case Some((t01, t1, Some((e01, e1)))) =>
+        case Some((t01, t1, Some((e01, e1)), _)) =>
           // a ZERO edge count would make per-edge cost Infinity (e01=0)
           // or 0/NaN (e1=0) — the latter silently never flags even when
           // wall exploded. Fall back to the wall-clock bar, loudly.
@@ -442,7 +488,22 @@ object Sf1Probe {
           println(f"SF1 $g%-28s sf0.1=$t01%6.2fs sf1=$t1%7.2fs " +
             f"ratio=$ratio%5.2fx edges=$e01%d->$e1%d " +
             "ZERO-EDGES(wall-clock bar)" + (if (flagged) "  FLAG" else ""))
-        case Some((t01, t1, None)) =>
+        case Some((t01, t1, None, Some((nu01, nu1)))) if nu01 > 0 && nu1 > 0 =>
+          // the policy-priced class rule (see nsqrtkGates): BOTH bars —
+          // the 12× wall bar AND the per-n·√k-unit bar, so a regression
+          // the k = n/100 policy's 31.6× compute term would absorb
+          // still flags
+          val wall = t1 / t01
+          val pu01 = t01 * 1e9 / nu01
+          val pu1 = t1 * 1e9 / nu1
+          val ratio = pu1 / pu01
+          val flagged = t1 > 0.35 && (wall > 12.0 || ratio > nsqrtkBar)
+          if (flagged) flags += 1
+          println(f"SF1 $g%-28s sf0.1=$t01%6.2fs sf1=$t1%7.2fs " +
+            f"wall=$wall%5.2fx nsqrtk=$nu01%d->$nu1%d " +
+            f"ns_per_unit=$pu01%.2f->$pu1%.2f ratio=$ratio%5.2fx " +
+            "PER-NSQRTK" + (if (flagged) "  FLAG" else ""))
+        case Some((t01, t1, None, _)) =>
           val ratio = t1 / t01
           val flagged = t1 > 0.35 && ratio > 12.0
           if (flagged) flags += 1

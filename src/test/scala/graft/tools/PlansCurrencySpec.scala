@@ -23,6 +23,21 @@ class PlansCurrencySpec extends AnyFunSuite {
         s"(missing sections: ${missing.mkString(", ")})")
   }
 
+  test("PLANS.md was dumped from the CURRENT source (content fingerprint)") {
+    // the round-13 staleness class: PLANS.md regenerated, then a later
+    // source commit changed a dumped plan's typing — section presence
+    // passed while the dumped content was stale. The dump embeds a
+    // SHA-256 over all main-source file contents; any source edit after
+    // the dump fails here until `runMain graft.tools.PlanDump` reruns.
+    val plans = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("PLANS.md")), java.nio.charset.StandardCharsets.UTF_8)
+    val want = s"Source fingerprint: ${PlanDump.sourceFingerprint()}"
+    assert(plans.contains(want),
+      "PLANS.md predates the current main source — regenerate with " +
+        "`runMain graft.tools.PlanDump` after the last source change " +
+        s"(expected '$want')")
+  }
+
   test("every enforced gate has a plan-evidence decision") {
     val undecided = Sf1Probe.gates
       .filterNot(g => PlanDump.headline.contains(g) || PlanDump.excluded.contains(g))
