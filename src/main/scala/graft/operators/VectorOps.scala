@@ -359,16 +359,15 @@ object VectorOps {
     import org.apache.spark.sql.expressions.Window
     graft.GraftExtensions.registerNative(e.sparkSession)
     val route = ivfAssignUdf(coarse.sortBy(_._1))
-    // cached (≤ k rows): the guard's eager count and BOTH join legs
-    // reuse one routing pass instead of re-running the route UDF per
-    // consumer. COST CONTRACT: each builder call runs ONE codebook-
-    // sized Spark job up front (the guard) and pins a ≤ k-row cache for
-    // the life of the returned plan — callers batching many builds in
-    // one session release it with spark.catalog.clearCache (the fitted
-    // codebook frames carry the same caller-releases contract,
-    // KMeansLite.fitHierarchicalDist).
+    // COST CONTRACT: each builder call runs ONE codebook-sized Spark
+    // job up front (the guard below), and the ≤ k-row routing pass is
+    // RECOMPUTED per consumer (guard count + both join legs) rather
+    // than cached — measured round 14: persisting this frame inflated
+    // the s24/s25 gates 2-6x at gated scale (an InMemoryRelation here
+    // changes the join planning and pins blocks across serve
+    // iterations), while re-running the route UDF over k rows is
+    // noise. Keep it uncached.
     val fineRouted = fineDf.withColumn("__ccid", route(col("cv"), col("cn")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val routed = e
       .select(col(idCol).as("__aid"), col("v").as("__v"), col("nn").as("__nn"))
       .withColumn("__ccid", route(col("__v"), col("__nn")))
@@ -440,10 +439,11 @@ object VectorOps {
                        pc: Int = 2, nprobe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.GraftExtensions.registerNative(q.sparkSession)
-    // cached ≤ k rows — same cost contract as ivfAssignHierDist's
+    // uncached on purpose — same measured cost contract as
+    // ivfAssignHierDist's (recompute k rows per consumer; a persist
+    // here inflated the dist gates 2-6x)
     val fineRouted = fineDf.withColumn("__ccid",
       ivfAssignUdf(coarse.sortBy(_._1))(col("cv"), col("cn")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val routed = q
       .select(col(qidCol).as("__qid"), col("qv").as("__qv"), col("qn").as("__qn"))
       .withColumn("__ccid",
