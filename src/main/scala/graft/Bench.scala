@@ -100,9 +100,14 @@ object Bench {
           try q.processAllAvailable() finally q.stop()
         } finally {
           import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(base).iterator().asScala.toSeq
+          // close the walk stream (it holds a directory fd open until
+          // GC otherwise — ADVICE r14, low; PlanDump.sourceFingerprint
+          // discipline)
+          val walk = java.nio.file.Files.walk(base)
+          try walk.iterator().asScala.toSeq
             .sortBy(-_.getNameCount)
             .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
         }
       } catch { case scala.util.control.NonFatal(_) => () }
       s

@@ -412,8 +412,11 @@ object KeepListStore {
         // touched-component probe pruned to the batch's own hash
         // buckets (≤ |batch|·k of them) — the d16 move; hb is a pure
         // function of h, so the pruned scan keeps every possibly-
-        // matching band row
-        val probedHb = bb.select("hb").distinct().collect()
+        // matching band row. ONE aggregation action yields both the
+        // probed bucket set and its materialization of the bb cache
+        // (round-15: this replaces a distinct().collect() + a later
+        // count() — two full passes — with one ≤nb-row collect).
+        val probedHb = bb.groupBy("hb").count().collect()
           .map(_.getInt(0)).toSeq.sorted
         val corpusBands = MinHashLSH
           .prunedBucketedIndex(spark, bandsDir, probedHb)
@@ -426,13 +429,12 @@ object KeepListStore {
         remap.write.parquet(s"$tmp/remap")
         Sinks.renameOrThrow(fs, tmp, stateDir)
       }
-      // small batches write their ≤64 bucket files from ONE task —
-      // a multi-task partitionBy write opens (tasks × buckets) tiny
-      // files; at real batch sizes the parallel write wins and the
-      // threshold leaves it alone
-      val nBatch = bb.count()
-      Sinks.committedPartitionedAppend(
-        if (nBatch < 200000) bb.coalesce(1) else bb, bandsDir, batchId, "hb")
+      // the sink clusters on hb with explicit parallelism (round-15:
+      // the old coalesce(1) wrote all ≤64 bucket files from ONE task —
+      // ~1.1 s of serial creates per append, and serial at any scale;
+      // clusterByPartition writes them in parallel, still ≤1 file per
+      // bucket)
+      Sinks.committedPartitionedAppend(bb, bandsDir, batchId, "hb")
     } finally bb.unpersist()
     spark.read.parquet(s"$stateDir/assign")
   }

@@ -542,7 +542,6 @@ object MinHashLSH {
     val sub = bb.withColumn("__src", lit(0))
       .unionByName(touched.withColumn("__src", lit(1)))
       .persist(lvl)
-    val nSub = sub.count()
     val idType = bb.schema.head.dataType
     def emptyish(rows: Seq[org.apache.spark.sql.Row],
                  a: String, b: String): DataFrame =
@@ -563,9 +562,20 @@ object MinHashLSH {
     // id types without a driver ordering (min must match SQL min, so
     // only Comparable ids take the fast path); MinHashLSHSpec pins
     // path equivalence on both topologies.
-    val out =
-      if (nSub <= driverSolveLimit && comparableIdType(idType)) {
-        val rows = sub.collect()
+    // ONE action dispatches AND feeds the fast path (round-15: was a
+    // count() followed by a full collect() — two passes): collect at
+    // most limit+1 rows; getting ≤ limit back proves the frame is
+    // complete (limit n+1 of an ≤n-row frame returns every row), and
+    // an overflow discards the slice and routes to the distributed
+    // fixpoint. Non-comparable id types never collect at all.
+    val lim = math.min(driverSolveLimit, Int.MaxValue - 2L).toInt
+    val fastRows =
+      if (comparableIdType(idType)) {
+        val r = sub.limit(lim + 1).collect()
+        if (r.length <= lim) Some(r) else None
+      } else None
+    val out = fastRows match {
+      case Some(rows) =>
         val keep = unionFindKeep(rows)
         val batchIds = rows.iterator.filter(_.getInt(3) == 0)
           .map(_.get(0)).toSet
@@ -575,7 +585,7 @@ object MinHashLSH {
             .filter { case (id, k) => !batchIds.contains(id) && id != k }
             .map { case (id, k) => org.apache.spark.sql.Row(id, k) }.toSeq,
             "old_rep", "keep_id"))
-      } else {
+      case None =>
         val solved = convergeKeepList(sub.drop("__src"), idCol)
         val bIds = bb.select(idCol).distinct()
         // rep pseudo-nodes = solved minus batch ids (id-uniqueness
@@ -584,7 +594,7 @@ object MinHashLSH {
           solved.join(bIds, Seq(idCol), "left_anti")
             .where(col("keep_id") =!= col(idCol))
             .select(col(idCol).as("old_rep"), col("keep_id")))
-      }
+    }
     bb.unpersist(); sub.unpersist()
     out
   }

@@ -104,17 +104,112 @@ object SetSimJoin {
           lit("SetSimJoin: token vocabulary rank overflows Int ("),
           col("tid").cast("string"), lit(")"))))
         .otherwise(col("tid")).cast("int").as("tid"))
+    // PERSISTED (round-15): every consumer re-derived this frame from
+    // scratch — the prefix sides a and b, the verify sides ta and tb,
+    // and now the hot-tid count — 4–6 full passes through the
+    // tokenize + intern + re-agg pipeline per join. One corpus-sized
+    // MEMORY_AND_DISK cache (released by the same handle as the
+    // interning rank) converts those to cache reads; at scale this is
+    // one spilled copy of the interned corpus vs recomputing its
+    // derivation per consumer.
     val baseI = base.select(col("id"), explode(col("ts")).as("tok"))
       .join(tokIds, "tok")
       .groupBy("id")
       .agg(sort_array(collect_list(col("tid"))).as("its"),
         count(lit(1)).cast("int").as("n"))
-    (baseI, release)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (baseI, () => { release(); baseI.unpersist(); () })
   }
 
   /** Prefix length |d| − ⌈τ·|d|⌉ + 1 (integer ceil). */
   private def prefLen(tauNum: Int, tauDen: Int): Column =
     col("n") - ceilDiv(col("n") * tauNum, tauDen) + 1
+
+  /** Spread the candidate join's PROBE side (round-15, guide §8 "use
+    * what you know that the optimizer does not"): the prefix equi-join
+    * is an EXPANSION — on duplicate-dense corpora its output is ~100×
+    * its input — but the plan's parallelism is inferred from INPUT
+    * bytes: when the other side broadcasts, the expansion runs map-side
+    * on the probe side's partitioning, which for a small interned
+    * relation is one or two AQE-coalesced partitions — the whole
+    * quadratic pair expansion + verify chain ran serially (measured at
+    * sf0.1: an 11.7 s single-task stage dominating d24/d27).
+    *
+    * The fix is a KEYLESS round-robin repartition of the probe side to
+    * the session's shuffle-partition setting (scale-adaptive by conf):
+    * under a broadcast join it spreads the expansion evenly with zero
+    * skew risk; under a shuffle join the planner replaces it with the
+    * join's own hash exchange, so AQE's skew-join splitting stays
+    * armed (a repartition BY KEY here was measured 2–10× WORSE on the
+    * hot-token corpora — explicit key partitioning disables AQE skew
+    * splits exactly where the tid distribution needs them).
+    */
+  private def pinParallelism(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    df.repartition(p)
+  }
+
+  /** Per-tid pair budget above which the candidate join's hot slice is
+    * SALTED (see [[hotSplitJoin]]): one reduce task comfortably
+    * verifies ~10⁶ candidate pairs, so a tid whose a-rows × b-rows
+    * product exceeds this would otherwise serialize its whole expansion
+    * into whichever single task owns the tid.
+    */
+  private val HotPairCap = 1000L * 1000
+
+  /** The candidate equi-join on tid, EXPANSION-SKEW safe (round-15).
+    * Two facts the optimizer cannot know (guide §8, §2.5):
+    *  1. the join's OUTPUT is ~aCnt(tid)·bCnt(tid) pairs per tid — far
+    *     larger than its input on duplicate-dense corpora — while AQE
+    *     sizes post-shuffle partitions from INPUT bytes, so a small
+    *     prefix relation coalesces to one or two partitions and the
+    *     whole expansion + filter chain runs serially (an 11.7 s
+    *     single-task stage dominated d24/d27 at sf0.1);
+    *  2. AQE's skew-join split keys on map-output BYTES per partition
+    *     (256 MB default) and therefore can never split an
+    *     expansion-skewed tid whose input is kilobytes (measured: the
+    *     3.4 s hot-tid task survives a 2 MB skew threshold untouched).
+    *
+    * So: per-tid a/b row counts come from ONE vocab-bounded
+    * aggregation; tids whose pair product exceeds [[HotPairCap]] route
+    * to a SALTED join (deterministic a-side salt from ia, b-side
+    * replicated across the salt range, explicit partition count so AQE
+    * cannot re-coalesce) while the cold remainder takes the plain join
+    * with the probe side round-robin-spread ([[pinParallelism]] — under
+    * a broadcast join that partitioning IS the expansion's
+    * parallelism). Identical pair multiset by construction: a hot
+    * (a-row, b-row) pair meets at exactly one salt. The salt range and
+    * partition counts derive from the session's shuffle-partition
+    * setting — scale-adaptive by conf, nothing tuned to this box.
+    */
+  private def hotSplitJoin(a: DataFrame, b: DataFrame): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    val p = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val cnt = a.select(col("tid"), lit(1L).as("__isa"))
+      .unionByName(b.select(col("tid"), lit(0L).as("__isa")))
+      .groupBy("tid").agg(sum("__isa").as("__na"), count(lit(1)).as("__nall"))
+    // bounded driver state: a tid only qualifies when it owns > cap
+    // candidate pairs, so |hot| ≤ total-pairs / cap
+    val hot = cnt.where(col("__na") * (col("__nall") - col("__na")) > HotPairCap)
+      .select("tid").collect().map(_.getInt(0))
+    if (hot.isEmpty) pinParallelism(a).join(b, "tid")
+    else {
+      val hotDf = broadcast(hot.toSeq.toDF("tid"))
+      val cold = pinParallelism(a.join(hotDf, Seq("tid"), "left_anti"))
+        .join(b.join(hotDf, Seq("tid"), "left_anti"), "tid")
+      val aHot = a.join(hotDf, Seq("tid"), "left_semi")
+        .withColumn("__salt",
+          pmod(xxhash64(col("ia")), lit(p.toLong)).cast("int"))
+      val bHot = b.join(hotDf, Seq("tid"), "left_semi")
+        .withColumn("__salt", explode(sequence(lit(0), lit(p - 1))))
+      val hotJ = aHot.repartition(p, col("tid"), col("__salt"))
+        .join(bHot.repartition(p, col("tid"), col("__salt")),
+          Seq("tid", "__salt"))
+        .drop("__salt")
+      cold.unionByName(hotJ)
+    }
+  }
 
   /** All pairs (ia < ib) with Jaccard ≥ tauNum/tauDen — handle-free
     * overload of [[jaccardJoinReleasable]] (keeps the interning cache
@@ -153,7 +248,7 @@ object SetSimJoin {
       col("p").as("pb"), col("tid"))
     // minimum overlap a qualifying pair must reach: ⌈τ/(1+τ)·(na+nb)⌉
     val alpha = ceilDiv((col("na") + col("nb")) * tauNum, tauNum + tauDen)
-    val candidates = a.join(b, "tid")
+    val candidates = hotSplitJoin(a, b)
       .where(col("ia") < col("ib"))
       // length + positional filters, integer cross-multiplied — BEFORE
       // the distinct so impossible pairs never shuffle twice
@@ -249,7 +344,7 @@ object SetSimJoin {
       .drop("min_na")
     // minimum overlap: ⌈τ·na⌉
     val alphaC = ceilDiv(col("na") * tauNum, tauDen)
-    val candidates = a.join(bPruned, "tid")
+    val candidates = hotSplitJoin(a, bPruned)
       .where(col("ia") =!= col("ib"))
       .where(col("nb") * tauDen >= col("na") * tauNum)
       .where(least(col("na") - col("pa"), col("nb") - col("pb")) + 1 >= alphaC)

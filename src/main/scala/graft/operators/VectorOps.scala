@@ -581,14 +581,22 @@ object VectorOps {
     // marker instead of landing rows a Long-keyed serve never matches
     graft.sources.Sinks.ensureLayoutMarker(fs, indexDir, buckets,
       cellType = Some("bigint"))
+    // EXPLICIT partition count (round-15): an implicit repartition(col)
+    // is AQE-coalescible down to ONE task serially creating every
+    // bucket dir (sized by map bytes, blind to file-creation cost);
+    // the session shuffle-partition setting keeps it scale-adaptive.
+    // preClustered: the sink must not re-shuffle — the in-file cell
+    // sort is part of the serve's row-group-skip contract.
+    val p = assigned.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
     val df = assigned
       .withColumn("cell", col("cell").cast("bigint"))
       .withColumn("cell_bucket",
         pmod(col("cell"), lit(buckets.toLong)).cast("int"))
-      .repartition(col("cell_bucket"))
+      .repartition(p, col("cell_bucket"))
       .sortWithinPartitions("cell_bucket", "cell")
     graft.sources.Sinks.committedPartitionedAppend(
-      df, indexDir, batchId, "cell_bucket")
+      df, indexDir, batchId, "cell_bucket", preClustered = true)
   }
 
   /** Smallest-power-of-two bucket count for a cell store at the given
@@ -638,9 +646,39 @@ object VectorOps {
             "cells (it walls at ~1e5 dirs, CellLayoutProbe); drop " +
             "fixedNlist to get the bucketed layout")
         committedCellAppend(assigned, indexDir, batchId)
+      case None if hasFlatCellData(fs, indexDir) =>
+        // pre-existing FLAT store from a marker-less (round-13) writer:
+        // planting a __layout marker and writing cell_bucket partitions
+        // NEXT TO gen=*/cell=* dirs would corrupt the store with mixed
+        // partition schemes AFTER the append already "committed"
+        // (ADVICE r14, medium). Keep appending flat while the layout is
+        // still inside its sane bound; refuse loudly past it.
+        require(nlist <= FlatLayoutMaxCells,
+          s"$indexDir holds an existing flat cell=<id> store (no __layout " +
+            s"marker) but nlist=$nlist exceeds $FlatLayoutMaxCells — the " +
+            "flat layout cannot scale there and a bucketed append would " +
+            "corrupt the store with mixed partition schemes; rebuild into " +
+            "a fresh bucketed dir (committedBucketedCellAppend)")
+        committedCellAppend(assigned, indexDir, batchId)
       case None =>
         committedBucketedCellAppend(assigned, indexDir, batchId,
           defaultBuckets(nlist))
+    }
+  }
+
+  /** Does `indexDir` already hold flat-laid-out (gen=<id>/cell=<id>)
+    * data from a marker-less writer? One root listing plus one child
+    * listing of the first generation — bounded, and only reached on
+    * the no-marker arm (a brand-new dir short-circuits on exists).
+    */
+  private def hasFlatCellData(fs: org.apache.hadoop.fs.FileSystem,
+                              indexDir: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    fs.exists(root) && {
+      val gens = fs.listStatus(root).map(_.getPath)
+        .filter(_.getName.startsWith("gen="))
+      gens.nonEmpty && fs.listStatus(gens.head)
+        .exists(_.getPath.getName.startsWith("cell="))
     }
   }
 

@@ -130,33 +130,37 @@ object SimilarityQueries extends QueryPack {
         qBase.withColumn("cell", explode(probeUdf(col("qv"), col("qn"))))
       }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // cell ids stay LONG end-to-end (the bucketed layout's cell is a
-    // bigint data column; its id space is the dist tier's k ≈ 10¹⁰);
-    // the scan itself — layout dispatch on the __layout marker, the
-    // static bucket prune / literal-vs-semi-join cell filter size
-    // dispatch, the as-of horizon contract, the marker type assert —
-    // is VectorOps.prunedCellScan, one copy shared with the specs
-    val probed = q.select("cell").distinct().collect()
-      .map(_.getLong(0)).sorted
-    val index = VectorOps.prunedCellScan(s, idxDir, probed, asOf)
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
-    // prunedCellScan normalizes cell to bigint on either layout, so the
-    // probe frame's Long cells join unchanged
-    val qKeyed = q
-    val topk = index
-      .join(broadcast(qKeyed), Seq("cell"))
-      .where(col("vec_id") =!= col("qid"))
-      .withColumn("cos", round(cosExpr, 6))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 5)
-      .select(col("qid"), col("rank").cast("bigint").as("rank"),
-        col("vec_id"), col("cos"))
-    // materialize the (queries×k row) result so the probe cache can be
-    // released deterministically NOW — three gates run through here per
-    // session/bench pass and must not pin probe frames until GC
-    val res = s.createDataFrame(topk.rdd, topk.schema)
-    q.unpersist()
-    res
+    // try/finally so the s22/s28-style LOUD-REFUSAL paths (the as-of
+    // horizon / Int-range checks inside prunedCellScan, which run after
+    // the persist) release the probe cache too — a refusal per serve
+    // must not leak a pinned frame (ADVICE r14, low)
+    try {
+      // cell ids stay LONG end-to-end (the bucketed layout's cell is a
+      // bigint data column; its id space is the dist tier's k ≈ 10¹⁰);
+      // the scan itself — layout dispatch on the __layout marker, the
+      // static bucket prune / literal-vs-semi-join cell filter size
+      // dispatch, the as-of horizon contract, the marker type assert —
+      // is VectorOps.prunedCellScan, one copy shared with the specs
+      val probed = q.select("cell").distinct().collect()
+        .map(_.getLong(0)).sorted
+      val index = VectorOps.prunedCellScan(s, idxDir, probed, asOf)
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+      // prunedCellScan normalizes cell to bigint on either layout, so the
+      // probe frame's Long cells join unchanged
+      val qKeyed = q
+      val topk = index
+        .join(broadcast(qKeyed), Seq("cell"))
+        .where(col("vec_id") =!= col("qid"))
+        .withColumn("cos", round(cosExpr, 6))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .select(col("qid"), col("rank").cast("bigint").as("rank"),
+          col("vec_id"), col("cos"))
+      // materialize the (queries×k row) result so the probe cache can be
+      // released deterministically NOW — three gates run through here per
+      // session/bench pass and must not pin probe frames until GC
+      s.createDataFrame(topk.rdd, topk.schema)
+    } finally q.unpersist()
   }
 
   /** hash-ordered k-seed init CTE (`<p>c0(cid, cv)`) — KMeansLite's

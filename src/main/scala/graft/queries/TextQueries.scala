@@ -816,10 +816,16 @@ object TextQueries extends QueryPack {
           .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
         val tf = words.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
         val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-        tf.withColumn("tb", pmod(hash(col("token")), lit(64)))
+        // cluster on tb before every partitionBy write (round-15,
+        // guide §6): an AQE-coalesced input otherwise writes all 64
+        // bucket dirs from ONE task — ~1 s of serial file creation per
+        // write here, and the tasks×buckets small-files blowup at scale
+        graft.sources.Sinks.clusterByPartition(
+            tf.withColumn("tb", pmod(hash(col("token")), lit(64))), "tb")
           .write.partitionBy("tb").parquet(s"$idx/postings")
-        tf.groupBy("token").agg(count(lit(1)).as("df"))
-          .withColumn("tb", pmod(hash(col("token")), lit(64)))
+        graft.sources.Sinks.clusterByPartition(
+            tf.groupBy("token").agg(count(lit(1)).as("df"))
+              .withColumn("tb", pmod(hash(col("token")), lit(64))), "tb")
           .write.partitionBy("tb").parquet(s"$idx/df")
         dl.write.parquet(s"$idx/dl")
         // stats land as ADDITIVE partials (sum_dl, n) — the t28 layout
@@ -871,10 +877,13 @@ object TextQueries extends QueryPack {
           val words = docs
             .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
           val tf = words.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-          tf.withColumn("tb", pmod(hash(col("token")), lit(64)))
+          // tb-clustered writes (t27's round-15 rationale)
+          graft.sources.Sinks.clusterByPartition(
+              tf.withColumn("tb", pmod(hash(col("token")), lit(64))), "tb")
             .write.mode("append").partitionBy("tb").parquet(s"$idx/postings")
-          tf.groupBy("token").agg(count(lit(1)).as("df"))
-            .withColumn("tb", pmod(hash(col("token")), lit(64)))
+          graft.sources.Sinks.clusterByPartition(
+              tf.groupBy("token").agg(count(lit(1)).as("df"))
+                .withColumn("tb", pmod(hash(col("token")), lit(64))), "tb")
             .write.mode("append").partitionBy("tb").parquet(s"$idx/df")
           val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
           dl.write.mode("append").parquet(s"$idx/dl")
@@ -930,10 +939,13 @@ object TextQueries extends QueryPack {
           .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
         val tf = words.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
         val dl0 = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-        tf.withColumn("tb", pmod(hash(col("token")), lit(64)))
+        // tb-clustered writes (t27's round-15 rationale)
+        graft.sources.Sinks.clusterByPartition(
+            tf.withColumn("tb", pmod(hash(col("token")), lit(64))), "tb")
           .write.partitionBy("tb").parquet(s"$idx/postings")
-        tf.groupBy("token").agg(count(lit(1)).as("df"))
-          .withColumn("tb", pmod(hash(col("token")), lit(64)))
+        graft.sources.Sinks.clusterByPartition(
+            tf.groupBy("token").agg(count(lit(1)).as("df"))
+              .withColumn("tb", pmod(hash(col("token")), lit(64))), "tb")
           .write.partitionBy("tb").parquet(s"$idx/df")
         dl0.write.parquet(s"$idx/dl")
         dl0.agg(sum("dl").as("sum_dl"), count(lit(1)).as("n"))
@@ -943,17 +955,19 @@ object TextQueries extends QueryPack {
           .select("doc_id").persist()
         val victimPostings = s.read.parquet(s"$idx/postings")
           .join(broadcast(del), "doc_id")
-        victimPostings.groupBy("token")
-          .agg((-count(lit(1))).as("df"))
-          .withColumn("tb", pmod(hash(col("token")), lit(64)))
+        graft.sources.Sinks.clusterByPartition(
+            victimPostings.groupBy("token")
+              .agg((-count(lit(1))).as("df"))
+              .withColumn("tb", pmod(hash(col("token")), lit(64))), "tb")
           .write.mode("append").partitionBy("tb").parquet(s"$idx/df")
         s.read.parquet(s"$idx/dl").join(broadcast(del), "doc_id")
           .agg((-coalesce(sum("dl"), lit(0L))).as("sum_dl"),
             (-count(lit(1))).as("n"))
           .write.mode("append").parquet(s"$idx/stats")
         graft.sources.Sinks.swapRewrite(fs, s"$idx/postings")(tmp =>
-          s.read.parquet(s"$idx/postings")
-            .join(broadcast(del), Seq("doc_id"), "left_anti")
+          graft.sources.Sinks.clusterByPartition(
+              s.read.parquet(s"$idx/postings")
+                .join(broadcast(del), Seq("doc_id"), "left_anti"), "tb")
             .write.partitionBy("tb").parquet(tmp))
         graft.sources.Sinks.swapRewrite(fs, s"$idx/dl")(tmp =>
           s.read.parquet(s"$idx/dl")
@@ -1007,13 +1021,17 @@ object TextQueries extends QueryPack {
           val words = docs
             .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
           val tf = words.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-          tf.withColumn("tb", pmod(hash(col("token")), lit(64)))
-            .withColumn("gen", lit(g))
+          // tb-clustered writes (t27's round-15 rationale; gen is one
+          // literal per call, so tb is the only spreading key)
+          graft.sources.Sinks.clusterByPartition(
+              tf.withColumn("tb", pmod(hash(col("token")), lit(64)))
+                .withColumn("gen", lit(g)), "tb")
             .write.mode("append").partitionBy("gen", "tb")
             .parquet(s"$idx/postings")
-          tf.groupBy("token").agg(count(lit(1)).as("df"))
-            .withColumn("tb", pmod(hash(col("token")), lit(64)))
-            .withColumn("gen", lit(g))
+          graft.sources.Sinks.clusterByPartition(
+              tf.groupBy("token").agg(count(lit(1)).as("df"))
+                .withColumn("tb", pmod(hash(col("token")), lit(64)))
+                .withColumn("gen", lit(g)), "tb")
             .write.mode("append").partitionBy("gen", "tb").parquet(s"$idx/df")
           val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
           dl.withColumn("gen", lit(g))
@@ -1097,13 +1115,16 @@ object TextQueries extends QueryPack {
           val words = docs
             .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
           val tf = words.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-          tf.withColumn("tb", pmod(hash(col("token")), lit(64)))
-            .withColumn("gen", lit(g))
+          // tb-clustered writes (t27's round-15 rationale)
+          graft.sources.Sinks.clusterByPartition(
+              tf.withColumn("tb", pmod(hash(col("token")), lit(64)))
+                .withColumn("gen", lit(g)), "tb")
             .write.mode("append").partitionBy("gen", "tb")
             .parquet(s"$idx/postings")
-          tf.groupBy("token").agg(count(lit(1)).as("df"))
-            .withColumn("tb", pmod(hash(col("token")), lit(64)))
-            .withColumn("gen", lit(g))
+          graft.sources.Sinks.clusterByPartition(
+              tf.groupBy("token").agg(count(lit(1)).as("df"))
+                .withColumn("tb", pmod(hash(col("token")), lit(64)))
+                .withColumn("gen", lit(g)), "tb")
             .write.mode("append").partitionBy("gen", "tb").parquet(s"$idx/df")
           val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
           dl.withColumn("gen", lit(g))

@@ -125,7 +125,8 @@ object Sinks {
       // zero rows leaves a schemaless dir (only _SUCCESS) that poisons
       // every later read-back of this sink
       if (routed.isEmpty) return
-      routed.write.mode(SaveMode.Overwrite).partitionBy("__bucket").parquet(path)
+      clusterByPartition(routed, "__bucket")
+        .write.mode(SaveMode.Overwrite).partitionBy("__bucket").parquet(path)
       return
     }
     val touched = routed.select("__bucket").distinct()
@@ -146,7 +147,9 @@ object Sinks {
     val tmp = path + "__upsert_tmp"
     val old = path + "__upsert_old"
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    routed.unionByName(survivors.select(routed.columns.map(col): _*))
+    clusterByPartition(
+        routed.unionByName(survivors.select(routed.columns.map(col): _*)),
+        "__bucket")
       .write.mode(SaveMode.Overwrite).partitionBy("__bucket").parquet(tmp)
     // swap each touched bucket via rename-aside: between the two renames
     // a bucket's live dir is absent but its data sits at __upsert_old —
@@ -453,8 +456,7 @@ object Sinks {
     // upsertBucketed writes nothing then, by design): nothing to compact
     if (!healSwap(fs, path)) return
     swapRewrite(fs, path) { tmp =>
-      transform(spark.read.parquet(path))
-        .repartition(col("__bucket"))
+      clusterByPartition(transform(spark.read.parquet(path)), "__bucket")
         .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
         .parquet(tmp)
     }
@@ -484,19 +486,41 @@ object Sinks {
     * accumulate invisible disk forever.
     */
   def committedPartitionedAppend(df: DataFrame, indexDir: String,
-                                 batchId: Long, partitionCol: String): Boolean =
-    committedGenWrite(df, indexDir, batchId, Some(partitionCol))
+                                 batchId: Long, partitionCol: String,
+                                 preClustered: Boolean = false): Boolean =
+    committedGenWrite(df, indexDir, batchId, Some(partitionCol), preClustered)
 
   /** [[committedPartitionedAppend]] without an inner partition level —
     * for small mergeable state (sketch partials) where per-gen
     * subdirectories would be pure overhead.
     */
   def committedAppend(df: DataFrame, indexDir: String, batchId: Long): Boolean =
-    committedGenWrite(df, indexDir, batchId, None)
+    committedGenWrite(df, indexDir, batchId, None, preClustered = true)
+
+  /** Cluster a frame on its inner partition column before a
+    * `partitionBy` write (round-15, guide §6 small files + §2.4): an
+    * unclustered write opens (tasks × partition values) files — the
+    * small-files problem at scale, and measured locally as the
+    * lifecycle tier's dominant cost in the OPPOSITE direction (a
+    * coalesced/AQE-coalesced input writes all ~64 partition dirs from
+    * ONE task, 1.1–2.3 s of serial file creation per append). The
+    * partition count is EXPLICIT (the session's shuffle-partition
+    * setting — scale-adaptive by conf, not a local constant) because an
+    * implicit `repartition(col)` is AQE-coalescible right back to the
+    * single-task write: AQE sizes by map-output bytes, which cannot see
+    * per-file creation cost. Result: ≤1 file per partition value per
+    * task wave, written in parallel.
+    */
+  private[graft] def clusterByPartition(df: DataFrame,
+                                        partitionCols: String*): DataFrame = {
+    val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    df.repartition(p, partitionCols.map(col): _*)
+  }
 
   private def committedGenWrite(df: DataFrame, indexDir: String,
                                 batchId: Long,
-                                partitionCol: Option[String]): Boolean = {
+                                partitionCol: Option[String],
+                                preClustered: Boolean): Boolean = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       df.sparkSession.sparkContext.hadoopConfiguration)
     val genDir = new org.apache.hadoop.fs.Path(s"$indexDir/gen=$batchId")
@@ -519,7 +543,11 @@ object Sinks {
            if st.getPath.getName.startsWith(".tmp_gen_"))
         fs.delete(st.getPath, true)
     val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/.tmp_gen_$batchId")
-    val w = df.write
+    val out = partitionCol match {
+      case Some(c) if !preClustered => clusterByPartition(df, c)
+      case _ => df
+    }
+    val w = out.write
     partitionCol.fold(w)(c => w.partitionBy(c)).parquet(tmp.toString)
     renameOrThrow(fs, tmp, genDir)
     true
@@ -783,8 +811,11 @@ object Sinks {
         case Some(c) =>
           // `sortWithin` re-clusters rows inside each rewritten file
           // (the bucketed-cell layout keeps rows cell-sorted so the
-          // serve's cell filter stays a row-group skip after a fold)
-          val rp = folded.repartition(col(c))
+          // serve's cell filter stays a row-group skip after a fold).
+          // EXPLICIT partition count (clusterByPartition's rationale):
+          // an implicit repartition(col) is AQE-coalescible to one
+          // task serially creating every partition dir.
+          val rp = clusterByPartition(folded, c)
           val rs = if (sortWithin.nonEmpty)
             rp.sortWithinPartitions(sortWithin.map(col): _*) else rp
           rs.write.partitionBy(c)

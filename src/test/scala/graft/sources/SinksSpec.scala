@@ -81,11 +81,19 @@ class SinksSpec extends SparkSpec {
     val before = Sinks.readUpserted(spark, path).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     val filesBefore = nParts
+    // round-15: upsert writes are bucket-clustered, so batches no longer
+    // accumulate one file per task per touched bucket — the steady state
+    // is already ≤1 file per bucket and compaction must PRESERVE it
+    // (the old assertion demanded a strict drop, which presupposed the
+    // small-files accumulation the clustered write now prevents)
+    assert(filesBefore <= 4,
+      s"clustered upserts must not accumulate small files (got $filesBefore)")
     Sinks.compactUpserted(spark, path)
     val after = Sinks.readUpserted(spark, path).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(after == before, "compaction must be row-identical")
-    assert(nParts < filesBefore, s"file count must drop ($filesBefore -> $nParts)")
+    assert(nParts <= filesBefore && nParts <= 4,
+      s"compaction must keep ≤1 file per bucket ($filesBefore -> $nParts)")
     // layout survives: a later upsert still finds its __bucket dirs
     Sinks.upsertBucketed(Seq((7L, "POST")).toDF("id", "v"), path, "id", numBuckets = 4)
     val post = Sinks.readUpserted(spark, path).collect()
