@@ -56,6 +56,18 @@ object Bench {
         .config("spark.ui.retainedStages", "100")
         .config("spark.ui.retainedTasks", "10000")
         .config("spark.sql.ui.retainedExecutions", "10")
+        // committer v2: task output is published at TASK commit
+        // (parallel) instead of the driver serially merging per-task
+        // dirs at job commit. v1's stronger job-commit atomicity buys
+        // nothing here — every persisted store in this library already
+        // wraps its writes in a tmp-dir + single-rename protocol one
+        // level above the committer (Sinks.committedGenWrite /
+        // swapRewrite / atomicParquetCommit) — while its driver-side
+        // merge costs O(task dirs) per write on a suite that performs
+        // hundreds of small store writes. Same setting recommended for
+        // production deployments of these sinks wherever the writer
+        // layer owns atomicity.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       // warmup: parquet footers (and, pass 1, JVM/codegen spin-up), so

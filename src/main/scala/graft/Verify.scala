@@ -24,6 +24,10 @@ object Verify {
       .config("spark.ui.retainedStages", "100")
       .config("spark.ui.retainedTasks", "10000")
       .config("spark.sql.ui.retainedExecutions", "10")
+      // committer v2 — see Bench.mkSession: the store layer above owns
+      // write atomicity (tmp + rename), v1's serial job-commit merge
+      // is pure driver cost on a many-small-writes suite
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

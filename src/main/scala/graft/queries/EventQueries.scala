@@ -168,6 +168,39 @@ object EventQueries extends QueryPack {
     outDir
   }
 
+  /** Streamed BM25 landing shared by e24/e33 (round-15): per-batch tf
+    * persisted and materialized once (the four tables re-derived it),
+    * the four exactly-once committed appends submitted CONCURRENTLY
+    * (guide §2.6 — four independent stores, four independent jobs).
+    * Returns whether ANY table actually wrote (e24's replay signal).
+    */
+  private def landBm25Committed(batch: org.apache.spark.sql.DataFrame,
+                                idx: String, bid: Long): Boolean = {
+    val tf = TextQueries.tfOf(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      tf.count()
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val writes: Seq[() => Boolean] = Seq(
+        () => graft.sources.Sinks.committedPartitionedAppend(
+          tf.withColumn("tb", pmod(hash(col("token")), lit(64))),
+          s"$idx/postings", bid, "tb"),
+        () => graft.sources.Sinks.committedPartitionedAppend(
+          tf.groupBy("token").agg(count(lit(1)).as("df"))
+            .withColumn("tb", pmod(hash(col("token")), lit(64))),
+          s"$idx/df", bid, "tb"),
+        () => graft.sources.Sinks.committedAppend(dl, s"$idx/dl", bid),
+        () => graft.sources.Sinks.committedAppend(
+          dl.agg(sum("dl").as("sum_dl"), count(lit(1)).as("n")),
+          s"$idx/stats", bid))
+      Await.result(Future.sequence(writes.map(w => Future(w()))),
+        Duration.Inf).exists(identity)
+    } finally tf.unpersist()
+  }
+
   def all: Seq[Q] = Seq(
 
     // ---- Tumbling 1-hour window aggregate (streaming dual: groupBy
@@ -595,24 +628,9 @@ object EventQueries extends QueryPack {
         val idx = Scratch.dir("graft_e24_idx_").toString
         val stage = Scratch.dir("graft_e24_stage_").toString
         val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-        def land(batch: org.apache.spark.sql.DataFrame, bid: Long): Boolean = {
-          val words = batch
-            .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-          val tf = words.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-          val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-          val a = graft.sources.Sinks.committedPartitionedAppend(
-            tf.withColumn("tb", pmod(hash(col("token")), lit(64))),
-            s"$idx/postings", bid, "tb")
-          val b = graft.sources.Sinks.committedPartitionedAppend(
-            tf.groupBy("token").agg(count(lit(1)).as("df"))
-              .withColumn("tb", pmod(hash(col("token")), lit(64))),
-            s"$idx/df", bid, "tb")
-          val c = graft.sources.Sinks.committedAppend(dl, s"$idx/dl", bid)
-          val e = graft.sources.Sinks.committedAppend(
-            dl.agg(sum("dl").as("sum_dl"), count(lit(1)).as("n")),
-            s"$idx/stats", bid)
-          a || b || c || e
-        }
+        // persisted-tf, concurrent committed landing (round-15 helper)
+        def land(batch: org.apache.spark.sql.DataFrame, bid: Long): Boolean =
+          landBm25Committed(batch, idx, bid)
         docs.where(col("doc_id") % 2 === 0)
           .coalesce(1).write.mode("append").parquet(stage)
         val stream = s.readStream
@@ -1340,23 +1358,9 @@ object EventQueries extends QueryPack {
         val idx = base.resolve("idx").toString
         val stage = base.resolve("stage").toString
         val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        // persisted-tf, concurrent committed landing (round-15 helper)
         def land(batch: org.apache.spark.sql.DataFrame, bid: Long): Unit = {
-          val words = batch
-            .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-          val tf = words.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-          val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-          graft.sources.Sinks.committedPartitionedAppend(
-            tf.withColumn("tb", pmod(hash(col("token")), lit(64))),
-            s"$idx/postings", bid, "tb")
-          graft.sources.Sinks.committedPartitionedAppend(
-            tf.groupBy("token").agg(count(lit(1)).as("df"))
-              .withColumn("tb", pmod(hash(col("token")), lit(64))),
-            s"$idx/df", bid, "tb")
-          graft.sources.Sinks.committedAppend(dl, s"$idx/dl", bid)
-          graft.sources.Sinks.committedAppend(
-            dl.agg(sum("dl").as("sum_dl"), count(lit(1)).as("n")),
-            s"$idx/stats", bid)
-          ()
+          landBm25Committed(batch, idx, bid); ()
         }
         docs.where(col("doc_id") % 2 === 0)
           .coalesce(1).write.mode("append").parquet(stage)

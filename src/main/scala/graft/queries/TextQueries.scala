@@ -205,15 +205,78 @@ object TextQueries extends QueryPack {
     */
   private[graft] def compactBm25(s: org.apache.spark.sql.SparkSession,
                                    idx: String): Unit = {
-    graft.sources.Sinks.compactGenerations(s, s"$idx/postings", Some("tb"))
-    graft.sources.Sinks.rewriteGenerations(s, s"$idx/df", Some("tb"),
-      df => df.groupBy("token", "tb").agg(sum("df").as("df"))
-        .where(col("df") > 0)
-        .select("token", "df", "tb"))
-    graft.sources.Sinks.compactGenerations(s, s"$idx/dl", None)
-    graft.sources.Sinks.rewriteGenerations(s, s"$idx/stats", None,
-      st => st.agg(sum("sum_dl").as("sum_dl"), sum("n").as("n")))
+    // four independent per-table folds — concurrent jobs (guide §2.6,
+    // round-15); each fold's manifest-then-swap protocol is per-dir
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(Seq(
+      Future(graft.sources.Sinks.compactGenerations(
+        s, s"$idx/postings", Some("tb"))),
+      Future(graft.sources.Sinks.rewriteGenerations(s, s"$idx/df", Some("tb"),
+        df => df.groupBy("token", "tb").agg(sum("df").as("df"))
+          .where(col("df") > 0)
+          .select("token", "df", "tb"))),
+      Future(graft.sources.Sinks.compactGenerations(s, s"$idx/dl", None)),
+      Future(graft.sources.Sinks.rewriteGenerations(s, s"$idx/stats", None,
+        st => st.agg(sum("sum_dl").as("sum_dl"), sum("n").as("n")))))),
+      Duration.Inf)
   }
+
+  /** Land the four BM25 index tables (postings, df, dl, stats) from one
+    * batch's term frequencies — shared by t27/t28/t29/t32/t33 (round-15).
+    * Two measured fixes over the per-gate inline writes:
+    *  1. `tf` is persisted and materialized ONCE — the four table writes
+    *     each re-derived the tokenize + groupBy pipeline (4 passes);
+    *  2. the four writes are INDEPENDENT jobs submitted concurrently
+    *     (guide §2.6 — actions are only sequential because the driver
+    *     calls them sequentially; each write's task tail leaves cores
+    *     idle that the next write can fill).
+    * Row content is identical to the sequential form; only scheduling
+    * changes. `gen` adds the generation partition level (t32/t33).
+    */
+  private[queries] def landBm25Tables(s: org.apache.spark.sql.SparkSession,
+                                      tf0: org.apache.spark.sql.DataFrame,
+                                      idx: String, mode: String,
+                                      gen: Option[Long] = None): Unit = {
+    val tf = tf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      tf.count() // materialize once; the four writes read the cache
+      def withGen(df: org.apache.spark.sql.DataFrame) =
+        gen.map(g => df.withColumn("gen", lit(g))).getOrElse(df)
+      val pcols = gen.map(_ => Seq("gen", "tb")).getOrElse(Seq("tb"))
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val writes = Seq(
+        () => graft.sources.Sinks.clusterByPartition(
+            withGen(tf.withColumn("tb", pmod(hash(col("token")), lit(64)))),
+            "tb")
+          .write.mode(mode).partitionBy(pcols: _*).parquet(s"$idx/postings"),
+        () => graft.sources.Sinks.clusterByPartition(
+            withGen(tf.groupBy("token").agg(count(lit(1)).as("df"))
+              .withColumn("tb", pmod(hash(col("token")), lit(64)))), "tb")
+          .write.mode(mode).partitionBy(pcols: _*).parquet(s"$idx/df"),
+        () => {
+          val w = withGen(dl).write.mode(mode)
+          gen.fold(w)(_ => w.partitionBy("gen")).parquet(s"$idx/dl")
+        },
+        () => {
+          val st = withGen(dl.agg(sum("dl").as("sum_dl"),
+            count(lit(1)).as("n")))
+          val w = st.write.mode(mode)
+          gen.fold(w)(_ => w.partitionBy("gen")).parquet(s"$idx/stats")
+        })
+      Await.result(Future.sequence(writes.map(w => Future(w()))), Duration.Inf)
+    } finally tf.unpersist()
+  }
+
+  /** the shared (doc_id, token, tf) batch aggregation the landers feed */
+  private[queries] def tfOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
 
   private val stopEn = "('the','a')"
   private val stopDe = "('der','die','das')"
@@ -812,27 +875,12 @@ object TextQueries extends QueryPack {
     Q("t27_bm25_index_served",
       (s, d) => {
         val idx = Scratch.dir("graft_t27_").toString
-        val words = Tables.documents(s, d)
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-        val tf = words.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-        val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-        // cluster on tb before every partitionBy write (round-15,
-        // guide §6): an AQE-coalesced input otherwise writes all 64
-        // bucket dirs from ONE task — ~1 s of serial file creation per
-        // write here, and the tasks×buckets small-files blowup at scale
-        graft.sources.Sinks.clusterByPartition(
-            tf.withColumn("tb", pmod(hash(col("token")), lit(64))), "tb")
-          .write.partitionBy("tb").parquet(s"$idx/postings")
-        graft.sources.Sinks.clusterByPartition(
-            tf.groupBy("token").agg(count(lit(1)).as("df"))
-              .withColumn("tb", pmod(hash(col("token")), lit(64))), "tb")
-          .write.partitionBy("tb").parquet(s"$idx/df")
-        dl.write.parquet(s"$idx/dl")
-        // stats land as ADDITIVE partials (sum_dl, n) — the t28 layout
-        // from day one, so serve reduces them identically whether the
-        // index was built once or grown incrementally
-        dl.agg(sum("dl").as("sum_dl"), count(lit(1)).as("n"))
-          .write.parquet(s"$idx/stats")
+        // one persisted tf, tb-clustered writes, four tables landed
+        // concurrently — landBm25Tables (round-15); stats land as
+        // ADDITIVE partials (sum_dl, n), the t28 layout from day one,
+        // so serve reduces them identically whether the index was
+        // built once or grown incrementally
+        landBm25Tables(s, tfOf(Tables.documents(s, d)), idx, "error")
         // ---- query SELECTION (harness-side, not serve): the 5
         // highest-df terms keep the gate deterministic. Serve itself
         // receives the terms and reads df through the same bucket
@@ -873,23 +921,10 @@ object TextQueries extends QueryPack {
     Q("t28_bm25_index_append",
       (s, d) => {
         val idx = Scratch.dir("graft_t28_").toString
-        def indexBatch(docs: org.apache.spark.sql.DataFrame): Unit = {
-          val words = docs
-            .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-          val tf = words.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-          // tb-clustered writes (t27's round-15 rationale)
-          graft.sources.Sinks.clusterByPartition(
-              tf.withColumn("tb", pmod(hash(col("token")), lit(64))), "tb")
-            .write.mode("append").partitionBy("tb").parquet(s"$idx/postings")
-          graft.sources.Sinks.clusterByPartition(
-              tf.groupBy("token").agg(count(lit(1)).as("df"))
-                .withColumn("tb", pmod(hash(col("token")), lit(64))), "tb")
-            .write.mode("append").partitionBy("tb").parquet(s"$idx/df")
-          val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-          dl.write.mode("append").parquet(s"$idx/dl")
-          dl.agg(sum("dl").as("sum_dl"), count(lit(1)).as("n"))
-            .write.mode("append").parquet(s"$idx/stats")
-        }
+        // one persisted tf + concurrent 4-table landing per batch
+        // (landBm25Tables, round-15)
+        def indexBatch(docs: org.apache.spark.sql.DataFrame): Unit =
+          landBm25Tables(s, tfOf(docs), idx, "append")
         val docs = Tables.documents(s, d)
         indexBatch(docs.where(col("doc_id") % 5 =!= 0)) // standing corpus
         indexBatch(docs.where(col("doc_id") % 5 === 0)) // appended batch
@@ -935,21 +970,8 @@ object TextQueries extends QueryPack {
         val fs = org.apache.hadoop.fs.FileSystem.get(
           s.sparkContext.hadoopConfiguration)
         val docs = Tables.documents(s, d)
-        val words = docs
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-        val tf = words.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-        val dl0 = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-        // tb-clustered writes (t27's round-15 rationale)
-        graft.sources.Sinks.clusterByPartition(
-            tf.withColumn("tb", pmod(hash(col("token")), lit(64))), "tb")
-          .write.partitionBy("tb").parquet(s"$idx/postings")
-        graft.sources.Sinks.clusterByPartition(
-            tf.groupBy("token").agg(count(lit(1)).as("df"))
-              .withColumn("tb", pmod(hash(col("token")), lit(64))), "tb")
-          .write.partitionBy("tb").parquet(s"$idx/df")
-        dl0.write.parquet(s"$idx/dl")
-        dl0.agg(sum("dl").as("sum_dl"), count(lit(1)).as("n"))
-          .write.parquet(s"$idx/stats")
+        // one persisted tf + concurrent 4-table landing (round-15)
+        landBm25Tables(s, tfOf(docs), idx, "error")
         // ---- the takedown: doc_id % 10 == 0 must be forgotten
         val del = docs.where(col("doc_id") % 10 === 0)
           .select("doc_id").persist()
@@ -1017,29 +1039,11 @@ object TextQueries extends QueryPack {
       (s, d) => {
         val base = Scratch.dir("graft_t32_")
         val idx = base.resolve("idx").toString
-        def land(docs: org.apache.spark.sql.DataFrame, g: Long): Unit = {
-          val words = docs
-            .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-          val tf = words.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-          // tb-clustered writes (t27's round-15 rationale; gen is one
-          // literal per call, so tb is the only spreading key)
-          graft.sources.Sinks.clusterByPartition(
-              tf.withColumn("tb", pmod(hash(col("token")), lit(64)))
-                .withColumn("gen", lit(g)), "tb")
-            .write.mode("append").partitionBy("gen", "tb")
-            .parquet(s"$idx/postings")
-          graft.sources.Sinks.clusterByPartition(
-              tf.groupBy("token").agg(count(lit(1)).as("df"))
-                .withColumn("tb", pmod(hash(col("token")), lit(64)))
-                .withColumn("gen", lit(g)), "tb")
-            .write.mode("append").partitionBy("gen", "tb").parquet(s"$idx/df")
-          val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-          dl.withColumn("gen", lit(g))
-            .write.mode("append").partitionBy("gen").parquet(s"$idx/dl")
-          dl.agg(sum("dl").as("sum_dl"), count(lit(1)).as("n"))
-            .withColumn("gen", lit(g))
-            .write.mode("append").partitionBy("gen").parquet(s"$idx/stats")
-        }
+        // one persisted tf + concurrent 4-table generational landing
+        // (landBm25Tables, round-15; gen is one literal per call, so tb
+        // is the only spreading key)
+        def land(docs: org.apache.spark.sql.DataFrame, g: Long): Unit =
+          landBm25Tables(s, tfOf(docs), idx, "append", gen = Some(g))
         val docs = Tables.documents(s, d)
         land(docs.where(col("doc_id") % 2 === 0), 0L)
         land(docs.where(col("doc_id") % 2 === 1), 1L)
@@ -1111,28 +1115,10 @@ object TextQueries extends QueryPack {
     Q("t33_bm25_index_compact",
       (s, d) => {
         val idx = Scratch.dir("graft_t33_").resolve("idx").toString
-        def land(docs: org.apache.spark.sql.DataFrame, g: Long): Unit = {
-          val words = docs
-            .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-          val tf = words.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-          // tb-clustered writes (t27's round-15 rationale)
-          graft.sources.Sinks.clusterByPartition(
-              tf.withColumn("tb", pmod(hash(col("token")), lit(64)))
-                .withColumn("gen", lit(g)), "tb")
-            .write.mode("append").partitionBy("gen", "tb")
-            .parquet(s"$idx/postings")
-          graft.sources.Sinks.clusterByPartition(
-              tf.groupBy("token").agg(count(lit(1)).as("df"))
-                .withColumn("tb", pmod(hash(col("token")), lit(64)))
-                .withColumn("gen", lit(g)), "tb")
-            .write.mode("append").partitionBy("gen", "tb").parquet(s"$idx/df")
-          val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-          dl.withColumn("gen", lit(g))
-            .write.mode("append").partitionBy("gen").parquet(s"$idx/dl")
-          dl.agg(sum("dl").as("sum_dl"), count(lit(1)).as("n"))
-            .withColumn("gen", lit(g))
-            .write.mode("append").partitionBy("gen").parquet(s"$idx/stats")
-        }
+        // one persisted tf + concurrent 4-table generational landing
+        // (landBm25Tables, round-15)
+        def land(docs: org.apache.spark.sql.DataFrame, g: Long): Unit =
+          landBm25Tables(s, tfOf(docs), idx, "append", gen = Some(g))
         val docs = Tables.documents(s, d)
         land(docs.where(col("doc_id") % 2 === 0), 0L)
         land(docs.where(col("doc_id") % 2 === 1), 1L)

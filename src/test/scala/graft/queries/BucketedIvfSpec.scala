@@ -259,6 +259,36 @@ class BucketedIvfSpec extends SparkSpec {
       Set(7L, 23L))
   }
 
+  test("frame-driven serve scan (round-15): bounded driver payload, both " +
+       "dispatch arms row-identical to the array form") {
+    import spark.implicits._
+    val dir = Scratch.dir("bivf_frame_").resolve("ivf").toString
+    synthStore(dir, cells = 200, buckets = 8)
+    val probed = Array(3L, 11L, 19L, 27L, 35L, 43L, 51L, 59L, 67L, 75L,
+      83L, 91L)
+    val probeDf = probed.toSeq.toDF("cell")
+    val viaArray = graft.operators.VectorOps.prunedCellScan(spark, dir, probed)
+      .collect().map(_.toSeq).toSet
+    // small probe: the limit(isinMax+1) slice fits → the literal arm
+    val small = graft.operators.VectorOps
+      .prunedCellScanFromFrame(spark, dir, probeDf)
+    assert(small.queryExecution.executedPlan.toString.contains("In(cell") ||
+      small.queryExecution.executedPlan.toString.contains("isin"))
+    assert(small.collect().map(_.toSeq).toSet === viaArray)
+    // forced-big probe: only buckets (≤ B) cross the driver; the cell
+    // filter is the broadcast semi-join fed from the FRAME
+    spark.conf.set("graft.ivf.isinMaxCells", "4")
+    try {
+      val big = graft.operators.VectorOps
+        .prunedCellScanFromFrame(spark, dir, probeDf)
+      val p = big.queryExecution.executedPlan.toString
+      assert(p.contains("PartitionFilters: [") && p.contains("cell_bucket"),
+        s"the static bucket prune must survive the frame path:\n$p")
+      assert(p.contains("LeftSemi"), s"expected the semi-join arm:\n$p")
+      assert(big.collect().map(_.toSeq).toSet === viaArray)
+    } finally spark.conf.unset("graft.ivf.isinMaxCells")
+  }
+
   test("the bucketed serve equals the flat serve (layout invisible in " +
        "results): s27 == s14, s26 family == s24") {
     val bucketed = graft.SparkEntry.queries("s27_ivf_bucketed_append")(spark, sfDir)
