@@ -58,15 +58,19 @@ object Bench {
         .config("spark.sql.ui.retainedExecutions", "10")
         // committer v2: task output is published at TASK commit
         // (parallel) instead of the driver serially merging per-task
-        // dirs at job commit. v1's stronger job-commit atomicity buys
-        // nothing here — every persisted store in this library already
-        // wraps its writes in a tmp-dir + single-rename protocol one
-        // level above the committer (Sinks.committedGenWrite /
-        // swapRewrite / atomicParquetCommit) — while its driver-side
-        // merge costs O(task dirs) per write on a suite that performs
-        // hundreds of small store writes. Same setting recommended for
-        // production deployments of these sinks wherever the writer
-        // layer owns atomicity.
+        // dirs at job commit — that merge costs O(task dirs) per write
+        // on a suite performing hundreds of small store writes. SCOPE
+        // (ADVICE r15): v2 trades job-commit atomicity for speed, so it
+        // is only safe where a layer above the committer owns atomicity
+        // (Sinks.committedGenWrite / swapRewrite / atomicParquetCommit)
+        // OR where a mid-job failure fails the whole run before anything
+        // reads the store — which is every gate here: Bench/Verify abort
+        // on the first failed gate, so a torn direct-mode append (e.g. a
+        // landBm25Tables append) is never served. A production
+        // deployment should set v2 only for jobs whose sinks go through
+        // the committed/swap protocols, and keep v1 (or route through
+        // those sinks) for bare .mode("append") writes that survive a
+        // failed job.
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")
@@ -158,6 +162,15 @@ object Bench {
           catch { case _: Throwable => errors += name; false }
         val sec = (System.nanoTime() - t0) / 1e9
         if (ok) samples(name) = sec :: samples.getOrElse(name, Nil)
+        // reclaim the gate's scratch stores OFF the clock (round-16
+        // measurement-hygiene fix, disclosed in OPTIMIZATION_r16.md):
+        // un-swept stores accumulated ~2k dirs per sweep and grew the
+        // temp base without bound across runs, drifting the FS-heavy
+        // lifecycle gates 1.2-1.5x slower as the session aged — every
+        // gate now runs against a clean temp base, which is also what
+        // makes isolated and full-sweep numbers comparable. The timed
+        // action above is unchanged.
+        graft.queries.Scratch.sweep()
       }
       itersRun += 1
     }
@@ -180,6 +193,7 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { case _: Throwable => () } // bench output must never fail the run
+    graft.queries.Scratch.sweepAll() // reclaim pinned fixtures too
     spark.stop()
     if (errors.nonEmpty) System.err.println(s"BENCH FAILURES: ${errors.mkString(", ")}")
   }

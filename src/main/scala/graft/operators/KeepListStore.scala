@@ -428,14 +428,9 @@ object KeepListStore {
         // the two state tables are independent writes under one tmp —
         // submit them concurrently (guide §2.6); the atomic publish is
         // still the single rename AFTER both complete
-        locally {
-          import scala.concurrent.{Await, Future}
-          import scala.concurrent.duration.Duration
-          import scala.concurrent.ExecutionContext.Implicits.global
-          Await.result(Future.sequence(Seq(
-            Future(assign.write.parquet(s"$tmp/assign")),
-            Future(remap.write.parquet(s"$tmp/remap")))), Duration.Inf)
-        }
+        Sinks.awaitAllWrites(spark, Seq(
+          () => assign.write.parquet(s"$tmp/assign"),
+          () => remap.write.parquet(s"$tmp/remap")))
         Sinks.renameOrThrow(fs, tmp, stateDir)
       }
       // the sink clusters on hb with explicit parallelism (round-15:

@@ -569,11 +569,22 @@ object MinHashLSH {
     // an overflow discards the slice and routes to the distributed
     // fixpoint. Non-comparable id types never collect at all.
     val lim = math.min(driverSolveLimit, Int.MaxValue - 2L).toInt
+    // TIERED probe (ADVICE r15): the single-action limit-collect stays
+    // the whole dispatch for the common case (gate-scale batches fit in
+    // the 64k probe), but a frame that overflows the probe no longer
+    // ships up to lim+1 (~2M) rows to the driver just to discard them —
+    // one count of the (now materialized) cache decides, and only a
+    // frame that truly fits is then collected, straight off the cache.
+    val probeLim = math.min(lim, 1 << 16)
     val fastRows =
-      if (comparableIdType(idType)) {
-        val r = sub.limit(lim + 1).collect()
-        if (r.length <= lim) Some(r) else None
-      } else None
+      if (!comparableIdType(idType)) None
+      else {
+        val r = sub.limit(probeLim + 1).collect()
+        if (r.length <= probeLim) Some(r) // limit n+1 of ≤n rows = complete
+        else if (probeLim == lim) None
+        else if (sub.count() <= lim) Some(sub.collect())
+        else None
+      }
     val out = fastRows match {
       case Some(rows) =>
         val keep = unionFindKeep(rows)

@@ -709,6 +709,44 @@ object VectorOps {
       graft.sources.Sinks.rewriteGenerations(spark, indexDir, Some("cell"), keep)
   }
 
+  /** Shared serve-scan refusal guards (ADVICE r15: the array- and
+    * frame-driven serve entry points duplicated these — one copy so a
+    * future edit to the refusal behavior cannot silently diverge).
+    * An as-of snapshot must not predate the compaction horizon (folded
+    * generations are not reconstructible) and must fit the int
+    * partition-value range (`gen` is discovery-typed int; a silent
+    * toInt would wrap past 2^31 generations and serve the wrong
+    * snapshot).
+    */
+  private def assertAsOfServable(fs: org.apache.hadoop.fs.FileSystem,
+                                 indexDir: String,
+                                 asOf: Option[Long]): Unit =
+    for (a <- asOf) {
+      for (m <- graft.sources.Sinks.maxFoldedGen(fs, indexDir) if m > a)
+        throw new IllegalStateException(
+          s"as-of gen $a predates the compaction horizon $m of $indexDir — " +
+            "folded generations are not reconstructible; snapshot before " +
+            "compacting or keep more history")
+      require(a <= Int.MaxValue,
+        s"as-of gen $a exceeds the int partition-value range of $indexDir")
+    }
+
+  /** The marker cell-TYPE assert of the serve contract (VERDICT r13
+    * directive 8): a drift between the __layout marker's recorded cell
+    * type and the scanned schema is the silent-wrong-probe class
+    * (Int-truncated ids past 2^31) and must refuse loudly.
+    */
+  private def assertMarkerCellType(fs: org.apache.hadoop.fs.FileSystem,
+                                   indexDir: String, base: DataFrame): Unit =
+    for (ct <- graft.sources.Sinks.readLayoutCellType(fs, indexDir)) {
+      val actual = base.schema("cell").dataType.sql.toLowerCase
+      require(actual == ct,
+        s"$indexDir records cell type '$ct' in its __layout marker " +
+          s"but the store scans as '$actual' — a type drift here is " +
+          "the silent-wrong-probe class (Int-truncated ids past 2^31); " +
+          "rebuild the store or fix the writer")
+    }
+
   /** The probed-cell SERVE SCAN over a persisted cell store, layout-
     * dispatched on the __layout marker — ONE copy of the contract every
     * IVF serve (flat s13-s19, two-level s20-s23, dist s24/s25, bucketed
@@ -743,28 +781,11 @@ object VectorOps {
                      asOf: Option[Long] = None): DataFrame = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    for (a <- asOf) {
-      for (m <- graft.sources.Sinks.maxFoldedGen(fs, indexDir) if m > a)
-        throw new IllegalStateException(
-          s"as-of gen $a predates the compaction horizon $m of $indexDir — " +
-            "folded generations are not reconstructible; snapshot before " +
-            "compacting or keep more history")
-      // partition discovery types `gen` as int; a silent a.toInt would
-      // wrap past 2^31 generations and serve the wrong snapshot
-      require(a <= Int.MaxValue,
-        s"as-of gen $a exceeds the int partition-value range of $indexDir")
-    }
+    assertAsOfServable(fs, indexDir, asOf)
     val scan = graft.sources.Sinks.layoutMarkerOpt(fs, indexDir) match {
       case Some(b) =>
         val base = spark.read.parquet(indexDir)
-        for (ct <- graft.sources.Sinks.readLayoutCellType(fs, indexDir)) {
-          val actual = base.schema("cell").dataType.sql.toLowerCase
-          require(actual == ct,
-            s"$indexDir records cell type '$ct' in its __layout marker " +
-              s"but the store scans as '$actual' — a type drift here is " +
-              "the silent-wrong-probe class (Int-truncated ids past 2^31); " +
-              "rebuild the store or fix the writer")
-        }
+        assertMarkerCellType(fs, indexDir, base)
         val bks = probed.map(c => (((c % b) + b) % b).toInt).distinct.sorted
         val bucketPruned = base.where(col("cell_bucket").isin(bks: _*))
         val isinMax = spark.conf.getOption("graft.ivf.isinMaxCells")
@@ -818,26 +839,11 @@ object VectorOps {
       return prunedCellScan(spark, indexDir, slice.sorted, asOf)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    for (a <- asOf) {
-      for (m <- graft.sources.Sinks.maxFoldedGen(fs, indexDir) if m > a)
-        throw new IllegalStateException(
-          s"as-of gen $a predates the compaction horizon $m of $indexDir — " +
-            "folded generations are not reconstructible; snapshot before " +
-            "compacting or keep more history")
-      require(a <= Int.MaxValue,
-        s"as-of gen $a exceeds the int partition-value range of $indexDir")
-    }
+    assertAsOfServable(fs, indexDir, asOf)
     graft.sources.Sinks.layoutMarkerOpt(fs, indexDir) match {
       case Some(b) =>
         val base = spark.read.parquet(indexDir)
-        for (ct <- graft.sources.Sinks.readLayoutCellType(fs, indexDir)) {
-          val actual = base.schema("cell").dataType.sql.toLowerCase
-          require(actual == ct,
-            s"$indexDir records cell type '$ct' in its __layout marker " +
-              s"but the store scans as '$actual' — a type drift here is " +
-              "the silent-wrong-probe class (Int-truncated ids past 2^31); " +
-              "rebuild the store or fix the writer")
-        }
+        assertMarkerCellType(fs, indexDir, base)
         // distinct BUCKETS from the frame — ≤ B rows by construction
         val bks = cells
           .select(pmod(col("cell"), lit(b.toLong)).cast("int").as("cb"))

@@ -960,10 +960,13 @@ object DedupQueries extends QueryPack {
           .select(col("ia"), col("ib"), round(col("cos"), 6).as("cos"))
           .where(col("cos") > 0.3)
         val pairKey = concat(col("ia"), lit("_"), col("ib"))
-        val edges = pairs.select(col("ia").as("vec_id"),
-            lit(0).as("band"), pairKey.as("h"))
-          .union(pairs.select(col("ib").as("vec_id"),
-            lit(0).as("band"), pairKey.as("h")))
+        // one pass over the verified-pair join (round-16): the old
+        // union-of-selects re-executed the cosine pair join per branch;
+        // explode emits both endpoints from a single scan — identical
+        // row multiset into the order-free closure
+        val edges = pairs.select(
+          explode(array(col("ia"), col("ib"))).as("vec_id"),
+          lit(0).as("band"), pairKey.as("h"))
         val closed = MinHashLSH.convergeKeepList(edges, "vec_id")
         e.select("vec_id").join(closed, Seq("vec_id"), "left")
           .select(col("vec_id"),

@@ -44,7 +44,9 @@ object EventQueries extends QueryPack {
   private def stageEvents(s: org.apache.spark.sql.SparkSession, d: String,
                           copies: Int = 1): String = {
     val base = stagedBase.computeIfAbsent((s, d, copies), { _ =>
-      val dir = Scratch.dir("graft_stream_base_").toString
+      // pinnedDir: this dir outlives any single gate (memoized per
+      // session) — the per-gate Scratch.sweep must not reclaim it
+      val dir = Scratch.pinnedDir("graft_stream_base_").toString
       val df = Tables.events(s, d).select(eventCols.map(col): _*)
       df.coalesce(1).write.mode("overwrite").parquet(dir)
       for (_ <- 2 to copies) df.coalesce(1).write.mode("append").parquet(dir)
@@ -181,9 +183,6 @@ object EventQueries extends QueryPack {
     try {
       tf.count()
       val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
       val writes: Seq[() => Boolean] = Seq(
         () => graft.sources.Sinks.committedPartitionedAppend(
           tf.withColumn("tb", pmod(hash(col("token")), lit(64))),
@@ -196,8 +195,10 @@ object EventQueries extends QueryPack {
         () => graft.sources.Sinks.committedAppend(
           dl.agg(sum("dl").as("sum_dl"), count(lit(1)).as("n")),
           s"$idx/stats", bid))
-      Await.result(Future.sequence(writes.map(w => Future(w()))),
-        Duration.Inf).exists(identity)
+      // all-settled + sibling-cancel (ADVICE r15): the unpersist below
+      // must never run while a failed batch's siblings still read tf
+      graft.sources.Sinks.awaitAllWrites(batch.sparkSession, writes)
+        .exists(identity)
     } finally tf.unpersist()
   }
 

@@ -885,7 +885,7 @@ object ExtractQueries extends QueryPack {
     // literal content.
     Q("x24_reference_list",
       (s, d) => {
-        val f = java.nio.file.Files.createTempFile("graft_x24_", ".txt")
+        val f = Scratch.file("graft_x24_", ".txt")
         java.nio.file.Files.writeString(f,
           "5A_1/2019 BGE_120_II_31\n\n4C_2/2005 BGE_121_III_44\n  \n1P_3/2001 BGE_99_IA_5\n")
         graft.sources.Ingest.referenceList(s, f.toString)

@@ -248,10 +248,13 @@ object MultimodalQueries extends QueryPack {
         val pairs = graft.operators.HammingLSH
           .nearDupPairs(hashes, "doc_id", "ahash", bits = 48, bands = 4)
         val pairKey = concat(col("id_a"), lit("_"), col("id_b"))
-        val edges = pairs.select(col("id_a").as("doc_id"),
-            lit(0).as("band"), pairKey.as("h"))
-          .union(pairs.select(col("id_b").as("doc_id"),
-            lit(0).as("band"), pairKey.as("h")))
+        // one pass over the verified-pair join (round-16): the old
+        // union-of-selects re-executed the banded hamming join per
+        // branch; explode emits both endpoints from a single scan —
+        // identical row multiset into the order-free closure
+        val edges = pairs.select(
+          explode(array(col("id_a"), col("id_b"))).as("doc_id"),
+          lit(0).as("band"), pairKey.as("h"))
         // the fixpoint loops ONLY over pair-graph members (edges are
         // explicit here, unlike the text tier's content buckets) —
         // singletons can never merge, so they skip the iterative rounds

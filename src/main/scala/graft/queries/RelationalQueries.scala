@@ -171,7 +171,7 @@ object RelationalQueries extends QueryPack {
     // semantics are idempotence across RUNS, not a row transform).
     Q("k1_jsonl_roundtrip",
       (s, d) => {
-        val out = java.nio.file.Files.createTempDirectory("graft_k1_").toString
+        val out = Scratch.dir("graft_k1_").toString
         graft.sources.Sinks.writeJsonl(
           Tables.nation(s, d).select(col("n_nationkey"), col("n_name")), out)
         // reader-side registration: resolves .xz even when the write
@@ -205,7 +205,7 @@ object RelationalQueries extends QueryPack {
 
     Q("k2_csv_drops_text",
       (s, d) => {
-        val out = java.nio.file.Files.createTempDirectory("graft_k2_").toString
+        val out = Scratch.dir("graft_k2_").toString
         graft.sources.Sinks.writeCsv(
           Tables.nation(s, d).select(col("n_nationkey"), col("n_name"),
             col("n_regionkey")), out, dropTextCols = Seq("n_regionkey"))
@@ -248,7 +248,7 @@ object RelationalQueries extends QueryPack {
     // to (id, label) rows against a literal oracle.
     Q("k3_labels_roundtrip",
       (s, d) => {
-        val out = java.nio.file.Files.createTempDirectory("graft_k3_").toString
+        val out = Scratch.dir("graft_k3_").toString
         graft.sources.Sinks.writeLabels(
           Seq("dismissal", "approval", "partial_approval"), out)
         s.read.option("multiLine", "true").json(s"$out/labels.json")
@@ -270,7 +270,7 @@ object RelationalQueries extends QueryPack {
     // otherwise, plus the brand-new key.
     Q("k4_upsert_roundtrip",
       (s, d) => {
-        val out = java.nio.file.Files.createTempDirectory("graft_k4_")
+        val out = Scratch.dir("graft_k4_")
           .resolve("t").toString
         val base = Tables.nation(s, d)
           .select(col("n_nationkey"), col("n_name"))
@@ -303,7 +303,7 @@ object RelationalQueries extends QueryPack {
     // must not duplicate. Read back = exactly one row per nation.
     Q("k5_append_newkeys",
       (s, d) => {
-        val out = java.nio.file.Files.createTempDirectory("graft_k5_")
+        val out = Scratch.dir("graft_k5_")
           .resolve("t").toString
         val all = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
         graft.sources.Sinks.appendNewKeys(
@@ -325,7 +325,7 @@ object RelationalQueries extends QueryPack {
     // provably dropped (stated as a column so the oracle checks it).
     Q("k6_compact_roundtrip",
       (s, d) => {
-        val out = java.nio.file.Files.createTempDirectory("graft_k6_")
+        val out = Scratch.dir("graft_k6_")
           .resolve("t").toString
         Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
           .repartition(16).write.parquet(out)
@@ -349,7 +349,7 @@ object RelationalQueries extends QueryPack {
     // surviving rows via the same predicate in the oracle.
     Q("k7_partitioned_read",
       (s, d) => {
-        val out = java.nio.file.Files.createTempDirectory("graft_k7_")
+        val out = Scratch.dir("graft_k7_")
           .resolve("t").toString
         graft.sources.Sinks.writePartitioned(
           Tables.nation(s, d).select(col("n_nationkey"), col("n_name"),
@@ -371,7 +371,7 @@ object RelationalQueries extends QueryPack {
     // data).
     Q("x38_permissive_json",
       (s, d) => {
-        val out = java.nio.file.Files.createTempDirectory("graft_x38_")
+        val out = Scratch.dir("graft_x38_")
         val lines = (0 until 100).map { i =>
           if (i % 7 == 0) s"""{"id": $i, "v": "broken""" // truncated
           else s"""{"id": $i, "v": "ok$i"}"""
@@ -400,7 +400,7 @@ object RelationalQueries extends QueryPack {
     // merged view.
     Q("u7_schema_evolution",
       (s, d) => {
-        val out = java.nio.file.Files.createTempDirectory("graft_u7_")
+        val out = Scratch.dir("graft_u7_")
           .resolve("t").toString
         val nation = Tables.nation(s, d)
         nation.where(col("n_nationkey") >= 5)
@@ -425,7 +425,7 @@ object RelationalQueries extends QueryPack {
     // row-identical for the oracle's hash to match).
     Q("k10_scd2_history",
       (s, d) => {
-        val out = java.nio.file.Files.createTempDirectory("graft_k10_")
+        val out = Scratch.dir("graft_k10_")
           .resolve("t").toString
         val nation = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
         graft.sources.Sinks.scd2Upsert(nation, out, "n_nationkey", 1L, numBuckets = 8)
@@ -456,7 +456,7 @@ object RelationalQueries extends QueryPack {
     // and without the v2-only key) from history alone, no rewrites.
     Q("k11_scd2_asof",
       (s, d) => {
-        val out = java.nio.file.Files.createTempDirectory("graft_k11_")
+        val out = Scratch.dir("graft_k11_")
           .resolve("t").toString
         val nation = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
         graft.sources.Sinks.scd2Upsert(nation, out, "n_nationkey", 1L, numBuckets = 8)
@@ -482,7 +482,7 @@ object RelationalQueries extends QueryPack {
     // states the complete post-retention history literally.
     Q("k13_scd2_retention",
       (s, d) => {
-        val out = java.nio.file.Files.createTempDirectory("graft_k13_")
+        val out = Scratch.dir("graft_k13_")
           .resolve("t").toString
         val nation = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
         graft.sources.Sinks.scd2Upsert(nation, out, "n_nationkey", 1L, numBuckets = 8)
@@ -526,7 +526,7 @@ object RelationalQueries extends QueryPack {
     Q("k17_scd2_horizon_guard",
       (s, d) => {
         import s.implicits._
-        val out = java.nio.file.Files.createTempDirectory("graft_k17_")
+        val out = Scratch.dir("graft_k17_")
           .resolve("t").toString
         val nation = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
         graft.sources.Sinks.scd2Upsert(nation, out, "n_nationkey", 1L, numBuckets = 8)
@@ -738,7 +738,7 @@ object RelationalQueries extends QueryPack {
     // result.
     Q("k12_bucketed_cojoin",
       (s, d) => {
-        val wh = java.nio.file.Files.createTempDirectory("graft_k12_").toString
+        val wh = Scratch.dir("graft_k12_").toString
         s.sql("DROP TABLE IF EXISTS graft_k12_orders")
         s.sql("DROP TABLE IF EXISTS graft_k12_customer")
         Tables.orders(s, d).write.bucketBy(8, "o_custkey")
@@ -768,7 +768,7 @@ object RelationalQueries extends QueryPack {
     // to __other like the reference's unknown bucket).
     Q("k8_subdatasets_roundtrip",
       (s, d) => {
-        val out = java.nio.file.Files.createTempDirectory("graft_k8_").toString
+        val out = Scratch.dir("graft_k8_").toString
         val ds = Tables.nation(s, d)
           .withColumn("split",
             when(col("n_nationkey") % 2 === 0, "train").otherwise("test"))

@@ -1862,18 +1862,36 @@ object SimilarityQueries extends QueryPack {
     */
   private def semanticDedupAssigned(e: DataFrame,
                                     assigned: DataFrame): DataFrame = {
+    // EXPANSION-SKEW safe (round-16 — the SetSimJoin r15 finding
+    // applied to the within-cell pair join): the join's OUTPUT is
+    // Σ|cell|² cosine-verified pairs while AQE sizes partitions from
+    // INPUT bytes, so with the corpus-sized b side broadcast the whole
+    // quadratic verify ran on the probe side's 1–2 scan partitions
+    // (GateProfile d25: one 2-task 1.3 s stage). Keyless round-robin
+    // spread of the probe side to the session shuffle-partition count —
+    // scale-adaptive by conf; under a cluster-scale shuffle join the
+    // planner replaces it with the join's own exchange and AQE's skew
+    // split stays armed. No hot-cell salt is needed here BY POLICY:
+    // k = n/100 bounds cells to ~100 members, so per-cell pair
+    // products sit orders under SetSimJoin's 10⁶-pair salt budget.
+    val p = e.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
     val a = assigned.select(col("cid"), col("vec_id").as("ia"),
-      col("v").as("qv"), col("nn").as("qn"))
+      col("v").as("qv"), col("nn").as("qn")).repartition(p)
     val b = assigned.select(col("cid"), col("vec_id").as("ib"),
       col("v"), col("nn"))
     val pairs = a.join(b, "cid").where(col("ia") < col("ib"))
       .select(col("ia"), col("ib"), round(cosExpr, 6).as("cos"))
       .where(col("cos") > 0.3)
     val pairKey = concat(col("ia"), lit("_"), col("ib"))
-    val edges = pairs.select(col("ia").as("vec_id"),
-        lit(0).as("band"), pairKey.as("h"))
-      .union(pairs.select(col("ib").as("vec_id"),
-        lit(0).as("band"), pairKey.as("h")))
+    // ONE pass over the pair join: the old union-of-two-selects
+    // re-executed the within-cell cosine join per branch (Spark does
+    // not dedupe common subtrees) — explode emits the same (ia, ib)
+    // row pair from a single scan (round-16; identical row multiset,
+    // and the closure is groupBy/min — order-free)
+    val edges = pairs.select(
+      explode(array(col("ia"), col("ib"))).as("vec_id"),
+      lit(0).as("band"), pairKey.as("h"))
     val closed = graft.operators.MinHashLSH.convergeKeepList(edges, "vec_id")
     e.select("vec_id").join(closed, Seq("vec_id"), "left")
       .select(col("vec_id"),

@@ -206,21 +206,20 @@ object TextQueries extends QueryPack {
   private[graft] def compactBm25(s: org.apache.spark.sql.SparkSession,
                                    idx: String): Unit = {
     // four independent per-table folds — concurrent jobs (guide §2.6,
-    // round-15); each fold's manifest-then-swap protocol is per-dir
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    Await.result(Future.sequence(Seq(
-      Future(graft.sources.Sinks.compactGenerations(
-        s, s"$idx/postings", Some("tb"))),
-      Future(graft.sources.Sinks.rewriteGenerations(s, s"$idx/df", Some("tb"),
+    // round-15); each fold's manifest-then-swap protocol is per-dir.
+    // awaitAllWrites settles ALL folds and cancels siblings on failure
+    // (ADVICE r15 — a fail-fast await left orphan folds running)
+    graft.sources.Sinks.awaitAllWrites(s, Seq(
+      () => graft.sources.Sinks.compactGenerations(
+        s, s"$idx/postings", Some("tb")),
+      () => graft.sources.Sinks.rewriteGenerations(s, s"$idx/df", Some("tb"),
         df => df.groupBy("token", "tb").agg(sum("df").as("df"))
           .where(col("df") > 0)
-          .select("token", "df", "tb"))),
-      Future(graft.sources.Sinks.compactGenerations(s, s"$idx/dl", None)),
-      Future(graft.sources.Sinks.rewriteGenerations(s, s"$idx/stats", None,
-        st => st.agg(sum("sum_dl").as("sum_dl"), sum("n").as("n")))))),
-      Duration.Inf)
+          .select("token", "df", "tb")),
+      () => graft.sources.Sinks.compactGenerations(s, s"$idx/dl", None),
+      () => graft.sources.Sinks.rewriteGenerations(s, s"$idx/stats", None,
+        st => st.agg(sum("sum_dl").as("sum_dl"), sum("n").as("n")))))
+    ()
   }
 
   /** Land the four BM25 index tables (postings, df, dl, stats) from one
@@ -246,9 +245,6 @@ object TextQueries extends QueryPack {
         gen.map(g => df.withColumn("gen", lit(g))).getOrElse(df)
       val pcols = gen.map(_ => Seq("gen", "tb")).getOrElse(Seq("tb"))
       val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
       val writes = Seq(
         () => graft.sources.Sinks.clusterByPartition(
             withGen(tf.withColumn("tb", pmod(hash(col("token")), lit(64)))),
@@ -268,7 +264,10 @@ object TextQueries extends QueryPack {
           val w = st.write.mode(mode)
           gen.fold(w)(_ => w.partitionBy("gen")).parquet(s"$idx/stats")
         })
-      Await.result(Future.sequence(writes.map(w => Future(w()))), Duration.Inf)
+      // all-settled + sibling-cancel (ADVICE r15): the unpersist below
+      // must never run while a failed batch's siblings still read tf
+      graft.sources.Sinks.awaitAllWrites(s, writes)
+      ()
     } finally tf.unpersist()
   }
 

@@ -36,6 +36,63 @@ object Sinks {
     if (!fs.rename(src, dst))
       throw new java.io.IOException(s"rename failed: $src -> $dst")
 
+  /** Run independent write thunks as CONCURRENT Spark jobs (guide §2.6)
+    * and wait for ALL of them to settle — the shared submission
+    * discipline of every multi-table landing (BM25 tables, keep-list
+    * state pairs, corpus-stream upserts).
+    *
+    * Failure contract (ADVICE r15): each thunk runs under its own Spark
+    * job group; the FIRST failure cancels the sibling groups' in-flight
+    * jobs and stops unstarted thunks from submitting, and the failure is
+    * rethrown only AFTER every thunk has terminated — so a caller's
+    * `finally` (typically an unpersist of the shared input cache) never
+    * runs while a sibling job still reads that cache, and no orphan job
+    * keeps writing to a store dir after the caller has unwound. (The
+    * previous `Await.result(Future.sequence(...))` failed fast and left
+    * siblings running.)
+    */
+  private[graft] def awaitAllWrites[T](spark: SparkSession,
+                                       thunks: Seq[() => T]): Seq[T] = {
+    if (thunks.isEmpty) return Seq.empty
+    if (thunks.sizeIs == 1) return Seq(thunks.head())
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.util.{Failure, Success, Try}
+    val sc = spark.sparkContext
+    val base = java.util.UUID.randomUUID().toString
+    val groups = thunks.indices.map(i => s"graft-cwrite-$base-$i")
+    val aborted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val futs: Seq[Future[T]] = thunks.zipWithIndex.map { case (t, i) =>
+      Future {
+        if (aborted.get)
+          throw new java.util.concurrent.CancellationException(
+            "sibling concurrent write failed before this one started")
+        // job groups are thread-local: tag THIS thunk's jobs so a
+        // sibling failure cancels exactly them; cleared in finally so
+        // the pooled thread doesn't leak the group onto unrelated work
+        sc.setJobGroup(groups(i), s"concurrent write ${i + 1}/${thunks.size}",
+          interruptOnCancel = true)
+        try t() finally sc.clearJobGroup()
+      }
+    }
+    futs.foreach(_.failed.foreach { _ =>
+      if (aborted.compareAndSet(false, true))
+        groups.foreach(g => try sc.cancelJobGroup(g)
+          catch { case scala.util.control.NonFatal(_) => () })
+    })
+    val settled: Seq[Try[T]] = Await.result(
+      Future.sequence(futs.map(_.transform(Success(_)))), Duration.Inf)
+    // rethrow the ROOT failure, not a secondary cancellation it caused
+    def isCancel(e: Throwable): Boolean =
+      e.isInstanceOf[java.util.concurrent.CancellationException] ||
+        (e.getMessage != null && e.getMessage.contains("cancelled"))
+    settled.collectFirst { case Failure(e) if !isCancel(e) => e }
+      .orElse(settled.collectFirst { case Failure(e) => e })
+      .foreach(e => throw e)
+    settled.map(_.get)
+  }
+
   /** ONE copy of the write-tmp-then-rename parquet commit (the
     * committed-verdict faces of the incremental dedup tier): the frame
     * is fully written to the hidden `tmp` path, then published at `dst`

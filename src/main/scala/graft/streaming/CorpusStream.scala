@@ -84,9 +84,6 @@ object CorpusStream {
             // sum(upsert) — the same discipline a production job uses
             // to keep per-batch latency under the trigger interval.
             sectioned.count()
-            import scala.concurrent.{Await, Future}
-            import scala.concurrent.duration.Duration
-            import scala.concurrent.ExecutionContext.Implicits.global
             val writes = Seq(
               () => Sinks.upsertBucketed(docs, s"$outDir/documents", "decision_id", 16),
               () => Sinks.upsertBucketed(sectioned, s"$outDir/sections", "decision_id", 16),
@@ -98,7 +95,11 @@ object CorpusStream {
                 s"$outDir/participations", "decision_id", 16),
               () => Sinks.upsertBucketed(CorpusPipeline.lowerCourts(sectioned),
                 s"$outDir/lower_courts", "decision_id", 16))
-            Await.result(Future.sequence(writes.map(w => Future(w()))), Duration.Inf)
+            // all-settled + sibling-cancel (ADVICE r15): the unpersists
+            // below must never run while failed-batch siblings still
+            // read the docs/sectioned caches
+            Sinks.awaitAllWrites(spark, writes)
+            ()
           } finally { sectioned.unpersist(); () }
         } finally { docs.unpersist(); () }
         ()

@@ -46,11 +46,14 @@ object GateProfile {
                         var sumMs: Long = 0L, var maxMs: Long = 0L)
     val stages = new ConcurrentLinkedQueue[StageAgg]()
     val stageTask = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]()
-    @volatile var taskTimeMs = 0L
-    @volatile var nStages = 0
-    @volatile var nTasks = 0
+    // LongAdder, not @volatile var: onTaskEnd/onStageCompleted fire from
+    // the listener bus concurrently with reads; read-modify-write on a
+    // volatile drops updates (ADVICE r15)
+    val taskTimeMs = new java.util.concurrent.atomic.LongAdder
+    val nStages = new java.util.concurrent.atomic.LongAdder
+    val nTasks = new java.util.concurrent.atomic.LongAdder
+    val open = new java.util.concurrent.ConcurrentHashMap[Int, JobSpan]()
     val listener = new SparkListener {
-      private val open = new java.util.concurrent.ConcurrentHashMap[Int, JobSpan]()
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         val s = JobSpan(e.jobId, e.time)
         s.desc = Option(e.properties)
@@ -64,8 +67,8 @@ object GateProfile {
         val s = open.remove(e.jobId); if (s != null) s.end = e.time
       }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
-        nStages += 1
-        nTasks += e.stageInfo.numTasks
+        nStages.increment()
+        nTasks.add(e.stageInfo.numTasks)
         val info = e.stageInfo
         val wall = (for (a <- info.completionTime; b <- info.submissionTime)
           yield a - b).getOrElse(0L)
@@ -76,7 +79,7 @@ object GateProfile {
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
         val m = e.taskMetrics
         if (m != null) {
-          taskTimeMs += m.executorRunTime
+          taskTimeMs.add(m.executorRunTime)
           stageTask.merge(e.stageId, (m.executorRunTime, m.executorRunTime),
             (a, b) => (a._1 + b._1, math.max(a._2, b._2)))
         }
@@ -89,16 +92,22 @@ object GateProfile {
       queries.get(name) match {
         case None => println(s"PROFILE $name: NOT FOUND")
         case Some(fn) =>
-          jobs.clear(); stages.clear(); taskTimeMs = 0L; nStages = 0; nTasks = 0
+          jobs.clear(); stages.clear()
+          taskTimeMs.reset(); nStages.reset(); nTasks.reset()
           val t0 = System.nanoTime()
           val df = fn(spark, sfDir)
           val n = df.count()
           val wallMs = (System.nanoTime() - t0) / 1e6
           if (sys.env.contains("GATE_PLAN"))
             println(df.queryExecution.executedPlan.toString.take(12000))
-          // let listener events drain (the bus is async; private API, so
-          // a short settle sleep stands in for waitUntilEmpty)
-          Thread.sleep(400)
+          // drain the async listener bus: poll until every started job
+          // has its end event (open set empty) under a deadline — a
+          // fixed sleep dropped late events on a loaded bus (ADVICE
+          // r15); trailing stage/task events get one short settle after
+          val deadline = System.nanoTime() + 3L * 1000 * 1000 * 1000
+          while (!open.isEmpty && System.nanoTime() < deadline)
+            Thread.sleep(20)
+          Thread.sleep(100)
           val spans = {
             import scala.jdk.CollectionConverters._
             jobs.asScala.toSeq.filter(_.end > 0).sortBy(_.start)
@@ -115,7 +124,8 @@ object GateProfile {
           println(f"PROFILE $name rows=$n wall=${wallMs / 1000}%.2fs " +
             f"jobs=${spans.size} inJob=${merged / 1000.0}%.2fs " +
             f"gap=${(wallMs - merged) / 1000}%.2fs " +
-            f"stages=$nStages tasks=$nTasks taskTime=${taskTimeMs / 1000.0}%.2fs")
+            f"stages=${nStages.sum()} tasks=${nTasks.sum()} " +
+            f"taskTime=${taskTimeMs.sum() / 1000.0}%.2fs")
           val top = spans.sortBy(s => -(s.end - s.start)).take(8)
           for (s <- top)
             println(f"  job ${s.id}%4d ${(s.end - s.start) / 1000.0}%6.2fs  ${s.desc.take(90)}")
@@ -126,8 +136,10 @@ object GateProfile {
           for (st <- topStages)
             println(f"  stage ${st.id}%4d tasks=${st.n}%4d wall=${st.wallMs / 1000.0}%6.2fs " +
               f"taskSum=${st.sumMs / 1000.0}%6.2fs taskMax=${st.maxMs / 1000.0}%6.2fs  ${st.name}")
+          graft.queries.Scratch.sweep() // reclaim the gate's scratch stores
       }
     }
+    graft.queries.Scratch.sweepAll() // reclaim pinned fixtures too
     spark.stop()
   }
 }
